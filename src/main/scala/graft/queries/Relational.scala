@@ -1,0 +1,538 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Q1–Q30: the relational query surface (SURVEY.md §2B).
+  *
+  * Everything here is stock Catalyst — declarative DataFrame pipelines so
+  * predicate pushdown, column pruning, join reordering and AQE do the
+  * physical planning. Small dimension tables (`region`, `nation`) carry an
+  * explicit `broadcast` hint: they stay tiny at any scale factor, so the
+  * joins they participate in must never shuffle the fact side.
+  *
+  * The reference's read surface is count / match-all scan / search
+  * delegated to OpenSearch (reference: kds_example/oss_utils.py:43-63,
+  * debug/s2_inspect_data_in_s3.py:19-23); Q1/Q13/Q14 etc. are the
+  * Spark-native generalization of that surface.
+  */
+object Relational {
+  import Tables.t
+
+  private def q(name: String, oracle: String)(
+      build: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle))(build)
+
+  // ---------------------------------------------------------------- Q1–Q4
+
+  val q01_scan: QueryDef = q(
+    "q01_scan",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+  ) { (s, dir) =>
+    t(s, dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+  }
+
+  val q02_project: QueryDef = q(
+    "q02_project",
+    "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey"
+  ) { (s, dir) =>
+    // Column pruning: ReadSchema in the parquet scan must list only these 2.
+    t(s, dir, "customer").select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  val q03_filter: QueryDef = q(
+    "q03_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, dir) =>
+    // Both predicates reach the parquet scan (PushedFilters).
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q04_filter_in_between: QueryDef = q(
+    "q04_filter_in_between",
+    """SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS o_orderdate
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 23:59:59'
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderdate").between("1996-01-01 00:00:00", "1997-12-31 23:59:59"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  val q05_join: QueryDef = q(
+    "q05_join",
+    """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    // customer is NOT broadcast-hinted: at 100 TB it is a fact-sized table;
+    // AQE converts to broadcast at small SF on its own.
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val q06_broadcast_join: QueryDef = q(
+    "q06_broadcast_join",
+    """SELECT n_nationkey, n_name, r_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+  }
+
+  val q07_multijoin: QueryDef = q(
+    "q07_multijoin",
+    """SELECT n_name, floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue, count(*) AS n_rows
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+  ) { (s, dir) =>
+    // Fact-to-fact joins shuffle on their keys; the two dims broadcast.
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(Par.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("n_name")
+  }
+
+  val q08_left_join: QueryDef = q(
+    "q08_left_join",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val q09_semi_join: QueryDef = q(
+    "q09_semi_join",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q10_anti_join: QueryDef = q(
+    "q10_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q11_range_join: QueryDef = q(
+    "q11_range_join",
+    """SELECT e1.event_id AS id1, e2.event_id AS id2
+      |FROM events e1 JOIN events e2
+      |  ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+      |ORDER BY id1, id2""".stripMargin
+  ) { (s, dir) =>
+    // Equi-key on user_id keeps this a hash/sort-merge join (the range
+    // predicate is a post-join filter on co-partitioned data) — never a
+    // cartesian product, so it scales with events-per-user, not events².
+    val e1 = t(s, dir, "events").select(
+      col("user_id"), col("ts").as("ts1"), col("event_id").as("id1"))
+    val e2 = t(s, dir, "events").select(
+      col("user_id"), col("ts").as("ts2"), col("event_id").as("id2"))
+    e1.join(e2,
+        e1("user_id") === e2("user_id") &&
+          col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+      .select("id1", "id2")
+      .orderBy("id1", "id2")
+  }
+
+  val q12_asof_join: QueryDef = q(
+    "q12_asof_join",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.event_id, p.user_id, c.event_id AS click_id,
+      |        row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+      |SELECT event_id, user_id, click_id AS asof_click_id FROM j WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    // As-of join, scalable form: ONE shuffle (by user_id), no range
+    // explosion. Union both sides, sort within user by (ts, kind, id) and
+    // carry the latest click forward with last(ignoreNulls). The oracle's
+    // O(n·m) LEFT JOIN form is only viable at test scale.
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"), col("event_id").as("click_id"),
+      lit(null).cast("bigint").as("p_event_id"), lit(0).as("kind"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(null).cast("bigint").as("click_id"),
+      col("event_id").as("p_event_id"), lit(1).as("kind"))
+    // kind: clicks sort before purchases at equal ts (c.ts <= p.ts inclusive);
+    // click_id ascending so last() picks the max click_id on exact ts ties.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), coalesce(col("click_id"), col("p_event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("p_event_id").isNotNull)
+      .select(col("p_event_id").as("event_id"), col("user_id"), col("asof_click_id"))
+      .orderBy("event_id")
+  }
+
+  // ----------------------------------------------------------- aggregation
+
+  val q13_agg: QueryDef = q(
+    "q13_agg",
+    """SELECT l_returnflag, l_linestatus, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+      |  floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_price,
+      |  floor(avg(l_discount) * 100 + 0.5) / 100 AS avg_disc,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    // TPC-H Q1 shape: partial (map-side) + final HashAggregate, no sort
+    // until the tiny final result.
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Par.r2(sum("l_quantity")).as("sum_qty"),
+        Par.r2(sum("l_extendedprice")).as("sum_price"),
+        Par.r2(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q14_distinct: QueryDef = q(
+    "q14_distinct",
+    "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"
+  ) { (s, dir) =>
+    t(s, dir, "orders").select("o_orderpriority").distinct().orderBy("o_orderpriority")
+  }
+
+  val q15_count_distinct: QueryDef = q(
+    "q15_count_distinct",
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** HLL sketch — oracle intentionally omitted (approximate result; driver
+    * records the weaker rows-only check; see FIXTURES.md §3 Q16). The spec
+    * asserts ≤5% relative error vs the exact count.
+    */
+  val q16_approx_distinct: QueryDef = QueryDef("q16_approx_distinct", None) {
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+  }
+
+  val q17_rollup: QueryDef = q(
+    "q17_rollup",
+    """SELECT o_orderstatus, o_orderpriority, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price, count(*) AS n
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(Par.r2(sum("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  // ----------------------------------------------------------- sort / topk
+
+  val q18_sort_limit: QueryDef = q(
+    "q18_sort_limit",
+    """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS l_shipdate
+      |FROM lineitem
+      |ORDER BY CAST(l_shipdate AS DATE) DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    // orderBy + limit fuses to TakeOrderedAndProject: per-partition top-100
+    // then a single-driver merge — no global sort even at 100 TB.
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("l_shipdate"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  val q19_topk: QueryDef = q(
+    "q19_topk",
+    """WITH t AS (SELECT o_custkey, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+      |           FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, total FROM t ORDER BY total DESC, o_custkey LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(Par.r2(sum("o_totalprice")).as("total"))
+      .orderBy(col("total").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  // --------------------------------------------------------------- windows
+
+  val q20_rank_window: QueryDef = q(
+    "q20_rank_window",
+    """SELECT o_orderkey, o_custkey,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rnk,
+      |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS drnk
+      |
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val wTotal = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wDate = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(wTotal).cast("bigint").as("rn"),
+        rank().over(wDate).cast("bigint").as("rnk"),
+        dense_rank().over(wDate).cast("bigint").as("drnk"))
+      .orderBy("o_orderkey")
+  }
+
+  val q21_lag_lead: QueryDef = q(
+    "q21_lag_lead",
+    """SELECT event_id, user_id,
+      |  lag(value) OVER w AS prev_value,
+      |  lead(value) OVER w AS next_value
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy("event_id")
+  }
+
+  val q22_frame_window: QueryDef = q(
+    "q22_frame_window",
+    """SELECT o_orderkey, o_custkey,
+      |  floor(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS running_rows
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    // ROWS frame only: the running sum's addition order is pinned by the
+    // (o_orderdate, o_orderkey) total order, so the doubles are bit-equal
+    // to the oracle's.
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        Par.r2(sum("o_totalprice").over(w)).as("running_rows"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- set ops
+
+  val q23_union: QueryDef = q(
+    "q23_union",
+    """SELECT o_custkey, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |) u GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+  ) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      .unionByName(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+  }
+
+  val q24_intersect_except: QueryDef = q(
+    "q24_intersect_except",
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_custkey, tag FROM (
+      |  SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |  UNION ALL
+      |  SELECT o_custkey, 'only_early' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |) ORDER BY o_custkey, tag""".stripMargin
+  ) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderdate") < "1998-01-01 00:00:00").select("o_custkey").distinct()
+    val b = o.filter(col("o_orderdate") >= "1998-01-01 00:00:00").select("o_custkey").distinct()
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_early")))
+      .orderBy("o_custkey", "tag")
+  }
+
+  // ------------------------------------------------------------- functions
+
+  val q25_strings: QueryDef = q(
+    "q25_strings",
+    """SELECT c_custkey, upper(c_name) AS up_name, lower(c_mktsegment) AS low_seg,
+      |  substring(c_name, 1, 8) AS name_prefix,
+      |  concat(c_name, '#', c_mktsegment) AS name_seg,
+      |  CAST(length(c_name) AS INT) AS name_len,
+      |  trim(c_name) AS trimmed,
+      |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+      |  CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      upper(col("c_name")).as("up_name"),
+      lower(col("c_mktsegment")).as("low_seg"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      concat(col("c_name"), lit("#"), col("c_mktsegment")).as("name_seg"),
+      length(col("c_name")).as("name_len"),
+      trim(col("c_name")).as("trimmed"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+      when(col("c_name").like("%1%"), 1).otherwise(0).as("has_one")
+    ).orderBy("c_custkey")
+  }
+
+  val q26_datetime: QueryDef = q(
+    "q26_datetime",
+    """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(month(o_orderdate) AS INT) AS o_month,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"),
+      month(col("o_orderdate")).as("o_month"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
+      date_add(to_date(col("o_orderdate")), 30).as("plus30")
+    ).orderBy("o_orderkey")
+  }
+
+  val q27_math: QueryDef = q(
+    "q27_math",
+    """SELECT l_orderkey, l_linenumber,
+      |  floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+      |  floor(abs(l_extendedprice - 1000.0) * 100 + 0.5) / 100 AS dist1000,
+      |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+      |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+      |  floor(power(1 + l_discount, 2) * 100 + 0.5) / 100 AS disc_sq
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      Par.r2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+      Par.r2(abs(col("l_extendedprice") - 1000.0)).as("dist1000"),
+      ceil(col("l_quantity")).as("qty_ceil"),
+      floor(col("l_quantity")).as("qty_floor"),
+      Par.r2(pow(lit(1) + col("l_discount"), 2)).as("disc_sq")
+    ).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q28_json: QueryDef = q(
+    "q28_json",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_val")
+    ).orderBy("event_id")
+  }
+
+  val q28_array: QueryDef = q(
+    "q28_array",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id, toks[1] AS tok1, CAST(len(toks) AS INT) AS n_tok,
+      |  CAST(list_contains(toks, 'data') AS INT) AS has_data
+      |FROM tk ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        element_at(col("toks"), 1).as("tok1"),
+        size(col("toks")).as("n_tok"),
+        array_contains(col("toks"), "data").cast("int").as("has_data"))
+      .orderBy("doc_id")
+  }
+
+  val q29_case: QueryDef = q(
+    "q29_case",
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "mid")
+        .otherwise("high").as("band"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg")
+    ).orderBy("c_custkey")
+  }
+
+  val q30_subquery: QueryDef = q(
+    "q30_subquery",
+    """WITH t AS (SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, floor(s * 100 + 0.5) / 100 AS total FROM t
+      |WHERE s > (SELECT avg(s) FROM t) ORDER BY o_custkey""".stripMargin
+  ) { (s, dir) =>
+    // Scalar subquery as a broadcast cross-join of a 1-row aggregate —
+    // exactly the plan Catalyst decorrelates to.
+    val totals = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("s"))
+    val threshold = totals.agg(avg("s").as("avg_s"))
+    totals.join(broadcast(threshold))
+      .filter(col("s") > col("avg_s"))
+      .select(col("o_custkey"), Par.r2(col("s")).as("total"))
+      .orderBy("o_custkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q01_scan, q02_project, q03_filter, q04_filter_in_between, q05_join,
+    q06_broadcast_join, q07_multijoin, q08_left_join, q09_semi_join,
+    q10_anti_join, q11_range_join, q12_asof_join, q13_agg, q14_distinct,
+    q15_count_distinct, q16_approx_distinct, q17_rollup, q18_sort_limit,
+    q19_topk, q20_rank_window, q21_lag_lead, q22_frame_window, q23_union,
+    q24_intersect_except, q25_strings, q26_datetime, q27_math, q28_json,
+    q28_array, q29_case, q30_subquery)
+}
