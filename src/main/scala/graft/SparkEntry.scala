@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered queries, in SURVEY §2B order. */
-  def registry: Seq[QueryDef] = Relational.all
+  def registry: Seq[QueryDef] =
+    Relational.all ++ TrainingData.all ++ StreamingBatch.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / hashing primitives shared by the LLM-data-pipeline operators
+  * (SURVEY.md §2B Q31–Q35 and the extended training-data queries).
+  *
+  * Everything here is pure Catalyst expressions (codegen'd, no UDFs) and —
+  * critically for the DuckDB oracle — engine-portable: the 64-bit hash is
+  * derived from md5 (identical bytes in any engine) rather than Spark's
+  * murmur3 `hash()`, which DuckDB cannot reproduce.
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens; empty strings from consecutive separators are
+    * dropped (mirrors `list_filter(string_split_regex(lower(x),'\W+'), ...)`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), x => x =!= "")
+
+  /** Portable 64-bit hash: first 15 hex digits of md5 → bigint (60 bits,
+    * always positive). DuckDB spelling:
+    * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`.
+    */
+  def h64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** SQL fragment of [[h64]] for oracle strings (DuckDB dialect). */
+  def h64sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Distinct word 3-shingles of a token array column named `toks`
+    * (0-based Spark array indexing; requires size >= 3 — callers filter).
+    */
+  val shingleExpr: Column =
+    expr("""array_distinct(transform(sequence(1, size(toks) - 2),
+           |  g -> concat_ws(' ', toks[g-1], toks[g], toks[g+1])))""".stripMargin)
+}

@@ -1,0 +1,394 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Q31–Q35 + extended training-data operators (SURVEY.md §2B + the
+  * 100 TB-pipeline mandate): dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard / embedding-cosine), similarity search, text analysis
+  * (token stats, TF-IDF, quality scoring, language heuristic,
+  * fingerprinting), and binary-column (multimodal) plumbing.
+  *
+  * Scale notes are inline per query; the common theme: nothing here is
+  * all-pairs over the full corpus — candidate generation is always keyed
+  * (shingle, LSH band, broadcast probe set) so the join scales with
+  * collision counts, not corpus².
+  */
+object TrainingData {
+  import Tables.t
+
+  private def q(name: String, oracle: String)(
+      build: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle))(build)
+
+  /** doc_id + filtered lowercase tokens (docs with >= 3 tokens). */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+
+  /** (doc_id, shingle) — distinct word 3-shingles. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingleExpr).as("shingle"))
+
+  private val shinglesSql =
+    """tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |        FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] AS shingle
+      |       FROM tok, unnest(range(1, len(toks) - 1)) AS u(g)
+      |       WHERE len(toks) >= 3)""".stripMargin
+
+  // ------------------------------------------------------------ Q31: exact
+
+  val q31_dedup_exact: QueryDef = q(
+    "q31_dedup_exact",
+    """SELECT min(doc_id) AS doc_id, md5(text) AS text_hash, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Exact dedup = hash-groupBy, keep min doc_id. At 100 TB you group by
+    // md5(text) (fixed 16 bytes) rather than the text itself so the
+    // shuffle carries digests, not documents.
+    t(s, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), md5(col("text")).as("text_hash"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------- Q32: near-dup (Jaccard)
+
+  val q32_neardup_jaccard: QueryDef = q(
+    "q32_neardup_jaccard",
+    s"""WITH $shinglesSql,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id1, id2, CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+       |ORDER BY id1, id2""".stripMargin
+  ) { (s, dir) =>
+    // Pair candidates come from the shingle-equality join (subquadratic:
+    // scales with shingle collisions). The 100 TB path swaps the raw
+    // shingle join for the MinHash-LSH banding of q44 as a prefilter; the
+    // Jaccard arithmetic below stays identical.
+    val sh = shingles(s, dir).cache()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("id1"), col("shingle"))
+    val b = sh.select(col("doc_id").as("id2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("na") + col("nb") - col("i")).cast("double")
+    inter
+      .join(sz.select(col("doc_id").as("id1"), col("n").as("na")), "id1")
+      .join(sz.select(col("doc_id").as("id2"), col("n").as("nb")), "id2")
+      .select(col("id1"), col("id2"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("id1", "id2")
+  }
+
+  // --------------------------------------- Q33: vector similarity top-k
+
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"),
+      sqrt(expr(
+        """aggregate(embedding, cast(0.0 as double),
+          |  (a, x) -> a + cast(x as double) * cast(x as double))""".stripMargin))
+        .as("nrm"))
+
+  val q33_similarity_topk: QueryDef = q(
+    "q33_similarity_topk",
+    """WITH nrm AS (SELECT vec_id, embedding,
+      |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |      FROM embeddings),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn FROM nrm WHERE vec_id < 5),
+      |pairs AS (SELECT probe_id, e.vec_id AS neighbor_id,
+      |        list_sum(list_transform(range(1, len(pe) + 1),
+      |          i -> CAST(pe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (pn * e.nrm) AS cos
+      |      FROM probes, nrm e WHERE e.vec_id <> probe_id),
+      |ranked AS (SELECT probe_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM pairs)
+      |SELECT probe_id, neighbor_id, floor(cos * 100 + 0.5) / 100 AS cos_sim, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+  ) { (s, dir) =>
+    // Brute-force baseline: broadcast the (tiny) probe set against the
+    // corpus — one scan, no shuffle of the embedding table. Selection
+    // happens on the RAW cosine (bit-identical fold in both engines);
+    // only the emitted value is rounded. The block-partitioned/LSH scale
+    // path lives in graft.operators.Similarity.
+    val nrm = normed(s, dir)
+    val probes = nrm.filter(col("vec_id") < 5).select(
+      col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+    val dot = expr(
+      """aggregate(zip_with(pe, embedding, (x, y) -> cast(x as double) * cast(y as double)),
+        |  cast(0.0 as double), (a, v) -> a + v)""".stripMargin)
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    nrm.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (dot / (col("pn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("neighbor_id"),
+        Par.r2(col("cos")).as("cos_sim"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  // ------------------------------------------------- Q34/Q35: text stats
+
+  private val toksUnnestSql =
+    """toku AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+      |         FROM documents)""".stripMargin
+
+  val q34_token_stats: QueryDef = q(
+    "q34_token_stats",
+    s"""WITH $toksUnnestSql
+       |SELECT term, count(DISTINCT doc_id) AS df FROM toku
+       |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+  }
+
+  val q35_tfidf: QueryDef = q(
+    "q35_tfidf",
+    s"""WITH $toksUnnestSql,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toku
+       |       WHERE term IN ('data', 'spark', 'query') GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toku
+       |       WHERE term IN ('data', 'spark', 'query') GROUP BY term),
+       |nd AS (SELECT count(*) AS n FROM documents),
+       |scored AS (SELECT doc_id, sum(tf * ln((n + 1.0) / (df + 1.0))) AS score
+       |           FROM tf JOIN df USING (term) CROSS JOIN nd GROUP BY doc_id),
+       |ranked AS (SELECT doc_id, score,
+       |        row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |      FROM scored)
+       |SELECT doc_id, floor(score * 100 + 0.5) / 100 AS score, CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // Ranking deliberately uses the ROUNDED score: sum() addition order
+    // is engine-internal, so raw scores of equal-tf docs can differ in
+    // the last ulp across engines; rounding + doc_id tie-break makes the
+    // ordering portable.
+    val terms = Seq("data", "spark", "query")
+    val toks = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val nd = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(df), "term").join(broadcast(nd))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0))).as("score"))
+    val w = Window.orderBy(Par.r2(col("score")).desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select(col("doc_id"), Par.r2(col("score")).as("score"), col("rank"))
+      .orderBy("rank")
+  }
+
+  // ------------------------------------- q41+: extended training-data ops
+
+  val q41_text_quality: QueryDef = q(
+    "q41_text_quality",
+    """WITH tk AS (SELECT doc_id, lang,
+      |        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks,
+      |        length(text) AS n_char FROM documents),
+      |m AS (SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tok,
+      |        CAST(len(list_distinct(toks)) AS INT) AS n_uniq, CAST(n_char AS INT) AS n_char,
+      |        CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in'], x))) AS INT) AS n_stop
+      |      FROM tk)
+      |SELECT doc_id, n_tok, n_uniq, n_char, n_stop,
+      |  floor((CAST(n_uniq AS DOUBLE) / n_tok) * 100 + 0.5) / 100 AS ttr,
+      |  floor((CAST(n_stop AS DOUBLE) / n_tok) * 100 + 0.5) / 100 AS stop_ratio,
+      |  CASE WHEN n_stop > 0 THEN 'en' ELSE lang END AS lang_guess
+      |FROM m WHERE n_tok > 0 ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Quality scoring + n-gram language heuristic: one narrow projection,
+    // no shuffle at all — this runs at scan speed on any corpus size.
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"),
+        length(col("text")).as("n_char"))
+      .select(col("doc_id"), col("lang"), col("n_char"),
+        size(col("toks")).as("n_tok"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))").as("n_stop"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("n_char"), col("n_stop"),
+        Par.r2(col("n_uniq").cast("double") / col("n_tok")).as("ttr"),
+        Par.r2(col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
+        when(col("n_stop") > 0, "en").otherwise(col("lang")).as("lang_guess"))
+      .orderBy("doc_id")
+  }
+
+  val q42_fingerprint: QueryDef = q(
+    "q42_fingerprint",
+    s"""SELECT doc_id, ${h64sql("lower(text)")} AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), h64(lower(col("text"))).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** 8 portable MinHash values per doc (md5-derived, seeds 0..7). */
+  private val minhashSql =
+    s"""mh AS (SELECT doc_id, j,
+       |        min(${h64sql("concat(CAST(j AS VARCHAR), '|', shingle)")}) AS mh
+       |      FROM sh CROSS JOIN unnest(range(0, 8)) AS s(j) GROUP BY doc_id, j)""".stripMargin
+
+  private def minhash(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("j"), col("shingle"))
+      .groupBy("doc_id", "j")
+      .agg(min(h64(concat(col("j").cast("string"), lit("|"), col("shingle")))).as("mh"))
+
+  val q43_minhash_sig: QueryDef = q(
+    "q43_minhash_sig",
+    s"""WITH $shinglesSql,
+       |$minhashSql
+       |SELECT doc_id,
+       |  min(CASE WHEN j = 0 THEN mh END) AS mh0, min(CASE WHEN j = 1 THEN mh END) AS mh1,
+       |  min(CASE WHEN j = 2 THEN mh END) AS mh2, min(CASE WHEN j = 3 THEN mh END) AS mh3,
+       |  min(CASE WHEN j = 4 THEN mh END) AS mh4, min(CASE WHEN j = 5 THEN mh END) AS mh5,
+       |  min(CASE WHEN j = 6 THEN mh END) AS mh6, min(CASE WHEN j = 7 THEN mh END) AS mh7
+       |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val m = minhash(s, dir)
+    m.groupBy("doc_id")
+      .agg(
+        min(when(col("j") === 0, col("mh"))).as("mh0"),
+        min(when(col("j") === 1, col("mh"))).as("mh1"),
+        min(when(col("j") === 2, col("mh"))).as("mh2"),
+        min(when(col("j") === 3, col("mh"))).as("mh3"),
+        min(when(col("j") === 4, col("mh"))).as("mh4"),
+        min(when(col("j") === 5, col("mh"))).as("mh5"),
+        min(when(col("j") === 6, col("mh"))).as("mh6"),
+        min(when(col("j") === 7, col("mh"))).as("mh7"))
+      .orderBy("doc_id")
+  }
+
+  val q44_lsh_pairs: QueryDef = q(
+    "q44_lsh_pairs",
+    s"""WITH $shinglesSql,
+       |$minhashSql,
+       |bk AS (SELECT doc_id, j // 2 AS band,
+       |        concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ',',
+       |               CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS key
+       |      FROM mh GROUP BY doc_id, j // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT id1, id2,
+       |  CAST(sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est_sim
+       |FROM cand JOIN mh ha ON ha.doc_id = id1 JOIN mh hb ON hb.doc_id = id2 AND ha.j = hb.j
+       |GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin
+  ) { (s, dir) =>
+    // MinHash-LSH banding (4 bands × 2 rows): THE subquadratic near-dup
+    // path at 100 TB — candidate pairs come from equality on band keys
+    // (a plain hash join on short strings), never from comparing docs.
+    val m = minhash(s, dir).cache()
+    val bk = m.groupBy(col("doc_id"), expr("j div 2").as("band"))
+      .agg(concat(
+        min(when(col("j") % 2 === 0, col("mh"))).cast("string"), lit(","),
+        min(when(col("j") % 2 === 1, col("mh"))).cast("string")).as("key"))
+    val cand = bk.select(col("doc_id").as("id1"), col("band"), col("key"))
+      .join(bk.select(col("doc_id").as("id2"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cand
+      .join(m.select(col("doc_id").as("id1"), col("j"), col("mh").as("mha")), "id1")
+      .join(m.select(col("doc_id").as("id2"), col("j"), col("mh").as("mhb")), Seq("id2", "j"))
+      .groupBy("id1", "id2")
+      .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)).cast("double") / 8)
+        .as("est_sim"))
+      .orderBy("id1", "id2")
+  }
+
+  val q45_simhash: QueryDef = q(
+    "q45_simhash",
+    s"""WITH $toksUnnestSql,
+       |h AS (SELECT doc_id, ${h64sql("term")} AS h FROM toku),
+       |bits AS (SELECT doc_id, b,
+       |        CASE WHEN sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |             THEN 1 ELSE 0 END AS bit
+       |      FROM h CROSS JOIN unnest(range(0, 16)) AS u(b) GROUP BY doc_id, b)
+       |SELECT doc_id, CAST(sum(bit * (1 << CAST(b AS INT))) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // 16-bit SimHash over token multiset: near-dup docs land on nearby
+    // codes; grouping by code (or code bands) gives O(n) candidate blocks.
+    tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), h64(col("term")).as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(when(sum(when(expr("(h >> cast(b as int)) & 1") === 1, 1).otherwise(-1)) > 0, 1)
+        .otherwise(0).as("bit"))
+      .groupBy("doc_id")
+      .agg(sum(expr("bit * shiftleft(1, cast(b as int))")).cast("bigint").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val q46_embed_neardup: QueryDef = q(
+    "q46_embed_neardup",
+    """WITH nrm AS (SELECT vec_id, embedding,
+      |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |      FROM embeddings),
+      |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |        list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+      |      FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id)
+      |SELECT id1, id2, floor(cos * 100 + 0.5) / 100 AS cos_sim
+      |FROM pairs ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    // Embedding near-dup, brute-force form (all-pairs upper triangle).
+    // This is the CORRECTNESS baseline; the scale path blocks the corpus
+    // with LSH random hyperplanes first (graft.operators.Similarity).
+    val nrm = normed(s, dir)
+    val a = nrm.select(col("vec_id").as("id1"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = nrm.select(col("vec_id").as("id2"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val dot = expr(
+      """aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)),
+        |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), (dot / (col("na") * col("nb"))).as("cos"))
+      .orderBy(col("cos").desc, col("id1"), col("id2"))
+      .limit(20)
+      .select(col("id1"), col("id2"), Par.r2(col("cos")).as("cos_sim"))
+  }
+
+  val q47_multimodal_binary: QueryDef = q(
+    "q47_multimodal_binary",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS sig, hex(encode(substring(text, 1, 8))) AS head_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Binary ("multimodal") column plumbing: payloads stay opaque bytes;
+    // metadata extraction is pure column ops. Real decode/resize stubs
+    // live in graft.operators.Multimodal (mapPartitions over binary).
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"),
+        md5(col("text")).as("sig"),
+        hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("head_hex"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
+    q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
+    q43_minhash_sig, q44_lsh_pairs, q45_simhash, q46_embed_neardup,
+    q47_multimodal_binary)
+}
