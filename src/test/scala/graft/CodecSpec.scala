@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Codecs
+import graft.model.DeliveryStatus
+
+/** Mirrors the reference's unit round-trip (tests/test_lbd_to_s3.py:9-25):
+  * decode(encode(payload)) == payload, plus routing totality — every
+  * record lands in exactly one status (kds_helper.py:43-51).
+  * Property inputs come from ScalaCheck generators (fixed seed, one
+  * batched DataFrame so the whole property is a single Spark job).
+  */
+class CodecSpec extends SparkSpec {
+
+  private val payloadSchema = StructType(Seq(
+    StructField("id", StringType), StructField("firstname", StringType),
+    StructField("lastname", StringType), StructField("description", StringType),
+    StructField("balance", IntegerType)))
+
+  private val jsonSafe: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '-', '_', '.', '"', '\\', 'é', '中')))
+      .map(_.mkString)
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("decode(encode(p)) == p over generated payloads (incl. quotes/escapes/unicode)") {
+    import spark.implicits._
+    val cases = samples(for {
+      f <- jsonSafe; l <- jsonSafe; b <- Gen.chooseNum(-1000000, 1000000)
+    } yield (f, l, b), 60)
+    val df = cases.toDF("firstname", "lastname", "balance")
+      .select(struct(lit("id-1").as("id"), col("firstname"), col("lastname"),
+        lit("desc").as("description"), col("balance")).as("p"))
+    val bad = df
+      .withColumn("data", Codecs.encodeBase64(Codecs.encodeJson(col("p"))))
+      .withColumn("back",
+        Codecs.decodeJson(Codecs.decodeBase64(col("data")), payloadSchema)
+          .dropFields(Codecs.CorruptField))
+      .filter(not(col("p") === col("back")))
+      .count()
+    assert(bad == 0, s"$bad of ${cases.size} payloads failed the round-trip")
+  }
+
+  test("the reference's canonical envelope round-trips through the transform") {
+    import spark.implicits._
+    // Hand-built event from reference tests/test_lbd_to_s3.py:11-22.
+    val payload = """{"id": "id-1", "firstname": "John", "lastname": "Doe", "description": "d", "balance": 0}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString((payload + "\n").getBytes("UTF-8"))
+    val env = Seq(("49546986683135544286507457936321625675700192471156785154", 1495072949453L, b64))
+      .toDF("recordId", "approximateArrivalTimestamp", "data")
+      .withColumn("data", Codecs.decodeBase64(col("data")))
+    val out = Codecs.transformEnvelope(env, payloadSchema, _ => lit(false))
+    val row = out.select("result", "payload.firstname", "payload.balance").head()
+    assert(row.getString(0) == DeliveryStatus.Ok)
+    assert(row.getString(1) == "John")
+    assert(row.getInt(2) == 0)
+  }
+
+  test("routing is total and 3-way: Ok / Dropped / ProcessingFailed") {
+    import spark.implicits._
+    val rows = Seq(
+      ("r1", """{"id":"a","firstname":"x","lastname":"y","description":"d","balance":5}"""),
+      ("r2", """{"id":"b","firstname":"x","lastname":"y","description":"d","balance":-1}"""),
+      ("r3", """not json at all"""))
+      .toDF("recordId", "data")
+      .withColumn("data", col("data").cast("binary"))
+    val out = Codecs.transformEnvelope(rows, payloadSchema,
+      p => p.getField("balance") < 0)
+    val statuses = out.select("recordId", "result").as[(String, String)].collect().toMap
+    assert(statuses == Map("r1" -> "Ok", "r2" -> "Dropped", "r3" -> "ProcessingFailed"))
+    // Non-Ok records keep raw bytes (reference kds_helper.py:56-61).
+    val rawKept = out.filter(col("recordId") === "r3")
+      .select(col("data").cast("string")).head().getString(0)
+    assert(rawKept == "not json at all")
+  }
+}

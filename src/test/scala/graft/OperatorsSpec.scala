@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity}
+
+class OperatorsSpec extends SparkSpec {
+
+  private def media = {
+    import spark.implicits._
+    Seq(
+      (1L, "fake-jpeg-bytes-000000001".getBytes("UTF-8"), "image/jpeg"),
+      (2L, "fake-wav-bytes-x".getBytes("UTF-8"), "audio/wav"),
+      (3L, Array.empty[Byte], "image/png"))
+      .toDF("media_id", "payload", "media_type")
+  }
+
+  test("multimodal extractMeta: partition-local decode, deterministic metadata") {
+    val meta = Multimodal.extractMeta(spark, media).collect().map(m => m.media_id -> m).toMap
+    assert(meta(1L).n_bytes == 25)
+    assert(meta(1L).width >= 16 && meta(1L).channels >= 1)
+    assert(meta(3L).n_bytes == 0 && meta(3L).width == 0)
+    // md5 of the bytes, hex-encoded — matches Spark's own md5 expression.
+    val sparkMd5 = media.filter(col("media_id") === 1)
+      .select(md5(col("payload"))).head().getString(0)
+    assert(meta(1L).sig == sparkMd5)
+  }
+
+  test("multimodal resize bounds payloads; frameSample explodes frames distributed") {
+    val resized = Multimodal.resize(media, 8)
+    assert(resized.select(max(octet_length(col("payload")))).head().getInt(0) <= 8)
+    val frames = Multimodal.frameSample(media.filter(col("media_id") === 1), 4, 2)
+    assert(frames.count() == 3) // 25 bytes / (4*2) -> frames 0,1,2
+    assert(frames.select(max(octet_length(col("frame")))).head().getInt(0) <= 4)
+  }
+
+  test("hyperplane LSH buckets identical vectors together") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f)), (2L, Array(1.0f, 0.0f, 0.5f)),
+      (3L, Array(-1.0f, 0.2f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.hyperplaneLsh(vecs, 8).select("vec_id", "bucket")
+      .as[(Long, String)].collect().toMap
+    assert(b(1L) == b(2L))
+    val pairs = Similarity.lshNearDupPairs(vecs, 8, 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantics checks over the full registry at sf0.001. The strong
+  * correctness gate is the DuckDB oracle (tools/check_oracle.py / driver
+  * t2); this suite guards the things the oracle can't see.
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query executes; oracle-checked ones return rows") {
+    val empty = SparkEntry.registry.filter { q =>
+      q.build(spark, sfDir).limit(1).collect().isEmpty
+    }
+    // q32/q44/q46 may legitimately be sparse at sf0.001; everything else
+    // must produce rows.
+    val allowedEmpty = Set("q32_neardup_jaccard", "q44_lsh_pairs", "q10_anti_join")
+    assert(empty.map(_.name).filterNot(allowedEmpty).isEmpty,
+      s"unexpected empty results: ${empty.map(_.name)}")
+  }
+
+  test("oracle SQL exists for every query except the approx sketch") {
+    val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle == Seq("q16_approx_distinct"))
+  }
+
+  test("q16 approx_count_distinct within 5% of exact (FIXTURES tolerance band)") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("q16_approx_distinct")(spark, sfDir)
+      .select(col("event_type"), col("approx_users")).as[(String, Long)].collect().toMap
+    val exact = queries.Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("q33 top-k neighbors agree with the Similarity.topKPerProbe scale path") {
+    import spark.implicits._
+    val base = SparkEntry.queries("q33_similarity_topk")(spark, sfDir)
+      .select("probe_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    val emb = queries.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val scale = operators.Similarity
+      .topKPerProbe(emb, emb.filter(col("id") < 5), 10)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(scale == base)
+  }
+
+  test("q44 LSH candidates cover all high-Jaccard pairs found exactly (recall check)") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("q32_neardup_jaccard")(spark, "/root/testdata/sf0.01")
+      .filter(col("jaccard") >= 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = SparkEntry.queries("q44_lsh_pairs")(spark, "/root/testdata/sf0.01")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed near-identical pairs: $missed")
+  }
+}
