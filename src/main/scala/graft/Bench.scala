@@ -1,24 +1,78 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.DeliveryPipeline
+
+/** Per-round benchmark main (driver contract): one JSON line with total
+  * seconds + per-query seconds over SPARK_GRAFT_SF_DIR, plus the
+  * streaming-pipeline sustained throughput (records/s through decode →
+  * transform → 3-way route → dual sink — the BASELINE.md headline).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val (pipeSecs, pipeRecs) = pipelineThroughput(spark, sfDir)
+    val qs = (results :+ ("pipeline_stream" -> pipeSecs))
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + pipeSecs
+    val rps = if (pipeSecs > 0) pipeRecs / pipeSecs else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps}""")
     spark.stop()
+  }
+
+  /** Replay the events table through the full streaming graph (NDJSON
+    * envelope files → readStream → backup + transform/route sinks) and
+    * report (wall seconds, records). Mirrors the reference benchmark's
+    * E2E path (README.rst:100-124) on local storage.
+    */
+  private def pipelineThroughput(spark: SparkSession, sfDir: String): (Double, Long) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
+    val payloadSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val ev = queries.Tables.events(spark, sfDir)
+    val n = ev.count()
+    ev.select(col("event_id").cast("string").as("recordId"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("props"))).as("line"))
+      .select(to_json(struct(col("recordId"), col("line"))).as("value"))
+      .write.mode("overwrite").text(s"$tmp/in")
+
+    val envelope = spark.readStream
+      .schema(StructType(Seq(StructField("recordId", StringType),
+        StructField("line", StringType))))
+      .json(s"$tmp/in")
+      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+        col("line").cast("binary").as("data"))
+    val sinks = DeliveryPipeline.Sinks(s"$tmp/out")
+    val t0 = System.nanoTime()
+    val (b, d) = DeliveryPipeline.start(envelope, payloadSchema, sinks,
+      s"$tmp/ckpt", dropIf = p => p.getField("value") < 10)
+    b.awaitTermination(600000)
+    d.awaitTermination(600000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    (secs, n)
   }
 }

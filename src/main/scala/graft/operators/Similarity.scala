@@ -17,17 +17,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double-castable array columns —
-    * same op order as DuckDB's list_sum, keeping floats bit-portable.
+  /** Sequential-fold dot product / L2 norm over array<float> — the
+    * codegen'd [[graft.functions.DotProductF]] expression (same op order
+    * as DuckDB's list_sum, keeping floats bit-portable).
     */
-  def dot(a: Column, b: Column): Column =
-    expr(s"""aggregate(zip_with(${a.toString}, ${b.toString},
-            |  (x, y) -> cast(x as double) * cast(y as double)),
-            |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot_f(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(expr(s"""aggregate(${a.toString}, cast(0.0 as double),
-                 |  (acc, x) -> acc + cast(x as double) * cast(x as double))""".stripMargin))
+  def norm(a: Column): Column = graft.functions.VectorFunctions.norm_f(a)
 
   /** Exact top-k neighbors per probe with partial (map-side) top-k.
     *

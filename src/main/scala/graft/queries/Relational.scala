@@ -167,15 +167,22 @@ object Relational {
       |  ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
       |ORDER BY id1, id2""".stripMargin
   ) { (s, dir) =>
-    // Equi-key on user_id keeps this a hash/sort-merge join (the range
-    // predicate is a post-join filter on co-partitioned data) — never a
-    // cartesian product, so it scales with events-per-user, not events².
-    val e1 = t(s, dir, "events").select(
-      col("user_id"), col("ts").as("ts1"), col("event_id").as("id1"))
-    val e2 = t(s, dir, "events").select(
-      col("user_id"), col("ts").as("ts2"), col("event_id").as("id2"))
+    // Bucketed interval join: candidates must share (user_id, 5-minute
+    // bucket), with the left side exploded to 2 adjacent buckets so every
+    // true match lands in exactly one candidate row. The equi-key becomes
+    // (user_id, bucket) — per-key fan-in is events-per-user-per-5-min,
+    // NOT events-per-user², which is what makes this survive a dense-user
+    // 100 TB event log. The exact range predicate filters candidates.
+    val ev = t(s, dir, "events")
+    val e1 = ev.select(
+      col("user_id"), col("ts").as("ts1"), col("event_id").as("id1"),
+      explode(array(expr("unix_timestamp(ts) div 300"),
+        expr("unix_timestamp(ts) div 300 + 1"))).as("jb"))
+    val e2 = ev.select(
+      col("user_id"), col("ts").as("ts2"), col("event_id").as("id2"),
+      expr("unix_timestamp(ts) div 300").as("b2"))
     e1.join(e2,
-        e1("user_id") === e2("user_id") &&
+        e1("user_id") === e2("user_id") && col("jb") === col("b2") &&
           col("ts2") > col("ts1") &&
           col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
       .select("id1", "id2")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.{dot_f, norm_f}
 
 /** Q31–Q35 + extended training-data operators (SURVEY.md §2B + the
   * 100 TB-pipeline mandate): dedup (exact / MinHash-LSH / SimHash /
@@ -98,10 +99,7 @@ object TrainingData {
   private def normed(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(
       col("vec_id"), col("embedding"),
-      sqrt(expr(
-        """aggregate(embedding, cast(0.0 as double),
-          |  (a, x) -> a + cast(x as double) * cast(x as double))""".stripMargin))
-        .as("nrm"))
+      norm_f(col("embedding")).as("nrm"))
 
   val q33_similarity_topk: QueryDef = q(
     "q33_similarity_topk",
@@ -127,9 +125,7 @@ object TrainingData {
     val nrm = normed(s, dir)
     val probes = nrm.filter(col("vec_id") < 5).select(
       col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
-    val dot = expr(
-      """aggregate(zip_with(pe, embedding, (x, y) -> cast(x as double) * cast(y as double)),
-        |  cast(0.0 as double), (a, v) -> a + v)""".stripMargin)
+    val dot = dot_f(col("pe"), col("embedding"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
     nrm.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -186,7 +182,9 @@ object TrainingData {
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .filter(col("term").isin(terms: _*))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    // df derived from tf (one row per present (doc, term)) — saves a
+    // second tokenize+explode pass over the corpus.
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nd = t(s, dir, "documents").agg(count(lit(1)).as("n"))
     val scored = tf.join(broadcast(df), "term").join(broadcast(nd))
       .groupBy("doc_id")
@@ -242,77 +240,80 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  /** 8 portable MinHash values per doc (md5-derived, seeds 0..7). */
-  private val minhashSql =
-    s"""mh AS (SELECT doc_id, j,
-       |        min(${h64sql("concat(CAST(j AS VARCHAR), '|', shingle)")}) AS mh
-       |      FROM sh CROSS JOIN unnest(range(0, 8)) AS s(j) GROUP BY doc_id, j)""".stripMargin
+  /** MinHash over 16 portable hash functions: ONE md5 per shingle, then
+    * 16 linear mixes `(hm * (2j+1) + j*7919) mod P` (P prime < 2^30 — all
+    * arithmetic stays far from bigint overflow, which DuckDB checks).
+    * The signature is 16 min-aggregates in a single groupBy pass — no row
+    * multiplication through the shuffle at all. 8 bands × 2 rows puts the
+    * miss probability for a 0.9-Jaccard pair at (1-0.81)^8 ≈ 2e-6.
+    */
+  private val P = 1073741789L
 
-  private def minhash(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("j"), col("shingle"))
-      .groupBy("doc_id", "j")
-      .agg(min(h64(concat(col("j").cast("string"), lit("|"), col("shingle")))).as("mh"))
+  private val sigSql: String = {
+    val mins = (0 until 16)
+      .map(j => s"min((hm * ${2 * j + 1} + ${j * 7919}) % $P) AS mh$j")
+      .mkString(",\n|  ")
+    s"""hm AS (SELECT doc_id, ${h64sql("shingle")} % $P AS hm FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |FROM hm GROUP BY doc_id)""".stripMargin
+  }
+
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val h = shingles(s, dir).select(col("doc_id"), (h64(col("shingle")) % P).as("hm"))
+    val aggs = (0 until 16).map(j =>
+      min((col("hm") * (2 * j + 1) + j * 7919L) % P).as(s"mh$j"))
+    h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
   val q43_minhash_sig: QueryDef = q(
     "q43_minhash_sig",
     s"""WITH $shinglesSql,
-       |$minhashSql
-       |SELECT doc_id,
-       |  min(CASE WHEN j = 0 THEN mh END) AS mh0, min(CASE WHEN j = 1 THEN mh END) AS mh1,
-       |  min(CASE WHEN j = 2 THEN mh END) AS mh2, min(CASE WHEN j = 3 THEN mh END) AS mh3,
-       |  min(CASE WHEN j = 4 THEN mh END) AS mh4, min(CASE WHEN j = 5 THEN mh END) AS mh5,
-       |  min(CASE WHEN j = 6 THEN mh END) AS mh6, min(CASE WHEN j = 7 THEN mh END) AS mh7
-       |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |$sigSql
+       |SELECT doc_id, ${(0 until 16).map(j => s"mh$j").mkString(", ")}
+       |FROM sig ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val m = minhash(s, dir)
-    m.groupBy("doc_id")
-      .agg(
-        min(when(col("j") === 0, col("mh"))).as("mh0"),
-        min(when(col("j") === 1, col("mh"))).as("mh1"),
-        min(when(col("j") === 2, col("mh"))).as("mh2"),
-        min(when(col("j") === 3, col("mh"))).as("mh3"),
-        min(when(col("j") === 4, col("mh"))).as("mh4"),
-        min(when(col("j") === 5, col("mh"))).as("mh5"),
-        min(when(col("j") === 6, col("mh"))).as("mh6"),
-        min(when(col("j") === 7, col("mh"))).as("mh7"))
-      .orderBy("doc_id")
+    signatures(s, dir).orderBy("doc_id")
   }
 
   val q44_lsh_pairs: QueryDef = q(
     "q44_lsh_pairs",
     s"""WITH $shinglesSql,
-       |$minhashSql,
-       |bk AS (SELECT doc_id, j // 2 AS band,
-       |        concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ',',
-       |               CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS key
-       |      FROM mh GROUP BY doc_id, j // 2),
-       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-       |SELECT id1, id2,
-       |  CAST(sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est_sim
-       |FROM cand JOIN mh ha ON ha.doc_id = id1 JOIN mh hb ON hb.doc_id = id2 AND ha.j = hb.j
-       |GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin
+       |$sigSql,
+       |bands AS (SELECT doc_id, b,
+       |        CASE b ${(0 until 8).map(b => (if (b < 7) s"WHEN $b THEN" else "ELSE") + s" concat(CAST(mh${2*b} AS VARCHAR), ',', CAST(mh${2*b+1} AS VARCHAR))").mkString(" ")} END AS key
+       |      FROM sig CROSS JOIN unnest(range(0, 8)) AS u(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+       |         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id)
+       |SELECT id1, id2, CAST(
+       |    ${(0 until 16).map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)").mkString(" + ")}
+       |  AS DOUBLE) / 16 AS est_sim
+       |FROM cand JOIN sig sa ON sa.doc_id = id1 JOIN sig sb ON sb.doc_id = id2
+       |ORDER BY id1, id2""".stripMargin
   ) { (s, dir) =>
     // MinHash-LSH banding (4 bands × 2 rows): THE subquadratic near-dup
     // path at 100 TB — candidate pairs come from equality on band keys
     // (a plain hash join on short strings), never from comparing docs.
-    val m = minhash(s, dir).cache()
-    val bk = m.groupBy(col("doc_id"), expr("j div 2").as("band"))
-      .agg(concat(
-        min(when(col("j") % 2 === 0, col("mh"))).cast("string"), lit(","),
-        min(when(col("j") % 2 === 1, col("mh"))).cast("string")).as("key"))
-    val cand = bk.select(col("doc_id").as("id1"), col("band"), col("key"))
-      .join(bk.select(col("doc_id").as("id2"), col("band"), col("key")),
+    val sg = signatures(s, dir).cache()
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", col(s"mh${2 * b}").cast("string"),
+          col(s"mh${2 * b + 1}").cast("string")).as("key"))
+    }
+    val bands = sg.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.select(col("doc_id").as("id1"), col("band"), col("key"))
+      .join(bands.select(col("doc_id").as("id2"), col("band"), col("key")),
         Seq("band", "key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    cand
-      .join(m.select(col("doc_id").as("id1"), col("j"), col("mh").as("mha")), "id1")
-      .join(m.select(col("doc_id").as("id2"), col("j"), col("mh").as("mhb")), Seq("id2", "j"))
-      .groupBy("id1", "id2")
-      .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)).cast("double") / 8)
-        .as("est_sim"))
+    val sa = sg.toDF(("id1" +: (0 until 16).map(j => s"a$j")): _*)
+    val sb = sg.toDF(("id2" +: (0 until 16).map(j => s"b$j")): _*)
+    val agree = (0 until 16)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "id1").join(sb, "id2")
+      .select(col("id1"), col("id2"), (agree.cast("double") / 16).as("est_sim"))
       .orderBy("id1", "id2")
   }
 
@@ -359,9 +360,7 @@ object TrainingData {
     val nrm = normed(s, dir)
     val a = nrm.select(col("vec_id").as("id1"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = nrm.select(col("vec_id").as("id2"), col("embedding").as("eb"), col("nrm").as("nb"))
-    val dot = expr(
-      """aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)),
-        |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+    val dot = dot_f(col("ea"), col("eb"))
     a.join(b, col("id1") < col("id2"))
       .select(col("id1"), col("id2"), (dot / (col("na") * col("nb"))).as("cos"))
       .orderBy(col("cos").desc, col("id1"), col("id2"))
