@@ -54,10 +54,15 @@ object Bench {
       StructField("props", StringType)))
     val ev = queries.Tables.events(spark, sfDir)
     val n = ev.count()
+    val par = spark.sparkContext.defaultParallelism
+    // The events table is one small parquet file (1 scan partition);
+    // spread the envelope over `par` input files so every micro-batch
+    // stage runs wide instead of single-task.
     ev.select(col("event_id").cast("string").as("recordId"),
         to_json(struct(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("props"))).as("line"))
       .select(to_json(struct(col("recordId"), col("line"))).as("value"))
+      .repartition(par)
       .write.mode("overwrite").text(s"$tmp/in")
 
     val envelope = spark.readStream

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProductF
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions for SQL use.
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT dot_f(a.embedding, b.embedding) FROM ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
+      (exprs: Seq[Expression]) => DotProductF(exprs.head, exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Same registration for an already-built session. */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "dot_f",
+      exprs => DotProductF(exprs.head, exprs(1)))
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table maintenance surface — the reference's index-management ops
+  * (SURVEY §2A A13–A16) over parquet tables:
+  *
+  * - A13 count / A14 full scan: `spark.table(name)` once registered.
+  * - A15 delete-by-predicate (`delete_all_documents`,
+  *   reference oss_utils.py:50-51): rewrite-excluding over the table
+  *   path. Plain parquet has no deletion vectors, so a delete is a
+  *   filtered rewrite + atomic directory swap — the same shape a Delta
+  *   DELETE compiles to without the transaction log.
+  * - A16 create/drop index with shard count (oss_utils.py:54-63, 24
+  *   shards): a catalog table written with `repartition(shards)` so the
+  *   file layout carries the parallelism the shard count declared.
+  */
+object Maintenance {
+
+  /** Delete rows matching `predicate` from a parquet table directory.
+    * @return number of rows deleted
+    */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long = {
+    val df = spark.read.parquet(path)
+    val total = df.count()
+    val keep = df.filter(!coalesce(predicate, lit(false)))
+    val tmp = path.stripSuffix("/") + ".rewrite.tmp"
+    keep.write.mode("overwrite").parquet(tmp)
+    val kept = spark.read.parquet(tmp).count()
+    // Atomic-ish swap: move old out, tmp in, drop old.
+    val p = Paths.get(path)
+    val old = Paths.get(path.stripSuffix("/") + ".old")
+    Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+    total - kept
+  }
+
+  /** A16: register a sharded table in the session catalog. */
+  def createIndex(spark: SparkSession, name: String,
+      source: org.apache.spark.sql.DataFrame, shards: Int): Unit =
+    source.repartition(shards).write.mode("overwrite").saveAsTable(name)
+
+  def dropIndex(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+
+  /** A13: `_count` with match_all ≡ count(*). */
+  def countIndex(spark: SparkSession, name: String): Long =
+    spark.table(name).count()
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(c => deleteRecursively(c))
+    Files.deleteIfExists(p)
+  }
+}

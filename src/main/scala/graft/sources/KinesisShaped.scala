@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Kinesis-shaped streaming source surface (SURVEY §2A A1/A2/A18).
+  *
+  * Zero-egress environment: the real AWS connector cannot run here, so
+  * the stream SEMANTICS are reproduced over Spark's own sources:
+  *
+  * - shard routing: `shard = hash(partitionKey) mod numShards` — the
+  *   Kinesis contract the reference relies on (producer sets
+  *   PartitionKey=id, data_producer/multi_process_producer.py:44; 10
+  *   provisioned shards, iac/s2_app.py:713). Feeding this through
+  *   `repartition(numShards, col("shard"))` reproduces per-shard ordering
+  *   and hot-key behavior: a skewed partition key hot-shards here exactly
+  *   as it would in Kinesis.
+  * - load generation: the reference's 32×100-records/s Faker producer
+  *   (multi_process_producer.py:26-76) becomes the `rate` source + column
+  *   expressions — deterministic, backpressured, distributed.
+  * - envelope: recordId + approximateArrivalTimestamp(millis) + data
+  *   (NDJSON bytes), the Firehose input shape (tests/test_lbd_to_s3.py).
+  */
+object KinesisShaped {
+
+  final case class StreamConfig(name: String, numShards: Int = 10)
+
+  private val firstnames = typedLit(Seq("amy", "bob", "carol", "dan", "eve",
+    "frank", "grace", "hank", "iris", "jack"))
+  private val lastnames = typedLit(Seq("stone", "reed", "blake", "frost",
+    "wolfe", "hayes", "cross", "lane", "moss", "pike"))
+  private val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india", "juliet")
+
+  /** Deterministic `bank_account` record stream at a target rate: the
+    * reference's load generator re-expressed as a declarative source.
+    * Output: envelope columns + partitionKey + shard.
+    */
+  def bankAccountProducer(spark: SparkSession, config: StreamConfig,
+      recordsPerSecond: Int): DataFrame = {
+    val descWords = (0 until 10).map(i =>
+      element_at(typedLit(words), (pmod(col("value") * (i + 3) + i, lit(10)) + 1).cast("int")))
+    val payload = struct(
+      md5(concat(lit("id-"), col("value"))).as("id"),
+      element_at(firstnames, (pmod(col("value"), lit(10)) + 1).cast("int")).as("firstname"),
+      element_at(lastnames, (pmod(col("value") * 7, lit(10)) + 1).cast("int")).as("lastname"),
+      concat_ws(" ", descWords: _*).as("description"),
+      lit(0).as("balance"))
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", recordsPerSecond.toString)
+      .load()
+      .withColumn("payload", payload)
+      .select(
+        col("value").cast("string").as("recordId"),
+        (unix_millis(col("timestamp"))).as("approximateArrivalTimestamp"),
+        concat(to_json(col("payload")), lit("\n")).cast("binary").as("data"),
+        col("payload.id").as("partitionKey"))
+      .withColumn("shard", pmod(hash(col("partitionKey")), lit(config.numShards)))
+  }
+
+  /** Batch twin of the producer (same row synthesis from a value range) —
+    * for tests and offline replay.
+    */
+  def bankAccountBatch(spark: SparkSession, config: StreamConfig, n: Long): DataFrame = {
+    val base = spark.range(n).select(col("id").as("value"),
+      current_timestamp().as("timestamp"))
+    val descWords = (0 until 10).map(i =>
+      element_at(typedLit(words), (pmod(col("value") * (i + 3) + i, lit(10)) + 1).cast("int")))
+    val payload = struct(
+      md5(concat(lit("id-"), col("value"))).as("id"),
+      element_at(firstnames, (pmod(col("value"), lit(10)) + 1).cast("int")).as("firstname"),
+      element_at(lastnames, (pmod(col("value") * 7, lit(10)) + 1).cast("int")).as("lastname"),
+      concat_ws(" ", descWords: _*).as("description"),
+      lit(0).as("balance"))
+    base
+      .withColumn("payload", payload)
+      .select(
+        col("value").cast("string").as("recordId"),
+        unix_millis(col("timestamp")).as("approximateArrivalTimestamp"),
+        concat(to_json(col("payload")), lit("\n")).cast("binary").as("data"),
+        col("payload.id").as("partitionKey"))
+      .withColumn("shard", pmod(hash(col("partitionKey")), lit(config.numShards)))
+  }
+
+  /** Kinesis's physical layout: co-locate each shard's records
+    * (hash-partitioned, per-shard ordered downstream).
+    */
+  def repartitionByShard(df: DataFrame, config: StreamConfig): DataFrame =
+    df.repartition(config.numShards, col("shard"))
+
+  /** A18 throughput metering: the reference's running-TPS counter
+    * (multi_process_producer.py:53-59) as a StreamingQueryListener.
+    */
+  final class ThroughputListener extends StreamingQueryListener {
+    @volatile var totalRows: Long = 0L
+    @volatile var lastRowsPerSecond: Double = 0.0
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      totalRows += e.progress.numInputRows
+      lastRowsPerSecond = e.progress.inputRowsPerSecond
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+
+/** Plan-shape regression tests: the physical plans that make the engine
+  * scale must KEEP their shape — a silent regression to a full scan, a
+  * lost broadcast, or a global sort where a top-k belongs would still
+  * pass the value-correctness gate but die at 100 TB.
+  */
+class ExplainSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(out, true, "UTF-8")) { df.explain("formatted") }
+    out.toString("UTF-8")
+  }
+
+  test("q02: column pruning reaches the parquet scan (2-column ReadSchema)") {
+    val p = plan("q02_project")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"), p)
+  }
+
+  test("q03: both predicates push down to the scan") {
+    val p = plan("q03_filter")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q06/q07: dimension joins broadcast (no fact-side shuffle)") {
+    assert(plan("q06_broadcast_join").contains("BroadcastHashJoin"))
+    val p7 = plan("q07_multijoin")
+    assert(p7.contains("BroadcastHashJoin"), p7)
+  }
+
+  test("q13: aggregation is two-phase (partial map-side combine)") {
+    val p = plan("q13_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q18: sort+limit fuses to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q18_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q33: probes broadcast; codegen'd dot_f expression in the plan") {
+    val p = plan("q33_similarity_topk")
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("dot_f"), p)
+  }
+
+  test("q11: bucketed interval join keeps an equi-join (no nested loop)") {
+    val p = plan("q11_range_join")
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("Join"), p)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Maintenance
+import graft.sources.KinesisShaped
+import graft.sources.KinesisShaped.StreamConfig
+
+class SourcesSpec extends SparkSpec {
+
+  test("producer synthesizes the reference bank_account shape; shard routing is stable") {
+    import spark.implicits._
+    val cfg = StreamConfig("graft-stream", numShards = 10)
+    val batch = KinesisShaped.bankAccountBatch(spark, cfg, 1000)
+    assert(batch.count() == 1000)
+    // Every shard in range, and the SAME partitionKey always routes to
+    // the SAME shard (the Kinesis hash contract).
+    val shardRange = batch.agg(min("shard"), max("shard")).head()
+    assert(shardRange.getInt(0) >= 0 && shardRange.getInt(1) < 10)
+    val perKey = batch.groupBy("partitionKey")
+      .agg(countDistinct("shard").as("n")).agg(max("n")).head().getLong(0)
+    assert(perKey == 1)
+    // Payload decodes to the bank_account schema with all fields set.
+    val payload = spark.read.json(
+      batch.select(col("data").cast("string").as("value")).as[String])
+    assert(payload.columns.sorted.toSeq ==
+      Seq("balance", "description", "firstname", "id", "lastname"))
+    assert(payload.filter(col("id").isNull || col("firstname").isNull).count() == 0)
+    // 10-word description like the reference's Faker sentences.
+    assert(payload.select(size(split(col("description"), " "))).head().getInt(0) == 10)
+  }
+
+  test("rate-source producer streams with throughput metering (A18)") {
+    val cfg = StreamConfig("graft-stream", numShards = 10)
+    val listener = new KinesisShaped.ThroughputListener
+    spark.streams.addListener(listener)
+    try {
+      val q = KinesisShaped.bankAccountProducer(spark, cfg, recordsPerSecond = 500)
+        .writeStream.format("memory").queryName("producer_out")
+        .trigger(Trigger.ProcessingTime("500 milliseconds"))
+        .start()
+      Thread.sleep(4000)
+      q.stop()
+      val n = spark.table("producer_out").count()
+      assert(n > 0, "rate producer emitted no rows")
+      assert(listener.totalRows > 0, "throughput listener saw no progress")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("maintenance: delete-by-predicate, sharded index create/count/drop") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val cfg = StreamConfig("s", 4)
+    KinesisShaped.bankAccountBatch(spark, cfg, 100)
+      .select("recordId", "partitionKey", "shard")
+      .write.mode("overwrite").parquet(s"$tmp/t")
+    // A15: delete one shard's rows.
+    val deleted = Maintenance.deleteWhere(spark, s"$tmp/t", col("shard") === 1)
+    val remaining = spark.read.parquet(s"$tmp/t")
+    assert(deleted > 0)
+    assert(remaining.filter(col("shard") === 1).count() == 0)
+    assert(remaining.count() == 100 - deleted)
+    // A16/A13: sharded catalog table round-trip.
+    Maintenance.createIndex(spark, "graft_test_index", remaining, shards = 4)
+    assert(Maintenance.countIndex(spark, "graft_test_index") == 100 - deleted)
+    assert(spark.table("graft_test_index").rdd.getNumPartitions == 4)
+    Maintenance.dropIndex(spark, "graft_test_index")
+    assert(!spark.catalog.tableExists("graft_test_index"))
+  }
+
+  test("dot_f is SQL-callable after extension registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_f(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d").head().getDouble(0)
+    assert(r == 11.0)
+  }
+}
