@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{AsOfJoin, Skew}
+import graft.streaming.{IndexSink, Sessionize}
+
+class OperatorsSpec2 extends SparkSpec {
+
+  test("AsOfJoin operator reproduces q12 exactly (single-shuffle form)") {
+    import spark.implicits._
+    val ev = queries.Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val got = AsOfJoin.asof(purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        rightValue = "event_id", rightOrder = "event_id", as = "asof_click_id")
+      .select(col("event_id"), col("user_id"), col("asof_click_id"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val expect = SparkEntry.queries("q12_asof_join")(spark, sfDir)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got == expect)
+  }
+
+  test("salted join matches plain join; salted count matches groupBy count") {
+    import spark.implicits._
+    val orders = queries.Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey")
+    val customer = queries.Tables.t(spark, sfDir, "customer")
+      .select("c_custkey", "c_name")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, "o_custkey").count()
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey", 8).count()
+    assert(salted == plain)
+    val counts = Skew.saltedCount(orders, "o_custkey", 8)
+      .as[(Long, Long)].collect().toMap
+    val expect = orders.groupBy("o_custkey").agg(count(lit(1)))
+      .as[(Long, Long)].collect().toMap
+    assert(counts == expect)
+  }
+
+  test("index sink delivers Ok records to a queryable sharded view (A10/A13/A14)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val payloadSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val ev = queries.Tables.events(spark, sfDir).limit(300)
+    ev.select(to_json(struct(
+        col("event_id").cast("string").as("recordId"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))).as("line"))).as("value"))
+      .coalesce(2).write.mode("overwrite").text(s"$tmp/in")
+    val envelope = spark.readStream
+      .schema(StructType(Seq(StructField("recordId", StringType), StructField("line", StringType))))
+      .json(s"$tmp/in")
+      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+        col("line").cast("binary").as("data"))
+    val q = IndexSink.start(envelope, payloadSchema, s"$tmp/index", s"$tmp/backup",
+      s"$tmp/ckpt", shards = 4, dropIf = p => p.getField("value") < 10)
+    q.awaitTermination(120000)
+
+    IndexSink.registerView(spark, s"$tmp/index", "bank_index")
+    val nOk = ev.filter(col("value") >= 10).count()
+    assert(IndexSink.count(spark, "bank_index") == nOk)
+    // The OpenSearch-style query surface is plain SQL over the view.
+    val match_all = spark.sql("SELECT * FROM bank_index").count()
+    assert(match_all == nOk)
+    val term = spark.sql(
+      "SELECT count(*) FROM bank_index WHERE event_type = 'purchase'").head().getLong(0)
+    assert(term == ev.filter(col("value") >= 10 && col("event_type") === "purchase").count())
+    // Backup carries ALL records (oss pipeline backs up AllDocuments).
+    assert(spark.read.text(s"$tmp/backup/*").count() == 300)
+  }
+
+  test("flatMapGroupsWithState sessionization agrees with session_window (q38)") {
+    import spark.implicits._
+    val ev = queries.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts")).as[Sessionize.Event]
+    val got = Sessionize.sessionize(spark, ev, gapMillis = 30 * 60 * 1000)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    val expect = SparkEntry.queries("q38_session_window")(spark, sfDir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == expect)
+  }
+}
