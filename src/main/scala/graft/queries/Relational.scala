@@ -534,6 +534,54 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  val q48_percentile: QueryDef = q(
+    "q48_percentile",
+    """WITH r AS (SELECT o_orderstatus, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+      |        count(*) OVER (PARTITION BY o_orderstatus) AS n
+      |      FROM orders)
+      |SELECT o_orderstatus,
+      |  min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN o_totalprice END) AS p25,
+      |  min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+      |  min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90
+      |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, dir) =>
+    // Exact discrete percentiles via rank selection — portable across
+    // engines (native percentile fns disagree on tie/interp rules), and
+    // the same single-shuffle window shape either way.
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    val wn = Window.partitionBy("o_orderstatus")
+    val r = t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"),
+        row_number().over(w).cast("bigint").as("rn"),
+        count(lit(1)).over(wn).as("n"))
+    def pick(p: Double) =
+      min(when(col("rn") === ceil(lit(p) * col("n")).cast("bigint"), col("o_totalprice")))
+    r.groupBy("o_orderstatus")
+      .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.9).as("p90"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q49_stats: QueryDef = q(
+    "q49_stats",
+    """SELECT l_returnflag,
+      |  floor(avg(l_quantity) * 100 + 0.5) / 100 AS avg_qty,
+      |  floor(stddev_samp(l_quantity) * 100 + 0.5) / 100 AS sd_qty,
+      |  floor(var_samp(l_quantity) * 100 + 0.5) / 100 AS var_qty,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        Par.r2(avg("l_quantity")).as("avg_qty"),
+        Par.r2(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        Par.r2(var_samp(col("l_quantity"))).as("var_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_scan, q02_project, q03_filter, q04_filter_in_between, q05_join,
     q06_broadcast_join, q07_multijoin, q08_left_join, q09_semi_join,
@@ -541,5 +589,5 @@ object Relational {
     q15_count_distinct, q16_approx_distinct, q17_rollup, q18_sort_limit,
     q19_topk, q20_rank_window, q21_lag_lead, q22_frame_window, q23_union,
     q24_intersect_except, q25_strings, q26_datetime, q27_math, q28_json,
-    q28_array, q29_case, q30_subquery)
+    q28_array, q29_case, q30_subquery, q48_percentile, q49_stats)
 }
