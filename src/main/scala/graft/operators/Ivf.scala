@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.dot_f
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path for similarity search (complements the LSH hyperplane
+  * variant in [[Similarity]]).
+  *
+  * Train: deterministic Lloyd iterations over a broadcastable sample
+  * (initial centroids = first k vectors by id — reproducible, no RNG).
+  * Index: each vector is assigned to its nearest centroid (one narrow
+  * pass; the assignment is the partition key, so a probe only touches
+  * `nprobe / k` of the corpus). Search: score probes only against the
+  * `nprobe` nearest cells' members.
+  *
+  * At 100 TB: centroids stay broadcast (k ≤ ~64k), the corpus is
+  * hash-partitioned by cell, and the per-cell scan is the only data
+  * touched — the classic IVF-flat trade of recall for a 1/k scan.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[(Int, Array[Float])])
+
+  /** Deterministic k-means: init = first k by id, `iters` Lloyd steps. */
+  def train(spark: SparkSession, embeddings: DataFrame, k: Int, iters: Int): Model = {
+    import spark.implicits._
+    var centroids: Array[(Int, Array[Float])] = embeddings
+      .orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().zipWithIndex.map { case ((_, v), i) => (i, v) }
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = embeddings.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (_, v) => (nearest(bc.value, v), v) }
+        .toDF("cell", "v")
+      val dim = centroids.head._2.length
+      val sums = assigned
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          expr(s"aggregate(collect_list(v), " +
+            s"array_repeat(cast(0.0 as double), $dim), " +
+            "(acc, x) -> zip_with(acc, x, (a, b) -> a + cast(b as double)))").as("sum"))
+        .select(col("cell"), col("n"),
+          expr("transform(sum, x -> cast(x / n as float))").as("mean"))
+        .collect()
+      val updated = centroids.toMap ++ sums.map(r =>
+        r.getInt(0) -> r.getSeq[Float](2).toArray).toMap
+      centroids = updated.toArray.sortBy(_._1)
+    }
+    Model(centroids)
+  }
+
+  private def nearest(cents: Array[(Int, Array[Float])], v: Array[Float]): Int = {
+    var best = -1; var bestD = Double.MaxValue
+    cents.foreach { case (c, cv) =>
+      var d = 0.0; var i = 0
+      val n = math.min(cv.length, v.length)
+      while (i < n) { val t = cv(i) - v(i); d += t * t; i += 1 }
+      if (d < bestD || (d == bestD && c < best)) { bestD = d; best = c }
+    }
+    best
+  }
+
+  /** Assign every vector to its IVF cell (the index build). */
+  def index(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearest(bc.value, v)) }
+      .toDF("vec_id", "embedding", "cell")
+  }
+
+  /** Top-k cosine search probing only the `nprobe` nearest cells. */
+  def search(spark: SparkSession, indexed: DataFrame, model: Model,
+      probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val probeCells = probes.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        bc.value.map { case (c, cv) =>
+          var d = 0.0; var i = 0
+          val n = math.min(cv.length, v.length)
+          while (i < n) { val t = cv(i) - v(i); d += t * t; i += 1 }
+          (id, c, d)
+        }.sortBy(x => (x._3, x._2)).take(nprobe).map { case (pid, c, _) => (pid, c) }
+      }.toDF("probe_id", "cell")
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .join(probeCells, "probe_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    indexed.join(broadcast(p), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (dot_f(col("pe"), col("embedding")) /
+          (sqrt(dot_f(col("pe"), col("pe"))) * sqrt(dot_f(col("embedding"), col("embedding")))))
+          .as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

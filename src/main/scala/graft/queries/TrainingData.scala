@@ -381,9 +381,68 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  val q50_token_count: QueryDef = q(
+    "q50_token_count",
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpeish_tokens,
+      |  CAST(length(text) AS INT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Token counting two ways: whitespace words and a BPE-ish lexer
+    // regex (letter runs | digit runs | single punctuation) — the cheap
+    // corpus-budget estimator a training pipeline runs before the real
+    // tokenizer. Narrow projection, scan-speed at any corpus size.
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpeish_tokens"),
+      length(col("text")).as("n_chars")
+    ).orderBy("doc_id")
+  }
+
+  val q51_langid: QueryDef = q(
+    "q51_langid",
+    """WITH tk AS (SELECT doc_id, lang,
+      |        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |      FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |        CAST(len(list_filter(toks, x -> list_contains(['the', 'and', 'of', 'to', 'in'], x))) AS INT) AS s_en,
+      |        CAST(len(list_filter(toks, x -> list_contains(['der', 'und', 'die', 'das', 'ist'], x))) AS INT) AS s_de,
+      |        CAST(len(list_filter(toks, x -> list_contains(['el', 'la', 'de', 'que', 'los'], x))) AS INT) AS s_es,
+      |        CAST(len(list_filter(toks, x -> list_contains(['le', 'et', 'les', 'des', 'une'], x))) AS INT) AS s_fr
+      |      FROM tk)
+      |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
+      |FROM sc ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Stopword-profile language ID (n-gram heuristic): one score per
+    // candidate language, argmax with a fixed preference order on ties.
+    def score(name: String, words: Seq[String]) =
+      expr(s"size(filter(toks, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))")
+        .as(name)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        score("s_en", Seq("the", "and", "of", "to", "in")),
+        score("s_de", Seq("der", "und", "die", "das", "ist")),
+        score("s_es", Seq("el", "la", "de", "que", "los")),
+        score("s_fr", Seq("le", "et", "les", "des", "une")))
+      .withColumn("lang_pred",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
     q43_minhash_sig, q44_lsh_pairs, q45_simhash, q46_embed_neardup,
-    q47_multimodal_binary)
+    q47_multimodal_binary, q50_token_count, q51_langid)
 }
