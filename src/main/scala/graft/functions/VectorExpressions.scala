@@ -21,6 +21,9 @@ case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // Deterministic pure function of the inputs → participates in
+  // Catalyst constant folding when both sides are literals.
+  override def foldable: Boolean = left.foldable && right.foldable
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(FloatType, _) => true

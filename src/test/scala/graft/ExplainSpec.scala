@@ -43,10 +43,13 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q33: probes broadcast; codegen'd dot_f expression in the plan") {
+  test("q33: probes broadcast; codegen'd dot_f; per-partition top-k below the window") {
     val p = plan("q33_similarity_topk")
     assert(p.contains("Broadcast"), p)
     assert(p.contains("dot_f"), p)
+    // Spark's WindowGroupLimit pushes rank<=k below the exchange — the
+    // rewrite SURVEY §4 flagged; built-in since 3.5, so no custom Rule.
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("q11: bucketed interval join keeps an equi-join (no nested loop)") {

@@ -54,6 +54,10 @@ class PipelineSpec extends SparkSpec {
     assert(nBackup == nSrc, "backup channel must carry every raw record")
     assert(nSuccess + nFailed + nDropped == nSrc, "3-way routing must conserve records")
     assert(nSuccess > 0 && nDropped > 0)
+    // Exact per-channel counts match the batch routing rules (no
+    // malformed rows in this slice → failed == 0, success == !dropped).
+    assert(nSuccess == ev.filter(col("value") >= 10).count())
+    assert(nFailed == 0)
 
     // Success channel is valid NDJSON with the transformed payload schema.
     val reread = spark.read.schema(payloadSchema).json(sinks.success + "/*")
