@@ -582,6 +582,99 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  val q52_correlated_subquery: QueryDef = q(
+    "q52_correlated_subquery",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              GROUP BY o.o_custkey HAVING sum(o.o_totalprice) > 500000)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    // Correlated EXISTS-with-aggregation through the SQL front end —
+    // exercises Catalyst's subquery decorrelation (rewrites to an
+    // aggregate + semi join; no per-row re-execution).
+    t(s, dir, "customer").createOrReplaceTempView("customer_v52")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v52")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_v52 c
+        |WHERE EXISTS (SELECT 1 FROM orders_v52 o WHERE o.o_custkey = c.c_custkey
+        |              GROUP BY o.o_custkey HAVING sum(o.o_totalprice) > 500000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q53_window_extra: QueryDef = q(
+    "q53_window_extra",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  floor(percent_rank() OVER w * 100 + 0.5) / 100 AS pct_rank,
+      |  floor(cume_dist() OVER w * 100 + 0.5) / 100 AS cume,
+      |  first_value(o_orderkey) OVER w AS first_ok,
+      |  nth_value(o_orderkey, 2) OVER w AS second_ok
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      ntile(4).over(w).as("quartile"),
+      Par.r2(percent_rank().over(w)).as("pct_rank"),
+      Par.r2(cume_dist().over(w)).as("cume"),
+      first(col("o_orderkey")).over(w).as("first_ok"),
+      nth_value(col("o_orderkey"), 2).over(w).as("second_ok")
+    ).orderBy("o_orderkey")
+  }
+
+  val q55_strings_extra: QueryDef = q(
+    "q55_strings_extra",
+    """SELECT c_custkey,
+      |  lpad(c_mktsegment, 12, '.') AS seg_lpad,
+      |  rpad(c_mktsegment, 12, '.') AS seg_rpad,
+      |  replace(c_name, 'Customer', 'Cust') AS name_repl,
+      |  reverse(c_mktsegment) AS seg_rev,
+      |  repeat(c_mktsegment, 2) AS seg_twice,
+      |  split_part(c_name, '#', 1) AS name_head,
+      |  CAST(instr(c_name, '#') AS INT) AS hash_pos,
+      |  greatest(c_acctbal, 1000.0) AS bal_floor,
+      |  least(c_acctbal, 5000.0) AS bal_cap
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      lpad(col("c_mktsegment"), 12, ".").as("seg_lpad"),
+      rpad(col("c_mktsegment"), 12, ".").as("seg_rpad"),
+      regexp_replace(col("c_name"), "Customer", "Cust").as("name_repl"),
+      reverse(col("c_mktsegment")).as("seg_rev"),
+      repeat(col("c_mktsegment"), 2).as("seg_twice"),
+      substring_index(col("c_name"), "#", 1).as("name_head"),
+      instr(col("c_name"), "#").as("hash_pos"),
+      greatest(col("c_acctbal"), lit(1000.0)).as("bal_floor"),
+      least(col("c_acctbal"), lit(5000.0)).as("bal_cap")
+    ).orderBy("c_custkey")
+  }
+
+  val q56_datetime_extra: QueryDef = q(
+    "q56_datetime_extra",
+    """SELECT o_orderkey,
+      |  CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+      |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+      |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+      |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS woy
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    // DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday → +1 on the
+    // oracle side aligns them.
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      quarter(col("o_orderdate")).as("o_quarter"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      dayofyear(col("o_orderdate")).as("doy"),
+      last_day(col("o_orderdate")).as("month_end"),
+      weekofyear(col("o_orderdate")).as("woy")
+    ).orderBy("o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_scan, q02_project, q03_filter, q04_filter_in_between, q05_join,
     q06_broadcast_join, q07_multijoin, q08_left_join, q09_semi_join,
@@ -589,5 +682,7 @@ object Relational {
     q15_count_distinct, q16_approx_distinct, q17_rollup, q18_sort_limit,
     q19_topk, q20_rank_window, q21_lag_lead, q22_frame_window, q23_union,
     q24_intersect_except, q25_strings, q26_datetime, q27_math, q28_json,
-    q28_array, q29_case, q30_subquery, q48_percentile, q49_stats)
+    q28_array, q29_case, q30_subquery, q48_percentile, q49_stats,
+    q52_correlated_subquery, q53_window_extra, q55_strings_extra,
+    q56_datetime_extra)
 }
