@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
       (exprs: Seq[Expression]) => DotProductF(exprs.head, exprs(1))))
+    e.injectOptimizerRule(_ => graft.plans.BucketedIntervalJoin)
   }
 }
 
