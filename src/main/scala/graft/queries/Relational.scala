@@ -476,12 +476,18 @@ object Relational {
 
   val q28_json: QueryDef = q(
     "q28_json",
-    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+      |  array_to_string(json_keys(props), ',') AS key_list,
+      |  CAST(len(json_keys(props)) AS INT) AS n_keys
       |FROM events ORDER BY event_id""".stripMargin
   ) { (s, dir) =>
+    val asMap = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
     t(s, dir, "events").select(
       col("event_id"),
-      get_json_object(col("props"), "$.k").cast("int").as("k_val")
+      get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+      concat_ws(",", map_keys(asMap)).as("key_list"),
+      size(map_keys(asMap)).as("n_keys")
     ).orderBy("event_id")
   }
 
