@@ -681,6 +681,20 @@ object Relational {
     ).orderBy("o_orderkey")
   }
 
+  val q57_cube: QueryDef = q(
+    "q57_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), Par.r2(sum("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_scan, q02_project, q03_filter, q04_filter_in_between, q05_join,
     q06_broadcast_join, q07_multijoin, q08_left_join, q09_semi_join,
@@ -690,5 +704,5 @@ object Relational {
     q24_intersect_except, q25_strings, q26_datetime, q27_math, q28_json,
     q28_array, q29_case, q30_subquery, q48_percentile, q49_stats,
     q52_correlated_subquery, q53_window_extra, q55_strings_extra,
-    q56_datetime_extra)
+    q56_datetime_extra, q57_cube)
 }

@@ -51,6 +51,35 @@ class StreamingTwinSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q11 stream-stream interval self-join equals the batch contract") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ss").toString
+    val ev = queries.Tables.events(spark, sfDir)
+    ev.write.mode("overwrite").parquet(s"$tmp/in")
+    def side(a: String, b: String, c: String) = spark.readStream
+      .schema(ev.schema).parquet(s"$tmp/in")
+      .select(col("user_id").as(a), col("ts").as(b), col("event_id").as(c))
+      .withWatermark(b, "10 minutes")
+    val s1 = side("u1", "ts1", "id1")
+    val s2 = side("u2", "ts2", "id2")
+    // Stream-stream inner join: watermarks + the time-range condition
+    // bound the join state — the streaming form of q11's operator.
+    val joined = s1.join(s2,
+      col("u1") === col("u2") &&
+        col("ts2") > col("ts1") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+      .select("id1", "id2")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("twin11")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("twin11").as[(Long, Long)].collect().toSet
+    val expect = SparkEntry.queries("q11_range_join")(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
   test("IVF search recall vs brute force (nprobe=4 of k=8 cells)") {
     import spark.implicits._
     val emb = queries.Tables.t(spark, sfDir, "embeddings")
