@@ -34,6 +34,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      finally spark.catalog.clearCache() // q32/q44 cache within their action
       name -> (System.nanoTime() - t0) / 1e9
     }
 
@@ -81,9 +82,10 @@ object Bench {
     val t0 = System.nanoTime()
     val (b, d) = DeliveryPipeline.start(envelope, payloadSchema, sinks,
       s"$tmp/ckpt", dropIf = p => p.getField("value") < 10)
-    b.awaitTermination(600000)
-    d.awaitTermination(600000)
+    val doneB = b.awaitTermination(600000)
+    val doneD = d.awaitTermination(600000)
     val secs = (System.nanoTime() - t0) / 1e9
-    (secs, n)
+    // A timed-out run must not report a fabricated throughput.
+    (secs, if (doneB && doneD) n else -1L)
   }
 }

@@ -25,8 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** Same registration for an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Same registrations for an already-built session: the SQL function
+    * via the registry, the optimizer rule via experimental
+    * extraOptimizations (both session-scoped).
+    */
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "dot_f",
       exprs => DotProductF(exprs.head, exprs(1)))
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BucketedIntervalJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BucketedIntervalJoin
+  }
 }

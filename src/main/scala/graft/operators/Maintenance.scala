@@ -52,8 +52,13 @@ object Maintenance {
     spark.table(name).count()
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(c => deleteRecursively(c))
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      val children =
+        try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+        finally s.close() // Files.list leaks an fd if unclosed
+      children.foreach(deleteRecursively)
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -74,13 +74,16 @@ object Multimodal {
     * (stand-in for video frame extraction; real shape: one row in, many
     * frame rows out → explode keeps it distributed, no driver loop).
     */
-  def frameSample(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame =
+  def frameSample(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
+    // nFrames = complete frames available; zero frames (short or null
+    // payload) must yield zero rows, not one truncated phantom frame —
+    // explode of a null array emits nothing.
+    val nFrames = floor(octet_length(col("payload")) / frameBytes / everyK).cast("bigint")
     media
       .withColumn("frame_idx",
-        explode(sequence(lit(0L),
-          greatest(floor(octet_length(col("payload")) / frameBytes / everyK) - 1, lit(0L))
-            .cast("bigint"))))
+        explode(when(nFrames >= 1, sequence(lit(0L), nFrames - 1))))
       .withColumn("frame",
         expr(s"substring(payload, cast(frame_idx * $frameBytes * $everyK + 1 as int), $frameBytes)"))
       .drop("payload")
+  }
 }

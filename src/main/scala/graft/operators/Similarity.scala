@@ -121,14 +121,19 @@ object Similarity {
     * bucket (hash join on bucket key), then exact cosine on candidates.
     */
   def lshNearDupPairs(embeddings: DataFrame, nPlanes: Int, minCos: Double): DataFrame = {
+    // Norms computed ONCE per vector before the join — recomputing them
+    // inside the joined projection would redo O(dim) work per pair.
     val withBucket = hyperplaneLsh(
       embeddings.select(col("vec_id"), col("embedding")), nPlanes)
-    val a = withBucket.select(col("vec_id").as("id1"), col("embedding").as("ea"), col("bucket"))
-    val b = withBucket.select(col("vec_id").as("id2"), col("embedding").as("eb"), col("bucket"))
+      .withColumn("nrm", norm(col("embedding")))
+    val a = withBucket.select(col("vec_id").as("id1"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("bucket"))
+    val b = withBucket.select(col("vec_id").as("id2"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb")))).as("cos"))
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

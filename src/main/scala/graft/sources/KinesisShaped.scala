@@ -33,38 +33,11 @@ object KinesisShaped {
   private val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
     "foxtrot", "golf", "hotel", "india", "juliet")
 
-  /** Deterministic `bank_account` record stream at a target rate: the
-    * reference's load generator re-expressed as a declarative source.
-    * Output: envelope columns + partitionKey + shard.
+  /** Record synthesis + envelope over any (value, timestamp) frame — ONE
+    * definition shared by the streaming producer and its batch twin, so
+    * the two can never drift apart.
     */
-  def bankAccountProducer(spark: SparkSession, config: StreamConfig,
-      recordsPerSecond: Int): DataFrame = {
-    val descWords = (0 until 10).map(i =>
-      element_at(typedLit(words), (pmod(col("value") * (i + 3) + i, lit(10)) + 1).cast("int")))
-    val payload = struct(
-      md5(concat(lit("id-"), col("value"))).as("id"),
-      element_at(firstnames, (pmod(col("value"), lit(10)) + 1).cast("int")).as("firstname"),
-      element_at(lastnames, (pmod(col("value") * 7, lit(10)) + 1).cast("int")).as("lastname"),
-      concat_ws(" ", descWords: _*).as("description"),
-      lit(0).as("balance"))
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", recordsPerSecond.toString)
-      .load()
-      .withColumn("payload", payload)
-      .select(
-        col("value").cast("string").as("recordId"),
-        (unix_millis(col("timestamp"))).as("approximateArrivalTimestamp"),
-        concat(to_json(col("payload")), lit("\n")).cast("binary").as("data"),
-        col("payload.id").as("partitionKey"))
-      .withColumn("shard", pmod(hash(col("partitionKey")), lit(config.numShards)))
-  }
-
-  /** Batch twin of the producer (same row synthesis from a value range) —
-    * for tests and offline replay.
-    */
-  def bankAccountBatch(spark: SparkSession, config: StreamConfig, n: Long): DataFrame = {
-    val base = spark.range(n).select(col("id").as("value"),
-      current_timestamp().as("timestamp"))
+  private def synth(base: DataFrame, config: StreamConfig): DataFrame = {
     val descWords = (0 until 10).map(i =>
       element_at(typedLit(words), (pmod(col("value") * (i + 3) + i, lit(10)) + 1).cast("int")))
     val payload = struct(
@@ -82,6 +55,27 @@ object KinesisShaped {
         col("payload.id").as("partitionKey"))
       .withColumn("shard", pmod(hash(col("partitionKey")), lit(config.numShards)))
   }
+
+  /** Deterministic `bank_account` record stream at a target rate: the
+    * reference's load generator re-expressed as a declarative source.
+    * Output: envelope columns + partitionKey + shard.
+    */
+  def bankAccountProducer(spark: SparkSession, config: StreamConfig,
+      recordsPerSecond: Int): DataFrame =
+    synth(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", recordsPerSecond.toString)
+        .load(),
+      config)
+
+  /** Batch twin of the producer (same row synthesis from a value range) —
+    * for tests and offline replay.
+    */
+  def bankAccountBatch(spark: SparkSession, config: StreamConfig, n: Long): DataFrame =
+    synth(
+      spark.range(n).select(col("id").as("value"),
+        current_timestamp().as("timestamp")),
+      config)
 
   /** Kinesis's physical layout: co-locate each shard's records
     * (hash-partitioned, per-shard ordered downstream).

@@ -29,6 +29,9 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long) {
   private val bytes = new AtomicLong(0L)
   @volatile private var firstArrivalMs: Long = -1L
   private val objectSeq = new AtomicLong(0L)
+  // Per-epoch payload bytes: a replayed epoch overwrites its dir, so its
+  // previous contribution must be retracted, not double-counted.
+  private val epochBytes = scala.collection.mutable.Map.empty[Long, Long]
 
   Files.createDirectories(Paths.get(staging))
 
@@ -40,9 +43,15 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long) {
     val dir = s"$staging/epoch=$epochId"
     lines.select(rtrim(col(lines.columns.head), "\n").as("value"))
       .write.mode("overwrite").text(dir)
-    val added = listFiles(Paths.get(dir)).map(Files.size(_)).sum
-    if (firstArrivalMs < 0) firstArrivalMs = nowMs()
-    bytes.addAndGet(added)
+    // Only payload part-files count toward the size threshold (not
+    // _SUCCESS markers or .crc checksums).
+    val added = partFiles(Paths.get(dir)).map(Files.size(_)).sum
+    synchronized {
+      val prev = epochBytes.getOrElse(epochId, 0L)
+      epochBytes(epochId) = added
+      bytes.addAndGet(added - prev)
+      if (firstArrivalMs < 0) firstArrivalMs = nowMs()
+    }
     maybeFlush(nowMs())
   }
 
@@ -60,14 +69,14 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long) {
       val objDir = Paths.get(f"$root/object-${objectSeq.getAndIncrement()}%06d")
       Files.createDirectories(objDir)
       epochs.foreach { e =>
-        listFiles(e).filter(_.getFileName.toString.startsWith("part-"))
-          .foreach { f =>
-            Files.move(f, objDir.resolve(s"${e.getFileName}-${f.getFileName}"),
-              StandardCopyOption.ATOMIC_MOVE)
-          }
+        partFiles(e).foreach { f =>
+          Files.move(f, objDir.resolve(s"${e.getFileName}-${f.getFileName}"),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
         deleteRecursively(e)
       }
       bytes.set(0L)
+      epochBytes.clear()
       firstArrivalMs = -1L
     }
   }
@@ -76,17 +85,22 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long) {
   def deliveredObjects: Seq[Path] = listDirs(Paths.get(root))
     .filter(_.getFileName.toString.startsWith("object-")).sortBy(_.toString)
 
-  private def listFiles(p: Path): Seq[Path] =
+  private def listChildren(p: Path): Seq[Path] =
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close() // Files.list leaks an fd if unclosed
+    }
+
+  private def partFiles(p: Path): Seq[Path] =
+    listChildren(p).filter(f =>
+      Files.isRegularFile(f) && f.getFileName.toString.startsWith("part-"))
 
   private def listDirs(p: Path): Seq[Path] =
-    if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+    listChildren(p).filter(Files.isDirectory(_))
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    listChildren(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -48,13 +48,15 @@ object DeliveryPipeline {
 
   /** Effectively-once upgrade for at-least-once sources: drop replayed
     * recordIds inside the watermark horizon (SURVEY §2A A12 / Q31
-    * streaming form).
+    * streaming form). dropDuplicatesWithinWatermark is the variant whose
+    * dedup state is actually EVICTED by the watermark — plain
+    * dropDuplicates on a non-event-time subset keeps state forever.
     */
   def dedupByRecordId(envelope: DataFrame, arrivalCol: String = "arrivalTs",
       horizon: String = "10 minutes"): DataFrame =
     envelope
       .withWatermark(arrivalCol, horizon)
-      .dropDuplicates("recordId")
+      .dropDuplicatesWithinWatermark("recordId")
 
   /** Start the full dual-sink graph over a streaming envelope frame
     * (columns: recordId, approximateArrivalTimestamp, data: binary).

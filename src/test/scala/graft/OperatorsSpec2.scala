@@ -76,6 +76,41 @@ class OperatorsSpec2 extends SparkSpec {
     assert(spark.read.text(s"$tmp/backup/*").count() == 300)
   }
 
+  test("sessionizeStream carries the open session ACROSS micro-batches") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (u, ts) => s"""{"user_id": $u, "ts": "$ts"}""" }
+        .toDF("value").coalesce(1).write.mode("append").text(s"$tmp/in")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    // Batch 0 opens user 1's session; batch 1 extends it (within the
+    // 30-min gap) and advances the watermark far past its close.
+    write("b0", Seq((1L, "2024-01-01 12:00:00")))
+    val src = spark.readStream.schema(schema).json(s"$tmp/in")
+      .withWatermark("ts", "1 minute").as[Sessionize.Event]
+    val q = Sessionize.sessionizeStream(spark, src, gapMillis = 30 * 60 * 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    write("b1", Seq((1L, "2024-01-01 12:10:00"), (2L, "2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    write("b2", Seq((2L, "2024-01-01 15:00:00"))) // tick: fires the timeout
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_out")
+      .select(col("user_id"), date_format(col("session_start"), "HH:mm").as("s"),
+        col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    // ONE session 12:00 x2 for user 1 — not two split singletons.
+    assert(sessions.contains((1L, "12:00", 2L)), s"got $sessions")
+    assert(!sessions.contains((1L, "12:00", 1L)) && !sessions.contains((1L, "12:10", 1L)),
+      s"session split across micro-batches: $sessions")
+  }
+
   test("flatMapGroupsWithState sessionization agrees with session_window (q38)") {
     import spark.implicits._
     val ev = queries.Tables.events(spark, sfDir)
