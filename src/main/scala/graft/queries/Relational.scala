@@ -695,6 +695,39 @@ object Relational {
         col("o_orderpriority").asc_nulls_first)
   }
 
+  val q58_limit_offset: QueryDef = q(
+    "q58_limit_offset",
+    """WITH t AS (SELECT o_custkey, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+      |           FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, total FROM t ORDER BY total DESC, o_custkey
+      |LIMIT 10 OFFSET 5""".stripMargin
+  ) { (s, dir) =>
+    // Pagination: page 2 of the q19 top-k ranking.
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(Par.r2(sum("o_totalprice")).as("total"))
+      .orderBy(col("total").desc, col("o_custkey"))
+      .offset(5)
+      .limit(10)
+  }
+
+  val q59_range_frame: QueryDef = q(
+    "q59_range_frame",
+    """SELECT o_orderkey,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+      |                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n_30d
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    // Time-RANGE frame (trailing 30-day order count per customer) —
+    // count over the frame is integer-exact, so peers' evaluation order
+    // cannot matter. Interval range frames need the SQL window syntax.
+    t(s, dir, "orders").selectExpr(
+      "o_orderkey",
+      """count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS n_30d""".stripMargin)
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_scan, q02_project, q03_filter, q04_filter_in_between, q05_join,
     q06_broadcast_join, q07_multijoin, q08_left_join, q09_semi_join,
@@ -704,5 +737,5 @@ object Relational {
     q24_intersect_except, q25_strings, q26_datetime, q27_math, q28_json,
     q28_array, q29_case, q30_subquery, q48_percentile, q49_stats,
     q52_correlated_subquery, q53_window_extra, q55_strings_extra,
-    q56_datetime_extra, q57_cube)
+    q56_datetime_extra, q57_cube, q58_limit_offset, q59_range_frame)
 }
