@@ -26,12 +26,17 @@ object TrainingData {
 
   /** doc_id + filtered lowercase tokens (docs with >= 3 tokens). */
   private def tokenized(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    tokenizedDf(t(s, dir, "documents"))
+
+  def tokenizedDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
 
   /** (doc_id, shingle) — distinct word 3-shingles. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    tokenized(s, dir)
+    shinglesDf(t(s, dir, "documents"))
+
+  def shinglesDf(docs: DataFrame): DataFrame =
+    tokenizedDf(docs)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(shingleExpr).as("shingle"))
 
@@ -259,12 +264,21 @@ object TrainingData {
        |FROM hm GROUP BY doc_id)""".stripMargin
   }
 
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val h = shingles(s, dir).select(col("doc_id"), (h64(col("shingle")) % P).as("hm"))
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesDf(t(s, dir, "documents"))
+
+  def signaturesDf(docs: DataFrame): DataFrame = {
+    val h = shinglesDf(docs).select(col("doc_id"), (h64(col("shingle")) % P).as("hm"))
     val aggs = (0 until 16).map(j =>
       min((col("hm") * (2 * j + 1) + j * 7919L) % P).as(s"mh$j"))
     h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash-LSH candidate pairs over an arbitrary (doc_id, text) frame —
+    * the library entry behind q44 (see Dedup.lshCandidatePairs).
+    */
+  def lshPairs(spark: SparkSession, docs: DataFrame): DataFrame =
+    lshPairsFromSignatures(signaturesDf(docs))
 
   val q43_minhash_sig: QueryDef = q(
     "q43_minhash_sig",
@@ -291,10 +305,15 @@ object TrainingData {
        |FROM cand JOIN sig sa ON sa.doc_id = id1 JOIN sig sb ON sb.doc_id = id2
        |ORDER BY id1, id2""".stripMargin
   ) { (s, dir) =>
-    // MinHash-LSH banding (4 bands × 2 rows): THE subquadratic near-dup
-    // path at 100 TB — candidate pairs come from equality on band keys
-    // (a plain hash join on short strings), never from comparing docs.
-    val sg = signatures(s, dir).cache()
+    lshPairsFromSignatures(signatures(s, dir)).orderBy("id1", "id2")
+  }
+
+  /** MinHash-LSH banding (8 bands × 2 rows): THE subquadratic near-dup
+    * path at 100 TB — candidate pairs come from equality on band keys
+    * (a plain hash join on short strings), never from comparing docs.
+    */
+  private def lshPairsFromSignatures(sig: DataFrame): DataFrame = {
+    val sg = sig.cache()
     val bandCols = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", col(s"mh${2 * b}").cast("string"),
@@ -314,7 +333,6 @@ object TrainingData {
       .reduce(_ + _)
     cand.join(sa, "id1").join(sb, "id2")
       .select(col("id1"), col("id2"), (agree.cast("double") / 16).as("est_sim"))
-      .orderBy("id1", "id2")
   }
 
   val q45_simhash: QueryDef = q(
