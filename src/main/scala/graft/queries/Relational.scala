@@ -728,6 +728,36 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  val q60_report: QueryDef = q(
+    "q60_report",
+    """WITH rev AS (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+      |    count(*) AS n_items
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, year(o_orderdate))
+      |SELECT n_name, o_year, revenue, n_items,
+      |  CAST(row_number() OVER (PARTITION BY o_year ORDER BY revenue DESC, n_name) AS BIGINT) AS rnk
+      |FROM rev ORDER BY o_year, rnk""".stripMargin
+  ) { (s, dir) =>
+    // Composite "report" shape: multiway join → two-key aggregate →
+    // per-year ranking. Ranking keys on the ROUNDED revenue (+ name
+    // tie-break) so cross-engine float ulps can't flip ranks.
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(Par.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+    val w = Window.partitionBy("o_year").orderBy(col("revenue").desc, col("n_name"))
+    rev.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .orderBy("o_year", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_scan, q02_project, q03_filter, q04_filter_in_between, q05_join,
     q06_broadcast_join, q07_multijoin, q08_left_join, q09_semi_join,
@@ -737,5 +767,6 @@ object Relational {
     q24_intersect_except, q25_strings, q26_datetime, q27_math, q28_json,
     q28_array, q29_case, q30_subquery, q48_percentile, q49_stats,
     q52_correlated_subquery, q53_window_extra, q55_strings_extra,
-    q56_datetime_extra, q57_cube, q58_limit_offset, q59_range_frame)
+    q56_datetime_extra, q57_cube, q58_limit_offset, q59_range_frame,
+    q60_report)
 }

@@ -48,6 +48,30 @@ class SourcesSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("per-shard ordering: repartitionByShard + sortWithinPartitions preserves sequence") {
+    import spark.implicits._
+    val cfg = StreamConfig("graft-stream", numShards = 4)
+    val batch = KinesisShaped.bankAccountBatch(spark, cfg, 2000)
+    // Kinesis guarantees order WITHIN a shard; the Spark layout twin is
+    // hash-repartition by shard + per-partition sort on sequence number.
+    val laidOut = KinesisShaped.repartitionByShard(batch, cfg)
+      .sortWithinPartitions(col("recordId").cast("long"))
+    val violations = laidOut
+      .select(col("shard"), col("recordId").cast("long").as("seq"))
+      .as[(Int, Long)]
+      .mapPartitions { it =>
+        var bad = 0L
+        var prev = Long.MinValue
+        it.foreach { case (_, seq) =>
+          if (seq < prev) bad += 1
+          prev = seq
+        }
+        Iterator.single(bad)
+      }.collect().sum
+    assert(violations == 0, s"$violations out-of-order records within shards")
+    assert(laidOut.rdd.getNumPartitions == 4)
+  }
+
   test("maintenance: delete-by-predicate, sharded index create/count/drop") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-maint").toString
     val cfg = StreamConfig("s", 4)
