@@ -46,6 +46,7 @@ object Dedup {
     try {
       var labels = edges.select(col("id1").as("id")).distinct()
         .withColumn("component", col("id"))
+      var prevCache: Option[DataFrame] = None
       var converged = false
       var i = 0
       while (!converged && i < maxIters) {
@@ -60,11 +61,17 @@ object Dedup {
           .cache()
         val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
           .filter(col("component") < col("old")).limit(1).count()
+        prevCache.foreach(_.unpersist()) // don't pile one cache per iteration
+        prevCache = Some(next)
         labels = next
         converged = changed == 0
         i += 1
       }
-      labels
+      // Materialize + truncate the O(iterations)-deep join lineage before
+      // releasing the iteration caches the result was built from.
+      val result = labels.localCheckpoint()
+      prevCache.foreach(_.unpersist())
+      result
     } finally edges.unpersist()
   }
 

@@ -37,18 +37,18 @@ object Ivf {
         .as[(Long, Array[Float])]
         .map { case (_, v) => (nearest(bc.value, v), v) }
         .toDF("cell", "v")
-      val dim = centroids.head._2.length
+      // Per-dimension mean via posexplode + two-level aggregate: never
+      // collects a cell's vectors into one row (a hot cell at scale
+      // would OOM a collect_list-based mean).
       val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg(col("x")).as("m"))
         .groupBy("cell")
-        .agg(count(lit(1)).as("n"),
-          expr(s"aggregate(collect_list(v), " +
-            s"array_repeat(cast(0.0 as double), $dim), " +
-            "(acc, x) -> zip_with(acc, x, (a, b) -> a + cast(b as double)))").as("sum"))
-        .select(col("cell"), col("n"),
-          expr("transform(sum, x -> cast(x / n as float))").as("mean"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> cast(s.m as float))")
+          .as("mean"))
         .collect()
       val updated = centroids.toMap ++ sums.map(r =>
-        r.getInt(0) -> r.getSeq[Float](2).toArray).toMap
+        r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
       centroids = updated.toArray.sortBy(_._1)
     }
     Model(centroids)
