@@ -78,16 +78,32 @@ object TrainingData {
        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
        |ORDER BY id1, id2""".stripMargin
   ) { (s, dir) =>
-    // Pair candidates come from the shingle-equality join (subquadratic:
-    // scales with shingle collisions). The 100 TB path swaps the raw
-    // shingle join for the MinHash-LSH banding of q44 as a prefilter; the
-    // Jaccard arithmetic below stays identical.
+    // EXACT near-dup join with prefix filtering (the classic lossless
+    // candidate pruning from the set-similarity-join literature, e.g.
+    // PPJoin): order each doc's shingles globally by ascending document
+    // frequency; if Jaccard(A,B) >= t, A and B MUST share a shingle
+    // within their first |X| - ceil(t*|X|) + 1 shingles of that order.
+    // Candidates therefore come only from joining those ~(1-t)-fraction
+    // prefixes — which by construction hold the RAREST shingles, so the
+    // equality join's per-key fan-out stays tiny even when the corpus
+    // shares a common vocabulary. Verification then computes the exact
+    // Jaccard for the few candidates. Results are identical to the
+    // all-shingles join (and the oracle); only the plan changes.
     val sh = shingles(s, dir).cache()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("id1"), col("shingle"))
-    val b = sh.select(col("doc_id").as("id2"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    val sdf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("sdf"), col("shingle"))
+    val prefix = sh.join(sdf, "shingle").join(sz, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(lit(0.8) * col("n")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.select(col("doc_id").as("id1"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("id2"), col("shingle")), "shingle")
       .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id1"), col("shingle")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") /
       (col("na") + col("nb") - col("i")).cast("double")
