@@ -758,6 +758,42 @@ object Relational {
       .orderBy("o_year", "rnk")
   }
 
+  val q61_part_revenue: QueryDef = q(
+    "q61_part_revenue",
+    """SELECT p_brand, p_type, count(*) AS n_items,
+      |  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+      |  floor(avg(p_retailprice) * 100 + 0.5) / 100 AS avg_retail
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 25
+      |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_size") <= 25),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(count(lit(1)).as("n_items"),
+        Par.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        Par.r2(avg("p_retailprice")).as("avg_retail"))
+      .orderBy("p_brand", "p_type")
+  }
+
+  val q62_supplier_volume: QueryDef = q(
+    "q62_supplier_volume",
+    """SELECT s_name, n_name, count(*) AS n_items,
+      |  floor(sum(l_quantity) * 100 + 0.5) / 100 AS total_qty
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY s_name, n_name ORDER BY s_name""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name", "n_name")
+      .agg(count(lit(1)).as("n_items"), Par.r2(sum("l_quantity")).as("total_qty"))
+      .orderBy("s_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_scan, q02_project, q03_filter, q04_filter_in_between, q05_join,
     q06_broadcast_join, q07_multijoin, q08_left_join, q09_semi_join,
@@ -768,5 +804,5 @@ object Relational {
     q28_array, q29_case, q30_subquery, q48_percentile, q49_stats,
     q52_correlated_subquery, q53_window_extra, q55_strings_extra,
     q56_datetime_extra, q57_cube, q58_limit_offset, q59_range_frame,
-    q60_report)
+    q60_report, q61_part_revenue, q62_supplier_volume)
 }
