@@ -47,6 +47,7 @@ object IndexSink {
             .write.mode("overwrite").text(s"$backupPath/epoch=$epochId")
           routed.filter(col("result") === Ok)
             .select(col("recordId"), col("payload.*"))
+            .withColumn("_epoch", lit(epochId))
             .repartition(shards)
             .write.mode("overwrite").parquet(s"$indexPath/epoch=$epochId")
         } finally routed.unpersist()
@@ -55,7 +56,40 @@ object IndexSink {
 
   /** Register the delivered index as a queryable view (A14/A16). */
   def registerView(spark: SparkSession, indexPath: String, name: String): Unit =
-    spark.read.parquet(s"$indexPath/*").createOrReplaceTempView(name)
+    spark.read.parquet(s"$indexPath/*").drop("_epoch").createOrReplaceTempView(name)
+
+  /** UPSERT semantics (the actual OpenSearch contract: indexing a doc id
+    * again OVERWRITES it — reference iac/s2_app.py:841-858 delivers by
+    * document id): last write per key wins, resolved at query time over
+    * the epoch history. `compact` below materializes the same result.
+    */
+  def registerLatestView(spark: SparkSession, indexPath: String,
+      name: String, key: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("_epoch").desc)
+    spark.read.parquet(s"$indexPath/*")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_epoch")
+      .createOrReplaceTempView(name)
+  }
+
+  /** Materialize upsert resolution: rewrite the epoch history into one
+    * compacted snapshot (latest row per key), like an index segment
+    * merge. Returns rows in the snapshot.
+    */
+  def compact(spark: SparkSession, indexPath: String, key: String,
+      shards: Int): Long = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("_epoch").desc)
+    val snapshot = spark.read.parquet(s"$indexPath/*")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .repartition(shards)
+    snapshot.write.mode("overwrite").parquet(s"$indexPath/compacted")
+    spark.read.parquet(s"$indexPath/compacted").count()
+  }
 
   /** A13: the `_count` + match_all surface over the index. */
   def count(spark: SparkSession, name: String): Long =

@@ -76,6 +76,37 @@ class OperatorsSpec2 extends SparkSpec {
     assert(spark.read.text(s"$tmp/backup/*").count() == 300)
   }
 
+  test("index upsert: re-delivered recordId overwrites (last write wins)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val payloadSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    def deliver(rows: Seq[(String, Long, Double)]): Unit = {
+      rows.map { case (rid, eid, v) =>
+        s"""{"recordId": "$rid", "line": "{\\"event_id\\": $eid, \\"value\\": $v}"}"""
+      }.toDF("value").coalesce(1).write.mode("append").text(s"$tmp/in")
+      val env = spark.readStream
+        .schema(StructType(Seq(StructField("recordId", StringType), StructField("line", StringType))))
+        .json(s"$tmp/in")
+        .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+          col("line").cast("binary").as("data"))
+      val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
+        s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false))
+      q.awaitTermination(120000)
+    }
+    deliver(Seq(("a", 1L, 10.0), ("b", 2L, 20.0)))
+    deliver(Seq(("a", 1L, 99.0))) // same doc id, new payload — an upsert
+    // Raw history keeps both versions; the upsert view resolves to latest.
+    IndexSink.registerView(spark, s"$tmp/index", "upsert_raw")
+    assert(spark.table("upsert_raw").count() == 3)
+    IndexSink.registerLatestView(spark, s"$tmp/index", "upsert_latest", "recordId")
+    val latest = spark.table("upsert_latest")
+      .select("recordId", "value").as[(String, Double)].collect().toMap
+    assert(latest == Map("a" -> 99.0, "b" -> 20.0))
+    // Compaction materializes the same snapshot.
+    assert(IndexSink.compact(spark, s"$tmp/index", "recordId", shards = 2) == 2)
+  }
+
   test("sessionizeStream carries the open session ACROSS micro-batches") {
     import spark.implicits._
     import java.sql.Timestamp
