@@ -794,6 +794,45 @@ object Relational {
       .orderBy("s_name")
   }
 
+  val q63_lateral: QueryDef = q(
+    "q63_lateral",
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    // LATERAL correlated subquery (top-1 order per customer) — Catalyst
+    // decorrelates this to a ranked window join, not a per-row loop.
+    t(s, dir, "customer").createOrReplaceTempView("customer_v63")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v63")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer_v63, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_v63
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q64_array_agg: QueryDef = q(
+    "q64_array_agg",
+    """SELECT o_custkey,
+      |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+      |  CAST(len(list(DISTINCT o_orderpriority)) AS INT) AS n_distinct
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+  ) { (s, dir) =>
+    // Array aggregation made deterministic: collect_set's order is
+    // engine-internal, so the portable form sorts before serializing.
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+        size(collect_set(col("o_orderpriority"))).as("n_distinct"))
+      .orderBy("o_custkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_scan, q02_project, q03_filter, q04_filter_in_between, q05_join,
     q06_broadcast_join, q07_multijoin, q08_left_join, q09_semi_join,
@@ -804,5 +843,6 @@ object Relational {
     q28_array, q29_case, q30_subquery, q48_percentile, q49_stats,
     q52_correlated_subquery, q53_window_extra, q55_strings_extra,
     q56_datetime_extra, q57_cube, q58_limit_offset, q59_range_frame,
-    q60_report, q61_part_revenue, q62_supplier_volume)
+    q60_report, q61_part_revenue, q62_supplier_volume, q63_lateral,
+    q64_array_agg)
 }
