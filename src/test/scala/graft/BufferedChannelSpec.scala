@@ -37,6 +37,17 @@ class BufferedChannelSpec extends SparkSpec {
     assert(spark.read.text(ch.deliveredObjects.head.toString).count() == 5)
   }
 
+  test("a replayed epoch overwrites its staged bytes (no double count)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf4").toString
+    val ch = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    ch.append(lines(20, "x"), epochId = 7)
+    val once = ch.stagedBytes
+    ch.append(lines(20, "x"), epochId = 7) // foreachBatch retry of epoch 7
+    assert(ch.stagedBytes == once, s"replay double-counted: ${ch.stagedBytes} vs $once")
+    ch.flush()
+    assert(spark.read.text(ch.deliveredObjects.head.toString).count() == 20)
+  }
+
   test("flush conserves records and produces disjoint numbered objects") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-buf3").toString
     val ch = new BufferedChannel(tmp, maxBytes = 1500, maxAgeMillis = Long.MaxValue / 2)

@@ -61,6 +61,22 @@ class CodecSpec extends SparkSpec {
     assert(row.getInt(2) == 0)
   }
 
+  test("a non-identity transform rewrites the Ok payload (A4 user map hook)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("r1", """{"id":"a","firstname":"john","lastname":"doe","description":"d","balance":7}"""))
+      .toDF("recordId", "data")
+      .withColumn("data", col("data").cast("binary"))
+    val out = Codecs.transformEnvelope(rows, payloadSchema,
+      dropIf = _ => lit(false),
+      transform = p => p.withField("firstname", upper(p.getField("firstname")))
+        .withField("balance", p.getField("balance") * 2))
+    val line = out.select(col("data").cast("string")).head().getString(0)
+    val back = spark.read.json(Seq(line).toDS)
+    assert(back.select("firstname").head().getString(0) == "JOHN")
+    assert(back.select("balance").head().getLong(0) == 14)
+  }
+
   test("routing is total and 3-way: Ok / Dropped / ProcessingFailed") {
     import spark.implicits._
     val rows = Seq(
