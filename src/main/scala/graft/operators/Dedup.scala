@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions._
-
 /** Library-facing dedup API over a `(idCol: bigint, textCol: string)`
   * corpus — the operator forms behind the oracle-checked q31/q32/q43/q44
   * queries, plus the piece a real pipeline needs on top: SURVIVOR
@@ -29,10 +27,9 @@ object Dedup {
   /** Near-dup candidate pairs via MinHash-LSH banding (q44's operator):
     * (id1, id2, est_sim), id1 < id2.
     */
-  def lshCandidatePairs(spark: SparkSession, df: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    graft.queries.TrainingData.lshPairs(spark, docs)
+    graft.queries.TrainingData.lshPairs(docs)
   }
 
   /** Connected components over a pair list by min-label propagation.
@@ -67,6 +64,13 @@ object Dedup {
         converged = changed == 0
         i += 1
       }
+      // Silent truncation would keep extra "survivors" from one cluster —
+      // fail loudly so callers raise maxIters instead of trusting a
+      // wrong dedup.
+      if (!converged)
+        throw new IllegalStateException(
+          s"components() did not converge within $maxIters iterations " +
+            "(duplicate-cluster diameter exceeds maxIters — raise it)")
       // Materialize + truncate the O(iterations)-deep join lineage before
       // releasing the iteration caches the result was built from.
       val result = labels.localCheckpoint()
@@ -81,7 +85,7 @@ object Dedup {
     */
   def nearDedup(spark: SparkSession, df: DataFrame, idCol: String,
       textCol: String, minEstSim: Double): DataFrame = {
-    val pairs = lshCandidatePairs(spark, df, idCol, textCol)
+    val pairs = lshCandidatePairs(df, idCol, textCol)
       .filter(col("est_sim") >= minEstSim)
     val comp = components(pairs)
     val losers = comp.filter(col("id") =!= col("component"))

@@ -786,8 +786,10 @@ object Relational {
       |JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY s_name, n_name ORDER BY s_name""".stripMargin
   ) { (s, dir) =>
+    // supplier grows with scale factor — no broadcast hint (AQE
+    // broadcasts it only while it actually fits); nation is constant.
     t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .groupBy("s_name", "n_name")
       .agg(count(lit(1)).as("n_items"), Par.r2(sum("l_quantity")).as("total_qty"))
@@ -827,9 +829,10 @@ object Relational {
     // engine-internal, so the portable form sorts before serializing.
     t(s, dir, "orders")
       .groupBy("o_custkey")
-      .agg(
-        array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"),
-        size(collect_set(col("o_orderpriority"))).as("n_distinct"))
+      // one collect_set buffer per group; both outputs derive from it
+      .agg(array_sort(collect_set(col("o_orderpriority"))).as("arr"))
+      .select(col("o_custkey"), array_join(col("arr"), ",").as("priorities"),
+        size(col("arr")).as("n_distinct"))
       .orderBy("o_custkey")
   }
 

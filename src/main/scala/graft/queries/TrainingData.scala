@@ -293,7 +293,7 @@ object TrainingData {
   /** MinHash-LSH candidate pairs over an arbitrary (doc_id, text) frame —
     * the library entry behind q44 (see Dedup.lshCandidatePairs).
     */
-  def lshPairs(spark: SparkSession, docs: DataFrame): DataFrame =
+  def lshPairs(docs: DataFrame): DataFrame =
     lshPairsFromSignatures(signaturesDf(docs))
 
   val q43_minhash_sig: QueryDef = q(

@@ -58,37 +58,55 @@ object IndexSink {
   def registerView(spark: SparkSession, indexPath: String, name: String): Unit =
     spark.read.parquet(s"$indexPath/*").drop("_epoch").createOrReplaceTempView(name)
 
+  /** Last-write-per-key resolution over the epoch history (shared by the
+    * query-time view and compaction so the two can never diverge).
+    */
+  private def latestPerKey(df: DataFrame, key: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("_epoch").desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** UPSERT semantics (the actual OpenSearch contract: indexing a doc id
     * again OVERWRITES it — reference iac/s2_app.py:841-858 delivers by
     * document id): last write per key wins, resolved at query time over
     * the epoch history. `compact` below materializes the same result.
     */
   def registerLatestView(spark: SparkSession, indexPath: String,
-      name: String, key: String): Unit = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(key).orderBy(col("_epoch").desc)
-    spark.read.parquet(s"$indexPath/*")
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_epoch")
+      name: String, key: String): Unit =
+    latestPerKey(spark.read.parquet(s"$indexPath/*"), key)
+      .drop("_epoch")
       .createOrReplaceTempView(name)
-  }
 
-  /** Materialize upsert resolution: rewrite the epoch history into one
-    * compacted snapshot (latest row per key), like an index segment
-    * merge. Returns rows in the snapshot.
+  /** Materialize upsert resolution like an index segment merge: the
+    * epoch history is REPLACED by one snapshot directory (written
+    * outside the index first — writing into the glob being read would
+    * self-overwrite — then swapped in as the sole remaining epoch).
+    * Returns rows in the snapshot.
     */
   def compact(spark: SparkSession, indexPath: String, key: String,
       shards: Int): Long = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(key).orderBy(col("_epoch").desc)
-    val snapshot = spark.read.parquet(s"$indexPath/*")
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    import java.nio.file.{Files, Paths}
+    val tmp = indexPath.stripSuffix("/") + ".compact.tmp"
+    latestPerKey(spark.read.parquet(s"$indexPath/*"), key)
       .repartition(shards)
-    snapshot.write.mode("overwrite").parquet(s"$indexPath/compacted")
-    spark.read.parquet(s"$indexPath/compacted").count()
+      .write.mode("overwrite").parquet(tmp)
+    val root = Paths.get(indexPath)
+    val epochs = Files.list(root)
+    val old =
+      try { import scala.jdk.CollectionConverters._
+        epochs.iterator().asScala.filter(_.getFileName.toString.startsWith("epoch=")).toSeq }
+      finally epochs.close()
+    old.foreach { d =>
+      val s = Files.walk(d)
+      val all = try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.reverse } finally s.close()
+      all.foreach(Files.deleteIfExists(_))
+    }
+    Files.move(Paths.get(tmp), root.resolve("epoch=compacted"))
+    spark.read.parquet(s"$indexPath/*").count()
   }
 
   /** A13: the `_count` + match_all surface over the index. */
