@@ -51,49 +51,84 @@ object Similarity {
       .drop("prnk")
   }
 
-  /** All-pairs cosine, block-partitioned kernel form: broadcast the
-    * packed corpus once, give each task a slice of row indices, and run
-    * the O(slice × n) dot products as a primitive loop — no per-pair
-    * array materialization through a join (which is pure memcpy cost in
-    * the declarative formulation). The per-pair arithmetic is the exact
-    * sequential fold of [[graft.functions.DotProductF]], so results stay
-    * bit-identical to the SQL oracle.
+  /** All-pairs cosine, block-tiled matrix kernel — fully DISTRIBUTED:
+    * vectors are packed into √-sized blocks (one row per block, vectors
+    * inlined), the block table is self-joined on `blk1 <= blk2`, and each
+    * of the (n/B)·(n/B+1)/2 TILES computes its B×B dot products as a
+    * primitive loop inside one task, emitting only its local top-`k`
+    * pairs. No corpus data ever touches the driver; the exchange carries
+    * tiles×k candidate rows into a final TakeOrderedAndProject.
     *
-    * The broadcast bounds this to corpora that fit an executor (~1e6 ×
-    * 64f = 256 MB); past that, [[lshNearDupPairs]] / block-matrix tiling
-    * is the path — this kernel then runs per (bucket/block) instead.
+    * The per-pair arithmetic is the exact sequential fold of
+    * [[graft.functions.DotProductF]] (ascending-dimension accumulation;
+    * float multiply commutes bitwise), so results stay bit-identical to
+    * the SQL oracle regardless of which block a vector lands in.
+    *
+    * Scale shape: memory per task is 2 blocks (2·B vectors), tunable via
+    * `nBlocks` ≈ n/B — at 100 TB you raise `nBlocks` so a tile fits an
+    * executor core, and the tile count (n/B)²/2 gives the parallelism.
+    * Past brute-force budgets, [[lshNearDupPairs]]/IVF prune tiles first.
     *
     * @return (id1, id2, cos) for the global top-`k` pairs, id1 < id2,
     *         ordered by (cos desc, id1, id2).
     */
   def bruteForceTopPairs(spark: org.apache.spark.sql.SparkSession,
-      embeddings: DataFrame, k: Int): DataFrame = {
+      embeddings: DataFrame, k: Int, nBlocks: Int = 16): DataFrame = {
     import spark.implicits._
-    val packed: Array[(Long, Array[Float], Double)] = embeddings
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
-      .map { case (id, v) =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-        (id, v, math.sqrt(s))
-      }
-    val bc = spark.sparkContext.broadcast(packed)
-    val n = packed.length
-    spark.range(0, n, 1, math.min(n, 64)).as[Long]
-      .mapPartitions { idxs =>
-        val arr = bc.value
-        idxs.flatMap { li =>
-          val i = li.toInt
-          val (id1, a, na) = arr(i)
-          (i + 1 until arr.length).iterator.map { j =>
-            val (id2, b, nb) = arr(j)
+    // Block assignment by id hash-mod: stable, no global index needed.
+    val packed = embeddings
+      .select((pmod(col("vec_id"), lit(nBlocks))).cast("int").as("blk"),
+        struct(col("vec_id").as("_1"), col("embedding").as("_2")).as("v"))
+      .groupBy("blk")
+      .agg(collect_list(col("v")).as("vs"))
+    val tiles = packed.select(col("blk").as("blk1"), col("vs").as("vs1"))
+      .join(packed.select(col("blk").as("blk2"), col("vs").as("vs2")),
+        col("blk1") <= col("blk2"))
+      .select(col("vs1"), col("vs2"))
+      .as[(Seq[(Long, Array[Float])], Seq[(Long, Array[Float])])]
+    tiles.flatMap { case (rawA, rawB) =>
+      // Sort by id and pre-compute norms once per block, not per pair.
+      def prep(vs: Seq[(Long, Array[Float])]): Array[(Long, Array[Float], Double)] =
+        vs.sortBy(_._1).map { case (id, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          (id, v, math.sqrt(s))
+        }.toArray
+      val as = prep(rawA); val bs = prep(rawB)
+      val sameBlock = as.length == bs.length && (as.isEmpty || as(0)._1 == bs(0)._1)
+      // Bounded top-k selection per tile under the exact final total
+      // order (cos desc, id1, id2): global top-k ⊆ union of tile top-ks
+      // since every pair lives in exactly one tile.
+      val heap = new scala.collection.mutable.PriorityQueue[(Double, Long, Long)]()(
+        Ordering.by[(Double, Long, Long), (Double, Long, Long)] {
+          case (c, i1, i2) => (-c, i1, i2)
+        }) // min-heap on the (cos desc, id1, id2) order: head = worst kept
+      var i = 0
+      while (i < as.length) {
+        val (ida, a, na) = as(i)
+        var j = if (sameBlock) i + 1 else 0
+        while (j < bs.length) {
+          val (idb, b, nb) = bs(j)
+          if (ida != idb) {
             var s = 0.0; var d = 0
             val len = math.min(a.length, b.length)
             while (d < len) { s += a(d).toDouble * b(d).toDouble; d += 1 }
-            (id1, id2, s / (na * nb))
+            val cos = s / (na * nb)
+            val id1 = math.min(ida, idb); val id2 = math.max(ida, idb)
+            if (heap.size < k) heap.enqueue((cos, id1, id2))
+            else {
+              val (wc, w1, w2) = heap.head
+              if (cos > wc || (cos == wc && (id1 < w1 || (id1 == w1 && id2 < w2)))) {
+                heap.dequeue(); heap.enqueue((cos, id1, id2))
+              }
+            }
           }
+          j += 1
         }
+        i += 1
       }
+      heap.iterator.map { case (c, i1, i2) => (i1, i2, c) }
+    }
       .toDF("id1", "id2", "cos")
       .orderBy(col("cos").desc, col("id1"), col("id2"))
       .limit(k) // TakeOrderedAndProject: per-partition top-k, driver merge

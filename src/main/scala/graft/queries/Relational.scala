@@ -263,17 +263,29 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
-  /** HLL sketch — oracle intentionally omitted (approximate result; driver
-    * records the weaker rows-only check; see FIXTURES.md §3 Q16). The spec
-    * asserts ≤5% relative error vs the exact count.
+  /** HLL sketch, oracle-checked via a tolerance column: the estimate
+    * itself can't hash-match an exact engine, but the CONTRACT (≤5%
+    * relative error vs the exact distinct count) can — Spark emits
+    * `within_5pct = [|approx − exact| ≤ 0.05·exact]` next to the exact
+    * count, the oracle emits a constant 1 from exact counts, and the hash
+    * matches iff the sketch is in-band. (The spec additionally asserts
+    * the band on the raw estimate: QueriesSpec.)
     */
-  val q16_approx_distinct: QueryDef = QueryDef("q16_approx_distinct", None) {
-    (s, dir) =>
-      t(s, dir, "events")
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          count(lit(1)).as("n"))
-        .orderBy("event_type")
+  val q16_approx_distinct: QueryDef = q(
+    "q16_approx_distinct",
+    """SELECT event_type, count(*) AS n, CAST(1 AS INT) AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          lit(0.05) * col("exact_users")).cast("int").as("within_5pct"))
+      .orderBy("event_type")
   }
 
   val q17_rollup: QueryDef = q(

@@ -210,9 +210,15 @@ object TrainingData {
     val scored = tf.join(broadcast(df), "term").join(broadcast(nd))
       .groupBy("doc_id")
       .agg(sum(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0))).as("score"))
+    // Top-10 selection via orderBy+limit (TakeOrderedAndProject: per-
+    // partition top-k, driver merges 10×P rows) — NOT an unpartitioned
+    // window, which would funnel every scored doc through one task. The
+    // rank window then runs over just the 10 selected rows.
+    val top = scored
+      .orderBy(Par.r2(col("score")).desc, col("doc_id"))
+      .limit(10)
     val w = Window.orderBy(Par.r2(col("score")).desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 10)
+    top.withColumn("rank", row_number().over(w).cast("bigint"))
       .select(col("doc_id"), Par.r2(col("score")).as("score"), col("rank"))
       .orderBy("rank")
   }
@@ -388,11 +394,12 @@ object TrainingData {
       |SELECT id1, id2, floor(cos * 100 + 0.5) / 100 AS cos_sim
       |FROM pairs ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
   ) { (s, dir) =>
-    // Embedding near-dup via the block-partitioned broadcast kernel
+    // Embedding near-dup via the block-tiled distributed kernel
     // (graft.operators.Similarity.bruteForceTopPairs): same sequential
     // fold as the declarative dot_f form, ~10x faster because no pair of
-    // float arrays is ever materialized through a join. The LSH
-    // hyperplane path replaces it past broadcastable corpus size.
+    // float arrays is ever materialized through a join; no corpus data
+    // touches the driver (tiles emit only their local top-k). The LSH
+    // hyperplane path replaces it past brute-force compute budgets.
     graft.operators.Similarity
       .bruteForceTopPairs(s, t(s, dir, "embeddings"), 20)
       .select(col("id1"), col("id2"), Par.r2(col("cos")).as("cos_sim"))

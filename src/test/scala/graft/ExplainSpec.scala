@@ -52,6 +52,21 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q35: top-10 selection is TakeOrderedAndProject, not a global window") {
+    val p = plan("q35_tfidf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q46: kernel is distributed — no driver-side corpus materialization") {
+    val p = plan("q46_embed_neardup")
+    // A collect()+broadcast kernel reappears as LocalTableScan / a scan
+    // over an ExistingRDD built on the driver; the block-tiled kernel
+    // reads the parquet corpus directly and top-k's via TakeOrdered.
+    assert(!p.contains("LocalTableScan"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Scan parquet"), p)
+  }
+
   test("q11: bucketed interval join keeps an equi-join (no nested loop)") {
     val p = plan("q11_range_join")
     assert(!p.contains("NestedLoop"), p)

@@ -23,22 +23,27 @@ class QueriesSpec extends SparkSpec {
       s"unexpected empty results: ${empty.map(_.name)}")
   }
 
-  test("oracle SQL exists for every query except the approx sketch") {
+  test("oracle SQL exists for every query (q16 included, via tolerance column)") {
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle == Seq("q16_approx_distinct"))
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 
   test("q16 approx_count_distinct within 5% of exact (FIXTURES tolerance band)") {
     import spark.implicits._
-    val approx = SparkEntry.queries("q16_approx_distinct")(spark, sfDir)
-      .select(col("event_type"), col("approx_users")).as[(String, Long)].collect().toMap
-    val exact = queries.Tables.events(spark, sfDir)
-      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
-      .as[(String, Long)].collect().toMap
-    exact.foreach { case (k, n) =>
-      val a = approx(k)
+    // The band on the raw estimate, independent of q16's tolerance-column
+    // encoding (which the DuckDB oracle checks end-to-end).
+    val approx = queries.Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("a"),
+        countDistinct(col("user_id")).as("n"))
+      .as[(String, Long, Long)].collect()
+    approx.foreach { case (k, a, n) =>
       assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
     }
+    // And the emitted tolerance column itself must be all-1.
+    val flags = SparkEntry.queries("q16_approx_distinct")(spark, sfDir)
+      .select(col("within_5pct")).as[Int].collect()
+    assert(flags.nonEmpty && flags.forall(_ == 1), flags.toSeq.toString)
   }
 
   test("q33 top-k neighbors agree with the Similarity.topKPerProbe scale path") {
