@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -11,14 +11,15 @@ import graft.model.DeliveryStatus._
 /** The reference pipeline, Spark-native (SURVEY.md §0/§3 EP2):
   *
   * {{{
-  * source (envelope stream)
-  *   ├── writeStream A: raw backup → 01-backup/            (A9)
-  *   └── writeStream B: decode → transform → 3-way route   (A3–A5)
-  *         └── foreachBatch: NDJSON fan-out                 (A6–A8)
-  *               Ok               → 03-success/
+  * source (envelope stream, data = base64 NDJSON on the wire)
+  *   ├── writeStream A: raw backup      → 01-backup/         (A9)
+  *   │     └── injected write failures  → 02-backup-failed/
+  *   └── writeStream B: decode → transform → 3-way route     (A3–A5)
+  *         └── foreachBatch: NDJSON fan-out                   (A6–A8)
+  *               Ok               → 03-success/  (buffered, A7)
   *               Dropped          → (counted, not delivered — Firehose
   *                                   drops these by contract)
-  *               ProcessingFailed → 04-failed/
+  *               ProcessingFailed → 04-failed/   (buffered, A7)
   * }}}
   *
   * Design notes, scale-first:
@@ -26,9 +27,23 @@ import graft.model.DeliveryStatus._
   *   delivery streams on the same Kinesis stream). Each micro-batch is a
   *   distributed DataFrame; the transform is a single codegen'd
   *   projection — no per-record driver work anywhere.
-  * - Buffering (reference 5 MB / 60 s, iac/s2_app.py:810-815) maps to
-  *   `Trigger.ProcessingTime` — time-based only; the size-OR-time flush
-  *   is a documented deviation (SURVEY.md §4). Tests use AvailableNow.
+  * - Wire format: the reference envelope carries base64 data
+  *   (tests/test_lbd_to_s3.py:18, lbd/common.py:14); `wireBase64 = true`
+  *   runs `unbase64` as the first step of the shared lineage, so both
+  *   the backup copy and the delivery transform see raw NDJSON bytes —
+  *   exactly what Firehose hands its Lambda and its S3 backup.
+  * - Buffering (reference 5 MB / 60 s, iac/s2_app.py:810-815): the
+  *   success/failed channels stage through [[BufferedChannel]]'s
+  *   size-OR-time promotion, so delivered object granularity matches
+  *   Firehose buffer flushes, independent of trigger cadence. Call
+  *   `sinks.finish()` after the stream ends — the final partial buffer,
+  *   like Firehose's shutdown flush. `Sinks(root, buffer = None)` writes
+  *   per-epoch objects directly (test/debug convenience).
+  * - The four-channel audit layout (reference iac/s2_app.py:804-815,
+  *   enumerated by debug/s2_inspect_data_in_s3.py:11-16): backup-write
+  *   failures route to 02-backup-failed via an injectable predicate
+  *   (locally a backup write either succeeds or throws, so failure is
+  *   injected by recordId — the reference's semantics, testable).
   * - Delivery semantics: checkpointed replay = at-least-once; per-epoch
   *   overwrite subdirectories make retried epochs idempotent
   *   (effectively-once per channel, the reference's backup/retry model
@@ -40,10 +55,29 @@ import graft.model.DeliveryStatus._
   */
 object DeliveryPipeline {
 
-  final case class Sinks(root: String) {
+  /** Firehose buffering hints (reference iac/s2_app.py:810-815: 5 MB or
+    * 60 s, whichever first).
+    */
+  final case class BufferConfig(
+      maxBytes: Long = 5L * 1024 * 1024,
+      maxAgeMillis: Long = 60000L)
+
+  final case class Sinks(root: String, buffer: Option[BufferConfig] = Some(BufferConfig())) {
     val backup = s"$root/$BackupPrefix"
+    val backupFailed = s"$root/$BackupFailedPrefix"
     val success = s"$root/$SuccessPrefix"
     val failed = s"$root/$FailedPrefix"
+
+    private[streaming] lazy val successBuf: Option[BufferedChannel] =
+      buffer.map(b => new BufferedChannel(success, b.maxBytes, b.maxAgeMillis))
+    private[streaming] lazy val failedBuf: Option[BufferedChannel] =
+      buffer.map(b => new BufferedChannel(failed, b.maxBytes, b.maxAgeMillis))
+
+    /** Promote any staged-but-unflushed buffers (the shutdown flush —
+      * Firehose delivers its final partial buffer when the stream stops).
+      * Idempotent; no-op when buffering is off or staging is empty.
+      */
+    def finish(): Unit = { successBuf.foreach(_.flush()); failedBuf.foreach(_.flush()) }
   }
 
   /** Effectively-once upgrade for at-least-once sources: drop replayed
@@ -59,31 +93,55 @@ object DeliveryPipeline {
       .dropDuplicatesWithinWatermark("recordId")
 
   /** Start the full dual-sink graph over a streaming envelope frame
-    * (columns: recordId, approximateArrivalTimestamp, data: binary).
-    * Returns both queries (backup, delivery).
+    * (columns: recordId, approximateArrivalTimestamp, data). Returns both
+    * queries (backup, delivery); call `sinks.finish()` after they stop.
+    *
+    * @param wireBase64   data arrives base64-encoded (the reference wire
+    *                     form); decoded once at the head of the lineage
+    * @param backupFailIf injectable backup-write failure predicate over
+    *                     the recordId column: matching records route to
+    *                     02-backup-failed instead of 01-backup
     */
   def start(
       envelope: DataFrame,
       payloadSchema: StructType,
       sinks: Sinks,
       checkpointRoot: String,
-      dropIf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      trigger: Trigger = Trigger.AvailableNow()): (StreamingQuery, StreamingQuery) = {
+      dropIf: Column => Column,
+      trigger: Trigger = Trigger.AvailableNow(),
+      wireBase64: Boolean = false,
+      backupFailIf: Column => Column = _ => lit(false)): (StreamingQuery, StreamingQuery) = {
 
-    // A9: raw pre-transform copy, untouched bytes.
-    val backupQ = envelope
+    // A3 first half: base64 wire form → raw NDJSON bytes, shared by both
+    // sinks (Firehose decodes transport base64 before backup + Lambda).
+    val env =
+      if (wireBase64)
+        envelope.withColumn("data", Codecs.decodeBase64(col("data").cast("string")))
+      else envelope
+
+    // A9: raw pre-transform copy, untouched bytes; injected write
+    // failures land in 02-backup-failed (4-channel audit contract).
+    val backupQ = env
       .select(col("recordId"), col("data").cast("string").as("line"))
       .writeStream
       .queryName("graft-backup")
       .trigger(trigger)
       .option("checkpointLocation", s"$checkpointRoot/backup")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        writeChannel(batch.select("line"), s"${sinks.backup}/epoch=$epochId")
+        val flagged = batch
+          .withColumn("_bf", coalesce(backupFailIf(col("recordId")), lit(false)))
+          .persist()
+        try {
+          writeChannel(flagged.filter(!col("_bf")).select("line"),
+            s"${sinks.backup}/epoch=$epochId")
+          writeChannel(flagged.filter(col("_bf")).select("line"),
+            s"${sinks.backupFailed}/epoch=$epochId")
+        } finally flagged.unpersist()
       }
       .start()
 
-    // A3–A8: decode → route → fan-out.
-    val deliveryQ = envelope.writeStream
+    // A3–A8: decode → route → fan-out, staged through the A7 buffers.
+    val deliveryQ = env.writeStream
       .queryName("graft-delivery")
       .trigger(trigger)
       .option("checkpointLocation", s"$checkpointRoot/delivery")
@@ -94,15 +152,24 @@ object DeliveryPipeline {
           .select("result", "line")
           .persist()
         try {
-          writeChannel(routed.filter(col("result") === Ok).select("line"),
-            s"${sinks.success}/epoch=$epochId")
-          writeChannel(routed.filter(col("result") === ProcessingFailed).select("line"),
-            s"${sinks.failed}/epoch=$epochId")
+          deliver(routed.filter(col("result") === Ok).select("line"),
+            sinks.successBuf, sinks.success, epochId)
+          deliver(routed.filter(col("result") === ProcessingFailed).select("line"),
+            sinks.failedBuf, sinks.failed, epochId)
         } finally routed.unpersist()
       }
       .start()
 
     (backupQ, deliveryQ)
+  }
+
+  /** One channel write for one epoch: staged through the size-OR-time
+    * buffer when configured, direct per-epoch object otherwise.
+    */
+  private def deliver(lines: DataFrame, buf: Option[BufferedChannel],
+      dir: String, epochId: Long): Unit = buf match {
+    case Some(b) => b.append(lines, epochId)
+    case None    => writeChannel(lines, s"$dir/epoch=$epochId")
   }
 
   /** NDJSON channel write: per-epoch overwrite = idempotent on replay.
@@ -113,12 +180,16 @@ object DeliveryPipeline {
     lines.select(rtrim(col("line"), "\n").as("value"))
       .write.mode("overwrite").text(path)
 
-  /** Count records across all epoch subdirs of a channel — the
-    * reference's newline-count check (debug/s2_inspect_data_in_s3.py:19-23).
+  /** Count records across all delivered objects of a channel (epoch= dirs
+    * or buffered object- dirs) — the reference's newline-count check
+    * (debug/s2_inspect_data_in_s3.py:19-23).
     */
   def countChannel(spark: SparkSession, path: String): Long = {
     val dir = new java.io.File(path)
-    if (!dir.exists || dir.listFiles == null || dir.listFiles.isEmpty) 0L
+    val children = Option(dir.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+    // Hidden staging (.staging) is not delivered data; Spark's reader
+    // skips dot-dirs via the glob anyway.
+    if (children.count(!_.getName.startsWith(".")) == 0) 0L
     else spark.read.text(path + "/*").count()
   }
 }
