@@ -1,12 +1,13 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{Executors, ScheduledFuture, TimeUnit}
 import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-
-import scala.jdk.CollectionConverters._
 
 /** Size-OR-time delivery buffering — the Firehose flush contract the
   * reference declares (5 MB or 60 s, whichever first:
@@ -18,34 +19,70 @@ import scala.jdk.CollectionConverters._
   * the oldest staged batch is older than `maxAgeMillis`, all staged parts
   * are atomically promoted into one numbered delivery object directory —
   * reproducing Firehose's object-granularity output (one S3 object per
-  * buffer flush), independent of the trigger cadence feeding it.
+  * buffer flush), independent of the trigger cadence feeding it. A
+  * background age tick delivers a stale partial buffer even when no
+  * traffic arrives (Firehose flushes on time regardless of input).
   *
-  * Driver state is only (bytes, firstArrival, object counter) — O(1);
-  * the data itself never touches the driver.
+  * All file mechanics go through the Hadoop [[FileSystem]] API, so the
+  * channel works unchanged on HDFS / S3A / local paths — promotion is
+  * `fs.rename`, the 100 TB requirement for this sink.
+  *
+  * Restart-safety (at-least-once → effectively-once per channel):
+  * - the object counter resumes past existing `object-*` dirs, so a new
+  *   channel instance never merges into an already-delivered object;
+  * - a persisted flushed-epoch watermark (`_flushed_watermark`) makes a
+  *   replayed epoch that was ALREADY promoted a no-op instead of a
+  *   duplicate delivery. One sink root belongs to one checkpoint lineage
+  *   (epoch ids must be monotone — Structured Streaming's contract).
+  *
+  * Driver state is only (bytes, firstArrival, object counter, watermark)
+  * — O(1); the data itself never touches the driver.
   */
-final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long) {
+final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
+    hadoopConf: Configuration = new Configuration()) {
 
-  private val staging = s"$root/.staging"
+  private val rootPath = new Path(root)
+  private val fs: FileSystem = rootPath.getFileSystem(hadoopConf)
+  private val staging = new Path(rootPath, ".staging")
+  private val watermarkFile = new Path(rootPath, "_flushed_watermark")
+
   private val bytes = new AtomicLong(0L)
   @volatile private var firstArrivalMs: Long = -1L
   private val objectSeq = new AtomicLong(0L)
   // Per-epoch payload bytes: a replayed epoch overwrites its dir, so its
   // previous contribution must be retracted, not double-counted.
   private val epochBytes = scala.collection.mutable.Map.empty[Long, Long]
+  // Highest epoch id already promoted to a delivery object; replays of
+  // flushed epochs are skipped (they were delivered — re-staging them
+  // would double-deliver on the next flush).
+  @volatile private var flushedEpochWatermark: Long = readWatermark()
 
-  Files.createDirectories(Paths.get(staging))
+  fs.mkdirs(staging)
+  // Resume the object counter past any objects a previous incarnation
+  // delivered (fresh flushes must never merge into existing objects).
+  objectSeq.set(existingObjectDirs.map(objectNumber).foldLeft(-1L)(math.max) + 1L)
+
+  private val ageTick: Option[ScheduledFuture[_]] =
+    if (maxAgeMillis <= 0 || maxAgeMillis >= BufferedChannel.NoTickBeyondMs) None
+    else {
+      val period = math.max(maxAgeMillis / 2, 100L)
+      Some(BufferedChannel.scheduler.scheduleWithFixedDelay(
+        () => maybeFlush(System.currentTimeMillis()),
+        period, period, TimeUnit.MILLISECONDS))
+    }
 
   /** Append one micro-batch worth of lines; flush if a threshold trips.
     * @param nowMs injectable clock for tests
     */
   def append(lines: DataFrame, epochId: Long,
       nowMs: () => Long = () => System.currentTimeMillis()): Unit = {
-    val dir = s"$staging/epoch=$epochId"
+    if (epochId <= flushedEpochWatermark && !epochBytes.contains(epochId)) return
+    val dir = new Path(staging, s"epoch=$epochId")
     lines.select(rtrim(col(lines.columns.head), "\n").as("value"))
-      .write.mode("overwrite").text(dir)
+      .write.mode("overwrite").text(dir.toString)
     // Only payload part-files count toward the size threshold (not
     // _SUCCESS markers or .crc checksums).
-    val added = partFiles(Paths.get(dir)).map(Files.size(_)).sum
+    val added = partFiles(dir).map(_.getLen).sum
     synchronized {
       val prev = epochBytes.getOrElse(epochId, 0L)
       epochBytes(epochId) = added
@@ -64,43 +101,82 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long) {
 
   /** Promote all staged parts into one numbered delivery object. */
   def flush(): Unit = synchronized {
-    val epochs = listDirs(Paths.get(staging))
+    val epochs = listDirs(staging)
     if (epochs.nonEmpty) {
-      val objDir = Paths.get(f"$root/object-${objectSeq.getAndIncrement()}%06d")
-      Files.createDirectories(objDir)
+      val objDir = new Path(rootPath, f"object-${objectSeq.getAndIncrement()}%06d")
+      fs.mkdirs(objDir)
+      var maxEpoch = flushedEpochWatermark
       epochs.foreach { e =>
+        val name = e.getName
         partFiles(e).foreach { f =>
-          Files.move(f, objDir.resolve(s"${e.getFileName}-${f.getFileName}"),
-            StandardCopyOption.ATOMIC_MOVE)
+          fs.rename(f.getPath, new Path(objDir, s"$name-${f.getPath.getName}"))
         }
-        deleteRecursively(e)
+        fs.delete(e, true)
+        maxEpoch = math.max(maxEpoch, epochNumber(name))
       }
       bytes.set(0L)
       epochBytes.clear()
       firstArrivalMs = -1L
+      if (maxEpoch > flushedEpochWatermark) {
+        flushedEpochWatermark = maxEpoch
+        writeWatermark(maxEpoch)
+      }
     }
   }
 
-  def stagedBytes: Long = bytes.get()
-  def deliveredObjects: Seq[Path] = listDirs(Paths.get(root))
-    .filter(_.getFileName.toString.startsWith("object-")).sortBy(_.toString)
+  /** Flush the tail and stop the age tick — the shutdown delivery. */
+  def close(): Unit = { flush(); ageTick.foreach(_.cancel(false)) }
 
-  private def listChildren(p: Path): Seq[Path] =
-    if (!Files.isDirectory(p)) Seq.empty
+  def stagedBytes: Long = bytes.get()
+  def deliveredObjects: Seq[Path] = existingObjectDirs.sortBy(_.toString)
+
+  private def existingObjectDirs: Seq[Path] =
+    listDirs(rootPath).map(_.getPath)
+      .filter(_.getName.startsWith("object-"))
+
+  private def objectNumber(p: Path): Long =
+    p.getName.stripPrefix("object-").toLong
+
+  private def epochNumber(dirName: String): Long =
+    dirName.stripPrefix("epoch=").toLong
+
+  private def listStatus(p: Path) =
+    if (!fs.exists(p)) Seq.empty else fs.listStatus(p).toSeq
+
+  private def partFiles(p: Path) =
+    listStatus(p).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+
+  private def listDirs(p: Path) = listStatus(p).filter(_.isDirectory)
+
+  private def readWatermark(): Long =
+    if (!fs.exists(watermarkFile)) -1L
     else {
-      val s = Files.list(p)
-      try s.iterator().asScala.toSeq finally s.close() // Files.list leaks an fd if unclosed
+      val buf = new Array[Byte](fs.getFileStatus(watermarkFile).getLen.toInt)
+      val in = fs.open(watermarkFile)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, StandardCharsets.UTF_8).trim.toLong
     }
 
-  private def partFiles(p: Path): Seq[Path] =
-    listChildren(p).filter(f =>
-      Files.isRegularFile(f) && f.getFileName.toString.startsWith("part-"))
+  private def writeWatermark(wm: Long): Unit = {
+    val out = fs.create(watermarkFile, true)
+    try out.write(wm.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
 
-  private def listDirs(p: Path): Seq[Path] =
-    listChildren(p).filter(Files.isDirectory(_))
+object BufferedChannel {
+  /** Ages past this are "never" (test sentinels like Long.MaxValue/2) —
+    * no background tick needed, and scheduling one would overflow the
+    * executor's nano arithmetic.
+    */
+  private val NoTickBeyondMs: Long = 365L * 24 * 3600 * 1000
 
-  private def deleteRecursively(p: Path): Unit = {
-    listChildren(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
+  /** One shared daemon thread drives every channel's age tick — O(1)
+    * threads regardless of channel count.
+    */
+  private lazy val scheduler = Executors.newSingleThreadScheduledExecutor { r =>
+    val t = new Thread(r, "graft-buffered-channel-age-tick")
+    t.setDaemon(true)
+    t
   }
 }

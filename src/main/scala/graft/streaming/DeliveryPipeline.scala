@@ -1,8 +1,11 @@
 package graft.streaming
 
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.Codecs
@@ -35,20 +38,25 @@ import graft.model.DeliveryStatus._
   * - Buffering (reference 5 MB / 60 s, iac/s2_app.py:810-815): the
   *   success/failed channels stage through [[BufferedChannel]]'s
   *   size-OR-time promotion, so delivered object granularity matches
-  *   Firehose buffer flushes, independent of trigger cadence. Call
-  *   `sinks.finish()` after the stream ends — the final partial buffer,
-  *   like Firehose's shutdown flush. `Sinks(root, buffer = None)` writes
-  *   per-epoch objects directly (test/debug convenience).
+  *   Firehose buffer flushes, independent of trigger cadence. The final
+  *   partial buffer is delivered when the stream ends — like Firehose's
+  *   shutdown flush — by BOTH the returned [[Pipeline]] handle's
+  *   `awaitTermination`/`stop` and a [[StreamingQueryListener]] that
+  *   fires on query termination, so no caller can strand staged data.
+  *   `Sinks(root, buffer = None)` writes per-epoch objects directly
+  *   (test/debug convenience).
   * - The four-channel audit layout (reference iac/s2_app.py:804-815,
   *   enumerated by debug/s2_inspect_data_in_s3.py:11-16): backup-write
   *   failures route to 02-backup-failed via an injectable predicate
   *   (locally a backup write either succeeds or throws, so failure is
   *   injected by recordId — the reference's semantics, testable).
   * - Delivery semantics: checkpointed replay = at-least-once; per-epoch
-  *   overwrite subdirectories make retried epochs idempotent
-  *   (effectively-once per channel, the reference's backup/retry model
-  *   A12). `dedupByRecordId` upgrades a replayed source to
-  *   effectively-once end-to-end.
+  *   overwrite subdirectories make retried epochs idempotent, and the
+  *   buffered path persists its object counter + flushed-epoch watermark
+  *   (BufferedChannel), so a restarted query neither merges into nor
+  *   re-delivers promoted objects (effectively-once per channel, the
+  *   reference's backup/retry model A12). `dedupByRecordId` upgrades a
+  *   replayed source to effectively-once end-to-end.
   * - NDJSON framing: one JSON object + \n per line (the reference's
   *   invariant counted by debug/s2_inspect_data_in_s3.py:19-23) — text
   *   writer over `to_json` rows.
@@ -62,22 +70,53 @@ object DeliveryPipeline {
       maxBytes: Long = 5L * 1024 * 1024,
       maxAgeMillis: Long = 60000L)
 
-  final case class Sinks(root: String, buffer: Option[BufferConfig] = Some(BufferConfig())) {
+  final case class Sinks(root: String, buffer: Option[BufferConfig] = Some(BufferConfig()),
+      hadoopConf: Configuration = new Configuration()) {
     val backup = s"$root/$BackupPrefix"
     val backupFailed = s"$root/$BackupFailedPrefix"
     val success = s"$root/$SuccessPrefix"
     val failed = s"$root/$FailedPrefix"
 
     private[streaming] lazy val successBuf: Option[BufferedChannel] =
-      buffer.map(b => new BufferedChannel(success, b.maxBytes, b.maxAgeMillis))
+      buffer.map(b => new BufferedChannel(success, b.maxBytes, b.maxAgeMillis, hadoopConf))
     private[streaming] lazy val failedBuf: Option[BufferedChannel] =
-      buffer.map(b => new BufferedChannel(failed, b.maxBytes, b.maxAgeMillis))
+      buffer.map(b => new BufferedChannel(failed, b.maxBytes, b.maxAgeMillis, hadoopConf))
 
     /** Promote any staged-but-unflushed buffers (the shutdown flush —
-      * Firehose delivers its final partial buffer when the stream stops).
-      * Idempotent; no-op when buffering is off or staging is empty.
+      * Firehose delivers its final partial buffer when the stream stops)
+      * and stop their age ticks. Idempotent; no-op when buffering is off
+      * or staging is empty.
       */
-    def finish(): Unit = { successBuf.foreach(_.flush()); failedBuf.foreach(_.flush()) }
+    def finish(): Unit = { successBuf.foreach(_.close()); failedBuf.foreach(_.close()) }
+  }
+
+  /** Handle over the running dual-sink graph. Termination through ANY of
+    * the methods here delivers the final partial buffers (`sinks.finish()`
+    * is also hooked to query termination via listener, so even direct
+    * `StreamingQuery.stop()` on the members flushes).
+    */
+  final case class Pipeline(backup: StreamingQuery, delivery: StreamingQuery, sinks: Sinks) {
+    /** Await both queries; on termination deliver the final partial
+      * buffers. Returns true iff both terminated within the timeout.
+      */
+    def awaitTermination(timeoutMs: Long): Boolean = {
+      val t0 = System.nanoTime()
+      val a = backup.awaitTermination(timeoutMs)
+      val remaining = math.max(1L, timeoutMs - (System.nanoTime() - t0) / 1000000L)
+      val b = delivery.awaitTermination(remaining)
+      if (a && b) sinks.finish()
+      a && b
+    }
+
+    /** Drain all available input, then flush (keeps the queries running). */
+    def processAllAvailable(): Unit = {
+      backup.processAllAvailable()
+      delivery.processAllAvailable()
+      sinks.successBuf.foreach(_.flush())
+      sinks.failedBuf.foreach(_.flush())
+    }
+
+    def stop(): Unit = { backup.stop(); delivery.stop(); sinks.finish() }
   }
 
   /** Effectively-once upgrade for at-least-once sources: drop replayed
@@ -93,8 +132,9 @@ object DeliveryPipeline {
       .dropDuplicatesWithinWatermark("recordId")
 
   /** Start the full dual-sink graph over a streaming envelope frame
-    * (columns: recordId, approximateArrivalTimestamp, data). Returns both
-    * queries (backup, delivery); call `sinks.finish()` after they stop.
+    * (columns: recordId, approximateArrivalTimestamp, data). The returned
+    * [[Pipeline]] flushes the delivery buffers on termination; callers
+    * that bypass it are covered by the termination listener.
     *
     * @param wireBase64   data arrives base64-encoded (the reference wire
     *                     form); decoded once at the head of the lineage
@@ -110,7 +150,7 @@ object DeliveryPipeline {
       dropIf: Column => Column,
       trigger: Trigger = Trigger.AvailableNow(),
       wireBase64: Boolean = false,
-      backupFailIf: Column => Column = _ => lit(false)): (StreamingQuery, StreamingQuery) = {
+      backupFailIf: Column => Column = _ => lit(false)): Pipeline = {
 
     // A3 first half: base64 wire form → raw NDJSON bytes, shared by both
     // sinks (Firehose decodes transport base64 before backup + Lambda).
@@ -124,7 +164,7 @@ object DeliveryPipeline {
     val backupQ = env
       .select(col("recordId"), col("data").cast("string").as("line"))
       .writeStream
-      .queryName("graft-backup")
+      .queryName(s"graft-backup-${UUID.randomUUID()}")
       .trigger(trigger)
       .option("checkpointLocation", s"$checkpointRoot/backup")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -142,7 +182,7 @@ object DeliveryPipeline {
 
     // A3–A8: decode → route → fan-out, staged through the A7 buffers.
     val deliveryQ = env.writeStream
-      .queryName("graft-delivery")
+      .queryName(s"graft-delivery-${UUID.randomUUID()}")
       .trigger(trigger)
       .option("checkpointLocation", s"$checkpointRoot/delivery")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -160,7 +200,23 @@ object DeliveryPipeline {
       }
       .start()
 
-    (backupQ, deliveryQ)
+    // Shutdown-flush safety net: when the delivery query terminates (by
+    // stop(), end-of-available-data, or failure), deliver the final
+    // partial buffers — Firehose's own last-buffer behavior. finish() is
+    // idempotent, so the Pipeline handle double-calling it is harmless.
+    val spark = envelope.sparkSession
+    val deliveryId = deliveryQ.id
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == deliveryId) {
+          sinks.finish()
+          spark.streams.removeListener(this)
+        }
+    })
+
+    Pipeline(backupQ, deliveryQ, sinks)
   }
 
   /** One channel write for one epoch: staged through the size-OR-time
@@ -183,13 +239,21 @@ object DeliveryPipeline {
   /** Count records across all delivered objects of a channel (epoch= dirs
     * or buffered object- dirs) — the reference's newline-count check
     * (debug/s2_inspect_data_in_s3.py:19-23).
+    *
+    * Hadoop-FS based (works on HDFS/S3A/local), and enumerates delivered
+    * children EXPLICITLY: a naive `path/*` glob matches `.staging`
+    * too (the hidden-file filter only applies below the glob-expanded
+    * roots), which would count staged-but-undelivered data.
     */
   def countChannel(spark: SparkSession, path: String): Long = {
-    val dir = new java.io.File(path)
-    val children = Option(dir.listFiles).map(_.toSeq).getOrElse(Seq.empty)
-    // Hidden staging (.staging) is not delivered data; Spark's reader
-    // skips dot-dirs via the glob anyway.
-    if (children.count(!_.getName.startsWith(".")) == 0) 0L
-    else spark.read.text(path + "/*").count()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return 0L
+    val delivered = fs.listStatus(p).toSeq
+      .map(_.getPath)
+      .filter(c => !c.getName.startsWith(".") && !c.getName.startsWith("_"))
+      .map(_.toString)
+    if (delivered.isEmpty) 0L
+    else spark.read.text(delivered: _*).count()
   }
 }

@@ -1,22 +1,50 @@
 package graft
 
 import java.nio.file.Files
+import java.util.Base64
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.model.DeliveryStatus._
 import graft.streaming.DeliveryPipeline
+import graft.streaming.DeliveryPipeline.{BufferConfig, Sinks}
 
 /** E2E streaming pipeline test — the reference's own correctness bar
   * (README.rst:113-124): count conservation across the audit channels,
-  * count(source) == count(backup) == count(success) + count(failed) + dropped.
+  * count(source) == count(backup) == count(success) + count(failed) + dropped,
+  * under the DEFAULT buffered (5 MB / 60 s) delivery path: the final
+  * partial buffer must be delivered when the stream terminates.
   */
 class PipelineSpec extends SparkSpec {
 
   private val payloadSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("user_id", LongType),
     StructField("event_type", StringType), StructField("value", DoubleType)))
+
+  private val envelopeSchema = StructType(Seq(
+    StructField("recordId", StringType), StructField("line", StringType)))
+
+  private def readEnvelope(inDir: String) = spark.readStream
+    .schema(envelopeSchema)
+    .json(inDir)
+    .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+      col("line").cast("binary").as("data"))
+
+  private def successObjects(sinks: Sinks): Seq[String] =
+    Option(new java.io.File(sinks.success).listFiles).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("object-"))
+      .map(_.getName).sorted
+
+  private def stagedParts(channelDir: String): Seq[String] = {
+    val staging = new java.io.File(channelDir, ".staging")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+      else Seq(f)
+    if (!staging.exists()) Seq.empty
+    else walk(staging).map(_.getName).filter(_.startsWith("part-"))
+  }
 
   test("dual-sink delivery conserves every record across the audit channels") {
     import spark.implicits._
@@ -33,18 +61,11 @@ class PipelineSpec extends SparkSpec {
     lines.select(to_json(struct(col("recordId"), col("line")))).coalesce(2)
       .write.mode("overwrite").text(s"$tmp/in")
 
-    val envelope = spark.readStream
-      .schema(StructType(Seq(StructField("recordId", StringType), StructField("line", StringType))))
-      .json(s"$tmp/in")
-      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
-        col("line").cast("binary").as("data"))
-
-    val sinks = DeliveryPipeline.Sinks(s"$tmp/out")
-    val (backupQ, deliveryQ) = DeliveryPipeline.start(
-      envelope, payloadSchema, sinks, s"$tmp/ckpt",
+    val sinks = Sinks(s"$tmp/out")
+    val pipe = DeliveryPipeline.start(
+      readEnvelope(s"$tmp/in"), payloadSchema, sinks, s"$tmp/ckpt",
       dropIf = p => p.getField("value") < 10)
-    backupQ.awaitTermination(120000)
-    deliveryQ.awaitTermination(120000)
+    assert(pipe.awaitTermination(120000))
 
     val nBackup = DeliveryPipeline.countChannel(spark, sinks.backup)
     val nSuccess = DeliveryPipeline.countChannel(spark, sinks.success)
@@ -58,9 +79,11 @@ class PipelineSpec extends SparkSpec {
     // malformed rows in this slice → failed == 0, success == !dropped).
     assert(nSuccess == ev.filter(col("value") >= 10).count())
     assert(nFailed == 0)
+    // Nothing left staged: the shutdown flush delivered the tail.
+    assert(stagedParts(sinks.success).isEmpty, "undelivered staged data after termination")
 
     // Success channel is valid NDJSON with the transformed payload schema.
-    val reread = spark.read.schema(payloadSchema).json(sinks.success + "/*")
+    val reread = spark.read.schema(payloadSchema).json(sinks.success + "/object-*")
     assert(reread.count() == nSuccess)
     assert(reread.filter(col("value") < 10).count() == 0)
   }
@@ -73,53 +96,188 @@ class PipelineSpec extends SparkSpec {
       """{"recordId": "b", "line": "THIS IS NOT JSON"}""")
       .toDF("value").coalesce(1).write.mode("overwrite").text(s"$tmp/in")
 
-    val envelope = spark.readStream
-      .schema(StructType(Seq(StructField("recordId", StringType), StructField("line", StringType))))
-      .json(s"$tmp/in")
-      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
-        col("line").cast("binary").as("data"))
-    val sinks = DeliveryPipeline.Sinks(s"$tmp/out")
-    val (b, d) = DeliveryPipeline.start(envelope, payloadSchema, sinks, s"$tmp/ckpt",
-      dropIf = _ => lit(false))
-    b.awaitTermination(120000)
-    d.awaitTermination(120000)
+    val sinks = Sinks(s"$tmp/out")
+    val pipe = DeliveryPipeline.start(readEnvelope(s"$tmp/in"), payloadSchema,
+      sinks, s"$tmp/ckpt", dropIf = _ => lit(false))
+    assert(pipe.awaitTermination(120000))
 
     assert(DeliveryPipeline.countChannel(spark, sinks.success) == 1)
     assert(DeliveryPipeline.countChannel(spark, sinks.failed) == 1)
-    val failedLine = spark.read.text(sinks.failed + "/*").head().getString(0)
+    val failedLine = spark.read.text(sinks.failed + "/object-*").head().getString(0)
     assert(failedLine == "THIS IS NOT JSON")
+  }
+
+  test("base64 wire envelope decodes once for both backup and delivery") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-pipe-b64").toString
+    // The reference wire format: data is base64-encoded NDJSON
+    // (tests/test_lbd_to_s3.py:11-22, decoded at lbd/common.py:14).
+    def b64(s: String) = Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val payloads = (1 to 20).map(i =>
+      s"""{"event_id": $i, "user_id": 1, "event_type": "view", "value": ${i * 5}.0}""")
+    payloads.zipWithIndex
+      .map { case (p, i) => s"""{"recordId": "r$i", "line": "${b64(p)}"}""" }
+      .toDF("value").coalesce(1).write.mode("overwrite").text(s"$tmp/in")
+
+    val sinks = Sinks(s"$tmp/out")
+    val pipe = DeliveryPipeline.start(readEnvelope(s"$tmp/in"), payloadSchema,
+      sinks, s"$tmp/ckpt", dropIf = p => p.getField("value") < 10,
+      wireBase64 = true)
+    assert(pipe.awaitTermination(120000))
+
+    // Routing ran on the DECODED payloads: value < 10 → dropped (1 record).
+    assert(DeliveryPipeline.countChannel(spark, sinks.success) == 19)
+    assert(DeliveryPipeline.countChannel(spark, sinks.failed) == 0)
+    // The backup carries decoded raw NDJSON (Firehose backs up what it
+    // hands the Lambda, not the transport base64) — re-readable as JSON.
+    assert(DeliveryPipeline.countChannel(spark, sinks.backup) == 20)
+    val backup = spark.read.schema(payloadSchema).json(sinks.backup + "/epoch=*")
+    assert(backup.filter(col("event_id").isNull).count() == 0)
+    assert(backup.agg(sum("event_id")).head().getLong(0) == (1 to 20).sum)
+  }
+
+  test("injected backup failures land in 02-backup-failed; 4-channel counts conserve") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-pipe-bf").toString
+    val n = 40
+    (1 to n).map(i =>
+      s"""{"recordId": "r$i", "line": "{\\"event_id\\": $i, \\"user_id\\": 1, \\"event_type\\": \\"view\\", \\"value\\": 50.0}"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(s"$tmp/in")
+
+    val sinks = Sinks(s"$tmp/out")
+    val pipe = DeliveryPipeline.start(readEnvelope(s"$tmp/in"), payloadSchema,
+      sinks, s"$tmp/ckpt", dropIf = _ => lit(false),
+      backupFailIf = rid => rid.isin("r3", "r17", "r40"))
+    assert(pipe.awaitTermination(120000))
+
+    // The reference's 4-channel audit layout
+    // (debug/s2_inspect_data_in_s3.py:11-16): every record appears in
+    // exactly one backup channel and exactly one delivery outcome.
+    val nBackup = DeliveryPipeline.countChannel(spark, sinks.backup)
+    val nBackupFailed = DeliveryPipeline.countChannel(spark, sinks.backupFailed)
+    assert(nBackupFailed == 3)
+    assert(nBackup == n - 3)
+    assert(nBackup + nBackupFailed == n, "backup channels must conserve records")
+    assert(DeliveryPipeline.countChannel(spark, sinks.success) == n)
+    // The failed-backup records are identifiable by content.
+    val failedIds = spark.read.schema(payloadSchema).json(sinks.backupFailed + "/epoch=*")
+      .select("event_id").as[Long].collect().toSet
+    assert(failedIds == Set(3L, 17L, 40L))
+  }
+
+  test("size-tripping workload delivers multiple objects; counts conserve") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-pipe-size").toString
+    // 4 input files × maxFilesPerTrigger=1 → 4 epochs; each epoch stages
+    // ~2 KB against a 3 KB budget → flushes mid-stream, not only at the end.
+    (0 until 4).foreach { f =>
+      (1 to 25).map(i => s"""{"recordId": "f$f-r$i", "line": "{\\"event_id\\": ${f * 100 + i}, \\"user_id\\": 1, \\"event_type\\": \\"view\\", \\"value\\": 50.0}"}""")
+        .toDF("value").coalesce(1).write.mode("append").text(s"$tmp/in")
+    }
+    val envelope = spark.readStream
+      .schema(envelopeSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$tmp/in")
+      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+        col("line").cast("binary").as("data"))
+
+    val sinks = Sinks(s"$tmp/out",
+      Some(BufferConfig(maxBytes = 3000, maxAgeMillis = Long.MaxValue / 2)))
+    val pipe = DeliveryPipeline.start(envelope, payloadSchema, sinks,
+      s"$tmp/ckpt", dropIf = _ => lit(false))
+    assert(pipe.awaitTermination(120000))
+
+    assert(DeliveryPipeline.countChannel(spark, sinks.success) == 100)
+    val objs = successObjects(sinks)
+    assert(objs.size >= 2, s"size threshold never tripped mid-stream: $objs")
+    assert(stagedParts(sinks.success).isEmpty)
+  }
+
+  test("age-tripping workload delivers a partial buffer while the stream is running") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-pipe-age").toString
+    (1 to 10).map(i =>
+      s"""{"recordId": "r$i", "line": "{\\"event_id\\": $i, \\"user_id\\": 1, \\"event_type\\": \\"view\\", \\"value\\": 50.0}"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(s"$tmp/in")
+
+    // Size budget unreachable; 1.5 s age. The stream stays ALIVE (a
+    // processing-time trigger with no new input) — delivery must come
+    // from the background age tick, not the shutdown flush.
+    val sinks = Sinks(s"$tmp/out",
+      Some(BufferConfig(maxBytes = Long.MaxValue / 4, maxAgeMillis = 1500)))
+    val pipe = DeliveryPipeline.start(readEnvelope(s"$tmp/in"), payloadSchema,
+      sinks, s"$tmp/ckpt", dropIf = _ => lit(false),
+      trigger = Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      pipe.delivery.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      var delivered = 0L
+      while (delivered != 10 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        delivered = DeliveryPipeline.countChannel(spark, sinks.success)
+      }
+      assert(pipe.delivery.isActive, "stream must still be running (age flush, not shutdown)")
+      assert(delivered == 10, "age tick did not deliver the partial buffer in time")
+    } finally pipe.stop()
   }
 
   test("checkpoint restart resumes without reprocessing delivered epochs") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-restart").toString
-    def envelope = spark.readStream
-      .schema(StructType(Seq(StructField("recordId", StringType), StructField("line", StringType))))
-      .json(s"$tmp/in")
-      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
-        col("line").cast("binary").as("data"))
-    def writeBatch(ids: Range, file: String): Unit =
+    def writeBatch(ids: Range): Unit =
       ids.map(i => s"""{"recordId": "r$i", "line": "{\\"event_id\\": $i, \\"user_id\\": 1, \\"event_type\\": \\"view\\", \\"value\\": 50.0}"}""")
         .toDF("value").coalesce(1).write.mode("append").text(s"$tmp/in")
-    writeBatch(1 to 50, "b0")
-    val sinks = DeliveryPipeline.Sinks(s"$tmp/out")
-    val (b1, d1) = DeliveryPipeline.start(envelope, payloadSchema, sinks,
+    writeBatch(1 to 50)
+    // Each start() builds a FRESH Sinks (fresh BufferedChannel driver
+    // state) against the same directories — the restart scenario. The
+    // channel must resume its object counter and flushed-epoch watermark
+    // from disk, not merge into or re-deliver existing objects.
+    val sinks1 = Sinks(s"$tmp/out")
+    val p1 = DeliveryPipeline.start(readEnvelope(s"$tmp/in"), payloadSchema, sinks1,
       s"$tmp/ckpt", dropIf = _ => lit(false))
-    b1.awaitTermination(120000); d1.awaitTermination(120000)
-    assert(DeliveryPipeline.countChannel(spark, sinks.success) == 50)
+    assert(p1.awaitTermination(120000))
+    assert(DeliveryPipeline.countChannel(spark, sinks1.success) == 50)
+    val objectsAfterRun1 = successObjects(sinks1)
 
     // New data lands; a RESTARTED query (same checkpoint) picks up only
     // the new files — delivered epochs are not reprocessed or duplicated.
-    writeBatch(51 to 80, "b1")
-    val (b2, d2) = DeliveryPipeline.start(envelope, payloadSchema, sinks,
+    writeBatch(51 to 80)
+    val sinks2 = Sinks(s"$tmp/out")
+    val p2 = DeliveryPipeline.start(readEnvelope(s"$tmp/in"), payloadSchema, sinks2,
       s"$tmp/ckpt", dropIf = _ => lit(false))
-    b2.awaitTermination(120000); d2.awaitTermination(120000)
-    assert(DeliveryPipeline.countChannel(spark, sinks.success) == 80)
-    assert(DeliveryPipeline.countChannel(spark, sinks.backup) == 80)
+    assert(p2.awaitTermination(120000))
+    assert(DeliveryPipeline.countChannel(spark, sinks2.success) == 80)
+    assert(DeliveryPipeline.countChannel(spark, sinks2.backup) == 80)
+    // Run 2 opened NEW objects (no merge into run 1's delivered objects).
+    assert(successObjects(sinks2).size > objectsAfterRun1.size)
+    assert(successObjects(sinks2).take(objectsAfterRun1.size) == objectsAfterRun1)
     // recordIds unique end-to-end (no replay duplicates).
-    val ids = spark.read.text(sinks.success + "/*")
+    val ids = spark.read.text(sinks2.success + "/object-*")
       .select(get_json_object(col("value"), "$.event_id")).distinct().count()
     assert(ids == 80)
+  }
+
+  test("a replayed flushed epoch is not re-delivered (watermark skip)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-replay").toString
+    val ch = new graft.streaming.BufferedChannel(s"$tmp/ch",
+      maxBytes = 10, maxAgeMillis = Long.MaxValue / 2) // every append flushes
+    val lines = (1 to 5).map(i => s"""{"i": $i}""").toDF("value").coalesce(1)
+    ch.append(lines, epochId = 0)
+    assert(ch.deliveredObjects.size == 1)
+    // Crash-replay of epoch 0 AFTER its flush (commit was lost): the
+    // persisted watermark makes it a no-op instead of a second delivery.
+    ch.append(lines, epochId = 0)
+    assert(ch.deliveredObjects.size == 1)
+    assert(spark.read.text(ch.deliveredObjects.head.toString).count() == 5)
+    // And a fresh channel instance over the same dir (driver restart)
+    // inherits the watermark from disk.
+    val ch2 = new graft.streaming.BufferedChannel(s"$tmp/ch",
+      maxBytes = 10, maxAgeMillis = Long.MaxValue / 2)
+    ch2.append(lines, epochId = 0)
+    assert(ch2.deliveredObjects.size == 1)
+    ch2.append(lines, epochId = 1) // genuinely new epoch still delivers
+    assert(ch2.deliveredObjects.size == 2)
   }
 
   test("recordId dedup upgrades a replayed source to effectively-once") {
