@@ -10,8 +10,23 @@ import graft.streaming.DeliveryPipeline
   * seconds + per-query seconds over SPARK_GRAFT_SF_DIR, plus the
   * streaming-pipeline sustained throughput (records/s through decode →
   * transform → 3-way route → dual sink — the BASELINE.md headline).
+  *
+  * Reporting hardening (round-4):
+  * - per-query time is the MEDIAN of `Reps` passes (host throttle on this
+  *   box swings single-pass numbers by up to 3×);
+  * - a thrown query lands in an explicit `"errors"` map instead of being
+  *   swallowed as a fast time;
+  * - a secondary scale (the sf0.01 sibling of the primary dir, when it
+  *   exists) is timed single-pass in the same run, so plan regressions
+  *   can be separated from throttle noise across rounds;
+  * - the pipeline number counts DELIVERED records (success + failed
+  *   channels via countChannel + the dropped count), asserted conserved
+  *   against the source count before printing, over the base64 wire form
+  *   the reference uses (lbd/common.py:14).
   */
 object Bench {
+  private val Reps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -25,33 +40,73 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: touch every table + one tiny agg so the first timed query
-    // doesn't absorb FS-cache, codegen and scan-init costs.
+    warmup(spark, sfDir)
+    val (times, errors) = runQueries(spark, sfDir, Reps)
+
+    // Secondary scale: the sf0.01 sibling (single pass — it's small).
+    val altDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.01")
+    val altTimes: Map[String, Double] =
+      if (altDir != sfDir && new java.io.File(altDir).isDirectory) {
+        warmup(spark, altDir)
+        runQueries(spark, altDir, 1)._1
+      } else Map.empty
+
+    val (pipeSecs, pipeRecs) = pipelineThroughput(spark, sfDir)
+
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(times.toSeq.sortBy(_._1) :+ ("pipeline_stream" -> pipeSecs))
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160) + "\"" }
+      .mkString("{", ",", "}")
+    val total = times.values.sum + pipeSecs
+    val rps = if (pipeSecs > 0 && pipeRecs > 0) pipeRecs / pipeSecs else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps}""")
+    spark.stop()
+  }
+
+  /** Touch every table + force codegen/scan init so the first timed pass
+    * doesn't absorb FS-cache and session warmup costs.
+    */
+  private def warmup(spark: SparkSession, sfDir: String): Unit =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => queries.Tables.t(spark, sfDir, t).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally spark.catalog.clearCache() // q32/q44 cache within their action
-      name -> (System.nanoTime() - t0) / 1e9
+  /** Median-of-`reps` wall time per registry query; failures are reported
+    * once in the errors map and the query is not retried.
+    */
+  private def runQueries(spark: SparkSession, sfDir: String, reps: Int)
+      : (Map[String, Double], Map[String, String]) = {
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var rep = 0
+      while (rep < reps && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          samples += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        }
+        finally spark.catalog.clearCache() // q32/q44 cache within their action
+        rep += 1
+      }
+      if (samples.nonEmpty) times(name) = samples.sorted.apply(samples.size / 2)
     }
-
-    val (pipeSecs, pipeRecs) = pipelineThroughput(spark, sfDir)
-    val qs = (results :+ ("pipeline_stream" -> pipeSecs))
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipeSecs
-    val rps = if (pipeSecs > 0) pipeRecs / pipeSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps}""")
-    spark.stop()
+    (times.toMap, errors.toMap)
   }
 
   /** Replay the events table through the full streaming graph (NDJSON
-    * envelope files → readStream → backup + transform/route sinks) and
-    * report (wall seconds, records). Mirrors the reference benchmark's
-    * E2E path (README.rst:100-124) on local storage.
+    * envelope files → readStream → backup + transform/route dual sink,
+    * base64 wire form) and report (wall seconds, DELIVERED records).
+    * Mirrors the reference benchmark's E2E path (README.rst:100-124) on
+    * local storage. The returned record count is countChannel(success) +
+    * countChannel(failed) + dropped — NOT the source count — and the run
+    * aborts if that sum doesn't conserve against the source.
     */
   private def pipelineThroughput(spark: SparkSession, sfDir: String): (Double, Long) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
@@ -61,31 +116,40 @@ object Bench {
       StructField("props", StringType)))
     val ev = queries.Tables.events(spark, sfDir)
     val n = ev.count()
+    val expectedDropped = ev.filter(col("value") < 10).count()
     val par = spark.sparkContext.defaultParallelism
     // The events table is one small parquet file (1 scan partition);
     // spread the envelope over `par` input files so every micro-batch
-    // stage runs wide instead of single-task.
+    // stage runs wide instead of single-task. `data` is base64 on the
+    // wire, as the reference's Firehose envelope carries it.
     ev.select(col("event_id").cast("string").as("recordId"),
         to_json(struct(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("props"))).as("line"))
-      .select(to_json(struct(col("recordId"), col("line"))).as("value"))
+      .select(to_json(struct(col("recordId"),
+        base64(concat(col("line"), lit("\n")).cast("binary")).as("data"))).as("value"))
       .repartition(par)
       .write.mode("overwrite").text(s"$tmp/in")
 
     val envelope = spark.readStream
       .schema(StructType(Seq(StructField("recordId", StringType),
-        StructField("line", StringType))))
+        StructField("data", StringType))))
       .json(s"$tmp/in")
       .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
-        col("line").cast("binary").as("data"))
+        col("data").cast("binary").as("data"))
     val sinks = DeliveryPipeline.Sinks(s"$tmp/out")
     val t0 = System.nanoTime()
-    val (b, d) = DeliveryPipeline.start(envelope, payloadSchema, sinks,
-      s"$tmp/ckpt", dropIf = p => p.getField("value") < 10)
-    val doneB = b.awaitTermination(600000)
-    val doneD = d.awaitTermination(600000)
+    val pipe = DeliveryPipeline.start(envelope, payloadSchema, sinks,
+      s"$tmp/ckpt", dropIf = p => p.getField("value") < 10, wireBase64 = true)
+    val done = pipe.awaitTermination(600000)
     val secs = (System.nanoTime() - t0) / 1e9
-    // A timed-out run must not report a fabricated throughput.
-    (secs, if (doneB && doneD) n else -1L)
+    if (!done) { pipe.stop(); return (secs, -1L) } // timed out: no fabricated rate
+    val delivered = DeliveryPipeline.countChannel(spark, sinks.success) +
+      DeliveryPipeline.countChannel(spark, sinks.failed)
+    val total = delivered + expectedDropped
+    // Conservation bar (reference README.rst:113-124): every source record
+    // is accounted for exactly once across success/failed/dropped.
+    require(total == n,
+      s"pipeline conservation violated: delivered=$delivered dropped=$expectedDropped source=$n")
+    (secs, total)
   }
 }

@@ -241,9 +241,9 @@ object DeliveryPipeline {
     * (debug/s2_inspect_data_in_s3.py:19-23).
     *
     * Hadoop-FS based (works on HDFS/S3A/local), and enumerates delivered
-    * children EXPLICITLY: a naive `path/*` glob matches `.staging`
-    * too (the hidden-file filter only applies below the glob-expanded
-    * roots), which would count staged-but-undelivered data.
+    * children EXPLICITLY: a naive star-glob under `path` matches
+    * `.staging` too (the hidden-file filter only applies below the
+    * glob-expanded roots), which would count staged-but-undelivered data.
     */
   def countChannel(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
