@@ -85,9 +85,15 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     val added = partFiles(dir).map(_.getLen).sum
     synchronized {
       val prev = epochBytes.getOrElse(epochId, 0L)
-      epochBytes(epochId) = added
-      bytes.addAndGet(added - prev)
-      if (firstArrivalMs < 0) firstArrivalMs = nowMs()
+      if (added == 0 && prev == 0) {
+        // Empty micro-batch: don't accumulate empty epoch dirs / map
+        // entries (idle streams tick every trigger interval).
+        fs.delete(dir, true)
+      } else {
+        epochBytes(epochId) = added
+        bytes.addAndGet(added - prev)
+        if (firstArrivalMs < 0) firstArrivalMs = nowMs()
+      }
     }
     maybeFlush(nowMs())
   }
@@ -99,21 +105,32 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     else false
   }
 
-  /** Promote all staged parts into one numbered delivery object. */
+  /** Promote all staged parts into one numbered delivery object.
+    *
+    * Only epochs REGISTERED via `append()` (keys of `epochBytes`) are
+    * promoted — never whatever happens to be under the staging dir. An
+    * `append()` racing with this flush may have started its Spark write
+    * (outside the lock) but not yet registered; listing the directory
+    * would promote that half-committed epoch, advance the watermark past
+    * it, and make its replay a no-op — permanent record loss. The unre-
+    * gistered dir simply stays staged and rides the next flush.
+    */
   def flush(): Unit = synchronized {
-    val epochs = listDirs(staging)
+    val epochs = epochBytes.keys.toSeq.sorted
     if (epochs.nonEmpty) {
       val objDir = new Path(rootPath, f"object-${objectSeq.getAndIncrement()}%06d")
       fs.mkdirs(objDir)
-      var maxEpoch = flushedEpochWatermark
-      epochs.foreach { e =>
-        val name = e.getName
-        partFiles(e).foreach { f =>
-          fs.rename(f.getPath, new Path(objDir, s"$name-${f.getPath.getName}"))
+      epochs.foreach { epochId =>
+        val dir = new Path(staging, s"epoch=$epochId")
+        partFiles(dir).foreach { f =>
+          val dst = new Path(objDir, s"epoch=$epochId-${f.getPath.getName}")
+          if (!fs.rename(f.getPath, dst))
+            throw new java.io.IOException(
+              s"BufferedChannel flush aborted: rename ${f.getPath} -> $dst failed")
         }
-        fs.delete(e, true)
-        maxEpoch = math.max(maxEpoch, epochNumber(name))
+        fs.delete(dir, true)
       }
+      val maxEpoch = epochs.max
       bytes.set(0L)
       epochBytes.clear()
       firstArrivalMs = -1L
@@ -137,9 +154,6 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
   private def objectNumber(p: Path): Long =
     p.getName.stripPrefix("object-").toLong
 
-  private def epochNumber(dirName: String): Long =
-    dirName.stripPrefix("epoch=").toLong
-
   private def listStatus(p: Path) =
     if (!fs.exists(p)) Seq.empty else fs.listStatus(p).toSeq
 
@@ -148,19 +162,32 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
 
   private def listDirs(p: Path) = listStatus(p).filter(_.isDirectory)
 
+  /** A truncated/unparsable watermark (crash mid-persist) degrades to
+    * "no watermark" — at-least-once (possible duplicate delivery) instead
+    * of an unconstructible channel.
+    */
   private def readWatermark(): Long =
     if (!fs.exists(watermarkFile)) -1L
     else {
       val buf = new Array[Byte](fs.getFileStatus(watermarkFile).getLen.toInt)
       val in = fs.open(watermarkFile)
       try in.readFully(0, buf) finally in.close()
-      new String(buf, StandardCharsets.UTF_8).trim.toLong
+      scala.util.Try(new String(buf, StandardCharsets.UTF_8).trim.toLong)
+        .getOrElse(-1L)
     }
 
+  /** Temp-file + rename so a crash mid-write never leaves a truncated
+    * watermark in place — readers see the old value or the new one.
+    */
   private def writeWatermark(wm: Long): Unit = {
-    val out = fs.create(watermarkFile, true)
+    val tmp = new Path(rootPath, "_flushed_watermark.tmp")
+    val out = fs.create(tmp, true)
     try out.write(wm.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(watermarkFile)) fs.delete(watermarkFile, false)
+    if (!fs.rename(tmp, watermarkFile))
+      throw new java.io.IOException(
+        s"watermark persist failed: rename $tmp -> $watermarkFile")
   }
 }
 
