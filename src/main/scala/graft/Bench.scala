@@ -51,17 +51,17 @@ object Bench {
         runQueries(spark, altDir, 1)._1
       } else Map.empty
 
-    val (pipeSecs, pipeRecs) = pipelineThroughput(spark, sfDir)
+    val (pipeSecs, pipeRecs, conservation) = pipelineThroughput(spark, sfDir)
 
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(times.toSeq.sortBy(_._1) :+ ("pipeline_stream" -> pipeSecs))
     val errs = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160) + "\"" }
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160) + "\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum + pipeSecs
     val rps = if (pipeSecs > 0 && pipeRecs > 0) pipeRecs / pipeSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":"$conservation"}""")
     spark.stop()
   }
 
@@ -95,7 +95,11 @@ object Bench {
         finally spark.catalog.clearCache() // q32/q44 cache within their action
         rep += 1
       }
-      if (samples.nonEmpty) times(name) = samples.sorted.apply(samples.size / 2)
+      // A query is timed only if it NEVER errored — partial samples from
+      // a pass-then-throw query would make the report ambiguous about
+      // whether it passed (and pollute the headline total).
+      if (samples.nonEmpty && !errors.contains(name))
+        times(name) = samples.sorted.apply(samples.size / 2)
     }
     (times.toMap, errors.toMap)
   }
@@ -106,9 +110,12 @@ object Bench {
     * Mirrors the reference benchmark's E2E path (README.rst:100-124) on
     * local storage. The returned record count is countChannel(success) +
     * countChannel(failed) + dropped — NOT the source count — and the run
-    * aborts if that sum doesn't conserve against the source.
+    * records a conservation violation in the JSON (with records = -1)
+    * instead of aborting — a pipeline accounting bug must not destroy
+    * the 64 already-measured query timings.
     */
-  private def pipelineThroughput(spark: SparkSession, sfDir: String): (Double, Long) = {
+  private def pipelineThroughput(spark: SparkSession, sfDir: String)
+      : (Double, Long, String) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
     val payloadSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
@@ -142,14 +149,15 @@ object Bench {
       s"$tmp/ckpt", dropIf = p => p.getField("value") < 10, wireBase64 = true)
     val done = pipe.awaitTermination(600000)
     val secs = (System.nanoTime() - t0) / 1e9
-    if (!done) { pipe.stop(); return (secs, -1L) } // timed out: no fabricated rate
+    if (!done) { pipe.stop(); return (secs, -1L, "timeout") } // no fabricated rate
     val delivered = DeliveryPipeline.countChannel(spark, sinks.success) +
       DeliveryPipeline.countChannel(spark, sinks.failed)
     val total = delivered + expectedDropped
     // Conservation bar (reference README.rst:113-124): every source record
-    // is accounted for exactly once across success/failed/dropped.
-    require(total == n,
-      s"pipeline conservation violated: delivered=$delivered dropped=$expectedDropped source=$n")
-    (secs, total)
+    // is accounted for exactly once across success/failed/dropped. A miss
+    // is REPORTED, not thrown — query timings must survive it.
+    if (total == n) (secs, total, "ok")
+    else (secs, -1L,
+      s"violated: delivered=$delivered dropped=$expectedDropped source=$n")
   }
 }

@@ -64,20 +64,25 @@ object Similarity {
     * float multiply commutes bitwise), so results stay bit-identical to
     * the SQL oracle regardless of which block a vector lands in.
     *
-    * Scale shape: memory per task is 2 blocks (2·B vectors), tunable via
-    * `nBlocks` ≈ n/B — at 100 TB you raise `nBlocks` so a tile fits an
-    * executor core, and the tile count (n/B)²/2 gives the parallelism.
+    * Scale shape: memory per task is 2 blocks (2·B vectors); the default
+    * `nBlocks = 0` means AUTO — [[autoBlockCount]] sizes the block count
+    * from the actual corpus so a packed block stays under a fixed byte
+    * budget (a fixed count would mean multi-GB packed rows at 100× the
+    * corpus) while the tile count (n/B)²/2 still feeds every core.
     * Past brute-force budgets, [[lshNearDupPairs]]/IVF prune tiles first.
     *
+    * @param nBlocks explicit block count; 0 (default) derives it from
+    *                corpus count × vector width via [[autoBlockCount]]
     * @return (id1, id2, cos) for the global top-`k` pairs, id1 < id2,
     *         ordered by (cos desc, id1, id2).
     */
   def bruteForceTopPairs(spark: org.apache.spark.sql.SparkSession,
-      embeddings: DataFrame, k: Int, nBlocks: Int = 16): DataFrame = {
+      embeddings: DataFrame, k: Int, nBlocks: Int = 0): DataFrame = {
     import spark.implicits._
+    val blocks = if (nBlocks > 0) nBlocks else autoBlockCount(spark, embeddings)
     // Block assignment by id hash-mod: stable, no global index needed.
     val packed = embeddings
-      .select((pmod(col("vec_id"), lit(nBlocks))).cast("int").as("blk"),
+      .select((pmod(col("vec_id"), lit(blocks))).cast("int").as("blk"),
         struct(col("vec_id").as("_1"), col("embedding").as("_2")).as("v"))
       .groupBy("blk")
       .agg(collect_list(col("v")).as("vs"))
@@ -132,6 +137,35 @@ object Similarity {
       .toDF("id1", "id2", "cos")
       .orderBy(col("cos").desc, col("id1"), col("id2"))
       .limit(k) // TakeOrderedAndProject: per-partition top-k, driver merge
+  }
+
+  /** One packed block (a `collect_list` of ~n/nBlocks vectors in a single
+    * row) must fit comfortably in task memory — two blocks live per tile
+    * task, and Spark rows have hard size ceilings. 64 MB per block keeps
+    * a tile ≤128 MB of vector data while leaving blocks large enough that
+    * the O(B²·dim) tile loop dominates scheduling overhead.
+    */
+  private val BlockBudgetBytes: Long = 64L << 20
+
+  /** Derive the tile-kernel block count from the ACTUAL corpus: the
+    * smallest count keeping every packed block under [[BlockBudgetBytes]],
+    * raised (if needed) until the (m·(m+1)/2) tiles cover the cluster's
+    * parallelism. Costs one `count()` plus a one-row width probe — noise
+    * next to the O(n²/2·dim) kernel it sizes.
+    *
+    * @param budgetBytes per-block byte ceiling (overridable for tests)
+    */
+  def autoBlockCount(spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, budgetBytes: Long = BlockBudgetBytes): Int = {
+    val n = embeddings.count()
+    if (n == 0) return 1
+    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    val bytesPerVec = 4L * math.max(dim, 1) + 24 // float payload + id/struct overhead
+    val sizeDriven = ((n * bytesPerVec + budgetBytes - 1) / budgetBytes).toInt
+    val par = spark.sparkContext.defaultParallelism
+    // smallest m with m(m+1)/2 >= par, so every core gets a tile
+    val parDriven = math.ceil((math.sqrt(8.0 * par + 1) - 1) / 2).toInt
+    math.max(1, math.min(n, math.max(sizeDriven, parDriven).toLong).toInt)
   }
 
   /** Random-hyperplane LSH bucket key (deterministic planes derived from

@@ -167,14 +167,15 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     * of an unconstructible channel.
     */
   private def readWatermark(): Long =
-    if (!fs.exists(watermarkFile)) -1L
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(watermarkFile).getLen.toInt)
-      val in = fs.open(watermarkFile)
-      try in.readFully(0, buf) finally in.close()
-      scala.util.Try(new String(buf, StandardCharsets.UTF_8).trim.toLong)
-        .getOrElse(-1L)
-    }
+    scala.util.Try {
+      if (!fs.exists(watermarkFile)) -1L
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(watermarkFile).getLen.toInt)
+        val in = fs.open(watermarkFile)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, StandardCharsets.UTF_8).trim.toLong
+      }
+    }.getOrElse(-1L) // parse failure OR read failure (e.g. checksum mismatch)
 
   /** Temp-file + rename so a crash mid-write never leaves a truncated
     * watermark in place — readers see the old value or the new one.

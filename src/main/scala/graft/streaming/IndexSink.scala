@@ -112,4 +112,32 @@ object IndexSink {
   /** A13: the `_count` + match_all surface over the index. */
   def count(spark: SparkSession, name: String): Long =
     spark.table(name).count()
+
+  /** Analyzed full-text `match` query — the reference's index mapping
+    * types `description` as analyzed `text` (debug/s2_inspect_data_in_oss
+    * .py:20-31), so queries match at TOKEN level, not whole-string. Both
+    * sides go through the same analyzer ([[graft.functions.TextFunctions
+    * .tokens]]: lowercase, \\W+ split — the standard-analyzer shape), and
+    * `_score` is the count of matched query tokens (descending, doc key
+    * tie-break left to the caller). `operator`:
+    *  - "or" (the match-query default): ≥1 query token present;
+    *  - "and": every query token present.
+    * All pure codegen'd expressions over the view — a narrow filter +
+    * project that scales as a scan, no shuffle.
+    */
+  def matchQuery(spark: SparkSession, name: String, field: String,
+      query: String, operator: String = "or"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val qToks = array_distinct(tokens(lit(query)))
+    val dToks = array_distinct(tokens(col(field)))
+    val score = size(array_intersect(dToks, qToks))
+    val pred = operator.toLowerCase match {
+      case "and" => size(array_except(qToks, dToks)) === 0 && size(qToks) > 0
+      case _     => score > 0
+    }
+    spark.table(name)
+      .withColumn("_score", score)
+      .filter(pred)
+      .orderBy(col("_score").desc)
+  }
 }

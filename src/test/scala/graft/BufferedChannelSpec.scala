@@ -48,6 +48,71 @@ class BufferedChannelSpec extends SparkSpec {
     assert(spark.read.text(ch.deliveredObjects.head.toString).count() == 20)
   }
 
+  test("flush skips a half-committed epoch (racing append) — no record loss") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf5").toString
+    val ch = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    ch.append(lines(10, "committed"), epochId = 0)
+    // Simulate an append() whose Spark write landed but whose registration
+    // hasn't happened yet: a part-file in staging with no epochBytes entry.
+    val inflight = new java.io.File(s"$tmp/.staging/epoch=1")
+    inflight.mkdirs()
+    val pw = new java.io.PrintWriter(new java.io.File(inflight, "part-00000"))
+    try pw.println("""{"i": 999, "tag": "inflight"}""") finally pw.close()
+    ch.flush()
+    // Only the registered epoch was promoted; the in-flight one stayed staged.
+    assert(ch.deliveredObjects.size == 1)
+    assert(spark.read.text(ch.deliveredObjects.head.toString).count() == 10)
+    assert(inflight.exists(), "flush must not touch an unregistered epoch")
+    // The append completes (registers) and the next flush delivers it —
+    // the watermark did not advance past it.
+    ch.append(lines(1, "inflight"), epochId = 1)
+    ch.flush()
+    val total = ch.deliveredObjects.map(o => spark.read.text(o.toString).count()).sum
+    assert(total == 11, s"records lost across racing flush: $total")
+  }
+
+  test("concurrent appends and flushes conserve every record") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf6").toString
+    val ch = new BufferedChannel(tmp, maxBytes = 800, maxAgeMillis = Long.MaxValue / 2)
+    val flusher = new Thread(() => (1 to 40).foreach { _ => ch.flush(); Thread.sleep(5) })
+    flusher.start()
+    (0 until 8).foreach(e => ch.append(lines(25, s"c$e"), epochId = e))
+    flusher.join()
+    ch.close()
+    val total = ch.deliveredObjects.map(o => spark.read.text(o.toString).count()).sum
+    assert(total == 200, s"lost records under concurrent flush: $total")
+  }
+
+  test("restart with a truncated watermark file degrades to no-watermark, not a crash") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf7").toString
+    val first = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    first.append(lines(5, "a"), epochId = 3)
+    first.flush()
+    // Corrupt the watermark as a crash mid-persist would.
+    val wf = new java.io.File(s"$tmp/_flushed_watermark")
+    val pw = new java.io.PrintWriter(wf); try pw.print("3x_truncated") finally pw.close()
+    val restarted = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    // Recoverable: at-least-once (epoch 3 replay is accepted again), never
+    // an unconstructible channel. New epochs deliver into NEW objects.
+    restarted.append(lines(2, "b"), epochId = 4)
+    restarted.flush()
+    assert(restarted.deliveredObjects.size == 2)
+    assert(!new java.io.File(s"$tmp/_flushed_watermark.tmp").exists(),
+      "watermark temp file must not linger after persist")
+  }
+
+  test("empty micro-batches do not grow staging state (idle stream)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf8").toString
+    val ch = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    (0 until 5).foreach(e => ch.append(lines(0, "idle"), epochId = e))
+    assert(ch.stagedBytes == 0)
+    val staged = new java.io.File(s"$tmp/.staging").listFiles()
+    assert(staged == null || staged.isEmpty,
+      s"idle ticks accumulated staging dirs: ${Option(staged).map(_.toSeq)}")
+    ch.flush()
+    assert(ch.deliveredObjects.isEmpty)
+  }
+
   test("flush conserves records and produces disjoint numbered objects") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-buf3").toString
     val ch = new BufferedChannel(tmp, maxBytes = 1500, maxAgeMillis = Long.MaxValue / 2)

@@ -47,4 +47,30 @@ class OperatorsSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("autoBlockCount grows with corpus size; explicit and auto kernels agree") {
+    import spark.implicits._
+    def corpus(n: Int, dim: Int) =
+      (1 to n).map(i => (i.toLong,
+        Array.tabulate(dim)(d => ((i * 31 + d * 7) % 97 / 97.0f) - 0.5f)))
+        .toDF("vec_id", "embedding")
+    val small = Similarity.autoBlockCount(spark, corpus(50, 8))
+    val big = Similarity.autoBlockCount(spark, corpus(400, 8))
+    assert(small >= 1 && big >= small)
+    // Parallelism floor dominates at test sizes; with a shrunk budget the
+    // size-driven term must take over and scale linearly with the corpus
+    // (50 vecs × 56 B = 2800 B → 3 blocks of 1000 B; 400 vecs → 23).
+    val atBudget = Similarity.autoBlockCount(spark, corpus(50, 8), budgetBytes = 1000)
+    val atBudget8x = Similarity.autoBlockCount(spark, corpus(400, 8), budgetBytes = 1000)
+    assert(atBudget >= 3 && atBudget8x >= 8 * atBudget - 8,
+      s"size-driven term not scaling: $atBudget -> $atBudget8x")
+    // Auto and explicit blocking must produce identical top pairs (block
+    // assignment cannot affect the exact kernel's result).
+    val c = corpus(60, 8)
+    val auto = Similarity.bruteForceTopPairs(spark, c, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val explicit = Similarity.bruteForceTopPairs(spark, c, 5, nBlocks = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(auto == explicit)
+  }
 }

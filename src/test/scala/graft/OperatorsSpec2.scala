@@ -76,6 +76,31 @@ class OperatorsSpec2 extends SparkSpec {
     assert(spark.read.text(s"$tmp/backup/*").count() == 300)
   }
 
+  test("analyzed match query: token-level OR/AND with overlap scoring") {
+    import spark.implicits._
+    Seq(
+      (1L, "Routine deposit into savings account"),
+      (2L, "ATM withdrawal fee charged"),
+      (3L, "Deposit reversed; withdrawal pending review"),
+      (4L, "Wire transfer completed"))
+      .toDF("doc_id", "description").createOrReplaceTempView("match_idx")
+    // OR (match default): any analyzed query token hits; case-folded and
+    // punctuation-split on BOTH sides; scored by matched-token count.
+    val or = IndexSink.matchQuery(spark, "match_idx", "description",
+      "DEPOSIT withdrawal!")
+      .select("doc_id", "_score").as[(Long, Int)].collect()
+    assert(or.head._1 == 3L && or.head._2 == 2) // both tokens → ranked first
+    assert(or.map(_._1).toSet == Set(1L, 2L, 3L))
+    // AND: every query token must be present.
+    val and = IndexSink.matchQuery(spark, "match_idx", "description",
+      "deposit withdrawal", operator = "and")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(and == Seq(3L))
+    // No analyzed overlap → empty, even on substring-looking queries.
+    assert(IndexSink.matchQuery(spark, "match_idx", "description", "depositing")
+      .count() == 0)
+  }
+
   test("index upsert: re-delivered recordId overwrites (last write wins)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-upsert").toString
