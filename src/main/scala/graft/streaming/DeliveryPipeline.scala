@@ -35,10 +35,14 @@ import graft.model.DeliveryStatus._
   *   runs `unbase64` as the first step of the shared lineage, so both
   *   the backup copy and the delivery transform see raw NDJSON bytes —
   *   exactly what Firehose hands its Lambda and its S3 backup.
-  * - Buffering (reference 5 MB / 60 s, iac/s2_app.py:810-815): the
-  *   success/failed channels stage through [[BufferedChannel]]'s
-  *   size-OR-time promotion, so delivered object granularity matches
-  *   Firehose buffer flushes, independent of trigger cadence. The final
+  * - Buffering — the reference buffers TWICE (iac/s2_app.py:810-815):
+  *   records→Lambda at 3 MB/60 s and transform-output→S3 at 5 MB/60 s.
+  *   The destination stage is [[BufferedChannel]]'s size-OR-time
+  *   promotion, so delivered object granularity matches Firehose buffer
+  *   flushes, independent of trigger cadence. The Lambda stage is
+  *   [[LambdaStage]]'s byte-bounded invocation batching (engaged via
+  *   `lambdaFn` for ported opaque transforms; the declarative codegen
+  *   path is batch-shape-independent so the hint is moot there). The final
   *   partial buffer is delivered when the stream ends — like Firehose's
   *   shutdown flush — by BOTH the returned [[Pipeline]] handle's
   *   `awaitTermination`/`stop` and a [[StreamingQueryListener]] that
@@ -141,6 +145,14 @@ object DeliveryPipeline {
     * @param backupFailIf injectable backup-write failure predicate over
     *                     the recordId column: matching records route to
     *                     02-backup-failed instead of 01-backup
+    * @param lambdaFn     ported opaque transform Lambda: when set, the
+    *                     route/transform step runs through
+    *                     [[LambdaStage.invoke]] under the reference's
+    *                     3 MB-per-invocation processing buffer
+    *                     (iac/s2_app.py:814-815) instead of the
+    *                     declarative codegen path; `dropIf` is ignored
+    *                     (the Lambda declares Dropped itself)
+    * @param lambdaMaxBytes per-invocation payload bound for `lambdaFn`
     */
   def start(
       envelope: DataFrame,
@@ -150,7 +162,9 @@ object DeliveryPipeline {
       dropIf: Column => Column,
       trigger: Trigger = Trigger.AvailableNow(),
       wireBase64: Boolean = false,
-      backupFailIf: Column => Column = _ => lit(false)): Pipeline = {
+      backupFailIf: Column => Column = _ => lit(false),
+      lambdaFn: Option[LambdaStage.BatchFn] = None,
+      lambdaMaxBytes: Long = LambdaStage.DefaultMaxInvocationBytes): Pipeline = {
 
     // A3 first half: base64 wire form → raw NDJSON bytes, shared by both
     // sinks (Firehose decodes transport base64 before backup + Lambda).
@@ -186,8 +200,11 @@ object DeliveryPipeline {
       .trigger(trigger)
       .option("checkpointLocation", s"$checkpointRoot/delivery")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val routed = Codecs
-          .transformEnvelope(batch, payloadSchema, dropIf)
+        val transformed = lambdaFn match {
+          case Some(fn) => LambdaStage.invoke(batch, fn, lambdaMaxBytes)
+          case None     => Codecs.transformEnvelope(batch, payloadSchema, dropIf)
+        }
+        val routed = transformed
           .withColumn("line", col("data").cast("string"))
           .select("result", "line")
           .persist()

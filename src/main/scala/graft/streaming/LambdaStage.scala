@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import graft.model.{DeliveryStatus, RoutedRecord}
+
+/** The reference's transform-Lambda INVOCATION contract, Spark-native.
+  *
+  * Firehose does not hand its Lambda one record at a time: it buffers
+  * source records at its own processing hint — 3 MB or 60 s, whichever
+  * first (reference iac/s2_app.py:814-815, `lambda_buffer_hint_size_in_mb
+  * =3`) — and invokes the function once per accumulated batch; the
+  * function returns exactly one `(recordId, result, data)` per input
+  * record (reference kds_example/kds_helper.py:29-63). Declarative
+  * transforms don't care ([[graft.functions.Codecs.transformEnvelope]]
+  * is a codegen'd projection — batch shape is irrelevant), but a user
+  * PORTING an opaque reference Lambda needs the invocation semantics:
+  * bounded payload per call, per-call failure isolation, per-record
+  * status results.
+  *
+  * Mapping of the two buffer dimensions onto Spark's execution model:
+  * - SIZE (3 MB): enforced here, inside each task — records are grouped
+  *   greedily into invocation batches whose summed payload stays under
+  *   `maxInvocationBytes`; an oversized single record gets a solo
+  *   invocation (Firehose does the same — the hint bounds accumulation,
+  *   not one record).
+  * - TIME (60 s): in micro-batch execution an invocation never waits on
+  *   accumulation — the trigger boundary IS the time flush. Any trigger
+  *   cadence ≤ the reference's 60 s interval honors the hint; there is
+  *   deliberately no second timer here.
+  *
+  * Failure semantics match the reference pipeline: if an invocation
+  * throws — or violates the one-result-per-record contract — every
+  * record of THAT invocation is routed `ProcessingFailed` with its raw
+  * payload preserved (Firehose sends a failed transform batch to the
+  * processing-failed prefix; other invocations are unaffected).
+  *
+  * Scale shape: one `mapPartitions` — narrow, no shuffle, no driver
+  * involvement; memory per task is bounded by one invocation batch
+  * (`maxInvocationBytes`), not the partition.
+  */
+object LambdaStage {
+
+  /** One invocation input record: (recordId, raw payload bytes). */
+  final case class Rec(recordId: String, data: Array[Byte])
+
+  /** A ported Lambda: one call per ≤`maxInvocationBytes` batch, one
+    * result per input record (any order), statuses from
+    * [[graft.model.DeliveryStatus]].
+    */
+  type BatchFn = Seq[Rec] => Seq[RoutedRecord]
+
+  val DefaultMaxInvocationBytes: Long = 3L * 1024 * 1024 // iac/s2_app.py:814
+
+  /** Run `fn` over an envelope frame (columns: recordId, data binary)
+    * under the invocation contract. Returns (recordId, result, data).
+    */
+  def invoke(envelope: DataFrame, fn: BatchFn,
+      maxInvocationBytes: Long = DefaultMaxInvocationBytes): DataFrame = {
+    val spark = envelope.sparkSession
+    import spark.implicits._
+    envelope.select("recordId", "data").as[Rec]
+      .mapPartitions(it => invokePartition(it, fn, maxInvocationBytes))
+      .toDF("recordId", "result", "data")
+  }
+
+  private def invokePartition(it: Iterator[Rec], fn: BatchFn,
+      maxBytes: Long): Iterator[RoutedRecord] =
+    groupByBytes(it, maxBytes).flatMap { batch =>
+      try {
+        val out = fn(batch)
+        val byId = out.groupBy(_.recordId)
+        // Firehose's contract: exactly one result per input recordId.
+        val conforms = out.size == batch.size &&
+          batch.forall(r => byId.get(r.recordId).exists(_.size == 1)) &&
+          out.forall(o => DeliveryStatus.all.contains(o.result))
+        if (conforms) batch.map(r => byId(r.recordId).head)
+        else failAll(batch)
+      } catch { case scala.util.control.NonFatal(_) => failAll(batch) }
+    }
+
+  private def failAll(batch: Seq[Rec]): Seq[RoutedRecord] =
+    batch.map(r => RoutedRecord(r.recordId, DeliveryStatus.ProcessingFailed, r.data))
+
+  /** Greedy byte-bounded batching: cut before a record that would push
+    * the running sum past `maxBytes`; an oversized record rides alone.
+    * Lazy — only one batch is materialized at a time.
+    */
+  private[graft] def groupByBytes(it: Iterator[Rec],
+      maxBytes: Long): Iterator[Seq[Rec]] =
+    new Iterator[Seq[Rec]] {
+      private val in = it.buffered
+      override def hasNext: Boolean = in.hasNext
+      override def next(): Seq[Rec] = {
+        val batch = Seq.newBuilder[Rec]
+        var bytes = 0L
+        var n = 0
+        while (in.hasNext &&
+            (n == 0 || bytes + recBytes(in.head) <= maxBytes)) {
+          val r = in.next()
+          batch += r
+          bytes += recBytes(r)
+          n += 1
+        }
+        batch.result()
+      }
+      private def recBytes(r: Rec): Long =
+        (if (r.data == null) 0 else r.data.length).toLong
+    }
+}
