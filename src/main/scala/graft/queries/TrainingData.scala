@@ -481,9 +481,32 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  val q65_text_match: QueryDef = q(
+    "q65_text_match",
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(list_intersect(
+      |    list_distinct(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')),
+      |    ['sort', 'merge', 'join'])) AS INT) AS match_score
+      |  FROM documents)
+      |SELECT doc_id, match_score FROM t
+      |WHERE match_score > 0
+      |ORDER BY match_score DESC, doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Analyzed full-text match over the index surface (the reference's
+    // `text`-typed description field, debug/s2_inspect_data_in_oss
+    // .py:20-31): both sides tokenized by the same analyzer, scored by
+    // matched-token count. Runs through IndexSink.matchQuery — the same
+    // code path a pipeline user queries the delivered index with.
+    t(s, dir, "documents").createOrReplaceTempView("q65_documents")
+    graft.streaming.IndexSink
+      .matchQuery(s, "q65_documents", "text", "sort merge join")
+      .select(col("doc_id"), col("_score").as("match_score"))
+      .orderBy(col("match_score").desc, col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
     q43_minhash_sig, q44_lsh_pairs, q45_simhash, q46_embed_neardup,
-    q47_multimodal_binary, q50_token_count, q51_langid)
+    q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match)
 }
