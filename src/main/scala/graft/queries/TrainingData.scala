@@ -504,9 +504,95 @@ object TrainingData {
       .orderBy(col("match_score").desc, col("doc_id"))
   }
 
+  val q66_decontaminate: QueryDef = q(
+    "q66_decontaminate",
+    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |            FROM documents),
+      |g8 AS (SELECT DISTINCT doc_id,
+      |         toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] || ' ' || toks[g+3] || ' ' ||
+      |         toks[g+4] || ' ' || toks[g+5] || ' ' || toks[g+6] || ' ' || toks[g+7] AS gram
+      |       FROM tok, unnest(range(1, len(toks) - 6)) AS u(g)
+      |       WHERE len(toks) >= 8),
+      |bench AS (SELECT DISTINCT gram FROM g8
+      |          JOIN documents d ON d.doc_id = g8.doc_id AND d.source = 'src0'),
+      |contaminated AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN bench USING (gram))
+      |SELECT d.doc_id, d.source FROM documents d
+      |WHERE d.source <> 'src0'
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Benchmark decontamination — drop training docs sharing any 8-gram
+    // with the held-out set (source='src0' plays the benchmark). Scale
+    // shape: candidate generation is a hash join on the gram key (like
+    // q32's shingle candidates) — collision-bounded, never all-pairs;
+    // the final step is a left_anti join, map-side after AQE broadcasts
+    // the (small) contaminated-id set. Standard practice for removing
+    // eval-set contamination from a 100 TB crawl.
+    val docs = t(s, dir, "documents")
+    val gram8 = expr(
+      """transform(sequence(1, size(toks) - 7),
+        |  g -> concat_ws(' ', toks[g-1], toks[g], toks[g+1], toks[g+2],
+        |                 toks[g+3], toks[g+4], toks[g+5], toks[g+6]))""".stripMargin)
+    val g8 = tokenizedDf(docs)
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(gram8)).as("gram"))
+    val benchGrams = g8
+      .join(docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
+      .select("gram").distinct()
+    val contaminated = g8.join(benchGrams, "gram").select("doc_id").distinct()
+    docs.filter(col("source") =!= "src0")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val q67_hash_sample: QueryDef = q(
+    "q67_hash_sample",
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ${h64sql("concat('sample|', CAST(doc_id AS VARCHAR))")} % 100 < 10
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Deterministic ~10% sample keyed on a salted portable hash of the
+    // id — reproducible across engines, runs, and cluster sizes (unlike
+    // rand()-based sampling), composable per split by changing the salt.
+    // Pure narrow filter: pushes to the scan, no shuffle, trivially
+    // 100 TB-safe.
+    t(s, dir, "documents")
+      .filter(pmod(h64(concat(lit("sample|"), col("doc_id").cast("string"))), lit(100)) < 10)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val q68_token_budget: QueryDef = q(
+    "q68_token_budget",
+    """WITH tk AS (SELECT doc_id,
+      |        CAST(len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      |      FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |        CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+      |      FROM tk)
+      |SELECT doc_id, n_tokens, cum_tokens FROM c
+      |WHERE cum_tokens <= 10000
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Token-budget packing: take docs in key order until the budget is
+    // spent — the "fill a training mix to N tokens" primitive. The
+    // running total deliberately does NOT use sum() OVER (ORDER BY ...):
+    // Spark plans that as a single-partition WindowExec. PrefixSum is
+    // the two-phase distributed form (range exchange → P-long offsets →
+    // narrow add), identical results, no single-task bottleneck.
+    val counts = tokenizedDf(t(s, dir, "documents"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum
+      .withRunningTotal(counts, "doc_id", "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= 10000)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
     q43_minhash_sig, q44_lsh_pairs, q45_simhash, q46_embed_neardup,
-    q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match)
+    q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match,
+    q66_decontaminate, q67_hash_sample, q68_token_budget)
 }

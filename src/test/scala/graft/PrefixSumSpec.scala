@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.PrefixSum
+
+class PrefixSumSpec extends SparkSpec {
+
+  test("two-phase running total equals the single-partition window form") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong * 7 % 1000, (i % 13).toLong))
+      .toDF("k", "v").dropDuplicates("k")
+    val expected = df
+      .withColumn("cum", sum("v").over(Window.orderBy("k")))
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    // 8 range partitions — the distributed path, not one task.
+    val got = PrefixSum.withRunningTotal(df, "k", "v", "cum", partitions = 8)
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("null values contribute zero; output preserves sorted order") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L)), (4L, None), (5L, Some(1L)))
+      .toDF("k", "v")
+    val out = PrefixSum.withRunningTotal(df, "k", "v", "cum", partitions = 3)
+      .select("k", "cum").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 5L), (2L, 5L), (3L, 7L), (4L, 7L), (5L, 8L)))
+  }
+
+  test("non-long value column is rejected loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 1)).toDF("k", "v") // int, not long
+    intercept[IllegalArgumentException] {
+      PrefixSum.withRunningTotal(df, "k", "v", "cum")
+    }
+  }
+}
