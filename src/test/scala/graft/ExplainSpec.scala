@@ -72,4 +72,18 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
     assert(p.contains("Join"), p)
   }
+
+  test("q66: decontamination is keyed joins + anti join, never all-pairs") {
+    val p = plan("q66_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("LeftAnti"), p)
+    // The benchmark-filter predicate reaches the corpus scan.
+    assert(p.contains("Not(EqualTo(source,src0))"), p)
+  }
+
+  test("q67: hash sampling is a pure scan-side filter with pruned columns") {
+    val p = plan("q67_hash_sample")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"), p)
+  }
 }
