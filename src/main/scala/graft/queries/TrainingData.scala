@@ -589,10 +589,61 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** DuckDB spelling of one hyperplane sign bit — the exact twin of
+    * [[graft.operators.Similarity.hyperplaneLsh]]'s expression: plane-p,
+    * dim-d rademacher weight from an md5 bit, sequential double fold.
+    */
+  private def lshBitSql(p: Int): String =
+    s"""CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+       |  d -> CAST(embedding[d + 1] AS DOUBLE) *
+       |    CAST((CAST(concat('0x', substr(md5(concat('$p', '|', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) & 1) * 2 - 1 AS DOUBLE)))
+       |  >= 0 THEN '1' ELSE '0' END""".stripMargin
+
+  val q69_ann_lsh: QueryDef = q(
+    "q69_ann_lsh",
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |        ${(0 until 8).map(lshBitSql).mkString(" || ")} AS bucket
+       |      FROM embeddings),
+       |pairs AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |        list_sum(list_transform(range(1, len(p.embedding) + 1),
+       |          i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (p.nrm * e.nrm) AS cos
+       |      FROM b p JOIN b e ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
+       |      WHERE p.vec_id < 5),
+       |ranked AS (SELECT probe_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |      FROM pairs)
+       |SELECT probe_id, neighbor_id, floor(cos * 100 + 0.5) / 100 AS cos_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  ) { (s, dir) =>
+    // The ANN scale path, oracle-checked: candidates come ONLY from the
+    // probe's LSH bucket (hash join on the 8-bit hyperplane signature —
+    // engine-portable planes, so DuckDB reproduces the buckets exactly),
+    // then exact cosine + top-k within the bucket. This is q33's search
+    // restricted to 1/2^8 of the corpus per probe — the trade a 100 TB
+    // corpus makes. Selection on the raw cosine; rounding on emit only.
+    val withB = graft.operators.Similarity
+      .hyperplaneLsh(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), 8)
+      .withColumn("nrm", norm_f(col("embedding")))
+    val probes = withB.filter(col("vec_id") < 5).select(
+      col("vec_id").as("probe_id"), col("embedding").as("pe"),
+      col("nrm").as("pn"), col("bucket"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    withB.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (dot_f(col("pe"), col("embedding")) / (col("pn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("neighbor_id"),
+        Par.r2(col("cos")).as("cos_sim"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
     q43_minhash_sig, q44_lsh_pairs, q45_simhash, q46_embed_neardup,
     q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match,
-    q66_decontaminate, q67_hash_sample, q68_token_budget)
+    q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh)
 }
