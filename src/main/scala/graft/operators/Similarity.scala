@@ -171,19 +171,35 @@ object Similarity {
   /** Random-hyperplane LSH bucket key (deterministic planes derived from
     * md5 of (plane index, dimension index) — engine-portable, no RNG
     * state). Vectors sharing all `nPlanes` sign bits land in one bucket.
+    *
+    * The plane weights are data-independent, so they're computed ONCE on
+    * the driver ([[planeWeight]] — the same md5 bit an engine computes in
+    * SQL) and the projection runs through the codegen'd
+    * [[graft.functions.DotProductF]] instead of an interpreted
+    * `aggregate(zip_with(...))` lambda per plane per row. Same sequential
+    * double fold, bit-identical signs, ~an order of magnitude cheaper.
+    * Costs a one-row width probe (embedding dim).
     */
   def hyperplaneLsh(embeddings: DataFrame, nPlanes: Int): DataFrame = {
-    // plane p, dim d weight ∈ {-1, +1} from a hash bit — a cheap
-    // deterministic rademacher projection.
+    if (embeddings.isEmpty) return embeddings.withColumn("bucket", lit(""))
+    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
     val sigBits = (0 until nPlanes).map { p =>
-      val proj = expr(
-        s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-           |  (x, d) -> cast(x as double) *
-           |    (cast((cast(conv(substring(md5(concat('$p', '|', d)), 1, 15), 16, 10) as bigint) & 1) * 2 - 1 as double))),
-           |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+      val plane = typedLit((0 until dim).map(d => planeWeight(p, d)))
+      val proj = dot(col("embedding"), plane)
       when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
     embeddings.withColumn("bucket", concat(sigBits: _*))
+  }
+
+  /** Plane-p, dim-d rademacher weight ∈ {-1, +1} from an md5 bit — the
+    * driver-side twin of the SQL spelling
+    * `(conv(substring(md5(concat(p, '|', d)), 1, 15), 16, 10) & 1) * 2 - 1`.
+    */
+  private[graft] def planeWeight(p: Int, d: Int): Float = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p|$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    ((java.lang.Long.parseLong(hex.take(15), 16) & 1L) * 2 - 1).toFloat
   }
 
   /** Candidate near-dup pairs via LSH buckets: all-pairs only WITHIN a
