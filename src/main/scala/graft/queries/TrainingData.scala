@@ -96,10 +96,15 @@ object TrainingData {
     val prefix = sh.join(sdf, "shingle").join(sz, "doc_id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceil(lit(0.8) * col("n")) + 1)
-      .select(col("doc_id"), col("shingle"))
-    val cand = prefix.select(col("doc_id").as("id1"), col("shingle"))
-      .join(prefix.select(col("doc_id").as("id2"), col("shingle")), "shingle")
-      .filter(col("id1") < col("id2"))
+      .select(col("doc_id"), col("shingle"), col("n"))
+    // Length filter (lossless: J(A,B) >= t ⟹ t·max(|A|,|B|) <= min):
+    // applied AT candidate generation, before the expensive intersection
+    // join — mismatched-size pairs never reach verification.
+    val cand = prefix.select(col("doc_id").as("id1"), col("shingle"), col("n").as("pna"))
+      .join(prefix.select(col("doc_id").as("id2"), col("shingle"), col("n").as("pnb")), "shingle")
+      .filter(col("id1") < col("id2") &&
+        least(col("pna"), col("pnb")).cast("double") >=
+          lit(0.8) * greatest(col("pna"), col("pnb")).cast("double"))
       .select("id1", "id2").distinct()
     val inter = cand
       .join(sh.select(col("doc_id").as("id1"), col("shingle")), "id1")
