@@ -291,6 +291,36 @@ class PipelineSpec extends SparkSpec {
     assert(deduped.count() == 100)
   }
 
+  test("streaming recordId dedup drops a replay arriving in a LATER micro-batch") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dedup-stream").toString
+    val schema = StructType(Seq(StructField("recordId", StringType),
+      StructField("arrivalTs", TimestampType)))
+    def batchFile(name: String, rows: Seq[(String, String)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$tmp/in/$name"),
+        rows.map { case (r, ts) => s"""{"recordId": "$r", "arrivalTs": "$ts"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    batchFile("b0.json", Seq(
+      ("a", "2024-01-01 10:00:00"), ("b", "2024-01-01 10:00:05")))
+
+    val q = DeliveryPipeline
+      .dedupByRecordId(spark.readStream.schema(schema).json(s"$tmp/in"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    // The replay of "a" lands in the NEXT micro-batch, inside the
+    // 10-minute horizon — the state store must still hold it. "c" is new.
+    batchFile("b1.json", Seq(
+      ("a", "2024-01-01 10:00:07"), ("c", "2024-01-01 10:00:09")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("recordId").as[String].collect().toSeq
+    assert(ids.sorted == Seq("a", "b", "c"), s"cross-batch replay not deduped: $ids")
+  }
+
   test("watermark drops late events (streaming, crafted out-of-order input)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-wm").toString
