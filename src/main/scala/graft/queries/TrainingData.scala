@@ -645,10 +645,64 @@ object TrainingData {
       .orderBy("probe_id", "rnk")
   }
 
+  val q70_mixture_sample: QueryDef = q(
+    "q70_mixture_sample",
+    s"""WITH r AS (SELECT doc_id, source,
+       |        CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+       |                    WHEN 'src2' THEN 250 ELSE 100 END AS rate_m,
+       |        ${h64sql("concat('mix|', CAST(doc_id AS VARCHAR))")} % 1000 AS h
+       |      FROM documents)
+       |SELECT doc_id, source FROM r WHERE h < rate_m ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Mixture weighting: per-source keep rates (src0 100%, src1 50%,
+    // src2 25%, tail 10%) on a salted deterministic hash — how a
+    // training mix up/down-weights domains. Same scale shape as q67:
+    // a pure scan-side filter, reproducible anywhere, re-weightable by
+    // changing only the rate map (the already-kept subset is stable
+    // under rate increases because the hash, not the rate, orders docs).
+    val rate = when(col("source") === "src0", 1000)
+      .when(col("source") === "src1", 500)
+      .when(col("source") === "src2", 250)
+      .otherwise(100)
+    t(s, dir, "documents")
+      .filter(pmod(h64(concat(lit("mix|"), col("doc_id").cast("string"))), lit(1000)) < rate)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val q71_repetition: QueryDef = q(
+    "q71_repetition",
+    """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |            FROM documents),
+      |m AS (SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS n_grams,
+      |        CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+      |          g -> toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]))) AS BIGINT) AS n_uniq_grams
+      |      FROM tk WHERE len(toks) >= 3)
+      |SELECT doc_id, n_grams, n_uniq_grams,
+      |  floor((1.0 - CAST(n_uniq_grams AS DOUBLE) / n_grams) * 100 + 0.5) / 100 AS dup_frac
+      |FROM m ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Repeated-trigram fraction — the within-document repetition signal
+    // quality pipelines threshold on (distinct from q41's type-token
+    // ratio: a doc can repeat PHRASES while using many words). Narrow
+    // projection, scan speed; shingleExpr is already distinct, so
+    // n_uniq is its size and the raw count is size(toks) - 2.
+    tokenizedDf(t(s, dir, "documents"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        (size(col("toks")) - 2).cast("long").as("n_grams"),
+        size(shingleExpr).cast("long").as("n_uniq_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_uniq_grams"),
+        Par.r2(lit(1.0) - col("n_uniq_grams").cast("double") / col("n_grams"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
     q43_minhash_sig, q44_lsh_pairs, q45_simhash, q46_embed_neardup,
     q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match,
-    q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh)
+    q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh,
+    q70_mixture_sample, q71_repetition)
 }
