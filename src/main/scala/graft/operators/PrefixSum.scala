@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed running total — the scale-correct form of
   * `sum(x) OVER (ORDER BY k)`.
@@ -18,50 +17,70 @@ import org.apache.spark.storage.StorageLevel
   *  2. per-partition totals: P tiny (index, sum) rows to the driver,
   *     which exclusive-scans them into per-partition offsets — driver
   *     state is O(partitions), never O(rows);
-  *  3. one narrow mapPartitions pass adds offset + local running sum.
+  *  3. one narrow pass adds offset + local running sum.
   *
-  * The ranged frame is persisted across the two passes: range boundaries
-  * come from sampling, so the totals pass and the output pass must see
-  * the SAME physical partitioning, not a recomputed one.
+  * Frame semantics match SQL's default RANGE frame: rows with EQUAL sort
+  * keys (peers) all receive the peer-group-closing total — which also
+  * makes the result deterministic under duplicate keys, where a
+  * ROWS-style scan would depend on arbitrary tie order. Peers share one
+  * range partition (the range partitioner assigns by key), so the final
+  * pass buffers at most one peer group at a time.
+  *
+  * No caching: both passes hang off the SAME shuffle dependency, so the
+  * exchange's map output is written once and re-read by the second job —
+  * the upstream scan does not rerun, and there is no persisted plan for
+  * the caller to leak.
   */
 object PrefixSum {
 
   /** Append `outCol` = running total of `valueCol` (long) in ascending
-    * `sortCol` order. Output rows keep their sorted order.
+    * `sortCol` order, peers inclusive (SQL RANGE frame). Output rows
+    * keep their sorted order.
     *
     * @param partitions range-partition count; 0 = the session's shuffle
     *                   parallelism
     */
   def withRunningTotal(df: DataFrame, sortCol: String, valueCol: String,
       outCol: String, partitions: Int = 0): DataFrame = {
+    require(df.schema(valueCol).dataType == LongType,
+      s"$valueCol must be long (cast first); got ${df.schema(valueCol).dataType}")
+    require(!df.columns.contains(outCol), s"column $outCol already exists")
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val ranged = df
       .repartitionByRange(p, col(sortCol))
       .sortWithinPartitions(sortCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kIdx = ranged.schema.fieldIndex(sortCol)
     val vIdx = ranged.schema.fieldIndex(valueCol)
-    require(ranged.schema(vIdx).dataType == LongType,
-      s"$valueCol must be long (cast first); got ${ranged.schema(vIdx).dataType}")
+    def v(r: Row): Long = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
 
     // Phase 1+2: per-partition totals → exclusive offsets on the driver.
     val partTotals = ranged.rdd
-      .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L
-        it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
-        Iterator((i, s))
-      }
+      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.map(v).sum)) }
       .collect().sortBy(_._1).map(_._2)
     val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive scan, length P+1
     val bc = spark.sparkContext.broadcast(offsets)
 
-    // Phase 3: narrow pass, offset + local running sum.
+    // Phase 3: narrow pass; emit each peer group with its closing total.
     val outRdd = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
-      var run = bc.value(i)
-      it.map { r =>
-        if (!r.isNullAt(vIdx)) run += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq :+ run)
+      new Iterator[Row] {
+        private val in = it.buffered
+        private var run = bc.value(i)
+        private var group: Iterator[Row] = Iterator.empty
+        override def hasNext: Boolean = group.hasNext || in.hasNext
+        override def next(): Row = {
+          if (!group.hasNext) {
+            val key = in.head.get(kIdx)
+            val peers = Vector.newBuilder[Row]
+            while (in.hasNext && in.head.get(kIdx) == key) {
+              val r = in.next(); run += v(r); peers += r
+            }
+            val total = run
+            group = peers.result().iterator.map(r => Row.fromSeq(r.toSeq :+ total))
+          }
+          group.next()
+        }
       }
     }
     spark.createDataFrame(outRdd, ranged.schema.add(outCol, LongType))

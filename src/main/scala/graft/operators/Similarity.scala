@@ -178,17 +178,25 @@ object Similarity {
     * [[graft.functions.DotProductF]] instead of an interpreted
     * `aggregate(zip_with(...))` lambda per plane per row. Same sequential
     * double fold, bit-identical signs, ~an order of magnitude cheaper.
-    * Costs a one-row width probe (embedding dim).
+    *
+    * Plane width must cover the WIDEST vector (the dot folds over the
+    * shorter side, so narrower vectors project exactly as the per-row
+    * SQL form does; a too-short plane would silently drop tail dims of
+    * wide vectors). `dim = 0` probes `max(size(embedding))` — one tiny
+    * eager job; pass the known dimension explicitly to stay fully lazy
+    * (required for streaming inputs).
     */
-  def hyperplaneLsh(embeddings: DataFrame, nPlanes: Int): DataFrame = {
-    if (embeddings.isEmpty) return embeddings.withColumn("bucket", lit(""))
-    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+  def hyperplaneLsh(embeddings: DataFrame, nPlanes: Int, dim: Int = 0): DataFrame = {
+    val width = if (dim > 0) dim
+      else Option(embeddings.agg(max(size(col("embedding")))).head.get(0))
+        .map(_.asInstanceOf[Int]).getOrElse(0)
     val sigBits = (0 until nPlanes).map { p =>
-      val plane = typedLit((0 until dim).map(d => planeWeight(p, d)))
+      val plane = typedLit((0 until width).map(d => planeWeight(p, d)))
       val proj = dot(col("embedding"), plane)
       when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
-    embeddings.withColumn("bucket", concat(sigBits: _*))
+    embeddings.withColumn("bucket",
+      if (sigBits.isEmpty) lit("") else concat(sigBits: _*))
   }
 
   /** Plane-p, dim-d rademacher weight ∈ {-1, +1} from an md5 bit — the

@@ -61,6 +61,23 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
   // Resume the object counter past any objects a previous incarnation
   // delivered (fresh flushes must never merge into existing objects).
   objectSeq.set(existingObjectDirs.map(objectNumber).foldLeft(-1L)(math.max) + 1L)
+  // Crash recovery: flush() promotes only REGISTERED epochs (see its
+  // scaladoc), so staged dirs a crashed incarnation left behind must be
+  // re-registered here or they would be orphaned forever. Construction
+  // is single-threaded — the append/flush race the registration rule
+  // guards against cannot occur yet. Epochs at/below the persisted
+  // watermark were already delivered: their leftovers (a crash mid-
+  // flush) are dropped, not double-delivered.
+  listDirs(staging).map(_.getPath).foreach { d =>
+    val id = scala.util.Try(d.getName.stripPrefix("epoch=").toLong).getOrElse(-1L)
+    val recovered = if (id < 0 || id <= flushedEpochWatermark) 0L
+      else partFiles(d).map(_.getLen).sum
+    if (recovered > 0) {
+      epochBytes(id) = recovered
+      bytes.addAndGet(recovered)
+      if (firstArrivalMs < 0) firstArrivalMs = System.currentTimeMillis()
+    } else fs.delete(d, true)
+  }
 
   private val ageTick: Option[ScheduledFuture[_]] =
     if (maxAgeMillis <= 0 || maxAgeMillis >= BufferedChannel.NoTickBeyondMs) None
@@ -76,7 +93,13 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     */
   def append(lines: DataFrame, epochId: Long,
       nowMs: () => Long = () => System.currentTimeMillis()): Unit = {
-    if (epochId <= flushedEpochWatermark && !epochBytes.contains(epochId)) return
+    // Replay guard under the lock: epochBytes is structurally modified
+    // by a concurrent age-tick flush (clear()) — an unsynchronized read
+    // of a mutable map mid-clear is undefined.
+    val alreadyFlushed = synchronized {
+      epochId <= flushedEpochWatermark && !epochBytes.contains(epochId)
+    }
+    if (alreadyFlushed) return
     val dir = new Path(staging, s"epoch=$epochId")
     lines.select(rtrim(col(lines.columns.head), "\n").as("value"))
       .write.mode("overwrite").text(dir.toString)

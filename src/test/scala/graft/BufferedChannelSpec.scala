@@ -101,6 +101,39 @@ class BufferedChannelSpec extends SparkSpec {
       "watermark temp file must not linger after persist")
   }
 
+  test("staged-but-unflushed epochs from a crashed incarnation are recovered") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf9").toString
+    val first = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    first.append(lines(10, "staged"), epochId = 3)
+    assert(first.deliveredObjects.isEmpty) // crash here: nothing flushed
+    // A fresh incarnation (no in-memory epochBytes) must re-register the
+    // staged epoch — flush() only promotes registered epochs, so without
+    // recovery these records would be orphaned forever.
+    val restarted = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    assert(restarted.stagedBytes > 0, "restart lost staged bytes")
+    restarted.flush()
+    assert(restarted.deliveredObjects.size == 1)
+    assert(spark.read.text(restarted.deliveredObjects.head.toString).count() == 10)
+  }
+
+  test("a staged leftover AT the watermark (crash mid-flush) is dropped, not re-delivered") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf10").toString
+    val first = new BufferedChannel(tmp, maxBytes = 10, maxAgeMillis = Long.MaxValue / 2)
+    first.append(lines(5, "x"), epochId = 0) // flushes immediately (10-byte budget)
+    assert(first.deliveredObjects.size == 1)
+    // Simulate a crash mid-flush that left a partial epoch dir behind
+    // AFTER the watermark was persisted.
+    val leftover = new java.io.File(s"$tmp/.staging/epoch=0")
+    leftover.mkdirs()
+    val pw = new java.io.PrintWriter(new java.io.File(leftover, "part-00000"))
+    try pw.println("""{"i": 1}""") finally pw.close()
+    val restarted = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    assert(restarted.stagedBytes == 0, "delivered epoch must not re-register")
+    assert(!leftover.exists(), "delivered epoch's leftover must be cleaned")
+    restarted.flush()
+    assert(restarted.deliveredObjects.size == 1) // no double delivery
+  }
+
   test("empty micro-batches do not grow staging state (idle stream)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-buf8").toString
     val ch = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)

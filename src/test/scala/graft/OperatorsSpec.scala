@@ -48,6 +48,23 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("hyperplane LSH covers mixed-dim corpora; explicit dim matches the probe") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.5f)),                 // narrow
+      (2L, Array(1.0f, 0.5f, -0.3f, 0.9f)),    // wide
+      (3L, Array(1.0f, 0.5f, -0.3f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val probed = Similarity.hyperplaneLsh(vecs, 8)
+      .select("vec_id", "bucket").as[(Long, String)].collect().toMap
+    // Planes must span the WIDEST vector: identical wide vectors bucket
+    // together, and tail dims beyond the narrow vector still counted.
+    assert(probed(2L) == probed(3L))
+    val explicit = Similarity.hyperplaneLsh(vecs, 8, dim = 4)
+      .select("vec_id", "bucket").as[(Long, String)].collect().toMap
+    assert(explicit == probed, "explicit dim must reproduce the probed planes")
+  }
+
   test("autoBlockCount grows with corpus size; explicit and auto kernels agree") {
     import spark.implicits._
     def corpus(n: Int, dim: Int) =

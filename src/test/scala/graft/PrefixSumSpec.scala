@@ -29,11 +29,28 @@ class PrefixSumSpec extends SparkSpec {
     assert(out == Seq((1L, 5L), (2L, 5L), (3L, 7L), (4L, 7L), (5L, 8L)))
   }
 
-  test("non-long value column is rejected loudly") {
+  test("duplicate sort keys: peers share the group-closing total (SQL RANGE frame)") {
     import spark.implicits._
-    val df = Seq((1L, 1)).toDF("k", "v") // int, not long
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 10L), (2L, 20L), (3L, 5L))
+      .toDF("k", "v")
+    val expected = df
+      .withColumn("cum", sum("v").over(Window.orderBy("k"))) // RANGE default
+      .select("k", "v", "cum").as[(Long, Long, Long)].collect().sorted
+    val got = PrefixSum.withRunningTotal(df, "k", "v", "cum", partitions = 3)
+      .select("k", "v", "cum").as[(Long, Long, Long)].collect().sorted
+    assert(got.toSeq == expected.toSeq)
+    // Explicitly: both k=1 rows read 3, both k=2 rows read 33.
+    assert(got.filter(_._1 == 1L).map(_._3).toSet == Set(3L))
+    assert(got.filter(_._1 == 2L).map(_._3).toSet == Set(33L))
+  }
+
+  test("non-long value column and output-name collisions are rejected loudly") {
+    import spark.implicits._
     intercept[IllegalArgumentException] {
-      PrefixSum.withRunningTotal(df, "k", "v", "cum")
+      PrefixSum.withRunningTotal(Seq((1L, 1)).toDF("k", "v"), "k", "v", "cum")
+    }
+    intercept[IllegalArgumentException] {
+      PrefixSum.withRunningTotal(Seq((1L, 1L)).toDF("k", "v"), "k", "v", "v")
     }
   }
 }
