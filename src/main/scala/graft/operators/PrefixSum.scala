@@ -53,20 +53,28 @@ object PrefixSum {
       .sortWithinPartitions(sortCol)
     val kIdx = ranged.schema.fieldIndex(sortCol)
     val vIdx = ranged.schema.fieldIndex(valueCol)
-    def v(r: Row): Long = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
 
-    // Phase 1+2: per-partition totals → exclusive offsets on the driver.
-    val partTotals = ranged.rdd
-      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.map(v).sum)) }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive scan, length P+1
-    val bc = spark.sparkContext.broadcast(offsets)
+    // Phase 1+2: per-partition (total, sawNonNull) → exclusive offsets.
+    // The null flag mirrors SQL: sum() over an all-NULL prefix is NULL,
+    // not 0 — a row's running total is NULL until the first non-null
+    // value anywhere at or before it.
+    val partStats = ranged.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; var saw = false
+        it.foreach { r => if (!r.isNullAt(vIdx)) { s += r.getLong(vIdx); saw = true } }
+        Iterator((i, s, saw))
+      }
+      .collect().sortBy(_._1)
+    val offsets = partStats.map(_._2).scanLeft(0L)(_ + _) // exclusive, length P+1
+    val sawBefore = partStats.map(_._3).scanLeft(false)(_ || _)
+    val bc = spark.sparkContext.broadcast((offsets, sawBefore))
 
     // Phase 3: narrow pass; emit each peer group with its closing total.
     val outRdd = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
       new Iterator[Row] {
         private val in = it.buffered
-        private var run = bc.value(i)
+        private var run = bc.value._1(i)
+        private var seen = bc.value._2(i)
         private var group: Iterator[Row] = Iterator.empty
         override def hasNext: Boolean = group.hasNext || in.hasNext
         override def next(): Row = {
@@ -74,9 +82,11 @@ object PrefixSum {
             val key = in.head.get(kIdx)
             val peers = Vector.newBuilder[Row]
             while (in.hasNext && in.head.get(kIdx) == key) {
-              val r = in.next(); run += v(r); peers += r
+              val r = in.next()
+              if (!r.isNullAt(vIdx)) { run += r.getLong(vIdx); seen = true }
+              peers += r
             }
-            val total = run
+            val total: Any = if (seen) run else null
             group = peers.result().iterator.map(r => Row.fromSeq(r.toSeq :+ total))
           }
           group.next()

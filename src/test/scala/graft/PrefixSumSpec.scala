@@ -20,13 +20,14 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("null values contribute zero; output preserves sorted order") {
+  test("nulls are skipped like SQL sum; an all-null prefix yields NULL, not 0") {
     import spark.implicits._
-    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L)), (4L, None), (5L, Some(1L)))
+    val df = Seq((0L, None), (1L, Some(5L)), (2L, None), (3L, Some(2L)), (4L, None), (5L, Some(1L)))
       .toDF("k", "v")
     val out = PrefixSum.withRunningTotal(df, "k", "v", "cum", partitions = 3)
-      .select("k", "cum").as[(Long, Long)].collect().toSeq
-    assert(out == Seq((1L, 5L), (2L, 5L), (3L, 7L), (4L, 7L), (5L, 8L)))
+      .select("k", "cum").as[(Long, Option[Long])].collect().toSeq
+    assert(out == Seq((0L, None), (1L, Some(5L)), (2L, Some(5L)),
+      (3L, Some(7L)), (4L, Some(7L)), (5L, Some(8L))))
   }
 
   test("duplicate sort keys: peers share the group-closing total (SQL RANGE frame)") {
