@@ -25,13 +25,20 @@ object AsOfJoin {
       key: String, leftTime: String, rightTime: String,
       rightValue: String, rightOrder: String,
       as: String = "asof_value"): DataFrame = {
+    // The carried value rides in a one-field STRUCT: right rows are
+    // non-null structs even when rightValue itself is NULL, so
+    // last(ignoreNulls) skips exactly the interleaved left rows — a
+    // most-recent right row with a NULL value yields NULL, instead of
+    // silently falling back to an older right row's value.
+    val vStruct = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", right.schema(rightValue).dataType)))
     val l = left.withColumn("_kind", lit(1))
       .withColumn("_t", col(leftTime))
-      .withColumn("_v", lit(null).cast(right.schema(rightValue).dataType))
+      .withColumn("_v", lit(null).cast(vStruct))
       .withColumn("_ord", lit(null).cast(right.schema(rightOrder).dataType))
     val r = right.select(
       col(key), col(rightTime).as("_t"), lit(0).as("_kind"),
-      col(rightValue).as("_v"), col(rightOrder).as("_ord"))
+      struct(col(rightValue).as("v")).as("_v"), col(rightOrder).as("_ord"))
     val lCols = left.columns
     // rights sort before lefts at equal time (inclusive semantics);
     // among right ties, ascending _ord so last() picks the max.
@@ -41,7 +48,7 @@ object AsOfJoin {
       .unionByName(r.select((lCols.map(c =>
         if (c == key) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
         :+ col("_kind") :+ col("_t") :+ col("_v") :+ col("_ord")): _*))
-      .withColumn(as, last(col("_v"), ignoreNulls = true).over(w))
+      .withColumn(as, last(col("_v"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("_kind") === 1)
       .drop("_kind", "_t", "_v", "_ord")
   }

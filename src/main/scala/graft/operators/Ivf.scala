@@ -24,34 +24,43 @@ object Ivf {
 
   final case class Model(centroids: Array[(Int, Array[Float])])
 
-  /** Deterministic k-means: init = first k by id, `iters` Lloyd steps. */
+  /** Deterministic k-means: init = first k by id, `iters` Lloyd steps.
+    * The projected input is cached for the loop (each Lloyd step would
+    * otherwise re-run the full upstream scan) and released at the end;
+    * per-iteration centroid broadcasts are destroyed once their step's
+    * job finishes instead of accumulating on executors for app lifetime.
+    */
   def train(spark: SparkSession, embeddings: DataFrame, k: Int, iters: Int): Model = {
     import spark.implicits._
-    var centroids: Array[(Int, Array[Float])] = embeddings
-      .orderBy("vec_id").limit(k)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().zipWithIndex.map { case ((_, v), i) => (i, v) }
-    (0 until iters).foreach { _ =>
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = embeddings.select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .map { case (_, v) => (nearest(bc.value, v), v) }
-        .toDF("cell", "v")
-      // Per-dimension mean via posexplode + two-level aggregate: never
-      // collects a cell's vectors into one row (a hot cell at scale
-      // would OOM a collect_list-based mean).
-      val sums = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("cell", "d").agg(avg(col("x")).as("m"))
-        .groupBy("cell")
-        .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> cast(s.m as float))")
-          .as("mean"))
-        .collect()
-      val updated = centroids.toMap ++ sums.map(r =>
-        r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
-      centroids = updated.toArray.sortBy(_._1)
-    }
-    Model(centroids)
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].persist()
+    try {
+      var centroids: Array[(Int, Array[Float])] = vecs
+        .orderBy("vec_id").limit(k)
+        .collect().zipWithIndex.map { case ((_, v), i) => (i, v) }
+      (0 until iters).foreach { _ =>
+        val bc = spark.sparkContext.broadcast(centroids)
+        try {
+          val assigned = vecs
+            .map { case (_, v) => (nearest(bc.value, v), v) }
+            .toDF("cell", "v")
+          // Per-dimension mean via posexplode + two-level aggregate: never
+          // collects a cell's vectors into one row (a hot cell at scale
+          // would OOM a collect_list-based mean).
+          val sums = assigned
+            .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+            .groupBy("cell", "d").agg(avg(col("x")).as("m"))
+            .groupBy("cell")
+            .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> cast(s.m as float))")
+              .as("mean"))
+            .collect()
+          val updated = centroids.toMap ++ sums.map(r =>
+            r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+          centroids = updated.toArray.sortBy(_._1)
+        } finally bc.destroy()
+      }
+      Model(centroids)
+    } finally vecs.unpersist(blocking = false)
   }
 
   private def nearest(cents: Array[(Int, Array[Float])], v: Array[Float]): Int = {
@@ -93,11 +102,15 @@ object Ivf {
       .join(probeCells, "probe_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val na = sqrt(dot_f(col("pe"), col("pe")))
+    val nb = sqrt(dot_f(col("embedding"), col("embedding")))
     indexed.join(broadcast(p), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        (dot_f(col("pe"), col("embedding")) /
-          (sqrt(dot_f(col("pe"), col("pe"))) * sqrt(dot_f(col("embedding"), col("embedding")))))
+        // zero-norm guard: NaN would sort ABOVE every real cosine and
+        // occupy rank 1 of every probe's top-k
+        when(na === 0.0 || nb === 0.0, lit(-1.0))
+          .otherwise(dot_f(col("pe"), col("embedding")) / (na * nb))
           .as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

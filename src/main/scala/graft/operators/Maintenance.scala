@@ -21,20 +21,34 @@ import org.apache.spark.sql.functions._
 object Maintenance {
 
   /** Delete rows matching `predicate` from a parquet table directory.
+    *
+    * Self-healing across crashes: a previous call that died mid-swap can
+    * leave (a) a stale `.rewrite.tmp`/`.old` behind, or (b) the table
+    * path missing with the data parked in `.old` (crash between the two
+    * moves). Entry recovers both states before doing any work, so the
+    * operation is always re-runnable instead of failing forever on
+    * leftover directories.
     * @return number of rows deleted
     */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long = {
+    val p = Paths.get(path)
+    val old = Paths.get(path.stripSuffix("/") + ".old")
+    val tmpPath = Paths.get(path.stripSuffix("/") + ".rewrite.tmp")
+    // Crash recovery (see scaladoc): restore a parked table, then drop
+    // stale intermediates from any earlier failed attempt.
+    if (!Files.exists(p) && Files.exists(old))
+      Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+    deleteRecursively(tmpPath)
+
     val df = spark.read.parquet(path)
     val total = df.count()
     val keep = df.filter(!coalesce(predicate, lit(false)))
-    val tmp = path.stripSuffix("/") + ".rewrite.tmp"
-    keep.write.mode("overwrite").parquet(tmp)
-    val kept = spark.read.parquet(tmp).count()
+    keep.write.mode("overwrite").parquet(tmpPath.toString)
+    val kept = spark.read.parquet(tmpPath.toString).count()
     // Atomic-ish swap: move old out, tmp in, drop old.
-    val p = Paths.get(path)
-    val old = Paths.get(path.stripSuffix("/") + ".old")
     Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmpPath, p, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
     total - kept
   }
@@ -51,7 +65,7 @@ object Maintenance {
   def countIndex(spark: SparkSession, name: String): Long =
     spark.table(name).count()
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)
       val children =

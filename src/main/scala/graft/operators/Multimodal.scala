@@ -75,10 +75,15 @@ object Multimodal {
     * frame rows out → explode keeps it distributed, no driver loop).
     */
   def frameSample(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
-    // nFrames = complete frames available; zero frames (short or null
-    // payload) must yield zero rows, not one truncated phantom frame —
-    // explode of a null array emits nothing.
-    val nFrames = floor(octet_length(col("payload")) / frameBytes / everyK).cast("bigint")
+    // Sampled frames sit at offsets 0, k, 2k, ... of the COMPLETE frames
+    // (floor(len/frameBytes) of them): count = floor((complete-1)/k) + 1.
+    // The naive floor(len/frameBytes/k) undercounts whenever a trailing
+    // sampled frame is complete but the blob ends mid-stride (e.g.
+    // len=30, frame=10, k=2 holds frames at 0 and 20 — two, not one).
+    // Zero complete frames (short or null payload) must yield zero rows,
+    // not one truncated phantom frame — explode of null emits nothing.
+    val complete = floor(octet_length(col("payload")) / frameBytes).cast("bigint")
+    val nFrames = when(complete >= 1, floor((complete - 1) / everyK) + 1)
     media
       .withColumn("frame_idx",
         explode(when(nFrames >= 1, sequence(lit(0L), nFrames - 1))))

@@ -25,6 +25,15 @@ object Similarity {
 
   def norm(a: Column): Column = graft.functions.VectorFunctions.norm_f(a)
 
+  /** Cosine that can never be NaN: a zero-norm vector has no direction,
+    * so its pairs score -1.0 (ranked last, deterministic) instead of
+    * 0/0 = NaN — which Spark sorts GREATER than every real number (rank
+    * 1 of every top-k) and which poisons min-heap eviction in the tile
+    * kernel (nothing compares greater than a NaN head).
+    */
+  private def cosSafe(dotCol: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(-1.0)).otherwise(dotCol / (na * nb))
+
   /** Exact top-k neighbors per probe with partial (map-side) top-k.
     *
     * @param corpus  (id: bigint, embedding: array<float>)
@@ -37,7 +46,7 @@ object Similarity {
       norm(col("embedding")).as("na"))
     val scored = c.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        cosSafe(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
     // Partial top-k per (input partition × probe): spark_partition_id in
     // the window key bounds every partition's contribution to k rows per
     // probe BEFORE the exchange; the final window re-ranks k×P rows.
@@ -118,7 +127,9 @@ object Similarity {
             var s = 0.0; var d = 0
             val len = math.min(a.length, b.length)
             while (d < len) { s += a(d).toDouble * b(d).toDouble; d += 1 }
-            val cos = s / (na * nb)
+            // Zero-norm guard (see cosSafe): a NaN here would become the
+            // heap head and block every subsequent eviction.
+            val cos = if (na == 0.0 || nb == 0.0) -1.0 else s / (na * nb)
             val id1 = math.min(ida, idb); val id2 = math.max(ida, idb)
             if (heap.size < k) heap.enqueue((cos, id1, id2))
             else {
@@ -157,9 +168,13 @@ object Similarity {
     */
   def autoBlockCount(spark: org.apache.spark.sql.SparkSession,
       embeddings: DataFrame, budgetBytes: Long = BlockBudgetBytes): Int = {
-    val n = embeddings.count()
+    // count + WIDEST vector in one pass — a first-row probe would
+    // undersize blocks on mixed-dim corpora (and NPE on a null row).
+    val stats = embeddings
+      .agg(count(lit(1)), max(size(col("embedding")))).head
+    val n = stats.getLong(0)
     if (n == 0) return 1
-    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    val dim = if (stats.isNullAt(1)) 1 else stats.getInt(1)
     val bytesPerVec = 4L * math.max(dim, 1) + 24 // float payload + id/struct overhead
     val sizeDriven = ((n * bytesPerVec + budgetBytes - 1) / budgetBytes).toInt
     val par = spark.sparkContext.defaultParallelism
@@ -226,7 +241,7 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        cosSafe(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

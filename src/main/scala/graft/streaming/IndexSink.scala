@@ -83,29 +83,38 @@ object IndexSink {
   /** Materialize upsert resolution like an index segment merge: the
     * epoch history is REPLACED by one snapshot directory (written
     * outside the index first — writing into the glob being read would
-    * self-overwrite — then swapped in as the sole remaining epoch).
+    * self-overwrite — then swapped in).
+    *
+    * Crash-safe ordering: the snapshot moves IN (under a fresh unique
+    * epoch name) BEFORE the old epoch dirs are deleted, so the index is
+    * readable at every instant — never a window where the only copy sits
+    * outside the read glob. A crash mid-deletion leaves snapshot + some
+    * old epochs coexisting: the rows are exact duplicates with their
+    * original `_epoch` values, so `registerLatestView` still resolves
+    * correctly, and a re-run compacts the remainder. Stale `.compact.tmp`
+    * from a crashed attempt is dropped at entry.
     * Returns rows in the snapshot.
     */
   def compact(spark: SparkSession, indexPath: String, key: String,
       shards: Int): Long = {
     import java.nio.file.{Files, Paths}
-    val tmp = indexPath.stripSuffix("/") + ".compact.tmp"
+    val root = Paths.get(indexPath)
+    val tmp = Paths.get(indexPath.stripSuffix("/") + ".compact.tmp")
+    graft.operators.Maintenance.deleteRecursively(tmp)
     latestPerKey(spark.read.parquet(s"$indexPath/*"), key)
       .repartition(shards)
-      .write.mode("overwrite").parquet(tmp)
-    val root = Paths.get(indexPath)
+      .write.mode("overwrite").parquet(tmp.toString)
     val epochs = Files.list(root)
     val old =
       try { import scala.jdk.CollectionConverters._
         epochs.iterator().asScala.filter(_.getFileName.toString.startsWith("epoch=")).toSeq }
       finally epochs.close()
-    old.foreach { d =>
-      val s = Files.walk(d)
-      val all = try { import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toSeq.reverse } finally s.close()
-      all.foreach(Files.deleteIfExists(_))
-    }
-    Files.move(Paths.get(tmp), root.resolve("epoch=compacted"))
+    val gen = 1L + old.map(_.getFileName.toString)
+      .filter(_.startsWith("epoch=compact-"))
+      .map(n => scala.util.Try(n.stripPrefix("epoch=compact-").toLong).getOrElse(0L))
+      .foldLeft(0L)(math.max)
+    Files.move(tmp, root.resolve(s"epoch=compact-$gen"))
+    old.foreach(graft.operators.Maintenance.deleteRecursively)
     spark.read.parquet(s"$indexPath/*").count()
   }
 

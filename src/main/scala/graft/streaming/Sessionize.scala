@@ -46,7 +46,15 @@ object Sessionize {
     events.sortBy(e => micros(e.ts)).foreach { e =>
       cur match {
         case Some(s) if micros(e.ts) - micros(s.lastTs) < gapMicros =>
-          cur = Some(s.copy(lastTs = e.ts, n = s.n + 1))
+          // Extend with min/max, never assignment: an in-watermark LATE
+          // event (earlier than state carried from a previous micro-batch)
+          // must not regress lastTs — that would emit end < start sessions
+          // and split on the next in-order event — and may extend the
+          // session's start backward (session_window merge semantics).
+          cur = Some(SessionState(
+            start = if (micros(e.ts) < micros(s.start)) e.ts else s.start,
+            lastTs = if (micros(e.ts) > micros(s.lastTs)) e.ts else s.lastTs,
+            n = s.n + 1))
         case Some(s) =>
           closed += Session(userId, s.start, s.lastTs, s.n)
           cur = Some(SessionState(e.ts, e.ts, 1))

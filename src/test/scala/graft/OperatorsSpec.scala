@@ -34,6 +34,42 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.select(max(octet_length(col("frame")))).head().getInt(0) <= 4)
   }
 
+  test("frameSample: a trailing complete frame mid-stride is NOT dropped") {
+    import spark.implicits._
+    // 30 bytes, frame=10, every 2nd: complete frames at 0,10,20; sampled
+    // at offsets 0 and 20 — the naive floor(len/frame/k) says 1.
+    val blob = Seq((1L, Array.fill[Byte](30)('x'))).toDF("media_id", "payload")
+    val frames = Multimodal.frameSample(blob, 10, 2)
+      .select("frame_idx").as[Long].collect().toSeq.sorted
+    assert(frames == Seq(0L, 1L), s"got $frames")
+    // 29 bytes: the offset-20 frame is incomplete (complete frames =
+    // 0,10), so only the offset-0 sample rides.
+    val short = Seq((1L, Array.fill[Byte](29)('x'))).toDF("media_id", "payload")
+    assert(Multimodal.frameSample(short, 10, 2).count() == 1)
+  }
+
+  test("zero-norm embeddings never poison top-k (no NaN cosine)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)), // zero vector: no direction
+      (4L, Array(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val byId = vecs.withColumnRenamed("vec_id", "id")
+    val top = Similarity.topKPerProbe(byId, byId.filter(col("id") === 1), 2)
+      .select("neighbor_id", "cos").collect()
+    // The zero vector must not outrank real neighbors (NaN sorts above
+    // every double in Spark) and no cosine may be NaN.
+    assert(top.forall(r => !r.getDouble(1).isNaN))
+    assert(top.map(_.getLong(0)).toSet == Set(2L, 4L), s"got ${top.toSeq}")
+    val pairs = Similarity.bruteForceTopPairs(spark, vecs, k = 2, nBlocks = 2)
+      .collect()
+    assert(pairs.forall(r => !r.getDouble(2).isNaN))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (2L, 4L)) ||
+      pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (1L, 4L)),
+      s"zero vector crowded out real pairs: ${pairs.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))}")
+  }
+
   test("hyperplane LSH buckets identical vectors together") {
     import spark.implicits._
     val vecs = Seq(

@@ -25,6 +25,63 @@ class OperatorsSpec2 extends SparkSpec {
     assert(got == expect)
   }
 
+  test("AsOfJoin: a most-recent right row with NULL value yields NULL, not a stale value") {
+    import spark.implicits._
+    val left = Seq((1L, 3L)).toDF("k", "lt")
+    val right = Seq(
+      (1L, 1L, Some(5L), 10L),
+      (1L, 2L, None, 11L)) // most recent match — value genuinely NULL
+      .toDF("k", "rt", "v", "ord")
+    val out = AsOfJoin.asof(left, right, key = "k", leftTime = "lt",
+      rightTime = "rt", rightValue = "v", rightOrder = "ord")
+      .select("asof_value").as[Option[Long]].collect().toSeq
+    assert(out == Seq(None),
+      s"NULL right value must not fall back to an older row: $out")
+    // And a left row BEFORE any right row still gets NULL (no match).
+    val none = AsOfJoin.asof(Seq((1L, 0L)).toDF("k", "lt"), right,
+      key = "k", leftTime = "lt", rightTime = "rt",
+      rightValue = "v", rightOrder = "ord")
+      .select("asof_value").as[Option[Long]].collect().toSeq
+    assert(none == Seq(None))
+  }
+
+  test("sessionizeStream: an in-watermark LATE event cannot regress the open session") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess-late").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.map { case (u, ts) => s"""{"user_id": $u, "ts": "$ts"}""" }
+        .toDF("value").coalesce(1).write.mode("append").text(s"$tmp/in")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    // 10-min gap, 30-min watermark: batch 1 delivers an event EARLIER
+    // than the state's lastTs (late but inside the watermark) plus one
+    // event gap-minutes after the TRUE last event. Before the min/max
+    // fold fix, lastTs regressed to the late event and the 12:10 event
+    // closed a corrupt end<start session.
+    write(Seq((1L, "2024-01-01 12:00:00")))
+    val src = spark.readStream.schema(schema).json(s"$tmp/in")
+      .withWatermark("ts", "30 minutes").as[Sessionize.Event]
+    val q = Sessionize.sessionizeStream(spark, src, gapMillis = 10 * 60 * 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_late_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    write(Seq((1L, "2024-01-01 11:55:00"), (1L, "2024-01-01 12:05:00")))
+    q.processAllAvailable()
+    write(Seq((2L, "2024-01-01 15:00:00"))) // advance watermark: flush user 1
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_late_out")
+      .filter(col("user_id") === 1L)
+      .select(date_format(col("session_start"), "HH:mm").as("s"),
+        date_format(col("session_end"), "HH:mm").as("e"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    // ONE session [11:55, 12:05] x3 — start extended backward by the
+    // late event, end never regressed, no split.
+    assert(sessions == Set(("11:55", "12:05", 3L)), s"got $sessions")
+  }
+
   test("salted join matches plain join; salted count matches groupBy count") {
     import spark.implicits._
     val orders = queries.Tables.t(spark, sfDir, "orders")
