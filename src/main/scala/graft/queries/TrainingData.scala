@@ -698,11 +698,51 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  val q72_cluster_dedup: QueryDef = q(
+    "q72_cluster_dedup",
+    s"""WITH RECURSIVE $shinglesSql,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT id1, id2
+       |          FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+       |          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b),
+       |cc AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+       |SELECT component AS survivor_id, count(*) AS n_members,
+       |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+       |FROM cc GROUP BY component ORDER BY survivor_id""".stripMargin
+  ) { (s, dir) =>
+    // CLUSTER-level dedup — the survivor-selection step a real pipeline
+    // runs after pairwise near-dup detection: duplicate clusters are the
+    // connected components of the (exact, oracle-reproducible) Jaccard
+    // >= 0.8 pair graph from q32, each keeping its min doc_id. Spark
+    // resolves components by distributed min-label propagation
+    // (Dedup.components: one join + one aggregate per iteration, never a
+    // driver-side graph); the oracle's WITH RECURSIVE reachability is the
+    // same fixpoint. The 3-member chains in the corpus make this a real
+    // TRANSITIVITY check, not a pair echo: A~B and B~C land in one
+    // cluster even when A~C itself scores below the threshold.
+    val prs = q32_neardup_jaccard.build(s, dir).select("id1", "id2")
+    graft.operators.Dedup.components(prs)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        expr("concat_ws(',', transform(array_sort(collect_list(id)), x -> CAST(x AS STRING)))")
+          .as("members"))
+      .select(col("component").as("survivor_id"), col("n_members"), col("members"))
+      .orderBy("survivor_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
     q43_minhash_sig, q44_lsh_pairs, q45_simhash, q46_embed_neardup,
     q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match,
     q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh,
-    q70_mixture_sample, q71_repetition)
+    q70_mixture_sample, q71_repetition, q72_cluster_dedup)
 }
