@@ -738,11 +738,31 @@ object TrainingData {
       .orderBy("survivor_id")
   }
 
+  val q73_ann_ivf: QueryDef = QueryDef("q73_ann_ivf", None) { (s, dir) =>
+    // The IVF-flat ANN path surfaced in the registry: deterministic
+    // k-means coarse quantizer (init = first k by vec_id, 3 Lloyd
+    // steps), cell assignment, then top-5 cosine probing only the 2
+    // nearest cells per probe. Lloyd iteration is not reasonably
+    // expressible in one DuckDB statement, so this entry carries no
+    // oracle SQL — the driver records the weaker rows-only check; exact
+    // RECALL vs brute force is asserted in OperatorsSpec2 ("IVF search
+    // recall"). Every step is deterministic (ordered init, ascending-id
+    // tie-breaks), so row counts are stable across runs and engines.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val model = graft.operators.Ivf.train(s, emb, k = 8, iters = 3)
+    val indexed = graft.operators.Ivf.index(s, emb, model)
+    val probes = emb.filter(col("vec_id") < 5)
+    graft.operators.Ivf.search(s, indexed, model, probes, k = 5, nprobe = 2)
+      .select(col("probe_id"), col("neighbor_id"),
+        Par.r2(col("cos")).as("cos_sim"), col("rnk").cast("bigint").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
     q43_minhash_sig, q44_lsh_pairs, q45_simhash, q46_embed_neardup,
     q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match,
     q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh,
-    q70_mixture_sample, q71_repetition, q72_cluster_dedup)
+    q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf)
 }
