@@ -189,6 +189,40 @@ class OperatorsSpec2 extends SparkSpec {
     assert(IndexSink.compact(spark, s"$tmp/index", "recordId", shards = 2) == 2)
   }
 
+  test("compact survives a stale tmp and a crash mid-deletion") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-compact-crash").toString
+    val index = s"$tmp/index"
+    val e0 = Seq(("a", 10.0, 0L), ("b", 20.0, 0L)).toDF("recordId", "value", "_epoch")
+    e0.write.parquet(s"$index/epoch=0")
+    Seq(("a", 99.0, 1L)).toDF("recordId", "value", "_epoch")
+      .write.parquet(s"$index/epoch=1") // upsert of a
+    // A crashed earlier attempt left a stale compact tmp — must be
+    // dropped at entry, never merged into the snapshot.
+    Seq(("junk", -1.0, 9L)).toDF("recordId", "value", "_epoch")
+      .write.parquet(s"$tmp/index.compact.tmp")
+    assert(IndexSink.compact(spark, index, "recordId", shards = 2) == 2)
+    // Crash mid-deletion: the snapshot moved in but one old epoch never
+    // got deleted. Re-plant it next to the snapshot.
+    e0.write.mode("overwrite").parquet(s"$index/epoch=0")
+    // The index stays CORRECT in this state: duplicates carry their
+    // original _epoch, so last-write-per-key still resolves.
+    IndexSink.registerLatestView(spark, index, "crash_latest", "recordId")
+    assert(spark.table("crash_latest").select("recordId", "value")
+      .as[(String, Double)].collect().toMap == Map("a" -> 99.0, "b" -> 20.0))
+    // A re-run compacts the remainder under a bumped generation.
+    assert(IndexSink.compact(spark, index, "recordId", shards = 2) == 2)
+    val dirs = Files.list(Paths.get(index))
+    val names = try { import scala.jdk.CollectionConverters._
+      dirs.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("epoch=")).toSet } finally dirs.close()
+    assert(names == Set("epoch=compact-2"), s"got $names")
+    IndexSink.registerLatestView(spark, index, "crash_latest2", "recordId")
+    assert(spark.table("crash_latest2").select("recordId", "value")
+      .as[(String, Double)].collect().toMap == Map("a" -> 99.0, "b" -> 20.0))
+  }
+
   test("sessionizeStream carries the open session ACROSS micro-batches") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -92,6 +92,24 @@ class SourcesSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_test_index"))
   }
 
+  test("maintenance: deleteWhere self-heals from a crash mid-swap") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-maint-crash").toString
+    spark.range(100).withColumn("shard", pmod(col("id"), lit(4)))
+      .write.mode("overwrite").parquet(s"$tmp/t")
+    // Crash state (b) from the deleteWhere scaladoc: the previous run
+    // died between the two moves — table path missing, data parked in
+    // `.old` — AND an earlier failed attempt left a stale rewrite tmp.
+    Files.move(Paths.get(s"$tmp/t"), Paths.get(s"$tmp/t.old"))
+    spark.range(5).write.mode("overwrite").parquet(s"$tmp/t.rewrite.tmp")
+    val deleted = Maintenance.deleteWhere(spark, s"$tmp/t", col("shard") === 0)
+    assert(deleted == 25, s"deleted $deleted")
+    assert(spark.read.parquet(s"$tmp/t").count() == 75)
+    // Recovery artifacts are gone — the next call starts clean.
+    assert(!Files.exists(Paths.get(s"$tmp/t.old")))
+    assert(!Files.exists(Paths.get(s"$tmp/t.rewrite.tmp")))
+  }
+
   test("dot_f is SQL-callable after extension registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
