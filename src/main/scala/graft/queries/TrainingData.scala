@@ -77,18 +77,25 @@ object TrainingData {
        |FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
        |ORDER BY id1, id2""".stripMargin
-  ) { (s, dir) =>
-    // EXACT near-dup join with prefix filtering (the classic lossless
-    // candidate pruning from the set-similarity-join literature, e.g.
-    // PPJoin): order each doc's shingles globally by ascending document
-    // frequency; if Jaccard(A,B) >= t, A and B MUST share a shingle
-    // within their first |X| - ceil(t*|X|) + 1 shingles of that order.
-    // Candidates therefore come only from joining those ~(1-t)-fraction
-    // prefixes — which by construction hold the RAREST shingles, so the
-    // equality join's per-key fan-out stays tiny even when the corpus
-    // shares a common vocabulary. Verification then computes the exact
-    // Jaccard for the few candidates. Results are identical to the
-    // all-shingles join (and the oracle); only the plan changes.
+  ) { (s, dir) => jaccardPairs(s, dir).orderBy("id1", "id2") }
+
+  /** The q32 pair computation without the presentation sort — shared with
+    * q72, whose components() input doesn't care about order (feeding it
+    * the sorted form would pay a global range exchange for nothing).
+    *
+    * EXACT near-dup join with prefix filtering (the classic lossless
+    * candidate pruning from the set-similarity-join literature, e.g.
+    * PPJoin): order each doc's shingles globally by ascending document
+    * frequency; if Jaccard(A,B) >= t, A and B MUST share a shingle
+    * within their first |X| - ceil(t*|X|) + 1 shingles of that order.
+    * Candidates therefore come only from joining those ~(1-t)-fraction
+    * prefixes — which by construction hold the RAREST shingles, so the
+    * equality join's per-key fan-out stays tiny even when the corpus
+    * shares a common vocabulary. Verification then computes the exact
+    * Jaccard for the few candidates. Results are identical to the
+    * all-shingles join (and the oracle); only the plan changes.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sdf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
@@ -117,7 +124,6 @@ object TrainingData {
       .join(sz.select(col("doc_id").as("id2"), col("n").as("nb")), "id2")
       .select(col("id1"), col("id2"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy("id1", "id2")
   }
 
   // --------------------------------------- Q33: vector similarity top-k
@@ -728,7 +734,7 @@ object TrainingData {
     // same fixpoint. The 3-member chains in the corpus make this a real
     // TRANSITIVITY check, not a pair echo: A~B and B~C land in one
     // cluster even when A~C itself scores below the threshold.
-    val prs = q32_neardup_jaccard.build(s, dir).select("id1", "id2")
+    val prs = jaccardPairs(s, dir).select("id1", "id2")
     graft.operators.Dedup.components(prs)
       .groupBy("component")
       .agg(count(lit(1)).as("n_members"),
