@@ -23,6 +23,15 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("components on an empty pair list returns empty and terminates") {
+    import spark.implicits._
+    // Exercises the null-sum (empty graph) branch of the convergence
+    // certificate: two empty iterations certify the fixpoint; without
+    // the None == None case the loop would spin to maxIters and throw.
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.components(empty).count() == 0)
+  }
+
   test("nearDedup drops every planted near-duplicate, keeps one per cluster") {
     import spark.implicits._
     val docs = queries.Tables.t(spark, "/root/testdata/sf0.01", "documents")
