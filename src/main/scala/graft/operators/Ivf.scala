@@ -98,19 +98,21 @@ object Ivf {
           (id, c, d)
         }.sortBy(x => (x._3, x._2)).take(nprobe).map { case (pid, c, _) => (pid, c) }
       }.toDF("probe_id", "cell")
-    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    // Norms once per VECTOR before the join (not per joined pair — a
+    // probe's norm would otherwise be re-folded for every candidate).
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        sqrt(dot_f(col("embedding"), col("embedding"))).as("na"))
       .join(probeCells, "probe_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-    val na = sqrt(dot_f(col("pe"), col("pe")))
-    val nb = sqrt(dot_f(col("embedding"), col("embedding")))
-    indexed.join(broadcast(p), Seq("cell"))
+    indexed
+      .withColumn("nb", sqrt(dot_f(col("embedding"), col("embedding"))))
+      .join(broadcast(p), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        // zero-norm guard: NaN would sort ABOVE every real cosine and
-        // occupy rank 1 of every probe's top-k
-        when(na === 0.0 || nb === 0.0, lit(-1.0))
-          .otherwise(dot_f(col("pe"), col("embedding")) / (na * nb))
+        // shared zero-norm guard: NaN would sort ABOVE every real cosine
+        // and occupy rank 1 of every probe's top-k
+        Similarity.cosSafe(dot_f(col("pe"), col("embedding")), col("na"), col("nb"))
           .as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

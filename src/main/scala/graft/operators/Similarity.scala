@@ -31,7 +31,7 @@ object Similarity {
     * 1 of every top-k) and which poisons min-heap eviction in the tile
     * kernel (nothing compares greater than a NaN head).
     */
-  private def cosSafe(dotCol: Column, na: Column, nb: Column): Column =
+  private[graft] def cosSafe(dotCol: Column, na: Column, nb: Column): Column =
     when(na === 0.0 || nb === 0.0, lit(-1.0)).otherwise(dotCol / (na * nb))
 
   /** Exact top-k neighbors per probe with partial (map-side) top-k.

@@ -399,8 +399,9 @@ object TrainingData {
       |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |      FROM embeddings),
       |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-      |        list_sum(list_transform(range(1, len(a.embedding) + 1),
-      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+      |        CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN -1.0
+      |             ELSE list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) END AS cos
       |      FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id)
       |SELECT id1, id2, floor(cos * 100 + 0.5) / 100 AS cos_sim
       |FROM pairs ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
@@ -411,6 +412,10 @@ object TrainingData {
     // float arrays is ever materialized through a join; no corpus data
     // touches the driver (tiles emit only their local top-k). The LSH
     // hyperplane path replaces it past brute-force compute budgets.
+    // The oracle's CASE mirrors the kernel's zero-norm guard (cos :=
+    // -1.0, ranked last) so parity holds even on corpora that contain a
+    // zero vector — DuckDB's 0/0 NaN would otherwise sort FIRST and fill
+    // the LIMIT while Spark's guarded top-k excludes it.
     graft.operators.Similarity
       .bruteForceTopPairs(s, t(s, dir, "embeddings"), 20)
       .select(col("id1"), col("id2"), Par.r2(col("cos")).as("cos_sim"))
@@ -751,7 +756,7 @@ object TrainingData {
     // nearest cells per probe. Lloyd iteration is not reasonably
     // expressible in one DuckDB statement, so this entry carries no
     // oracle SQL — the driver records the weaker rows-only check; exact
-    // RECALL vs brute force is asserted in OperatorsSpec2 ("IVF search
+    // RECALL vs brute force is asserted in StreamingTwinSpec ("IVF search
     // recall"). Every step is deterministic (ordered init, ascending-id
     // tie-breaks), so row counts are stable across runs and engines.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))

@@ -38,28 +38,39 @@ object Sessionize {
 
   /** Fold this invocation's events into the open-session state, returning
     * (sessions closed by gaps, final open session).
+    *
+    * Classic interval merge with session_window's overlap rule: the
+    * carried open session enters the SORTED timeline as an interval
+    * (point events are [ts, ts]); sorted by start, the next interval
+    * merges into the current one iff `next.start < cur.lastTs + gap`.
+    * This gets every late-event case right: an in-watermark late event
+    * within gap of the open session extends it (possibly moving start
+    * backward); one MORE than gap before the session's start forms its
+    * own earlier session and is emitted closed — merging it (the old
+    * lastTs-distance-only guard did) would glue two non-overlapping
+    * windows together. Residual O(1)-state approximation, documented: a
+    * session already emitted closed can't be reopened by a yet-later
+    * event; replay-identical output would need per-key session LISTS
+    * until the watermark passes, i.e. O(sessions) state.
     */
   private def fold(userId: Long, events: Seq[Event], open: Option[SessionState],
       gapMicros: Long): (Seq[Session], Option[SessionState]) = {
+    val intervals = (events.map(e => SessionState(e.ts, e.ts, 1)) ++ open)
+      .sortBy(s => (micros(s.start), micros(s.lastTs)))
     val closed = Seq.newBuilder[Session]
-    var cur = open
-    events.sortBy(e => micros(e.ts)).foreach { e =>
+    var cur: Option[SessionState] = None
+    intervals.foreach { iv =>
       cur match {
-        case Some(s) if micros(e.ts) - micros(s.lastTs) < gapMicros =>
-          // Extend with min/max, never assignment: an in-watermark LATE
-          // event (earlier than state carried from a previous micro-batch)
-          // must not regress lastTs — that would emit end < start sessions
-          // and split on the next in-order event — and may extend the
-          // session's start backward (session_window merge semantics).
+        case Some(s) if micros(iv.start) - micros(s.lastTs) < gapMicros =>
           cur = Some(SessionState(
-            start = if (micros(e.ts) < micros(s.start)) e.ts else s.start,
-            lastTs = if (micros(e.ts) > micros(s.lastTs)) e.ts else s.lastTs,
-            n = s.n + 1))
+            start = s.start, // sorted by start: s.start is the min
+            lastTs = if (micros(iv.lastTs) > micros(s.lastTs)) iv.lastTs else s.lastTs,
+            n = s.n + iv.n))
         case Some(s) =>
           closed += Session(userId, s.start, s.lastTs, s.n)
-          cur = Some(SessionState(e.ts, e.ts, 1))
+          cur = Some(iv)
         case None =>
-          cur = Some(SessionState(e.ts, e.ts, 1))
+          cur = Some(iv)
       }
     }
     (closed.result(), cur)

@@ -82,6 +82,42 @@ class OperatorsSpec2 extends SparkSpec {
     assert(sessions == Set(("11:55", "12:05", 3L)), s"got $sessions")
   }
 
+  test("sessionizeStream: a late event OUTSIDE the open session's window forms its own session") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess-split").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.map { case (u, ts) => s"""{"user_id": $u, "ts": "$ts"}""" }
+        .toDF("value").coalesce(1).write.mode("append").text(s"$tmp/in")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    // 10-min gap, 40-min watermark. Batch 2 delivers 11:30 — in the
+    // watermark, but 11:30 + gap <= 12:00: its session window does NOT
+    // overlap the open [12:00] session. Merging them (the old
+    // lastTs-distance-only guard) produced one [11:30, 12:05] session; a
+    // batch replay yields two.
+    write(Seq((1L, "2024-01-01 12:00:00")))
+    val src = spark.readStream.schema(schema).json(s"$tmp/in")
+      .withWatermark("ts", "40 minutes").as[Sessionize.Event]
+    val q = Sessionize.sessionizeStream(spark, src, gapMillis = 10 * 60 * 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_split_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable()
+    write(Seq((1L, "2024-01-01 11:30:00"), (1L, "2024-01-01 12:05:00")))
+    q.processAllAvailable()
+    write(Seq((2L, "2024-01-01 15:00:00"))) // advance watermark: flush user 1
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_split_out")
+      .filter(col("user_id") === 1L)
+      .select(date_format(col("session_start"), "HH:mm").as("s"),
+        date_format(col("session_end"), "HH:mm").as("e"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(sessions == Set(("11:30", "11:30", 1L), ("12:00", "12:05", 2L)),
+      s"got $sessions")
+  }
+
   test("salted join matches plain join; salted count matches groupBy count") {
     import spark.implicits._
     val orders = queries.Tables.t(spark, sfDir, "orders")
