@@ -64,4 +64,40 @@ class KernelPropertySpec extends SparkSpec {
       assert(groups.forall(_.nonEmpty))
     }
   }
+
+  test("AsOfJoin matches naive per-row semantics on arbitrary inputs (ties + null values)") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    // Dense keys/times force the interesting cases: equal-time
+    // (inclusive) matches, right-side ties broken by max ord, and
+    // most-recent rows whose value is genuinely NULL. ord is the row
+    // index — unique, so the tie-break is well-defined.
+    val leftGen = Gen.listOfN(25, for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 10L)
+    } yield (k, t))
+    val rightGen = Gen.listOfN(25, for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 10L)
+      v <- Gen.option(Gen.choose(-9L, 9L))
+    } yield (k, t, v))
+    samples(Gen.zip(leftGen, rightGen), 6).foreach { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "lt")
+      val right = rs.zipWithIndex.map { case ((k, t, v), i) => (k, t, v, i.toLong) }
+        .toDF("k", "rt", "v", "ord")
+      val got = AsOfJoin.asof(left, right, key = "k", leftTime = "lt",
+          rightTime = "rt", rightValue = "v", rightOrder = "ord")
+        .select("lid", "asof_value").as[(Long, Option[Long])]
+        .collect().toMap
+      ls.zipWithIndex.foreach { case ((k, t), i) =>
+        val cands = rs.zipWithIndex
+          .filter { case ((rk, rt, _), _) => rk == k && rt <= t }
+        val expect: Option[Long] =
+          if (cands.isEmpty) None
+          else cands.maxBy { case ((_, rt, _), ord) => (rt, ord) }._1._3
+        assert(got(i.toLong) == expect,
+          s"lid=$i k=$k lt=$t: got ${got(i.toLong)}, want $expect " +
+            s"(rights for k: ${rs.filter(_._1 == k)})")
+      }
+    }
+  }
 }
