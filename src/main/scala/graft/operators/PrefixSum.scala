@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
 
 /** Distributed running total — the scale-correct form of
   * `sum(x) OVER (ORDER BY k)`.
@@ -48,9 +48,20 @@ object PrefixSum {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    // SQL RANGE peers include -0.0 with 0.0; Java-compare-based range
+    // boundaries treat them as distinct keys and could split the zero
+    // peer group across partitions (breaking the one-partition-per-peer-
+    // group invariant the final pass relies on). Partition and sort on a
+    // normalized key; rows keep their raw values.
+    val keyCol = df.schema(sortCol).dataType match {
+      case DoubleType | FloatType =>
+        when(col(sortCol) === 0, lit(0).cast(df.schema(sortCol).dataType))
+          .otherwise(col(sortCol))
+      case _ => col(sortCol)
+    }
     val ranged = df
-      .repartitionByRange(p, col(sortCol))
-      .sortWithinPartitions(sortCol)
+      .repartitionByRange(p, keyCol)
+      .sortWithinPartitions(keyCol)
     val kIdx = ranged.schema.fieldIndex(sortCol)
     val vIdx = ranged.schema.fieldIndex(valueCol)
 
@@ -79,9 +90,9 @@ object PrefixSum {
         override def hasNext: Boolean = group.hasNext || in.hasNext
         override def next(): Row = {
           if (!group.hasNext) {
-            val key = in.head.get(kIdx)
+            val key = canonKey(in.head.get(kIdx))
             val peers = Vector.newBuilder[Row]
-            while (in.hasNext && in.head.get(kIdx) == key) {
+            while (in.hasNext && canonKey(in.head.get(kIdx)) == key) {
               val r = in.next()
               if (!r.isNullAt(vIdx)) { run += r.getLong(vIdx); seen = true }
               peers += r
@@ -94,5 +105,15 @@ object PrefixSum {
       }
     }
     spark.createDataFrame(outRdd, ranged.schema.add(outCol, LongType))
+  }
+
+  /** Peer equality must match SQL, not boxed Java equals: -0.0 and 0.0
+    * are SQL peers (Double.equals says otherwise); NaN==NaN is already
+    * true under boxed equals, matching SQL's all-NaNs-are-peers sort.
+    */
+  private def canonKey(a: Any): Any = a match {
+    case d: java.lang.Double if d.doubleValue == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue == 0.0f => java.lang.Float.valueOf(0.0f)
+    case x => x
   }
 }

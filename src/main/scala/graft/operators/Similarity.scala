@@ -227,12 +227,18 @@ object Similarity {
 
   /** Candidate near-dup pairs via LSH buckets: all-pairs only WITHIN a
     * bucket (hash join on bucket key), then exact cosine on candidates.
+    *
+    * `dim` passes through to [[hyperplaneLsh]]: supply the known vector
+    * width to skip its eager max-width probe (an extra aggregate-only
+    * corpus scan per call) — REQUIRED for streaming inputs, where the
+    * probe would throw.
     */
-  def lshNearDupPairs(embeddings: DataFrame, nPlanes: Int, minCos: Double): DataFrame = {
+  def lshNearDupPairs(embeddings: DataFrame, nPlanes: Int, minCos: Double,
+      dim: Int = 0): DataFrame = {
     // Norms computed ONCE per vector before the join — recomputing them
     // inside the joined projection would redo O(dim) work per pair.
     val withBucket = hyperplaneLsh(
-      embeddings.select(col("vec_id"), col("embedding")), nPlanes)
+      embeddings.select(col("vec_id"), col("embedding")), nPlanes, dim)
       .withColumn("nrm", norm(col("embedding")))
     val a = withBucket.select(col("vec_id").as("id1"), col("embedding").as("ea"),
       col("nrm").as("na"), col("bucket"))

@@ -52,6 +52,13 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
   // Per-epoch payload bytes: a replayed epoch overwrites its dir, so its
   // previous contribution must be retracted, not double-counted.
   private val epochBytes = scala.collection.mutable.Map.empty[Long, Long]
+  // Epochs recovered from a crashed incarnation's staging area. Their
+  // part-set may be PARTIAL (the crash could have hit mid-write), so a
+  // size-triggered flush skips them — the imminent restart replay will
+  // overwrite them with the authoritative part-set. Only an AGE flush
+  // (or close()) delivers them as-is: if the replay hasn't arrived
+  // within maxAgeMillis, delivering recovered data beats orphaning it.
+  private val provisional = scala.collection.mutable.Set.empty[Long]
   // Highest epoch id already promoted to a delivery object; replays of
   // flushed epochs are skipped (they were delivered — re-staging them
   // would double-deliver on the next flush).
@@ -74,6 +81,7 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
       else partFiles(d).map(_.getLen).sum
     if (recovered > 0) {
       epochBytes(id) = recovered
+      provisional += id // possibly partial — see the field's scaladoc
       bytes.addAndGet(recovered)
       if (firstArrivalMs < 0) firstArrivalMs = System.currentTimeMillis()
     } else fs.delete(d, true)
@@ -101,62 +109,92 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     }
     if (alreadyFlushed) return
     val dir = new Path(staging, s"epoch=$epochId")
+    // A replay of a REGISTERED epoch (re-run in this incarnation, or
+    // recovered from a crashed one) overwrites its dir. Unregister it
+    // under the lock BEFORE the rewrite starts: a concurrent age-tick
+    // flush must never promote a dir whose overwrite is in flight — it
+    // would deliver a partial part-set, delete the dir under the writer,
+    // and advance the watermark past records that were never promoted.
+    // While unregistered, flush skips the dir (promote-only-registered);
+    // the rewrite re-registers it below and it rides the next flush.
+    synchronized {
+      epochBytes.remove(epochId).foreach(prev => bytes.addAndGet(-prev))
+      provisional -= epochId // the replay supersedes recovered bytes
+      if (epochBytes.isEmpty) firstArrivalMs = -1L
+    }
     lines.select(rtrim(col(lines.columns.head), "\n").as("value"))
       .write.mode("overwrite").text(dir.toString)
     // Only payload part-files count toward the size threshold (not
     // _SUCCESS markers or .crc checksums).
     val added = partFiles(dir).map(_.getLen).sum
     synchronized {
-      val prev = epochBytes.getOrElse(epochId, 0L)
-      if (added == 0 && prev == 0) {
-        // Empty micro-batch: don't accumulate empty epoch dirs / map
-        // entries (idle streams tick every trigger interval).
+      if (added == 0) {
+        // Empty micro-batch (or an empty replay): don't accumulate empty
+        // epoch dirs / map entries (idle streams tick every trigger).
         fs.delete(dir, true)
       } else {
         epochBytes(epochId) = added
-        bytes.addAndGet(added - prev)
+        bytes.addAndGet(added)
         if (firstArrivalMs < 0) firstArrivalMs = nowMs()
       }
     }
     maybeFlush(nowMs())
   }
 
-  /** Flush when size OR age threshold is met (Firehose: whichever first). */
+  /** Flush when size OR age threshold is met (Firehose: whichever first).
+    * A size-only trip excludes provisional (recovered, possibly partial)
+    * epochs — only the age path delivers those (see `provisional`).
+    */
   def maybeFlush(nowMs: Long): Boolean = synchronized {
     val aged = firstArrivalMs >= 0 && nowMs - firstArrivalMs >= maxAgeMillis
-    if (bytes.get() >= maxBytes || (aged && bytes.get() > 0)) { flush(); true }
+    if (aged && bytes.get() > 0) { flush(includeProvisional = true); true }
+    else if (bytes.get() >= maxBytes) { flush(includeProvisional = false); true }
     else false
   }
 
-  /** Promote all staged parts into one numbered delivery object.
+  /** Promote staged parts into one numbered delivery object.
     *
     * Only epochs REGISTERED via `append()` (keys of `epochBytes`) are
     * promoted — never whatever happens to be under the staging dir. An
     * `append()` racing with this flush may have started its Spark write
-    * (outside the lock) but not yet registered; listing the directory
+    * (outside the lock) but not yet registered (fresh epoch) or have
+    * unregistered itself first (replay overwrite); listing the directory
     * would promote that half-committed epoch, advance the watermark past
     * it, and make its replay a no-op — permanent record loss. The unre-
     * gistered dir simply stays staged and rides the next flush.
+    *
+    * `includeProvisional = false` (size-triggered) additionally skips
+    * recovered epochs whose part-set may be partial; they stay staged
+    * and registered until an age flush or their replay arrives.
+    *
+    * The object dir is created lazily on the first promoted part file —
+    * a flush whose epochs hold zero parts publishes NO empty object (and
+    * consumes no object number): Firehose never emits zero-record
+    * objects.
     */
-  def flush(): Unit = synchronized {
+  def flush(includeProvisional: Boolean = true): Unit = synchronized {
     val epochs = epochBytes.keys.toSeq.sorted
+      .filter(e => includeProvisional || !provisional.contains(e))
     if (epochs.nonEmpty) {
-      val objDir = new Path(rootPath, f"object-${objectSeq.getAndIncrement()}%06d")
-      fs.mkdirs(objDir)
+      var objDir: Path = null
       epochs.foreach { epochId =>
         val dir = new Path(staging, s"epoch=$epochId")
         partFiles(dir).foreach { f =>
+          if (objDir == null) {
+            objDir = new Path(rootPath, f"object-${objectSeq.getAndIncrement()}%06d")
+            fs.mkdirs(objDir)
+          }
           val dst = new Path(objDir, s"epoch=$epochId-${f.getPath.getName}")
           if (!fs.rename(f.getPath, dst))
             throw new java.io.IOException(
               s"BufferedChannel flush aborted: rename ${f.getPath} -> $dst failed")
         }
         fs.delete(dir, true)
+        epochBytes.remove(epochId).foreach(prev => bytes.addAndGet(-prev))
+        provisional -= epochId
       }
+      if (epochBytes.isEmpty) firstArrivalMs = -1L
       val maxEpoch = epochs.max
-      bytes.set(0L)
-      epochBytes.clear()
-      firstArrivalMs = -1L
       if (maxEpoch > flushedEpochWatermark) {
         flushedEpochWatermark = maxEpoch
         writeWatermark(maxEpoch)
@@ -165,7 +203,7 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
   }
 
   /** Flush the tail and stop the age tick — the shutdown delivery. */
-  def close(): Unit = { flush(); ageTick.foreach(_.cancel(false)) }
+  def close(): Unit = { flush(includeProvisional = true); ageTick.foreach(_.cancel(false)) }
 
   def stagedBytes: Long = bytes.get()
   def deliveredObjects: Seq[Path] = existingObjectDirs.sortBy(_.toString)
@@ -185,33 +223,49 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
 
   private def listDirs(p: Path) = listStatus(p).filter(_.isDirectory)
 
-  /** A truncated/unparsable watermark (crash mid-persist) degrades to
-    * "no watermark" — at-least-once (possible duplicate delivery) instead
-    * of an unconstructible channel.
-    */
-  private def readWatermark(): Long =
-    scala.util.Try {
-      if (!fs.exists(watermarkFile)) -1L
-      else {
-        val buf = new Array[Byte](fs.getFileStatus(watermarkFile).getLen.toInt)
-        val in = fs.open(watermarkFile)
-        try in.readFully(0, buf) finally in.close()
-        new String(buf, StandardCharsets.UTF_8).trim.toLong
-      }
-    }.getOrElse(-1L) // parse failure OR read failure (e.g. checksum mismatch)
+  private def watermarkTmp = new Path(rootPath, "_flushed_watermark.tmp")
 
-  /** Temp-file + rename so a crash mid-write never leaves a truncated
-    * watermark in place — readers see the old value or the new one.
+  /** Reads max(main, valid tmp): the swap in [[writeWatermark]] is
+    * delete-old + rename-tmp (HDFS rename won't overwrite), so a crash
+    * between the two leaves ONLY the tmp — ignoring it would drop the
+    * watermark entirely and re-open duplicate delivery for every epoch
+    * it covered. The tmp is trusted only when terminator-complete
+    * (crash mid-tmp-write leaves "12" of "123\n", which parses to a
+    * WRONG value — the newline proves the write finished); max() keeps
+    * monotonicity when a stale tmp from an older crash coexists with a
+    * newer main. Everything unreadable degrades to "no watermark" —
+    * at-least-once instead of an unconstructible channel.
+    */
+  private def readWatermark(): Long = {
+    def parse(p: Path, requireTerminator: Boolean): Option[Long] =
+      scala.util.Try {
+        if (!fs.exists(p)) None
+        else {
+          val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          val in = fs.open(p)
+          try in.readFully(0, buf) finally in.close()
+          val s = new String(buf, StandardCharsets.UTF_8)
+          if (requireTerminator && !s.endsWith("\n")) None
+          else Some(s.trim.toLong)
+        }
+      }.toOption.flatten // parse/read failure (e.g. checksum) → None
+    (parse(watermarkFile, requireTerminator = false).toSeq ++
+      parse(watermarkTmp, requireTerminator = true).toSeq)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Temp-file (newline-terminated) + delete-old + rename: the main file
+    * is only ever rename-complete, and the crash window between delete
+    * and rename is covered by [[readWatermark]]'s tmp fallback.
     */
   private def writeWatermark(wm: Long): Unit = {
-    val tmp = new Path(rootPath, "_flushed_watermark.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(wm.toString.getBytes(StandardCharsets.UTF_8))
+    val out = fs.create(watermarkTmp, true)
+    try out.write(s"$wm\n".getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(watermarkFile)) fs.delete(watermarkFile, false)
-    if (!fs.rename(tmp, watermarkFile))
+    if (!fs.rename(watermarkTmp, watermarkFile))
       throw new java.io.IOException(
-        s"watermark persist failed: rename $tmp -> $watermarkFile")
+        s"watermark persist failed: rename $watermarkTmp -> $watermarkFile")
   }
 }
 

@@ -134,6 +134,63 @@ class BufferedChannelSpec extends SparkSpec {
     assert(restarted.deliveredObjects.size == 1) // no double delivery
   }
 
+  test("recovered epochs: size flush skips them, replay or age delivers") {
+    // A crashed incarnation's staged epoch may be PARTIAL — a size trip
+    // must not promote it ahead of its imminent replay (the replay's
+    // skip-guard would then drop the missing records forever).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf11").toString
+    val leftover = new java.io.File(s"$tmp/.staging/epoch=5")
+    leftover.mkdirs()
+    val pw = new java.io.PrintWriter(new java.io.File(leftover, "part-00000"))
+    try (1 to 100).foreach(i => pw.println(s"""{"i": $i}""")) finally pw.close()
+    val ch = new BufferedChannel(tmp, maxBytes = 100, maxAgeMillis = 60000)
+    assert(ch.stagedBytes > 100, "recovery must register the staged bytes")
+    // Size threshold exceeded — but only by provisional bytes: no object.
+    assert(!ch.maybeFlush(System.currentTimeMillis()) || ch.deliveredObjects.isEmpty)
+    assert(ch.deliveredObjects.isEmpty,
+      "size flush must not deliver a possibly-partial recovered epoch")
+    // The replay overwrites the recovery; NOW the size path delivers it.
+    ch.append(lines(5, "replay"), epochId = 5)
+    assert(ch.deliveredObjects.nonEmpty, "replayed epoch must deliver on size trip")
+    assert(spark.read.text(ch.deliveredObjects.head.toString).count() == 5,
+      "delivery must carry the authoritative replay, not the partial recovery")
+    // And with NO replay, an age flush still rescues a recovered epoch.
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-buf12").toString
+    val left2 = new java.io.File(s"$tmp2/.staging/epoch=7")
+    left2.mkdirs()
+    val pw2 = new java.io.PrintWriter(new java.io.File(left2, "part-00000"))
+    try pw2.println("""{"i": 1}""") finally pw2.close()
+    val ch2 = new BufferedChannel(tmp2, maxBytes = 100, maxAgeMillis = 60000)
+    assert(ch2.maybeFlush(System.currentTimeMillis() + 61000))
+    assert(ch2.deliveredObjects.size == 1, "age flush must rescue recovered epochs")
+  }
+
+  test("watermark survives a crash between delete-old and rename-tmp") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf13").toString
+    val first = new BufferedChannel(tmp, maxBytes = 10, maxAgeMillis = Long.MaxValue / 2)
+    first.append(lines(5, "a"), epochId = 3) // size-trips: flush, watermark=3
+    assert(first.deliveredObjects.size == 1)
+    // Simulate the crash window inside writeWatermark: old main deleted,
+    // completed (newline-terminated) tmp not yet renamed in.
+    new java.io.File(s"$tmp/_flushed_watermark").delete()
+    new java.io.File(s"$tmp/._flushed_watermark.crc").delete() // hadoop checksum twin
+    val pw = new java.io.PrintWriter(new java.io.File(s"$tmp/_flushed_watermark.tmp"))
+    try pw.print("3\n") finally pw.close()
+    val restarted = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    restarted.append(lines(5, "a"), epochId = 3) // replay of the DELIVERED epoch
+    restarted.flush()
+    assert(restarted.deliveredObjects.size == 1,
+      "tmp watermark ignored: delivered epoch was re-delivered")
+    // A TRUNCATED tmp (no terminator — crash mid-tmp-write) is NOT
+    // trusted: it may parse to a wrong value. Degrades to at-least-once.
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-buf14").toString
+    val pw2 = new java.io.PrintWriter(new java.io.File(s"$tmp2/_flushed_watermark.tmp"))
+    try pw2.print("9") finally pw2.close()
+    val ch2 = new BufferedChannel(tmp2, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    ch2.append(lines(2, "b"), epochId = 1) // would be skipped if "9" were trusted
+    assert(ch2.stagedBytes > 0, "truncated tmp watermark must not suppress appends")
+  }
+
   test("empty micro-batches do not grow staging state (idle stream)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-buf8").toString
     val ch = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)

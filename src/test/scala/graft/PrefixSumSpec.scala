@@ -20,6 +20,19 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("-0.0 and 0.0 sort keys are ONE SQL peer group (RANGE frame)") {
+    import spark.implicits._
+    // Java boxed equals (and Double.compare) split -0.0 from 0.0; SQL
+    // RANGE peers don't. Both zero rows must share the group-closing
+    // total, and many partitions force the range-boundary case too.
+    val df = Seq((-0.0, 1L), (0.0, 2L), (-1.0, 10L), (1.0, 100L)).toDF("k", "v")
+    val out = PrefixSum.withRunningTotal(df, "k", "v", "cum", partitions = 4)
+      .select("v", "cum").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 13L && out(2L) == 13L,
+      s"zero peers split across groups: $out")
+    assert(out(10L) == 10L && out(100L) == 113L)
+  }
+
   test("nulls are skipped like SQL sum; an all-null prefix yields NULL, not 0") {
     import spark.implicits._
     val df = Seq((0L, None), (1L, Some(5L)), (2L, None), (3L, Some(2L)), (4L, None), (5L, Some(1L)))
