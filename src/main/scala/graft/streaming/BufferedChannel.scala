@@ -122,7 +122,8 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
       provisional -= epochId // the replay supersedes recovered bytes
       if (epochBytes.isEmpty) firstArrivalMs = -1L
     }
-    lines.select(rtrim(col(lines.columns.head), "\n").as("value"))
+    lines.select(graft.functions.Codecs
+        .stripOneTrailingNewline(col(lines.columns.head)).as("value"))
       .write.mode("overwrite").text(dir.toString)
     // Only payload part-files count toward the size threshold (not
     // _SUCCESS markers or .crc checksums).

@@ -74,17 +74,27 @@ object DeliveryPipeline {
       maxBytes: Long = 5L * 1024 * 1024,
       maxAgeMillis: Long = 60000L)
 
+  /** @param hadoopConf null (default) = derive from the active
+    *   SparkSession at first use, so `spark.hadoop.*` settings (S3A
+    *   credentials etc.) reach the channel's own FileSystem calls — a
+    *   bare `new Configuration()` would not carry them and the first
+    *   rename/watermark IO on a configured store would fail.
+    */
   final case class Sinks(root: String, buffer: Option[BufferConfig] = Some(BufferConfig()),
-      hadoopConf: Configuration = new Configuration()) {
+      hadoopConf: Configuration = null) {
     val backup = s"$root/$BackupPrefix"
     val backupFailed = s"$root/$BackupFailedPrefix"
     val success = s"$root/$SuccessPrefix"
     val failed = s"$root/$FailedPrefix"
 
+    private def resolvedConf: Configuration =
+      if (hadoopConf != null) hadoopConf
+      else SparkSession.active.sessionState.newHadoopConf()
+
     private[streaming] lazy val successBuf: Option[BufferedChannel] =
-      buffer.map(b => new BufferedChannel(success, b.maxBytes, b.maxAgeMillis, hadoopConf))
+      buffer.map(b => new BufferedChannel(success, b.maxBytes, b.maxAgeMillis, resolvedConf))
     private[streaming] lazy val failedBuf: Option[BufferedChannel] =
-      buffer.map(b => new BufferedChannel(failed, b.maxBytes, b.maxAgeMillis, hadoopConf))
+      buffer.map(b => new BufferedChannel(failed, b.maxBytes, b.maxAgeMillis, resolvedConf))
 
     /** Promote any staged-but-unflushed buffers (the shutdown flush —
       * Firehose delivers its final partial buffer when the stream stops)
@@ -129,11 +139,27 @@ object DeliveryPipeline {
     * dedup state is actually EVICTED by the watermark — plain
     * dropDuplicates on a non-event-time subset keeps state forever.
     */
-  def dedupByRecordId(envelope: DataFrame, arrivalCol: String = "arrivalTs",
-      horizon: String = "10 minutes"): DataFrame =
-    envelope
-      .withWatermark(arrivalCol, horizon)
-      .dropDuplicatesWithinWatermark("recordId")
+  def dedupByRecordId(envelope: DataFrame,
+      arrivalCol: String = "approximateArrivalTimestamp",
+      horizon: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // The standard envelope carries approximateArrivalTimestamp as epoch
+    // MILLIS (reference tests/test_lbd_to_s3.py:18); watermarks require
+    // a timestamp column, so a long arrival column is converted to a
+    // synthetic timestamp for the dedup and dropped afterwards.
+    envelope.schema(arrivalCol).dataType match {
+      case TimestampType =>
+        envelope.withWatermark(arrivalCol, horizon)
+          .dropDuplicatesWithinWatermark("recordId")
+      case LongType =>
+        envelope.withColumn("_arrival_ts", timestamp_millis(col(arrivalCol)))
+          .withWatermark("_arrival_ts", horizon)
+          .dropDuplicatesWithinWatermark("recordId")
+          .drop("_arrival_ts")
+      case other => throw new IllegalArgumentException(
+        s"$arrivalCol must be timestamp or epoch-millis long, got $other")
+    }
+  }
 
   /** Start the full dual-sink graph over a streaming envelope frame
     * (columns: recordId, approximateArrivalTimestamp, data). The returned
@@ -223,7 +249,7 @@ object DeliveryPipeline {
     // idempotent, so the Pipeline handle double-calling it is harmless.
     val spark = envelope.sparkSession
     val deliveryId = deliveryQ.id
-    spark.streams.addListener(new StreamingQueryListener {
+    val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
@@ -231,7 +257,16 @@ object DeliveryPipeline {
           sinks.finish()
           spark.streams.removeListener(this)
         }
-    })
+    }
+    spark.streams.addListener(listener)
+    // Listener buses don't replay: a query that terminated in the window
+    // between start() and addListener (AvailableNow over little data)
+    // would otherwise strand its final buffer. finish() is idempotent,
+    // so racing the listener's own firing is harmless.
+    if (!deliveryQ.isActive) {
+      sinks.finish()
+      spark.streams.removeListener(listener)
+    }
 
     Pipeline(backupQ, deliveryQ, sinks)
   }
@@ -246,11 +281,12 @@ object DeliveryPipeline {
   }
 
   /** NDJSON channel write: per-epoch overwrite = idempotent on replay.
-    * `line` already carries its trailing newline from the codec, so the
-    * text writer's own line separator is trimmed via rtrim → write once.
+    * `line` already carries its trailing newline from the codec; exactly
+    * ONE is stripped so the text writer's separator reproduces the
+    * original bytes ([[Codecs.stripOneTrailingNewline]]).
     */
   private def writeChannel(lines: DataFrame, path: String): Unit =
-    lines.select(rtrim(col("line"), "\n").as("value"))
+    lines.select(Codecs.stripOneTrailingNewline(col("line")).as("value"))
       .write.mode("overwrite").text(path)
 
   /** Count records across all delivered objects of a channel (epoch= dirs

@@ -43,7 +43,7 @@ object IndexSink {
         val routed = Codecs.transformEnvelope(batch, payloadSchema, dropIf).persist()
         try {
           routed
-            .select(rtrim(col("data").cast("string"), "\n").as("value"))
+            .select(Codecs.stripOneTrailingNewline(col("data").cast("string")).as("value"))
             .write.mode("overwrite").text(s"$backupPath/epoch=$epochId")
           routed.filter(col("result") === Ok)
             .select(col("recordId"), col("payload.*"))

@@ -59,7 +59,11 @@ object LambdaStage {
       maxInvocationBytes: Long = DefaultMaxInvocationBytes): DataFrame = {
     val spark = envelope.sparkSession
     import spark.implicits._
-    envelope.select("recordId", "data").as[Rec]
+    import org.apache.spark.sql.functions.col
+    // data may arrive string-typed (Dataset.as cannot upcast string →
+    // binary); the cast keeps both envelope spellings working, like the
+    // declarative transformEnvelope path does.
+    envelope.select(col("recordId"), col("data").cast("binary").as("data")).as[Rec]
       .mapPartitions(it => invokePartition(it, fn, maxInvocationBytes))
       .toDF("recordId", "result", "data")
   }
@@ -70,12 +74,25 @@ object LambdaStage {
       try {
         val out = fn(batch)
         val byId = out.groupBy(_.recordId)
-        // Firehose's contract: exactly one result per input recordId.
+        val inCounts = batch.groupBy(_.recordId).view.mapValues(_.size)
+        // Firehose's contract: one result per input record. Counted per
+        // OCCURRENCE, not per distinct id — an at-least-once source
+        // without dedupByRecordId can legitimately replay the same
+        // recordId into one batch, and a conforming Lambda then returns
+        // one result per copy; failing the whole batch for that would
+        // misroute every successfully transformed record to 04-failed.
         val conforms = out.size == batch.size &&
-          batch.forall(r => byId.get(r.recordId).exists(_.size == 1)) &&
+          inCounts.forall { case (id, n) => byId.get(id).exists(_.size == n) } &&
           out.forall(o => DeliveryStatus.all.contains(o.result))
-        if (conforms) batch.map(r => byId(r.recordId).head)
-        else failAll(batch)
+        if (conforms) {
+          // k-th input occurrence of an id takes the k-th result for it.
+          val cursor = scala.collection.mutable.Map.empty[String, Int]
+          batch.map { r =>
+            val k = cursor.getOrElse(r.recordId, 0)
+            cursor(r.recordId) = k + 1
+            byId(r.recordId)(k)
+          }
+        } else failAll(batch)
       } catch { case scala.util.control.NonFatal(_) => failAll(batch) }
     }
 

@@ -134,6 +134,21 @@ class BufferedChannelSpec extends SparkSpec {
     assert(restarted.deliveredObjects.size == 1) // no double delivery
   }
 
+  test("delivered bytes preserve payload-internal trailing newlines (backup fidelity)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf15").toString
+    val ch = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    // A raw payload that legitimately ends in a blank line: framing must
+    // strip exactly ONE newline (the writer re-adds it) — rtrim-all
+    // would deliver "abc\n" instead of the original "abc\n\n".
+    ch.append(Seq("abc\n\n").toDF("value").coalesce(1), epochId = 0)
+    ch.flush()
+    val obj = new java.io.File(ch.deliveredObjects.head.toUri.getPath)
+    val part = obj.listFiles().filter(_.getName.startsWith("epoch=")).head
+    val bytes = new String(java.nio.file.Files.readAllBytes(part.toPath), "UTF-8")
+    assert(bytes == "abc\n\n", s"bytes mangled: ${bytes.replace("\n", "\\n")}")
+  }
+
   test("recovered epochs: size flush skips them, replay or age delivers") {
     // A crashed incarnation's staged epoch may be PARTIAL — a size trip
     // must not promote it ahead of its imminent replay (the replay's

@@ -77,6 +77,25 @@ class CodecSpec extends SparkSpec {
     assert(back.select("balance").head().getLong(0) == 14)
   }
 
+  test("null fields survive encoding; schema type mismatches route Ok (json.loads parity)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("r1", """{"id":"a","firstname":null,"lastname":"d","description":"x","balance":5}"""),
+      ("r2", """{"id":"b","firstname":"f","lastname":"l","description":"x","balance":"not-a-number"}"""))
+      .toDF("recordId", "data")
+      .withColumn("data", col("data").cast("binary"))
+    val out = Codecs.transformEnvelope(rows, payloadSchema, _ => lit(false))
+    // Valid JSON with a wrong-typed field parses under json.loads — the
+    // reference delivers it Ok; only JSON-invalid bytes are corrupt.
+    val statuses = out.select("recordId", "result").as[(String, String)].collect().toMap
+    assert(statuses == Map("r1" -> "Ok", "r2" -> "Ok"), s"got $statuses")
+    // json.dumps keeps null-valued keys; the encode must too (Spark's
+    // to_json default silently drops them).
+    val line1 = out.filter(col("recordId") === "r1")
+      .select(col("data").cast("string")).head().getString(0)
+    assert(line1.contains("\"firstname\":null"), s"null field dropped from: $line1")
+  }
+
   test("routing is total and 3-way: Ok / Dropped / ProcessingFailed") {
     import spark.implicits._
     val rows = Seq(

@@ -68,6 +68,27 @@ class LambdaStageSpec extends SparkSpec {
       "b" -> DeliveryStatus.ProcessingFailed))
   }
 
+  test("invoke: a replayed recordId in one batch gets one result per occurrence") {
+    import spark.implicits._
+    // An at-least-once source without dedupByRecordId can deliver the
+    // same recordId twice into one invocation batch; a conforming Lambda
+    // returns one result per COPY, and neither copy (nor the rest of the
+    // batch) may be misrouted to failed for it.
+    val df = Seq(("r1", "a".getBytes), ("r1", "b".getBytes), ("r2", "c".getBytes))
+      .toDF("recordId", "data").coalesce(1) // one partition → one invocation
+    val fn: LambdaStage.BatchFn = batch =>
+      batch.map(r => RoutedRecord(r.recordId, DeliveryStatus.Ok,
+        (new String(r.data).toUpperCase + "\n").getBytes("UTF-8")))
+    val out = LambdaStage.invoke(df, fn)
+      .select(col("recordId"), col("result"), col("data").cast("string"))
+      .as[(String, String, String)].collect().toSeq
+    assert(out.size == 3)
+    assert(out.forall(_._2 == DeliveryStatus.Ok), s"misrouted: $out")
+    // Occurrence pairing: each copy keeps ITS transformed payload.
+    assert(out.filter(_._1 == "r1").map(_._3).sorted == Seq("A\n", "B\n"))
+    assert(out.filter(_._1 == "r2").map(_._3) == Seq("C\n"))
+  }
+
   test("pipeline E2E with a ported batch Lambda: channels honor Lambda-declared statuses") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-lambda-pipe").toString

@@ -294,15 +294,20 @@ class PipelineSpec extends SparkSpec {
   test("streaming recordId dedup drops a replay arriving in a LATER micro-batch") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-dedup-stream").toString
+    // The STANDARD envelope shape: approximateArrivalTimestamp is epoch
+    // MILLIS (long), as every producer in this library emits it —
+    // dedupByRecordId's default must work on it directly (it converts to
+    // a synthetic timestamp for the watermark internally).
     val schema = StructType(Seq(StructField("recordId", StringType),
-      StructField("arrivalTs", TimestampType)))
-    def batchFile(name: String, rows: Seq[(String, String)]): Unit =
+      StructField("approximateArrivalTimestamp", LongType)))
+    val t0 = 1704103200000L // 2024-01-01 10:00:00 UTC
+    def batchFile(name: String, rows: Seq[(String, Long)]): Unit =
       Files.write(java.nio.file.Paths.get(s"$tmp/in/$name"),
-        rows.map { case (r, ts) => s"""{"recordId": "$r", "arrivalTs": "$ts"}""" }
+        rows.map { case (r, ms) =>
+          s"""{"recordId": "$r", "approximateArrivalTimestamp": $ms}""" }
           .mkString("\n").getBytes("UTF-8"))
     Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
-    batchFile("b0.json", Seq(
-      ("a", "2024-01-01 10:00:00"), ("b", "2024-01-01 10:00:05")))
+    batchFile("b0.json", Seq(("a", t0), ("b", t0 + 5000)))
 
     val q = DeliveryPipeline
       .dedupByRecordId(spark.readStream.schema(schema).json(s"$tmp/in"))
@@ -313,8 +318,7 @@ class PipelineSpec extends SparkSpec {
     q.processAllAvailable()
     // The replay of "a" lands in the NEXT micro-batch, inside the
     // 10-minute horizon — the state store must still hold it. "c" is new.
-    batchFile("b1.json", Seq(
-      ("a", "2024-01-01 10:00:07"), ("c", "2024-01-01 10:00:09")))
+    batchFile("b1.json", Seq(("a", t0 + 7000), ("c", t0 + 9000)))
     q.processAllAvailable()
     q.stop()
     val ids = spark.table("dedup_out").select("recordId").as[String].collect().toSeq
