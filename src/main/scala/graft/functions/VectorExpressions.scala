@@ -16,6 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * and an intermediate array per row-pair: on an all-pairs similarity
   * join that's the entire runtime. Here the whole product is one fused
   * primitive loop inside whole-stage codegen.
+  *
+  * CONTRACT: mismatched lengths fold over the SHORTER vector (the tail
+  * of the longer one contributes 0). Deliberate, and load-bearing for
+  * hyperplane LSH, whose max-width planes project narrower vectors this
+  * way; callers needing equal dims must validate upstream.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -67,8 +72,6 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "dot_f"
-
-  override def eval(input: InternalRow): Any = super.eval(input)
 }
 
 object VectorFunctions {

@@ -39,41 +39,59 @@ object BucketedIntervalJoin extends Rule[LogicalPlan] {
       rewrite(j, left, right, cond, hint).getOrElse(j)
   }
 
+  /** A lower-bound conjunct `earlier < later`; the earlier timestamp may
+    * sit on EITHER join side (the mirrored query is just as common).
+    */
+  private final case class Bound(earlier: Expression, later: Expression,
+      earlierOnLeft: Boolean)
+
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, hint: JoinHint): Option[LogicalPlan] = {
     val conjuncts = splitConjuncts(cond)
 
-    // A strict/inclusive lower bound R.t {>, >=} L.t, in either spelling.
-    val lower = conjuncts.collectFirst {
-      case GreaterThan(rt, lt) if sides(lt, rt, left, right) => (lt, rt)
-      case GreaterThanOrEqual(rt, lt) if sides(lt, rt, left, right) => (lt, rt)
-      case LessThan(lt, rt) if sides(lt, rt, left, right) => (lt, rt)
-      case LessThanOrEqual(lt, rt) if sides(lt, rt, left, right) => (lt, rt)
+    // ALL strict/inclusive lower bounds, both spellings and orientations.
+    val lowers: Seq[Bound] = conjuncts.collect {
+      case GreaterThan(a, b) => (b, a)
+      case GreaterThanOrEqual(a, b) => (b, a)
+      case LessThan(b, a) => (b, a)
+      case LessThanOrEqual(b, a) => (b, a)
+    }.flatMap { case (e, l) =>
+      if (sides(e, l, left, right)) Some(Bound(e, l, earlierOnLeft = true))
+      else if (sides(e, l, right, left)) Some(Bound(e, l, earlierOnLeft = false))
+      else None
     }
 
-    lower.flatMap { case (lt, rt) =>
-      // An upper bound R.t {<, <=} L.t + INTERVAL w on the SAME pair.
+    // The first candidate that ALSO carries a width conjunct wins —
+    // committing to the first timestamp comparison alone (collectFirst)
+    // would silently abandon the rewrite whenever an unrelated
+    // comparison (e.g. a created_at guard) happened to appear first.
+    lowers.view.flatMap { b =>
+      // An upper bound later {<, <=} earlier + INTERVAL w on the SAME pair.
       val width = conjuncts.collectFirst {
-        case LessThanOrEqual(rt2, AddLike(lt2, w))
-            if rt2.semanticEquals(rt) && lt2.semanticEquals(lt) => w
-        case LessThan(rt2, AddLike(lt2, w))
-            if rt2.semanticEquals(rt) && lt2.semanticEquals(lt) => w
-        case GreaterThanOrEqual(AddLike(lt2, w), rt2)
-            if rt2.semanticEquals(rt) && lt2.semanticEquals(lt) => w
-        case GreaterThan(AddLike(lt2, w), rt2)
-            if rt2.semanticEquals(rt) && lt2.semanticEquals(lt) => w
+        case LessThanOrEqual(l2, AddLike(e2, w))
+            if l2.semanticEquals(b.later) && e2.semanticEquals(b.earlier) => w
+        case LessThan(l2, AddLike(e2, w))
+            if l2.semanticEquals(b.later) && e2.semanticEquals(b.earlier) => w
+        case GreaterThanOrEqual(AddLike(e2, w), l2)
+            if l2.semanticEquals(b.later) && e2.semanticEquals(b.earlier) => w
+        case GreaterThan(AddLike(e2, w), l2)
+            if l2.semanticEquals(b.later) && e2.semanticEquals(b.earlier) => w
       }
       width.map { wMicros =>
-        val bL = bucket(lt, wMicros)
+        val bE = bucket(b.earlier, wMicros)
         val jb = AttributeReference(BucketCol, LongType, nullable = true)()
         val gen = Generate(
-          Explode(CreateArray(Seq(bL, Add(bL, Literal(1L))))),
+          Explode(CreateArray(Seq(bE, Add(bE, Literal(1L))))),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
-          generatorOutput = Seq(jb), child = left)
-        val newCond = And(cond, EqualTo(jb, bucket(rt, wMicros)))
-        Project(j.output, Join(gen, right, Inner, Some(newCond), hint))
+          generatorOutput = Seq(jb),
+          child = if (b.earlierOnLeft) left else right)
+        val newCond = And(cond, EqualTo(jb, bucket(b.later, wMicros)))
+        val newJoin =
+          if (b.earlierOnLeft) Join(gen, right, Inner, Some(newCond), hint)
+          else Join(left, gen, Inner, Some(newCond), hint)
+        Project(j.output, newJoin)
       }
-    }
+    }.headOption
   }
 
   /** trunc-div time bucket — the two-bucket covering invariant holds for
@@ -98,12 +116,20 @@ object BucketedIntervalJoin extends Rule[LogicalPlan] {
   /** Matches `t + INTERVAL w` however Catalyst spelled it (TimeAdd or a
     * raw Add), yielding the fixed width in microseconds. Calendar-varying
     * intervals (months / days components) are not rewritten.
+    *
+    * ONLY additive nodes match: accepting any BinaryExpression with a
+    * (timestamp, positive-interval) operand shape would capture
+    * non-additive arithmetic and rewrite to wrong buckets — today stock
+    * Spark folds `t - itvl` into an additive node with a NEGATIVE
+    * literal (rejected by `micros > 0`), but that guard is accidental,
+    * not structural.
     */
   private object AddLike {
     def unapply(e: Expression): Option[(Expression, Long)] = e match {
       case c: Cast if c.dataType == TimestampType => unapply(c.child)
-      case b: BinaryExpression =>
-        (b.left, b.right) match {
+      case b @ (_: TimestampAddInterval | _: Add) =>
+        val be = b.asInstanceOf[BinaryExpression]
+        (be.left, be.right) match {
           // ANSI interval literal: value IS the width in microseconds.
           case (t, Literal(micros: Long, _: DayTimeIntervalType))
               if t.dataType == TimestampType && micros > 0 =>

@@ -38,8 +38,13 @@ object KinesisShaped {
     * the two can never drift apart.
     */
   private def synth(base: DataFrame, config: StreamConfig): DataFrame = {
+    // Multipliers COPRIME with the 10-word table: a shared factor makes a
+    // position degenerate (×10 ≡ one constant word, ×even cycles 5, ×5
+    // cycles 2) — every description would carry artificial constant
+    // n-grams no real corpus has.
+    val descMults = Seq(1, 3, 7, 9, 11, 13, 17, 19, 21, 23)
     val descWords = (0 until 10).map(i =>
-      element_at(typedLit(words), (pmod(col("value") * (i + 3) + i, lit(10)) + 1).cast("int")))
+      element_at(typedLit(words), (pmod(col("value") * descMults(i) + i, lit(10)) + 1).cast("int")))
     val payload = struct(
       md5(concat(lit("id-"), col("value"))).as("id"),
       element_at(firstnames, (pmod(col("value"), lit(10)) + 1).cast("int")).as("firstname"),
@@ -85,15 +90,25 @@ object KinesisShaped {
 
   /** A18 throughput metering: the reference's running-TPS counter
     * (multi_process_producer.py:53-59) as a StreamingQueryListener.
+    *
+    * @param queryName meter ONLY the query with this name — the listener
+    *   bus is session-wide, so without a filter two concurrent queries
+    *   (producer + index sink) pool into one inflated total. None =
+    *   legacy pool-everything behavior for single-query sessions.
     */
-  final class ThroughputListener extends StreamingQueryListener {
+  final class ThroughputListener(queryName: Option[String] = None)
+      extends StreamingQueryListener {
     @volatile var totalRows: Long = 0L
     @volatile var lastRowsPerSecond: Double = 0.0
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-      totalRows += e.progress.numInputRows
-      lastRowsPerSecond = e.progress.inputRowsPerSecond
-    }
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      if (queryName.forall(_ == e.progress.name)) {
+        totalRows += e.progress.numInputRows
+        val r = e.progress.inputRowsPerSecond
+        // The rate source's first progress event reports NaN (no elapsed
+        // interval yet) — don't let it poison the last-seen gauge.
+        if (!r.isNaN && !r.isInfinite) lastRowsPerSecond = r
+      }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 }
