@@ -112,11 +112,18 @@ object Dedup {
     */
   def nearDedup(spark: SparkSession, df: DataFrame, idCol: String,
       textCol: String, minEstSim: Double): DataFrame = {
-    val pairs = lshCandidatePairs(df, idCol, textCol)
-      .filter(col("est_sim") >= minEstSim)
-    val comp = components(pairs)
-    val losers = comp.filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    // components() eagerly materializes the pair plan (localCheckpoint),
+    // so the LSH signature cache behind it can be released right after —
+    // a long-lived session deduplicating many corpora must not
+    // accumulate one cached signature table per call.
+    val (rawPairs, sig) = graft.queries.TrainingData.lshPairsWithHandle(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+    try {
+      val pairs = rawPairs.filter(col("est_sim") >= minEstSim)
+      val comp = components(pairs)
+      val losers = comp.filter(col("id") =!= col("component"))
+        .select(col("id").as(idCol))
+      df.join(losers, Seq(idCol), "left_anti")
+    } finally sig.unpersist(blocking = false)
   }
 }

@@ -264,16 +264,19 @@ object Relational {
   }
 
   /** HLL sketch, oracle-checked via a tolerance column: the estimate
-    * itself can't hash-match an exact engine, but the CONTRACT (≤5%
-    * relative error vs the exact distinct count) can — Spark emits
-    * `within_5pct = [|approx − exact| ≤ 0.05·exact]` next to the exact
-    * count, the oracle emits a constant 1 from exact counts, and the hash
-    * matches iff the sketch is in-band. (The spec additionally asserts
-    * the band on the raw estimate: QueriesSpec.)
+    * itself can't hash-match an exact engine, but the CONTRACT can —
+    * Spark emits `within_tol = [|approx − exact| ≤ 0.15·exact]` next to
+    * the exact count, the oracle emits a constant 1 from exact counts,
+    * and the hash matches iff the sketch is in-band. The band is 3× the
+    * sketch's default 5% rsd: rsd is a STANDARD DEVIATION, not a bound —
+    * a 1σ band would flag a correct sketch ~1/3 of the time on arbitrary
+    * regenerated data, zeroing the gate on working code. (The spec
+    * additionally asserts the tighter 5% on the committed fixture's raw
+    * estimate: QueriesSpec.)
     */
   val q16_approx_distinct: QueryDef = q(
     "q16_approx_distinct",
-    """SELECT event_type, count(*) AS n, CAST(1 AS INT) AS within_5pct
+    """SELECT event_type, count(*) AS n, CAST(1 AS INT) AS within_tol
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   ) { (s, dir) =>
     t(s, dir, "events")
@@ -284,7 +287,7 @@ object Relational {
         count(lit(1)).as("n"))
       .select(col("event_type"), col("n"),
         (abs(col("approx_users") - col("exact_users")) <=
-          lit(0.05) * col("exact_users")).cast("int").as("within_5pct"))
+          lit(0.15) * col("exact_users")).cast("int").as("within_tol"))
       .orderBy("event_type")
   }
 
@@ -609,14 +612,20 @@ object Relational {
   ) { (s, dir) =>
     // Correlated EXISTS-with-aggregation through the SQL front end —
     // exercises Catalyst's subquery decorrelation (rewrites to an
-    // aggregate + semi join; no per-row re-execution).
-    t(s, dir, "customer").createOrReplaceTempView("customer_v52")
-    t(s, dir, "orders").createOrReplaceTempView("orders_v52")
-    s.sql(
-      """SELECT c_custkey, c_name FROM customer_v52 c
-        |WHERE EXISTS (SELECT 1 FROM orders_v52 o WHERE o.o_custkey = c.c_custkey
-        |              GROUP BY o.o_custkey HAVING sum(o.o_totalprice) > 500000)
-        |ORDER BY c_custkey""".stripMargin)
+    // aggregate + semi join; no per-row re-execution). Views are
+    // per-call unique and dropped after analysis: a fixed session-global
+    // name races concurrent builds (one call silently reading the
+    // other's tables) and leaks into the catalog.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (cv, ov) = (s"customer_v52_$tag", s"orders_v52_$tag")
+    t(s, dir, "customer").createOrReplaceTempView(cv)
+    t(s, dir, "orders").createOrReplaceTempView(ov)
+    try s.sql(
+      s"""SELECT c_custkey, c_name FROM $cv c
+         |WHERE EXISTS (SELECT 1 FROM $ov o WHERE o.o_custkey = c.c_custkey
+         |              GROUP BY o.o_custkey HAVING sum(o.o_totalprice) > 500000)
+         |ORDER BY c_custkey""".stripMargin)
+    finally { s.catalog.dropTempView(cv); s.catalog.dropTempView(ov) }
   }
 
   val q53_window_extra: QueryDef = q(
@@ -819,15 +828,19 @@ object Relational {
   ) { (s, dir) =>
     // LATERAL correlated subquery (top-1 order per customer) — Catalyst
     // decorrelates this to a ranked window join, not a per-row loop.
-    t(s, dir, "customer").createOrReplaceTempView("customer_v63")
-    t(s, dir, "orders").createOrReplaceTempView("orders_v63")
-    s.sql(
-      """SELECT c_custkey, o_orderkey, o_totalprice
-        |FROM customer_v63, LATERAL (
-        |  SELECT o_orderkey, o_totalprice FROM orders_v63
-        |  WHERE o_custkey = c_custkey
-        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
-        |ORDER BY c_custkey""".stripMargin)
+    // Per-call unique views, dropped after analysis (see q52).
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (cv, ov) = (s"customer_v63_$tag", s"orders_v63_$tag")
+    t(s, dir, "customer").createOrReplaceTempView(cv)
+    t(s, dir, "orders").createOrReplaceTempView(ov)
+    try s.sql(
+      s"""SELECT c_custkey, o_orderkey, o_totalprice
+         |FROM $cv, LATERAL (
+         |  SELECT o_orderkey, o_totalprice FROM $ov
+         |  WHERE o_custkey = c_custkey
+         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+         |ORDER BY c_custkey""".stripMargin)
+    finally { s.catalog.dropTempView(cv); s.catalog.dropTempView(ov) }
   }
 
   val q64_array_agg: QueryDef = q(

@@ -116,7 +116,7 @@ object StreamingBatch {
       |             WHEN value < 10 THEN 'Dropped' ELSE 'Ok' END AS status,
       |        concat_ws('|', CAST(event_id AS VARCHAR), strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
       |          CAST(user_id AS VARCHAR), event_type,
-      |          CAST(floor(value * 100 + 0.5) / 100 AS VARCHAR), props) AS payload
+      |          CAST(CAST(floor(value * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS VARCHAR), props) AS payload
       |      FROM events)
       |SELECT status, count(*) AS n, md5(string_agg(payload, chr(10) ORDER BY event_id)) AS payload_md5
       |FROM r GROUP BY status ORDER BY status""".stripMargin
@@ -134,7 +134,10 @@ object StreamingBatch {
         .otherwise("Ok").as("status"),
       concat_ws("|", col("event_id").cast("string"),
         date_format(col("ts"), microFmt), col("user_id").cast("string"),
-        col("event_type"), Par.r2(col("value")).cast("string"),
+        // DECIMAL, never double→string: Java flips to scientific
+        // notation at 1e7 ("1.0E7") where DuckDB's repr stays plain —
+        // a fixed-scale decimal renders identically in both engines.
+        col("event_type"), Par.r2(col("value")).cast("decimal(18,2)").cast("string"),
         col("props")).as("payload"))
     r.groupBy("status")
       .agg(count(lit(1)).as("n"),

@@ -308,10 +308,24 @@ object TrainingData {
   }
 
   /** MinHash-LSH candidate pairs over an arbitrary (doc_id, text) frame —
-    * the library entry behind q44 (see Dedup.lshCandidatePairs).
+    * the library entry behind q44 (see Dedup.lshCandidatePairs). The
+    * signature table it builds stays CACHED for the session (the
+    * verify/bench harness clears the cache between queries); callers
+    * that materialize the pairs eagerly should prefer
+    * [[lshPairsWithHandle]] and release it.
     */
   def lshPairs(docs: DataFrame): DataFrame =
     lshPairsFromSignatures(signaturesDf(docs))
+
+  /** [[lshPairs]] plus the cached signature table behind it, so a caller
+    * that eagerly materializes the pairs (Dedup.nearDedup checkpoints
+    * them) can `unpersist` the cache instead of leaking it for the
+    * session lifetime.
+    */
+  private[graft] def lshPairsWithHandle(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sg = signaturesDf(docs).cache()
+    (lshPairsFromSignatures(sg), sg)
+  }
 
   val q43_minhash_sig: QueryDef = q(
     "q43_minhash_sig",
@@ -513,11 +527,15 @@ object TrainingData {
     // .py:20-31): both sides tokenized by the same analyzer, scored by
     // matched-token count. Runs through IndexSink.matchQuery — the same
     // code path a pipeline user queries the delivered index with.
-    t(s, dir, "documents").createOrReplaceTempView("q65_documents")
-    graft.streaming.IndexSink
-      .matchQuery(s, "q65_documents", "text", "sort merge join")
+    // Per-call unique view, dropped after the (eager) analysis — a fixed
+    // name races concurrent builds and leaks into the session catalog.
+    val view = s"q65_documents_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "documents").createOrReplaceTempView(view)
+    try graft.streaming.IndexSink
+      .matchQuery(s, view, "text", "sort merge join")
       .select(col("doc_id"), col("_score").as("match_score"))
       .orderBy(col("match_score").desc, col("doc_id"))
+    finally s.catalog.dropTempView(view)
   }
 
   val q66_decontaminate: QueryDef = q(

@@ -46,7 +46,7 @@ class QueriesSpec extends SparkSpec {
     }
     // And the emitted tolerance column itself must be all-1.
     val flags = SparkEntry.queries("q16_approx_distinct")(spark, sfDir)
-      .select(col("within_5pct")).as[Int].collect()
+      .select(col("within_tol")).as[Int].collect()
     assert(flags.nonEmpty && flags.forall(_ == 1), flags.toSeq.toString)
   }
 
