@@ -43,27 +43,53 @@ object Bench {
     warmup(spark, sfDir)
     val (times, errors) = runQueries(spark, sfDir, Reps)
 
+    val errorsAll = scala.collection.mutable.Map.empty[String, String] ++ errors
+
     // Secondary scale: the sf0.01 sibling (single pass — it's small).
+    // Guarded: a broken sibling dir must not destroy the primary
+    // timings already measured above.
     val altDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.01")
     val altTimes: Map[String, Double] =
       if (altDir != sfDir && new java.io.File(altDir).isDirectory) {
-        warmup(spark, altDir)
-        runQueries(spark, altDir, 1)._1
+        try { warmup(spark, altDir); runQueries(spark, altDir, 1)._1 }
+        catch { case scala.util.control.NonFatal(e) =>
+          errorsAll("_alt_scale") = Option(e.getMessage).getOrElse(e.getClass.getName)
+          Map.empty
+        }
       } else Map.empty
 
-    val (pipeSecs, pipeRecs, conservation) = pipelineThroughput(spark, sfDir)
+    // Guarded for the same reason: a StreamingQueryException out of the
+    // pipeline (disk full, sink crash) is REPORTED, never propagated —
+    // the per-query timings must survive any pipeline failure.
+    val (pipeSecs, pipeRecs, conservation) =
+      try pipelineThroughput(spark, sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        (0.0, -1L, "error: " + Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
+      }
 
     def jmap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val qs = jmap(times.toSeq.sortBy(_._1) :+ ("pipeline_stream" -> pipeSecs))
-    val errs = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160) + "\"" }
+    val errs = errorsAll.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(160)) }
       .mkString("{", ",", "}")
     val total = times.values.sum + pipeSecs
     val rps = if (pipeSecs > 0 && pipeRecs > 0) pipeRecs / pipeSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":"$conservation"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":${jstr(conservation)}}""")
     spark.stop()
   }
+
+  /** JSON string literal with full escaping — embedded values (error
+    * messages, the env-provided sfDir) must never be able to break the
+    * one-line report the driver parses.
+    */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** Touch every table + force codegen/scan init so the first timed pass
     * doesn't absorb FS-cache and session warmup costs.
@@ -86,7 +112,12 @@ object Bench {
       while (rep < reps && !errors.contains(name)) {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // noop sink, not count(): count() lets Catalyst prune every
+          // output projection and drop the trailing sort, so a
+          // projection-heavy query's timing would measure a fraction of
+          // the work Verify actually checks. noop executes the FULL
+          // physical plan and discards rows at the sink.
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           samples += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>

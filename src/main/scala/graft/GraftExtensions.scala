@@ -19,7 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
-      (exprs: Seq[Expression]) => DotProductF(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        // Explicit arity check: extra args would otherwise be silently
+        // IGNORED (wrong results, no diagnostic) and one arg would throw
+        // an index error instead of an analysis error.
+        require(exprs.length == 2,
+          s"dot_f expects exactly 2 arguments, got ${exprs.length}")
+        DotProductF(exprs.head, exprs(1))
+      }))
     e.injectOptimizerRule(_ => graft.plans.BucketedIntervalJoin)
   }
 }
@@ -31,7 +38,11 @@ object GraftExtensions {
     */
   def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "dot_f",
-      exprs => DotProductF(exprs.head, exprs(1)))
+      exprs => {
+        require(exprs.length == 2,
+          s"dot_f expects exactly 2 arguments, got ${exprs.length}")
+        DotProductF(exprs.head, exprs(1))
+      })
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BucketedIntervalJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BucketedIntervalJoin

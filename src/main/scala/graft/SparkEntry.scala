@@ -11,8 +11,15 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered queries, in SURVEY §2B order. */
-  def registry: Seq[QueryDef] =
-    Relational.all ++ TrainingData.all ++ StreamingBatch.all
+  def registry: Seq[QueryDef] = {
+    val r = Relational.all ++ TrainingData.all ++ StreamingBatch.all
+    // The hand-maintained concat makes a copy-paste name collision easy,
+    // and toMap would silently drop the shadowed query from BOTH the
+    // correctness gate and the bench — fail loudly instead.
+    val dups = r.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names in registry: ${dups.mkString(",")}")
+    r
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

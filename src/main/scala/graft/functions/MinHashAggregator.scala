@@ -33,6 +33,17 @@ object MinHashAggregator {
 
   private def mix(hm: Long, j: Int): Long = (hm * (2 * j + 1) + j * 7919L) % P
 
+  /** The j-th mix over a pre-reduced hash COLUMN — the single source of
+    * truth TrainingData's q43/q44 signatures build from, so the
+    * Aggregator and the oracle-checked queries can never drift apart.
+    */
+  def mixCol(hm: org.apache.spark.sql.Column, j: Int): org.apache.spark.sql.Column =
+    (hm * (2 * j + 1) + j * 7919L) % P
+
+  /** DuckDB spelling of [[mixCol]] for oracle SQL strings. */
+  def mixSql(hmExpr: String, j: Int): String =
+    s"($hmExpr * ${2 * j + 1} + ${j * 7919}) % $P"
+
   val agg: Aggregator[Long, Array[Long], Sketch] =
     new Aggregator[Long, Array[Long], Sketch] {
       override def zero: Array[Long] = empty

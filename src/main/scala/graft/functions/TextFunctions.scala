@@ -26,9 +26,14 @@ object TextFunctions {
   def h64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** SQL fragment of [[h64]] for oracle strings (DuckDB dialect). */
+  /** SQL fragment of [[h64]] for oracle strings (DuckDB dialect).
+    * Null-guarded to match Spark's null-in-null-out: DuckDB's concat()
+    * SKIPS null arguments, so without the CASE a NULL input becomes
+    * CAST('0x' AS BIGINT) — a hard conversion error that aborts the
+    * whole oracle query instead of yielding a comparable NULL.
+    */
   def h64sql(e: String): String =
-    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+    s"CASE WHEN $e IS NULL THEN NULL ELSE CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) END"
 
   /** Distinct word 3-shingles of a token array column named `toks`
     * (0-based Spark array indexing; requires size >= 3 — callers filter).

@@ -285,11 +285,15 @@ object TrainingData {
     * multiplication through the shuffle at all. 8 bands × 2 rows puts the
     * miss probability for a 0.9-Jaccard pair at (1-0.81)^8 ≈ 2e-6.
     */
-  private val P = 1073741789L
+  // Constants and mix formula come from MinHashAggregator — the single
+  // source of truth, so the typed Aggregator's sketches can never drift
+  // from these oracle-checked signatures.
+  private val P = graft.functions.MinHashAggregator.P
+  private val NH = graft.functions.MinHashAggregator.NumHashes
 
   private val sigSql: String = {
-    val mins = (0 until 16)
-      .map(j => s"min((hm * ${2 * j + 1} + ${j * 7919}) % $P) AS mh$j")
+    val mins = (0 until NH)
+      .map(j => s"min(${graft.functions.MinHashAggregator.mixSql("hm", j)}) AS mh$j")
       .mkString(",\n|  ")
     s"""hm AS (SELECT doc_id, ${h64sql("shingle")} % $P AS hm FROM sh),
        |sig AS (SELECT doc_id,
@@ -302,8 +306,8 @@ object TrainingData {
 
   def signaturesDf(docs: DataFrame): DataFrame = {
     val h = shinglesDf(docs).select(col("doc_id"), (h64(col("shingle")) % P).as("hm"))
-    val aggs = (0 until 16).map(j =>
-      min((col("hm") * (2 * j + 1) + j * 7919L) % P).as(s"mh$j"))
+    val aggs = (0 until NH).map(j =>
+      min(graft.functions.MinHashAggregator.mixCol(col("hm"), j)).as(s"mh$j"))
     h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
