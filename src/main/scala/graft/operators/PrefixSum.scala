@@ -76,16 +76,21 @@ object PrefixSum {
         Iterator((i, s, saw))
       }
       .collect().sortBy(_._1)
+    // Plain closure capture, NOT a broadcast: both arrays are
+    // O(partitions) (a few hundred bytes), so shipping them in each task
+    // closure costs nothing — and a broadcast here would accumulate
+    // executor-side blocks across repeated calls in a long-lived session
+    // (the returned DataFrame is lazy, so there is no safe point to
+    // destroy it eagerly; ContextCleaner GC timing is unbounded).
     val offsets = partStats.map(_._2).scanLeft(0L)(_ + _) // exclusive, length P+1
     val sawBefore = partStats.map(_._3).scanLeft(false)(_ || _)
-    val bc = spark.sparkContext.broadcast((offsets, sawBefore))
 
     // Phase 3: narrow pass; emit each peer group with its closing total.
     val outRdd = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
       new Iterator[Row] {
         private val in = it.buffered
-        private var run = bc.value._1(i)
-        private var seen = bc.value._2(i)
+        private var run = offsets(i)
+        private var seen = sawBefore(i)
         private var group: Iterator[Row] = Iterator.empty
         override def hasNext: Boolean = group.hasNext || in.hasNext
         override def next(): Row = {

@@ -644,8 +644,10 @@ object TrainingData {
        |        ${(0 until 8).map(lshBitSql).mkString(" || ")} AS bucket
        |      FROM embeddings),
        |pairs AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
-       |        list_sum(list_transform(range(1, len(p.embedding) + 1),
-       |          i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (p.nrm * e.nrm) AS cos
+       |        CASE WHEN p.nrm = 0 OR e.nrm = 0 THEN -1.0
+       |             ELSE list_sum(list_transform(range(1, len(p.embedding) + 1),
+       |               i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (p.nrm * e.nrm)
+       |        END AS cos
        |      FROM b p JOIN b e ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
        |      WHERE p.vec_id < 5),
        |ranked AS (SELECT probe_id, neighbor_id, cos,
@@ -670,7 +672,11 @@ object TrainingData {
     withB.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        (dot_f(col("pe"), col("embedding")) / (col("pn") * col("nrm"))).as("cos"))
+        // Zero-norm guard (cosSafe): 0/0 = NaN outranks every real
+        // cosine in Spark's DESC sort and can diverge from DuckDB's
+        // NaN rendering; a directionless vector ranks last instead.
+        graft.operators.Similarity
+          .cosSafe(dot_f(col("pe"), col("embedding")), col("pn"), col("nrm")).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("neighbor_id"),

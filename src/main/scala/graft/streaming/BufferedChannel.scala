@@ -101,27 +101,31 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     */
   def append(lines: DataFrame, epochId: Long,
       nowMs: () => Long = () => System.currentTimeMillis()): Unit = {
-    // Replay guard under the lock: epochBytes is structurally modified
-    // by a concurrent age-tick flush (clear()) — an unsynchronized read
-    // of a mutable map mid-clear is undefined.
+    // Replay guard + unregister in ONE synchronized block: with the
+    // guard and the unregister in separate critical sections, an age-
+    // tick flush slipping between them could promote the still-
+    // registered epoch and advance the watermark — after which the
+    // unchecked rewrite below would re-register the epoch and the next
+    // flush would deliver it a second time. Under one lock the flush
+    // either ran before (guard sees the advanced watermark → return) or
+    // runs after the epoch is unregistered (skips it: promote-only-
+    // registered). The unregister itself exists because a replay of a
+    // REGISTERED epoch (re-run in this incarnation, or recovered from a
+    // crashed one) overwrites its dir, and a concurrent flush must never
+    // promote a dir whose overwrite is in flight — it would deliver a
+    // partial part-set, delete the dir under the writer, and advance the
+    // watermark past records that were never promoted.
     val alreadyFlushed = synchronized {
-      epochId <= flushedEpochWatermark && !epochBytes.contains(epochId)
+      val flushed = epochId <= flushedEpochWatermark && !epochBytes.contains(epochId)
+      if (!flushed) {
+        epochBytes.remove(epochId).foreach(prev => bytes.addAndGet(-prev))
+        provisional -= epochId // the replay supersedes recovered bytes
+        if (epochBytes.isEmpty) firstArrivalMs = -1L
+      }
+      flushed
     }
     if (alreadyFlushed) return
     val dir = new Path(staging, s"epoch=$epochId")
-    // A replay of a REGISTERED epoch (re-run in this incarnation, or
-    // recovered from a crashed one) overwrites its dir. Unregister it
-    // under the lock BEFORE the rewrite starts: a concurrent age-tick
-    // flush must never promote a dir whose overwrite is in flight — it
-    // would deliver a partial part-set, delete the dir under the writer,
-    // and advance the watermark past records that were never promoted.
-    // While unregistered, flush skips the dir (promote-only-registered);
-    // the rewrite re-registers it below and it rides the next flush.
-    synchronized {
-      epochBytes.remove(epochId).foreach(prev => bytes.addAndGet(-prev))
-      provisional -= epochId // the replay supersedes recovered bytes
-      if (epochBytes.isEmpty) firstArrivalMs = -1L
-    }
     lines.select(graft.functions.Codecs
         .stripOneTrailingNewline(col(lines.columns.head)).as("value"))
       .write.mode("overwrite").text(dir.toString)
@@ -129,7 +133,15 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     // _SUCCESS markers or .crc checksums).
     val added = partFiles(dir).map(_.getLen).sum
     synchronized {
-      if (added == 0) {
+      if (epochId <= flushedEpochWatermark) {
+        // Defense-in-depth re-check: if the watermark passed this epoch
+        // while the write was in flight (cannot happen under a single
+        // sequential micro-batch query, but can under a non-monotone
+        // caller), registering now would deliver it a second time on the
+        // next flush. Drop the rewrite instead — the epoch is covered by
+        // the watermark, i.e. already delivered.
+        fs.delete(dir, true)
+      } else if (added == 0) {
         // Empty micro-batch (or an empty replay): don't accumulate empty
         // epoch dirs / map entries (idle streams tick every trigger).
         fs.delete(dir, true)
@@ -148,8 +160,15 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     */
   def maybeFlush(nowMs: Long): Boolean = synchronized {
     val aged = firstArrivalMs >= 0 && nowMs - firstArrivalMs >= maxAgeMillis
+    // The size trip counts only bytes a size flush would actually
+    // promote (non-provisional): when everything staged is provisional
+    // (recovered, possibly partial), total bytes may sit >= maxBytes
+    // while flush(includeProvisional = false) promotes nothing — every
+    // tick would re-enter flush as a no-op until the age path fires.
+    lazy val eligibleBytes = epochBytes.iterator
+      .collect { case (e, b) if !provisional.contains(e) => b }.sum
     if (aged && bytes.get() > 0) { flush(includeProvisional = true); true }
-    else if (bytes.get() >= maxBytes) { flush(includeProvisional = false); true }
+    else if (eligibleBytes >= maxBytes) { flush(includeProvisional = false); true }
     else false
   }
 

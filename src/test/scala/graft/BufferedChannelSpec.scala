@@ -160,8 +160,11 @@ class BufferedChannelSpec extends SparkSpec {
     try (1 to 100).foreach(i => pw.println(s"""{"i": $i}""")) finally pw.close()
     val ch = new BufferedChannel(tmp, maxBytes = 100, maxAgeMillis = 60000)
     assert(ch.stagedBytes > 100, "recovery must register the staged bytes")
-    // Size threshold exceeded — but only by provisional bytes: no object.
-    assert(!ch.maybeFlush(System.currentTimeMillis()) || ch.deliveredObjects.isEmpty)
+    // Size threshold exceeded — but only by provisional bytes: the trip
+    // must report FALSE (a true-but-promoted-nothing answer would spin
+    // every tick through a no-op flush until the age path fires).
+    assert(!ch.maybeFlush(System.currentTimeMillis()),
+      "size trip must not report true when only provisional bytes exceed the budget")
     assert(ch.deliveredObjects.isEmpty,
       "size flush must not deliver a possibly-partial recovered epoch")
     // The replay overwrites the recovery; NOW the size path delivers it.
@@ -204,6 +207,26 @@ class BufferedChannelSpec extends SparkSpec {
     val ch2 = new BufferedChannel(tmp2, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
     ch2.append(lines(2, "b"), epochId = 1) // would be skipped if "9" were trusted
     assert(ch2.stagedBytes > 0, "truncated tmp watermark must not suppress appends")
+  }
+
+  test("replays racing an age-tick-style flusher never double-deliver") {
+    // Stress for the append() replay-guard/unregister TOCTOU: a flush
+    // slipping between the guard and the unregister could promote the
+    // still-registered epoch and advance the watermark, after which the
+    // replay would re-register it and the next flush would deliver it a
+    // SECOND time. With guard+unregister in one critical section, every
+    // interleaving delivers epoch 42's payload exactly once.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf16").toString
+    val ch = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    @volatile var stop = false
+    val flusher = new Thread(() => while (!stop) { ch.flush(); Thread.sleep(1) })
+    flusher.start()
+    (1 to 12).foreach(_ => ch.append(lines(20, "replay"), epochId = 42))
+    stop = true
+    flusher.join()
+    ch.close()
+    val total = ch.deliveredObjects.map(o => spark.read.text(o.toString).count()).sum
+    assert(total == 20, s"epoch 42 delivered ${total / 20.0}x (expected exactly once)")
   }
 
   test("empty micro-batches do not grow staging state (idle stream)") {
