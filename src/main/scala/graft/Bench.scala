@@ -152,15 +152,26 @@ object Bench {
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("value", DoubleType),
       StructField("props", StringType)))
-    val ev = queries.Tables.events(spark, sfDir)
-    val n = ev.count()
-    val expectedDropped = ev.filter(col("value") < 10).count()
+    val ev0 = queries.Tables.events(spark, sfDir)
+    val n0 = ev0.count()
+    // Sustained-rate methodology (reference README.rst:95-111: 1.92M
+    // records over 745 s): replicate the envelope to ~1M records so the
+    // measured rate is dominated by steady-state processing, not by the
+    // fixed cost of starting two streaming queries — at sf0.1's native
+    // 100k records that startup is most of the wall clock. Each copy
+    // gets a UNIQUE recordId (copy-qualified), so this is 1M distinct
+    // records through the pipeline, not one batch counted `factor`
+    // times.
+    val factor = math.max(1L, (1000000L + n0 - 1) / n0)
+    val ev = ev0.crossJoin(spark.range(factor).select(col("id").as("copy")))
+    val n = n0 * factor
+    val expectedDropped = ev0.filter(col("value") < 10).count() * factor
     val par = spark.sparkContext.defaultParallelism
     // The events table is one small parquet file (1 scan partition);
     // spread the envelope over `par` input files so every micro-batch
     // stage runs wide instead of single-task. `data` is base64 on the
     // wire, as the reference's Firehose envelope carries it.
-    ev.select(col("event_id").cast("string").as("recordId"),
+    ev.select(concat_ws("-", col("copy"), col("event_id")).as("recordId"),
         to_json(struct(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("props"))).as("line"))
       .select(to_json(struct(col("recordId"),

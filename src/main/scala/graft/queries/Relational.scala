@@ -496,11 +496,16 @@ object Relational {
       |  CAST(len(json_keys(props)) AS INT) AS n_keys
       |FROM events ORDER BY event_id""".stripMargin
   ) { (s, dir) =>
+    // ONE JSON parse per row: k_val, key_list and n_keys all read the
+    // same from_json map, so runtime subexpression elimination evaluates
+    // the parse once — a get_json_object for k_val would be a second
+    // full scan of the JSON text per row (JSON parsing dominates this
+    // query; projection work is trivial).
     val asMap = from_json(col("props"), org.apache.spark.sql.types.MapType(
       org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
     t(s, dir, "events").select(
       col("event_id"),
-      get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+      element_at(asMap, "k").as("k_val"),
       concat_ws(",", map_keys(asMap)).as("key_list"),
       size(map_keys(asMap)).as("n_keys")
     ).orderBy("event_id")

@@ -777,16 +777,90 @@ object TrainingData {
       .orderBy("survivor_id")
   }
 
-  val q73_ann_ivf: QueryDef = QueryDef("q73_ann_ivf", None) { (s, dir) =>
+  /** Squared L2 distance in DuckDB mirroring [[graft.operators.Ivf]]'s
+    * `nearest` float math exactly: per-dim difference rounded to float32
+    * (`CAST(a - b AS REAL)` — the double subtraction of two floats is
+    * exact, so the cast IS the float rounding Scala's `cv(i) - v(i)`
+    * performs), the square rounded to float32 the same way, then a
+    * sequential double accumulation (list_sum), which is the Scala
+    * loop's `d += t * t` widening. Bit-identical distances make the
+    * argmin (and therefore every k-means assignment) engine-portable.
+    */
+  private def ivfSqDistSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+       |        i -> CAST(CAST(CAST($a[i] - $b[i] AS REAL) * CAST($a[i] - $b[i] AS REAL) AS REAL) AS DOUBLE)))""".stripMargin
+
+  /** One k-means assignment as a CTE: nearest centroid by squared L2,
+    * ties to the smallest cell — `Ivf.nearest` keeps the first (lowest)
+    * cell on equal distance, which `ORDER BY dist, cell` reproduces.
+    */
+  private def ivfAssignSql(name: String, cents: String): String =
+    s"""$name AS (SELECT vec_id, embedding, cell FROM (
+       |    SELECT v.vec_id, v.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfSqDistSql("v.embedding", "c.cv")}, c.cell) AS rn
+       |    FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+
+  /** One Lloyd centroid update as CTEs: per-dimension double mean cast
+    * to float32 (Ivf.train's `avg(x)` + `cast(s.m as float)`), empty
+    * cells keeping their previous centroid (`centroids.toMap ++ sums`).
+    * DuckDB's zipped unnest pairs each component with its 1-based
+    * position, the twin of Spark's posexplode.
+    */
+  private def ivfCentroidSql(name: String, assigned: String, prev: String): String =
+    s"""${name}u AS (SELECT cell, unnest(range(1, len(embedding) + 1)) AS d,
+       |        unnest(embedding) AS x FROM $assigned),
+       |${name}a AS (SELECT cell, d, CAST(avg(CAST(x AS DOUBLE)) AS REAL) AS m
+       |        FROM ${name}u GROUP BY cell, d),
+       |$name AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv FROM $prev p
+       |  LEFT JOIN (SELECT cell, list(m ORDER BY d) AS cv FROM ${name}a GROUP BY cell) n
+       |  ON n.cell = p.cell)""".stripMargin
+
+  private val ivfDotSql: String =
+    """list_sum(list_transform(range(1, len(pe.pemb) + 1),
+      |      i -> CAST(pe.pemb[i] AS DOUBLE) * CAST(i2.embedding[i] AS DOUBLE)))""".stripMargin
+
+  private def ivfNormSql(e: String): String =
+    s"sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  val q73_ann_ivf: QueryDef = q(
+    "q73_ann_ivf",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM
+       |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM v) WHERE rn <= 8),
+       |${ivfAssignSql("a1", "c0")}, ${ivfCentroidSql("c1", "a1", "c0")},
+       |${ivfAssignSql("a2", "c1")}, ${ivfCentroidSql("c2", "a2", "c1")},
+       |${ivfAssignSql("a3", "c2")}, ${ivfCentroidSql("c3", "a3", "c2")},
+       |${ivfAssignSql("idx", "c3")},
+       |pc AS (SELECT probe_id, cell FROM (
+       |    SELECT v.vec_id AS probe_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfSqDistSql("v.embedding", "c.cv")}, c.cell) AS rn
+       |    FROM v CROSS JOIN c3 c WHERE v.vec_id < 5) WHERE rn <= 2),
+       |pe AS (SELECT vec_id AS probe_id, embedding AS pemb, ${ivfNormSql("embedding")} AS na FROM v WHERE vec_id < 5),
+       |scored AS (SELECT pc.probe_id, i2.vec_id AS neighbor_id,
+       |    CASE WHEN pe.na = 0 OR ${ivfNormSql("i2.embedding")} = 0 THEN -1.0
+       |         ELSE $ivfDotSql / (pe.na * ${ivfNormSql("i2.embedding")}) END AS cos
+       |  FROM pc JOIN pe ON pe.probe_id = pc.probe_id JOIN idx i2 ON i2.cell = pc.cell
+       |  WHERE i2.vec_id <> pc.probe_id),
+       |ranked AS (SELECT probe_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT probe_id, neighbor_id, floor(cos * 100 + 0.5) / 100 AS cos_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  ) { (s, dir) =>
     // The IVF-flat ANN path surfaced in the registry: deterministic
     // k-means coarse quantizer (init = first k by vec_id, 3 Lloyd
     // steps), cell assignment, then top-5 cosine probing only the 2
-    // nearest cells per probe. Lloyd iteration is not reasonably
-    // expressible in one DuckDB statement, so this entry carries no
-    // oracle SQL — the driver records the weaker rows-only check; exact
-    // RECALL vs brute force is asserted in StreamingTwinSpec ("IVF search
-    // recall"). Every step is deterministic (ordered init, ascending-id
-    // tie-breaks), so row counts are stable across runs and engines.
+    // nearest cells per probe. The oracle replays the SAME 3 Lloyd
+    // iterations as chained CTEs with float-exact arithmetic (see
+    // ivfSqDistSql) — every assignment, centroid, probe-cell choice and
+    // cosine is engine-portable, so this entry is hash-checked like any
+    // other (formerly the registry's one rows-only entry). Exact RECALL
+    // vs brute force is asserted in StreamingTwinSpec ("IVF search
+    // recall"). The one residual engine-divergence risk is avg() summa-
+    // tion order (Spark partial aggregates vs DuckDB sequential): the
+    // double means differ in the last ulp at most, and the cast to
+    // float32 absorbs 29 bits of that — verified stable at sf0.01/0.001.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val model = graft.operators.Ivf.train(s, emb, k = 8, iters = 3)
     val indexed = graft.operators.Ivf.index(s, emb, model)

@@ -24,12 +24,12 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("oracle SQL exists for every query (q16 included, via tolerance column)") {
-    // q73 is the ONE declared rows-only entry (Lloyd iteration isn't a
-    // single DuckDB statement; its recall is spec-checked instead). Any
-    // other oracle-less query is a gate regression.
-    val declaredRowsOnly = Set("q73_ann_ivf")
+    // EVERY registry entry is oracle-checked — q73's Lloyd iterations
+    // are replayed as chained CTEs with float-exact arithmetic, so even
+    // the IVF ANN path hash-matches DuckDB. Any oracle-less query is a
+    // gate regression.
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle.toSet == declaredRowsOnly, s"queries without oracle: $noOracle")
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 
   test("q16 approx_count_distinct within 5% of exact (FIXTURES tolerance band)") {
