@@ -871,11 +871,48 @@ object TrainingData {
       .orderBy("probe_id", "rnk")
   }
 
+  val q74_quantized_ann: QueryDef = q(
+    "q74_quantized_ann",
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+       |      FROM embeddings),
+       |qz AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CASE WHEN mx = 0 THEN 0
+       |      ELSE CAST(least(127, greatest(-127, floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5))) AS BIGINT) END) AS codes
+       |  FROM v),
+       |n AS (SELECT vec_id, codes, list_sum(list_transform(codes, c -> c * c)) AS nsq FROM qz),
+       |pairs AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |    CASE WHEN p.nsq = 0 OR e.nsq = 0 THEN -1.0
+       |         ELSE CAST(list_sum(list_transform(range(1, len(p.codes) + 1), i -> p.codes[i] * e.codes[i])) AS DOUBLE)
+       |              / (sqrt(CAST(p.nsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE))) END AS qcos
+       |  FROM n p JOIN n e ON e.vec_id <> p.vec_id WHERE p.vec_id < 5),
+       |ranked AS (SELECT probe_id, neighbor_id, qcos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY qcos DESC, neighbor_id) AS rnk FROM pairs)
+       |SELECT probe_id, neighbor_id, floor(qcos * 100 + 0.5) / 100 AS qcos, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  ) { (s, dir) =>
+    // Int8 scalar-quantized ANN (operators/Quantize): the memory-bound
+    // scale path — 4x fewer vector bytes than float32, and the whole
+    // score is INTEGER arithmetic (per-vector scales cancel in cosine),
+    // so Spark and DuckDB agree bit-for-bit with no float-summation-
+    // order caveat at all. Quantization itself is double math with
+    // explicit floor(x + 0.5) rounding on both engines. The top-k shape
+    // is q33's broadcast-probe brute force over the coded corpus.
+    val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+      graft.operators.Quantize.int8Codes(col("embedding")).as("codes"))
+    val probes = emb.filter(col("id") < 5)
+    graft.operators.Quantize.topKQuantized(emb, probes, 5)
+      .select(col("probe_id"), col("neighbor_id"),
+        Par.r2(col("qcos")).as("qcos"), col("rnk").cast("bigint").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
     q43_minhash_sig, q44_lsh_pairs, q45_simhash, q46_embed_neardup,
     q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match,
     q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh,
-    q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf)
+    q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf,
+    q74_quantized_ann)
 }

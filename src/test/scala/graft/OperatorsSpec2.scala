@@ -307,4 +307,52 @@ class OperatorsSpec2 extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(got == expect)
   }
+
+  test("int8 quantization: bounded codes, scale invariance, zero-vector safety") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    val vecs = Seq(
+      (0L, Array(1.0f, -2.0f, 0.5f, 4.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // directionless
+      (2L, Array(-0.25f, 0.25f, 0.125f, -1.0f))
+    ).toDF("id", "embedding")
+    val coded = vecs.select(col("id"), Quantize.int8Codes(col("embedding")).as("codes"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    // Bounds + the max-|x| component hitting exactly +/-127.
+    coded.foreach { case (_, cs) => assert(cs.forall(c => c >= -127 && c <= 127)) }
+    // mx=4 -> scale 31.75: floor(31.75+0.5)=32, floor(-63.5+0.5)=-63,
+    // floor(15.875+0.5)=16, floor(127+0.5)=127.
+    assert(coded(0)._2 == Seq(32L, -63L, 16L, 127L))
+    // A zero vector codes to zeros (no division blowup)...
+    assert(coded(1)._2.forall(_ == 0L))
+    // ...and scores -1.0 against everything (cosSafe contract).
+    val z = vecs.select(col("id"), Quantize.int8Codes(col("embedding")).as("codes"))
+    val scored = Quantize.topKQuantized(z, z.filter(col("id") === 1), 2)
+      .orderBy("rnk").collect()
+    assert(scored.forall(_.getDouble(2) == -1.0))
+    // Scale invariance: quantizing 3x the vector yields the SAME codes
+    // (per-vector symmetric scaling), so quantized cosine is exactly
+    // scale-free — the property that lets the scales be dropped.
+    val tripled = vecs.select(col("id"),
+      Quantize.int8Codes(transform(col("embedding"), x => x * 3.0f)).as("codes"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(tripled.map(_._2).toSeq == coded.map(_._2).toSeq)
+  }
+
+  test("quantized ANN top-k tracks the exact float top-k (recall sanity)") {
+    import graft.operators.{Quantize, Similarity}
+    val emb = queries.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val coded = emb.select(col("id"), Quantize.int8Codes(col("embedding")).as("codes"))
+    val got = Quantize.topKQuantized(coded, coded.filter(col("id") < 5), 5)
+      .select(col("probe_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.topKPerProbe(emb, emb.filter(col("id") < 5), 5)
+      .select(col("probe_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Int8 error on d=64 unit-ish vectors perturbs cosines by ~1e-2;
+    // most of the exact top-5 must survive quantization.
+    val overlap = got.intersect(exact).size.toDouble / exact.size
+    assert(overlap >= 0.6, s"quantized recall too low: $overlap (got=$got exact=$exact)")
+  }
 }
