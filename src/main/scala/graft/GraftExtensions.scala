@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProductF
+import graft.functions.{DotProductF, DotProductL}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions for SQL use.
@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dot_f expects exactly 2 arguments, got ${exprs.length}")
         DotProductF(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      FunctionIdentifier("dot_l"),
+      new ExpressionInfo(classOf[DotProductL].getName, "dot_l"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"dot_l expects exactly 2 arguments, got ${exprs.length}")
+        DotProductL(exprs.head, exprs(1))
+      }))
     e.injectOptimizerRule(_ => graft.plans.BucketedIntervalJoin)
   }
 }
@@ -42,6 +50,12 @@ object GraftExtensions {
         require(exprs.length == 2,
           s"dot_f expects exactly 2 arguments, got ${exprs.length}")
         DotProductF(exprs.head, exprs(1))
+      })
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "dot_l",
+      exprs => {
+        require(exprs.length == 2,
+          s"dot_l expects exactly 2 arguments, got ${exprs.length}")
+        DotProductL(exprs.head, exprs(1))
       })
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BucketedIntervalJoin))
       spark.experimental.extraOptimizations =

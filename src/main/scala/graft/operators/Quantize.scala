@@ -44,9 +44,14 @@ object Quantize {
           floor(x.cast("double") * 127.0 / mx + 0.5).cast("long")))))
   }
 
-  /** Exact integer dot product of two code vectors. */
+  /** Exact integer dot product of two code vectors — the codegen'd
+    * [[graft.functions.DotProductL]] (a fused primitive loop; the
+    * `aggregate(zip_with(...))` spelling pays interpreted lambdas and
+    * an intermediate array per row-pair, which is the whole runtime of
+    * a brute-force scorer).
+    */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, t) => acc + t)
+    graft.functions.VectorFunctions.dot_l(a, b)
 
   /** Quantized cosine: integer dot over integer norms, zero-norm pairs
     * pinned to -1.0 (same contract as [[Similarity.cosSafe]] — a
@@ -62,7 +67,7 @@ object Quantize {
     * the bytes. `corpus`/`probes`: (id: bigint, codes: array<long>).
     */
   def topKQuantized(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val sqn = (c: Column) => aggregate(c, lit(0L), (acc, t) => acc + t * t)
+    val sqn = (c: Column) => intDot(c, c) // squared integer norm
     val cAll = corpus.select(col("id").as("neighbor_id"), col("codes").as("qb"),
       sqn(col("codes")).as("nb"))
     val pAll = probes.select(col("id").as("probe_id"), col("codes").as("qa"),
