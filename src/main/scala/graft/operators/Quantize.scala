@@ -62,6 +62,43 @@ object Quantize {
       .otherwise(intDot(qa, qb).cast("double") /
         (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
 
+  /** Two-stage retrieval: quantized shortlist, full-precision re-rank.
+    *
+    * Stage 1 scans only the int8 codes (1/4 of the bytes, integer
+    * score) and keeps `shortlist` candidates per probe; stage 2 fetches
+    * float vectors for those few candidates (a join on the candidate
+    * ids — O(probes × shortlist) rows, never the corpus) and re-scores
+    * exactly. With `shortlist` a small multiple of k, stage 2 returns
+    * the true float top-k whenever quantization error is below the
+    * probe's k-th/shortlist-th cosine gap — the standard
+    * retrieve-then-rerank trade: full-precision bytes are touched for
+    * ~shortlist rows per probe instead of the whole corpus.
+    *
+    * `corpus`/`probes`: (id: bigint, embedding: array<float>).
+    * Returns (probe_id, neighbor_id, cos, rnk) with exact float
+    * cosines, ties on neighbor_id.
+    */
+  def topKReranked(corpus: DataFrame, probes: DataFrame, k: Int,
+      shortlist: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_f, norm_f}
+    val cand = topKQuantized(
+        corpus.select(col("id"), int8Codes(col("embedding")).as("codes")),
+        probes.select(col("id"), int8Codes(col("embedding")).as("codes")),
+        shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("eb"),
+      norm_f(col("embedding")).as("nb"))
+    val p = probes.select(col("id").as("probe_id"), col("embedding").as("ea"),
+      norm_f(col("embedding")).as("na"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(c, "neighbor_id").join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        Similarity.cosSafe(dot_f(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Top-k neighbors per probe by quantized cosine, brute force over the
     * coded corpus with the probe set broadcast — the q33 shape on 1/4 of
     * the bytes. `corpus`/`probes`: (id: bigint, codes: array<long>).

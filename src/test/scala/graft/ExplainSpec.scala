@@ -52,6 +52,17 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q74: quantized scorer broadcasts probes and runs the codegen'd dot_l") {
+    val p = plan("q74_quantized_ann")
+    assert(p.contains("Broadcast"), p)
+    // The integer dot must be the fused expression, not an interpreted
+    // aggregate(zip_with(...)) lambda chain.
+    assert(p.contains("dot_l"), p)
+    assert(!p.contains("zip_with"), p)
+    // Rank<=k is pushed below the exchange like q33's.
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q35: top-10 selection is TakeOrderedAndProject, not a global window") {
     val p = plan("q35_tfidf")
     assert(p.contains("TakeOrderedAndProject"), p)

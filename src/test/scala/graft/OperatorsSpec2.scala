@@ -355,4 +355,21 @@ class OperatorsSpec2 extends SparkSpec {
     val overlap = got.intersect(exact).size.toDouble / exact.size
     assert(overlap >= 0.6, s"quantized recall too low: $overlap (got=$got exact=$exact)")
   }
+
+  test("two-stage retrieval: quantized shortlist + float re-rank recovers the exact top-k") {
+    import graft.operators.{Quantize, Similarity}
+    val emb = queries.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val probes = emb.filter(col("id") < 5)
+    // Shortlist 4x k: stage 1 touches only int8 codes, stage 2 re-scores
+    // ~20 float vectors per probe — and lands on the SAME ranking as the
+    // full-precision brute force over the whole corpus.
+    val got = Quantize.topKReranked(emb, probes, k = 5, shortlist = 20)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.topKPerProbe(emb, probes, 5)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact, s"re-rank diverged from exact top-k: got=$got exact=$exact")
+  }
 }
