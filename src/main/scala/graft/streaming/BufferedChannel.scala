@@ -161,12 +161,13 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
   def maybeFlush(nowMs: Long): Boolean = synchronized {
     val aged = firstArrivalMs >= 0 && nowMs - firstArrivalMs >= maxAgeMillis
     // The size trip counts only bytes a size flush would actually
-    // promote (non-provisional): when everything staged is provisional
-    // (recovered, possibly partial), total bytes may sit >= maxBytes
-    // while flush(includeProvisional = false) promotes nothing — every
-    // tick would re-enter flush as a no-op until the age path fires.
-    lazy val eligibleBytes = epochBytes.iterator
-      .collect { case (e, b) if !provisional.contains(e) => b }.sum
+    // promote — the contiguous non-provisional PREFIX in epoch order
+    // (see flush()'s scaladoc): while a provisional epoch heads the
+    // staging order, total bytes may sit >= maxBytes with nothing
+    // promotable, and a trip that reports true while promoting nothing
+    // would spin every tick until the age path fires.
+    lazy val eligibleBytes = epochBytes.toSeq.sortBy(_._1).iterator
+      .takeWhile { case (e, _) => !provisional.contains(e) }.map(_._2).sum
     if (aged && bytes.get() > 0) { flush(includeProvisional = true); true }
     else if (eligibleBytes >= maxBytes) { flush(includeProvisional = false); true }
     else false
@@ -183,9 +184,19 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     * it, and make its replay a no-op — permanent record loss. The unre-
     * gistered dir simply stays staged and rides the next flush.
     *
-    * `includeProvisional = false` (size-triggered) additionally skips
-    * recovered epochs whose part-set may be partial; they stay staged
-    * and registered until an age flush or their replay arrives.
+    * `includeProvisional = false` (size-triggered) promotes only the
+    * longest PREFIX (in epoch order) of non-provisional epochs — not
+    * every non-provisional epoch. Skipping a provisional epoch but
+    * promoting later ones would advance the watermark PAST the skipped
+    * epoch (the watermark is one number: max promoted), and the next
+    * restart would then treat that never-delivered epoch as delivered
+    * and discard its staging dir — permanent loss. The prefix rule
+    * keeps the invariant every other path relies on: staged epochs are
+    * always strictly above the watermark. Since recovered (provisional)
+    * epochs precede any fresh append, in practice this means size trips
+    * deliver nothing until the recovered head is resolved by its replay
+    * or by an age flush — at most maxAgeMillis of deferral, which is
+    * Firehose's own delivery bound.
     *
     * The object dir is created lazily on the first promoted part file —
     * a flush whose epochs hold zero parts publishes NO empty object (and
@@ -193,8 +204,10 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     * objects.
     */
   def flush(includeProvisional: Boolean = true): Unit = synchronized {
-    val epochs = epochBytes.keys.toSeq.sorted
-      .filter(e => includeProvisional || !provisional.contains(e))
+    val sorted = epochBytes.keys.toSeq.sorted
+    val epochs =
+      if (includeProvisional) sorted
+      else sorted.takeWhile(e => !provisional.contains(e))
     if (epochs.nonEmpty) {
       var objDir: Path = null
       epochs.foreach { epochId =>

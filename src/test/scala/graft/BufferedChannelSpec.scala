@@ -229,6 +229,34 @@ class BufferedChannelSpec extends SparkSpec {
     assert(total == 20, s"epoch 42 delivered ${total / 20.0}x (expected exactly once)")
   }
 
+  test("size flush never advances the watermark past a stranded provisional epoch") {
+    // Loss scenario if the size path promoted non-provisional epochs
+    // PAST a provisional one: incarnation A stages 41 (committed in the
+    // streaming checkpoint, so never replayed) and 42, then crashes
+    // unflushed. B recovers both as provisional; the replay resolves
+    // only 42 (the uncommitted tail), a fresh 43 arrives, and a size
+    // trip fires. Promoting {42,43} would set the watermark to 43 while
+    // 41 is still staged — the next restart would then discard 41 as
+    // "already delivered" and its records would be gone. The prefix
+    // rule defers the size flush instead; every record survives.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf17").toString
+    val a = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    a.append(lines(10, "e41"), epochId = 41)
+    a.append(lines(10, "e42"), epochId = 42)
+    // crash A (nothing flushed). B recovers 41+42 as provisional.
+    val b = new BufferedChannel(tmp, maxBytes = 300, maxAgeMillis = Long.MaxValue / 2)
+    b.append(lines(10, "e42"), epochId = 42) // replay of the uncommitted tail
+    b.append(lines(10, "e43"), epochId = 43) // size threshold now exceeded
+    assert(b.deliveredObjects.isEmpty,
+      "size flush must defer while a provisional epoch heads the staging order")
+    // crash B. C recovers everything — nothing was dropped at construction —
+    // and the shutdown (age-path) flush delivers all three epochs.
+    val c = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
+    c.close()
+    val total = c.deliveredObjects.map(o => spark.read.text(o.toString).count()).sum
+    assert(total == 30, s"records lost across the stranded-provisional restart: $total of 30")
+  }
+
   test("empty micro-batches do not grow staging state (idle stream)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-buf8").toString
     val ch = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)
