@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF, DotProductL}
+import graft.functions.{DotProductF, DotProductL, Int8CodesExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions for SQL use.
@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dot_l expects exactly 2 arguments, got ${exprs.length}")
         DotProductL(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      FunctionIdentifier("quantize_i8"),
+      new ExpressionInfo(classOf[Int8CodesExpr].getName, "quantize_i8"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"quantize_i8 expects exactly 1 argument, got ${exprs.length}")
+        Int8CodesExpr(exprs.head)
+      }))
     e.injectOptimizerRule(_ => graft.plans.BucketedIntervalJoin)
   }
 }
@@ -56,6 +64,12 @@ object GraftExtensions {
         require(exprs.length == 2,
           s"dot_l expects exactly 2 arguments, got ${exprs.length}")
         DotProductL(exprs.head, exprs(1))
+      })
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "quantize_i8",
+      exprs => {
+        require(exprs.length == 1,
+          s"quantize_i8 expects exactly 1 argument, got ${exprs.length}")
+        Int8CodesExpr(exprs.head)
       })
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BucketedIntervalJoin))
       spark.experimental.extraOptimizations =

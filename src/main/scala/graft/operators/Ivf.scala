@@ -29,8 +29,20 @@ object Ivf {
     * otherwise re-run the full upstream scan) and released at the end;
     * per-iteration centroid broadcasts are destroyed once their step's
     * job finishes instead of accumulating on executors for app lifetime.
+    *
+    * @param meanRound when > 0, snap each centroid mean to a
+    *   10^-meanRound grid (floor(m·10^r + 0.5)/10^r) before the float32
+    *   cast. Motivation: the per-dimension mean is a parallel double
+    *   sum whose value depends on partition add-order by ~1 ulp; an
+    *   external replayer (sequential sum) can land on the other side of
+    *   a float32 rounding boundary, flip one centroid component, and
+    *   cascade into different assignments. Snapping to a coarser grid
+    *   shrinks that collision window by the grid ratio (~1e3 at r=4,
+    *   double-ulp vs 1e-4 spacing) at negligible quality cost. 0 (the
+    *   default) keeps raw float means.
     */
-  def train(spark: SparkSession, embeddings: DataFrame, k: Int, iters: Int): Model = {
+  def train(spark: SparkSession, embeddings: DataFrame, k: Int, iters: Int,
+      meanRound: Int = 0): Model = {
     import spark.implicits._
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].persist()
@@ -47,12 +59,16 @@ object Ivf {
           // Per-dimension mean via posexplode + two-level aggregate: never
           // collects a cell's vectors into one row (a hot cell at scale
           // would OOM a collect_list-based mean).
+          val meanSql =
+            if (meanRound > 0) {
+              val p = math.pow(10, meanRound)
+              s"transform(array_sort(collect_list(struct(d, m))), s -> cast(floor(s.m * ${p}d + 0.5d) / ${p}d as float))"
+            } else "transform(array_sort(collect_list(struct(d, m))), s -> cast(s.m as float))"
           val sums = assigned
             .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
             .groupBy("cell", "d").agg(avg(col("x")).as("m"))
             .groupBy("cell")
-            .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> cast(s.m as float))")
-              .as("mean"))
+            .agg(expr(meanSql).as("mean"))
             .collect()
           val updated = centroids.toMap ++ sums.map(r =>
             r.getInt(0) -> r.getSeq[Float](1).toArray).toMap

@@ -35,14 +35,12 @@ object Quantize {
   /** `int8Codes(col)` — per-vector symmetric int8 codes as array<long>
     * (long keeps downstream integer dot products in one type; values
     * are in [-127, 127]). An all-zero vector quantizes to all zeros.
+    * Backed by the fused codegen'd [[graft.functions.Int8CodesExpr]]
+    * (two O(d) passes); a Column-combinator spelling would re-evaluate
+    * the per-vector max inside the per-element lambda — O(d²).
     */
-  def int8Codes(v: Column): Column = {
-    val mx = array_max(transform(v, x => abs(x.cast("double"))))
-    transform(v, x =>
-      when(mx === 0.0, lit(0L)).otherwise(
-        least(lit(127L), greatest(lit(-127L),
-          floor(x.cast("double") * 127.0 / mx + 0.5).cast("long")))))
-  }
+  def int8Codes(v: Column): Column =
+    graft.functions.VectorFunctions.quantize_i8(v)
 
   /** Exact integer dot product of two code vectors — the codegen'd
     * [[graft.functions.DotProductL]] (a fused primitive loop; the
@@ -64,44 +62,53 @@ object Quantize {
 
   /** Two-stage retrieval: quantized shortlist, full-precision re-rank.
     *
-    * Stage 1 scans only the int8 codes (1/4 of the bytes, integer
-    * score) and keeps `shortlist` candidates per probe; stage 2 fetches
-    * float vectors for those few candidates (a join on the candidate
-    * ids — O(probes × shortlist) rows, never the corpus) and re-scores
-    * exactly. With `shortlist` a small multiple of k, stage 2 returns
-    * the true float top-k whenever quantization error is below the
-    * probe's k-th/shortlist-th cosine gap — the standard
-    * retrieve-then-rerank trade: full-precision bytes are touched for
-    * ~shortlist rows per probe instead of the whole corpus.
+    * Stage 1 scores only int8 codes (integer arithmetic) and keeps
+    * `shortlist` candidates per probe; stage 2 fetches float vectors
+    * for those candidates (a join on the candidate ids) and re-scores
+    * exactly — norms included, computed AFTER the candidate join, so
+    * full-precision arithmetic runs on O(probes × shortlist) rows.
+    * With `shortlist` a small multiple of k, stage 2 returns the true
+    * float top-k whenever quantization error is below the probe's
+    * k-th/shortlist-th cosine gap — the standard retrieve-then-rerank
+    * trade.
+    *
+    * Pass `coded` (id, codes — from [[int8Codes]], quantize ONCE and
+    * reuse) to keep stage 1 off the float corpus entirely; without it
+    * this convenience form codes the corpus inline, which scans the
+    * float bytes once — correct, but the bandwidth win only
+    * materializes with a pre-coded corpus.
     *
     * `corpus`/`probes`: (id: bigint, embedding: array<float>).
     * Returns (probe_id, neighbor_id, cos, rnk) with exact float
     * cosines, ties on neighbor_id.
     */
   def topKReranked(corpus: DataFrame, probes: DataFrame, k: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, coded: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFunctions.{dot_f, norm_f}
-    val cand = topKQuantized(
-        corpus.select(col("id"), int8Codes(col("embedding")).as("codes")),
+    val codedCorpus = coded.getOrElse(
+      corpus.select(col("id"), int8Codes(col("embedding")).as("codes")))
+    val cand = topKQuantized(codedCorpus,
         probes.select(col("id"), int8Codes(col("embedding")).as("codes")),
         shortlist)
       .select(col("probe_id"), col("neighbor_id"))
-    val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("eb"),
-      norm_f(col("embedding")).as("nb"))
+    // Float vectors join in by candidate id; the corpus-side norm is
+    // computed on the joined (candidate) rows only — pulling it below
+    // the join would fold norms for every corpus row.
+    val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("eb"))
     val p = probes.select(col("id").as("probe_id"), col("embedding").as("ea"),
       norm_f(col("embedding")).as("na"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand.join(c, "neighbor_id").join(broadcast(p), "probe_id")
+    val scored = cand.join(c, "neighbor_id").join(broadcast(p), "probe_id")
       .select(col("probe_id"), col("neighbor_id"),
-        Similarity.cosSafe(dot_f(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+        Similarity.cosSafe(dot_f(col("ea"), col("eb")),
+          col("na"), norm_f(col("eb"))).as("cos"))
+    Similarity.topKByScore(scored, "cos", k)
   }
 
   /** Top-k neighbors per probe by quantized cosine, brute force over the
     * coded corpus with the probe set broadcast — the q33 shape on 1/4 of
-    * the bytes. `corpus`/`probes`: (id: bigint, codes: array<long>).
+    * the bytes, sharing its rank-and-cut skeleton
+    * ([[Similarity.topKByScore]]: map-side partial top-k, then a final
+    * re-rank). `corpus`/`probes`: (id: bigint, codes: array<long>).
     */
   def topKQuantized(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val sqn = (c: Column) => intDot(c, c) // squared integer norm
@@ -109,12 +116,9 @@ object Quantize {
       sqn(col("codes")).as("nb"))
     val pAll = probes.select(col("id").as("probe_id"), col("codes").as("qa"),
       sqn(col("codes")).as("na"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("qcos").desc, col("neighbor_id"))
-    cAll.join(broadcast(pAll), col("neighbor_id") =!= col("probe_id"))
+    val scored = cAll.join(broadcast(pAll), col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         quantizedCos(col("qa"), col("na"), col("qb"), col("nb")).as("qcos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    Similarity.topKByScore(scored, "qcos", k)
   }
 }

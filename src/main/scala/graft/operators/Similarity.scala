@@ -47,13 +47,24 @@ object Similarity {
     val scored = c.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         cosSafe(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
-    // Partial top-k per (input partition × probe): spark_partition_id in
-    // the window key bounds every partition's contribution to k rows per
-    // probe BEFORE the exchange; the final window re-ranks k×P rows.
+    topKByScore(scored, "cos", k)
+  }
+
+  /** Shared rank-and-cut skeleton over a scored candidate frame
+    * (`probe_id`, `neighbor_id`, scoreCol): partial top-k per
+    * (input partition × probe) — spark_partition_id in the window key
+    * bounds every partition's contribution to k rows per probe BEFORE
+    * the exchange — then a final re-rank of the k×P survivors. One
+    * implementation serves the float scorer ([[topKPerProbe]]) and the
+    * quantized scorer ([[Quantize.topKQuantized]]); ties break on
+    * `neighbor_id` ascending.
+    */
+  private[operators] def topKByScore(scored: DataFrame, scoreCol: String,
+      k: Int): DataFrame = {
     val partial = Window.partitionBy(col("probe_id"), spark_partition_id())
-      .orderBy(col("cos").desc, col("neighbor_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
     val finalW = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
     scored
       .withColumn("prnk", row_number().over(partial)).filter(col("prnk") <= k)
       .withColumn("rnk", row_number().over(finalW)).filter(col("rnk") <= k)

@@ -810,7 +810,8 @@ object TrainingData {
   private def ivfCentroidSql(name: String, assigned: String, prev: String): String =
     s"""${name}u AS (SELECT cell, unnest(range(1, len(embedding) + 1)) AS d,
        |        unnest(embedding) AS x FROM $assigned),
-       |${name}a AS (SELECT cell, d, CAST(avg(CAST(x AS DOUBLE)) AS REAL) AS m
+       |${name}a AS (SELECT cell, d,
+       |        CAST(floor(avg(CAST(x AS DOUBLE)) * 10000 + 0.5) / 10000 AS REAL) AS m
        |        FROM ${name}u GROUP BY cell, d),
        |$name AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv FROM $prev p
        |  LEFT JOIN (SELECT cell, list(m ORDER BY d) AS cv FROM ${name}a GROUP BY cell) n
@@ -857,12 +858,14 @@ object TrainingData {
     // cosine is engine-portable, so this entry is hash-checked like any
     // other (formerly the registry's one rows-only entry). Exact RECALL
     // vs brute force is asserted in StreamingTwinSpec ("IVF search
-    // recall"). The one residual engine-divergence risk is avg() summa-
-    // tion order (Spark partial aggregates vs DuckDB sequential): the
-    // double means differ in the last ulp at most, and the cast to
-    // float32 absorbs 29 bits of that — verified stable at sf0.01/0.001.
+    // recall"). Residual engine-divergence risk — avg() summation order
+    // (Spark partial aggregates vs DuckDB sequential) differing by ~1
+    // double ulp across a float32 rounding boundary — is suppressed by
+    // meanRound = 4: both engines snap each mean to a 1e-4 grid (floor
+    // (m·1e4 + 0.5)/1e4) before the float cast, shrinking the collision
+    // window by ~3 orders of magnitude below the already-tiny ulp case.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = graft.operators.Ivf.train(s, emb, k = 8, iters = 3)
+    val model = graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4)
     val indexed = graft.operators.Ivf.index(s, emb, model)
     val probes = emb.filter(col("vec_id") < 5)
     graft.operators.Ivf.search(s, indexed, model, probes, k = 5, nprobe = 2)
