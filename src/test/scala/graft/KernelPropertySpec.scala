@@ -100,4 +100,35 @@ class KernelPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("int8 quantization: bounds, peak code, power-of-two scale invariance") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    val vecGen = Gen.zip(
+      Gen.listOfN(12, Gen.choose(-8.0f, 8.0f)).map(_.toArray),
+      Gen.choose(-3, 3)) // power-of-two exponent for the scaled twin
+    val cases = samples(vecGen, 40).filter { case (v, _) => v.exists(_ != 0.0f) }
+    assert(cases.size >= 30, "generator drought")
+    val df = cases.zipWithIndex
+      .map { case ((v, e), i) =>
+        (i.toLong, v, v.map(x => x * math.pow(2.0, e).toFloat))
+      }
+      .toDF("id", "v", "v2")
+    val coded = df.select(
+        Quantize.int8Codes(col("v")).as("c"),
+        Quantize.int8Codes(col("v2")).as("c2"))
+      .collect()
+      .map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    coded.foreach { case (c, c2) =>
+      // Every code bounded; the max-|x| component maps to exactly +/-127.
+      assert(c.forall(x => x >= -127L && x <= 127L), s"out of range: $c")
+      assert(c.exists(x => math.abs(x) == 127L), s"no peak code: $c")
+      // Scaling by a power of two is EXACT in float (mantissas
+      // unchanged), so the per-vector symmetric quantizer must emit
+      // identical codes — the scale-free property q74's integer cosine
+      // relies on. (General scalars perturb float ratios by an ulp and
+      // may legitimately flip a code.)
+      assert(c == c2, s"power-of-two scaling changed codes: $c vs $c2")
+    }
+  }
 }
