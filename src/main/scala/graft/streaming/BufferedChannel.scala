@@ -87,12 +87,28 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     } else fs.delete(d, true)
   }
 
+  // The last failure the background age tick swallowed (surfaced for
+  // monitoring; cleared by the next successful tick).
+  @volatile private var tickFailure: Option[Throwable] = None
+  def lastAgeTickFailure: Option[Throwable] = tickFailure
+
   private val ageTick: Option[ScheduledFuture[_]] =
     if (maxAgeMillis <= 0 || maxAgeMillis >= BufferedChannel.NoTickBeyondMs) None
     else {
       val period = math.max(maxAgeMillis / 2, 100L)
       Some(BufferedChannel.scheduler.scheduleWithFixedDelay(
-        () => maybeFlush(System.currentTimeMillis()),
+        // A throw MUST NOT escape the Runnable: scheduleWithFixedDelay
+        // suppresses every future execution after one, which would
+        // silently void the "or 60 s" half of the flush contract on the
+        // first transient IO failure. Flush is retry-safe (promoted
+        // parts moved, the rest still staged and registered), so catch,
+        // record, and let the next tick retry.
+        () => try { maybeFlush(System.currentTimeMillis()); tickFailure = None }
+          catch { case scala.util.control.NonFatal(e) =>
+            tickFailure = Some(e)
+            System.err.println(s"BufferedChannel[$root] age-tick flush failed " +
+              s"(will retry next tick): $e")
+          },
         period, period, TimeUnit.MILLISECONDS))
     }
 
@@ -126,9 +142,7 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     }
     if (alreadyFlushed) return
     val dir = new Path(staging, s"epoch=$epochId")
-    lines.select(graft.functions.Codecs
-        .stripOneTrailingNewline(col(lines.columns.head)).as("value"))
-      .write.mode("overwrite").text(dir.toString)
+    DeliveryPipeline.writeNdjson(lines, dir.toString)
     // Only payload part-files count toward the size threshold (not
     // _SUCCESS markers or .crc checksums).
     val added = partFiles(dir).map(_.getLen).sum
@@ -239,14 +253,24 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
   def close(): Unit = { flush(includeProvisional = true); ageTick.foreach(_.cancel(false)) }
 
   def stagedBytes: Long = bytes.get()
-  def deliveredObjects: Seq[Path] = existingObjectDirs.sortBy(_.toString)
 
+  /** Delivery objects in delivery order. Sorted NUMERICALLY — the %06d
+    * padding makes lexicographic == numeric only up to object-999999,
+    * and the counter is unbounded across restarts.
+    */
+  def deliveredObjects: Seq[Path] = existingObjectDirs.sortBy(objectNumber)
+
+  /** Only well-formed `object-<n>` dirs: a stray `object-tmp/` dropped
+    * by an operator or tool is not a delivery object and must neither
+    * crash construction nor perturb the resumed counter.
+    */
   private def existingObjectDirs: Seq[Path] =
     listDirs(rootPath).map(_.getPath)
-      .filter(_.getName.startsWith("object-"))
+      .filter(p => objectNumber(p) >= 0L)
 
   private def objectNumber(p: Path): Long =
-    p.getName.stripPrefix("object-").toLong
+    if (!p.getName.startsWith("object-")) -1L
+    else scala.util.Try(p.getName.stripPrefix("object-").toLong).getOrElse(-1L)
 
   private def listStatus(p: Path) =
     if (!fs.exists(p)) Seq.empty else fs.listStatus(p).toSeq

@@ -286,8 +286,27 @@ object DeliveryPipeline {
     * original bytes ([[Codecs.stripOneTrailingNewline]]).
     */
   private def writeChannel(lines: DataFrame, path: String): Unit =
-    lines.select(Codecs.stripOneTrailingNewline(col("line")).as("value"))
+    writeNdjson(lines.select("line"), path)
+
+  /** The ONE NDJSON framing write, shared by every channel (direct
+    * per-epoch objects here, staged parts in [[BufferedChannel]], the
+    * index backup in [[IndexSink]]) so the framing can never drift
+    * between them. Requires exactly one column — a multi-column frame is
+    * a caller bug that must fail fast, not silently write one column.
+    *
+    * Channel payload contract: the channels are TEXT sinks, so payloads
+    * are UTF-8 by contract — the reference's wire form is base64-wrapped
+    * UTF-8 JSON (lbd/common.py:14), and its own S3 objects are NDJSON
+    * text. A payload containing invalid UTF-8 sequences is outside the
+    * contract and would have each invalid sequence replaced with U+FFFD
+    * on write (the string round-trip), not preserved byte-for-byte.
+    */
+  private[streaming] def writeNdjson(lines: DataFrame, path: String): Unit = {
+    require(lines.columns.length == 1,
+      s"NDJSON frame must have exactly one column, got ${lines.columns.toSeq}")
+    lines.select(Codecs.stripOneTrailingNewline(col(lines.columns.head)).as("value"))
       .write.mode("overwrite").text(path)
+  }
 
   /** Count records across all delivered objects of a channel (epoch= dirs
     * or buffered object- dirs) — the reference's newline-count check

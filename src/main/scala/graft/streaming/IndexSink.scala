@@ -40,17 +40,24 @@ object IndexSink {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val routed = Codecs.transformEnvelope(batch, payloadSchema, dropIf).persist()
+        val src = batch.persist()
         try {
-          routed
-            .select(Codecs.stripOneTrailingNewline(col("data").cast("string")).as("value"))
-            .write.mode("overwrite").text(s"$backupPath/epoch=$epochId")
-          routed.filter(col("result") === Ok)
+          // Raw-backup fidelity: back up the PRE-transform source bytes
+          // (the reference's backup is the source record, not the Lambda
+          // output — iac/s2_app.py:858-868). Backing up the routed
+          // frame would store re-encoded JSON: reordered keys, schema-
+          // mismatched values nulled, injected schema fields — an audit
+          // copy that has lost the original record.
+          DeliveryPipeline.writeNdjson(
+            src.select(col("data").cast("string").as("line")),
+            s"$backupPath/epoch=$epochId")
+          Codecs.transformEnvelope(src, payloadSchema, dropIf)
+            .filter(col("result") === Ok)
             .select(col("recordId"), col("payload.*"))
             .withColumn("_epoch", lit(epochId))
             .repartition(shards)
             .write.mode("overwrite").parquet(s"$indexPath/epoch=$epochId")
-        } finally routed.unpersist()
+        } finally src.unpersist()
       }
       .start()
 
@@ -93,29 +100,46 @@ object IndexSink {
     * original `_epoch` values, so `registerLatestView` still resolves
     * correctly, and a re-run compacts the remainder. Stale `.compact.tmp`
     * from a crashed attempt is dropped at entry.
+    *
+    * Concurrency-safe vs a live delivery query: the epoch set is listed
+    * ONCE, up front, and both the snapshot read and the deletion use
+    * exactly that set — an epoch the streaming query delivers while the
+    * snapshot is being written (the window spans the whole shuffle +
+    * parquet write) is neither read nor deleted; it simply rides until
+    * the next compaction. Listing after the write would delete it —
+    * permanent loss of everything delivered during compaction.
+    *
+    * All file mechanics go through the Hadoop [[org.apache.hadoop.fs
+    * .FileSystem]] API like every other component here, so compaction
+    * works unchanged on HDFS / S3A / local paths.
     * Returns rows in the snapshot.
     */
   def compact(spark: SparkSession, indexPath: String, key: String,
       shards: Int): Long = {
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(indexPath)
-    val tmp = Paths.get(indexPath.stripSuffix("/") + ".compact.tmp")
-    graft.operators.Maintenance.deleteRecursively(tmp)
-    latestPerKey(spark.read.parquet(s"$indexPath/*"), key)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(indexPath.stripSuffix("/") + ".compact.tmp")
+    fs.delete(tmp, true)
+    val old =
+      if (!fs.exists(root)) Seq.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("epoch="))
+    if (old.isEmpty) return 0L
+    latestPerKey(spark.read.parquet(old.map(_.toString): _*), key)
       .repartition(shards)
       .write.mode("overwrite").parquet(tmp.toString)
-    val epochs = Files.list(root)
-    val old =
-      try { import scala.jdk.CollectionConverters._
-        epochs.iterator().asScala.filter(_.getFileName.toString.startsWith("epoch=")).toSeq }
-      finally epochs.close()
-    val gen = 1L + old.map(_.getFileName.toString)
+    val gen = 1L + old.map(_.getName)
       .filter(_.startsWith("epoch=compact-"))
       .map(n => scala.util.Try(n.stripPrefix("epoch=compact-").toLong).getOrElse(0L))
       .foldLeft(0L)(math.max)
-    Files.move(tmp, root.resolve(s"epoch=compact-$gen"))
-    old.foreach(graft.operators.Maintenance.deleteRecursively)
-    spark.read.parquet(s"$indexPath/*").count()
+    val snapshot = new org.apache.hadoop.fs.Path(root, s"epoch=compact-$gen")
+    if (!fs.rename(tmp, snapshot))
+      throw new java.io.IOException(
+        s"compact aborted: rename $tmp -> $snapshot failed")
+    old.foreach(p => fs.delete(p, true))
+    // Count the snapshot dir itself, not the whole glob: cheaper, and
+    // correct when concurrent epochs landed during compaction.
+    spark.read.parquet(snapshot.toString).count()
   }
 
   /** A13: the `_count` + match_all surface over the index. */

@@ -279,4 +279,35 @@ class BufferedChannelSpec extends SparkSpec {
     val total = objs.map(o => spark.read.text(o.toString).count()).sum
     assert(total == 180)
   }
+
+  test("stray non-numeric object dirs neither crash construction nor join delivery") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf16").toString
+    val first = new BufferedChannel(tmp, maxBytes = 10, maxAgeMillis = Long.MaxValue / 2)
+    first.append(lines(5, "a"), epochId = 0) // size-trips -> object-000000
+    // An operator/tool drops junk dirs under the channel root.
+    assert(new java.io.File(s"$tmp/object-tmp").mkdirs())
+    assert(new java.io.File(s"$tmp/object-backup.old").mkdirs())
+    // Construction must not throw, the junk is not a delivery object, and
+    // the resumed counter ignores it.
+    val restarted = new BufferedChannel(tmp, maxBytes = 10, maxAgeMillis = Long.MaxValue / 2)
+    assert(restarted.deliveredObjects.map(_.getName) == Seq("object-000000"))
+    restarted.append(lines(5, "b"), epochId = 1)
+    assert(restarted.deliveredObjects.map(_.getName) == Seq("object-000000", "object-000001"))
+  }
+
+  test("deliveredObjects orders numerically beyond the %06d padding width") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf17").toString
+    // Simulate a long-lived channel already past a million flushes: the
+    // resumed counter and the delivery order must both be NUMERIC
+    // ("object-1000000" sorts lexicographically before "object-999999").
+    for (n <- Seq(999999L, 1000000L)) {
+      val d = new java.io.File(f"$tmp/object-$n%06d"); assert(d.mkdirs())
+      java.nio.file.Files.writeString(d.toPath.resolve("part-00000"), s"o$n\n")
+    }
+    val ch = new BufferedChannel(tmp, maxBytes = 10, maxAgeMillis = Long.MaxValue / 2)
+    assert(ch.deliveredObjects.map(_.getName) == Seq("object-999999", "object-1000000"))
+    ch.append(lines(3, "c"), epochId = 0) // size-trips -> next object number
+    assert(ch.deliveredObjects.map(_.getName) ==
+      Seq("object-999999", "object-1000000", "object-1000001"))
+  }
 }

@@ -165,8 +165,16 @@ class OperatorsSpec2 extends SparkSpec {
     val term = spark.sql(
       "SELECT count(*) FROM bank_index WHERE event_type = 'purchase'").head().getLong(0)
     assert(term == ev.filter(col("value") >= 10 && col("event_type") === "purchase").count())
-    // Backup carries ALL records (oss pipeline backs up AllDocuments).
-    assert(spark.read.text(s"$tmp/backup/*").count() == 300)
+    // Backup carries ALL records (oss pipeline backs up AllDocuments) —
+    // and byte-for-byte the PRE-transform source lines, not re-encoded
+    // post-transform JSON (the reference backs up the source record).
+    val rawLines = ev.select(to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))).as("value"))
+      .as[String].collect().toSeq.sorted
+    val backupLines = spark.read.text(s"$tmp/backup/*")
+      .as[String].collect().toSeq.sorted
+    assert(backupLines.size == 300)
+    assert(backupLines == rawLines, "backup is not the raw source bytes")
   }
 
   test("analyzed match query: token-level OR/AND with overlap scoring") {
