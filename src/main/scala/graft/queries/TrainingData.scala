@@ -97,31 +97,43 @@ object TrainingData {
     */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sdf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
-    val w = Window.partitionBy("doc_id").orderBy(col("sdf"), col("shingle"))
-    val prefix = sh.join(sdf, "shingle").join(sz, "doc_id")
+    // One doc_id shuffle computes BOTH per-doc windows: |doc| via an
+    // unordered count and the frequency rank via row_number share the
+    // same partitioning, so Spark plans them over a single exchange —
+    // no separate size-table groupBy + join.
+    val byDoc = Window.partitionBy("doc_id")
+    val w = byDoc.orderBy(col("sdf"), col("shingle"))
+    val prefix = sh.join(sdf, "shingle")
+      .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceil(lit(0.8) * col("n")) + 1)
       .select(col("doc_id"), col("shingle"), col("n"))
     // Length filter (lossless: J(A,B) >= t ⟹ t·max(|A|,|B|) <= min):
     // applied AT candidate generation, before the expensive intersection
-    // join — mismatched-size pairs never reach verification.
-    val cand = prefix.select(col("doc_id").as("id1"), col("shingle"), col("n").as("pna"))
-      .join(prefix.select(col("doc_id").as("id2"), col("shingle"), col("n").as("pnb")), "shingle")
+    // join — mismatched-size pairs never reach verification. The sizes
+    // ride through the distinct (they are functions of the ids, so the
+    // pair count is unchanged) — the verification stage needs no
+    // size-table re-join.
+    val cand = prefix.select(col("doc_id").as("id1"), col("shingle"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("id2"), col("shingle"), col("n").as("nb")), "shingle")
       .filter(col("id1") < col("id2") &&
-        least(col("pna"), col("pnb")).cast("double") >=
-          lit(0.8) * greatest(col("pna"), col("pnb")).cast("double"))
-      .select("id1", "id2").distinct()
+        least(col("na"), col("nb")).cast("double") >=
+          lit(0.8) * greatest(col("na"), col("nb")).cast("double"))
+      .select("id1", "id2", "na", "nb").distinct()
+    // Verification: join each side's full shingle SET (docs are bounded-
+    // length, so the arrays are bounded) and intersect per pair — two
+    // joins against a doc-keyed table instead of re-exploding both
+    // sides' shingles through a (id1,id2) shuffle + count. Equivalent to
+    // the exploded count because shingles are distinct within a doc.
+    val docSh = sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("shs"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("id1"), col("shingle")), "id1")
-      .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+      .join(docSh.select(col("doc_id").as("id1"), col("shs").as("shA")), "id1")
+      .join(docSh.select(col("doc_id").as("id2"), col("shs").as("shB")), "id2")
+      .withColumn("i", size(array_intersect(col("shA"), col("shB"))))
     val jac = col("i").cast("double") /
       (col("na") + col("nb") - col("i")).cast("double")
     inter
-      .join(sz.select(col("doc_id").as("id1"), col("n").as("na")), "id1")
-      .join(sz.select(col("doc_id").as("id2"), col("n").as("nb")), "id2")
       .select(col("id1"), col("id2"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
   }
