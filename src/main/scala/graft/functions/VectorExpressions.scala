@@ -21,11 +21,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * of the longer one contributes 0). Deliberate, and load-bearing for
   * hyperplane LSH, whose max-width planes project narrower vectors this
   * way; callers needing equal dims must validate upstream.
+  *
+  * A NULL ELEMENT inside either folded range makes the result NULL —
+  * the `aggregate(zip_with(...))` form this replaces propagates null
+  * the same way, and silently reading the element as 0 (ArrayData's
+  * primitive-getter convention) would corrupt scores with no error.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
   // Deterministic pure function of the inputs → participates in
   // Catalyst constant folding when both sides are literals.
   override def foldable: Boolean = left.foldable && right.foldable
@@ -46,6 +57,7 @@ case class DotProductF(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -61,9 +73,10 @@ case class DotProductF(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 
@@ -79,7 +92,8 @@ case class DotProductF(left: Expression, right: Expression)
   * int8-quantized similarity search ([[graft.operators.Quantize]]),
   * where |a[i]| <= 127 keeps the sum overflow-free up to d ~ 5.7e14.
   * Same mismatched-length contract as [[DotProductF]] (fold over the
-  * shorter vector), same motivation: the higher-order-function
+  * shorter vector) and same null-element contract (NULL result, never
+  * a silent 0 read); same motivation: the higher-order-function
   * formulation pays interpreted lambda calls plus an intermediate
   * array per row-pair, which IS the runtime of a brute-force scorer.
   */
@@ -88,6 +102,12 @@ case class DotProductL(left: Expression, right: Expression)
   import org.apache.spark.sql.types.LongType
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
   override def foldable: Boolean = left.foldable && right.foldable
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -106,6 +126,7 @@ case class DotProductL(left: Expression, right: Expression)
     var s = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -121,9 +142,10 @@ case class DotProductL(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 
@@ -149,13 +171,22 @@ case class DotProductL(left: Expression, right: Expression)
   * byte savings quantization exists to deliver.
   *
   * Rounding is explicit floor(x + 0.5) so an external oracle reproduces
-  * the codes without engine round-half-to-even defaults.
+  * the codes without engine round-half-to-even defaults. A NULL element
+  * makes the whole result NULL (same contract as [[DotProductF]]): the
+  * output type declares containsNull = false, so the only sound
+  * alternatives are a silent 0-read or an error — null-out is loud
+  * enough downstream (quantized scores go null) without failing jobs
+  * over one bad row.
   */
 case class Int8CodesExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types.LongType
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
   override def foldable: Boolean = child.foldable
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -172,6 +203,7 @@ case class Int8CodesExpr(child: Expression)
     var mx = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i)) return null
       val v = math.abs(x.getFloat(i).toDouble)
       if (v > mx) mx = v
       i += 1
@@ -200,17 +232,20 @@ case class Int8CodesExpr(child: Expression)
          |int $n = $a.numElements();
          |double $mx = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
          |  if ($v > $mx) $mx = $v;
          |}
-         |long[] $arr = new long[$n];
-         |if ($mx != 0.0) {
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    long $q = (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 127.0 / $mx + 0.5);
-         |    $arr[$i] = java.lang.Math.max(-127L, java.lang.Math.min(127L, $q));
+         |if (!${ev.isNull}) {
+         |  long[] $arr = new long[$n];
+         |  if ($mx != 0.0) {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $q = (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 127.0 / $mx + 0.5);
+         |      $arr[$i] = java.lang.Math.max(-127L, java.lang.Math.min(127L, $q));
+         |    }
          |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
        """.stripMargin
     })
 

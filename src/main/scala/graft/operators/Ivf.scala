@@ -87,6 +87,13 @@ object Ivf {
       while (i < n) { val t = cv(i) - v(i); d += t * t; i += 1 }
       if (d < bestD || (d == bestD && c < best)) { bestD = d; best = c }
     }
+    // Fail LOUD, never return a sentinel: a NaN component makes every
+    // distance NaN (all comparisons false), and a silent -1 here would
+    // become a phantom cell in train()'s model — re-broadcast forever —
+    // while index() rows tagged -1 silently vanish from every search.
+    if (best < 0) throw new IllegalArgumentException(
+      s"Ivf: no nearest centroid for a dim-${v.length} vector — empty " +
+        "centroid set, or a non-finite component made every distance NaN")
     best
   }
 

@@ -93,11 +93,15 @@ object Quantize {
       .select(col("probe_id"), col("neighbor_id"))
     // Float vectors join in by candidate id; the corpus-side norm is
     // computed on the joined (candidate) rows only — pulling it below
-    // the join would fold norms for every corpus row.
+    // the join would fold norms for every corpus row. The candidate
+    // list is the BROADCAST side (O(probes × shortlist) ids): left to
+    // static planning, the window-derived cand has no size stats and
+    // the join would sort-merge — shuffling every corpus float vector,
+    // exactly the byte traffic stage 1 exists to avoid.
     val c = corpus.select(col("id").as("neighbor_id"), col("embedding").as("eb"))
     val p = probes.select(col("id").as("probe_id"), col("embedding").as("ea"),
       norm_f(col("embedding")).as("na"))
-    val scored = cand.join(c, "neighbor_id").join(broadcast(p), "probe_id")
+    val scored = c.join(broadcast(cand), "neighbor_id").join(broadcast(p), "probe_id")
       .select(col("probe_id"), col("neighbor_id"),
         Similarity.cosSafe(dot_f(col("ea"), col("eb")),
           col("na"), norm_f(col("eb"))).as("cos"))

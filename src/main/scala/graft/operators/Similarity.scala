@@ -51,24 +51,25 @@ object Similarity {
   }
 
   /** Shared rank-and-cut skeleton over a scored candidate frame
-    * (`probe_id`, `neighbor_id`, scoreCol): partial top-k per
-    * (input partition × probe) — spark_partition_id in the window key
-    * bounds every partition's contribution to k rows per probe BEFORE
-    * the exchange — then a final re-rank of the k×P survivors. One
+    * (`probe_id`, `neighbor_id`, scoreCol): one row_number window +
+    * `rnk <= k` filter. The map-side bound comes from Spark's
+    * InferWindowGroupLimit (SPARK-37099): the rank-limited window plans
+    * as WindowGroupLimit(Partial) BELOW the exchange — each mapper
+    * forwards at most k rows per probe — so the exchange carries
+    * O(partitions × probes × k) rows, not the scored corpus. (A manual
+    * pre-window on (probe_id, spark_partition_id) used to enforce the
+    * same bound; on this Spark version it only added a second exchange
+    * + sort + window — the group-limit rule already covers it.) One
     * implementation serves the float scorer ([[topKPerProbe]]) and the
     * quantized scorer ([[Quantize.topKQuantized]]); ties break on
     * `neighbor_id` ascending.
     */
   private[operators] def topKByScore(scored: DataFrame, scoreCol: String,
       k: Int): DataFrame = {
-    val partial = Window.partitionBy(col("probe_id"), spark_partition_id())
-      .orderBy(col(scoreCol).desc, col("neighbor_id"))
     val finalW = Window.partitionBy(col("probe_id"))
       .orderBy(col(scoreCol).desc, col("neighbor_id"))
     scored
-      .withColumn("prnk", row_number().over(partial)).filter(col("prnk") <= k)
       .withColumn("rnk", row_number().over(finalW)).filter(col("rnk") <= k)
-      .drop("prnk")
   }
 
   /** All-pairs cosine, block-tiled matrix kernel — fully DISTRIBUTED:
@@ -91,6 +92,10 @@ object Similarity {
     * corpus) while the tile count (n/B)²/2 still feeds every core.
     * Past brute-force budgets, [[lshNearDupPairs]]/IVF prune tiles first.
     *
+    * @param embeddings (vec_id: bigint, embedding: array<float>) — the
+    *                   embeddings-table schema (q46's input); null
+    *                   embeddings are skipped (they have no direction,
+    *                   like [[cosSafe]]'s zero-norm rule)
     * @param nBlocks explicit block count; 0 (default) derives it from
     *                corpus count × vector width via [[autoBlockCount]]
     * @return (id1, id2, cos) for the global top-`k` pairs, id1 < id2,
@@ -100,9 +105,14 @@ object Similarity {
       embeddings: DataFrame, k: Int, nBlocks: Int = 0): DataFrame = {
     import spark.implicits._
     val blocks = if (nBlocks > 0) nBlocks else autoBlockCount(spark, embeddings)
-    // Block assignment by id hash-mod: stable, no global index needed.
+    // Block assignment by HASH of the id, mod block count: stable, no
+    // global index needed — and uniform for any id pattern. Raw
+    // pmod(id, blocks) would let structured ids (low bits a constant
+    // shard tag) collapse into a few residues and pack most of the
+    // corpus into one block row, blowing the per-block byte budget.
     val packed = embeddings
-      .select((pmod(col("vec_id"), lit(blocks))).cast("int").as("blk"),
+      .filter(col("embedding").isNotNull)
+      .select(pmod(xxhash64(col("vec_id")), lit(blocks.toLong)).cast("int").as("blk"),
         struct(col("vec_id").as("_1"), col("embedding").as("_2")).as("v"))
       .groupBy("blk")
       .agg(collect_list(col("v")).as("vs"))

@@ -380,4 +380,55 @@ class OperatorsSpec2 extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == exact, s"re-rank diverged from exact top-k: got=$got exact=$exact")
   }
+  test("vector expressions: a null ELEMENT yields NULL, never a silent 0 read") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{dot_f, dot_l, quantize_i8}
+    // Codegen path: element nullability comes from the DataFrame schema.
+    val df = Seq(
+      (1L, Seq[Option[Float]](Some(1.0f), None, Some(2.0f)),
+        Seq[Option[Long]](Some(3L), None)),
+      (2L, Seq[Option[Float]](Some(1.0f), Some(2.0f)),
+        Seq[Option[Long]](Some(3L), Some(4L))))
+      .toDF("id", "fv", "lv")
+    val got = df.select(col("id"),
+        dot_f(col("fv"), col("fv")).as("ff"),
+        dot_l(col("lv"), col("lv")).as("ll"),
+        quantize_i8(col("fv")).as("q"))
+      .orderBy("id").collect()
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2) && got(0).isNullAt(3),
+      s"null element must null the result: ${got(0)}")
+    assert(got(1).getDouble(1) == 5.0 && got(1).getLong(2) == 25L && !got(1).isNullAt(3))
+    // Interpreted path: both sides foldable literals -> ConstantFolding
+    // runs the expression's eval (not codegen) at optimization time.
+    val lit0 = spark.range(1).select(
+      dot_f(array(lit(1.0f), lit(null).cast("float")),
+        array(lit(1.0f), lit(1.0f))).as("d"))
+    assert(lit0.head.isNullAt(0), "interpreted eval must propagate element nulls")
+  }
+
+  test("bruteForceTopPairs skips null embeddings instead of crashing the kernel") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq(Tuple1(99L)).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<float>")))
+    val top = Similarity.bruteForceTopPairs(spark, vecs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.head == (1L, 2L), s"nearest pair wrong: ${top.toSeq}")
+    assert(!top.exists(p => p._1 == 99L || p._2 == 99L), "null row leaked into pairs")
+  }
+
+  test("Ivf fails loud on a NaN component (no silent phantom cell)") {
+    import spark.implicits._
+    import graft.operators.Ivf
+    val bad = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(Float.NaN, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Ivf.train(spark, bad, k = 1, iters = 1) }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("no nearest centroid")), s"unexpected failure: $e")
+  }
 }
