@@ -106,6 +106,46 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** SEMANTIC dedup over an embedding corpus (the SemDeDup recipe,
+    * Abbas et al. 2023, arXiv:2303.09540): cluster with a k-means coarse
+    * quantizer, then compare pairs only WITHIN a cell — a vector is a
+    * duplicate when a lower-id vector in its cell scores cosine >=
+    * `minCos`. Survivors are the cell-local minima of the near-dup
+    * relation; `dup_of` records the smallest such peer for auditability.
+    *
+    * Scale shape: the quadratic term is bounded per cell — (n/k)^2
+    * instead of n^2 — and the join is a plain equi-join on `cell`
+    * (shuffle by cell, AQE splits skewed cells), with norms computed
+    * once per vector BEFORE the join. At 100 TB, k grows with the
+    * corpus so cells stay bounded, exactly how the coarse quantizer in
+    * [[Ivf]] is meant to be sized.
+    *
+    * @param indexed (vec_id: bigint, embedding: array<float>,
+    *                cell: int) — [[Ivf.index]]'s output
+    * @return (vec_id, cell, dup_of: nullable bigint, kept: int) — one
+    *         row per input vector; kept = 1 iff dup_of IS NULL
+    */
+  def semDedup(indexed: DataFrame, minCos: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_f, norm_f}
+    val withN = indexed
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .withColumn("nrm", norm_f(col("embedding")))
+    val a = withN.select(col("cell"), col("vec_id").as("id1"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withN.select(col("cell"), col("vec_id").as("id2"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(Similarity.cosSafe(dot_f(col("ea"), col("eb")),
+        col("na"), col("nb")) >= minCos)
+      .groupBy(col("id2").as("vec_id"))
+      .agg(min(col("id1")).as("dup_of"))
+    indexed.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.cast("int").as("kept"))
+  }
+
   /** Full near-dedup: keep ONE survivor (min id) per LSH near-dup
     * cluster with estimated similarity >= `minEstSim`; unique docs
     * survive untouched. Returns the deduplicated corpus.

@@ -922,6 +922,44 @@ object TrainingData {
       .orderBy("probe_id", "rnk")
   }
 
+  val q75_semdedup: QueryDef = q(
+    "q75_semdedup",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM
+       |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM v) WHERE rn <= 8),
+       |${ivfAssignSql("a1", "c0")}, ${ivfCentroidSql("c1", "a1", "c0")},
+       |${ivfAssignSql("a2", "c1")}, ${ivfCentroidSql("c2", "a2", "c1")},
+       |${ivfAssignSql("a3", "c2")}, ${ivfCentroidSql("c3", "a3", "c2")},
+       |${ivfAssignSql("idx", "c3")},
+       |nn AS (SELECT vec_id, embedding, cell, ${ivfNormSql("embedding")} AS nrm FROM idx),
+       |dups AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+       |  FROM nn a JOIN nn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN -1.0
+       |        ELSE list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |          / (a.nrm * b.nrm) END >= 0.4
+       |  GROUP BY b.vec_id)
+       |SELECT i.vec_id, i.cell, d.dup_of,
+       |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM idx i LEFT JOIN dups d ON d.vec_id = i.vec_id
+       |ORDER BY i.vec_id""".stripMargin
+  ) { (s, dir) =>
+    // SEMANTIC dedup (SemDeDup, arXiv:2303.09540) surfaced in the
+    // registry: the q73 coarse quantizer (deterministic k-means, 3 Lloyd
+    // steps, meanRound = 4 — the oracle replays the same iterations as
+    // chained CTEs) assigns cells; Dedup.semDedup then marks any vector
+    // with a lower-id >= 0.4-cosine peer IN ITS CELL as a duplicate of
+    // the smallest such peer. Every cosine is the bit-portable
+    // sequential double fold (dot_f), so the threshold comparison is
+    // engine-exact; the output carries only integer columns — no float
+    // rendering in the hash at all.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val model = graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4)
+    val indexed = graft.operators.Ivf.index(s, emb, model)
+    graft.operators.Dedup.semDedup(indexed, minCos = 0.4)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -929,5 +967,5 @@ object TrainingData {
     q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match,
     q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh,
     q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf,
-    q74_quantized_ann)
+    q74_quantized_ann, q75_semdedup)
 }

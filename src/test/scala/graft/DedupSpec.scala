@@ -32,6 +32,44 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.components(empty).count() == 0)
   }
 
+  test("semDedup matches a naive per-cell reference and keeps cell-local minima") {
+    import spark.implicits._
+    // Synthetic corpus with planted in-cell near-dups: cells are given
+    // explicitly (semDedup is downstream of Ivf.index; its contract is
+    // the within-cell relation, not the clustering). Vectors 1/3/5 in
+    // cell 0 are near-identical; 7 in cell 0 is orthogonal to them;
+    // 2/4 in cell 1 are near-identical; 6 alone in cell 2. 9 is a
+    // zero vector in cell 0 — cosSafe must rank it a non-duplicate of
+    // everything rather than NaN-matching.
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (3L, Array(0.99f, 0.1f, 0f), 0),
+      (5L, Array(0.98f, 0.15f, 0f), 0), (7L, Array(0f, 1f, 0f), 0),
+      (9L, Array(0f, 0f, 0f), 0),
+      (2L, Array(0f, 0f, 1f), 1), (4L, Array(0.05f, 0f, 1f), 1),
+      (6L, Array(1f, 1f, 1f), 2))
+    val indexed = rows.toDF("vec_id", "embedding", "cell")
+    val out = Dedup.semDedup(indexed, minCos = 0.9)
+      .as[(Long, Int, Option[Long], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // Naive reference computed inline.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0.0 || nb == 0.0) -1.0 else dot / (na * nb)
+    }
+    val expected = rows.map { case (id, v, cell) =>
+      val peers = rows.filter { case (i2, v2, c2) =>
+        c2 == cell && i2 < id && cos(v2, v) >= 0.9
+      }.map(_._1)
+      id -> ((cell, peers.sorted.headOption, if (peers.isEmpty) 1 else 0))
+    }.toMap
+    assert(out == expected)
+    // Spot-check the planted structure really exercised both branches.
+    assert(out(1L)._3 == 1 && out(3L)._2 == Some(1L) && out(5L)._2 == Some(1L))
+    assert(out(7L)._3 == 1 && out(9L)._3 == 1 && out(4L)._2 == Some(2L))
+  }
+
   test("nearDedup drops every planted near-duplicate, keeps one per cluster") {
     import spark.implicits._
     val docs = queries.Tables.t(spark, "/root/testdata/sf0.01", "documents")
