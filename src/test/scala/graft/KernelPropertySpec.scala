@@ -101,6 +101,41 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("semDedup matches naive per-cell semantics on arbitrary corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // Small dims + a coarse value grid make near-parallel (and exactly
+    // zero) vectors common; few cells force crowded cells. The threshold
+    // sits mid-range so both branches fire on most samples.
+    val rowGen = Gen.listOfN(30, for {
+      id <- Gen.choose(0L, 60L)
+      v <- Gen.listOfN(3, Gen.oneOf(-2.0f, -1.0f, 0.0f, 1.0f, 2.0f))
+      cell <- Gen.choose(0, 2)
+    } yield (id, v.toArray, cell))
+    val cases = samples(rowGen, 8)
+      .map(_.groupBy(_._1).map(_._2.head).toSeq) // unique ids per corpus
+      .filter(_.nonEmpty)
+    assert(cases.size >= 6, "generator drought")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0.0 || nb == 0.0) -1.0 else dot / (na * nb)
+    }
+    cases.foreach { rows =>
+      val got = Dedup.semDedup(rows.toDF("vec_id", "embedding", "cell"), minCos = 0.7)
+        .as[(Long, Int, Option[Long], Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val expected = rows.map { case (id, v, cell) =>
+        val peers = rows.collect {
+          case (i2, v2, c2) if c2 == cell && i2 < id && cos(v2, v) >= 0.7 => i2
+        }
+        id -> ((cell, peers.sorted.headOption, if (peers.isEmpty) 1 else 0))
+      }.toMap
+      assert(got == expected, s"mismatch on corpus ${rows.take(6)}...")
+    }
+  }
+
   test("int8 quantization: bounds, peak code, power-of-two scale invariance") {
     import spark.implicits._
     import graft.operators.Quantize
