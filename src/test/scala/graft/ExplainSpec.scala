@@ -78,6 +78,16 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("Scan parquet"), p)
   }
 
+  test("q75: semDedup pairs via an equi-join on cell — never all-pairs") {
+    val p = plan("q75_semdedup")
+    // The within-cell candidate join must stay a hash/sort-merge equi-join
+    // keyed on the cell id; a CartesianProduct here is the n^2 shape the
+    // coarse quantizer exists to prevent. The pair scorer is the
+    // codegen'd dot_f, not an interpreted lambda chain.
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("dot_f"), p)
+  }
+
   test("q11: bucketed interval join keeps an equi-join (no nested loop)") {
     val p = plan("q11_range_join")
     assert(!p.contains("NestedLoop"), p)
