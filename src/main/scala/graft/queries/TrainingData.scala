@@ -554,6 +554,19 @@ object TrainingData {
     finally s.catalog.dropTempView(view)
   }
 
+  /** (doc_id, gram) — distinct word 8-grams per document (q66's gram
+    * side, shared with DecontaminateSpec's exact-path reference).
+    */
+  def gram8Df(docs: DataFrame): DataFrame = {
+    val gram8 = expr(
+      """transform(sequence(1, size(toks) - 7),
+        |  g -> concat_ws(' ', toks[g-1], toks[g], toks[g+1], toks[g+2],
+        |                 toks[g+3], toks[g+4], toks[g+5], toks[g+6]))""".stripMargin)
+    tokenizedDf(docs)
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(gram8)).as("gram"))
+  }
+
   val q66_decontaminate: QueryDef = q(
     "q66_decontaminate",
     """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
@@ -573,23 +586,23 @@ object TrainingData {
   ) { (s, dir) =>
     // Benchmark decontamination — drop training docs sharing any 8-gram
     // with the held-out set (source='src0' plays the benchmark). Scale
-    // shape: candidate generation is a hash join on the gram key (like
-    // q32's shingle candidates) — collision-bounded, never all-pairs;
-    // the final step is a left_anti join, map-side after AQE broadcasts
-    // the (small) contaminated-id set. Standard practice for removing
-    // eval-set contamination from a 100 TB crawl.
+    // shape: the corpus gram side passes a broadcast BLOOM prefilter
+    // (Decontaminate.contaminatedIds) so only possible matches reach
+    // the candidate hash join — at 100 TB that join's corpus-side
+    // exchange is the pipeline's biggest, and ~(1-fpp) of it is clean
+    // grams the filter drops scan-side. False positives die in the
+    // exact verification join, false negatives can't exist, so the
+    // result is identical to the unfiltered plan (DecontaminateSpec
+    // asserts it). The final step is a left_anti join, map-side after
+    // AQE broadcasts the (small) contaminated-id set. Standard practice
+    // for removing eval-set contamination from a 100 TB crawl.
     val docs = t(s, dir, "documents")
-    val gram8 = expr(
-      """transform(sequence(1, size(toks) - 7),
-        |  g -> concat_ws(' ', toks[g-1], toks[g], toks[g+1], toks[g+2],
-        |                 toks[g+3], toks[g+4], toks[g+5], toks[g+6]))""".stripMargin)
-    val g8 = tokenizedDf(docs)
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(array_distinct(gram8)).as("gram"))
+    val g8 = gram8Df(docs)
     val benchGrams = g8
       .join(docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
       .select("gram").distinct()
-    val contaminated = g8.join(benchGrams, "gram").select("doc_id").distinct()
+    val contaminated =
+      graft.operators.Decontaminate.contaminatedIds(s, g8, benchGrams)
     docs.filter(col("source") =!= "src0")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"))
