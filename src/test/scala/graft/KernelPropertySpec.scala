@@ -101,6 +101,33 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom-prefiltered decontamination equals the exact join on arbitrary corpora") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    // Tiny vocabulary → dense gram collisions; doc texts of 8-12 tokens
+    // → every doc contributes 1-5 8-grams. The property is the
+    // operator's whole contract: the Bloom prefilter may only move
+    // bytes, never change the contaminated-id set.
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = for {
+      id <- Gen.choose(0L, 40L)
+      n <- Gen.choose(8, 12)
+      ws <- Gen.listOfN(n, word)
+    } yield (id, ws.mkString(" "))
+    val caseGen = Gen.zip(Gen.listOfN(12, docGen), Gen.listOfN(3, docGen))
+    samples(caseGen, 6).foreach { case (corpusRows, benchRows) =>
+      val corpus = corpusRows.groupBy(_._1).map(_._2.head).toSeq.toDF("doc_id", "text")
+      val bench = benchRows.groupBy(_._1).map(_._2.head).toSeq.toDF("doc_id", "text")
+      val corpusG = queries.TrainingData.gram8Df(corpus)
+      val benchG = queries.TrainingData.gram8Df(bench).select("gram")
+      val exact = corpusG.join(benchG.distinct(), "gram")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      val bloomed = Decontaminate.contaminatedIds(spark, corpusG, benchG)
+        .as[Long].collect().toSet
+      assert(bloomed == exact, s"bloom path diverged: $bloomed vs $exact")
+    }
+  }
+
   test("semDedup matches naive per-cell semantics on arbitrary corpora") {
     import spark.implicits._
     import graft.operators.Dedup
