@@ -79,7 +79,7 @@ object Ivf {
     } finally vecs.unpersist(blocking = false)
   }
 
-  private def nearest(cents: Array[(Int, Array[Float])], v: Array[Float]): Int = {
+  private[operators] def nearest(cents: Array[(Int, Array[Float])], v: Array[Float]): Int = {
     var best = -1; var bestD = Double.MaxValue
     cents.foreach { case (c, cv) =>
       var d = 0.0; var i = 0

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions.dot_f
+
+/** Product quantization (PQ) with asymmetric-distance (ADC) scoring —
+  * the top rung of the engine's quantization ladder (below it:
+  * [[Quantize]]'s per-vector int8 codes; beside it: [[Ivf]]'s coarse
+  * cells). Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", IEEE TPAMI 2011.
+  *
+  * The vector space is split into `nSub` contiguous subspaces of
+  * `subDim` dims; each subspace gets its own tiny k-means codebook
+  * (reusing [[Ivf.train]] verbatim on the sliced corpus — deterministic
+  * init, Lloyd steps, mean snapping). A corpus vector is then ONE SMALL
+  * CODE PER SUBSPACE: at nSub=8, k=256 that is 8 bytes per vector —
+  * 512x fewer than a d=1024 float32 vector, the compression regime
+  * where a 100 TB corpus's candidate scan fits in cluster RAM.
+  *
+  * ADC scoring never reconstructs per pair: a probe precomputes its
+  * dot product against every codebook centroid (`nSub × k` entries —
+  * the lookup table), and a candidate's score is `nSub` table adds:
+  *
+  *   dot(probe, recon(codes)) = Σ_j dot(probe_j, codebook_j[code_j])
+  *
+  * exactly, because reconstruction is concatenation. Likewise the
+  * reconstruction's squared norm is the sum of per-centroid squared
+  * norms, precomputed once per codebook entry — so the full ADC cosine
+  * is exact w.r.t. the reconstructed vectors, engine-portable, and
+  * oracle-checkable (q76 replays training + encoding + scoring in SQL).
+  *
+  * Scale shape: codebooks are `nSub × k` centroids (driver/broadcast
+  * scale); encoding is one narrow map over the corpus; search joins the
+  * coded corpus against BROADCAST per-probe tables (probes × k rows per
+  * subspace) — the corpus side never re-touches float bytes and never
+  * shuffles before the rank-and-cut (WindowGroupLimit bounds the
+  * exchange map-side, as in q33/q74).
+  */
+object Pq {
+
+  /** `subModels(j)` is subspace j's codebook over dims
+    * [j·subDim, (j+1)·subDim).
+    */
+  final case class Model(subModels: Array[Ivf.Model], subDim: Int)
+
+  /** Train one codebook per subspace on the sliced corpus. Slicing is
+    * positional and arithmetic-free, so each subspace's training run is
+    * bit-identical to [[Ivf.train]] on a `subDim`-wide corpus.
+    */
+  def train(spark: SparkSession, embeddings: DataFrame, nSub: Int,
+      subDim: Int, k: Int, iters: Int, meanRound: Int = 0): Model = {
+    val subModels = (0 until nSub).map { j =>
+      Ivf.train(spark,
+        embeddings.select(col("vec_id"),
+          slice(col("embedding"), j * subDim + 1, subDim).as("embedding")),
+        k, iters, meanRound)
+    }.toArray
+    Model(subModels, subDim)
+  }
+
+  /** Encode every vector as its per-subspace nearest-centroid codes:
+    * (vec_id, codes: array<int>, one entry per subspace). One narrow
+    * map; all `nSub` codes are computed in a single pass over the row
+    * (the slices are views into the same backing array).
+    */
+  def encode(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val m = bc.value
+        val codes = Array.tabulate(m.subModels.length) { j =>
+          Ivf.nearest(m.subModels(j).centroids,
+            v.slice(j * m.subDim, (j + 1) * m.subDim))
+        }
+        (id, codes)
+      }
+      .toDF("vec_id", "codes")
+  }
+
+  /** Per-subspace codebook table: (sub, cell, cv, nsq) — nsq is the
+    * centroid's squared norm via the same sequential double fold the
+    * SQL oracle's `list_sum(list_transform(...))` performs.
+    */
+  private def codebookDf(spark: SparkSession, model: Model): DataFrame = {
+    val rows = model.subModels.zipWithIndex.flatMap { case (m, j) =>
+      m.centroids.map { case (cell, cv) =>
+        var s = 0.0; var i = 0
+        while (i < cv.length) { s += cv(i).toDouble * cv(i).toDouble; i += 1 }
+        Row(j, cell, cv.toSeq, s)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("sub", IntegerType, nullable = false),
+        StructField("cell", IntegerType, nullable = false),
+        StructField("cv", ArrayType(FloatType, containsNull = false), nullable = false),
+        StructField("nsq", DoubleType, nullable = false))))
+  }
+
+  /** ADC top-k: score the coded corpus against each probe's lookup
+    * table. `encoded` from [[encode]]; `probes` (vec_id, embedding).
+    * Returns (probe_id, neighbor_id, pq_cos, rnk) — cosine of the probe
+    * against the candidate's RECONSTRUCTION (the PQ approximation),
+    * ties on neighbor_id; self-pairs excluded.
+    */
+  def search(spark: SparkSession, encoded: DataFrame, model: Model,
+      probes: DataFrame, k: Int): DataFrame = {
+    val nSub = model.subModels.length
+    val books = codebookDf(spark, model)
+    // Per-probe lookup tables: probes × (nSub·k) rows — tiny, broadcast.
+    // t = dot(probe-slice, centroid) through the same codegen'd fold the
+    // oracle replays; the probe norm rides along (one fold per probe).
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding"),
+      sqrt(dot_f(col("embedding"), col("embedding"))).as("na"))
+    val tables = p.crossJoin(books)
+      .select(col("probe_id"), col("na"), col("sub"), col("cell"),
+        dot_f(slice(col("embedding"), col("sub") * model.subDim + 1,
+          lit(model.subDim)), col("cv")).as("t"),
+        col("nsq"))
+    // One broadcast join per subspace on (probe_id is implicit via the
+    // first join's key set): candidate score/norm accumulate as strict
+    // left-to-right adds — the exact order the oracle's + chain uses.
+    val cand = encoded.crossJoin(broadcast(
+        p.select(col("probe_id"), col("na"))))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val joined = (0 until nSub).foldLeft(cand) { (df, j) =>
+      val tj = tables.filter(col("sub") === j)
+        .select(col("probe_id").as(s"p$j"), col("cell").as(s"c$j"),
+          col("t").as(s"t$j"), col("nsq").as(s"n$j"))
+      df.join(broadcast(tj),
+          col("probe_id") === col(s"p$j") &&
+            col(s"c$j") === element_at(col("codes"), j + 1))
+        .drop(s"p$j", s"c$j")
+    }
+    val num = (1 until nSub).foldLeft(col("t0")) { (e, j) => e + col(s"t$j") }
+    val nsq = (1 until nSub).foldLeft(col("n0")) { (e, j) => e + col(s"n$j") }
+    val scored = joined.select(col("probe_id"), col("vec_id").as("neighbor_id"),
+      when(col("na") === 0.0 || sqrt(nsq) === 0.0, lit(-1.0))
+        .otherwise(num / (col("na") * sqrt(nsq))).as("pq_cos"))
+    Similarity.topKByScore(scored, "pq_cos", k)
+  }
+}

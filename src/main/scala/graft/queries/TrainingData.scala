@@ -818,13 +818,15 @@ object TrainingData {
   /** One k-means assignment as a CTE: nearest centroid by squared L2,
     * ties to the smallest cell — `Ivf.nearest` keeps the first (lowest)
     * cell on equal distance, which `ORDER BY dist, cell` reproduces.
+    * `vt` names the vector table (default the shared `v` CTE; q76's PQ
+    * subspaces pass their sliced twins).
     */
-  private def ivfAssignSql(name: String, cents: String): String =
+  private def ivfAssignSql(name: String, cents: String, vt: String = "v"): String =
     s"""$name AS (SELECT vec_id, embedding, cell FROM (
-       |    SELECT v.vec_id, v.embedding, c.cell,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${ivfSqDistSql("v.embedding", "c.cv")}, c.cell) AS rn
-       |    FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+       |    SELECT $vt.vec_id, $vt.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY $vt.vec_id
+       |        ORDER BY ${ivfSqDistSql(s"$vt.embedding", "c.cv")}, c.cell) AS rn
+       |    FROM $vt CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
 
   /** One Lloyd centroid update as CTEs: per-dimension double mean cast
     * to float32 (Ivf.train's `avg(x)` + `cast(s.m as float)`), empty
@@ -973,6 +975,65 @@ object TrainingData {
       .orderBy("vec_id")
   }
 
+  /** One PQ subspace's oracle CTE chain: slice, deterministic init,
+    * 2 Lloyd steps, final encode assignment — the q73 machinery on the
+    * sliced table. Names are prefixed per subspace (no collisions).
+    */
+  private def pqSubspaceSql(j: Int, subDim: Int, k: Int): String = {
+    val lo = j * subDim + 1; val hi = (j + 1) * subDim
+    s"""v$j AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM v),
+       |cz$j AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM
+       |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM v$j) WHERE rn <= $k),
+       |${ivfAssignSql(s"pa1$j", s"cz$j", s"v$j")}, ${ivfCentroidSql(s"pc1$j", s"pa1$j", s"cz$j")},
+       |${ivfAssignSql(s"pa2$j", s"pc1$j", s"v$j")}, ${ivfCentroidSql(s"pc2$j", s"pa2$j", s"pc1$j")},
+       |${ivfAssignSql(s"pe$j", s"pc2$j", s"v$j")},
+       |pt$j AS (SELECT p.vec_id AS probe_id, c.cell,
+       |    list_sum(list_transform(range(1, len(c.cv) + 1),
+       |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) AS t,
+       |    list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |  FROM v$j p CROSS JOIN pc2$j c WHERE p.vec_id < 5)""".stripMargin
+  }
+
+  val q76_pq_ann: QueryDef = q(
+    "q76_pq_ann",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |${(0 until 4).map(pqSubspaceSql(_, 16, 4)).mkString(",\n")},
+       |pn AS (SELECT vec_id AS probe_id, ${ivfNormSql("embedding")} AS na FROM v WHERE vec_id < 5),
+       |scored AS (SELECT pn.probe_id, e0.vec_id AS neighbor_id,
+       |    CASE WHEN pn.na = 0 OR sqrt(t0.nsq + t1.nsq + t2.nsq + t3.nsq) = 0 THEN -1.0
+       |         ELSE (t0.t + t1.t + t2.t + t3.t)
+       |              / (pn.na * sqrt(t0.nsq + t1.nsq + t2.nsq + t3.nsq)) END AS pq_cos
+       |  FROM pe0 e0 JOIN pe1 e1 USING (vec_id) JOIN pe2 e2 USING (vec_id)
+       |  JOIN pe3 e3 USING (vec_id) CROSS JOIN pn
+       |  JOIN pt0 t0 ON t0.probe_id = pn.probe_id AND t0.cell = e0.cell
+       |  JOIN pt1 t1 ON t1.probe_id = pn.probe_id AND t1.cell = e1.cell
+       |  JOIN pt2 t2 ON t2.probe_id = pn.probe_id AND t2.cell = e2.cell
+       |  JOIN pt3 t3 ON t3.probe_id = pn.probe_id AND t3.cell = e3.cell
+       |  WHERE e0.vec_id <> pn.probe_id),
+       |ranked AS (SELECT probe_id, neighbor_id, pq_cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY pq_cos DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT probe_id, neighbor_id, floor(pq_cos * 100 + 0.5) / 100 AS pq_cos, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  ) { (s, dir) =>
+    // Product quantization + ADC (operators/Pq): 4 subspaces x 16 dims,
+    // 4-centroid codebooks (k-means via Ivf.train on the sliced corpus,
+    // 2 Lloyd steps, meanRound = 4), corpus encoded as 4 small codes,
+    // probes scored via per-probe lookup tables — dot(probe, recon) =
+    // sum of per-subspace table entries, EXACT because reconstruction
+    // is concatenation. The oracle replays training, encoding, and the
+    // table adds with the same float-exact arithmetic as q73, so the
+    // whole PQ path is hash-checked end-to-end.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val model = graft.operators.Pq.train(s, emb, nSub = 4, subDim = 16,
+      k = 4, iters = 2, meanRound = 4)
+    val encoded = graft.operators.Pq.encode(s, emb, model)
+    val probes = emb.filter(col("vec_id") < 5)
+    graft.operators.Pq.search(s, encoded, model, probes, k = 5)
+      .select(col("probe_id"), col("neighbor_id"),
+        Par.r2(col("pq_cos")).as("pq_cos"), col("rnk").cast("bigint").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -980,5 +1041,5 @@ object TrainingData {
     q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match,
     q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh,
     q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf,
-    q74_quantized_ann, q75_semdedup)
+    q74_quantized_ann, q75_semdedup, q76_pq_ann)
 }
