@@ -78,6 +78,17 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("Scan parquet"), p)
   }
 
+  test("q76: PQ scoring joins stay broadcast; rank is group-limited") {
+    val p = plan("q76_pq_ann")
+    // The coded corpus must join the per-probe lookup tables as the
+    // STREAMED side of broadcast hash joins (the tables are probes x k
+    // rows); a sort-merge here would shuffle the whole coded corpus
+    // once per subspace. Rank<=k bounds the exchange map-side.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q75: semDedup pairs via an equi-join on cell — never all-pairs") {
     val p = plan("q75_semdedup")
     // The within-cell candidate join must stay a hash/sort-merge equi-join
