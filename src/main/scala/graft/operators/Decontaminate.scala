@@ -56,13 +56,22 @@ object Decontaminate {
       benchGrams: DataFrame, fpp: Double = 0.01): DataFrame = {
     val bench = benchGrams.select(col("gram")).distinct()
     // Two eager actions on the SMALL side only (count sizes the filter,
-    // then one pass folds it). The corpus side stays untouched until
-    // the caller's action. An EMPTY benchmark can contaminate nothing —
+    // then one pass folds it) — cached across them so the benchmark
+    // subtree computes once here, plus once more in the caller's
+    // action for the verification join (the cache is released before
+    // returning; holding it for a lazily-consumed result would leak it
+    // for the session). The corpus side stays untouched until the
+    // caller's action. An EMPTY benchmark can contaminate nothing —
     // and must short-circuit anyway: Spark's bloomFilter aggregate
     // returns a null buffer over zero rows and NPEs on deserialization.
-    val n = bench.count()
-    if (n == 0) return corpusGrams.select(col("doc_id")).limit(0)
-    val bf = bench.stat.bloomFilter("gram", n, fpp)
+    val bf = {
+      bench.persist()
+      try {
+        val n = bench.count()
+        if (n == 0) return corpusGrams.select(col("doc_id")).limit(0)
+        bench.stat.bloomFilter("gram", n, fpp)
+      } finally bench.unpersist(blocking = false)
+    }
     val mightMatch = udf((g: String) => g != null && bf.mightContainString(g))
     corpusGrams
       .filter(mightMatch(col("gram")))

@@ -127,9 +127,16 @@ object Dedup {
     */
   def semDedup(indexed: DataFrame, minCos: Double): DataFrame = {
     import graft.functions.VectorFunctions.{dot_f, norm_f}
+    // Materialized once (localCheckpoint, the components() discipline):
+    // the self-join's two sides would otherwise each re-run the whole
+    // upstream lineage — for q75 that is Ivf.index's corpus map — and
+    // re-fold every norm, making "norms computed once per vector" a
+    // lie. Same recompute-after-executor-loss trade as components(),
+    // and the same answer: the operator is idempotent, rerun it.
     val withN = indexed
       .select(col("vec_id"), col("embedding"), col("cell"))
       .withColumn("nrm", norm_f(col("embedding")))
+      .localCheckpoint()
     val a = withN.select(col("cell"), col("vec_id").as("id1"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = withN.select(col("cell"), col("vec_id").as("id2"),

@@ -49,9 +49,22 @@ object Pq {
   /** Train one codebook per subspace on the sliced corpus. Slicing is
     * positional and arithmetic-free, so each subspace's training run is
     * bit-identical to [[Ivf.train]] on a `subDim`-wide corpus.
+    *
+    * Fails LOUD when the corpus dimension is not exactly nSub·subDim:
+    * slice() past the end silently yields short subspace vectors, the
+    * dots fold over the short side, and [[search]]'s full-width probe
+    * norm no longer matches the truncated numerator — pq_cos would be
+    * the cosine of NOTHING, with no error anywhere (the same silent-
+    * corruption class [[Ivf.nearest]] throws on).
     */
   def train(spark: SparkSession, embeddings: DataFrame, nSub: Int,
       subDim: Int, k: Int, iters: Int, meanRound: Int = 0): Model = {
+    val d = embeddings.agg(
+      min(size(col("embedding"))), max(size(col("embedding")))).head
+    require(!d.isNullAt(0) && d.getInt(0) == nSub * subDim
+        && d.getInt(1) == nSub * subDim,
+      s"Pq: corpus dims [${d.get(0)}, ${d.get(1)}] != nSub*subDim = " +
+        s"${nSub * subDim} — PQ subspaces must tile the vector exactly")
     val subModels = (0 until nSub).map { j =>
       Ivf.train(spark,
         embeddings.select(col("vec_id"),
@@ -72,6 +85,12 @@ object Pq {
     embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) =>
         val m = bc.value
+        // Same tiling contract as train() — per-row here, because a
+        // stray short vector would otherwise encode against truncated
+        // slices and score as a cosine of nothing.
+        require(v.length == m.subModels.length * m.subDim,
+          s"Pq.encode: vec $id has dim ${v.length}, expected " +
+            s"${m.subModels.length * m.subDim}")
         val codes = Array.tabulate(m.subModels.length) { j =>
           Ivf.nearest(m.subModels(j).centroids,
             v.slice(j * m.subDim, (j + 1) * m.subDim))
@@ -81,22 +100,23 @@ object Pq {
       .toDF("vec_id", "codes")
   }
 
-  /** Per-subspace codebook table: (sub, cell, cv, nsq) — nsq is the
+  /** Subspace j's codebook table: (cell, cv, nsq) — nsq is the
     * centroid's squared norm via the same sequential double fold the
-    * SQL oracle's `list_sum(list_transform(...))` performs.
+    * SQL oracle's `list_sum(list_transform(...))` performs. Built
+    * per-subspace (k rows, driver-side) so each lookup-table join's
+    * plan computes ONLY its own subspace's dots — one frame carrying
+    * all subspaces would re-run the full probes × (nSub·k) cross join
+    * once per subspace join, nSub² dot tables where nSub suffice.
     */
-  private def codebookDf(spark: SparkSession, model: Model): DataFrame = {
-    val rows = model.subModels.zipWithIndex.flatMap { case (m, j) =>
-      m.centroids.map { case (cell, cv) =>
-        var s = 0.0; var i = 0
-        while (i < cv.length) { s += cv(i).toDouble * cv(i).toDouble; i += 1 }
-        Row(j, cell, cv.toSeq, s)
-      }
+  private def codebookDf(spark: SparkSession, model: Model, j: Int): DataFrame = {
+    val rows = model.subModels(j).centroids.map { case (cell, cv) =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i).toDouble * cv(i).toDouble; i += 1 }
+      Row(cell, cv.toSeq, s)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1),
       StructType(Seq(
-        StructField("sub", IntegerType, nullable = false),
         StructField("cell", IntegerType, nullable = false),
         StructField("cv", ArrayType(FloatType, containsNull = false), nullable = false),
         StructField("nsq", DoubleType, nullable = false))))
@@ -111,27 +131,25 @@ object Pq {
   def search(spark: SparkSession, encoded: DataFrame, model: Model,
       probes: DataFrame, k: Int): DataFrame = {
     val nSub = model.subModels.length
-    val books = codebookDf(spark, model)
-    // Per-probe lookup tables: probes × (nSub·k) rows — tiny, broadcast.
-    // t = dot(probe-slice, centroid) through the same codegen'd fold the
-    // oracle replays; the probe norm rides along (one fold per probe).
+    // Per-probe lookup tables: one per subspace, probes × k rows each —
+    // tiny, broadcast. t = dot(probe-slice, centroid) through the same
+    // codegen'd fold the oracle replays; the probe norm rides along
+    // (one fold per probe). Each table's plan touches only its own
+    // subspace's codebook (codebookDf(j)), so building all nSub of
+    // them costs nSub probe-side scans, not nSub² dot tables.
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding"),
       sqrt(dot_f(col("embedding"), col("embedding"))).as("na"))
-    val tables = p.crossJoin(books)
-      .select(col("probe_id"), col("na"), col("sub"), col("cell"),
-        dot_f(slice(col("embedding"), col("sub") * model.subDim + 1,
-          lit(model.subDim)), col("cv")).as("t"),
-        col("nsq"))
-    // One broadcast join per subspace on (probe_id is implicit via the
-    // first join's key set): candidate score/norm accumulate as strict
-    // left-to-right adds — the exact order the oracle's + chain uses.
+    // Candidate score/norm accumulate as strict left-to-right adds —
+    // the exact order the oracle's + chain uses.
     val cand = encoded.crossJoin(broadcast(
         p.select(col("probe_id"), col("na"))))
       .filter(col("vec_id") =!= col("probe_id"))
     val joined = (0 until nSub).foldLeft(cand) { (df, j) =>
-      val tj = tables.filter(col("sub") === j)
+      val tj = p.crossJoin(codebookDf(spark, model, j))
         .select(col("probe_id").as(s"p$j"), col("cell").as(s"c$j"),
-          col("t").as(s"t$j"), col("nsq").as(s"n$j"))
+          dot_f(slice(col("embedding"), j * model.subDim + 1,
+            model.subDim), col("cv")).as(s"t$j"),
+          col("nsq").as(s"n$j"))
       df.join(broadcast(tj),
           col("probe_id") === col(s"p$j") &&
             col(s"c$j") === element_at(col("codes"), j + 1))

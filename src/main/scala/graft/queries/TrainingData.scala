@@ -598,9 +598,11 @@ object TrainingData {
     // for removing eval-set contamination from a 100 TB crawl.
     val docs = t(s, dir, "documents")
     val g8 = gram8Df(docs)
+    // No distinct here: the operator deduplicates the benchmark side
+    // internally (a second distinct would just add an exchange).
     val benchGrams = g8
       .join(docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
-      .select("gram").distinct()
+      .select("gram")
     val contaminated =
       graft.operators.Decontaminate.contaminatedIds(s, g8, benchGrams)
     docs.filter(col("source") =!= "src0")

@@ -51,16 +51,9 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.semDedup(indexed, minCos = 0.9)
       .as[(Long, Int, Option[Long], Int)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    // Naive reference computed inline.
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
-      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
-      if (na == 0.0 || nb == 0.0) -1.0 else dot / (na * nb)
-    }
     val expected = rows.map { case (id, v, cell) =>
       val peers = rows.filter { case (i2, v2, c2) =>
-        c2 == cell && i2 < id && cos(v2, v) >= 0.9
+        c2 == cell && i2 < id && naiveCos(v2, v) >= 0.9
       }.map(_._1)
       id -> ((cell, peers.sorted.headOption, if (peers.isEmpty) 1 else 0))
     }.toMap

@@ -143,19 +143,13 @@ class KernelPropertySpec extends SparkSpec {
       .map(_.groupBy(_._1).map(_._2.head).toSeq) // unique ids per corpus
       .filter(_.nonEmpty)
     assert(cases.size >= 6, "generator drought")
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
-      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
-      if (na == 0.0 || nb == 0.0) -1.0 else dot / (na * nb)
-    }
     cases.foreach { rows =>
       val got = Dedup.semDedup(rows.toDF("vec_id", "embedding", "cell"), minCos = 0.7)
         .as[(Long, Int, Option[Long], Int)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
       val expected = rows.map { case (id, v, cell) =>
         val peers = rows.collect {
-          case (i2, v2, c2) if c2 == cell && i2 < id && cos(v2, v) >= 0.7 => i2
+          case (i2, v2, c2) if c2 == cell && i2 < id && naiveCos(v2, v) >= 0.7 => i2
         }
         id -> ((cell, peers.sorted.headOption, if (peers.isEmpty) 1 else 0))
       }.toMap

@@ -9,6 +9,18 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Naive sequential-fold cosine reference (zero-norm pairs pin to
+    * -1.0, matching Similarity.cosSafe) — shared by the semDedup specs
+    * so the sentinel/fold semantics can't silently diverge between
+    * suites.
+    */
+  protected def naiveCos(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    if (na == 0.0 || nb == 0.0) -1.0 else dot / (na * nb)
+  }
 }
 
 object SparkSpec {
