@@ -44,8 +44,8 @@ object AsOfJoin {
     // among right ties, ascending _ord so last() picks the max.
     val w = Window.partitionBy(key).orderBy(col("_t"), col("_kind"), col("_ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.select((lCols.map(col) :+ col("_kind") :+ col("_t") :+ col("_v") :+ col("_ord")): _*)
-      .unionByName(r.select((lCols.map(c =>
+    l.select((lCols.toSeq.map(col) :+ col("_kind") :+ col("_t") :+ col("_v") :+ col("_ord")): _*)
+      .unionByName(r.select((lCols.toSeq.map(c =>
         if (c == key) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
         :+ col("_kind") :+ col("_t") :+ col("_v") :+ col("_ord")): _*))
       .withColumn(as, last(col("_v"), ignoreNulls = true).over(w).getField("v"))

@@ -81,7 +81,7 @@ object Dedup {
         // Certificate over the checkpointed blocks (cheap second action).
         // Null sum = empty graph (None) — also a fixpoint.
         val sumOpt = Option(
-          next.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
+          next.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
         labels = next
         converged = havePrev && ((prevSum, sumOpt) match {
           case (Some(a), Some(b)) => a.compareTo(b) == 0

@@ -60,7 +60,7 @@ object Pq {
   def train(spark: SparkSession, embeddings: DataFrame, nSub: Int,
       subDim: Int, k: Int, iters: Int, meanRound: Int = 0): Model = {
     val d = embeddings.agg(
-      min(size(col("embedding"))), max(size(col("embedding")))).head
+      min(size(col("embedding"))), max(size(col("embedding")))).head()
     require(!d.isNullAt(0) && d.getInt(0) == nSub * subDim
         && d.getInt(1) == nSub * subDim,
       s"Pq: corpus dims [${d.get(0)}, ${d.get(1)}] != nSub*subDim = " +

@@ -192,7 +192,7 @@ object Similarity {
     // count + WIDEST vector in one pass — a first-row probe would
     // undersize blocks on mixed-dim corpora (and NPE on a null row).
     val stats = embeddings
-      .agg(count(lit(1)), max(size(col("embedding")))).head
+      .agg(count(lit(1)), max(size(col("embedding")))).head()
     val n = stats.getLong(0)
     if (n == 0) return 1
     val dim = if (stats.isNullAt(1)) 1 else stats.getInt(1)
@@ -224,7 +224,7 @@ object Similarity {
     */
   def hyperplaneLsh(embeddings: DataFrame, nPlanes: Int, dim: Int = 0): DataFrame = {
     val width = if (dim > 0) dim
-      else Option(embeddings.agg(max(size(col("embedding")))).head.get(0))
+      else Option(embeddings.agg(max(size(col("embedding")))).head().get(0))
         .map(_.asInstanceOf[Int]).getOrElse(0)
     val sigBits = (0 until nPlanes).map { p =>
       val plane = typedLit((0 until width).map(d => planeWeight(p, d)))
