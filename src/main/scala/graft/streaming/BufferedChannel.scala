@@ -35,8 +35,9 @@ import org.apache.spark.sql.functions._
   *   duplicate delivery. One sink root belongs to one checkpoint lineage
   *   (epoch ids must be monotone — Structured Streaming's contract).
   *
-  * Driver state is only (bytes, firstArrival, object counter, watermark)
-  * — O(1); the data itself never touches the driver.
+  * Driver state is only (per-epoch byte map, firstArrival, object
+  * counter, watermark) — O(staged epochs); the data itself never
+  * touches the driver.
   */
 final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     hadoopConf: Configuration = new Configuration()) {
@@ -46,7 +47,6 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
   private val staging = new Path(rootPath, ".staging")
   private val watermarkFile = new Path(rootPath, "_flushed_watermark")
 
-  private val bytes = new AtomicLong(0L)
   @volatile private var firstArrivalMs: Long = -1L
   private val objectSeq = new AtomicLong(0L)
   // Per-epoch payload bytes: a replayed epoch overwrites its dir, so its
@@ -82,7 +82,6 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     if (recovered > 0) {
       epochBytes(id) = recovered
       provisional += id // possibly partial — see the field's scaladoc
-      bytes.addAndGet(recovered)
       if (firstArrivalMs < 0) firstArrivalMs = System.currentTimeMillis()
     } else fs.delete(d, true)
   }
@@ -134,7 +133,7 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     val alreadyFlushed = synchronized {
       val flushed = epochId <= flushedEpochWatermark && !epochBytes.contains(epochId)
       if (!flushed) {
-        epochBytes.remove(epochId).foreach(prev => bytes.addAndGet(-prev))
+        epochBytes.remove(epochId)
         provisional -= epochId // the replay supersedes recovered bytes
         if (epochBytes.isEmpty) firstArrivalMs = -1L
       }
@@ -161,7 +160,6 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
         fs.delete(dir, true)
       } else {
         epochBytes(epochId) = added
-        bytes.addAndGet(added)
         if (firstArrivalMs < 0) firstArrivalMs = nowMs()
       }
     }
@@ -182,7 +180,7 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     // would spin every tick until the age path fires.
     lazy val eligibleBytes = epochBytes.toSeq.sortBy(_._1).iterator
       .takeWhile { case (e, _) => !provisional.contains(e) }.map(_._2).sum
-    if (aged && bytes.get() > 0) { flush(includeProvisional = true); true }
+    if (aged && epochBytes.nonEmpty) { flush(includeProvisional = true); true }
     else if (eligibleBytes >= maxBytes) { flush(includeProvisional = false); true }
     else false
   }
@@ -223,6 +221,21 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
       if (includeProvisional) sorted
       else sorted.takeWhile(e => !provisional.contains(e))
     if (epochs.nonEmpty) {
+      // The watermark may only advance over epochs that were NON-
+      // provisional at promote time. A provisional epoch's part-set may
+      // be the partial leftover of a crashed write whose authoritative
+      // replay is still pending (e.g. the restarted query died before
+      // its first micro-batch and close()'s flush promoted the
+      // recovery); covering it with the watermark would make that
+      // replay a silent no-op — permanent loss of the unwritten parts.
+      // Left below the watermark, the replay re-stages and re-delivers
+      // the epoch: duplicates of the promoted parts (at-least-once, the
+      // reference's own retry model) instead of loss. Advancing over a
+      // HIGHER non-provisional epoch is safe even while a lower
+      // provisional one exists: appends arrive in epoch order, so a
+      // registered fresh epoch proves every lower epoch's replay
+      // already happened or never will.
+      val provisionalAtFlush = provisional.toSet
       var objDir: Path = null
       epochs.foreach { epochId =>
         val dir = new Path(staging, s"epoch=$epochId")
@@ -237,22 +250,27 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
               s"BufferedChannel flush aborted: rename ${f.getPath} -> $dst failed")
         }
         fs.delete(dir, true)
-        epochBytes.remove(epochId).foreach(prev => bytes.addAndGet(-prev))
+        epochBytes.remove(epochId)
         provisional -= epochId
       }
       if (epochBytes.isEmpty) firstArrivalMs = -1L
-      val maxEpoch = epochs.max
-      if (maxEpoch > flushedEpochWatermark) {
-        flushedEpochWatermark = maxEpoch
-        writeWatermark(maxEpoch)
+      val wmEligible = epochs.filterNot(provisionalAtFlush)
+      if (wmEligible.nonEmpty && wmEligible.max > flushedEpochWatermark) {
+        flushedEpochWatermark = wmEligible.max
+        writeWatermark(wmEligible.max)
       }
     }
   }
 
-  /** Flush the tail and stop the age tick — the shutdown delivery. */
-  def close(): Unit = { flush(includeProvisional = true); ageTick.foreach(_.cancel(false)) }
+  /** Flush the tail and stop the age tick — the shutdown delivery. The
+    * cancel is in a finally: a thrown shutdown flush must not leave the
+    * dead channel ticking in the shared scheduler forever.
+    */
+  def close(): Unit =
+    try flush(includeProvisional = true)
+    finally ageTick.foreach(_.cancel(false))
 
-  def stagedBytes: Long = bytes.get()
+  def stagedBytes: Long = synchronized { epochBytes.values.sum }
 
   /** Delivery objects in delivery order. Sorted NUMERICALLY — the %06d
     * padding makes lexicographic == numeric only up to object-999999,
@@ -333,12 +351,15 @@ object BufferedChannel {
     */
   private val NoTickBeyondMs: Long = 365L * 24 * 3600 * 1000
 
-  /** One shared daemon thread drives every channel's age tick — O(1)
-    * threads regardless of channel count.
+  /** A small shared daemon pool drives every channel's age tick — O(1)
+    * threads regardless of channel count, but more than ONE: with a
+    * single thread, one flush hung on a stalled remote rename (there is
+    * no timeout in the flush path) would suspend the 60-second delivery
+    * contract for every other channel in the process.
     */
-  private lazy val scheduler = Executors.newSingleThreadScheduledExecutor { r =>
+  private lazy val scheduler = Executors.newScheduledThreadPool(4, r => {
     val t = new Thread(r, "graft-buffered-channel-age-tick")
     t.setDaemon(true)
     t
-  }
+  })
 }

@@ -254,8 +254,16 @@ object DeliveryPipeline {
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == deliveryId) {
-          sinks.finish()
           spark.streams.removeListener(this)
+          // Off the listener bus: finish() is blocking flush IO (remote
+          // renames, watermark writes) — running it on the bus dispatch
+          // thread would stall event delivery to every other query in
+          // the session for the duration (and risk dropped events once
+          // the bus queue fills). Non-daemon: the final partial buffer
+          // must land even if the app exits right after stop().
+          val t = new Thread(() => sinks.finish(), "graft-shutdown-flush")
+          t.setDaemon(false)
+          t.start()
         }
     }
     spark.streams.addListener(listener)

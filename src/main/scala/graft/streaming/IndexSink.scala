@@ -61,9 +61,17 @@ object IndexSink {
       }
       .start()
 
-  /** Register the delivered index as a queryable view (A14/A16). */
-  def registerView(spark: SparkSession, indexPath: String, name: String): Unit =
+  /** Register the delivered index as a queryable view (A14/A16). Heals
+    * any crashed compaction first: a crash between compact()'s snapshot
+    * rename and its epoch deletions leaves every latest-per-key row
+    * DUPLICATED (snapshot + original epoch), which registerLatestView
+    * masks but this raw view — and the A13 `_count` contract over it —
+    * would report inflated.
+    */
+  def registerView(spark: SparkSession, indexPath: String, name: String): Unit = {
+    healCompaction(spark, indexPath)
     spark.read.parquet(s"$indexPath/*").drop("_epoch").createOrReplaceTempView(name)
+  }
 
   /** Last-write-per-key resolution over the epoch history (shared by the
     * query-time view and compaction so the two can never diverge).
@@ -82,10 +90,46 @@ object IndexSink {
     * the epoch history. `compact` below materializes the same result.
     */
   def registerLatestView(spark: SparkSession, indexPath: String,
-      name: String, key: String): Unit =
+      name: String, key: String): Unit = {
+    healCompaction(spark, indexPath)
     latestPerKey(spark.read.parquet(s"$indexPath/*"), key)
       .drop("_epoch")
       .createOrReplaceTempView(name)
+  }
+
+  /** Finish a compaction that crashed between its snapshot rename and
+    * its epoch deletions (see [[compact]]'s manifest protocol): if the
+    * in-flight manifest names a snapshot that exists, the listed victim
+    * epochs are duplicates of snapshot rows — delete any that remain.
+    * A manifest without its END terminator is an incomplete write from
+    * a crash BEFORE the rename (the rename only runs after the manifest
+    * is fully persisted): its victim list cannot be trusted and nothing
+    * was renamed, so it is simply discarded. Idempotent; no-op when no
+    * manifest exists.
+    */
+  private def healCompaction(spark: SparkSession, indexPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = new org.apache.hadoop.fs.Path(root, CompactManifest)
+    if (!fs.exists(mf)) return
+    val text = {
+      val buf = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
+      val in = fs.open(mf)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val lines = text.split("\n", -1).toSeq.dropRight(1) // trailing \n
+    if (lines.length >= 2 && lines.last == "END") {
+      val snapshot = lines.head
+      val victims = lines.tail.dropRight(1)
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, snapshot)))
+        victims.foreach(v =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, v), true))
+    }
+    fs.delete(mf, false)
+  }
+
+  private val CompactManifest = "_compact_inflight"
 
   /** Materialize upsert resolution like an index segment merge: the
     * epoch history is REPLACED by one snapshot directory (written
@@ -98,8 +142,11 @@ object IndexSink {
     * outside the read glob. A crash mid-deletion leaves snapshot + some
     * old epochs coexisting: the rows are exact duplicates with their
     * original `_epoch` values, so `registerLatestView` still resolves
-    * correctly, and a re-run compacts the remainder. Stale `.compact.tmp`
-    * from a crashed attempt is dropped at entry.
+    * correctly — and the in-flight manifest written before the rename
+    * lets [[healCompaction]] (run at every compact/registerView entry)
+    * finish the deletions, so the raw-count surface self-heals instead
+    * of reporting inflated until a manual re-compaction. Stale
+    * `.compact.tmp` from a crashed attempt is dropped at entry.
     *
     * Concurrency-safe vs a live delivery query: the epoch set is listed
     * ONCE, up front, and both the snapshot read and the deletion use
@@ -118,6 +165,7 @@ object IndexSink {
       shards: Int): Long = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    healCompaction(spark, indexPath) // finish a crashed predecessor first
     val tmp = new org.apache.hadoop.fs.Path(indexPath.stripSuffix("/") + ".compact.tmp")
     fs.delete(tmp, true)
     val old =
@@ -133,10 +181,23 @@ object IndexSink {
       .map(n => scala.util.Try(n.stripPrefix("epoch=compact-").toLong).getOrElse(0L))
       .foldLeft(0L)(math.max)
     val snapshot = new org.apache.hadoop.fs.Path(root, s"epoch=compact-$gen")
-    if (!fs.rename(tmp, snapshot))
+    // In-flight manifest BEFORE the rename: a crash between the rename
+    // and the deletions below would otherwise leave every snapshot row
+    // duplicated in the surviving epoch dirs with nothing to trigger
+    // cleanup (healCompaction replays the deletions from this manifest;
+    // the END terminator proves the write completed — see its scaladoc).
+    val mf = new org.apache.hadoop.fs.Path(root, CompactManifest)
+    val out = fs.create(mf, true)
+    try out.write((snapshot.getName +: old.map(_.getName) :+ "END")
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, snapshot)) {
+      fs.delete(mf, false) // nothing renamed — retract the manifest
       throw new java.io.IOException(
         s"compact aborted: rename $tmp -> $snapshot failed")
+    }
     old.foreach(p => fs.delete(p, true))
+    fs.delete(mf, false) // deletions complete — the manifest is spent
     // Count the snapshot dir itself, not the whole glob: cheaper, and
     // correct when concurrent epochs landed during compaction.
     spark.read.parquet(snapshot.toString).count()

@@ -257,6 +257,35 @@ class BufferedChannelSpec extends SparkSpec {
     assert(total == 30, s"records lost across the stranded-provisional restart: $total of 30")
   }
 
+  test("a provisional epoch promoted by close() stays below no watermark — its replay still delivers") {
+    // Incarnation 1 crashes mid-write of epoch 5 (1 of its part files
+    // staged). Incarnation 2's query dies before replaying 5; close()'s
+    // shutdown flush promotes the partial recovery. The watermark must
+    // NOT cover 5: incarnation 3's authoritative replay would otherwise
+    // be discarded as already-delivered — permanent loss of the records
+    // missing from the partial part-set. Duplicates of the promoted
+    // partial are the accepted cost (at-least-once, the reference's own
+    // retry model).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-buf16").toString
+    val leftover = new java.io.File(s"$tmp/.staging/epoch=5")
+    leftover.mkdirs()
+    val pw = new java.io.PrintWriter(new java.io.File(leftover, "part-00000"))
+    try pw.println("""{"i": 1, "tag": "partial"}""") finally pw.close()
+    val second = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2,
+      maxAgeMillis = Long.MaxValue / 2)
+    second.close() // promotes the provisional recovery
+    assert(second.deliveredObjects.size == 1, "shutdown flush must deliver the recovery")
+    val third = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2,
+      maxAgeMillis = Long.MaxValue / 2)
+    third.append(lines(5, "full"), epochId = 5)
+    third.flush()
+    assert(third.deliveredObjects.size == 2,
+      "authoritative replay of a provisionally-promoted epoch was dropped — permanent loss")
+    val all = spark.read.text(third.deliveredObjects.map(_.toString): _*)
+    assert(all.filter(col("value").contains("full")).count() == 5,
+      "replayed records missing from delivery")
+  }
+
   test("empty micro-batches do not grow staging state (idle stream)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-buf8").toString
     val ch = new BufferedChannel(tmp, maxBytes = Long.MaxValue / 2, maxAgeMillis = Long.MaxValue / 2)

@@ -267,6 +267,40 @@ class OperatorsSpec2 extends SparkSpec {
       .as[(String, Double)].collect().toMap == Map("a" -> 99.0, "b" -> 20.0))
   }
 
+  test("a crashed compaction's manifest heals the raw count at next registration") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-compact-heal").toString
+    val index = s"$tmp/index"
+    val e0 = Seq(("a", 10.0, 0L), ("b", 20.0, 0L)).toDF("recordId", "value", "_epoch")
+    e0.write.parquet(s"$index/epoch=0")
+    assert(IndexSink.compact(spark, index, "recordId", shards = 2) == 2)
+    // Reconstruct the exact crash window: snapshot renamed in, victim
+    // deletion never ran, manifest still present.
+    e0.write.mode("overwrite").parquet(s"$index/epoch=0")
+    Files.write(Paths.get(s"$index/_compact_inflight"),
+      "epoch=compact-1\nepoch=0\nEND\n".getBytes("UTF-8"))
+    IndexSink.registerView(spark, index, "healed_raw")
+    assert(!Files.exists(Paths.get(s"$index/epoch=0")),
+      "heal must finish the crashed deletion")
+    assert(!Files.exists(Paths.get(s"$index/_compact_inflight")),
+      "spent manifest must be removed")
+    assert(spark.table("healed_raw").count() == 2,
+      "raw count (the A13 surface) stayed inflated after heal")
+    // An INCOMPLETE manifest (no END terminator — crash mid-manifest-
+    // write, i.e. BEFORE any rename) must not be trusted: victims stay,
+    // the torn manifest is discarded.
+    e0.write.mode("overwrite").parquet(s"$index/epoch=0")
+    Files.write(Paths.get(s"$index/_compact_inflight"),
+      "epoch=compact-1\nepoch=0".getBytes("UTF-8"))
+    IndexSink.registerView(spark, index, "torn_raw")
+    assert(Files.exists(Paths.get(s"$index/epoch=0")),
+      "torn manifest's victim list must not be acted on")
+    assert(!Files.exists(Paths.get(s"$index/_compact_inflight")),
+      "torn manifest must still be discarded")
+    assert(spark.table("torn_raw").count() == 4) // duplicates, but nothing lost
+  }
+
   test("sessionizeStream carries the open session ACROSS micro-batches") {
     import spark.implicits._
     import java.sql.Timestamp
