@@ -48,6 +48,11 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
   private val watermarkFile = new Path(rootPath, "_flushed_watermark")
 
   @volatile private var firstArrivalMs: Long = -1L
+  // Lock-free mirror of epochBytes.values.sum for monitoring: refreshed
+  // at the END of every synchronized mutation region (one call site per
+  // region — no per-mutation retraction arithmetic to get wrong), so
+  // stagedBytes never blocks behind a stalled flush holding the monitor.
+  @volatile private var stagedBytesCache: Long = 0L
   private val objectSeq = new AtomicLong(0L)
   // Per-epoch payload bytes: a replayed epoch overwrites its dir, so its
   // previous contribution must be retracted, not double-counted.
@@ -85,6 +90,7 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
       if (firstArrivalMs < 0) firstArrivalMs = System.currentTimeMillis()
     } else fs.delete(d, true)
   }
+  refreshStagedBytes()
 
   // The last failure the background age tick swallowed (surfaced for
   // monitoring; cleared by the next successful tick).
@@ -136,6 +142,7 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
         epochBytes.remove(epochId)
         provisional -= epochId // the replay supersedes recovered bytes
         if (epochBytes.isEmpty) firstArrivalMs = -1L
+        refreshStagedBytes()
       }
       flushed
     }
@@ -162,6 +169,7 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
         epochBytes(epochId) = added
         if (firstArrivalMs < 0) firstArrivalMs = nowMs()
       }
+      refreshStagedBytes()
     }
     maybeFlush(nowMs())
   }
@@ -254,6 +262,7 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
         provisional -= epochId
       }
       if (epochBytes.isEmpty) firstArrivalMs = -1L
+      refreshStagedBytes()
       val wmEligible = epochs.filterNot(provisionalAtFlush)
       if (wmEligible.nonEmpty && wmEligible.max > flushedEpochWatermark) {
         flushedEpochWatermark = wmEligible.max
@@ -270,7 +279,10 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     try flush(includeProvisional = true)
     finally ageTick.foreach(_.cancel(false))
 
-  def stagedBytes: Long = synchronized { epochBytes.values.sum }
+  def stagedBytes: Long = stagedBytesCache
+
+  private def refreshStagedBytes(): Unit =
+    stagedBytesCache = epochBytes.values.sum
 
   /** Delivery objects in delivery order. Sorted NUMERICALLY — the %06d
     * padding makes lexicographic == numeric only up to object-999999,
@@ -313,17 +325,10 @@ final class BufferedChannel(root: String, maxBytes: Long, maxAgeMillis: Long,
     */
   private def readWatermark(): Long = {
     def parse(p: Path, requireTerminator: Boolean): Option[Long] =
-      scala.util.Try {
-        if (!fs.exists(p)) None
-        else {
-          val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-          val in = fs.open(p)
-          try in.readFully(0, buf) finally in.close()
-          val s = new String(buf, StandardCharsets.UTF_8)
-          if (requireTerminator && !s.endsWith("\n")) None
-          else Some(s.trim.toLong)
-        }
-      }.toOption.flatten // parse/read failure (e.g. checksum) → None
+      BufferedChannel.readFullyUtf8(fs, p).flatMap { s =>
+        if (requireTerminator && !s.endsWith("\n")) None
+        else scala.util.Try(s.trim.toLong).toOption // torn write → None
+      }
     (parse(watermarkFile, requireTerminator = false).toSeq ++
       parse(watermarkTmp, requireTerminator = true).toSeq)
       .foldLeft(-1L)(math.max)
@@ -357,9 +362,30 @@ object BufferedChannel {
     * no timeout in the flush path) would suspend the 60-second delivery
     * contract for every other channel in the process.
     */
-  private lazy val scheduler = Executors.newScheduledThreadPool(4, r => {
-    val t = new Thread(r, "graft-buffered-channel-age-tick")
-    t.setDaemon(true)
-    t
-  })
+  private lazy val scheduler = {
+    val seq = new AtomicLong(0L)
+    Executors.newScheduledThreadPool(4, r => {
+      // Numbered names: a thread dump of the hung-flush scenario must
+      // distinguish the stuck tick thread from the three healthy ones.
+      val t = new Thread(r, s"graft-buffered-channel-age-tick-${seq.getAndIncrement()}")
+      t.setDaemon(true)
+      t
+    })
+  }
+
+  /** Whole-file UTF-8 read that degrades to None on ANY failure —
+    * missing file, checksum error, concurrent deletion between the
+    * exists check and the open (the small-state-file protocol shared by
+    * the flush watermark and [[IndexSink]]'s compaction manifest).
+    */
+  private[streaming] def readFullyUtf8(fs: FileSystem, p: Path): Option[String] =
+    scala.util.Try {
+      if (!fs.exists(p)) None
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        Some(new String(buf, StandardCharsets.UTF_8))
+      }
+    }.toOption.flatten
 }

@@ -259,10 +259,14 @@ object DeliveryPipeline {
           // renames, watermark writes) — running it on the bus dispatch
           // thread would stall event delivery to every other query in
           // the session for the duration (and risk dropped events once
-          // the bus queue fills). Non-daemon: the final partial buffer
-          // must land even if the app exits right after stop().
+          // the bus queue fills). DAEMON, deliberately: the flush path
+          // has no IO timeout, and a non-daemon thread hung on a stalled
+          // remote rename would block JVM exit forever. The listener was
+          // always only a safety net — callers that need the flush
+          // guaranteed go through Pipeline.stop()/awaitTermination,
+          // which run finish() synchronously on their own thread.
           val t = new Thread(() => sinks.finish(), "graft-shutdown-flush")
-          t.setDaemon(false)
+          t.setDaemon(true)
           t.start()
         }
     }

@@ -106,30 +106,50 @@ object IndexSink {
     * is fully persisted): its victim list cannot be trusted and nothing
     * was renamed, so it is simply discarded. Idempotent; no-op when no
     * manifest exists.
+    *
+    * Serialized per index path against [[compact]] (same JVM-local
+    * lock): a registration's heal racing a LIVE compaction would
+    * otherwise read — and then delete — the manifest the compaction is
+    * still relying on, re-opening the crash window the manifest exists
+    * to close. Cross-PROCESS maintenance concurrency was never safe
+    * here (a concurrent compact deletes epochs under any reader) and
+    * must be serialized by the caller, as before.
     */
-  private def healCompaction(spark: SparkSession, indexPath: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val mf = new org.apache.hadoop.fs.Path(root, CompactManifest)
-    if (!fs.exists(mf)) return
-    val text = {
-      val buf = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
-      val in = fs.open(mf)
-      try in.readFully(0, buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+  private def healCompaction(spark: SparkSession, indexPath: String): Unit =
+    maintenanceLock(indexPath).synchronized {
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val mf = manifestPath(indexPath)
+      if (!fs.exists(mf)) return
+      BufferedChannel.readFullyUtf8(fs, mf).foreach { text =>
+        val lines = text.split("\n", -1).toSeq.dropRight(1) // trailing \n
+        if (lines.length >= 2 && lines.last == "END") {
+          val snapshot = lines.head
+          val victims = lines.tail.dropRight(1)
+          if (fs.exists(new org.apache.hadoop.fs.Path(root, snapshot)))
+            victims.foreach(v =>
+              fs.delete(new org.apache.hadoop.fs.Path(root, v), true))
+        }
+      }
+      fs.delete(mf, false)
     }
-    val lines = text.split("\n", -1).toSeq.dropRight(1) // trailing \n
-    if (lines.length >= 2 && lines.last == "END") {
-      val snapshot = lines.head
-      val victims = lines.tail.dropRight(1)
-      if (fs.exists(new org.apache.hadoop.fs.Path(root, snapshot)))
-        victims.foreach(v =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, v), true))
-    }
-    fs.delete(mf, false)
-  }
 
-  private val CompactManifest = "_compact_inflight"
+  /** OUTSIDE the index root, like `.compact.tmp`: a manifest inside the
+    * root would be expanded by the raw-read star-glob as an explicit
+    * root path (exempt from the hidden-file filter) and fail parquet
+    * footer reads for the whole rename-to-deletion window.
+    */
+  private def manifestPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath.stripSuffix("/") + ".compact.inflight")
+
+  /** One JVM-local lock per index path serializes compact() and the
+    * heals embedded in view registration. Unbounded growth is not a
+    * concern: one entry per distinct index root ever touched.
+    */
+  private val maintenanceLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def maintenanceLock(indexPath: String): Object =
+    maintenanceLocks.computeIfAbsent(indexPath.stripSuffix("/"), _ => new Object)
 
   /** Materialize upsert resolution like an index segment merge: the
     * epoch history is REPLACED by one snapshot directory (written
@@ -162,7 +182,7 @@ object IndexSink {
     * Returns rows in the snapshot.
     */
   def compact(spark: SparkSession, indexPath: String, key: String,
-      shards: Int): Long = {
+      shards: Int): Long = maintenanceLock(indexPath).synchronized {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     healCompaction(spark, indexPath) // finish a crashed predecessor first
@@ -186,7 +206,7 @@ object IndexSink {
     // duplicated in the surviving epoch dirs with nothing to trigger
     // cleanup (healCompaction replays the deletions from this manifest;
     // the END terminator proves the write completed — see its scaladoc).
-    val mf = new org.apache.hadoop.fs.Path(root, CompactManifest)
+    val mf = manifestPath(indexPath)
     val out = fs.create(mf, true)
     try out.write((snapshot.getName +: old.map(_.getName) :+ "END")
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -276,14 +276,17 @@ class OperatorsSpec2 extends SparkSpec {
     e0.write.parquet(s"$index/epoch=0")
     assert(IndexSink.compact(spark, index, "recordId", shards = 2) == 2)
     // Reconstruct the exact crash window: snapshot renamed in, victim
-    // deletion never ran, manifest still present.
+    // deletion never ran, manifest still present. The manifest lives
+    // OUTSIDE the root (a sibling, like .compact.tmp) so the raw-read
+    // glob can never try to parse it as parquet.
+    val manifest = s"$index.compact.inflight"
     e0.write.mode("overwrite").parquet(s"$index/epoch=0")
-    Files.write(Paths.get(s"$index/_compact_inflight"),
+    Files.write(Paths.get(manifest),
       "epoch=compact-1\nepoch=0\nEND\n".getBytes("UTF-8"))
     IndexSink.registerView(spark, index, "healed_raw")
     assert(!Files.exists(Paths.get(s"$index/epoch=0")),
       "heal must finish the crashed deletion")
-    assert(!Files.exists(Paths.get(s"$index/_compact_inflight")),
+    assert(!Files.exists(Paths.get(manifest)),
       "spent manifest must be removed")
     assert(spark.table("healed_raw").count() == 2,
       "raw count (the A13 surface) stayed inflated after heal")
@@ -291,12 +294,12 @@ class OperatorsSpec2 extends SparkSpec {
     // write, i.e. BEFORE any rename) must not be trusted: victims stay,
     // the torn manifest is discarded.
     e0.write.mode("overwrite").parquet(s"$index/epoch=0")
-    Files.write(Paths.get(s"$index/_compact_inflight"),
+    Files.write(Paths.get(manifest),
       "epoch=compact-1\nepoch=0".getBytes("UTF-8"))
     IndexSink.registerView(spark, index, "torn_raw")
     assert(Files.exists(Paths.get(s"$index/epoch=0")),
       "torn manifest's victim list must not be acted on")
-    assert(!Files.exists(Paths.get(s"$index/_compact_inflight")),
+    assert(!Files.exists(Paths.get(manifest)),
       "torn manifest must still be discarded")
     assert(spark.table("torn_raw").count() == 4) // duplicates, but nothing lost
   }
