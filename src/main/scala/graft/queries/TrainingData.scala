@@ -977,23 +977,28 @@ object TrainingData {
       .orderBy("vec_id")
   }
 
-  /** One PQ subspace's oracle CTE chain: slice, deterministic init,
-    * 2 Lloyd steps, final encode assignment — the q73 machinery on the
-    * sliced table. Names are prefixed per subspace (no collisions).
+  /** One PQ subspace's oracle CTE chain: slice `src`, deterministic
+    * init, 2 Lloyd steps, final encode assignment — the q73 machinery
+    * on the sliced table. Names are prefixed per subspace (no
+    * collisions). `withProbeTable` adds q76's probe lookup table over
+    * the SLICED source (q77 skips it — its probe tables slice the full
+    * probe vector, not the residual the chains train on).
     */
-  private def pqSubspaceSql(j: Int, subDim: Int, k: Int): String = {
+  private def pqSubspaceSql(j: Int, subDim: Int, k: Int, src: String = "v",
+      withProbeTable: Boolean = true): String = {
     val lo = j * subDim + 1; val hi = (j + 1) * subDim
-    s"""v$j AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM v),
-       |cz$j AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM
-       |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM v$j) WHERE rn <= $k),
-       |${ivfAssignSql(s"pa1$j", s"cz$j", s"v$j")}, ${ivfCentroidSql(s"pc1$j", s"pa1$j", s"cz$j")},
-       |${ivfAssignSql(s"pa2$j", s"pc1$j", s"v$j")}, ${ivfCentroidSql(s"pc2$j", s"pa2$j", s"pc1$j")},
-       |${ivfAssignSql(s"pe$j", s"pc2$j", s"v$j")},
+    val probeTable = if (!withProbeTable) "" else s""",
        |pt$j AS (SELECT p.vec_id AS probe_id, c.cell,
        |    list_sum(list_transform(range(1, len(c.cv) + 1),
        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) AS t,
        |    list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
        |  FROM v$j p CROSS JOIN pc2$j c WHERE p.vec_id < 5)""".stripMargin
+    s"""v$j AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $src),
+       |cz$j AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM
+       |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM v$j) WHERE rn <= $k),
+       |${ivfAssignSql(s"pa1$j", s"cz$j", s"v$j")}, ${ivfCentroidSql(s"pc1$j", s"pa1$j", s"cz$j")},
+       |${ivfAssignSql(s"pa2$j", s"pc1$j", s"v$j")}, ${ivfCentroidSql(s"pc2$j", s"pa2$j", s"pc1$j")},
+       |${ivfAssignSql(s"pe$j", s"pc2$j", s"v$j")}""".stripMargin + probeTable
   }
 
   val q76_pq_ann: QueryDef = q(
@@ -1036,6 +1041,93 @@ object TrainingData {
       .orderBy("probe_id", "rnk")
   }
 
+  /** q77's per-subspace probe/norm tables: qt = dot(FULL-probe slice,
+    * residual codebook entry); qw = |coarse-centroid slice + entry|² —
+    * the ADC decomposition terms (see operators/IvfPq).
+    */
+  private def ivfpqTablesSql(j: Int, subDim: Int): String = {
+    val lo = j * subDim
+    s"""qt$j AS (SELECT p.vec_id AS probe_id, r.cell AS code,
+       |    list_sum(list_transform(range(1, len(r.cv) + 1),
+       |      i -> CAST(p.embedding[$lo + i] AS DOUBLE) * CAST(r.cv[i] AS DOUBLE))) AS t
+       |  FROM v p CROSS JOIN pc2$j r WHERE p.vec_id < 5),
+       |qw$j AS (SELECT c.cell, r.cell AS code,
+       |    list_sum(list_transform(range(1, len(r.cv) + 1),
+       |      i -> (CAST(c.cv[$lo + i] AS DOUBLE) + CAST(r.cv[i] AS DOUBLE))
+       |         * (CAST(c.cv[$lo + i] AS DOUBLE) + CAST(r.cv[i] AS DOUBLE)))) AS w
+       |  FROM gc2 c CROSS JOIN pc2$j r)""".stripMargin
+  }
+
+  val q77_ivfpq_ann: QueryDef = q(
+    "q77_ivfpq_ann",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |gcz AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM
+       |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM v) WHERE rn <= 4),
+       |${ivfAssignSql("ga1", "gcz", "v")}, ${ivfCentroidSql("gc1", "ga1", "gcz")},
+       |${ivfAssignSql("ga2", "gc1", "v")}, ${ivfCentroidSql("gc2", "ga2", "gc1")},
+       |${ivfAssignSql("gidx", "gc2", "v")},
+       |rv AS (SELECT i.vec_id, list_transform(range(1, len(i.embedding) + 1),
+       |    d -> CAST(i.embedding[d] - c.cv[d] AS REAL)) AS embedding
+       |  FROM gidx i JOIN gc2 c ON c.cell = i.cell),
+       |${(0 until 4).map(pqSubspaceSql(_, 16, 4, src = "rv", withProbeTable = false)).mkString(",\n")},
+       |${(0 until 4).map(ivfpqTablesSql(_, 16)).mkString(",\n")},
+       |pn AS (SELECT vec_id AS probe_id, ${ivfNormSql("embedding")} AS na FROM v WHERE vec_id < 5),
+       |gpc AS (SELECT probe_id, cell FROM (
+       |    SELECT v.vec_id AS probe_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfSqDistSql("v.embedding", "c.cv")}, c.cell) AS rn
+       |    FROM v CROSS JOIN gc2 c WHERE v.vec_id < 5) WHERE rn <= 2),
+       |gpt AS (SELECT p.vec_id AS probe_id, c.cell,
+       |    list_sum(list_transform(range(1, len(c.cv) + 1),
+       |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) AS t
+       |  FROM v p CROSS JOIN gc2 c WHERE p.vec_id < 5),
+       |scored AS (SELECT pn.probe_id, i.vec_id AS neighbor_id,
+       |    CASE WHEN pn.na = 0 OR sqrt(qw0.w + qw1.w + qw2.w + qw3.w) = 0 THEN -1.0
+       |         ELSE (gpt.t + qt0.t + qt1.t + qt2.t + qt3.t)
+       |              / (pn.na * sqrt(qw0.w + qw1.w + qw2.w + qw3.w)) END AS pq_cos
+       |  FROM gidx i
+       |  JOIN gpc ON gpc.cell = i.cell
+       |  JOIN pn ON pn.probe_id = gpc.probe_id
+       |  JOIN gpt ON gpt.probe_id = gpc.probe_id AND gpt.cell = i.cell
+       |  JOIN pe0 e0 ON e0.vec_id = i.vec_id
+       |  JOIN qt0 ON qt0.probe_id = gpc.probe_id AND qt0.code = e0.cell
+       |  JOIN qw0 ON qw0.cell = i.cell AND qw0.code = e0.cell
+       |  JOIN pe1 e1 ON e1.vec_id = i.vec_id
+       |  JOIN qt1 ON qt1.probe_id = gpc.probe_id AND qt1.code = e1.cell
+       |  JOIN qw1 ON qw1.cell = i.cell AND qw1.code = e1.cell
+       |  JOIN pe2 e2 ON e2.vec_id = i.vec_id
+       |  JOIN qt2 ON qt2.probe_id = gpc.probe_id AND qt2.code = e2.cell
+       |  JOIN qw2 ON qw2.cell = i.cell AND qw2.code = e2.cell
+       |  JOIN pe3 e3 ON e3.vec_id = i.vec_id
+       |  JOIN qt3 ON qt3.probe_id = gpc.probe_id AND qt3.code = e3.cell
+       |  JOIN qw3 ON qw3.cell = i.cell AND qw3.code = e3.cell
+       |  WHERE i.vec_id <> gpc.probe_id),
+       |ranked AS (SELECT probe_id, neighbor_id, pq_cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY pq_cos DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT probe_id, neighbor_id, floor(pq_cos * 100 + 0.5) / 100 AS pq_cos, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  ) { (s, dir) =>
+    // IVF-PQ / ADC (operators/IvfPq — the FAISS-standard IVFADC): the
+    // q73 coarse quantizer prunes the scan to 2 of 4 cells per probe;
+    // residuals (vector - cell centroid, float subtraction) are PQ-
+    // encoded with 4x16-dim codebooks of 4 centroids; candidates score
+    // as dot(p,c) + per-subspace table adds over per-cell norm terms —
+    // exact w.r.t. the real-arithmetic reconstruction c + r-hat via the
+    // decomposition, so the oracle replays the ENTIRE path (coarse
+    // Lloyd chain, residuals, per-subspace chains, encoding, tables)
+    // with q73's float-exact arithmetic.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val model = graft.operators.IvfPq.train(s, emb, kCoarse = 4,
+      coarseIters = 2, nSub = 4, subDim = 16, kSub = 4, pqIters = 2,
+      meanRound = 4)
+    val encoded = graft.operators.IvfPq.encode(s, emb, model)
+    val probes = emb.filter(col("vec_id") < 5)
+    graft.operators.IvfPq.search(s, encoded, model, probes, k = 5, nprobe = 2)
+      .select(col("probe_id"), col("neighbor_id"),
+        Par.r2(col("pq_cos")).as("pq_cos"), col("rnk").cast("bigint").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1043,5 +1135,5 @@ object TrainingData {
     q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match,
     q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh,
     q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf,
-    q74_quantized_ann, q75_semdedup, q76_pq_ann)
+    q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann)
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, IvfPq}
+
+class IvfPqSpec extends SparkSpec {
+
+  private lazy val emb = queries.Tables.t(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+  private lazy val model = IvfPq.train(spark, emb, kCoarse = 4,
+    coarseIters = 2, nSub = 4, subDim = 16, kSub = 4, pqIters = 2,
+    meanRound = 4)
+
+  test("encoded rows carry a valid coarse cell and per-subspace codes") {
+    import spark.implicits._
+    val enc = IvfPq.encode(spark, emb, model)
+      .select("cell", "codes").as[(Int, Seq[Int])].collect()
+    assert(enc.length == emb.count())
+    enc.foreach { case (cell, codes) =>
+      assert(cell >= 0 && cell < 4, s"coarse cell out of range: $cell")
+      assert(codes.length == 4)
+      assert(codes.forall(c => c >= 0 && c < 4), s"residual code out of range: $codes")
+    }
+  }
+
+  test("ADC scores equal the naive decomposition, bit for bit") {
+    import spark.implicits._
+    // The operator's identity: dot(p, c + r-hat) via dot(p,c) + per-
+    // subspace table adds, |c + r-hat|^2 via per-subspace norm terms.
+    // Recompute both from the models with plain driver-side loops in
+    // the same fold order and require exact agreement.
+    val probesDf = emb.filter(col("vec_id") < 5)
+    val got = IvfPq.search(spark, IvfPq.encode(spark, emb, model), model,
+        probesDf, k = 5, nprobe = 2)
+      .select("probe_id", "neighbor_id", "pq_cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length == 25, s"expected 5 probes x top-5, got ${got.length}")
+
+    val vecs = emb.as[(Long, Array[Float])].collect().toMap
+    val enc = IvfPq.encode(spark, emb, model)
+      .select("vec_id", "cell", "codes").as[(Long, Int, Seq[Int])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def seqDot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    got.foreach { case (pid, nid, cos, _) =>
+      val p = vecs(pid)
+      val (cell, codes) = enc(nid)
+      val cv = model.coarse.centroids.find(_._1 == cell).get._2
+      val num = (0 until 4).foldLeft(seqDot(p, cv)) { (acc, j) =>
+        acc + seqDot(p.slice(j * 16, (j + 1) * 16),
+          model.pq.subModels(j).centroids.find(_._1 == codes(j)).get._2)
+      }
+      val nsq = (0 until 4).map { j =>
+        val rv = model.pq.subModels(j).centroids.find(_._1 == codes(j)).get._2
+        var s = 0.0; var i = 0
+        while (i < 16) {
+          val t = cv(j * 16 + i).toDouble + rv(i).toDouble
+          s += t * t; i += 1
+        }
+        s
+      }.reduceLeft(_ + _)
+      val na = math.sqrt(seqDot(p, p))
+      val expect = if (na == 0.0 || math.sqrt(nsq) == 0.0) -1.0
+        else num / (na * math.sqrt(nsq))
+      assert(cos == expect, s"probe $pid neighbor $nid: $cos != $expect")
+    }
+  }
+
+  test("candidates come only from probed cells") {
+    import spark.implicits._
+    val probesDf = emb.filter(col("vec_id") < 5)
+    val cells = IvfPq.encode(spark, emb, model)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    // Recompute each probe's nprobe cells the way Ivf.search does.
+    val probes = probesDf.as[(Long, Array[Float])].collect()
+    val probed = probes.map { case (id, v) =>
+      id -> model.coarse.centroids.map { case (c, cv) =>
+        var d = 0.0; var i = 0
+        val n = math.min(cv.length, v.length)
+        while (i < n) { val t = cv(i) - v(i); d += t * t; i += 1 }
+        (c, d)
+      }.sortBy(x => (x._2, x._1)).take(2).map(_._1).toSet
+    }.toMap
+    IvfPq.search(spark, IvfPq.encode(spark, emb, model), model, probesDf,
+        k = 5, nprobe = 2)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (pid, nid) =>
+        assert(probed(pid).contains(cells(nid)),
+          s"neighbor $nid of probe $pid sits outside its probed cells")
+      }
+  }
+}
