@@ -106,12 +106,18 @@ object Ivf {
       .toDF("vec_id", "embedding", "cell")
   }
 
-  /** Top-k cosine search probing only the `nprobe` nearest cells. */
-  def search(spark: SparkSession, indexed: DataFrame, model: Model,
-      probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  /** The `nprobe` nearest cells per probe: (probe_id, cell). The
+    * bit-parity-critical probe-cell rule — single-precision per-dim
+    * subtract/square, double accumulation, ties to the smaller cell
+    * (the SQL oracle's `ORDER BY sqdist, cell`) — lives HERE only;
+    * [[search]] and [[IvfPq.search]] both call it, so the two paths
+    * can never drift from the oracle contract independently.
+    */
+  private[operators] def probeCells(spark: SparkSession, probes: DataFrame,
+      model: Model, nprobe: Int): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model.centroids)
-    val probeCells = probes.select(col("vec_id"), col("embedding"))
+    probes.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         bc.value.map { case (c, cv) =>
@@ -121,11 +127,17 @@ object Ivf {
           (id, c, d)
         }.sortBy(x => (x._3, x._2)).take(nprobe).map { case (pid, c, _) => (pid, c) }
       }.toDF("probe_id", "cell")
+  }
+
+  /** Top-k cosine search probing only the `nprobe` nearest cells. */
+  def search(spark: SparkSession, indexed: DataFrame, model: Model,
+      probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cells = probeCells(spark, probes, model, nprobe)
     // Norms once per VECTOR before the join (not per joined pair — a
     // probe's norm would otherwise be re-folded for every candidate).
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         sqrt(dot_f(col("embedding"), col("embedding"))).as("na"))
-      .join(probeCells, "probe_id")
+      .join(cells, "probe_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
     indexed

@@ -51,9 +51,13 @@ object IvfPq {
       coarseIters: Int, nSub: Int, subDim: Int, kSub: Int, pqIters: Int,
       meanRound: Int = 0): Model = {
     val coarse = Ivf.train(spark, embeddings, kCoarse, coarseIters, meanRound)
-    val pq = Pq.train(spark, residuals(spark, embeddings, coarse),
-      nSub, subDim, kSub, pqIters, meanRound)
-    Model(coarse, pq)
+    // Persisted across Pq.train's nSub+1 passes (dimension check + one
+    // Ivf.train per subspace): unpersisted, the residual map — a full
+    // corpus scan with a kCoarse-centroid nearest() per vector — would
+    // re-execute for every subspace.
+    val res = residuals(spark, embeddings, coarse).persist()
+    try Model(coarse, Pq.train(spark, res, nSub, subDim, kSub, pqIters, meanRound))
+    finally res.unpersist(blocking = false)
   }
 
   /** (vec_id, embedding = v − centroid(cell(v))) — float per-dim
@@ -71,13 +75,34 @@ object IvfPq {
       .toDF("vec_id", "embedding")
   }
 
-  /** Encode the corpus: (vec_id, cell, codes). One narrow map for the
-    * cell + residual, one for the codes.
+  /** Encode the corpus: (vec_id, cell, codes) in ONE narrow map — a
+    * single nearest() for the cell, the residual, and the per-subspace
+    * codes per vector, no shuffle. (Composing Ivf.index with Pq.encode
+    * would scan the corpus twice and join the halves on vec_id — a
+    * corpus-wide shuffle for data this pass derives row-locally.)
     */
-  def encode(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame =
-    Ivf.index(spark, embeddings, model.coarse).select("vec_id", "cell")
-      .join(Pq.encode(spark, residuals(spark, embeddings, model.coarse),
-        model.pq), "vec_id")
+  def encode(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val m = bc.value
+        // Same tiling contract as Pq.encode — a stray short vector
+        // would otherwise encode truncated slices silently.
+        require(v.length == m.pq.subModels.length * m.pq.subDim,
+          s"IvfPq.encode: vec $id has dim ${v.length}, expected " +
+            s"${m.pq.subModels.length * m.pq.subDim}")
+        val cell = Ivf.nearest(m.coarse.centroids, v)
+        val cv = m.coarse.centroids(cell)._2
+        val r = Array.tabulate(v.length)(d => v(d) - cv(d))
+        val codes = Array.tabulate(m.pq.subModels.length) { j =>
+          Ivf.nearest(m.pq.subModels(j).centroids,
+            r.slice(j * m.pq.subDim, (j + 1) * m.pq.subDim))
+        }
+        (id, cell, codes)
+      }
+      .toDF("vec_id", "cell", "codes")
+  }
 
   /** Per-cell, per-subspace reconstruction norm terms:
     * w(cell, sub, code) = |c_slice + rcb[code]|², double adds/squares,
@@ -113,13 +138,13 @@ object IvfPq {
         StructField("cell", IntegerType, nullable = false),
         StructField("cv", ArrayType(FloatType, containsNull = false), nullable = false))))
 
+  /** Subspace j's residual codebook as (code, rv) — Pq's own builder,
+    * re-labeled (the nsq column it carries is Pq.search's; the IVFADC
+    * norm term needs the cross-sum [[wTable]] instead).
+    */
   private def rcbDf(spark: SparkSession, model: Model, j: Int): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        model.pq.subModels(j).centroids.toSeq.map { case (c, cv) => Row(c, cv.toSeq) }, 1),
-      StructType(Seq(
-        StructField("code", IntegerType, nullable = false),
-        StructField("rv", ArrayType(FloatType, containsNull = false), nullable = false))))
+    Pq.codebookDf(spark, model.pq, j)
+      .select(col("cell").as("code"), col("cv").as("rv"))
 
   /** ADC top-k probing the `nprobe` nearest cells per probe.
     * `encoded` from [[encode]]; `probes` (vec_id, embedding). Returns
@@ -127,22 +152,20 @@ object IvfPq {
     */
   def search(spark: SparkSession, encoded: DataFrame, model: Model,
       probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    import spark.implicits._
     val nSub = model.pq.subModels.length
-    // nprobe nearest cells per probe — Ivf.search's probe-cell rule
-    // (single-precision per-dim ops, double accumulation, ties to the
-    // smaller cell).
-    val bc = spark.sparkContext.broadcast(model.coarse)
-    val probeCells = probes.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        bc.value.centroids.map { case (c, cv) =>
-          var d = 0.0; var i = 0
-          val n = math.min(cv.length, v.length)
-          while (i < n) { val t = cv(i) - v(i); d += t * t; i += 1 }
-          (id, c, d)
-        }.sortBy(x => (x._3, x._2)).take(nprobe).map { case (pid, c, _) => (pid, c) }
-      }.toDF("probe_id", "cell")
+    // Probe dimensions must tile exactly, like train/encode: a probe of
+    // the wrong width would slice short, fold over min-length, and
+    // score well-formed-but-meaningless cosines with no error anywhere
+    // (the silent-corruption class Pq.train exists to block).
+    val d = probes.agg(
+      min(size(col("embedding"))), max(size(col("embedding")))).head()
+    require(!d.isNullAt(0) && d.getInt(0) == nSub * model.pq.subDim
+        && d.getInt(1) == nSub * model.pq.subDim,
+      s"IvfPq.search: probe dims [${d.get(0)}, ${d.get(1)}] != " +
+        s"nSub*subDim = ${nSub * model.pq.subDim}")
+    // nprobe nearest cells per probe — the ONE probe-cell rule
+    // (Ivf.probeCells, shared with Ivf.search).
+    val probeCells = Ivf.probeCells(spark, probes, model.coarse, nprobe)
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding"),
       sqrt(dot_f(col("embedding"), col("embedding"))).as("na"))
     // dot(p, c) per (probe, cell) — the centroid term of the numerator.

@@ -108,7 +108,7 @@ object Pq {
     * all subspaces would re-run the full probes × (nSub·k) cross join
     * once per subspace join, nSub² dot tables where nSub suffice.
     */
-  private def codebookDf(spark: SparkSession, model: Model, j: Int): DataFrame = {
+  private[operators] def codebookDf(spark: SparkSession, model: Model, j: Int): DataFrame = {
     val rows = model.subModels(j).centroids.map { case (cell, cv) =>
       var s = 0.0; var i = 0
       while (i < cv.length) { s += cv(i).toDouble * cv(i).toDouble; i += 1 }
