@@ -147,7 +147,10 @@ object Dedup {
         col("na"), col("nb")) >= minCos)
       .groupBy(col("id2").as("vec_id"))
       .agg(min(col("id1")).as("dup_of"))
-    indexed.select(col("vec_id"), col("cell"))
+    // Output side reads the CHECKPOINTED frame too — joining from
+    // `indexed` would re-execute the full upstream lineage (for q75,
+    // Ivf.index's corpus map) a third time despite the materialization.
+    withN.select(col("vec_id"), col("cell"))
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup_of"),
         col("dup_of").isNull.cast("int").as("kept"))

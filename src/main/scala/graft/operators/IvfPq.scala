@@ -156,10 +156,16 @@ object IvfPq {
     // Probe dimensions must tile exactly, like train/encode: a probe of
     // the wrong width would slice short, fold over min-length, and
     // score well-formed-but-meaningless cosines with no error anywhere
-    // (the silent-corruption class Pq.train exists to block).
+    // (the silent-corruption class Pq.train exists to block). A null
+    // width aggregate = zero probes, not bad probes: return the empty
+    // result like Ivf.search/Pq.search instead of a confusing
+    // "probe dims [null, null]" require failure.
     val d = probes.agg(
       min(size(col("embedding"))), max(size(col("embedding")))).head()
-    require(!d.isNullAt(0) && d.getInt(0) == nSub * model.pq.subDim
+    if (d.isNullAt(0))
+      return Similarity.emptyTopK(spark, probes.schema("vec_id").dataType,
+        encoded.schema("vec_id").dataType, "pq_cos")
+    require(d.getInt(0) == nSub * model.pq.subDim
         && d.getInt(1) == nSub * model.pq.subDim,
       s"IvfPq.search: probe dims [${d.get(0)}, ${d.get(1)}] != " +
         s"nSub*subDim = ${nSub * model.pq.subDim}")

@@ -131,6 +131,22 @@ object Pq {
   def search(spark: SparkSession, encoded: DataFrame, model: Model,
       probes: DataFrame, k: Int): DataFrame = {
     val nSub = model.subModels.length
+    // Probe dimensions must tile exactly, like train/encode: dot_f folds
+    // over the shorter vector, so a narrower/wider probe would produce a
+    // truncated numerator against a full-width norm — a well-formed but
+    // meaningless pq_cos, the silent-corruption class train()'s corpus
+    // check exists to block. A null width aggregate = zero probes:
+    // return the empty result instead of a confusing require failure
+    // (matching Ivf.search's lazily-empty behavior).
+    val d = probes.agg(
+      min(size(col("embedding"))), max(size(col("embedding")))).head()
+    if (d.isNullAt(0))
+      return Similarity.emptyTopK(spark, probes.schema("vec_id").dataType,
+        encoded.schema("vec_id").dataType, "pq_cos")
+    require(d.getInt(0) == nSub * model.subDim
+        && d.getInt(1) == nSub * model.subDim,
+      s"Pq.search: probe dims [${d.get(0)}, ${d.get(1)}] != nSub*subDim" +
+        s" = ${nSub * model.subDim}")
     // Per-probe lookup tables: one per subspace, probes × k rows each —
     // tiny, broadcast. t = dot(probe-slice, centroid) through the same
     // codegen'd fold the oracle replays; the probe norm rides along

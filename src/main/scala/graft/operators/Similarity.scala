@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StructField, StructType}
 
 /** Approximate-nearest-neighbor scale paths for embedding columns
   * (`Array[Float]`). Q33/Q46 give the brute-force oracle-checked
@@ -71,6 +72,24 @@ object Similarity {
     scored
       .withColumn("rnk", row_number().over(finalW)).filter(col("rnk") <= k)
   }
+
+  /** The empty (probe_id, neighbor_id, scoreCol, rnk) frame
+    * [[topKByScore]] would yield for zero probes — the short-circuit the
+    * ADC searchers ([[Pq.search]]/[[IvfPq.search]]) take when their
+    * EAGER probe-dimension check finds no probes at all. The pure-
+    * DataFrame scorers stay lazily empty for free; the ADC paths must
+    * aggregate probe widths up front (a malformed probe there scores
+    * well-formed-but-meaningless cosines with no error anywhere), and a
+    * null width aggregate means "no probes", not "bad probes".
+    */
+  private[operators] def emptyTopK(spark: SparkSession, probeIdType: DataType,
+      neighborIdType: DataType, scoreCol: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("probe_id", probeIdType),
+        StructField("neighbor_id", neighborIdType),
+        StructField(scoreCol, DoubleType),
+        StructField("rnk", IntegerType, nullable = false))))
 
   /** All-pairs cosine, block-tiled matrix kernel — fully DISTRIBUTED:
     * vectors are packed into √-sized blocks (one row per block, vectors

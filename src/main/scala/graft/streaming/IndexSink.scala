@@ -104,8 +104,13 @@ object IndexSink {
     * A manifest without its END terminator is an incomplete write from
     * a crash BEFORE the rename (the rename only runs after the manifest
     * is fully persisted): its victim list cannot be trusted and nothing
-    * was renamed, so it is simply discarded. Idempotent; no-op when no
-    * manifest exists.
+    * was renamed, so it is simply discarded. A manifest that cannot be
+    * READ (readFullyUtf8 None on an existing path: checksum error,
+    * transient FS fault) is NOT discarded — it may be a perfectly valid
+    * manifest whose victim deletions are still pending, and deleting it
+    * would leave the raw-count surface inflated until the next full
+    * compact; the heal simply retries at the next entry. Idempotent;
+    * no-op when no manifest exists.
     *
     * Serialized per index path against [[compact]] (same JVM-local
     * lock): a registration's heal racing a LIVE compaction would
@@ -130,8 +135,11 @@ object IndexSink {
             victims.foreach(v =>
               fs.delete(new org.apache.hadoop.fs.Path(root, v), true))
         }
+        // Spent (or torn-and-untrusted) — only now that the read
+        // SUCCEEDED. On a read failure the manifest survives for the
+        // next heal attempt (see scaladoc).
+        fs.delete(mf, false)
       }
-      fs.delete(mf, false)
     }
 
   /** OUTSIDE the index root, like `.compact.tmp`: a manifest inside the

@@ -71,6 +71,14 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("empty probe frame yields the empty result, not a dim failure") {
+    val enc = IvfPq.encode(spark, emb, model)
+    val none = IvfPq.search(spark, enc, model,
+      emb.filter(col("vec_id") < 0), k = 3, nprobe = 2)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("probe_id", "neighbor_id", "pq_cos", "rnk"))
+  }
+
   test("candidates come only from probed cells") {
     import spark.implicits._
     val probesDf = emb.filter(col("vec_id") < 5)

@@ -304,6 +304,48 @@ class OperatorsSpec2 extends SparkSpec {
     assert(spark.table("torn_raw").count() == 4) // duplicates, but nothing lost
   }
 
+  test("an unreadable manifest is kept for a later heal, not discarded") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-compact-unreadable").toString
+    val index = s"$tmp/index"
+    val e0 = Seq(("a", 10.0, 0L), ("b", 20.0, 0L)).toDF("recordId", "value", "_epoch")
+    e0.write.parquet(s"$index/epoch=0")
+    assert(IndexSink.compact(spark, index, "recordId", shards = 2) == 2)
+    // Crash window again: snapshot in, victim deletion pending, manifest
+    // present — but this time the manifest READ fails transiently. The
+    // local FS is checksummed, so writing through it and then corrupting
+    // the data bytes underneath (same length, crc untouched) makes every
+    // read throw ChecksumException — exactly a transient-fault shape.
+    e0.write.mode("overwrite").parquet(s"$index/epoch=0")
+    val manifest = s"$index.compact.inflight"
+    val mfPath = new org.apache.hadoop.fs.Path(manifest)
+    val fs = mfPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val good = "epoch=compact-1\nepoch=0\nEND\n".getBytes("UTF-8")
+    val out = fs.create(mfPath, true)
+    try out.write(good) finally out.close()
+    Files.write(Paths.get(manifest),
+      "Xpoch=compact-1\nepoch=0\nEND\n".getBytes("UTF-8"))
+    // Registration proceeds (duplicates are masked by latest-view
+    // resolution), but the manifest MUST survive: deleting it here would
+    // orphan the pending deletions and inflate the raw count until a
+    // manual full compact.
+    IndexSink.registerView(spark, index, "unreadable_raw")
+    assert(Files.exists(Paths.get(manifest)),
+      "manifest must survive a failed read — its deletions are pending")
+    assert(Files.exists(Paths.get(s"$index/epoch=0")),
+      "victims must not be touched when the manifest cannot be read")
+    assert(spark.table("unreadable_raw").count() == 4) // inflated, not lost
+    // Fault clears (rewrite restores a readable manifest + fresh crc):
+    // the very next registration completes the heal.
+    val out2 = fs.create(mfPath, true)
+    try out2.write(good) finally out2.close()
+    IndexSink.registerView(spark, index, "recovered_raw")
+    assert(!Files.exists(Paths.get(s"$index/epoch=0")))
+    assert(!Files.exists(Paths.get(manifest)))
+    assert(spark.table("recovered_raw").count() == 2)
+  }
+
   test("sessionizeStream carries the open session ACROSS micro-batches") {
     import spark.implicits._
     import java.sql.Timestamp

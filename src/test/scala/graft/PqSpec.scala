@@ -76,6 +76,24 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("search rejects mis-dimensioned probes; empty probes yield empty") {
+    // dot_f folds over the shorter vector, so a probe narrower than
+    // nSub*subDim would silently score truncated numerators against a
+    // full-width norm — search must refuse it like train() refuses a
+    // non-tiling corpus.
+    val enc = Pq.encode(spark, emb, model)
+    val bad = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 17).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Pq.search(spark, enc, model, bad, k = 3)
+    }
+    assert(ex.getMessage.contains("probe dims"))
+    // Zero probes is not an error: the empty result frame, same schema.
+    val none = Pq.search(spark, enc, model, emb.filter(col("vec_id") < 0), k = 3)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("probe_id", "neighbor_id", "pq_cos", "rnk"))
+  }
+
   test("PQ quantization error shrinks as codebooks grow") {
     import spark.implicits._
     // More centroids per subspace → closer reconstructions. Average
