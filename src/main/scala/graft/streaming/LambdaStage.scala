@@ -29,11 +29,16 @@ import graft.model.{DeliveryStatus, RoutedRecord}
   *   cadence ≤ the reference's 60 s interval honors the hint; there is
   *   deliberately no second timer here.
   *
-  * Failure semantics match the reference pipeline: if an invocation
-  * throws — or violates the one-result-per-record contract — every
-  * record of THAT invocation is routed `ProcessingFailed` with its raw
-  * payload preserved (Firehose sends a failed transform batch to the
-  * processing-failed prefix; other invocations are unaffected).
+  * Failure semantics match the reference pipeline: a failed invocation
+  * — a throw, or a violation of the one-result-per-record contract —
+  * is retried `retries` times against the SAME batch (the reference
+  * configures its processor with `NumberOfRetries=1`, iac/s2_app.py:
+  * 354-356, so one retry is the default here too); only when every
+  * attempt fails is the batch routed `ProcessingFailed` with its raw
+  * payloads preserved (Firehose sends a failed transform batch to the
+  * processing-failed prefix; other invocations are unaffected). A
+  * transient fault — a dependency hiccup the next attempt clears —
+  * therefore delivers records instead of misrouting them to 04-failed.
   *
   * Scale shape: one `mapPartitions` — narrow, no shuffle, no driver
   * involvement; memory per task is bounded by one invocation batch
@@ -52,11 +57,14 @@ object LambdaStage {
 
   val DefaultMaxInvocationBytes: Long = 3L * 1024 * 1024 // iac/s2_app.py:814
 
+  val DefaultRetries: Int = 1 // NumberOfRetries=1, iac/s2_app.py:354-356
+
   /** Run `fn` over an envelope frame (columns: recordId, data binary)
     * under the invocation contract. Returns (recordId, result, data).
     */
   def invoke(envelope: DataFrame, fn: BatchFn,
-      maxInvocationBytes: Long = DefaultMaxInvocationBytes): DataFrame = {
+      maxInvocationBytes: Long = DefaultMaxInvocationBytes,
+      retries: Int = DefaultRetries): DataFrame = {
     val spark = envelope.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -64,37 +72,50 @@ object LambdaStage {
     // binary); the cast keeps both envelope spellings working, like the
     // declarative transformEnvelope path does.
     envelope.select(col("recordId"), col("data").cast("binary").as("data")).as[Rec]
-      .mapPartitions(it => invokePartition(it, fn, maxInvocationBytes))
+      .mapPartitions(it => invokePartition(it, fn, maxInvocationBytes, retries))
       .toDF("recordId", "result", "data")
   }
 
   private def invokePartition(it: Iterator[Rec], fn: BatchFn,
-      maxBytes: Long): Iterator[RoutedRecord] =
+      maxBytes: Long, retries: Int): Iterator[RoutedRecord] =
     groupByBytes(it, maxBytes).flatMap { batch =>
-      try {
-        val out = fn(batch)
-        val byId = out.groupBy(_.recordId)
-        val inCounts = batch.groupBy(_.recordId).view.mapValues(_.size)
-        // Firehose's contract: one result per input record. Counted per
-        // OCCURRENCE, not per distinct id — an at-least-once source
-        // without dedupByRecordId can legitimately replay the same
-        // recordId into one batch, and a conforming Lambda then returns
-        // one result per copy; failing the whole batch for that would
-        // misroute every successfully transformed record to 04-failed.
-        val conforms = out.size == batch.size &&
-          inCounts.forall { case (id, n) => byId.get(id).exists(_.size == n) } &&
-          out.forall(o => DeliveryStatus.all.contains(o.result))
-        if (conforms) {
-          // k-th input occurrence of an id takes the k-th result for it.
-          val cursor = scala.collection.mutable.Map.empty[String, Int]
-          batch.map { r =>
-            val k = cursor.getOrElse(r.recordId, 0)
-            cursor(r.recordId) = k + 1
-            byId(r.recordId)(k)
-          }
-        } else failAll(batch)
-      } catch { case scala.util.control.NonFatal(_) => failAll(batch) }
+      // 1 + `retries` attempts against the same batch; the first
+      // conforming result wins. Only TOTAL failure fails the batch.
+      Iterator.range(0, 1 + math.max(0, retries))
+        .map(_ => attemptInvoke(batch, fn))
+        .collectFirst { case Some(out) => out }
+        .getOrElse(failAll(batch))
     }
+
+  /** One invocation attempt: Some(per-record results, input order) when
+    * `fn` returned a conforming result set, None on a throw or a
+    * contract violation (the caller decides whether to retry).
+    */
+  private def attemptInvoke(batch: Seq[Rec],
+      fn: BatchFn): Option[Seq[RoutedRecord]] =
+    try {
+      val out = fn(batch)
+      val byId = out.groupBy(_.recordId)
+      val inCounts = batch.groupBy(_.recordId).view.mapValues(_.size)
+      // Firehose's contract: one result per input record. Counted per
+      // OCCURRENCE, not per distinct id — an at-least-once source
+      // without dedupByRecordId can legitimately replay the same
+      // recordId into one batch, and a conforming Lambda then returns
+      // one result per copy; failing the whole batch for that would
+      // misroute every successfully transformed record to 04-failed.
+      val conforms = out.size == batch.size &&
+        inCounts.forall { case (id, n) => byId.get(id).exists(_.size == n) } &&
+        out.forall(o => DeliveryStatus.all.contains(o.result))
+      if (conforms) {
+        // k-th input occurrence of an id takes the k-th result for it.
+        val cursor = scala.collection.mutable.Map.empty[String, Int]
+        Some(batch.map { r =>
+          val k = cursor.getOrElse(r.recordId, 0)
+          cursor(r.recordId) = k + 1
+          byId(r.recordId)(k)
+        })
+      } else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def failAll(batch: Seq[Rec]): Seq[RoutedRecord] =
     batch.map(r => RoutedRecord(r.recordId, DeliveryStatus.ProcessingFailed, r.data))

@@ -10,9 +10,29 @@ import graft.streaming.{DeliveryPipeline, LambdaStage}
 import graft.streaming.DeliveryPipeline.Sinks
 import graft.streaming.LambdaStage.Rec
 
+/** Cross-JVM-visible state for the retry tests: the BatchFn closure is
+  * serialized per task, so a captured counter would increment an
+  * executor-side COPY; a static referenced through the companion object
+  * stays shared in local mode. The fns live here too so the closures
+  * capture nothing at all.
+  */
+object LambdaStageSpec {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val transientFn: LambdaStage.BatchFn = batch => {
+    if (attempts.getAndIncrement() == 0) sys.error("transient dependency hiccup")
+    batch.map(r => RoutedRecord(r.recordId, DeliveryStatus.Ok, r.data))
+  }
+
+  val alwaysFailFn: LambdaStage.BatchFn = _ => {
+    attempts.getAndIncrement()
+    sys.error("persistent failure")
+  }
+}
+
 /** The transform-Lambda invocation contract (reference iac/s2_app.py:
   * 814-815: 3 MB processing buffer; kds_helper.py:29-63: one status per
-  * record per invocation).
+  * record per invocation; iac/s2_app.py:354-356: NumberOfRetries=1).
   */
 class LambdaStageSpec extends SparkSpec {
 
@@ -87,6 +107,36 @@ class LambdaStageSpec extends SparkSpec {
     // Occurrence pairing: each copy keeps ITS transformed payload.
     assert(out.filter(_._1 == "r1").map(_._3).sorted == Seq("A\n", "B\n"))
     assert(out.filter(_._1 == "r2").map(_._3) == Seq("C\n"))
+  }
+
+  test("invoke: a transient invocation failure is retried and delivers Ok") {
+    import spark.implicits._
+    // The reference configures its transform processor with
+    // NumberOfRetries=1 (iac/s2_app.py:354-356): one hiccup must not
+    // route a healthy batch to 04-failed.
+    val df = Seq(("a", "1".getBytes), ("b", "2".getBytes))
+      .toDF("recordId", "data").coalesce(1) // one partition → one invocation
+    LambdaStageSpec.attempts.set(0)
+    val out = LambdaStage.invoke(df, LambdaStageSpec.transientFn)
+      .select("recordId", "result").as[(String, String)].collect().toMap
+    assert(out == Map("a" -> DeliveryStatus.Ok, "b" -> DeliveryStatus.Ok))
+    assert(LambdaStageSpec.attempts.get() == 2,
+      s"expected initial attempt + 1 retry, saw ${LambdaStageSpec.attempts.get()}")
+  }
+
+  test("invoke: a persistent failure stops after the configured retries") {
+    import spark.implicits._
+    val df = Seq(("a", "1".getBytes)).toDF("recordId", "data").coalesce(1)
+    LambdaStageSpec.attempts.set(0)
+    val out = LambdaStage.invoke(df, LambdaStageSpec.alwaysFailFn)
+      .select("recordId", "result").as[(String, String)].collect().toMap
+    assert(out == Map("a" -> DeliveryStatus.ProcessingFailed))
+    assert(LambdaStageSpec.attempts.get() == 2,
+      "default is exactly 1 retry — neither zero nor unbounded")
+    // retries = 0 restores single-attempt semantics.
+    LambdaStageSpec.attempts.set(0)
+    LambdaStage.invoke(df, LambdaStageSpec.alwaysFailFn, retries = 0).collect()
+    assert(LambdaStageSpec.attempts.get() == 1)
   }
 
   test("pipeline E2E with a ported batch Lambda: channels honor Lambda-declared statuses") {
