@@ -54,24 +54,21 @@ object Decontaminate {
     */
   def contaminatedIds(spark: SparkSession, corpusGrams: DataFrame,
       benchGrams: DataFrame, fpp: Double = 0.01): DataFrame = {
-    val bench = benchGrams.select(col("gram")).distinct()
-    // Two eager actions on the SMALL side only (count sizes the filter,
-    // then one pass folds it) — cached across them so the benchmark
-    // subtree computes once here, plus once more in the caller's
-    // action for the verification join (the cache is released before
-    // returning; holding it for a lazily-consumed result would leak it
-    // for the session). The corpus side stays untouched until the
-    // caller's action. An EMPTY benchmark can contaminate nothing —
-    // and must short-circuit anyway: Spark's bloomFilter aggregate
-    // returns a null buffer over zero rows and NPEs on deserialization.
-    val bf = {
-      bench.persist()
-      try {
-        val n = bench.count()
-        if (n == 0) return corpusGrams.select(col("doc_id")).limit(0)
-        bench.stat.bloomFilter("gram", n, fpp)
-      } finally bench.unpersist(blocking = false)
-    }
+    // The deduped benchmark subtree feeds THREE consumers: the count
+    // sizing the filter, the fold building it, and the caller's
+    // verification join below. Materialized ONCE with an eager
+    // localCheckpoint (the components()/semDedup discipline): a cache()
+    // would have to outlive this call to cover the third consumer — a
+    // session-lifetime leak for a lazily-consumed result — while
+    // checkpoint blocks free themselves when the returned plan is
+    // unreferenced. The corpus side stays untouched until the caller's
+    // action. An EMPTY benchmark can contaminate nothing — and must
+    // short-circuit anyway: Spark's bloomFilter aggregate returns a
+    // null buffer over zero rows and NPEs on deserialization.
+    val bench = benchGrams.select(col("gram")).distinct().localCheckpoint()
+    val n = bench.count()
+    if (n == 0) return corpusGrams.select(col("doc_id")).limit(0)
+    val bf = bench.stat.bloomFilter("gram", n, fpp)
     val mightMatch = udf((g: String) => g != null && bf.mightContainString(g))
     corpusGrams
       .filter(mightMatch(col("gram")))

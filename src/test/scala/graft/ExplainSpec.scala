@@ -111,6 +111,11 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
     // The benchmark-filter predicate reaches the corpus scan.
     assert(p.contains("Not(EqualTo(source,src0))"), p)
+    // The verification join's benchmark side reads the grams
+    // MATERIALIZED by contaminatedIds' localCheckpoint (a block scan),
+    // not a re-derivation of the whole tokenize-explode-join subtree —
+    // which would double-compute the benchmark grams per action.
+    assert(p.contains("ExistingRDD"), p)
   }
 
   test("q67: hash sampling is a pure scan-side filter with pruned columns") {
