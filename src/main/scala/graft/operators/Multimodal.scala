@@ -8,11 +8,18 @@ import org.apache.spark.sql.types._
   * `binary` columns + typed metadata; decode / feature-extract / resize /
   * frame-sample run as partition-local batch functions over the bytes.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked deterministic stub — but the Spark-side
-  * plumbing (schema, batch iteration shape, partition locality, output
-  * schema) is real and tested. Swapping `stubDecode` for a JNI/FFI codec
-  * is a one-function change; nothing in the plan shape moves.
+  * Two decode paths:
+  *  - [[decodeImages]] is a REAL image decoder over the JDK's
+  *    `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP ship with the JVM — zero
+  *    native deps): header-only width/height/bands/format extraction,
+  *    never materializing pixel rasters, so cost per row is a few
+  *    hundred header bytes regardless of image size.
+  *  - [[stubDecode]] (behind [[extractMeta]]/q47) is a clearly-marked
+  *    DETERMINISTIC stand-in whose output is replayable by any engine
+  *    from the raw bytes — the form the cross-engine correctness oracle
+  *    checks, and the shape a JNI/FFI video/audio codec (not available
+  *    in this environment) would slot into. Swapping it is a
+  *    one-function change; nothing in the plan shape moves.
   *
   * Scale notes: mapPartitions keeps the codec call amortized per-batch
   * (model/codec init once per partition, not per row) — the same batch
@@ -42,6 +49,75 @@ object Multimodal {
       val c = 1 + (payload.length % 3)
       (w, h, c)
     }
+  }
+
+  /** One decoded image header: true pixel dimensions, band count, and
+    * container format as the JDK reader names it ("png", "JPEG", ...,
+    * lowercased here).
+    */
+  final case class ImageMeta(width: Int, height: Int, channels: Int,
+      format: String)
+
+  /** REAL image decode (JDK `javax.imageio`, no native deps): true
+    * width/height/bands/format from the image HEADER only. The reader
+    * is asked for dimensions and the image-type palette — never
+    * `ImageIO.read` — so a 100-megapixel JPEG costs the same few hundred
+    * header bytes as a thumbnail; at 100 TB of media that is the
+    * difference between a metadata pass and a full decode of the corpus.
+    * None for null/empty/corrupt payloads and formats without an
+    * installed reader (a video container, say) — callers route those to
+    * a quarantine channel rather than crashing the batch.
+    */
+  private[graft] def decodeImageMeta(payload: Array[Byte]): Option[ImageMeta] = {
+    if (payload == null || payload.isEmpty) return None
+    scala.util.Try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            // seekForwardOnly + ignoreMetadata: header fields only.
+            r.setInput(iis, true, true)
+            val bands = {
+              val types = r.getImageTypes(0)
+              if (types.hasNext) types.next().getNumComponents else 0
+            }
+            Some(ImageMeta(r.getWidth(0), r.getHeight(0), bands,
+              r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    }.toOption.flatten // corrupt header mid-parse → None, not a throw
+  }
+
+  /** [[decodeImageMeta]] over a media frame: (media_id, media_type,
+    * n_bytes, width, height, channels, format, decoded). Undecodable
+    * rows survive with `decoded = false` and null dims — a curation
+    * pipeline filters or quarantines on the flag. Same narrow
+    * mapPartitions shape as [[extractMeta]].
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, mtype) =>
+          val n = if (payload == null) 0L else payload.length.toLong
+          decodeImageMeta(payload) match {
+            case Some(m) =>
+              (id, mtype, n, Some(m.width), Some(m.height),
+                Some(m.channels), Some(m.format), true)
+            case None =>
+              (id, mtype, n, None: Option[Int], None: Option[Int],
+                None: Option[Int], None: Option[String], false)
+          }
+        }
+      }
+      .toDF("media_id", "media_type", "n_bytes", "width", "height",
+        "channels", "format", "decoded")
   }
 
   /** Decode + feature-extract: one partition-local pass over the bytes. */

@@ -34,6 +34,46 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.select(max(octet_length(col("frame")))).head().getInt(0) <= 4)
   }
 
+  test("decodeImages extracts TRUE dimensions from real image bytes") {
+    import spark.implicits._
+    // Generate real images in-memory with the same JDK plugins the
+    // decoder uses for reading — true pixel dims, three formats.
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8040) // non-uniform pixel: not a degenerate file
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes(37, 21, "png"), "image/png"),
+      (2L, imageBytes(64, 48, "jpg"), "image/jpeg"),
+      (3L, imageBytes(5, 9, "bmp"), "image/bmp"),
+      (4L, "definitely not an image".getBytes("UTF-8"), "image/png"),
+      (5L, null, "image/png"))
+      .toDF("media_id", "payload", "media_type")
+    val got = Multimodal.decodeImages(spark, rows)
+      .select("media_id", "width", "height", "channels", "format", "decoded")
+      .as[(Long, Option[Int], Option[Int], Option[Int], Option[String], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, Some(37), Some(21), Some(3), Some("png"), true)))
+    assert(got(2L)._2 == Some(64) && got(2L)._3 == Some(48) && got(2L)._6)
+    assert(got(2L)._5 == Some("jpeg"))
+    assert(got(3L) == ((3L, Some(5), Some(9), Some(3), Some("bmp"), true)))
+    // Undecodable rows survive with the flag down, dims null.
+    assert(got(4L) == ((4L, None, None, None, None, false)))
+    assert(got(5L) == ((5L, None, None, None, None, false)))
+    // A PNG header whose declared data is TRUNCATED mid-stream must not
+    // throw: header fields may still parse (the reader sees the IHDR
+    // chunk) or fail — either way it's a row, not an exception.
+    val truncated = imageBytes(100, 100, "png").take(20)
+    val t = Multimodal.decodeImages(spark,
+      Seq((6L, truncated, "image/png")).toDF("media_id", "payload", "media_type"))
+      .select("media_id").as[Long].collect()
+    assert(t.toSeq == Seq(6L))
+  }
+
   test("frameSample: a trailing complete frame mid-stride is NOT dropped") {
     import spark.implicits._
     // 30 bytes, frame=10, every 2nd: complete frames at 0,10,20; sampled
