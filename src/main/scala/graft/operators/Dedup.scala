@@ -114,19 +114,36 @@ object Dedup {
     * relation; `dup_of` records the smallest such peer for auditability.
     *
     * Scale shape: the quadratic term is bounded per cell — (n/k)^2
-    * instead of n^2 — and the join is a plain equi-join on `cell`
-    * (shuffle by cell, AQE splits skewed cells), with norms computed
-    * once per vector BEFORE the join. At 100 TB, k grows with the
-    * corpus so cells stay bounded, exactly how the coarse quantizer in
-    * [[Ivf]] is meant to be sized.
+    * instead of n^2 — with norms computed once per vector BEFORE the
+    * join. At 100 TB, k grows with the corpus so cells stay bounded,
+    * exactly how the coarse quantizer in [[Ivf]] is meant to be sized —
+    * but real embedding corpora CLUSTER, and a single hot cell that
+    * absorbs a large fraction of the corpus used to mean one shuffle
+    * group carrying that whole fraction squared. Cells over `cellCap`
+    * are therefore TILED: each vector gets a deterministic split in
+    * [0, s), s = ceil(n_cell / cellCap), and each side is replicated
+    * across the partner axis so the join key (cell, i, j) covers every
+    * split combination. Every within-cell pair still meets in EXACTLY
+    * one tile (pair (x,y) matches where i = split(x), j = split(y)), so
+    * the result is bit-identical to the untiled join — the tiling moves
+    * bytes, never semantics — while both join sides of any single
+    * shuffle group are bounded by ~cellCap rows and a group's pair
+    * count by ~cellCap². The replication cost (s copies of a hot cell's
+    * rows — the sqrt of its pair count) is paid ONLY by cells over the
+    * cap: s = 1 collapses the machinery to the plain equi-join for
+    * every well-sized cell.
     *
     * @param indexed (vec_id: bigint, embedding: array<float>,
     *                cell: int) — [[Ivf.index]]'s output
+    * @param cellCap max rows of one cell per join-side shuffle group;
+    *                tune so cellCap² pair-dots fit one task's budget
     * @return (vec_id, cell, dup_of: nullable bigint, kept: int) — one
     *         row per input vector; kept = 1 iff dup_of IS NULL
     */
-  def semDedup(indexed: DataFrame, minCos: Double): DataFrame = {
+  def semDedup(indexed: DataFrame, minCos: Double,
+      cellCap: Int = 10000): DataFrame = {
     import graft.functions.VectorFunctions.{dot_f, norm_f}
+    require(cellCap >= 1, s"cellCap must be >= 1, got $cellCap")
     // Materialized once (localCheckpoint, the components() discipline):
     // the self-join's two sides would otherwise each re-run the whole
     // upstream lineage — for q75 that is Ivf.index's corpus map — and
@@ -137,11 +154,26 @@ object Dedup {
       .select(col("vec_id"), col("embedding"), col("cell"))
       .withColumn("nrm", norm_f(col("embedding")))
       .localCheckpoint()
-    val a = withN.select(col("cell"), col("vec_id").as("id1"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = withN.select(col("cell"), col("vec_id").as("id2"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val dups = a.join(b, Seq("cell"))
+    // Split count per cell — k rows (the coarse quantizer's cell
+    // count), broadcast onto the corpus like the centroids themselves.
+    val nSplits = withN.groupBy(col("cell"))
+      .agg((floor((count(lit(1)) - 1) / cellCap) + 1).cast("int").as("n_splits"))
+    val tagged = withN.join(broadcast(nSplits), Seq("cell"))
+      .withColumn("split",
+        pmod(xxhash64(col("vec_id")), col("n_splits")).cast("int"))
+    // Side A owns tile row i = its split, replicated across partner
+    // columns j; side B owns tile column j, replicated across rows i.
+    // Join on (cell, i, j): pair (x, y) meets exactly at
+    // (split(x), split(y)).
+    val a = tagged.select(col("cell"), col("vec_id").as("id1"),
+        col("embedding").as("ea"), col("nrm").as("na"),
+        col("split").as("ti"),
+        explode(sequence(lit(0), col("n_splits") - 1)).as("tj"))
+    val b = tagged.select(col("cell"), col("vec_id").as("id2"),
+        col("embedding").as("eb"), col("nrm").as("nb"),
+        explode(sequence(lit(0), col("n_splits") - 1)).as("ti"),
+        col("split").as("tj"))
+    val dups = a.join(b, Seq("cell", "ti", "tj"))
       .filter(col("id1") < col("id2"))
       .filter(Similarity.cosSafe(dot_f(col("ea"), col("eb")),
         col("na"), col("nb")) >= minCos)

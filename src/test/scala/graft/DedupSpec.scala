@@ -63,6 +63,43 @@ class DedupSpec extends SparkSpec {
     assert(out(7L)._3 == 1 && out(9L)._3 == 1 && out(4L)._2 == Some(2L))
   }
 
+  test("semDedup hot-cell tiling equals the untiled join on a crowded cell") {
+    import spark.implicits._
+    // Adversarial shape: one cell absorbs the whole corpus (clustered
+    // real-world embeddings do this) — the case the (n/k)² per-cell
+    // bound does not cover. With cellCap = 7 this 80-vector cell tiles
+    // into ceil(80/7) = 12 splits per side; the result must be
+    // BIT-IDENTICAL to the untiled join, and both must match naive
+    // all-pairs semantics. Duplicate structure: vectors come from 8
+    // distinct directions (i % 8) with a tiny id-dependent wobble, so
+    // most vectors have a lower-id near-parallel peer and survivor
+    // selection exercises min-over-many.
+    val rows = (0 until 80).map { i =>
+      val base = i % 8
+      val wobble = 0.001f * (i / 8)
+      (i.toLong, Array(
+        math.cos(base * 0.7).toFloat + wobble,
+        math.sin(base * 0.7).toFloat,
+        0.1f * base), 0)
+    }
+    val indexed = rows.toDF("vec_id", "embedding", "cell")
+    def run(cap: Int) = Dedup.semDedup(indexed, minCos = 0.95, cellCap = cap)
+      .as[(Long, Int, Option[Long], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val tiled = run(7)
+    val untiled = run(Int.MaxValue)
+    assert(tiled == untiled, "tiling changed the result")
+    val expected = rows.map { case (id, v, cell) =>
+      val peers = rows.collect {
+        case (i2, v2, c2) if c2 == cell && i2 < id && naiveCos(v2, v) >= 0.95 => i2
+      }
+      id -> ((cell, peers.sorted.headOption, if (peers.isEmpty) 1 else 0))
+    }.toMap
+    assert(tiled == expected)
+    // The planted structure really is crowded: most rows are duplicates.
+    assert(tiled.values.count(_._3 == 0) > 60)
+  }
+
   test("nearDedup drops every planted near-duplicate, keeps one per cluster") {
     import spark.implicits._
     val docs = queries.Tables.t(spark, "/root/testdata/sf0.01", "documents")

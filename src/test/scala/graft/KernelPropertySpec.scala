@@ -144,16 +144,23 @@ class KernelPropertySpec extends SparkSpec {
       .filter(_.nonEmpty)
     assert(cases.size >= 6, "generator drought")
     cases.foreach { rows =>
-      val got = Dedup.semDedup(rows.toDF("vec_id", "embedding", "cell"), minCos = 0.7)
-        .as[(Long, Int, Option[Long], Int)].collect()
-        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
       val expected = rows.map { case (id, v, cell) =>
         val peers = rows.collect {
           case (i2, v2, c2) if c2 == cell && i2 < id && naiveCos(v2, v) >= 0.7 => i2
         }
         id -> ((cell, peers.sorted.headOption, if (peers.isEmpty) 1 else 0))
       }.toMap
-      assert(got == expected, s"mismatch on corpus ${rows.take(6)}...")
+      // Both the plain path (default cap — every cell fits, s = 1) and
+      // the TILED path (cap 3 → every cell here is "hot" and splits)
+      // must reproduce the naive semantics exactly: the hot-cell tiling
+      // may only move bytes, never pairs.
+      Seq(10000, 3).foreach { cap =>
+        val got = Dedup.semDedup(rows.toDF("vec_id", "embedding", "cell"),
+            minCos = 0.7, cellCap = cap)
+          .as[(Long, Int, Option[Long], Int)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        assert(got == expected, s"cap $cap mismatch on corpus ${rows.take(6)}...")
+      }
     }
   }
 
