@@ -112,35 +112,54 @@ object IndexSink {
     * compact; the heal simply retries at the next entry. Idempotent;
     * no-op when no manifest exists.
     *
-    * Serialized per index path against [[compact]] (same JVM-local
-    * lock): a registration's heal racing a LIVE compaction would
-    * otherwise read — and then delete — the manifest the compaction is
-    * still relying on, re-opening the crash window the manifest exists
-    * to close. Cross-PROCESS maintenance concurrency was never safe
-    * here (a concurrent compact deletes epochs under any reader) and
-    * must be serialized by the caller, as before.
+    * Serialized against [[compact]] at TWO scopes: the JVM-local lock
+    * (cheap, same-process sessions) and the cross-process
+    * [[MaintenanceLease]] — a registration's heal racing a LIVE
+    * compaction would otherwise read — and then delete — the manifest
+    * the compaction is still relying on, re-opening the crash window
+    * the manifest exists to close. The registration-path heal is
+    * OPPORTUNISTIC about the lease (try-once, no wait): a held-fresh
+    * lease means a live maintainer that will finish its own deletions,
+    * and a registration must not block behind (or fail because of) it;
+    * a crashed maintainer's lease goes TTL-stale and the next
+    * registration breaks it and heals. Readers themselves stay
+    * unserialized, as always — the lease protects maintenance
+    * mutations, not scans.
     */
-  private def healCompaction(spark: SparkSession, indexPath: String): Unit =
+  private def healCompaction(spark: SparkSession, indexPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // Fast path OUTSIDE the locks: no manifest, nothing to heal — the
+    // common case for every registration on a healthy index.
+    if (!fs.exists(manifestPath(indexPath))) return
     maintenanceLock(indexPath).synchronized {
-      val root = new org.apache.hadoop.fs.Path(indexPath)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      val mf = manifestPath(indexPath)
-      if (!fs.exists(mf)) return
-      BufferedChannel.readFullyUtf8(fs, mf).foreach { text =>
-        val lines = text.split("\n", -1).toSeq.dropRight(1) // trailing \n
-        if (lines.length >= 2 && lines.last == "END") {
-          val snapshot = lines.head
-          val victims = lines.tail.dropRight(1)
-          if (fs.exists(new org.apache.hadoop.fs.Path(root, snapshot)))
-            victims.foreach(v =>
-              fs.delete(new org.apache.hadoop.fs.Path(root, v), true))
+      MaintenanceLease.acquire(fs, leasePath(indexPath), timeoutMs = 0)
+        .foreach { lease =>
+          try healLocked(fs, root, indexPath) finally lease.close()
         }
-        // Spent (or torn-and-untrusted) — only now that the read
-        // SUCCEEDED. On a read failure the manifest survives for the
-        // next heal attempt (see scaladoc).
-        fs.delete(mf, false)
-      }
     }
+  }
+
+  /** The heal body — caller must hold the JVM lock AND the lease. */
+  private def healLocked(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, indexPath: String): Unit = {
+    val mf = manifestPath(indexPath)
+    if (!fs.exists(mf)) return
+    BufferedChannel.readFullyUtf8(fs, mf).foreach { text =>
+      val lines = text.split("\n", -1).toSeq.dropRight(1) // trailing \n
+      if (lines.length >= 2 && lines.last == "END") {
+        val snapshot = lines.head
+        val victims = lines.tail.dropRight(1)
+        if (fs.exists(new org.apache.hadoop.fs.Path(root, snapshot)))
+          victims.foreach(v =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, v), true))
+      }
+      // Spent (or torn-and-untrusted) — only now that the read
+      // SUCCEEDED. On a read failure the manifest survives for the
+      // next heal attempt (see scaladoc).
+      fs.delete(mf, false)
+    }
+  }
 
   /** OUTSIDE the index root, like `.compact.tmp`: a manifest inside the
     * root would be expanded by the raw-read star-glob as an explicit
@@ -150,9 +169,15 @@ object IndexSink {
   private def manifestPath(indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath.stripSuffix("/") + ".compact.inflight")
 
+  /** Sibling of the manifest, for the same star-glob reason. */
+  private[streaming] def leasePath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath.stripSuffix("/") + ".maintenance.lease")
+
   /** One JVM-local lock per index path serializes compact() and the
-    * heals embedded in view registration. Unbounded growth is not a
-    * concern: one entry per distinct index root ever touched.
+    * heals embedded in view registration within THIS process — cheap,
+    * and it also keeps same-process sessions from contending on the
+    * cross-process [[MaintenanceLease]] underneath it. Unbounded growth
+    * is not a concern: one entry per distinct index root ever touched.
     */
   private val maintenanceLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -190,10 +215,31 @@ object IndexSink {
     * Returns rows in the snapshot.
     */
   def compact(spark: SparkSession, indexPath: String, key: String,
-      shards: Int): Long = maintenanceLock(indexPath).synchronized {
+      shards: Int,
+      leaseTtlMs: Long = MaintenanceLease.DefaultTtlMs,
+      leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs): Long =
+      maintenanceLock(indexPath).synchronized {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    healCompaction(spark, indexPath) // finish a crashed predecessor first
+    // Cross-process exclusivity for the WHOLE maintenance window (heal
+    // through deletions): unlike the registration heal, a compaction
+    // WAITS for the lease — and throws past the timeout rather than
+    // proceeding unserialized (two compactors listing, snapshotting,
+    // and deleting the same epochs would lose whichever epochs landed
+    // between their listings).
+    val lease = MaintenanceLease.acquire(fs, leasePath(indexPath),
+      ttlMs = leaseTtlMs, timeoutMs = leaseTimeoutMs)
+      .getOrElse(throw new java.io.IOException( // unreachable: timeout>0 throws
+        s"maintenance lease unavailable for $indexPath"))
+    try compactLeased(spark, indexPath, key, shards, root, fs)
+    finally lease.close()
+  }
+
+  /** The compaction body — caller holds the JVM lock AND the lease. */
+  private def compactLeased(spark: SparkSession, indexPath: String,
+      key: String, shards: Int, root: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Long = {
+    healLocked(fs, root, indexPath) // finish a crashed predecessor first
     val tmp = new org.apache.hadoop.fs.Path(indexPath.stripSuffix("/") + ".compact.tmp")
     fs.delete(tmp, true)
     val old =
