@@ -106,6 +106,29 @@ object Ivf {
       .toDF("vec_id", "embedding", "cell")
   }
 
+  /** Column-PRESERVING cell assignment against a frozen model: adds
+    * `cell` to a frame of arbitrary schema — the incremental-encode
+    * step of a streaming vector delivery, where each epoch's rows carry
+    * the full delivered payload and must come out searchable without a
+    * batch re-index ([[index]] projects down to exactly three columns,
+    * which is right for the batch build and wrong for an epoch append).
+    * Same nearest-centroid rule as [[index]] (one narrow pass, model
+    * broadcast), so rows encoded epoch-by-epoch land in EXACTLY the
+    * cells a batch rebuild would give them — [[search]] over the
+    * accumulated epochs equals search over a batch index of the same
+    * closed input. A scalar UDF rather than a typed map because the
+    * payload schema is dynamic here; the per-row cost (k·d distance
+    * folds) dwarfs the UDF boundary. Null embeddings get a null cell:
+    * absent from every probe's equi-join, present in the table.
+    */
+  def withCell(spark: SparkSession, df: DataFrame, model: Model,
+      embCol: String = "embedding"): DataFrame = {
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val cellU = udf((v: Seq[Float]) =>
+      if (v == null) None else Some(nearest(bc.value, v.toArray)))
+    df.withColumn("cell", cellU(col(embCol)))
+  }
+
   /** The `nprobe` nearest cells per probe: (probe_id, cell). The
     * bit-parity-critical probe-cell rule — single-precision per-dim
     * subtract/square, double accumulation, ties to the smaller cell

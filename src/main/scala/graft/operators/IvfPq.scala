@@ -104,6 +104,39 @@ object IvfPq {
       .toDF("vec_id", "cell", "codes")
   }
 
+  /** Column-preserving (cell, codes) assignment against a frozen model —
+    * [[Ivf.withCell]]'s IVFADC sibling, for streaming epochs that must
+    * come out ADC-searchable without a batch re-encode. Identical
+    * arithmetic to [[encode]] (coarse nearest, residual, per-subspace
+    * nearest), so epoch-appended codes are bit-identical to a batch
+    * rebuild's. Null embeddings get null cell/codes.
+    */
+  def withCellCodes(spark: SparkSession, df: DataFrame, model: Model,
+      embCol: String = "embedding"): DataFrame = {
+    val bc = spark.sparkContext.broadcast(model)
+    val encU = udf((v: Seq[Float]) =>
+      if (v == null) None
+      else {
+        val m = bc.value
+        val arr = v.toArray
+        require(arr.length == m.pq.subModels.length * m.pq.subDim,
+          s"IvfPq.withCellCodes: vec has dim ${arr.length}, expected " +
+            s"${m.pq.subModels.length * m.pq.subDim}")
+        val cell = Ivf.nearest(m.coarse.centroids, arr)
+        val cv = m.coarse.centroids(cell)._2
+        val r = Array.tabulate(arr.length)(d => arr(d) - cv(d))
+        val codes = (0 until m.pq.subModels.length).map { j =>
+          Ivf.nearest(m.pq.subModels(j).centroids,
+            r.slice(j * m.pq.subDim, (j + 1) * m.pq.subDim))
+        }
+        Some((cell, codes))
+      })
+    df.withColumn("_enc", encU(col(embCol)))
+      .withColumn("cell", col("_enc._1"))
+      .withColumn("codes", col("_enc._2"))
+      .drop("_enc")
+  }
+
   /** Per-cell, per-subspace reconstruction norm terms:
     * w(cell, sub, code) = |c_slice + rcb[code]|², double adds/squares,
     * sequential — precomputed once from the (driver-side) models.

@@ -25,6 +25,16 @@ object IndexSink {
     * to `indexPath` (parquet, `shards`-way), with the raw-backup channel
     * written alongside (reference backs up ALL documents on the oss
     * pipeline, iac/s2_app.py:858-868).
+    *
+    * `enrich` runs over each epoch's routed Ok frame (recordId +
+    * payload columns) before the write — the incremental-encode hook: a
+    * vector delivery passes [[graft.operators.Ivf.withCell]] /
+    * [[graft.operators.IvfPq.withCellCodes]] against a frozen model so
+    * every landed epoch is immediately ANN-searchable (the reference's
+    * sink is a continuously queryable index, iac/s2_app.py:830-914 —
+    * its Spark twin must not need a batch re-index between epochs).
+    * Identity by default. Narrow transformations only: a shuffle here
+    * would serialize inside the epoch commit.
     */
   def start(
       envelope: DataFrame,
@@ -34,7 +44,8 @@ object IndexSink {
       checkpoint: String,
       shards: Int,
       dropIf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      enrich: DataFrame => DataFrame = identity): StreamingQuery =
     envelope.writeStream
       .queryName("graft-index-delivery")
       .trigger(trigger)
@@ -51,9 +62,9 @@ object IndexSink {
           DeliveryPipeline.writeNdjson(
             src.select(col("data").cast("string").as("line")),
             s"$backupPath/epoch=$epochId")
-          Codecs.transformEnvelope(src, payloadSchema, dropIf)
-            .filter(col("result") === Ok)
-            .select(col("recordId"), col("payload.*"))
+          enrich(Codecs.transformEnvelope(src, payloadSchema, dropIf)
+              .filter(col("result") === Ok)
+              .select(col("recordId"), col("payload.*")))
             .withColumn("_epoch", lit(epochId))
             .repartition(shards)
             .write.mode("overwrite").parquet(s"$indexPath/epoch=$epochId")
@@ -275,6 +286,19 @@ object IndexSink {
     // Count the snapshot dir itself, not the whole glob: cheaper, and
     // correct when concurrent epochs landed during compaction.
     spark.read.parquet(snapshot.toString).count()
+  }
+
+  /** The live VECTOR view over an enriched delivery index (see
+    * [[start]]'s `enrich`): upsert-resolved (last write per `key`, like
+    * [[registerLatestView]]) with the ANN columns intact — feed it
+    * straight to [[graft.operators.Ivf.search]] /
+    * [[graft.operators.IvfPq.search]] as their `indexed`/`encoded`
+    * side. Heals crashed compactions first, like every read entry.
+    */
+  def liveVectors(spark: SparkSession, indexPath: String,
+      key: String): DataFrame = {
+    healCompaction(spark, indexPath)
+    latestPerKey(spark.read.parquet(s"$indexPath/*"), key).drop("_epoch")
   }
 
   /** A13: the `_count` + match_all surface over the index. */

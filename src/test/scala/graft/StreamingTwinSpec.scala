@@ -80,6 +80,119 @@ class StreamingTwinSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("streaming ANN: epochs delivered through the sink are searchable " +
+      "between epochs, equal to the batch index on the same closed input") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.streaming.IndexSink
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ann").toString
+    val emb = queries.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+    // The FROZEN model: trained once on the full corpus (the reference
+    // pattern — a model trained offline, new data encoded against it as
+    // it lands; iac/s2_app.py:830-914's sink is continuously queryable).
+    val model = Ivf.train(spark, emb, k = 8, iters = 2)
+    val payloadSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+
+    def deliver(rows: org.apache.spark.sql.DataFrame, batchTag: String): Unit = {
+      rows.select(to_json(struct(col("vec_id"), col("embedding"))).as("line"),
+          col("vec_id").cast("string").as("recordId"))
+        .select(to_json(struct(col("recordId"), col("line"))).as("value"))
+        .coalesce(1).write.mode("append").text(s"$tmp/in")
+      val env = spark.readStream
+        .schema(StructType(Seq(StructField("recordId", StringType),
+          StructField("line", StringType))))
+        .json(s"$tmp/in")
+        .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+          col("line").cast("binary").as("data"))
+      val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
+        s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false),
+        enrich = df => Ivf.withCell(spark, df, model))
+      assert(q.awaitTermination(120000), s"delivery $batchTag timed out")
+    }
+    def liveSearch(probes: org.apache.spark.sql.DataFrame) =
+      Ivf.search(spark,
+        IndexSink.liveVectors(spark, s"$tmp/index", "recordId")
+          .select("vec_id", "embedding", "cell"),
+        model, probes, k = 10, nprobe = 3)
+        .select("probe_id", "neighbor_id", "cos", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    def batchSearch(corpus: org.apache.spark.sql.DataFrame,
+        probes: org.apache.spark.sql.DataFrame) =
+      Ivf.search(spark, Ivf.index(spark, corpus, model), model, probes,
+          k = 10, nprobe = 3)
+        .select("probe_id", "neighbor_id", "cos", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+
+    val probes = emb.filter(col("vec_id") < 5)
+    val embA = emb.filter(col("vec_id") % 2 === 0)
+    // Epoch 1 lands; searches run BETWEEN epochs against exactly the
+    // delivered half — bit-equal to a batch index of that half (cells
+    // assigned epoch-side must match a batch rebuild's, cosines are the
+    // same double folds over the same floats after the JSON wire).
+    deliver(embA, "epoch-1")
+    val got1 = liveSearch(probes)
+    assert(got1.nonEmpty)
+    assert(got1 == batchSearch(embA, probes), "live epoch-1 diverged from batch")
+    // Epoch 2 completes the corpus: live results converge to the full
+    // batch index without ANY re-encode of epoch 1.
+    deliver(emb.filter(col("vec_id") % 2 === 1), "epoch-2")
+    val got2 = liveSearch(probes)
+    assert(got2 == batchSearch(emb, probes), "live epoch-2 diverged from batch")
+  }
+
+  test("streaming ANN (IVFADC): delivered epochs carry residual codes; " +
+      "live ADC search equals the batch encode") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.operators.IvfPq
+    import graft.streaming.IndexSink
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ivfpq").toString
+    val emb = queries.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+    // IVFADC needs exact subspace tiling: restrict to the modal width.
+    val dim = emb.groupBy(size(col("embedding")).as("d")).count()
+      .orderBy(col("count").desc, col("d")).head().getInt(0)
+    val embW = emb.filter(size(col("embedding")) === dim)
+    val model = IvfPq.train(spark, embW, kCoarse = 4, coarseIters = 2,
+      nSub = 4, subDim = dim / 4, kSub = 4, pqIters = 2, meanRound = 4)
+    val payloadSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = embW.filter(size(col("embedding")) === (dim / 4) * 4)
+    rows.select(to_json(struct(col("vec_id"), col("embedding"))).as("line"),
+        col("vec_id").cast("string").as("recordId"))
+      .select(to_json(struct(col("recordId"), col("line"))).as("value"))
+      .coalesce(1).write.mode("append").text(s"$tmp/in")
+    val env = spark.readStream
+      .schema(StructType(Seq(StructField("recordId", StringType),
+        StructField("line", StringType))))
+      .json(s"$tmp/in")
+      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+        col("line").cast("binary").as("data"))
+    val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
+      s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false),
+      enrich = df => IvfPq.withCellCodes(spark, df, model))
+    assert(q.awaitTermination(120000))
+    val probes = rows.filter(col("vec_id") < 5)
+    val live = IvfPq.search(spark,
+        IndexSink.liveVectors(spark, s"$tmp/index", "recordId")
+          .select("vec_id", "cell", "codes"),
+        model, probes, k = 5, nprobe = 2)
+      .select("probe_id", "neighbor_id", "pq_cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val batch = IvfPq.search(spark, IvfPq.encode(spark, rows, model), model,
+        probes, k = 5, nprobe = 2)
+      .select("probe_id", "neighbor_id", "pq_cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(live.nonEmpty && live == batch,
+      "streamed IVFADC codes diverged from the batch encode")
+  }
+
   test("IVF search recall vs brute force (nprobe=4 of k=8 cells)") {
     import spark.implicits._
     val emb = queries.Tables.t(spark, sfDir, "embeddings")
