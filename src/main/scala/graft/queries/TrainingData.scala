@@ -1128,6 +1128,58 @@ object TrainingData {
       .orderBy("probe_id", "rnk")
   }
 
+  val q78_opq_ann: QueryDef = q(
+    "q78_opq_ann",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |u AS (SELECT list(sgn / sqrt(64.0) ORDER BY d) AS uv FROM (
+       |    SELECT d, CAST((CAST(concat('0x', substr(md5(concat('0|', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) & 1) * 2 - 1 AS DOUBLE) AS sgn
+       |    FROM (SELECT unnest(range(0, 64)) AS d))),
+       |r AS (SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+       |      d -> CAST(CAST(embedding[d] AS DOUBLE) - 2.0 * uv[d] * s AS REAL)) AS embedding
+       |  FROM (SELECT v.vec_id, v.embedding, u.uv,
+       |      list_sum(list_transform(range(1, len(v.embedding) + 1),
+       |        i -> uv[i] * CAST(v.embedding[i] AS DOUBLE))) AS s
+       |    FROM v CROSS JOIN u)),
+       |${(0 until 4).map(pqSubspaceSql(_, 16, 4, src = "r")).mkString(",\n")},
+       |pn AS (SELECT vec_id AS probe_id, ${ivfNormSql("embedding")} AS na FROM r WHERE vec_id < 5),
+       |scored AS (SELECT pn.probe_id, e0.vec_id AS neighbor_id,
+       |    CASE WHEN pn.na = 0 OR sqrt(t0.nsq + t1.nsq + t2.nsq + t3.nsq) = 0 THEN -1.0
+       |         ELSE (t0.t + t1.t + t2.t + t3.t)
+       |              / (pn.na * sqrt(t0.nsq + t1.nsq + t2.nsq + t3.nsq)) END AS pq_cos
+       |  FROM pe0 e0 JOIN pe1 e1 USING (vec_id) JOIN pe2 e2 USING (vec_id)
+       |  JOIN pe3 e3 USING (vec_id) CROSS JOIN pn
+       |  JOIN pt0 t0 ON t0.probe_id = pn.probe_id AND t0.cell = e0.cell
+       |  JOIN pt1 t1 ON t1.probe_id = pn.probe_id AND t1.cell = e1.cell
+       |  JOIN pt2 t2 ON t2.probe_id = pn.probe_id AND t2.cell = e2.cell
+       |  JOIN pt3 t3 ON t3.probe_id = pn.probe_id AND t3.cell = e3.cell
+       |  WHERE e0.vec_id <> pn.probe_id),
+       |ranked AS (SELECT probe_id, neighbor_id, pq_cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY pq_cos DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT probe_id, neighbor_id, floor(pq_cos * 100 + 0.5) / 100 AS pq_cos, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  ) { (s, dir) =>
+    // OPQ-style rotated PQ (operators/Opq — Ge et al. 2013's data-
+    // independent rotation rung): a deterministic Householder reflection
+    // (signs from the q69 md5 plane rule, scaled 1/sqrt(64) — exactly
+    // ±0.125, bit-portable) mixes every dimension into every subspace
+    // in O(d) per vector, then the ENTIRE q76 PQ path (training,
+    // encoding, ADC tables) runs over the rotated corpus with rotated
+    // probes. The oracle replays rotation + the full chain float-exact.
+    // The rotation is a narrow O(d) map recomputed per training pass at
+    // this scale; a 100 TB pipeline materializes the rotated corpus
+    // once (checkpoint/write) before training, like any derived table.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val remb = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
+    val model = graft.operators.Pq.train(s, remb, nSub = 4, subDim = 16,
+      k = 4, iters = 2, meanRound = 4)
+    val encoded = graft.operators.Pq.encode(s, remb, model)
+    val probes = remb.filter(col("vec_id") < 5)
+    graft.operators.Pq.search(s, encoded, model, probes, k = 5)
+      .select(col("probe_id"), col("neighbor_id"),
+        Par.r2(col("pq_cos")).as("pq_cos"), col("rnk").cast("bigint").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1135,5 +1187,6 @@ object TrainingData {
     q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match,
     q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh,
     q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf,
-    q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann)
+    q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann,
+    q78_opq_ann)
 }
