@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical n-gram language-model scoring for corpus curation — the
+  * CCNet-style quality filter (Wenzek et al., "CCNet: Extracting High
+  * Quality Monolingual Datasets from Web Crawl Data", LREC 2020): score
+  * every document by how predictable its text is under a language model
+  * trained on the corpus itself, then filter/bucket on the score. The
+  * reference's pipeline has no statistical quality stage (its transform
+  * is a per-record status map, `kds_example/lbd/handler.py`); this
+  * operator adds the standard one a 100 TB training-data pipeline runs
+  * between heuristic filtering (q41) and dedup.
+  *
+  * The model is an add-one-smoothed bigram LM over word tokens:
+  *
+  *   P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+  *
+  * with c(·) corpus counts, V the unigram vocabulary size, and every
+  * token position counted in c(w1) (doc-final tokens included — the
+  * simplest convention, stated so the oracle can replay it). A document
+  * scores its mean negative log-likelihood per bigram:
+  *
+  *   nll(doc) = − (1/n) Σ_positions ln P(w2 | w1)
+  *
+  * — low = fluent/repetitive-in-corpus-patterns, high = out-of-
+  * distribution garble. (True perplexity is exp(nll); the exp adds no
+  * information and one more transcendental to drift, so the score stays
+  * in log space.)
+  *
+  * Scale shape: counts are hash-aggregated (mergeable partial aggs, one
+  * shuffle each on unigram / bigram key); scoring joins the per-doc
+  * bigram tf against the count tables on their natural keys (sort-merge
+  * at web-scale vocabularies, AQE demotes to broadcast when the vocab is
+  * small) and reduces per doc_id. Nothing is driver-sized except V — a
+  * scalar. At 100 TB the count tables are a reusable model artifact:
+  * train once, write, score any number of shards against them.
+  */
+object NgramLm {
+
+  /** Bigram LM counts. `unigrams`: (w, c1); `bigrams`: (w1, w2, c2);
+    * `vocab`: |distinct w| — the smoothing denominator's V.
+    */
+  final case class Model(unigrams: DataFrame, bigrams: DataFrame, vocab: Long)
+
+  /** Adjacent token pairs of a `toks` array column, 0-based (docs with
+    * fewer than 2 tokens yield an empty array).
+    */
+  private val bigramExpr =
+    expr("""transform(sequence(0, size(toks) - 2),
+           |  i -> struct(toks[i] AS w1, toks[i+1] AS w2))""".stripMargin)
+
+  /** Count unigrams and bigrams over (doc_id, toks). Two shuffles, both
+    * key-partitioned with map-side partial aggregation; `vocab` is the
+    * one driver-side action (a count — O(1) result).
+    */
+  def train(spark: SparkSession, toks: DataFrame): Model = {
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(bigramExpr).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    Model(uni, bi, uni.count())
+  }
+
+  /** Per-document mean bigram NLL under `model`:
+    * (doc_id, n_bigrams, nll). Docs with < 2 tokens have no bigram
+    * positions and drop out (no row — a 0/0 score would be a lie).
+    * Unseen grams (scoring held-out text) smooth through the +1 / +V
+    * left-join coalesce; scoring the training corpus itself makes both
+    * joins effectively inner.
+    */
+  def score(spark: SparkSession, toks: DataFrame, model: Model): DataFrame = {
+    // Per-doc bigram term frequency first: the count-table joins then
+    // touch one row per DISTINCT (doc, bigram), not one per position.
+    val tf = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigramExpr).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    tf.join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.unigrams.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .select(col("doc_id"), col("tf"),
+        (coalesce(col("c2"), lit(0L)) + lit(1.0)).as("num"),
+        (coalesce(col("c1"), lit(0L)) + lit(model.vocab.toDouble)).as("den"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (-sum(col("tf") * log(col("num") / col("den"))) / sum(col("tf")))
+          .as("nll"))
+  }
+
+  /** Per-source KL divergence of the source's unigram distribution from
+    * the whole-corpus distribution — the mixture-diagnostics companion
+    * to deterministic mixture sampling (q70): a source whose D_KL spikes
+    * is drifting from the corpus it is being blended into.
+    *
+    *   D_KL(P_s ‖ Q) = Σ_{w ∈ V} p_s(w) · ln(p_s(w) / q(w))
+    *
+    * with both distributions add-one smoothed over the SHARED vocabulary
+    * V (so words a source never emits still contribute — that absence IS
+    * divergence): p_s(w) = (c_s(w)+1)/(N_s+V), q(w) = (c(w)+1)/(N+V).
+    *
+    * Input: (source, toks). Output: (source, kl), one row per source.
+    * Scale shape: the grid is |V| × |sources| rows — sources are few
+    * (a mixture has dozens of components, not millions), so the grid is
+    * a broadcast-replicated pass over the vocabulary, reduced per
+    * source. Per-source totals and the corpus scalars ride along as
+    * broadcast-joined aggregates.
+    */
+  def sourceDivergence(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val toksrc = docs.select(col("source"), explode(col("toks")).as("w"))
+    val cs = toksrc.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+    val c = toksrc.groupBy("w").agg(count(lit(1)).as("c"))
+    val ns = cs.groupBy("source").agg(sum(col("cs")).as("ns"))
+    // Corpus scalars: total positions N and vocab V, one tiny frame.
+    val tot = c.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    c.crossJoin(broadcast(ns)) // vocab × sources grid
+      .join(cs, Seq("source", "w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        ((coalesce(col("cs"), lit(0L)) + lit(1.0)) / (col("ns") + col("v")))
+          .as("p"),
+        ((col("c") + lit(1.0)) / (col("n") + col("v"))).as("q"))
+      .groupBy("source")
+      .agg(sum(col("p") * log(col("p") / col("q"))).as("kl"))
+  }
+}

@@ -58,4 +58,13 @@ object Par {
 
   /** SQL form of [[r2]] for oracle strings. */
   def r2sql(e: String): String = s"floor(($e) * 100 + 0.5) / 100"
+
+  /** 4-decimal variant for scores whose interesting range sits near
+    * zero (e.g. KL divergences), where [[r2]] would collapse every
+    * value to 0.00. Same engine-portable construction.
+    */
+  def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+
+  /** SQL form of [[r4]] for oracle strings. */
+  def r4sql(e: String): String = s"floor(($e) * 10000 + 0.5) / 10000"
 }

@@ -1180,6 +1180,71 @@ object TrainingData {
       .orderBy("probe_id", "rnk")
   }
 
+  val q79_lm_score: QueryDef = q(
+    "q79_lm_score",
+    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |             FROM documents),
+      |big AS (SELECT doc_id, toks[g] AS w1, toks[g+1] AS w2
+      |        FROM tok, unnest(range(1, len(toks))) AS u(g) WHERE len(toks) >= 2),
+      |dtf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
+      |vc AS (SELECT count(*) AS v FROM c1),
+      |scored AS (SELECT doc_id, sum(tf) AS n_bigrams,
+      |      -sum(tf * ln((c2 + 1.0) / (c1 + v))) / sum(tf) AS nll
+      |    FROM dtf JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = dtf.w1 CROSS JOIN vc
+      |    GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |       floor(nll * 100 + 0.5) / 100 AS nll
+      |FROM scored ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Statistical quality scoring (operators/NgramLm — the CCNet-recipe
+    // LM filter): an add-one bigram LM trained on the corpus scores each
+    // doc's mean NLL per bigram. Counts are two mergeable hash-aggs;
+    // scoring is key-partitioned joins against the count tables (the
+    // model artifact a 100 TB run trains once and reuses) and one
+    // reduce per doc. The oracle replays train + score; r2 absorbs the
+    // engines' sum-order and ln last-ulp drift (q35 precedent).
+    val toks = tokenized(s, dir)
+    val model = graft.operators.NgramLm.train(s, toks)
+    graft.operators.NgramLm.score(s, toks, model)
+      .select(col("doc_id"), col("n_bigrams").cast("bigint").as("n_bigrams"),
+        Par.r2(col("nll")).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  val q80_source_kl: QueryDef = q(
+    "q80_source_kl",
+    """WITH tok AS (SELECT source, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |             FROM documents),
+      |tw AS (SELECT source, unnest(toks) AS w FROM tok),
+      |cs AS (SELECT source, w, count(*) AS cs FROM tw GROUP BY 1, 2),
+      |c AS (SELECT w, count(*) AS c FROM tw GROUP BY 1),
+      |ns AS (SELECT source, sum(cs) AS ns FROM cs GROUP BY 1),
+      |tot AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+      |grid AS (SELECT ns.source, c.w, c.c, ns.ns, tot.n, tot.v, cs.cs
+      |         FROM c CROSS JOIN ns CROSS JOIN tot
+      |         LEFT JOIN cs ON cs.source = ns.source AND cs.w = c.w),
+      |kl AS (SELECT source,
+      |    sum(((coalesce(cs, 0) + 1.0) / (ns + v))
+      |        * ln((((coalesce(cs, 0) + 1.0) / (ns + v))) / ((c + 1.0) / (n + v)))) AS kl
+      |  FROM grid GROUP BY source)
+      |SELECT source, floor(kl * 10000 + 0.5) / 10000 AS kl
+      |FROM kl ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    // Mixture diagnostics (operators/NgramLm.sourceDivergence): per-
+    // source KL divergence of the source's unigram distribution from
+    // the whole corpus, add-one smoothed over the shared vocabulary —
+    // the drift monitor beside q70's mixture sampler. The vocab×sources
+    // grid is a broadcast-replicated vocabulary pass (sources are few);
+    // r4 because KL between near-identical mixtures lives below 0.01.
+    val docs = t(s, dir, "documents")
+      .select(col("source"), tokens(col("text")).as("toks"))
+    graft.operators.NgramLm.sourceDivergence(s, docs)
+      .select(col("source"), Par.r4(col("kl")).as("kl"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1188,5 +1253,5 @@ object TrainingData {
     q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh,
     q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf,
     q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann,
-    q78_opq_ann)
+    q78_opq_ann, q79_lm_score, q80_source_kl)
 }
