@@ -1245,6 +1245,46 @@ object TrainingData {
       .orderBy("source")
   }
 
+  val q81_dup_gram_fraction: QueryDef = q(
+    "q81_dup_gram_fraction",
+    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |             FROM documents),
+      |g8 AS (SELECT DISTINCT doc_id,
+      |         toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] || ' ' || toks[g+3] || ' ' ||
+      |         toks[g+4] || ' ' || toks[g+5] || ' ' || toks[g+6] || ' ' || toks[g+7] AS gram
+      |       FROM tok, unnest(range(1, len(toks) - 6)) AS u(g)
+      |       WHERE len(toks) >= 8),
+      |nd AS (SELECT gram, count(*) AS nd FROM g8 GROUP BY 1),
+      |per AS (SELECT doc_id, count(*) AS n_grams,
+      |          sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup
+      |        FROM g8 JOIN nd USING (gram) GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |       CAST(n_dup AS BIGINT) AS n_dup,
+      |       CAST(n_dup AS DOUBLE) / n_grams AS dup_frac
+      |FROM per ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Corpus-level duplication rate per document: the fraction of a
+    // doc's distinct 8-grams that appear in at least one OTHER doc
+    // (since g8 is per-doc distinct, gram multiplicity == number of
+    // docs carrying it). This is the standard before/after measurement
+    // for a dedup pass — q31/q72 REMOVE duplicates, this one QUANTIFIES
+    // residual inter-document overlap. Scale shape: one hash-agg on the
+    // gram key (mergeable), one key-partitioned join back, one reduce
+    // per doc — gram cardinality bounds everything, never docs².
+    // dup_frac is a single correctly-rounded double division of exact
+    // integers, so the hash needs no rounding guard at all.
+    val g8 = gram8Df(t(s, dir, "documents"))
+    val nd = g8.groupBy("gram").agg(count(lit(1)).as("nd"))
+    g8.join(nd, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_grams").cast("bigint").as("n_grams"),
+        col("n_dup").cast("bigint").as("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1253,5 +1293,5 @@ object TrainingData {
     q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh,
     q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf,
     q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann,
-    q78_opq_ann, q79_lm_score, q80_source_kl)
+    q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction)
 }
