@@ -1285,6 +1285,60 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  val q82_curation_pipeline: QueryDef = q(
+    "q82_curation_pipeline",
+    s"""WITH tk AS (SELECT doc_id, source, text,
+       |        list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+       |      FROM documents),
+       |m AS (SELECT doc_id, source, text, CAST(len(toks) AS BIGINT) AS n_tok,
+       |        len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in'], x))) AS n_stop,
+       |        1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+       |            g -> toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]))) AS DOUBLE)
+       |          / (len(toks) - 2) AS rep
+       |      FROM tk WHERE len(toks) >= 10),
+       |filt AS (SELECT doc_id, source, text, n_tok FROM m
+       |         WHERE n_stop > 0 AND rep <= 0.05),
+       |ded AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY text),
+       |surv AS (SELECT f.doc_id, f.source, f.n_tok FROM filt f JOIN ded USING (doc_id))
+       |SELECT doc_id, source, n_tok FROM surv
+       |WHERE ${h64sql("concat('curate|', CAST(doc_id AS VARCHAR))")} % 100 < 50
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // The curation chain END-TO-END in one declarative plan — what a
+    // user of this library actually runs over a crawl: length floor →
+    // language heuristic (q51's stopword signal) → within-doc
+    // repetition ceiling (q71's trigram signal) → exact dedup keeping
+    // the smallest id (q31) → deterministic 50% salted-hash sample
+    // (q67's portable-hash pattern, salt 'curate|'). Composition is the
+    // point: every stage is the verified primitive, and Catalyst fuses
+    // the three heuristic filters into ONE narrow scan-side pass (no
+    // per-stage materialization). Dedup is a PARTITIONED window min
+    // (keep rows where doc_id == min over the text partition) rather
+    // than a groupBy + self-join — the join form computes the filtered
+    // subtree twice, the window form gives the whole pipeline exactly
+    // ONE exchange (digest-keyed at 100 TB, per q31's note); the
+    // sample filter stays map-side.
+    val tk = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 10)
+    val m = tk.select(col("doc_id"), col("source"), col("text"),
+      size(col("toks")).cast("long").as("n_tok"),
+      expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))")
+        .as("n_stop"),
+      (lit(1.0) - size(shingleExpr).cast("double") / (size(col("toks")) - 2))
+        .as("rep"))
+    val filt = m.filter(col("n_stop") > 0 && col("rep") <= 0.05)
+      .select("doc_id", "source", "text", "n_tok")
+    filt.withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy("text")))
+      .filter(col("doc_id") === col("min_id"))
+      .filter(pmod(h64(concat(lit("curate|"), col("doc_id").cast("string"))),
+        lit(100)) < 50)
+      .select(col("doc_id"), col("source"), col("n_tok"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1293,5 +1347,6 @@ object TrainingData {
     q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh,
     q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf,
     q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann,
-    q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction)
+    q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction,
+    q82_curation_pipeline)
 }
