@@ -123,4 +123,33 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"), p)
   }
+
+  test("q79: LM scoring is keyed joins + two-phase aggs, never all-pairs") {
+    val p = plan("q79_lm_score")
+    // The count-table joins are on the gram keys; a cartesian here is
+    // the vocabulary x corpus blow-up the key-partitioned design avoids.
+    assert(!p.contains("CartesianProduct"), p)
+    // Count tables AND the final per-doc reduce all partial-aggregate
+    // map-side before their exchanges.
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q81: duplication rate is one gram-keyed agg + join back") {
+    val p = plan("q81_dup_gram_fraction")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q82: curation pipeline fuses filters into one pass, one hash exchange") {
+    val p = plan("q82_curation_pipeline")
+    // Dedup is a partitioned window min — no self-join (the join form
+    // computes the filtered subtree twice), no cartesian, and the only
+    // hash exchange in the whole pipeline is the text partition (the
+    // second exchange is the final presentation sort's range partition).
+    assert(!p.contains("Join"), p)
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    // The window is PARTITIONED (per-text groups), not the global-sort
+    // single-partition trap.
+    assert(!p.contains("No Partition Defined"), p)
+  }
 }
