@@ -1310,33 +1310,116 @@ object TrainingData {
     // repetition ceiling (q71's trigram signal) → exact dedup keeping
     // the smallest id (q31) → deterministic 50% salted-hash sample
     // (q67's portable-hash pattern, salt 'curate|'). Composition is the
-    // point: every stage is the verified primitive, and Catalyst fuses
-    // the three heuristic filters into ONE narrow scan-side pass (no
-    // per-stage materialization). Dedup is a PARTITIONED window min
-    // (keep rows where doc_id == min over the text partition) rather
-    // than a groupBy + self-join — the join form computes the filtered
-    // subtree twice, the window form gives the whole pipeline exactly
-    // ONE exchange (digest-keyed at 100 TB, per q31's note); the
-    // sample filter stays map-side.
-    val tk = t(s, dir, "documents")
+    // point: every stage is the verified primitive, and the three
+    // heuristic filters run as ONE narrow scan-side predicate. That
+    // predicate binds the token array ONCE as a lambda variable
+    // (`exists(array(toks), t -> ...)` — an expression-level let):
+    // predicate pushdown substitutes aliases into the pushed filter
+    // wholesale, and higher-order functions get no common-subexpression
+    // elimination, so the naive three-metric filter re-tokenized every
+    // row ~6× with quadratic shingle access — 5× the whole pipeline's
+    // runtime at sf0.1. Dedup is a PARTITIONED window min (keep rows
+    // where doc_id == min over the text partition) rather than a
+    // groupBy + self-join — the join form computes the filtered subtree
+    // twice, the window form gives the whole pipeline exactly ONE
+    // exchange (digest-keyed at 100 TB, per q31's note); the sample
+    // filter stays map-side.
+    val keep = expr(
+      """exists(array(filter(split(lower(text), '\\W+'), x -> x <> '')),
+        |  toks -> size(toks) >= 10
+        |    AND size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) > 0
+        |    AND 1.0 - CAST(size(array_distinct(transform(sequence(1, size(toks) - 2),
+        |          g -> concat_ws(' ', toks[g-1], toks[g], toks[g+1])))) AS DOUBLE)
+        |        / (size(toks) - 2) <= 0.05)""".stripMargin)
+    t(s, dir, "documents")
+      .filter(keep)
       .select(col("doc_id"), col("source"), col("text"),
-        tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 10)
-    val m = tk.select(col("doc_id"), col("source"), col("text"),
-      size(col("toks")).cast("long").as("n_tok"),
-      expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))")
-        .as("n_stop"),
-      (lit(1.0) - size(shingleExpr).cast("double") / (size(col("toks")) - 2))
-        .as("rep"))
-    val filt = m.filter(col("n_stop") > 0 && col("rep") <= 0.05)
-      .select("doc_id", "source", "text", "n_tok")
-    filt.withColumn("min_id",
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("min_id",
         min(col("doc_id")).over(Window.partitionBy("text")))
       .filter(col("doc_id") === col("min_id"))
       .filter(pmod(h64(concat(lit("curate|"), col("doc_id").cast("string"))),
         lit(100)) < 50)
       .select(col("doc_id"), col("source"), col("n_tok"))
       .orderBy("doc_id")
+  }
+
+  val q83_ann_recall: QueryDef = q(
+    "q83_ann_recall",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM
+       |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM v) WHERE rn <= 8),
+       |${ivfAssignSql("a1", "c0")}, ${ivfCentroidSql("c1", "a1", "c0")},
+       |${ivfAssignSql("a2", "c1")}, ${ivfCentroidSql("c2", "a2", "c1")},
+       |${ivfAssignSql("a3", "c2")}, ${ivfCentroidSql("c3", "a3", "c2")},
+       |${ivfAssignSql("idx", "c3")},
+       |pc AS (SELECT probe_id, cell FROM (
+       |    SELECT v.vec_id AS probe_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfSqDistSql("v.embedding", "c.cv")}, c.cell) AS rn
+       |    FROM v CROSS JOIN c3 c WHERE v.vec_id < 5) WHERE rn <= 2),
+       |pe AS (SELECT vec_id AS probe_id, embedding AS pemb, ${ivfNormSql("embedding")} AS na FROM v WHERE vec_id < 5),
+       |iscored AS (SELECT pc.probe_id, i2.vec_id AS neighbor_id,
+       |    CASE WHEN pe.na = 0 OR ${ivfNormSql("i2.embedding")} = 0 THEN -1.0
+       |         ELSE $ivfDotSql / (pe.na * ${ivfNormSql("i2.embedding")}) END AS cos
+       |  FROM pc JOIN pe ON pe.probe_id = pc.probe_id JOIN idx i2 ON i2.cell = pc.cell
+       |  WHERE i2.vec_id <> pc.probe_id),
+       |ivtop AS (SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM iscored) WHERE rnk <= 5),
+       |bpairs AS (SELECT pe.probe_id, i2.vec_id AS neighbor_id,
+       |    $ivfDotSql / (pe.na * ${ivfNormSql("i2.embedding")}) AS cos
+       |  FROM pe CROSS JOIN v i2 WHERE i2.vec_id <> pe.probe_id),
+       |bftop AS (SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM bpairs) WHERE rnk <= 5),
+       |hits AS (SELECT i.probe_id, count(*) AS n_hits FROM ivtop i
+       |         JOIN bftop b ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id
+       |         GROUP BY 1)
+       |SELECT p.probe_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 5 AS recall
+       |FROM (SELECT vec_id AS probe_id FROM v WHERE vec_id < 5) p
+       |LEFT JOIN hits ON hits.probe_id = p.probe_id
+       |ORDER BY p.probe_id""".stripMargin
+  ) { (s, dir) =>
+    // Recall@5 of the IVF-flat index (q73's exact configuration)
+    // against exhaustive search — the measurement that TUNES an ANN
+    // index: a user picks nprobe/k by running this on a probe sample,
+    // trading recall against the fraction of cells scanned. Both paths
+    // rank on the raw cosine with the identical (cos DESC, neighbor_id)
+    // tie-break, so the top-5 SETS are engine-portable (q73 and q33
+    // each hash-prove their side) and recall is an exact integer
+    // division — no rounding guard anywhere. Scale shape: the IVF side
+    // scans only probed cells; the brute-force side broadcasts the
+    // probe sample over one corpus scan (the ground truth is computed
+    // for the SAMPLE, never corpus x corpus); the intersection join is
+    // probes x k rows — trivially broadcast.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val model = graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4)
+    val indexed = graft.operators.Ivf.index(s, emb, model)
+    val probes = emb.filter(col("vec_id") < 5)
+    val ivtop = graft.operators.Ivf.search(s, indexed, model, probes, k = 5, nprobe = 2)
+      .select(col("probe_id"), col("neighbor_id"))
+    val nrm = normed(s, dir)
+    val bprobes = nrm.filter(col("vec_id") < 5).select(
+      col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val bftop = nrm.join(broadcast(bprobes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (dot_f(col("pe"), col("embedding")) / (col("pn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = ivtop.join(bftop, Seq("probe_id", "neighbor_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    probes.select(col("vec_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).cast("bigint").as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5).as("recall"))
+      .orderBy("probe_id")
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -1348,5 +1431,5 @@ object TrainingData {
     q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf,
     q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann,
     q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction,
-    q82_curation_pipeline)
+    q82_curation_pipeline, q83_ann_recall)
 }
