@@ -1422,6 +1422,55 @@ object TrainingData {
       .orderBy("probe_id")
   }
 
+  val q84_dsir_weights: QueryDef = q(
+    "q84_dsir_weights",
+    s"""WITH tok AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+       |             FROM documents),
+       |uni AS (SELECT doc_id, source, 'u|' || w AS gram
+       |        FROM (SELECT doc_id, source, unnest(toks) AS w FROM tok)),
+       |big AS (SELECT doc_id, source, 'b|' || toks[g] || ' ' || toks[g+1] AS gram
+       |        FROM tok, unnest(range(1, len(toks))) AS u(g) WHERE len(toks) >= 2),
+       |feat AS (SELECT doc_id, source,
+       |           ${h64sql("concat('dsir|', gram)")} % 1024 AS bucket
+       |         FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+       |tc AS (SELECT bucket, count(*) AS ct FROM feat WHERE source = 'src0' GROUP BY 1),
+       |rc AS (SELECT bucket, count(*) AS cr FROM feat GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM feat WHERE source = 'src0') AS nt,
+       |               (SELECT count(*) FROM feat) AS nr),
+       |sc AS (SELECT f.doc_id, count(*) AS n_feat,
+       |         sum(ln((coalesce(ct, 0) + 1.0) / (nt + 1024.0))
+       |           - ln((coalesce(cr, 0) + 1.0) / (nr + 1024.0))) AS logw
+       |       FROM feat f LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+       |       CROSS JOIN tot GROUP BY 1)
+       |SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+       |       floor(logw * 100 + 0.5) / 100 AS logw
+       |FROM sc ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Importance-weighted data selection (operators/Dsir — the DSIR
+    // recipe, Xie et al. 2023): per-doc log-likelihood ratio of hashed
+    // unigram+bigram features under the target domain (src0 here — in
+    // production, a curated in-domain sample) vs the raw corpus, both
+    // add-one smoothed over 1024 hash buckets. High logw = "looks like
+    // the target"; the q67 salted-hash sampler composes downstream for
+    // the resampling step. Scale shape: both count tables are bounded
+    // by the BUCKET count, not the vocabulary, so the model always
+    // broadcasts and scoring is ONE shuffle (the doc_id reduce) — the
+    // per-position ratio terms attach map-side. r2 absorbs the engines'
+    // sum-order and ln last-ulp drift (q35/q79 precedent).
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+    val feats = graft.operators.Dsir.features(
+      toks.select("doc_id", "toks"), buckets = 1024)
+    val targetFeats = graft.operators.Dsir.features(
+      toks.filter(col("source") === "src0").select("doc_id", "toks"),
+      buckets = 1024)
+    val model = graft.operators.Dsir.train(s, feats, targetFeats, buckets = 1024)
+    graft.operators.Dsir.logWeights(s, feats, model)
+      .select(col("doc_id"), col("n_feat").cast("bigint").as("n_feat"),
+        Par.r2(col("logw")).as("logw"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1431,5 +1480,5 @@ object TrainingData {
     q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf,
     q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann,
     q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction,
-    q82_curation_pipeline, q83_ann_recall)
+    q82_curation_pipeline, q83_ann_recall, q84_dsir_weights)
 }
