@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-relevance ranking and rank fusion — the query-side surface of
+  * the reference's search sink. The reference delivers into OpenSearch
+  * and queries it with analyzed full-text match
+  * (`kds_example/oss_utils.py:43-47`); OpenSearch's default relevance
+  * for that query is BM25 (k1=1.2, b=0.75, the Lucene defaults), and
+  * its headline retrieval pattern is hybrid search: fuse the BM25
+  * ranking with a vector-similarity ranking by reciprocal rank fusion.
+  * This module provides both halves engine-side: [[bm25]] scores the
+  * corpus against a bag of query terms, [[rrf]] fuses any number of
+  * (key, rank) lists. The ANN ladder (`Similarity`/`Ivf`/`Pq`) supplies
+  * the vector half.
+  *
+  * Scale shape, bm25: corpus statistics (N, avgdl) are ONE scalar
+  * aggregate (no shuffle — partial aggs merge on the driver); the
+  * per-(doc, term) frequencies are one hash-agg keyed by (doc_id,
+  * term) with the document length riding through the same agg (max of
+  * a doc-constant), so no second corpus scan joins lengths back; the
+  * df table is bounded by |query terms| and broadcast. Total: one
+  * corpus-sized shuffle (the tf agg) + one per-doc reduce that shares
+  * its partitioning. rrf: rank lists are top-k by construction —
+  * always tiny relative to the corpus — so the full-outer fusion join
+  * never touches corpus-sized data.
+  */
+object Retrieval {
+
+  /** Okapi BM25 scores of every document carrying at least one query
+    * term: (doc_id, score). `toks` is (doc_id, toks: array&lt;string&gt;).
+    *
+    *   idf(t)  = ln(1 + (N − df + 0.5) / (df + 0.5))   [Lucene's form:
+    *             always positive, unlike the classic log-odds]
+    *   s(D, t) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+    *
+    * |D| counts ALL tokens of the doc (not just query terms) and avgdl
+    * averages over ALL docs — the length normalization is corpus-wide.
+    * Docs matching no term are absent (their BM25 is 0; retrieval
+    * never materializes the non-matching corpus).
+    *
+    * Float notes for oracle parity: avgdl is an exact long sum divided
+    * once (never a float running mean); the per-term expression is a
+    * fixed left-associated chain so both engines evaluate identical
+    * doubles; only the final per-doc sum is order-sensitive (callers
+    * round the emitted score, q35 precedent).
+    */
+  def bm25(spark: SparkSession, toks: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val stats = toks
+      .select(size(col("toks")).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // dl rides through the tf agg as max() of a per-doc constant —
+    // joining a separate length table back would re-shuffle the corpus
+    // on doc_id for a value this agg already has in hand.
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1)
+            * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** Reciprocal rank fusion (Cormack et al. 2009) of rank lists:
+    * every input frame carries `keys` plus a 1-based `rnk` column;
+    * the result is (keys..., rrf) with
+    *
+    *   rrf = Σ_lists 1 / (k + rnk)
+    *
+    * over the lists that contain the key (full-outer semantics: a doc
+    * present in one list still surfaces — that is what makes RRF
+    * robust to one retriever missing a hit). Contributions add in
+    * input-list order, so the sum is a fixed-order chain of exact
+    * per-list divisions — bit-portable across engines with no
+    * rounding guard.
+    */
+  def rrf(rankings: Seq[DataFrame], keys: Seq[String], k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrf needs at least one ranking")
+    require(k > 0, s"rrf constant must be positive, got $k")
+    val contribs = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(keys.map(col) :+
+        (lit(1.0) / (lit(k.toDouble) + col("rnk"))).as(s"rrf_c$i"): _*)
+    }
+    val joined = contribs.reduce((acc, next) => acc.join(next, keys, "full_outer"))
+    joined.select(keys.map(col) :+
+      contribs.indices
+        .map(i => coalesce(col(s"rrf_c$i"), lit(0.0)))
+        .reduce(_ + _).as("rrf"): _*)
+  }
+}

@@ -1471,6 +1471,118 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Shared BM25 CTE chain (DuckDB): Lucene-default BM25 (k1=1.2,
+    * b=0.75) of every doc carrying a query term, mirroring
+    * `operators/Retrieval.bm25` — exact long-sum avgdl, dl riding the
+    * tf agg, the same left-associated scoring chain.
+    */
+  private val bm25Sql =
+    """tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |        FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |            CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+      |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      |       FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+      |       WHERE term IN ('data', 'spark', 'query') GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |bscored AS (SELECT doc_id,
+      |      sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+      |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+      |    FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY doc_id)""".stripMargin
+
+  private val bm25Terms = Seq("data", "spark", "query")
+
+  val q85_bm25: QueryDef = q(
+    "q85_bm25",
+    s"""WITH $bm25Sql,
+       |ranked AS (SELECT doc_id, score,
+       |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |    FROM bscored)
+       |SELECT doc_id, floor(score * 100 + 0.5) / 100 AS score, CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // BM25 relevance ranking (operators/Retrieval.bm25): the scoring
+    // function behind the reference's OpenSearch match queries, at the
+    // Lucene defaults (k1=1.2, b=0.75), over the q35 term set. Like
+    // q35, selection is TakeOrderedAndProject on the ROUNDED score
+    // (per-doc sum order is engine-internal) with the rank window over
+    // just the 10 survivors. Scale shape: one corpus shuffle (the tf
+    // agg, document length riding along), stats and df broadcast.
+    val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+    val top = scored.orderBy(Par.r2(col("score")).desc, col("doc_id")).limit(10)
+    val w = Window.orderBy(Par.r2(col("score")).desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"), Par.r2(col("score")).as("score"), col("rank"))
+      .orderBy("rank")
+  }
+
+  val q86_hybrid_rrf: QueryDef = q(
+    "q86_hybrid_rrf",
+    s"""WITH $bm25Sql,
+       |brank AS (SELECT doc_id, rnk FROM (
+       |      SELECT doc_id, row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |      FROM bscored) WHERE rnk <= 20),
+       |nrm AS (SELECT vec_id, embedding,
+       |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |      FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn FROM nrm WHERE vec_id < 3),
+       |vpairs AS (SELECT probe_id, e.vec_id AS neighbor_id,
+       |        list_sum(list_transform(range(1, len(pe) + 1),
+       |          i -> CAST(pe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (pn * e.nrm) AS cos
+       |      FROM probes, nrm e WHERE e.vec_id <> probe_id),
+       |vrank AS (SELECT probe_id, neighbor_id AS doc_id, rnk FROM (
+       |      SELECT probe_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |      FROM vpairs) WHERE rnk <= 20),
+       |pb AS (SELECT p.probe_id, b.doc_id, b.rnk
+       |       FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 3) p CROSS JOIN brank b),
+       |fused AS (SELECT probe_id, doc_id,
+       |      coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rnk), 0.0)
+       |        + coalesce(CAST(1.0 AS DOUBLE) / (60 + pb.rnk), 0.0) AS rrf
+       |    FROM vrank v FULL JOIN pb USING (probe_id, doc_id)),
+       |ranked AS (SELECT probe_id, doc_id, rrf,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rnk
+       |    FROM fused)
+       |SELECT probe_id, doc_id, rrf, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+  ) { (s, dir) =>
+    // Hybrid retrieval (operators/Retrieval.rrf): fuse the BM25 text
+    // ranking (top-20, shared across probes — one text query) with each
+    // probe's brute-force cosine ranking (top-20, q33's exact shape) by
+    // reciprocal rank fusion at k=60 — the OpenSearch hybrid-search
+    // pattern over this engine's own two retrievers. rrf sums exact
+    // divisions in fixed list order (vector first, text second, the
+    // operator's input order), so ranking on the RAW rrf is
+    // engine-portable with no rounding guard; ties (same-rank docs from
+    // different lists) break on doc_id. Scale shape: both rank lists
+    // are top-k (tiny) by construction, so the fusion join never
+    // touches corpus-sized data; the probes broadcast against one
+    // corpus scan on the vector side and the tf agg is the only
+    // corpus shuffle on the text side.
+    val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+    val btop = scored.orderBy(Par.r2(col("score")).desc, col("doc_id")).limit(20)
+    val bw = Window.orderBy(Par.r2(col("score")).desc, col("doc_id"))
+    val brank = btop.withColumn("rnk", row_number().over(bw))
+      .select(col("doc_id"), col("rnk"))
+    val nrm = normed(s, dir)
+    val probes = nrm.filter(col("vec_id") < 3).select(
+      col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+    val vw = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val vrank = nrm.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (dot_f(col("pe"), col("embedding")) / (col("pn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(vw))
+      .filter(col("rnk") <= 20)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+    val pb = probes.select(col("probe_id")).crossJoin(broadcast(brank))
+    val fused = graft.operators.Retrieval.rrf(Seq(vrank, pb), Seq("probe_id", "doc_id"), k = 60)
+    val fw = Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(fw).cast("bigint"))
+      .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("doc_id"), col("rrf"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1480,5 +1592,6 @@ object TrainingData {
     q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf,
     q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann,
     q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction,
-    q82_curation_pipeline, q83_ann_recall, q84_dsir_weights)
+    q82_curation_pipeline, q83_ann_recall, q84_dsir_weights, q85_bm25,
+    q86_hybrid_rrf)
 }

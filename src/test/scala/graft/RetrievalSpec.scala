@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+
+  private def toksDf(rows: Seq[(Long, Seq[String])]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "toks")
+  }
+
+  /** Local replay of the operator's scoring chain, in the identical
+    * association order.
+    */
+  private def bm25Local(corpus: Seq[(Long, Seq[String])], terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val n = corpus.size.toDouble
+    val avgdl = corpus.map(_._2.size.toLong).sum.toDouble / corpus.size
+    val df = terms.map(t => t -> corpus.count(_._2.contains(t)).toDouble).toMap
+    corpus.flatMap { case (id, toks) =>
+      val dl = toks.size.toDouble
+      val scores = terms.flatMap { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * tf * (k1 + 1.0)
+          / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+      }
+      if (scores.isEmpty) None else Some(id -> scores.sum)
+    }.toMap
+  }
+
+  private def run(corpus: Seq[(Long, Seq[String])], terms: Seq[String]): Map[Long, Double] = {
+    import spark.implicits._
+    Retrieval.bm25(spark, toksDf(corpus), terms)
+      .as[(Long, Double)].collect().toMap
+  }
+
+  test("bm25 matches an exact local replay of the scoring chain") {
+    val corpus = Seq(
+      1L -> Seq("x", "x", "y", "z"),
+      2L -> Seq("x", "w"),
+      3L -> Seq("w", "w", "w", "w", "w", "w"),
+      4L -> Seq("y", "y", "y", "x"))
+    val got = run(corpus, Seq("x", "y"))
+    val want = bm25Local(corpus, Seq("x", "y"))
+    assert(got.keySet == want.keySet) // doc3 (no query term) is absent
+    assert(!got.contains(3L))
+    want.foreach { case (id, s) =>
+      assert(math.abs(got(id) - s) < 1e-12, s"doc $id: got ${got(id)}, want $s")
+    }
+  }
+
+  test("bm25 length normalization: same tf, shorter doc scores higher") {
+    val corpus = Seq(
+      1L -> (Seq("q") ++ Seq.fill(3)("pad")),
+      2L -> (Seq("q") ++ Seq.fill(30)("pad")))
+    val got = run(corpus, Seq("q"))
+    assert(got(1L) > got(2L))
+  }
+
+  test("bm25 idf: a rarer term outweighs a common one at equal tf and length") {
+    // 'rare' appears in 1 doc, 'common' in 4; docs 1 and 2 are the same
+    // length with tf=1 of their respective term.
+    val corpus = Seq(
+      1L -> Seq("rare", "common", "pad"),
+      2L -> Seq("common", "pad", "pad"),
+      3L -> Seq("common", "pad", "pad"),
+      4L -> Seq("common", "pad", "pad"))
+    val got = run(corpus, Seq("rare", "common"))
+    val rareOnly = run(corpus, Seq("rare"))
+    val commonOnly = run(corpus, Seq("common"))
+    assert(rareOnly(1L) > commonOnly(2L))
+    // scoring is additive over terms
+    assert(math.abs(got(1L) - (rareOnly(1L) + commonOnly(1L))) < 1e-12)
+  }
+
+  test("bm25 tf saturates: doubling tf less than doubles the term score") {
+    val corpus = Seq(
+      1L -> Seq("q", "pad", "pad", "pad"),
+      2L -> Seq("q", "q", "pad", "pad"))
+    val got = run(corpus, Seq("q"))
+    assert(got(2L) > got(1L))
+    assert(got(2L) < 2.0 * got(1L))
+  }
+
+  test("rrf fuses with full-outer semantics and fixed-order sums") {
+    import spark.implicits._
+    // list A ranks docs 10,11,12; list B ranks 11,13 — 11 is in both.
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rnk")
+    val b = Seq((11L, 1), (13L, 2)).toDF("doc_id", "rnk")
+    val got = Retrieval.rrf(Seq(a, b), Seq("doc_id"), k = 60)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L))
+    assert(math.abs(got(11L) - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(got(10L) - 1.0 / 61) < 1e-15)
+    assert(math.abs(got(13L) - 1.0 / 62) < 1e-15)
+    // consensus wins: 11 (rank 2 + rank 1) beats every single-list doc
+    assert(got(11L) > got(10L) && got(11L) > got(13L))
+  }
+
+  test("rrf handles three lists and compound keys") {
+    import spark.implicits._
+    val a = Seq((0L, 5L, 1)).toDF("probe_id", "doc_id", "rnk")
+    val b = Seq((0L, 5L, 2), (1L, 5L, 1)).toDF("probe_id", "doc_id", "rnk")
+    val c = Seq((0L, 6L, 1)).toDF("probe_id", "doc_id", "rnk")
+    val got = Retrieval.rrf(Seq(a, b, c), Seq("probe_id", "doc_id"), k = 10)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got((0L, 5L)) - (1.0 / 11 + 1.0 / 12)) < 1e-15)
+    assert(math.abs(got((1L, 5L)) - 1.0 / 11) < 1e-15)
+    assert(math.abs(got((0L, 6L)) - 1.0 / 11) < 1e-15)
+  }
+
+  test("bm25 rejects an empty term list; rrf rejects bad inputs") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25(spark, toksDf(Seq(1L -> Seq("a"))), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrf(Seq.empty, Seq("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      import spark.implicits._
+      Retrieval.rrf(Seq(Seq((1L, 1)).toDF("doc_id", "rnk")), Seq("doc_id"), k = 0)
+    }
+  }
+}
