@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.h64
+
+/** Exact substring deduplication — the span-level dedup of Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better" (ACL
+  * 2022): document-level dedup (q31/q72) misses the pervasive case
+  * where two distinct documents share a long boilerplate RUN (headers,
+  * licenses, templated paragraphs), so mark every token span of length
+  * ≥ k that occurs more than once in the corpus and cut those spans,
+  * keeping the surrounding novel text. The paper builds a corpus
+  * suffix array; a single-machine structure has no 100 TB analogue, so
+  * this operator uses the equivalent k-gram formulation: a token run
+  * is duplicated iff every k-gram inside it is duplicated, so marking
+  * duplicated k-gram occurrences and merging overlapping/adjacent
+  * marks recovers exactly the maximal duplicated runs (paper §4.1's
+  * windowed variant).
+  *
+  * Scale shape: one gram-keyed hash-agg counts occurrences (mergeable
+  * partial counts, 8-byte hashed keys — never gram text — on the
+  * shuffle), one gram-keyed join marks the duplicated occurrences
+  * (both sides share the gram partitioning), then ONE doc-keyed window
+  * pass merges marks into maximal spans — the merge's two windows and
+  * the final span agg all share the doc_id exchange. Nothing is ever
+  * pairwise over documents; cost is bounded by occurrence count, and
+  * the marked subset (what the windows see) is only the duplicated
+  * fraction of the corpus.
+  *
+  * Hash collisions (h64, 60-bit) can mark a non-duplicated gram at
+  * ~n²/2⁶¹ expected false positives — the standard trade the paper's
+  * hash-windowed variant makes; the portable hash keeps the DuckDB
+  * oracle bit-exact on the same decision.
+  */
+object SpanDedup {
+
+  /** One row per k-gram occurrence of (doc_id, toks): (doc_id, pos,
+    * gh) with pos the 0-based token index of the gram's first token
+    * and gh the salted portable hash of its space-joined tokens. Docs
+    * shorter than k emit nothing.
+    */
+  def gramOccurrences(toks: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"span gram length must be >= 2, got $k")
+    toks.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k), p -> concat_ws(' ', slice(toks, p + 1, $k)))")))
+      .select(col("doc_id"), col("pos"),
+        h64(concat(lit("sd|"), col("col"))).as("gh"))
+  }
+
+  /** Maximal duplicated token spans per document: (doc_id, span_start,
+    * span_end), token indices, end-exclusive, non-overlapping and
+    * non-adjacent (touching marks merge — contiguous duplicated
+    * tokens are one region). A gram occurrence is duplicated when its
+    * hash occurs more than once CORPUS-WIDE — including twice within
+    * one document, which is how within-doc boilerplate repetition is
+    * caught.
+    */
+  def duplicatedSpans(toks: DataFrame, k: Int): DataFrame = {
+    val occ = gramOccurrences(toks, k)
+    val dup = occ.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gh")
+    val marked = occ.join(dup, "gh")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(k)).cast("long").as("e"))
+    // Classic streaming interval merge as two windows over ONE doc_id
+    // exchange: a mark opens a new span iff it starts beyond the
+    // running max end of everything before it; the running sum of
+    // those openings numbers the spans.
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val prevMax = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("ng", when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+      .withColumn("grp", sum(col("ng"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("s")).cast("long").as("span_start"), max(col("e")).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Cut `spans` out of the token arrays: (doc_id, toks) with every
+    * token whose index falls inside a span removed and the remainder
+    * in original order — the paper's destructive dedup step. `spans`
+    * is [[duplicatedSpans]] output (or any (doc_id, span_start,
+    * span_end) frame); docs without spans pass through unchanged via
+    * the left join. The span list is grouped per doc (bounded by
+    * doc length / k spans) and the cut is one narrow higher-order
+    * expression — no token explode, no extra shuffle beyond the
+    * doc-keyed span agg.
+    */
+  def removeSpans(toks: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("spans"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), cutExpr.as("toks"))
+  }
+
+  /** `toks` minus positions covered by any of `spans` (null spans =
+    * keep everything). Index-pair walk instead of materializing a
+    * struct per token: filter the position sequence, then map back.
+    */
+  private def cutExpr: Column = expr(
+    """CASE WHEN spans IS NULL OR size(toks) = 0 THEN toks ELSE
+      |  transform(
+      |    filter(sequence(0, size(toks) - 1),
+      |      i -> NOT exists(spans, sp -> i >= sp.s AND i < sp.e)),
+      |    i -> toks[i]) END""".stripMargin)
+}

@@ -1583,6 +1583,93 @@ object TrainingData {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Shared span-dedup CTE chain (DuckDB), mirroring
+    * `operators/SpanDedup.duplicatedSpans` at k=8: every 8-gram
+    * occurrence hashed with the 'sd|' salt, corpus-wide count > 1
+    * marks, streaming interval merge (coalesce(prevMax, -1) replays
+    * the operator's null-is-open first-row case — positions are
+    * nonnegative).
+    */
+  private val spanSql = {
+    val gram = (0 until 8).map {
+      case 0 => "toks[g]"
+      case i => s"toks[g+$i]"
+    }.mkString(" || ' ' || ")
+    s"""tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+       |        FROM documents),
+       |occ AS (SELECT doc_id, g - 1 AS pos, ${h64sql(s"concat('sd|', $gram)")} AS gh
+       |        FROM tok, unnest(range(1, len(toks) - 6)) AS u(g)
+       |        WHERE len(toks) >= 8),
+       |dup AS (SELECT gh FROM (SELECT gh, count(*) AS c FROM occ GROUP BY 1) WHERE c > 1),
+       |marked AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM occ JOIN dup USING (gh)),
+       |flag AS (SELECT doc_id, s, e,
+       |      CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ng
+       |    FROM marked),
+       |grp AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM flag),
+       |merged AS (SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end
+       |           FROM grp GROUP BY doc_id, g)""".stripMargin
+  }
+
+  val q87_span_dedup: QueryDef = q(
+    "q87_span_dedup",
+    s"""WITH $spanSql
+       |SELECT doc_id, span_start, span_end FROM merged
+       |ORDER BY doc_id, span_start""".stripMargin
+  ) { (s, dir) =>
+    // Exact substring dedup (operators/SpanDedup — Lee et al. 2022):
+    // maximal token runs whose every 8-gram repeats somewhere in the
+    // corpus (another doc OR the same one), as merged end-exclusive
+    // spans. This is the span-LEVEL complement of q31/q72's document-
+    // level dedup — boilerplate shared between otherwise-distinct docs
+    // — and removeSpans cuts the spans destructively (spec-covered;
+    // the cut output is a token array, so the registry entry exposes
+    // the span table, the operator's reusable artifact). Scale shape:
+    // one gram-keyed count + join over 8-byte hashes, then one
+    // doc-keyed exchange shared by both merge windows and the span
+    // agg; only the duplicated fraction of occurrences reaches the
+    // windows.
+    graft.operators.SpanDedup.duplicatedSpans(tokenized(s, dir), k = 8)
+      .orderBy("doc_id", "span_start")
+  }
+
+  val q88_span_coverage: QueryDef = q(
+    "q88_span_coverage",
+    s"""WITH $spanSql,
+       |cov AS (SELECT doc_id, count(*) AS n_spans, sum(span_end - span_start) AS dup_tok
+       |        FROM merged GROUP BY 1),
+       |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM tok)
+       |SELECT l.doc_id, n_tok, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       |       CAST(coalesce(dup_tok, 0) AS BIGINT) AS dup_tok,
+       |       CASE WHEN n_tok = 0 THEN CAST(0 AS DOUBLE)
+       |            ELSE CAST(coalesce(dup_tok, 0) AS DOUBLE) / n_tok END AS dup_frac
+       |FROM lens l LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Span-dedup coverage: what fraction of each doc's TOKENS sit
+    // inside a duplicated run — the decision metric for whether to cut
+    // spans (q87) or drop whole docs, and the companion to q81 (which
+    // counts duplicated GRAM TYPES; this weighs duplicated token mass,
+    // merged so overlapping grams never double-count). Every doc
+    // surfaces via the left join, zero-coverage included. dup_frac is
+    // one correctly-rounded division of exact longs — no rounding
+    // guard (q81 precedent).
+    val toks = tokenized(s, dir)
+    val cov = graft.operators.SpanDedup.duplicatedSpans(toks, k = 8)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("dup_tok"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_spans"), lit(0L)).cast("bigint").as("n_spans"),
+        coalesce(col("dup_tok"), lit(0L)).cast("bigint").as("dup_tok"),
+        when(col("n_tok") === 0, lit(0.0))
+          .otherwise(coalesce(col("dup_tok"), lit(0L)).cast("double") / col("n_tok"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1593,5 +1680,5 @@ object TrainingData {
     q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann,
     q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction,
     q82_curation_pipeline, q83_ann_recall, q84_dsir_weights, q85_bm25,
-    q86_hybrid_rrf)
+    q86_hybrid_rrf, q87_span_dedup, q88_span_coverage)
 }

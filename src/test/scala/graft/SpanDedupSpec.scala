@@ -1,0 +1,127 @@
+package graft
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.SpanDedup
+
+class SpanDedupSpec extends SparkSpec {
+
+  private def toksDf(rows: Seq[(Long, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "toks")
+  }
+
+  private def spans(rows: Seq[(Long, Seq[String])], k: Int): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    SpanDedup.duplicatedSpans(toksDf(rows), k)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+  }
+
+  /** Naive local replay: mark k-gram occurrences whose gram text occurs
+    * more than once corpus-wide, merge marks that overlap or touch.
+    */
+  private def spansLocal(rows: Seq[(Long, Seq[String])], k: Int): Seq[(Long, Long, Long)] = {
+    val occ = rows.flatMap { case (id, ts) =>
+      (0 to ts.size - k).map(p => (id, p, ts.slice(p, p + k).mkString(" ")))
+    }
+    val cnt = occ.groupBy(_._3).map { case (g, os) => g -> os.size }
+    occ.filter(o => cnt(o._3) > 1).groupBy(_._1).toSeq.flatMap { case (id, ms) =>
+      val merged = ListBuffer.empty[(Int, Int)]
+      ms.map(_._2).sorted.foreach { p =>
+        if (merged.nonEmpty && p <= merged.last._2)
+          merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, p + k))
+        else merged += ((p, p + k))
+      }
+      merged.map { case (s, e) => (id, s.toLong, e.toLong) }
+    }.sorted
+  }
+
+  test("a run shared by two docs yields one maximal span in each") {
+    // docs share the 6-token run "a b c d e f"; k=3 marks positions
+    // 1..4 in doc1 (offset by the leading token) and 0..3 in doc2,
+    // merging to one span per doc covering exactly the run.
+    val rows = Seq(
+      1L -> Seq("z", "a", "b", "c", "d", "e", "f", "q"),
+      2L -> Seq("a", "b", "c", "d", "e", "f", "y", "w"))
+    assert(spans(rows, 3) == Seq((1L, 1L, 7L), (2L, 0L, 6L)))
+  }
+
+  test("within-doc repetition is caught and separated regions stay separate") {
+    // "p q r" occurs twice inside ONE doc, far apart: two spans.
+    val rows = Seq(
+      1L -> Seq("p", "q", "r", "x1", "x2", "x3", "x4", "p", "q", "r"))
+    assert(spans(rows, 3) == Seq((1L, 0L, 3L), (1L, 7L, 10L)))
+  }
+
+  test("touching marks merge into one contiguous region") {
+    // doc1's "a b c" (pos 0) and "d e f" (pos 3) are each duplicated
+    // elsewhere, but the bridging grams are not: spans [0,3) and [3,6)
+    // touch and merge to [0,6).
+    val rows = Seq(
+      1L -> Seq("a", "b", "c", "d", "e", "f"),
+      2L -> Seq("a", "b", "c", "z1", "z2"),
+      3L -> Seq("z3", "z4", "d", "e", "f"))
+    assert(spans(rows, 3).filter(_._1 == 1L) == Seq((1L, 0L, 6L)))
+  }
+
+  test("docs shorter than k and fully novel docs emit nothing") {
+    val rows = Seq(
+      1L -> Seq("a", "b"),
+      2L -> Seq("n1", "n2", "n3", "n4"),
+      3L -> Seq.empty[String])
+    assert(spans(rows, 3).isEmpty)
+  }
+
+  test("duplicatedSpans matches the local replay on seeded random corpora") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("a", "b", "c", "d")
+    (1 to 8).foreach { trial =>
+      val rows = Seq.tabulate(12) { i =>
+        i.toLong -> Seq.fill(rnd.nextInt(13))(vocab(rnd.nextInt(vocab.size)))
+      }
+      assert(spans(rows, 3) == spansLocal(rows, 3), s"trial $trial on $rows")
+    }
+  }
+
+  test("removeSpans cuts exactly the span tokens and passes novel docs through") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> Seq("z", "a", "b", "c", "d", "e", "f", "q"),
+      2L -> Seq("a", "b", "c", "d", "e", "f", "y", "w"),
+      3L -> Seq("novel", "only", "here"),
+      4L -> Seq.empty[String])
+    val cleaned = SpanDedup.removeSpans(
+      toksDf(rows), SpanDedup.duplicatedSpans(toksDf(rows), 3))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(cleaned(1L) == Seq("z", "q"))
+    assert(cleaned(2L) == Seq("y", "w"))
+    assert(cleaned(3L) == Seq("novel", "only", "here"))
+    assert(cleaned(4L) == Seq.empty[String])
+  }
+
+  test("removed token count equals total merged span length") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val vocab = Vector("a", "b", "c")
+    val rows = Seq.tabulate(10) { i =>
+      i.toLong -> Seq.fill(rnd.nextInt(11))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val sp = SpanDedup.duplicatedSpans(toksDf(rows), 3)
+    val cleaned = SpanDedup.removeSpans(toksDf(rows), sp)
+      .as[(Long, Seq[String])].collect().toMap
+    val spanLen = sp.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, ss) => id -> ss.map(s => s._3 - s._2).sum }
+    rows.foreach { case (id, ts) =>
+      assert(ts.size - cleaned(id).size == spanLen.getOrElse(id, 0L),
+        s"doc $id: |toks|=${ts.size} cleaned=${cleaned(id).size} spans=${spanLen.get(id)}")
+    }
+  }
+
+  test("gram length below 2 is rejected") {
+    intercept[IllegalArgumentException] {
+      SpanDedup.duplicatedSpans(toksDf(Seq(1L -> Seq("a"))), 1)
+    }
+  }
+}
