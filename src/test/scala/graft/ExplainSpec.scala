@@ -140,6 +140,47 @@ class ExplainSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q84: DSIR scoring joins the broadcast model — one doc reduce, no SMJ") {
+    val p = plan("q84_dsir_weights")
+    // The bucket-count tables and the totals row are ≤B-row broadcast
+    // artifacts; a sort-merge join here would shuffle the corpus-sized
+    // feature stream once per table instead of zero times.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q85: BM25 stats broadcast; top-10 is TakeOrderedAndProject") {
+    val p = plan("q85_bm25")
+    // df and (N, avgdl) broadcast against the tf stream; selection is
+    // per-partition top-k, not a global sort or unpartitioned window
+    // over the scored corpus.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q86: hybrid fusion — vector side group-limited, no cartesian corpus join") {
+    val p = plan("q86_hybrid_rrf")
+    assert(p.contains("dot_f"), p)
+    // rank<=20 bounds the vector exchange map-side (q33's shape).
+    assert(p.contains("WindowGroupLimit"), p)
+    // The only nested-loop is the 3x20 probe x text-ranking replicate —
+    // broadcast, never a shuffled CartesianProduct.
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q87: span dedup is gram-keyed marking + a PARTITIONED merge, never all-pairs") {
+    val p = plan("q87_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // The occurrence count partial-aggregates map-side before its
+    // gram-keyed exchange.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // Both merge windows run per-doc — the unpartitioned-window trap
+    // would funnel every marked gram through one task.
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
   test("q82: curation pipeline fuses filters into one pass, one hash exchange") {
     val p = plan("q82_curation_pipeline")
     // Dedup is a partitioned window min — no self-join (the join form
