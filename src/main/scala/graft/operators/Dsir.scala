@@ -46,10 +46,11 @@ import graft.functions.TextFunctions.h64
 object Dsir {
 
   /** Fitted bucket-count model. `targetCounts`/`rawCounts`: (bucket,
-    * ct)/(bucket, cr) — ≤ `buckets` rows each, absent buckets are
-    * zero-count (the +1 smoothing keeps them finite); `totals`: ONE row
-    * (nt, nr) of feature-position totals, kept as a frame (not driver
-    * scalars) so training stays action-free and lazily composable.
+    * ct)/(bucket, cr) — ≤ `buckets` rows each, materialized at train
+    * time, absent buckets are zero-count (the +1 smoothing keeps them
+    * finite); `totals`: ONE row (nt, nr) of feature-position totals,
+    * kept as a frame (not driver scalars) so scoring composes it as a
+    * broadcast like the count tables.
     */
   final case class Model(targetCounts: DataFrame, rawCounts: DataFrame,
       totals: DataFrame, buckets: Int)
@@ -81,12 +82,19 @@ object Dsir {
   /** Fit the two bucket multinomials. Both inputs are [[features]]
     * frames (the target one typically from a small in-domain sample —
     * the paper uses the target dataset itself). Two mergeable hash-aggs
-    * on a ≤B-cardinality key; no driver action.
+    * on a ≤B-cardinality key. The ≤B-row count tables localCheckpoint
+    * EAGERLY (training is the action, like `Ivf.train`): each is read
+    * back by two consumers — its own broadcast and the totals row —
+    * and every downstream action re-broadcasts, so without the
+    * materialization each scoring pass re-tokenizes the corpus three
+    * times and the target sample twice (the q66 double-compute class).
     */
   def train(spark: SparkSession, rawFeats: DataFrame,
       targetFeats: DataFrame, buckets: Int): Model = {
     val t = targetFeats.groupBy("bucket").agg(count(lit(1)).as("ct"))
+      .localCheckpoint(true)
     val r = rawFeats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+      .localCheckpoint(true)
     val totals = t.agg(sum(col("ct")).as("nt"))
       .crossJoin(r.agg(sum(col("cr")).as("nr")))
     Model(t, r, totals, buckets)
