@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Okapi BM25 scores of every document carrying at least one query
-    * term: (doc_id, score). `toks` is (doc_id, toks: array&lt;string&gt;).
+    * term: (doc_id, n_terms, score), where n_terms counts the DISTINCT
+    * query terms present (callers implement match-AND semantics by
+    * filtering n_terms = |terms| — it falls out of the same agg for
+    * free). `toks` is (doc_id, toks: array&lt;string&gt;).
     *
     *   idf(t)  = ln(1 + (N − df + 0.5) / (df + 0.5))   [Lucene's form:
     *             always positive, unlike the classic log-odds]
@@ -72,7 +75,7 @@ object Retrieval {
             * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
           .as("term_score"))
       .groupBy("doc_id")
-      .agg(sum(col("term_score")).as("score"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
   }
 
   /** Reciprocal rank fusion (Cormack et al. 2009) of rank lists:

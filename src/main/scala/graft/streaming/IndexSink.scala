@@ -332,4 +332,41 @@ object IndexSink {
       .filter(pred)
       .orderBy(col("_score").desc)
   }
+
+  /** BM25-RANKED analyzed match — what the reference's search endpoint
+    * actually returns: OpenSearch scores a `match` query with BM25
+    * (k1=1.2, b=0.75, the Lucene defaults) using the LIVE index's own
+    * term/length statistics, so relevance shifts as deliveries land.
+    * This runs [[graft.operators.Retrieval.bm25]] over the registered
+    * view with the analyzed query tokens (same analyzer as
+    * [[matchQuery]]: lowercase, \\W+ split, both sides) and returns the
+    * top-k as (key, _score), score-descending with the key as
+    * tie-break. `operator` as in [[matchQuery]]: "or" keeps any match
+    * (BM25's natural domain), "and" keeps docs containing EVERY query
+    * token — the distinct-matched-term count falls out of the scoring
+    * agg, so AND costs no extra pass. Scale: one corpus-sized shuffle
+    * (the tf agg) + TakeOrderedAndProject for the top-k — never a
+    * global sort of the scored corpus.
+    */
+  def rankedMatch(spark: SparkSession, name: String, field: String,
+      key: String, query: String, operator: String = "or",
+      k: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    require(k > 0, s"top-k must be positive, got $k")
+    // Driver-side analyzer — identical semantics to tokens() (both are
+    // Java-regex lowercase \W+ splits); the term list must be a Scala
+    // value for bm25's isin pushdown.
+    val terms = query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, s"query '$query' analyzes to no tokens")
+    val toks = spark.table(name)
+      .select(col(key).as("doc_id"), tokens(col(field)).as("toks"))
+    val scored = graft.operators.Retrieval.bm25(spark, toks, terms)
+    val kept = operator.toLowerCase match {
+      case "and" => scored.filter(col("n_terms") === terms.size)
+      case _     => scored
+    }
+    kept.select(col("doc_id").as(key), col("score").as("_score"))
+      .orderBy(col("_score").desc, col(key))
+      .limit(k)
+  }
 }

@@ -202,6 +202,38 @@ class OperatorsSpec2 extends SparkSpec {
       .count() == 0)
   }
 
+  test("ranked match: BM25 over the live view, OR/AND and top-k") {
+    import spark.implicits._
+    Seq(
+      (1L, "Routine deposit into savings account"),
+      (2L, "ATM withdrawal fee charged"),
+      (3L, "Deposit reversed; withdrawal pending review"),
+      (4L, "Wire transfer completed"))
+      .toDF("doc_id", "description").createOrReplaceTempView("ranked_idx")
+    val or = IndexSink.rankedMatch(spark, "ranked_idx", "description",
+      "doc_id", "DEPOSIT withdrawal!")
+      .as[(Long, Double)].collect()
+    // Both-term doc first; single-term docs follow; no-term doc absent.
+    assert(or.head._1 == 3L)
+    assert(or.map(_._1).toSet == Set(1L, 2L, 3L))
+    // Equal tf and idf for the singles — the shorter doc (2: 4 tokens
+    // vs 1: 5) wins on length normalization.
+    assert(or.map(_._1).toSeq == Seq(3L, 2L, 1L))
+    assert(or.forall(_._2 > 0.0))
+    // AND keeps only docs containing EVERY analyzed token.
+    assert(IndexSink.rankedMatch(spark, "ranked_idx", "description",
+      "doc_id", "deposit withdrawal", operator = "and")
+      .as[(Long, Double)].collect().map(_._1).toSeq == Seq(3L))
+    // top-k truncates the ranking, keeping the best.
+    assert(IndexSink.rankedMatch(spark, "ranked_idx", "description",
+      "doc_id", "deposit withdrawal", k = 2)
+      .as[(Long, Double)].collect().map(_._1).toSeq == Seq(3L, 2L))
+    // A query that analyzes to nothing fails loud, not empty-match-all.
+    intercept[IllegalArgumentException] {
+      IndexSink.rankedMatch(spark, "ranked_idx", "description", "doc_id", "!!!")
+    }
+  }
+
   test("index upsert: re-delivered recordId overwrites (last write wins)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-upsert").toString

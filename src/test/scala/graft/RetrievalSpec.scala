@@ -34,7 +34,7 @@ class RetrievalSpec extends SparkSpec {
   private def run(corpus: Seq[(Long, Seq[String])], terms: Seq[String]): Map[Long, Double] = {
     import spark.implicits._
     Retrieval.bm25(spark, toksDf(corpus), terms)
-      .as[(Long, Double)].collect().toMap
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
   }
 
   test("bm25 matches an exact local replay of the scoring chain") {
@@ -47,6 +47,12 @@ class RetrievalSpec extends SparkSpec {
     val want = bm25Local(corpus, Seq("x", "y"))
     assert(got.keySet == want.keySet) // doc3 (no query term) is absent
     assert(!got.contains(3L))
+    // n_terms counts DISTINCT matched query terms (the AND-semantics
+    // signal): doc1 has x and y, doc2 only x.
+    import spark.implicits._
+    val nTerms = Retrieval.bm25(spark, toksDf(corpus), Seq("x", "y"))
+      .select("doc_id", "n_terms").as[(Long, Long)].collect().toMap
+    assert(nTerms == Map(1L -> 2L, 2L -> 1L, 4L -> 2L))
     want.foreach { case (id, s) =>
       assert(math.abs(got(id) - s) < 1e-12, s"doc $id: got ${got(id)}, want $s")
     }
