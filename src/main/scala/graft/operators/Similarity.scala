@@ -254,6 +254,40 @@ object Similarity {
       if (sigBits.isEmpty) lit("") else concat(sigBits: _*))
   }
 
+  /** ANN top-k over an LSH-BUCKETED corpus: candidates come only from
+    * each probe's own bucket (a hash join on the signature — 1/2^nPlanes
+    * of the corpus per probe in expectation), then exact zero-norm-safe
+    * cosine + rank within the candidates. This is the search half of
+    * q69's shape, factored so a LIVE index carrying epoch-side buckets
+    * ([[graft.streaming.IndexSink.start]]'s `enrich` +
+    * `liveVectors`) and a batch-bucketed corpus run the identical
+    * plan.
+    *
+    * @param bucketed (vec_id, embedding, bucket) — corpus with
+    *                 signatures already attached ([[hyperplaneLsh]]
+    *                 batch-side, or the enrich hook streaming-side;
+    *                 pre-attached so delivered epochs are never
+    *                 re-projected at query time)
+    * @param probes   (vec_id, embedding) — bucketed here with the same
+    *                 plane family; must be broadcast-small. `dim` as in
+    *                 [[hyperplaneLsh]] (the eager width probe only ever
+    *                 runs over this small frame)
+    */
+  def lshSearch(spark: org.apache.spark.sql.SparkSession, bucketed: DataFrame,
+      probes: DataFrame, nPlanes: Int, k: Int, dim: Int = 0): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    val corpus = bucketed.select(col("vec_id"), col("embedding"), col("bucket"))
+      .withColumn("nrm", norm(col("embedding")))
+    val p = hyperplaneLsh(probes.select(col("vec_id"), col("embedding")), nPlanes, dim)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        norm(col("embedding")).as("pn"), col("bucket"))
+    val scored = corpus.join(broadcast(p), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosSafe(dot(col("pe"), col("embedding")), col("pn"), col("nrm")).as("cos"))
+    topKByScore(scored, "cos", k)
+  }
+
   /** Plane-p, dim-d rademacher weight ∈ {-1, +1} from an md5 bit — the
     * driver-side twin of the SQL spelling
     * `(conv(substring(md5(concat(p, '|', d)), 1, 15), 16, 10) & 1) * 2 - 1`.

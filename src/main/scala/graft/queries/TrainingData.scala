@@ -686,28 +686,20 @@ object TrainingData {
     // The ANN scale path, oracle-checked: candidates come ONLY from the
     // probe's LSH bucket (hash join on the 8-bit hyperplane signature —
     // engine-portable planes, so DuckDB reproduces the buckets exactly),
-    // then exact cosine + top-k within the bucket. This is q33's search
-    // restricted to 1/2^8 of the corpus per probe — the trade a 100 TB
-    // corpus makes. Selection on the raw cosine; rounding on emit only.
-    val withB = graft.operators.Similarity
-      .hyperplaneLsh(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), 8)
-      .withColumn("nrm", norm_f(col("embedding")))
-    val probes = withB.filter(col("vec_id") < 5).select(
-      col("vec_id").as("probe_id"), col("embedding").as("pe"),
-      col("nrm").as("pn"), col("bucket"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-    withB.join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        // Zero-norm guard (cosSafe): 0/0 = NaN outranks every real
-        // cosine in Spark's DESC sort and can diverge from DuckDB's
-        // NaN rendering; a directionless vector ranks last instead.
-        graft.operators.Similarity
-          .cosSafe(dot_f(col("pe"), col("embedding")), col("pn"), col("nrm")).as("cos"))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= 5)
+    // then exact ZERO-NORM-GUARDED cosine (cosSafe: 0/0 = NaN outranks
+    // every real cosine in a DESC sort and diverges from DuckDB's NaN
+    // rendering; a directionless vector ranks last instead) + top-k
+    // within the bucket — Similarity.lshSearch, the same module the
+    // streaming twin runs over enrich-bucketed live epochs. This is
+    // q33's search restricted to 1/2^8 of the corpus per probe — the
+    // trade a 100 TB corpus makes. Selection on the raw cosine;
+    // rounding on emit only.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val withB = graft.operators.Similarity.hyperplaneLsh(emb, 8)
+    graft.operators.Similarity
+      .lshSearch(s, withB, emb.filter(col("vec_id") < 5), nPlanes = 8, k = 5)
       .select(col("probe_id"), col("neighbor_id"),
-        Par.r2(col("cos")).as("cos_sim"), col("rnk"))
+        Par.r2(col("cos")).as("cos_sim"), col("rnk").cast("bigint").as("rnk"))
       .orderBy("probe_id", "rnk")
   }
 

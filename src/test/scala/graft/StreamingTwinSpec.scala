@@ -193,6 +193,52 @@ class StreamingTwinSpec extends SparkSpec {
       "streamed IVFADC codes diverged from the batch encode")
   }
 
+  test("streaming ANN (LSH): delivered epochs carry hyperplane buckets; " +
+      "live bucket search equals the batch bucketing") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.streaming.IndexSink
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-lsh").toString
+    val emb = queries.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+    // The plane family is data-independent — the only "model" is the
+    // plane WIDTH, fixed up front like a trained artifact (streaming
+    // frames cannot run hyperplaneLsh's eager width probe).
+    val dim = emb.agg(max(size(col("embedding")))).head().getInt(0)
+    val payloadSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    emb.select(to_json(struct(col("vec_id"), col("embedding"))).as("line"),
+        col("vec_id").cast("string").as("recordId"))
+      .select(to_json(struct(col("recordId"), col("line"))).as("value"))
+      .coalesce(1).write.mode("append").text(s"$tmp/in")
+    val env = spark.readStream
+      .schema(StructType(Seq(StructField("recordId", StringType),
+        StructField("line", StringType))))
+      .json(s"$tmp/in")
+      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+        col("line").cast("binary").as("data"))
+    val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
+      s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false),
+      enrich = df => Similarity.hyperplaneLsh(df, nPlanes = 8, dim = dim))
+    assert(q.awaitTermination(120000))
+    val probes = emb.filter(col("vec_id") < 5)
+    val live = Similarity.lshSearch(spark,
+        IndexSink.liveVectors(spark, s"$tmp/index", "recordId")
+          .select("vec_id", "embedding", "bucket"),
+        probes, nPlanes = 8, k = 5, dim = dim)
+      .select("probe_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val batch = Similarity.lshSearch(spark,
+        Similarity.hyperplaneLsh(emb, nPlanes = 8, dim = dim),
+        probes, nPlanes = 8, k = 5, dim = dim)
+      .select("probe_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(live.nonEmpty && live == batch,
+      "streamed LSH buckets diverged from the batch bucketing")
+  }
+
   test("IVF search recall vs brute force (nprobe=4 of k=8 cells)") {
     import spark.implicits._
     val emb = queries.Tables.t(spark, sfDir, "embeddings")
