@@ -1662,6 +1662,56 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  val q89_filtered_ann: QueryDef = q(
+    "q89_filtered_ann",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM
+       |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM v) WHERE rn <= 8),
+       |${ivfAssignSql("a1", "c0")}, ${ivfCentroidSql("c1", "a1", "c0")},
+       |${ivfAssignSql("a2", "c1")}, ${ivfCentroidSql("c2", "a2", "c1")},
+       |${ivfAssignSql("a3", "c2")}, ${ivfCentroidSql("c3", "a3", "c2")},
+       |${ivfAssignSql("idx", "c3")},
+       |pc AS (SELECT probe_id, cell FROM (
+       |    SELECT v.vec_id AS probe_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfSqDistSql("v.embedding", "c.cv")}, c.cell) AS rn
+       |    FROM v CROSS JOIN c3 c WHERE v.vec_id < 5) WHERE rn <= 2),
+       |pe AS (SELECT vec_id AS probe_id, embedding AS pemb, ${ivfNormSql("embedding")} AS na FROM v WHERE vec_id < 5),
+       |scored AS (SELECT pc.probe_id, i2.vec_id AS neighbor_id,
+       |    CASE WHEN pe.na = 0 OR ${ivfNormSql("i2.embedding")} = 0 THEN -1.0
+       |         ELSE $ivfDotSql / (pe.na * ${ivfNormSql("i2.embedding")}) END AS cos
+       |  FROM pc JOIN pe ON pe.probe_id = pc.probe_id JOIN idx i2 ON i2.cell = pc.cell
+       |  JOIN embeddings lb ON lb.vec_id = i2.vec_id
+       |  WHERE i2.vec_id <> pc.probe_id AND lb.label < 3),
+       |ranked AS (SELECT probe_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT probe_id, neighbor_id, floor(cos * 100 + 0.5) / 100 AS cos_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  ) { (s, dir) =>
+    // FILTERED vector search — the ubiquitous production variant
+    // ("nearest neighbors WHERE tenant/language/label ∈ ..."): q73's
+    // exact IVF configuration with a metadata predicate on the
+    // CANDIDATE side. The model trains on the full corpus (a filter
+    // must not move centroids — queries with different filters share
+    // one index); the predicate composes into the cell-pruned scan
+    // BEFORE scoring, so disallowed vectors never cost a cosine. Here
+    // the label lives in a side table and joins in (doc-keyed, the
+    // test-data plumbing); a production index carries the label column
+    // and the join collapses to a scan-side filter. Probes are NOT
+    // filtered — the query vector needs no label.
+    val embT = t(s, dir, "embeddings")
+    val emb = embT.select(col("vec_id"), col("embedding"))
+    val model = graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4)
+    val indexed = graft.operators.Ivf.index(s, emb, model)
+    val filtered = indexed
+      .join(embT.filter(col("label") < 3).select("vec_id"), "vec_id")
+    val probes = emb.filter(col("vec_id") < 5)
+    graft.operators.Ivf.search(s, filtered, model, probes, k = 5, nprobe = 2)
+      .select(col("probe_id"), col("neighbor_id"),
+        Par.r2(col("cos")).as("cos_sim"), col("rnk").cast("bigint").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1672,5 +1722,5 @@ object TrainingData {
     q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann,
     q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction,
     q82_curation_pipeline, q83_ann_recall, q84_dsir_weights, q85_bm25,
-    q86_hybrid_rrf, q87_span_dedup, q88_span_coverage)
+    q86_hybrid_rrf, q87_span_dedup, q88_span_coverage, q89_filtered_ann)
 }
