@@ -1712,6 +1712,32 @@ object TrainingData {
       .orderBy("probe_id", "rnk")
   }
 
+  val q90_chunking: QueryDef = q(
+    "q90_chunking",
+    s"""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+       |             FROM documents),
+       |ck AS (SELECT doc_id, g AS start_tok, len(toks) AS n, toks
+       |       FROM tok, unnest(range(0, len(toks), 24)) AS u(g)
+       |       WHERE len(toks) > 0)
+       |SELECT doc_id, CAST(start_tok / 24 AS BIGINT) AS chunk_id,
+       |       CAST(start_tok AS BIGINT) AS start_tok,
+       |       CAST(least(32, n - start_tok) AS BIGINT) AS n_tok,
+       |       ${h64sql("concat('ck|', array_to_string(toks[start_tok + 1 : start_tok + 32], ' '))")} AS chunk_hash
+       |FROM ck ORDER BY doc_id, chunk_id""".stripMargin
+  ) { (s, dir) =>
+    // Overlapping token chunking (operators/Chunker, size 32 / stride
+    // 24): the corpus-prep stage between curation and indexing —
+    // retrieval corpora operate on bounded chunks, and the 8-token
+    // overlap keeps boundary-straddling answers findable. Pure narrow
+    // explode, zero shuffle (the presentation sort is the only
+    // exchange); the chunk content rides as a portable hash so the
+    // gate proves every chunk's exact token slice without ever
+    // materializing duplicated text — the layout that avoids writing
+    // ~1.3 copies of a 100 TB corpus into the chunk table.
+    graft.operators.Chunker.chunks(tokenized(s, dir), size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1722,5 +1748,6 @@ object TrainingData {
     q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann,
     q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction,
     q82_curation_pipeline, q83_ann_recall, q84_dsir_weights, q85_bm25,
-    q86_hybrid_rrf, q87_span_dedup, q88_span_coverage, q89_filtered_ann)
+    q86_hybrid_rrf, q87_span_dedup, q88_span_coverage, q89_filtered_ann,
+    q90_chunking)
 }
