@@ -1738,6 +1738,45 @@ object TrainingData {
       .orderBy("doc_id", "chunk_id")
   }
 
+  val q91_source_budget: QueryDef = q(
+    "q91_source_budget",
+    """WITH tok AS (SELECT doc_id, source,
+      |        len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS n_tok
+      |      FROM documents),
+      |c AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+      |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
+      |        CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500 ELSE 700 END AS budget
+      |      FROM tok)
+      |SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+      |FROM c WHERE cum_tok <= budget ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Per-SOURCE token budgeting — how a training mixture hits exact
+    // per-domain token targets (q70 keeps a RATE of docs; this keeps a
+    // token BUDGET): deterministic doc_id-ordered running total within
+    // each source, keep while under the domain's cap. The cumulative
+    // window is PARTITIONED by source, so unlike q68's corpus-global
+    // packing (which needs the two-phase PrefixSum to avoid the
+    // single-partition WindowExec) this parallelizes across sources
+    // for free — one source-keyed exchange; a single pathological
+    // mega-source degrades to q68's problem, and q68's operator is the
+    // escape hatch. Exact integer arithmetic end to end.
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("budget",
+        when(col("source") === "src0", lit(1000L))
+          .when(col("source") === "src1", lit(500L))
+          .otherwise(lit(700L)))
+      .filter(col("cum_tok") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("cum_tok").cast("bigint").as("cum_tok"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1749,5 +1788,5 @@ object TrainingData {
     q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction,
     q82_curation_pipeline, q83_ann_recall, q84_dsir_weights, q85_bm25,
     q86_hybrid_rrf, q87_span_dedup, q88_span_coverage, q89_filtered_ann,
-    q90_chunking)
+    q90_chunking, q91_source_budget)
 }
