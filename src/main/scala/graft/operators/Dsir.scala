@@ -95,8 +95,12 @@ object Dsir {
       .localCheckpoint(true)
     val r = rawFeats.groupBy("bucket").agg(count(lit(1)).as("cr"))
       .localCheckpoint(true)
-    val totals = t.agg(sum(col("ct")).as("nt"))
-      .crossJoin(r.agg(sum(col("cr")).as("nr")))
+    // coalesce: sum() over an EMPTY count table is NULL, not 0 — an
+    // all-empty-docs target sample would otherwise poison every weight
+    // to NULL downstream (the smoothed ratio is finite at zero counts:
+    // 1/(0+B) — exactly what the oracle's scalar count(*) computes).
+    val totals = t.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+      .crossJoin(r.agg(coalesce(sum(col("cr")), lit(0L)).as("nr")))
     Model(t, r, totals, buckets)
   }
 

@@ -20,15 +20,14 @@ import graft.functions.TextFunctions.h64
   * marks recovers exactly the maximal duplicated runs (paper §4.1's
   * windowed variant).
   *
-  * Scale shape: one gram-keyed hash-agg counts occurrences (mergeable
-  * partial counts, 8-byte hashed keys — never gram text — on the
-  * shuffle), one gram-keyed join marks the duplicated occurrences
-  * (both sides share the gram partitioning), then ONE doc-keyed window
-  * pass merges marks into maximal spans — the merge's two windows and
-  * the final span agg all share the doc_id exchange. Nothing is ever
-  * pairwise over documents; cost is bounded by occurrence count, and
-  * the marked subset (what the windows see) is only the duplicated
-  * fraction of the corpus.
+  * Scale shape: ONE gram-keyed exchange (8-byte hashed keys — never
+  * gram text — on the shuffle) feeds a window count that marks the
+  * duplicated occurrences in the same pass as the scan, then ONE
+  * doc-keyed window pass merges marks into maximal spans — the merge's
+  * two windows and the final span agg all share the doc_id exchange.
+  * Nothing is ever pairwise over documents; cost is bounded by
+  * occurrence count, and the marked subset (what the merge windows
+  * see) is only the duplicated fraction of the corpus.
   *
   * Hash collisions (h64, 60-bit) can mark a non-duplicated gram at
   * ~n²/2⁶¹ expected false positives — the standard trade the paper's
@@ -61,9 +60,17 @@ object SpanDedup {
     */
   def duplicatedSpans(toks: DataFrame, k: Int): DataFrame = {
     val occ = gramOccurrences(toks, k)
-    val dup = occ.groupBy("gh").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("gh")
-    val marked = occ.join(dup, "gh")
+    // Duplicate detection as a WINDOW count over the gram partition,
+    // not groupBy + join back: the join form computes the tokenize-and-
+    // explode subtree TWICE per action (its two exchange children
+    // differ, so ReuseExchange cannot dedupe them) — the q82 window-
+    // over-self-join lesson. One scan, one gh exchange. A pathological
+    // mega-gram makes one window partition large, but the same rows
+    // would pile into one join partition too, and the count pass is a
+    // single streaming fold.
+    val marked = occ
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("cnt") > 1)
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + lit(k)).cast("long").as("e"))
     // Classic streaming interval merge as two windows over ONE doc_id

@@ -353,19 +353,29 @@ object IndexSink {
       k: Int = 10): DataFrame = {
     import graft.functions.TextFunctions.tokens
     require(k > 0, s"top-k must be positive, got $k")
-    // Driver-side analyzer — identical semantics to tokens() (both are
-    // Java-regex lowercase \W+ splits); the term list must be a Scala
-    // value for bm25's isin pushdown.
-    val terms = query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq
+    // Driver-side analyzer — identical semantics to tokens(): Java-
+    // regex \W+ split and LOCALE-ROOT lowercasing (Spark's lower() is
+    // locale-independent; a bare toLowerCase under e.g. a Turkish
+    // default locale folds I to dotless ı and silently matches
+    // nothing). The term list must be a Scala value for bm25's isin
+    // pushdown.
+    val terms = query.toLowerCase(java.util.Locale.ROOT)
+      .split("\\W+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, s"query '$query' analyzes to no tokens")
     val toks = spark.table(name)
       .select(col(key).as("doc_id"), tokens(col(field)).as("toks"))
     val scored = graft.operators.Retrieval.bm25(spark, toks, terms)
-    val kept = operator.toLowerCase match {
+    val kept = operator.toLowerCase(java.util.Locale.ROOT) match {
       case "and" => scored.filter(col("n_terms") === terms.size)
       case _     => scored
     }
-    kept.select(col("doc_id").as(key), col("score").as("_score"))
+    // Rank and emit the ROUNDED score (2 dp, key tie-break): the raw
+    // per-doc float sum's addition order is partition-dependent, so a
+    // last-ulp flip across runs of the SAME live index could reorder
+    // or re-cut the top-k — the q85 lesson, applied to the live
+    // surface.
+    val r2 = floor(col("score") * 100 + lit(0.5)) / 100
+    kept.select(col("doc_id").as(key), r2.as("_score"))
       .orderBy(col("_score").desc, col(key))
       .limit(k)
   }

@@ -90,6 +90,39 @@ class DsirSpec extends SparkSpec {
     assert(got(2L) < 0.0) // penalized: absent from the target
   }
 
+  test("an empty target feature frame yields finite weights, not NULL poison") {
+    import spark.implicits._
+    val B = 16
+    // Every target doc tokenizes to nothing → zero feature rows → the
+    // totals sum is over an empty table. nt must coalesce to 0 (the
+    // smoothed ratio is finite at zero counts), not propagate NULL
+    // into every weight.
+    val model = Dsir.train(spark,
+      Dsir.features(toksDf(Seq(1L -> Seq("a", "b"))), B),
+      Dsir.features(toksDf(Seq(2L -> Seq.empty[String])), B), B)
+    val got = Dsir.logWeights(spark,
+      Dsir.features(toksDf(Seq(1L -> Seq("a", "b"))), B), model)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (_, n, w) = got(0)
+    assert(n == 3L) // u|a, u|b, b|a b
+    assert(!w.isNaN && !w.isInfinite)
+    // Exact replay: every bucket has ct=0, and raw counts are one each
+    // (the three grams hash to distinct buckets or not — replay both
+    // sides locally to stay collision-proof).
+    val grams = Seq("u|a", "u|b", "b|a b")
+    val bs = grams.map(g => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("dsir|" + g).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % B
+    })
+    val rc = bs.groupBy(identity).map { case (b, xs) => b -> xs.size }
+    val want = bs.map(b => math.log(1.0 / (0 + B)) -
+      math.log((rc(b) + 1.0) / (3 + B))).sum
+    assert(math.abs(w - want) < 1e-12, s"got $w want $want")
+  }
+
   test("zero-count buckets smooth instead of producing -inf") {
     import spark.implicits._
     val B = 64

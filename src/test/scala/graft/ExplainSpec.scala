@@ -170,12 +170,17 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q87: span dedup is gram-keyed marking + a PARTITIONED merge, never all-pairs") {
+  test("q87: span dedup marks in ONE corpus pass + a PARTITIONED merge, never all-pairs") {
     val p = plan("q87_span_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
-    // The occurrence count partial-aggregates map-side before its
-    // gram-keyed exchange.
-    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // Duplicate marking is a gram-partitioned window count, not a
+    // groupBy + self-join — the join form computes the tokenize-and-
+    // explode subtree twice (its exchange children differ, defeating
+    // ReuseExchange). One scan of the corpus, total.
+    assert(!p.contains("Join"), p)
+    // explain("formatted") prints each node twice (tree + detail
+    // section), so ONE scan node == exactly two textual occurrences.
+    assert("Scan parquet".r.findAllIn(p).size == 2, p)
     // Both merge windows run per-doc — the unpartitioned-window trap
     // would funnel every marked gram through one task.
     assert(p.contains("windowspecdefinition(doc_id"), p)
