@@ -1277,6 +1277,19 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** q82's fused heuristic filter (length floor + stopword signal +
+    * repetition ceiling) as ONE scan-side predicate binding the token
+    * array once as a lambda variable — shared by q82 and the q92 full
+    * chain (see q82's plan commentary for why the let-binding matters).
+    */
+  private val curationKeep = expr(
+    """exists(array(filter(split(lower(text), '\\W+'), x -> x <> '')),
+      |  toks -> size(toks) >= 10
+      |    AND size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) > 0
+      |    AND 1.0 - CAST(size(array_distinct(transform(sequence(1, size(toks) - 2),
+      |          g -> concat_ws(' ', toks[g-1], toks[g], toks[g+1])))) AS DOUBLE)
+      |        / (size(toks) - 2) <= 0.05)""".stripMargin)
+
   val q82_curation_pipeline: QueryDef = q(
     "q82_curation_pipeline",
     s"""WITH tk AS (SELECT doc_id, source, text,
@@ -1316,15 +1329,8 @@ object TrainingData {
     // twice, the window form gives the whole pipeline exactly ONE
     // exchange (digest-keyed at 100 TB, per q31's note); the sample
     // filter stays map-side.
-    val keep = expr(
-      """exists(array(filter(split(lower(text), '\\W+'), x -> x <> '')),
-        |  toks -> size(toks) >= 10
-        |    AND size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) > 0
-        |    AND 1.0 - CAST(size(array_distinct(transform(sequence(1, size(toks) - 2),
-        |          g -> concat_ws(' ', toks[g-1], toks[g], toks[g+1])))) AS DOUBLE)
-        |        / (size(toks) - 2) <= 0.05)""".stripMargin)
     t(s, dir, "documents")
-      .filter(keep)
+      .filter(curationKeep)
       .select(col("doc_id"), col("source"), col("text"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("min_id",
@@ -1575,21 +1581,25 @@ object TrainingData {
       .orderBy("probe_id", "rnk")
   }
 
-  /** Shared span-dedup CTE chain (DuckDB), mirroring
-    * `operators/SpanDedup.duplicatedSpans` at k=8: every 8-gram
-    * occurrence hashed with the 'sd|' salt, corpus-wide count > 1
-    * marks, streaming interval merge (coalesce(prevMax, -1) replays
-    * the operator's null-is-open first-row case — positions are
-    * nonnegative).
+  /** The corpus tok CTE shared by the span-dedup oracles. */
+  private val docTokSql =
+    """tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |        FROM documents)""".stripMargin
+
+  /** Span-dedup merge chain (DuckDB), mirroring
+    * `operators/SpanDedup.duplicatedSpans` at k=8 over an existing
+    * `tok(doc_id, toks)` CTE (the plain corpus for q87/q88; the
+    * curation survivors for q92): every 8-gram occurrence hashed with
+    * the 'sd|' salt, corpus-wide count > 1 marks, streaming interval
+    * merge (coalesce(prevMax, -1) replays the operator's null-is-open
+    * first-row case — positions are nonnegative).
     */
-  private val spanSql = {
+  private val spanMergeSql = {
     val gram = (0 until 8).map {
       case 0 => "toks[g]"
       case i => s"toks[g+$i]"
     }.mkString(" || ' ' || ")
-    s"""tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
-       |        FROM documents),
-       |occ AS (SELECT doc_id, g - 1 AS pos, ${h64sql(s"concat('sd|', $gram)")} AS gh
+    s"""occ AS (SELECT doc_id, g - 1 AS pos, ${h64sql(s"concat('sd|', $gram)")} AS gh
        |        FROM tok, unnest(range(1, len(toks) - 6)) AS u(g)
        |        WHERE len(toks) >= 8),
        |dup AS (SELECT gh FROM (SELECT gh, count(*) AS c FROM occ GROUP BY 1) WHERE c > 1),
@@ -1606,7 +1616,8 @@ object TrainingData {
 
   val q87_span_dedup: QueryDef = q(
     "q87_span_dedup",
-    s"""WITH $spanSql
+    s"""WITH $docTokSql,
+       |$spanMergeSql
        |SELECT doc_id, span_start, span_end FROM merged
        |ORDER BY doc_id, span_start""".stripMargin
   ) { (s, dir) =>
@@ -1628,7 +1639,8 @@ object TrainingData {
 
   val q88_span_coverage: QueryDef = q(
     "q88_span_coverage",
-    s"""WITH $spanSql,
+    s"""WITH $docTokSql,
+       |$spanMergeSql,
        |cov AS (SELECT doc_id, count(*) AS n_spans, sum(span_end - span_start) AS dup_tok
        |        FROM merged GROUP BY 1),
        |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM tok)
@@ -1777,6 +1789,70 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  val q92_full_curation: QueryDef = q(
+    "q92_full_curation",
+    s"""WITH tk AS (SELECT doc_id, source, text,
+       |        list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+       |      FROM documents),
+       |m AS (SELECT doc_id, source, text, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+       |        len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in'], x))) AS n_stop,
+       |        1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+       |            g -> toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]))) AS DOUBLE)
+       |          / (len(toks) - 2) AS rep
+       |      FROM tk WHERE len(toks) >= 10),
+       |filt AS (SELECT doc_id, source, text, toks, n_tok FROM m
+       |         WHERE n_stop > 0 AND rep <= 0.05),
+       |ded AS (SELECT doc_id, source, toks, n_tok FROM (
+       |      SELECT doc_id, source, toks, n_tok,
+       |        min(doc_id) OVER (PARTITION BY text) AS min_id FROM filt)
+       |    WHERE doc_id = min_id),
+       |tok AS (SELECT doc_id, toks FROM ded),
+       |$spanMergeSql,
+       |cov AS (SELECT doc_id, sum(span_end - span_start) AS dup_tok FROM merged GROUP BY 1),
+       |kept AS (SELECT d.doc_id, d.source, d.n_tok FROM ded d LEFT JOIN cov USING (doc_id)
+       |         WHERE coalesce(dup_tok, 0) * 2 <= n_tok),
+       |bud AS (SELECT doc_id, source, n_tok,
+       |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+       |      FROM kept)
+       |SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+       |FROM bud WHERE cum_tok <= 600 ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // The ROUND-7 curation chain end-to-end — what a user runs over a
+    // crawl with this round's stages composed: q82's fused heuristic
+    // filters → exact dedup (window min per text) → SPAN-coverage cap
+    // (drop docs whose duplicated-run mass exceeds half their tokens —
+    // q87/q88's operator, computed over the dedup SURVIVORS, the
+    // honest staging) → per-source token budget (q91's partitioned
+    // cumulative window, 600 tokens/domain). Everything after the
+    // heuristic doubles is EXACT INTEGER arithmetic — the coverage cap
+    // is the cross-multiplied dup_tok·2 ≤ n_tok, so the whole chain
+    // hashes with no rounding guard. The survivor frame is
+    // localCheckpoint'd once (q66's pattern): it feeds both the span
+    // branch and the output join, and the two consumers would
+    // otherwise each re-run the filter+dedup subtree.
+    val ded = t(s, dir, "documents")
+      .filter(curationKeep)
+      .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("text")))
+      .filter(col("doc_id") === col("min_id"))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .localCheckpoint(true)
+    val cov = graft.operators.SpanDedup.duplicatedSpans(
+        ded.select("doc_id", "toks"), k = 8)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start")).as("dup_tok"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ded.join(cov, Seq("doc_id"), "left")
+      .filter(coalesce(col("dup_tok"), lit(0L)) * 2 <= col("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= 600)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("cum_tok").cast("bigint").as("cum_tok"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1788,5 +1864,5 @@ object TrainingData {
     q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction,
     q82_curation_pipeline, q83_ann_recall, q84_dsir_weights, q85_bm25,
     q86_hybrid_rrf, q87_span_dedup, q88_span_coverage, q89_filtered_ann,
-    q90_chunking, q91_source_budget)
+    q90_chunking, q91_source_budget, q92_full_curation)
 }
