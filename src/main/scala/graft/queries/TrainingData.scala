@@ -1853,6 +1853,58 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  val q93_passage_bm25: QueryDef = q(
+    "q93_passage_bm25",
+    s"""WITH $docTokSql,
+       |ck AS (SELECT doc_id, CAST(g / 24 AS BIGINT) AS chunk_id, toks[g + 1 : g + 32] AS ctoks
+       |       FROM tok, unnest(range(0, len(toks), 24)) AS u(g) WHERE len(toks) > 0),
+       |cstat AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |            CAST(sum(len(ctoks)) AS DOUBLE) / count(*) AS avgdl FROM ck),
+       |ctf AS (SELECT doc_id, chunk_id, term, count(*) AS tf, max(dl) AS dl
+       |        FROM (SELECT doc_id, chunk_id, len(ctoks) AS dl, unnest(ctoks) AS term FROM ck)
+       |        WHERE term IN ('data', 'spark', 'query') GROUP BY 1, 2, 3),
+       |cdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM ctf GROUP BY 1),
+       |cscored AS (SELECT doc_id, chunk_id,
+       |      sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+       |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+       |    FROM ctf JOIN cdf USING (term) CROSS JOIN cstat GROUP BY 1, 2),
+       |ranked AS (SELECT doc_id, chunk_id, score,
+       |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id, chunk_id) AS rnk
+       |    FROM cscored)
+       |SELECT doc_id, chunk_id, floor(score * 100 + 0.5) / 100 AS score, CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // PASSAGE retrieval — the RAG primitive: q90's chunking feeds
+    // q85's BM25, so relevance is scored per bounded chunk (tf, length
+    // normalization, df, and avgdl all at CHUNK granularity — a long
+    // doc cannot bury a dense passage). The retrieval unit is the
+    // composite (doc, chunk) key, carried through bm25 as a portable
+    // 'doc:chunk' string and unpacked for output — no numeric packing
+    // bound. Same one-corpus-shuffle shape as q85 over the chunk
+    // stream; selection on the rounded score with the numeric
+    // composite tie-break (q35 precedent).
+    val ck = tokenized(s, dir)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, size(toks) - 1, 24)")).as("st"))
+      .select(
+        concat_ws(":", col("doc_id"), (col("st") / 24).cast("long")).as("doc_id"),
+        expr("slice(toks, st + 1, 32)").as("toks"))
+    val scored = graft.operators.Retrieval.bm25(s, ck, bm25Terms)
+    val parts = split(col("doc_id"), ":")
+    val unpacked = scored.select(
+      parts.getItem(0).cast("long").as("doc_id"),
+      parts.getItem(1).cast("long").as("chunk_id"), col("score"))
+    val top = unpacked
+      .orderBy(Par.r2(col("score")).desc, col("doc_id"), col("chunk_id"))
+      .limit(10)
+    val w = Window.orderBy(Par.r2(col("score")).desc, col("doc_id"), col("chunk_id"))
+    top.withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"), col("chunk_id"),
+        Par.r2(col("score")).as("score"), col("rank"))
+      .orderBy("rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1864,5 +1916,5 @@ object TrainingData {
     q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction,
     q82_curation_pipeline, q83_ann_recall, q84_dsir_weights, q85_bm25,
     q86_hybrid_rrf, q87_span_dedup, q88_span_coverage, q89_filtered_ann,
-    q90_chunking, q91_source_budget, q92_full_curation)
+    q90_chunking, q91_source_budget, q92_full_curation, q93_passage_bm25)
 }
