@@ -189,18 +189,22 @@ object IvfPq {
     // Probe dimensions must tile exactly, like train/encode: a probe of
     // the wrong width would slice short, fold over min-length, and
     // score well-formed-but-meaningless cosines with no error anywhere
-    // (the silent-corruption class Pq.train exists to block). A null
-    // width aggregate = zero probes, not bad probes: return the empty
-    // result like Ivf.search/Pq.search instead of a confusing
-    // "probe dims [null, null]" require failure.
-    val d = probes.agg(
+    // (the silent-corruption class Pq.train exists to block). The row
+    // count rides the same aggregate to tell ZERO probes (empty result,
+    // like Ivf.search's lazily-empty behavior) apart from probes whose
+    // embeddings are all NULL (min/max skip nulls too — silently
+    // returning nothing for those would report corrupt input as "no
+    // matches").
+    val d = probes.agg(count(lit(1)),
       min(size(col("embedding"))), max(size(col("embedding")))).head()
-    if (d.isNullAt(0))
+    if (d.getLong(0) == 0L)
       return Similarity.emptyTopK(spark, probes.schema("vec_id").dataType,
         encoded.schema("vec_id").dataType, "pq_cos")
-    require(d.getInt(0) == nSub * model.pq.subDim
-        && d.getInt(1) == nSub * model.pq.subDim,
-      s"IvfPq.search: probe dims [${d.get(0)}, ${d.get(1)}] != " +
+    require(!d.isNullAt(1),
+      s"IvfPq.search: ${d.getLong(0)} probes, every embedding NULL")
+    require(d.getInt(1) == nSub * model.pq.subDim
+        && d.getInt(2) == nSub * model.pq.subDim,
+      s"IvfPq.search: probe dims [${d.get(1)}, ${d.get(2)}] != " +
         s"nSub*subDim = ${nSub * model.pq.subDim}")
     // nprobe nearest cells per probe — the ONE probe-cell rule
     // (Ivf.probeCells, shared with Ivf.search).

@@ -71,7 +71,11 @@ object Multimodal {
   private[graft] def decodeImageMeta(payload: Array[Byte]): Option[ImageMeta] = {
     if (payload == null || payload.isEmpty) return None
     scala.util.Try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the factory honors ImageIO.getUseCache (default true) and spools
+      // the stream to a java.io.tmpdir FILE — a disk round-trip + inode
+      // churn per image row, for bytes already in memory.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)

@@ -52,16 +52,23 @@ object NgramLm {
            |  i -> struct(toks[i] AS w1, toks[i+1] AS w2))""".stripMargin)
 
   /** Count unigrams and bigrams over (doc_id, toks). Two shuffles, both
-    * key-partitioned with map-side partial aggregation; `vocab` is the
-    * one driver-side action (a count — O(1) result).
+    * key-partitioned with map-side partial aggregation. The count
+    * tables localCheckpoint EAGERLY (training is the action, the
+    * `Dsir.train` pattern): each is consumed more than once per model
+    * use — uni by the vocab count AND every score/divergence join, bi
+    * by every score join — and without the materialization each
+    * consumer re-runs the corpus tokenize-explode-aggregate lineage.
+    * The vocab count then reads O(V) materialized blocks.
     */
   def train(spark: SparkSession, toks: DataFrame): Model = {
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
     val bi = toks.filter(size(col("toks")) >= 2)
       .select(explode(bigramExpr).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     Model(uni, bi, uni.count())
   }
 

@@ -135,17 +135,21 @@ object Pq {
     // over the shorter vector, so a narrower/wider probe would produce a
     // truncated numerator against a full-width norm — a well-formed but
     // meaningless pq_cos, the silent-corruption class train()'s corpus
-    // check exists to block. A null width aggregate = zero probes:
-    // return the empty result instead of a confusing require failure
-    // (matching Ivf.search's lazily-empty behavior).
-    val d = probes.agg(
+    // check exists to block. The row count rides the same aggregate to
+    // tell ZERO probes (empty result, matching Ivf.search's lazily-
+    // empty behavior) apart from probes whose embeddings are all NULL
+    // (min/max skip nulls too — silently returning nothing for those
+    // would report corrupt input as "no matches").
+    val d = probes.agg(count(lit(1)),
       min(size(col("embedding"))), max(size(col("embedding")))).head()
-    if (d.isNullAt(0))
+    if (d.getLong(0) == 0L)
       return Similarity.emptyTopK(spark, probes.schema("vec_id").dataType,
         encoded.schema("vec_id").dataType, "pq_cos")
-    require(d.getInt(0) == nSub * model.subDim
-        && d.getInt(1) == nSub * model.subDim,
-      s"Pq.search: probe dims [${d.get(0)}, ${d.get(1)}] != nSub*subDim" +
+    require(!d.isNullAt(1),
+      s"Pq.search: ${d.getLong(0)} probes, every embedding NULL")
+    require(d.getInt(1) == nSub * model.subDim
+        && d.getInt(2) == nSub * model.subDim,
+      s"Pq.search: probe dims [${d.get(1)}, ${d.get(2)}] != nSub*subDim" +
         s" = ${nSub * model.subDim}")
     // Per-probe lookup tables: one per subspace, probes × k rows each —
     // tiny, broadcast. t = dot(probe-slice, centroid) through the same

@@ -12,34 +12,49 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * sink gets this for free from OpenSearch's server-side coordination;
   * a shared-filesystem index has to build it from FS primitives.
   *
-  * Protocol (everything through the Hadoop FileSystem API, so it works
-  * unchanged on HDFS and local paths):
-  *  - ACQUIRE: `create(path, overwrite = false)` — atomic on HDFS and
-  *    local filesystems; exactly one contender wins the create. The
-  *    file body carries holder diagnostics only (host, pid, epoch
-  *    millis); liveness rides on file MTIME, not content.
+  * Protocol (through the Hadoop FileSystem API, with an O_EXCL escape
+  * hatch for `file://`):
+  *  - ACQUIRE: atomic create-no-overwrite — `create(path, overwrite =
+  *    false)` on HDFS; `java.nio.Files.createFile` (O_EXCL) on local
+  *    paths, because Hadoop's RawLocalFileSystem implements the
+  *    no-overwrite create as a NON-atomic exists-then-open, which would
+  *    let two same-box contenders both win. The file body carries the
+  *    holder's ownership TOKEN and TTL plus diagnostics; liveness rides
+  *    on file MTIME. A create that succeeds but fails to write the body
+  *    deletes the file before reporting failure — an unowned tokenless
+  *    lease would otherwise block all maintenance for a full TTL.
   *  - RENEW: a daemon heartbeat re-touches the mtime (`setTimes`) every
   *    ttl/3 while held — an atomic metadata op, so readers never see a
   *    torn renewal. Long maintenance (a 100 TB compaction's snapshot
   *    shuffle) therefore holds the lease indefinitely while healthy.
-  *  - SELF-HEAL: a lease whose mtime is older than `ttlMs` belongs to a
-  *    crashed (or wedged) holder — ≥3 consecutive heartbeats missed. A
+  *  - SELF-HEAL: a lease whose mtime is older than the TTL RECORDED IN
+  *    ITS OWN BODY (fallback: the contender's TTL, for a torn body)
+  *    belongs to a crashed or wedged holder — ≥3 consecutive missed
+  *    heartbeats *by the holder's own cadence*. Judging by the
+  *    contender's TTL instead would let a short-TTL contender break a
+  *    healthy long-TTL holder between its (longer-spaced) beats. A
   *    contender breaks it by atomically RENAMING it to a unique
   *    tombstone (only one breaker can win the rename, so concurrent
   *    breakers never double-free) and deleting the tombstone, then
   *    retries acquisition.
-  *  - RELEASE: delete the file ([[close]]; idempotent).
+  *  - RELEASE: delete the file ONLY if it still carries this holder's
+  *    token ([[close]]; idempotent). An unconditional delete would free
+  *    a SUCCESSOR's healthy lease whenever this holder had been
+  *    TTL-broken during a long stall — the delete would succeed, on
+  *    someone else's lease, and a third contender would then compact
+  *    concurrently with the successor.
   *
   * Honest limits (inherent to TTL leases without fencing tokens): a
   * holder PAUSED past the full TTL — a stop-the-world GC spanning three
-  * missed heartbeats — can race its breaker. Size `ttlMs` well above
-  * worst-case pause, not above maintenance duration (the heartbeat
-  * covers duration). And object stores without atomic create-no-
-  * overwrite (S3 without conditional writes) weaken acquisition to
-  * best-effort; HDFS/local are exact.
+  * missed heartbeats — can race its breaker in the check-then-act
+  * windows (stale-check vs a landing beat; token-read vs delete on
+  * release). Size `ttlMs` well above worst-case pause, not above
+  * maintenance duration (the heartbeat covers duration). And object
+  * stores without atomic create-no-overwrite (S3 without conditional
+  * writes) weaken acquisition to best-effort; HDFS/local are exact.
   */
 final class MaintenanceLease private (fs: FileSystem, val path: Path,
-    ttlMs: Long) extends AutoCloseable {
+    ttlMs: Long, token: String) extends AutoCloseable {
 
   @volatile private var released = false
 
@@ -51,15 +66,19 @@ final class MaintenanceLease private (fs: FileSystem, val path: Path,
       catch { case _: Exception => () }
     }, math.max(1, ttlMs / 3), math.max(1, ttlMs / 3), TimeUnit.MILLISECONDS)
 
-  /** Release: stop renewing, delete the lease file. Idempotent; a
-    * failed delete (lease already broken by a TTL breaker after a long
-    * pause) is not an error — the breaker already freed it.
+  /** Release: stop renewing, delete the lease file IF STILL OURS (the
+    * body carries our token — after a TTL break + re-acquire the file
+    * at this path belongs to the successor and must survive our
+    * release). Idempotent; read/delete failures are not errors — a
+    * breaker already freed it.
     */
   override def close(): Unit = {
     released = true
     beat.cancel(false)
-    try fs.delete(path, false)
-    catch { case _: Exception => () }
+    try {
+      if (MaintenanceLease.readBody(fs, path).exists(_.contains(s"token=$token")))
+        fs.delete(path, false)
+    } catch { case _: Exception => () }
   }
 }
 
@@ -98,13 +117,18 @@ object MaintenanceLease {
     var first = true
     while (first || System.currentTimeMillis() <= deadline) {
       first = false
-      if (tryCreate(fs, path)) return Some(new MaintenanceLease(fs, path, ttlMs))
+      tryCreate(fs, path, ttlMs) match {
+        case Some(tok) => return Some(new MaintenanceLease(fs, path, ttlMs, tok))
+        case None =>
+      }
       breakIfStale(fs, path, ttlMs)
       if (timeoutMs == 0) {
         // Try-once: one more create in case the stale-break just freed
         // it; otherwise report "held" without waiting.
-        if (tryCreate(fs, path)) return Some(new MaintenanceLease(fs, path, ttlMs))
-        return None
+        tryCreate(fs, path, ttlMs) match {
+          case Some(tok) => return Some(new MaintenanceLease(fs, path, ttlMs, tok))
+          case None => return None
+        }
       }
       Thread.sleep(100)
     }
@@ -113,18 +137,62 @@ object MaintenanceLease {
         "another process is (or a wedged one was) maintaining this index")
   }
 
-  private def tryCreate(fs: FileSystem, path: Path): Boolean =
-    try {
-      val out = fs.create(path, false) // atomic no-overwrite: one winner
-      try out.write(
-        s"${java.net.InetAddress.getLocalHost.getHostName} pid=${ProcessHandle.current().pid()} t=${System.currentTimeMillis()}\n"
-          .getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch { case _: IOException => false } // exists (or transient): not ours
+  /** One atomic create attempt; Some(ownership token) on the win. */
+  private def tryCreate(fs: FileSystem, path: Path, ttlMs: Long): Option[String] = {
+    val token = java.util.UUID.randomUUID().toString
+    val body =
+      (s"token=$token ttl=$ttlMs " +
+        s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+        s"pid=${ProcessHandle.current().pid()} t=${System.currentTimeMillis()}\n")
+        .getBytes(StandardCharsets.UTF_8)
+    val created =
+      if ("file".equalsIgnoreCase(fs.getScheme)) {
+        // RawLocalFileSystem's create(overwrite = false) is exists-then-
+        // open — NOT atomic. O_EXCL through nio is.
+        val local = java.nio.file.Paths.get(path.toUri.getPath)
+        try {
+          Option(local.getParent).foreach(java.nio.file.Files.createDirectories(_))
+          java.nio.file.Files.createFile(local)
+          true
+        } catch { case _: IOException => false } // exists / racing loser
+      } else {
+        try { fs.create(path, false).close(); true }
+        catch { case _: IOException => false }
+      }
+    if (!created) None
+    else {
+      // Body write is a separate step on both schemes; a failure here
+      // must not leave an unowned (tokenless) lease squatting for a
+      // full TTL — delete what we just created and report no-win.
+      try {
+        val out = fs.create(path, true)
+        try out.write(body) finally out.close()
+        Some(token)
+      } catch {
+        case _: IOException =>
+          try fs.delete(path, false) catch { case _: Exception => () }
+          None
+      }
+    }
+  }
 
-  /** Break a lease whose mtime proves ≥ TTL of missed heartbeats. The
-    * atomic rename-to-tombstone means exactly one breaker frees it; the
+  private[streaming] def readBody(fs: FileSystem, path: Path): Option[String] =
+    try {
+      val in = fs.open(path)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Break a lease whose mtime proves ≥ TTL of missed heartbeats — the
+    * HOLDER's TTL, read from the lease body, so a short-TTL contender
+    * never breaks a healthy long-TTL holder between its beats (torn or
+    * unreadable body: fall back to the contender's TTL). The atomic
+    * rename-to-tombstone means exactly one breaker frees it; the
     * check-then-rename window (a live holder's beat landing in between)
     * is the no-fencing limit documented on the class.
     */
@@ -136,7 +204,11 @@ object MaintenanceLease {
         case _: IOException => None
       }
     mtime.foreach { m =>
-      if (System.currentTimeMillis() - m > ttlMs) {
+      val holderTtl = readBody(fs, path)
+        .flatMap("""ttl=(\d+)""".r.findFirstMatchIn(_))
+        .map(_.group(1).toLong)
+        .getOrElse(ttlMs)
+      if (System.currentTimeMillis() - m > holderTtl) {
         val tomb = new Path(path.getParent,
           path.getName + ".broken-" + java.util.UUID.randomUUID())
         val won = try fs.rename(path, tomb) catch { case _: IOException => false }

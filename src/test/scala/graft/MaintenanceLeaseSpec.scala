@@ -60,6 +60,41 @@ class MaintenanceLeaseSpec extends SparkSpec {
     } finally a.close()
   }
 
+  test("lease: release after a TTL break must NOT free the successor's lease") {
+    val tmp = Files.createTempDirectory("graft-lease-succ").toString
+    val p = hp(s"$tmp/idx.maintenance.lease")
+    val a = MaintenanceLease.acquire(fs, p, ttlMs = 60000).get
+    // Simulate A stalling past its TTL: age the mtime far beyond 60s,
+    // and let B break + re-acquire.
+    fs.setTimes(p, System.currentTimeMillis() - 120000, -1)
+    val b = MaintenanceLease.acquire(fs, p, ttlMs = 60000, timeoutMs = 0)
+    assert(b.nonEmpty, "stale lease must break for the successor")
+    // A resumes and releases: the file at this path is B's now — an
+    // unconditional delete would free it and let a third contender in.
+    a.close()
+    assert(fs.exists(p), "A's release deleted B's lease")
+    assert(MaintenanceLease.acquire(fs, p, timeoutMs = 0).isEmpty,
+      "B's lease must still be held after A's release")
+    b.get.close()
+    assert(!fs.exists(p))
+  }
+
+  test("lease: staleness is judged by the HOLDER's recorded TTL, not the contender's") {
+    val tmp = Files.createTempDirectory("graft-lease-ttl").toString
+    val p = hp(s"$tmp/idx.maintenance.lease")
+    // Holder with a long TTL (beats every ~20s — none lands during the
+    // test); its mtime is 5s old: stale by a 1s contender's bar, fresh
+    // by its own 60s bar.
+    val a = MaintenanceLease.acquire(fs, p, ttlMs = 60000).get
+    try {
+      fs.setTimes(p, System.currentTimeMillis() - 5000, -1)
+      val b = MaintenanceLease.acquire(fs, p, ttlMs = 1000, timeoutMs = 0)
+      assert(b.isEmpty,
+        "a short-TTL contender broke a healthy long-TTL holder's lease")
+      assert(fs.exists(p))
+    } finally a.close()
+  }
+
   test("compact waits on a foreign lease, throws past timeout, heals stale") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-lease-compact").toString

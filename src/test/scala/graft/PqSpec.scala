@@ -92,6 +92,15 @@ class PqSpec extends SparkSpec {
     val none = Pq.search(spark, enc, model, emb.filter(col("vec_id") < 0), k = 3)
     assert(none.count() == 0)
     assert(none.columns.toSeq == Seq("probe_id", "neighbor_id", "pq_cos", "rnk"))
+    // But probes that EXIST with all-NULL embeddings are corrupt input,
+    // not "no matches" — min/max skip nulls, so without the row count
+    // this case was silently reported as empty.
+    val allNull = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"))
+    val exNull = intercept[IllegalArgumentException] {
+      Pq.search(spark, enc, model, allNull, k = 3)
+    }
+    assert(exNull.getMessage.contains("every embedding NULL"))
   }
 
   test("PQ quantization error shrinks as codebooks grow") {
