@@ -24,11 +24,13 @@ import graft.functions.TextFunctions.h64
   */
 object Chunker {
 
-  /** (doc_id, chunk_id, start_tok, n_tok, chunk_hash) for every chunk
-    * of `toks` = (doc_id, toks: array&lt;string&gt;). Docs with zero tokens
-    * emit nothing.
+  /** The chunking rule itself: (doc_id, chunk_id, start_tok, ctoks)
+    * with `ctoks` the chunk's token slice — the ONE place the
+    * start/stride/slice contract lives. [[chunks]] projects it to the
+    * hashed catalog row; retrieval consumers (q93's passage BM25) score
+    * `ctoks` directly.
     */
-  def chunks(toks: DataFrame, size: Int, stride: Int): DataFrame = {
+  def chunkTokens(toks: DataFrame, size: Int, stride: Int): DataFrame = {
     require(size > 0, s"chunk size must be positive, got $size")
     require(stride > 0 && stride <= size,
       s"stride must be in [1, size=$size], got $stride")
@@ -38,10 +40,16 @@ object Chunker {
       .select(col("doc_id"),
         (col("start_tok") / stride).cast("bigint").as("chunk_id"),
         col("start_tok").cast("bigint").as("start_tok"),
-        least(lit(size), expr("size(toks)") - col("start_tok"))
-          .cast("bigint").as("n_tok"),
-        h64(concat(lit("ck|"),
-          expr(s"concat_ws(' ', slice(toks, start_tok + 1, $size))")))
-          .as("chunk_hash"))
+        expr(s"slice(toks, start_tok + 1, $size)").as("ctoks"))
   }
+
+  /** (doc_id, chunk_id, start_tok, n_tok, chunk_hash) for every chunk
+    * of `toks` = (doc_id, toks: array&lt;string&gt;). Docs with zero tokens
+    * emit nothing.
+    */
+  def chunks(toks: DataFrame, size: Int, stride: Int): DataFrame =
+    chunkTokens(toks, size, stride)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        org.apache.spark.sql.functions.size(col("ctoks")).cast("bigint").as("n_tok"),
+        h64(concat(lit("ck|"), concat_ws(" ", col("ctoks")))).as("chunk_hash"))
 }

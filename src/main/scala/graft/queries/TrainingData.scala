@@ -1469,15 +1469,20 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  /** Shared BM25 CTE chain (DuckDB): Lucene-default BM25 (k1=1.2,
-    * b=0.75) of every doc carrying a query term, mirroring
-    * `operators/Retrieval.bm25` — exact long-sum avgdl, dl riding the
-    * tf agg, the same left-associated scoring chain.
+  /** The corpus `tok(doc_id, toks)` CTE shared by the BM25, span-dedup,
+    * and chunking oracles.
+    */
+  private val docTokSql =
+    """tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |        FROM documents)""".stripMargin
+
+  /** Shared BM25 CTE chain (DuckDB) over an existing `tok` CTE:
+    * Lucene-default BM25 (k1=1.2, b=0.75) of every doc carrying a query
+    * term, mirroring `operators/Retrieval.bm25` — exact long-sum avgdl,
+    * dl riding the tf agg, the same left-associated scoring chain.
     */
   private val bm25Sql =
-    """tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
-      |        FROM documents),
-      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+    """stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
       |            CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tok),
       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
       |       FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
@@ -1490,9 +1495,23 @@ object TrainingData {
 
   private val bm25Terms = Seq("data", "spark", "query")
 
+  /** Top-`n` of a BM25 `scored` frame by the ROUNDED score with
+    * deterministic key tie-breaks: TakeOrderedAndProject selection
+    * (per-partition top-k, never a global sort/window over the scored
+    * corpus) first, then the rank window over just the survivors —
+    * q35's shape, shared by q85/q86/q93. Adds `rnk` (int).
+    */
+  private def rankedTopByScore(scored: org.apache.spark.sql.DataFrame,
+      n: Int, tie: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val ord = Par.r2(col("score")).desc +: tie.map(col)
+    scored.orderBy(ord: _*).limit(n)
+      .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
+  }
+
   val q85_bm25: QueryDef = q(
     "q85_bm25",
-    s"""WITH $bm25Sql,
+    s"""WITH $docTokSql,
+       |$bm25Sql,
        |ranked AS (SELECT doc_id, score,
        |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
        |    FROM bscored)
@@ -1507,16 +1526,16 @@ object TrainingData {
     // just the 10 survivors. Scale shape: one corpus shuffle (the tf
     // agg, document length riding along), stats and df broadcast.
     val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
-    val top = scored.orderBy(Par.r2(col("score")).desc, col("doc_id")).limit(10)
-    val w = Window.orderBy(Par.r2(col("score")).desc, col("doc_id"))
-    top.withColumn("rank", row_number().over(w).cast("bigint"))
-      .select(col("doc_id"), Par.r2(col("score")).as("score"), col("rank"))
+    rankedTopByScore(scored, 10, Seq("doc_id"))
+      .select(col("doc_id"), Par.r2(col("score")).as("score"),
+        col("rnk").cast("bigint").as("rank"))
       .orderBy("rank")
   }
 
   val q86_hybrid_rrf: QueryDef = q(
     "q86_hybrid_rrf",
-    s"""WITH $bm25Sql,
+    s"""WITH $docTokSql,
+       |$bm25Sql,
        |brank AS (SELECT doc_id, rnk FROM (
        |      SELECT doc_id, row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
        |      FROM bscored) WHERE rnk <= 20),
@@ -1558,9 +1577,7 @@ object TrainingData {
     // corpus scan on the vector side and the tf agg is the only
     // corpus shuffle on the text side.
     val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
-    val btop = scored.orderBy(Par.r2(col("score")).desc, col("doc_id")).limit(20)
-    val bw = Window.orderBy(Par.r2(col("score")).desc, col("doc_id"))
-    val brank = btop.withColumn("rnk", row_number().over(bw))
+    val brank = rankedTopByScore(scored, 20, Seq("doc_id"))
       .select(col("doc_id"), col("rnk"))
     val nrm = normed(s, dir)
     val probes = nrm.filter(col("vec_id") < 3).select(
@@ -1580,11 +1597,6 @@ object TrainingData {
       .select(col("probe_id"), col("doc_id"), col("rrf"), col("rnk"))
       .orderBy("probe_id", "rnk")
   }
-
-  /** The corpus tok CTE shared by the span-dedup oracles. */
-  private val docTokSql =
-    """tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
-      |        FROM documents)""".stripMargin
 
   /** Span-dedup merge chain (DuckDB), mirroring
     * `operators/SpanDedup.duplicatedSpans` at k=8 over an existing
@@ -1726,8 +1738,7 @@ object TrainingData {
 
   val q90_chunking: QueryDef = q(
     "q90_chunking",
-    s"""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
-       |             FROM documents),
+    s"""WITH $docTokSql,
        |ck AS (SELECT doc_id, g AS start_tok, len(toks) AS n, toks
        |       FROM tok, unnest(range(0, len(toks), 24)) AS u(g)
        |       WHERE len(toks) > 0)
@@ -1883,25 +1894,17 @@ object TrainingData {
     // bound. Same one-corpus-shuffle shape as q85 over the chunk
     // stream; selection on the rounded score with the numeric
     // composite tie-break (q35 precedent).
-    val ck = tokenized(s, dir)
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), col("toks"),
-        explode(expr("sequence(0, size(toks) - 1, 24)")).as("st"))
-      .select(
-        concat_ws(":", col("doc_id"), (col("st") / 24).cast("long")).as("doc_id"),
-        expr("slice(toks, st + 1, 32)").as("toks"))
+    val ck = graft.operators.Chunker.chunkTokens(tokenized(s, dir), size = 32, stride = 24)
+      .select(concat_ws(":", col("doc_id"), col("chunk_id")).as("doc_id"),
+        col("ctoks").as("toks"))
     val scored = graft.operators.Retrieval.bm25(s, ck, bm25Terms)
     val parts = split(col("doc_id"), ":")
     val unpacked = scored.select(
       parts.getItem(0).cast("long").as("doc_id"),
       parts.getItem(1).cast("long").as("chunk_id"), col("score"))
-    val top = unpacked
-      .orderBy(Par.r2(col("score")).desc, col("doc_id"), col("chunk_id"))
-      .limit(10)
-    val w = Window.orderBy(Par.r2(col("score")).desc, col("doc_id"), col("chunk_id"))
-    top.withColumn("rank", row_number().over(w).cast("bigint"))
+    rankedTopByScore(unpacked, 10, Seq("doc_id", "chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
-        Par.r2(col("score")).as("score"), col("rank"))
+        Par.r2(col("score")).as("score"), col("rnk").cast("bigint").as("rank"))
       .orderBy("rank")
   }
 
