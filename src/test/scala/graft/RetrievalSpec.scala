@@ -119,6 +119,45 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(got((0L, 6L)) - 1.0 / 11) < 1e-15)
   }
 
+  test("bm25 matches the local replay on seeded random corpora") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("x", "y", "z", "w", "pad")
+    (1 to 6).foreach { trial =>
+      val corpus = Seq.tabulate(8) { i =>
+        i.toLong -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val terms = Seq("x", "y")
+      val got = run(corpus, terms)
+      val want = bm25Local(corpus, terms)
+      assert(got.keySet == want.keySet, s"trial $trial keys on $corpus")
+      want.foreach { case (id, sc) =>
+        assert(math.abs(got(id) - sc) < 1e-9,
+          s"trial $trial doc $id: got ${got(id)}, want $sc")
+      }
+    }
+  }
+
+  test("rrf matches a local fold on seeded random rank lists") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    (1 to 5).foreach { trial =>
+      // 3 lists, each ranking a random subset of 10 docs.
+      val lists = Seq.fill(3)(
+        rnd.shuffle((0L until 10L).toList).take(1 + rnd.nextInt(9)).zipWithIndex
+          .map { case (d, i) => (d, i + 1) })
+      val got = Retrieval.rrf(lists.map(_.toDF("doc_id", "rnk")), Seq("doc_id"), k = 60)
+        .as[(Long, Double)].collect().toMap
+      val want = lists.flatMap(_.map(_._1)).distinct.map { d =>
+        d -> lists.map(_.collectFirst { case (`d`, r) => 1.0 / (60.0 + r) }
+          .getOrElse(0.0)).reduce(_ + _)
+      }.toMap
+      assert(got.keySet == want.keySet, s"trial $trial")
+      want.foreach { case (d, v) =>
+        assert(math.abs(got(d) - v) < 1e-15, s"trial $trial doc $d")
+      }
+    }
+  }
+
   test("bm25 rejects an empty term list; rrf rejects bad inputs") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25(spark, toksDf(Seq(1L -> Seq("a"))), Seq.empty)
