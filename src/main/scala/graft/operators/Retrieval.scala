@@ -78,6 +78,68 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
   }
 
+  /** A materialized text index: the postings list plus its corpus
+    * statistics — what OpenSearch maintains incrementally and
+    * [[bm25]] recomputes per query. Build once per index state, then
+    * every query costs only the postings OF ITS TERMS.
+    * `postings`: (term, doc_id, tf, dl); `df`: (term, df) over the
+    * full vocabulary; `stats`: one row (n, avgdl).
+    */
+  final case class TextIndex(postings: DataFrame, df: DataFrame, stats: DataFrame)
+
+  /** ONE corpus pass builds the index ([[Dsir.train]]'s eager-
+    * materialization pattern): the postings groupBy is the only
+    * corpus-sized shuffle, document length rides it, df derives from
+    * the materialized postings (vocab-bounded), stats from the raw
+    * lengths (one scalar agg). In-session the artifacts localCheckpoint;
+    * a production deployment writes `postings` as a parquet table
+    * BUCKETED BY term, so a query's `term IN (...)` filter prunes to
+    * the matching buckets — the scan-pruned analogue of reading a
+    * postings list, with no server to keep alive.
+    */
+  def buildTextIndex(spark: SparkSession, toks: DataFrame): TextIndex = {
+    val stats = toks
+      .select(size(col("toks")).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .localCheckpoint(true)
+    val postings = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .localCheckpoint(true)
+    val df = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+      .localCheckpoint(true)
+    TextIndex(postings, df, stats)
+  }
+
+  /** [[bm25]] semantics served FROM the index: (doc_id, n_terms,
+    * score), bit-identical to scoring the corpus directly (the same
+    * left-associated chain over the same exact counts) — but the only
+    * data touched is the query terms' postings (scan-side `isin`,
+    * bucket-prunable when the postings are a bucketed table) and the
+    * matching ≤|terms| df rows. No corpus scan, no corpus shuffle:
+    * the per-query cost is proportional to the result's postings, the
+    * property that makes a search endpoint cheap to hit repeatedly.
+    */
+  def bm25FromIndex(spark: SparkSession, index: TextIndex, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    index.postings.filter(col("term").isin(terms: _*))
+      .join(broadcast(index.df.filter(col("term").isin(terms: _*))), "term")
+      .crossJoin(broadcast(index.stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1)
+            * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
+  }
+
   /** Reciprocal rank fusion (Cormack et al. 2009) of rank lists:
     * every input frame carries `keys` plus a 1-based `rnk` column;
     * the result is (keys..., rrf) with

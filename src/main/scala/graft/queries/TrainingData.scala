@@ -1908,6 +1908,33 @@ object TrainingData {
       .orderBy("rank")
   }
 
+  val q94_bm25_postings: QueryDef = q(
+    "q94_bm25_postings",
+    s"""WITH $docTokSql,
+       |$bm25Sql,
+       |ranked AS (SELECT doc_id, score,
+       |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |    FROM bscored)
+       |SELECT doc_id, floor(score * 100 + 0.5) / 100 AS score, CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // q85's ranking served FROM A MATERIALIZED POSTINGS INDEX
+    // (Retrieval.buildTextIndex → bm25FromIndex): build once — the one
+    // corpus shuffle — then the query touches only its terms' postings
+    // and df rows (scan-side isin; bucket-pruned when the postings are
+    // a term-bucketed table). Same oracle as q85 because the scoring
+    // chain and counts are identical; what changes is the ARCHITECTURE:
+    // per-query cost proportional to matching postings, not the corpus
+    // — the OpenSearch-analogue a query-heavy workload needs, with the
+    // index as a reusable artifact instead of a server.
+    val index = graft.operators.Retrieval.buildTextIndex(s, tokenized(s, dir))
+    val scored = graft.operators.Retrieval.bm25FromIndex(s, index, bm25Terms)
+    rankedTopByScore(scored, 10, Seq("doc_id"))
+      .select(col("doc_id"), Par.r2(col("score")).as("score"),
+        col("rnk").cast("bigint").as("rank"))
+      .orderBy("rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1919,5 +1946,6 @@ object TrainingData {
     q78_opq_ann, q79_lm_score, q80_source_kl, q81_dup_gram_fraction,
     q82_curation_pipeline, q83_ann_recall, q84_dsir_weights, q85_bm25,
     q86_hybrid_rrf, q87_span_dedup, q88_span_coverage, q89_filtered_ann,
-    q90_chunking, q91_source_budget, q92_full_curation, q93_passage_bm25)
+    q90_chunking, q91_source_budget, q92_full_curation, q93_passage_bm25,
+    q94_bm25_postings)
 }

@@ -186,6 +186,17 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(doc_id"), p)
   }
 
+  test("q94: the postings query never re-scans the corpus") {
+    val p = plan("q94_bm25_postings")
+    // The query side reads the MATERIALIZED index blocks (ExistingRDD
+    // from the build-time localCheckpoint) — a parquet scan here means
+    // the 'index' recomputed the corpus per query, the exact cost the
+    // postings architecture exists to remove.
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q82: curation pipeline fuses filters into one pass, one hash exchange") {
     val p = plan("q82_curation_pipeline")
     // Dedup is a partitioned window min — no self-join (the join form

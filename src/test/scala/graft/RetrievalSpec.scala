@@ -158,6 +158,47 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25FromIndex equals the direct corpus scoring on seeded random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val vocab = Vector("x", "y", "z", "w", "pad")
+    (1 to 4).foreach { trial =>
+      val corpus = Seq.tabulate(8) { i =>
+        i.toLong -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val terms = Seq("x", "y", "z")
+      val index = Retrieval.buildTextIndex(spark, toksDf(corpus))
+      val viaIndex = Retrieval.bm25FromIndex(spark, index, terms)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val direct = Retrieval.bm25(spark, toksDf(corpus), terms)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(viaIndex.keySet == direct.keySet, s"trial $trial")
+      direct.foreach { case (id, (n, sc)) =>
+        assert(viaIndex(id)._1 == n, s"trial $trial doc $id n_terms")
+        // per-(doc,term) scores are bit-identical; only the per-doc sum
+        // order can differ between the two plans — ulp slack.
+        assert(math.abs(viaIndex(id)._2 - sc) < 1e-12, s"trial $trial doc $id")
+      }
+    }
+  }
+
+  test("the index answers a query the corpus scan would have to re-derive") {
+    import spark.implicits._
+    // A second query against the SAME index reuses the materialized
+    // postings — df covers the full vocabulary up front.
+    val corpus = Seq(1L -> Seq("a", "b", "a"), 2L -> Seq("b", "c"))
+    val index = Retrieval.buildTextIndex(spark, toksDf(corpus))
+    val q1 = Retrieval.bm25FromIndex(spark, index, Seq("a"))
+      .select("doc_id").as[Long].collect().toSet
+    val q2 = Retrieval.bm25FromIndex(spark, index, Seq("c"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(q1 == Set(1L) && q2 == Set(2L))
+    // Postings carry exact tf/dl: doc1 has tf(a)=2, dl=3.
+    val p = index.postings.filter(col("term") === "a")
+      .as[(String, Long, Long, Long)].collect()
+    assert(p.toSeq == Seq(("a", 1L, 2L, 3L)))
+  }
+
   test("bm25 rejects an empty term list; rrf rejects bad inputs") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25(spark, toksDf(Seq(1L -> Seq("a"))), Seq.empty)
