@@ -140,6 +140,30 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
   }
 
+  /** Persist `index` as warehouse tables, the postings BUCKETED BY
+    * term (`<name>_postings`, `<name>_df`, `<name>_stats`): at 100 TB
+    * the postings table is the index, and bucketing by the query key
+    * is what turns a term lookup into a pruned scan —
+    * [[readTextIndex]]'s `term IN (...)` filter reads only the
+    * matching buckets (the plan shows `SelectedBucketsCount`, pinned
+    * in the spec), the scan-pruned analogue of a postings-list read
+    * with no server to keep alive. Sorted within buckets so min/max
+    * stats prune row groups too.
+    */
+  def writeTextIndex(index: TextIndex, name: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    index.postings.write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"${name}_postings")
+    index.df.write.mode("overwrite").saveAsTable(s"${name}_df")
+    index.stats.write.mode("overwrite").saveAsTable(s"${name}_stats")
+  }
+
+  /** Reopen a [[writeTextIndex]] index by name. */
+  def readTextIndex(spark: SparkSession, name: String): TextIndex =
+    TextIndex(spark.table(s"${name}_postings"), spark.table(s"${name}_df"),
+      spark.table(s"${name}_stats"))
+
   /** Reciprocal rank fusion (Cormack et al. 2009) of rank lists:
     * every input frame carries `keys` plus a 1-based `rnk` column;
     * the result is (keys..., rrf) with

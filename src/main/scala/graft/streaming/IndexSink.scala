@@ -359,21 +359,66 @@ object IndexSink {
     // default locale folds I to dotless ı and silently matches
     // nothing). The term list must be a Scala value for bm25's isin
     // pushdown.
+    val terms = analyzeQuery(query)
+    val toks = spark.table(name)
+      .select(col(key).as("doc_id"), tokens(col(field)).as("toks"))
+    finishRanked(graft.operators.Retrieval.bm25(spark, toks, terms),
+      key, terms.size, operator, k)
+  }
+
+  /** [[rankedMatch]] served from a PREBUILT postings index
+    * ([[textIndex]] / `Retrieval.buildTextIndex`): same analyzer, same
+    * scoring, but the query touches only its terms' postings instead
+    * of re-scanning the view — the shape for a query-heavy endpoint.
+    * Rebuild (or `Retrieval.writeTextIndex`-persist) the index per
+    * delivered epoch batch; incremental per-epoch postings maintenance
+    * is future work.
+    */
+  def rankedMatch(spark: SparkSession, index: graft.operators.Retrieval.TextIndex,
+      key: String, query: String, operator: String, k: Int): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    val terms = analyzeQuery(query)
+    finishRanked(graft.operators.Retrieval.bm25FromIndex(spark, index, terms),
+      key, terms.size, operator, k)
+  }
+
+  /** One corpus pass over the registered view builds the reusable
+    * postings index for the index-backed [[rankedMatch]] overload.
+    */
+  def textIndex(spark: SparkSession, name: String, field: String,
+      key: String): graft.operators.Retrieval.TextIndex = {
+    import graft.functions.TextFunctions.tokens
+    graft.operators.Retrieval.buildTextIndex(spark,
+      spark.table(name).select(col(key).as("doc_id"), tokens(col(field)).as("toks")))
+  }
+
+  /** Driver-side analyzer — identical semantics to tokens(): Java-
+    * regex \\W+ split and LOCALE-ROOT lowercasing (Spark's lower() is
+    * locale-independent; a bare toLowerCase under e.g. a Turkish
+    * default locale folds I to dotless ı and silently matches
+    * nothing). The term list must be a Scala value for bm25's isin
+    * pushdown.
+    */
+  private def analyzeQuery(query: String): Seq[String] = {
     val terms = query.toLowerCase(java.util.Locale.ROOT)
       .split("\\W+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, s"query '$query' analyzes to no tokens")
-    val toks = spark.table(name)
-      .select(col(key).as("doc_id"), tokens(col(field)).as("toks"))
-    val scored = graft.operators.Retrieval.bm25(spark, toks, terms)
+    terms
+  }
+
+  /** Shared tail of both rankedMatch overloads: AND semantics from the
+    * distinct-matched-term count, then rank and emit the ROUNDED score
+    * (2 dp, key tie-break) — the raw per-doc float sum's addition
+    * order is partition-dependent, so a last-ulp flip across runs of
+    * the SAME live index could reorder or re-cut the top-k (the q85
+    * lesson, applied to the live surface).
+    */
+  private def finishRanked(scored: DataFrame, key: String, nTerms: Int,
+      operator: String, k: Int): DataFrame = {
     val kept = operator.toLowerCase(java.util.Locale.ROOT) match {
-      case "and" => scored.filter(col("n_terms") === terms.size)
+      case "and" => scored.filter(col("n_terms") === nTerms)
       case _     => scored
     }
-    // Rank and emit the ROUNDED score (2 dp, key tie-break): the raw
-    // per-doc float sum's addition order is partition-dependent, so a
-    // last-ulp flip across runs of the SAME live index could reorder
-    // or re-cut the top-k — the q85 lesson, applied to the live
-    // surface.
     val r2 = floor(col("score") * 100 + lit(0.5)) / 100
     kept.select(col("doc_id").as(key), r2.as("_score"))
       .orderBy(col("_score").desc, col(key))

@@ -232,6 +232,15 @@ class OperatorsSpec2 extends SparkSpec {
     intercept[IllegalArgumentException] {
       IndexSink.rankedMatch(spark, "ranked_idx", "description", "doc_id", "!!!")
     }
+    // The index-backed overload returns the identical ranking — same
+    // analyzer, same scoring, postings instead of a view re-scan.
+    val idx = IndexSink.textIndex(spark, "ranked_idx", "description", "doc_id")
+    val viaIndex = IndexSink.rankedMatch(spark, idx, "doc_id",
+      "DEPOSIT withdrawal!", "or", 10).as[(Long, Double)].collect().toSeq
+    assert(viaIndex == or.toSeq)
+    assert(IndexSink.rankedMatch(spark, idx, "doc_id",
+      "deposit withdrawal", "and", 10)
+      .as[(Long, Double)].collect().map(_._1).toSeq == Seq(3L))
   }
 
   test("index upsert: re-delivered recordId overwrites (last write wins)") {

@@ -199,6 +199,35 @@ class RetrievalSpec extends SparkSpec {
     assert(p.toSeq == Seq(("a", 1L, 2L, 3L)))
   }
 
+  test("a persisted index is term-bucketed and the query plan prunes buckets") {
+    import java.io.{ByteArrayOutputStream, PrintStream}
+    val corpus = Seq(
+      1L -> Seq("a", "b", "a"), 2L -> Seq("b", "c"), 3L -> Seq("c", "d"))
+    val index = Retrieval.buildTextIndex(spark, toksDf(corpus))
+    Retrieval.writeTextIndex(index, "rsp_tidx", buckets = 8)
+    try {
+      val reopened = Retrieval.readTextIndex(spark, "rsp_tidx")
+      // Values survive the round-trip.
+      import spark.implicits._
+      val got = Retrieval.bm25FromIndex(spark, reopened, Seq("a"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L))
+      // THE scale property: a term lookup reads only its bucket — the
+      // postings-list analogue. A full-bucket scan here means the
+      // bucketing (or the pushdown) silently broke.
+      val out = new ByteArrayOutputStream()
+      Console.withOut(new PrintStream(out, true, "UTF-8")) {
+        Retrieval.bm25FromIndex(spark, reopened, Seq("a")).explain("formatted")
+      }
+      val p = out.toString("UTF-8")
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"), p)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS rsp_tidx_postings")
+      spark.sql("DROP TABLE IF EXISTS rsp_tidx_df")
+      spark.sql("DROP TABLE IF EXISTS rsp_tidx_stats")
+    }
+  }
+
   test("bm25 rejects an empty term list; rrf rejects bad inputs") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25(spark, toksDf(Seq(1L -> Seq("a"))), Seq.empty)
