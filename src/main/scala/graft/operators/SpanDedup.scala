@@ -73,10 +73,37 @@ object SpanDedup {
       .filter(col("cnt") > 1)
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + lit(k)).cast("long").as("e"))
-    // Classic streaming interval merge as two windows over ONE doc_id
-    // exchange: a mark opens a new span iff it starts beyond the
-    // running max end of everything before it; the running sum of
-    // those openings numbers the spans.
+    mergeMarks(marked)
+  }
+
+  /** Maximal spans of `toks` whose k-grams appear ANYWHERE in `ref`
+    * (another token corpus — q66's benchmark, a blocklist, a license
+    * corpus): (doc_id, span_start, span_end), same contract as
+    * [[duplicatedSpans]]. This is SPAN-LEVEL decontamination — the
+    * surgical companion to `Decontaminate`'s drop-the-document
+    * policy: a long document with one leaked benchmark passage loses
+    * the passage ([[removeSpans]]), not its novel 99%. Marking is one
+    * gram-keyed equi-join against the DISTINCT ref gram hashes (both
+    * sides 8-byte keys; ref grams are typically benchmark-sized —
+    * AQE broadcasts them — and `Decontaminate`'s Bloom prefilter
+    * composes upstream when they are not).
+    */
+  def matchedSpans(toks: DataFrame, ref: DataFrame, k: Int): DataFrame = {
+    val refGrams = gramOccurrences(ref, k).select("gh").distinct()
+    val marked = gramOccurrences(toks, k)
+      .join(refGrams, "gh")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(k)).cast("long").as("e"))
+    mergeMarks(marked)
+  }
+
+  /** Classic streaming interval merge as two windows over ONE doc_id
+    * exchange: a mark opens a new span iff it starts beyond the
+    * running max end of everything before it; the running sum of
+    * those openings numbers the spans. Shared by the duplicate and
+    * ref-match markers.
+    */
+  private def mergeMarks(marked: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("s")
     val prevMax = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     marked

@@ -1606,25 +1606,40 @@ object TrainingData {
     * merge (coalesce(prevMax, -1) replays the operator's null-is-open
     * first-row case — positions are nonnegative).
     */
-  private val spanMergeSql = {
+  /** 8-gram occurrences of a named tok CTE: `<name>(doc_id, pos, gh)`
+    * — the marking input for both the duplicate chain and the
+    * ref-match (span decontamination) chain.
+    */
+  private def spanOccSql(name: String, tokCte: String): String = {
     val gram = (0 until 8).map {
       case 0 => "toks[g]"
       case i => s"toks[g+$i]"
     }.mkString(" || ' ' || ")
-    s"""occ AS (SELECT doc_id, g - 1 AS pos, ${h64sql(s"concat('sd|', $gram)")} AS gh
-       |        FROM tok, unnest(range(1, len(toks) - 6)) AS u(g)
-       |        WHERE len(toks) >= 8),
+    s"""$name AS (SELECT doc_id, g - 1 AS pos, ${h64sql(s"concat('sd|', $gram)")} AS gh
+       |        FROM $tokCte, unnest(range(1, len(toks) - 6)) AS u(g)
+       |        WHERE len(toks) >= 8)""".stripMargin
+  }
+
+  /** Streaming interval merge of a `marked(doc_id, s, e)` CTE into
+    * `merged(doc_id, span_start, span_end)` — the tail shared by every
+    * span chain (coalesce(prevMax, -1) replays the operator's
+    * null-is-open first-row case; positions are nonnegative).
+    */
+  private val spanMergeTailSql =
+    """flag AS (SELECT doc_id, s, e,
+      |      CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ng
+      |    FROM marked),
+      |grp AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM flag),
+      |merged AS (SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end
+      |           FROM grp GROUP BY doc_id, g)""".stripMargin
+
+  private val spanMergeSql =
+    s"""${spanOccSql("occ", "tok")},
        |dup AS (SELECT gh FROM (SELECT gh, count(*) AS c FROM occ GROUP BY 1) WHERE c > 1),
        |marked AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM occ JOIN dup USING (gh)),
-       |flag AS (SELECT doc_id, s, e,
-       |      CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ng
-       |    FROM marked),
-       |grp AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id ORDER BY s
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM flag),
-       |merged AS (SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end
-       |           FROM grp GROUP BY doc_id, g)""".stripMargin
-  }
+       |$spanMergeTailSql""".stripMargin
 
   val q87_span_dedup: QueryDef = q(
     "q87_span_dedup",
@@ -1935,6 +1950,37 @@ object TrainingData {
       .orderBy("rank")
   }
 
+  val q95_decontaminate_spans: QueryDef = q(
+    "q95_decontaminate_spans",
+    s"""WITH tokc AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+       |              FROM documents WHERE source <> 'src0'),
+       |tokb AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+       |         FROM documents WHERE source = 'src0'),
+       |${spanOccSql("occ", "tokc")},
+       |${spanOccSql("bocc", "tokb")},
+       |bg AS (SELECT DISTINCT gh FROM bocc),
+       |marked AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM occ JOIN bg USING (gh)),
+       |$spanMergeTailSql
+       |SELECT doc_id, span_start, span_end FROM merged
+       |ORDER BY doc_id, span_start""".stripMargin
+  ) { (s, dir) =>
+    // SPAN-LEVEL decontamination (SpanDedup.matchedSpans) — the
+    // surgical companion to q66's drop-the-document policy, over the
+    // same setup (src0 = the benchmark, everything else = the
+    // corpus): the exact token runs whose every 8-gram appears in the
+    // benchmark, merged; removeSpans then cuts the leaked passage and
+    // keeps the document's novel remainder. Scale shape: one
+    // gram-keyed equi-join against the DISTINCT benchmark gram hashes
+    // (benchmark-sized — AQE broadcasts; Decontaminate's Bloom
+    // prefilter composes upstream for a large blocklist), then the
+    // shared doc-keyed merge.
+    val docs = t(s, dir, "documents")
+    graft.operators.SpanDedup.matchedSpans(
+        tokenizedDf(docs.filter(col("source") =!= "src0")),
+        tokenizedDf(docs.filter(col("source") === "src0")), k = 8)
+      .orderBy("doc_id", "span_start")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -1947,5 +1993,5 @@ object TrainingData {
     q82_curation_pipeline, q83_ann_recall, q84_dsir_weights, q85_bm25,
     q86_hybrid_rrf, q87_span_dedup, q88_span_coverage, q89_filtered_ann,
     q90_chunking, q91_source_budget, q92_full_curation, q93_passage_bm25,
-    q94_bm25_postings)
+    q94_bm25_postings, q95_decontaminate_spans)
 }

@@ -119,6 +119,36 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("matchedSpans marks exactly the runs present in the reference corpus") {
+    // Doc 1 carries the ref run "a b c d" at offset 2; doc 2 is novel.
+    val corpus = Seq(
+      1L -> Seq("x1", "x2", "a", "b", "c", "d", "x3"),
+      2L -> Seq("n1", "n2", "n3", "n4", "n5"))
+    val ref = Seq(100L -> Seq("a", "b", "c", "d", "tail1", "tail2"))
+    import spark.implicits._
+    val got = SpanDedup.matchedSpans(toksDf(corpus), toksDf(ref), 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // grams "a b c" (pos 2) and "b c d" (pos 3) match; "c d x3" etc.
+    // do not; merged: [2, 6).
+    assert(got == Seq((1L, 2L, 6L)))
+    // removeSpans composes: the leaked passage goes, the rest stays.
+    val cleaned = SpanDedup.removeSpans(toksDf(corpus),
+        SpanDedup.matchedSpans(toksDf(corpus), toksDf(ref), 3))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(cleaned(1L) == Seq("x1", "x2", "x3"))
+    assert(cleaned(2L) == Seq("n1", "n2", "n3", "n4", "n5"))
+  }
+
+  test("matchedSpans against the corpus itself covers every whole doc") {
+    // Every gram matches itself in the ref, so each doc with >= k
+    // tokens is one full-cover span — a sharp identity for the merge.
+    val rows = Seq(1L -> Seq("a", "b", "c", "d"), 2L -> Seq("e", "f"))
+    import spark.implicits._
+    val got = SpanDedup.matchedSpans(toksDf(rows), toksDf(rows), 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 0L, 4L))) // doc 2 is below k: no grams
+  }
+
   test("gram length below 2 is rejected") {
     intercept[IllegalArgumentException] {
       SpanDedup.duplicatedSpans(toksDf(Seq(1L -> Seq("a"))), 1)
