@@ -98,12 +98,18 @@ object Retrieval {
     * postings list, with no server to keep alive.
     */
   def buildTextIndex(spark: SparkSession, toks: DataFrame): TextIndex = {
-    val stats = toks
+    // Materialize the tokenized input ONCE: the stats agg and the
+    // postings groupBy are separate eager jobs, and callers always
+    // pass a computed projection (a regex tokenize of the corpus) —
+    // without this checkpoint each job re-tokenizes the full corpus,
+    // doubling the dominant build cost.
+    val mat = toks.select(col("doc_id"), col("toks")).localCheckpoint(true)
+    val stats = mat
       .select(size(col("toks")).cast("long").as("dl"))
       .agg(count(lit(1)).cast("double").as("n"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       .localCheckpoint(true)
-    val postings = toks
+    val postings = mat
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
       .groupBy("term", "doc_id")
@@ -112,6 +118,8 @@ object Retrieval {
     val df = postings.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
       .localCheckpoint(true)
+    // mat's blocks become unreferenced here (the three artifacts have
+    // truncated lineage) — the ContextCleaner reclaims them.
     TextIndex(postings, df, stats)
   }
 

@@ -353,12 +353,6 @@ object IndexSink {
       k: Int = 10): DataFrame = {
     import graft.functions.TextFunctions.tokens
     require(k > 0, s"top-k must be positive, got $k")
-    // Driver-side analyzer — identical semantics to tokens(): Java-
-    // regex \W+ split and LOCALE-ROOT lowercasing (Spark's lower() is
-    // locale-independent; a bare toLowerCase under e.g. a Turkish
-    // default locale folds I to dotless ı and silently matches
-    // nothing). The term list must be a Scala value for bm25's isin
-    // pushdown.
     val terms = analyzeQuery(query)
     val toks = spark.table(name)
       .select(col(key).as("doc_id"), tokens(col(field)).as("toks"))

@@ -28,15 +28,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    torn renewal. Long maintenance (a 100 TB compaction's snapshot
   *    shuffle) therefore holds the lease indefinitely while healthy.
   *  - SELF-HEAL: a lease whose mtime is older than the TTL RECORDED IN
-  *    ITS OWN BODY (fallback: the contender's TTL, for a torn body)
+  *    ITS OWN BODY (unreadable/tokenless body: max(contender TTL,
+  *    default) — a transient read fault must not shrink the bar)
   *    belongs to a crashed or wedged holder — ≥3 consecutive missed
   *    heartbeats *by the holder's own cadence*. Judging by the
   *    contender's TTL instead would let a short-TTL contender break a
   *    healthy long-TTL holder between its (longer-spaced) beats. A
   *    contender breaks it by atomically RENAMING it to a unique
-  *    tombstone (only one breaker can win the rename, so concurrent
-  *    breakers never double-free) and deleting the tombstone, then
-  *    retries acquisition.
+  *    tombstone (only one breaker can win the rename), RE-JUDGES
+  *    staleness on the tombstone (rename preserves mtime; a fresh
+  *    file — the re-create race — is renamed back, not deleted), and
+  *    deletes a confirmed-stale tombstone, then retries acquisition.
+  *  - The heartbeat and the release both verify the ownership token
+  *    before acting, so a holder displaced by a TTL break can neither
+  *    refresh nor delete its successor's lease.
   *  - RELEASE: delete the file ONLY if it still carries this holder's
   *    token ([[close]]; idempotent). An unconditional delete would free
   *    a SUCCESSOR's healthy lease whenever this holder had been
@@ -46,10 +51,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Honest limits (inherent to TTL leases without fencing tokens): a
   * holder PAUSED past the full TTL — a stop-the-world GC spanning three
-  * missed heartbeats — can race its breaker in the check-then-act
-  * windows (stale-check vs a landing beat; token-read vs delete on
-  * release). Size `ttlMs` well above worst-case pause, not above
-  * maintenance duration (the heartbeat covers duration). And object
+  * missed heartbeats — can race its breaker in the remaining
+  * check-then-act windows (token-read vs act on beat/release; a
+  * tombstone restore failing because the path was re-created again,
+  * which leaves the displaced holder unprotected until its next beat
+  * notices the foreign token and stands down). Size `ttlMs` well above
+  * worst-case pause, not above maintenance duration (the heartbeat
+  * covers duration). And object
   * stores without atomic create-no-overwrite (S3 without conditional
   * writes) weaken acquisition to best-effort; HDFS/local are exact.
   */
@@ -61,9 +69,17 @@ final class MaintenanceLease private (fs: FileSystem, val path: Path,
   private val beat: ScheduledFuture[_] =
     MaintenanceLease.scheduler.scheduleWithFixedDelay(() => {
       // A missed beat (transient FS fault) is absorbed by the TTL
-      // margin: staleness needs ~3 consecutive misses.
-      try if (!released) fs.setTimes(path, System.currentTimeMillis(), -1)
-      catch { case _: Exception => () }
+      // margin: staleness needs ~3 consecutive misses. The beat
+      // verifies OWNERSHIP before touching: after a TTL break +
+      // re-acquire, the file at this path is the successor's, and a
+      // zombie beat refreshing ITS mtime would falsify the successor's
+      // liveness signal forever (mtime must only ever be advanced by
+      // the file's actual holder). Token gone -> stop beating for good.
+      try if (!released) {
+        if (MaintenanceLease.readBody(fs, path).exists(_.contains(s"token=$token")))
+          fs.setTimes(path, System.currentTimeMillis(), -1)
+        else released = true
+      } catch { case _: Exception => () }
     }, math.max(1, ttlMs / 3), math.max(1, ttlMs / 3), TimeUnit.MILLISECONDS)
 
   /** Release: stop renewing, delete the lease file IF STILL OURS (the
@@ -137,7 +153,17 @@ object MaintenanceLease {
         "another process is (or a wedged one was) maintaining this index")
   }
 
-  /** One atomic create attempt; Some(ownership token) on the win. */
+  /** One atomic create attempt; Some(ownership token) on the win. The
+    * body is written through the SAME create where possible (hadoop
+    * branch: one create(false) stream; nio branch: write to the file
+    * O_EXCL just made) — never a second overwrite-create, which could
+    * clobber a successor's lease after a stall between the two steps.
+    * A body-write failure must not leave an unowned tokenless lease
+    * squatting for a full TTL; the cleanup delete is TOKEN-GUARDED
+    * (delete only if the body is empty/unreadable or carries OUR
+    * token), so it can never remove a lease someone else has since
+    * written.
+    */
   private def tryCreate(fs: FileSystem, path: Path, ttlMs: Long): Option[String] = {
     val token = java.util.UUID.randomUUID().toString
     val body =
@@ -145,34 +171,28 @@ object MaintenanceLease {
         s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
         s"pid=${ProcessHandle.current().pid()} t=${System.currentTimeMillis()}\n")
         .getBytes(StandardCharsets.UTF_8)
-    val created =
-      if ("file".equalsIgnoreCase(fs.getScheme)) {
-        // RawLocalFileSystem's create(overwrite = false) is exists-then-
-        // open — NOT atomic. O_EXCL through nio is.
-        val local = java.nio.file.Paths.get(path.toUri.getPath)
-        try {
-          Option(local.getParent).foreach(java.nio.file.Files.createDirectories(_))
-          java.nio.file.Files.createFile(local)
-          true
-        } catch { case _: IOException => false } // exists / racing loser
-      } else {
-        try { fs.create(path, false).close(); true }
-        catch { case _: IOException => false }
-      }
-    if (!created) None
-    else {
-      // Body write is a separate step on both schemes; a failure here
-      // must not leave an unowned (tokenless) lease squatting for a
-      // full TTL — delete what we just created and report no-win.
+    def cleanup(): Unit =
       try {
-        val out = fs.create(path, true)
-        try out.write(body) finally out.close()
-        Some(token)
-      } catch {
-        case _: IOException =>
-          try fs.delete(path, false) catch { case _: Exception => () }
-          None
-      }
+        val b = readBody(fs, path)
+        if (b.forall(c => c.isEmpty || c.contains(s"token=$token")))
+          fs.delete(path, false)
+      } catch { case _: Exception => () }
+    if ("file".equalsIgnoreCase(fs.getScheme)) {
+      // RawLocalFileSystem's create(overwrite = false) is exists-then-
+      // open — NOT atomic. O_EXCL through nio is.
+      val local = java.nio.file.Paths.get(path.toUri.getPath)
+      try {
+        Option(local.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.createFile(local)
+      } catch { case _: IOException => return None } // exists / racing loser
+      try { java.nio.file.Files.write(local, body); Some(token) }
+      catch { case _: IOException => cleanup(); None }
+    } else {
+      val out =
+        try fs.create(path, false)
+        catch { case _: IOException => return None }
+      try { try out.write(body) finally out.close(); Some(token) }
+      catch { case _: IOException => cleanup(); None }
     }
   }
 
@@ -188,13 +208,30 @@ object MaintenanceLease {
       } finally in.close()
     } catch { case _: Exception => None }
 
-  /** Break a lease whose mtime proves ≥ TTL of missed heartbeats — the
-    * HOLDER's TTL, read from the lease body, so a short-TTL contender
-    * never breaks a healthy long-TTL holder between its beats (torn or
-    * unreadable body: fall back to the contender's TTL). The atomic
-    * rename-to-tombstone means exactly one breaker frees it; the
-    * check-then-rename window (a live holder's beat landing in between)
-    * is the no-fencing limit documented on the class.
+  /** The staleness bar for a lease file: the TTL RECORDED IN ITS BODY
+    * (so a short-TTL contender never breaks a healthy long-TTL holder
+    * between its beats). An unreadable or tokenless body — a transient
+    * read fault, a torn write, a crashed pre-body create — falls back
+    * CONSERVATIVELY to max(contender TTL, DefaultTtlMs): a single read
+    * hiccup must not let a 1-second contender break a healthy default
+    * holder whose mtime is legitimately minutes old, while a genuine
+    * orphan still clears after the default TTL.
+    */
+  private def staleBarMs(body: Option[String], ttlMs: Long): Long =
+    body.flatMap("""ttl=(\d+)""".r.findFirstMatchIn(_))
+      .map(_.group(1).toLong)
+      .getOrElse(math.max(ttlMs, DefaultTtlMs))
+
+  /** Break a lease whose mtime proves ≥ TTL of missed heartbeats.
+    * The pre-check is advisory; the AUTHORITATIVE judgment happens on
+    * the TOMBSTONE after the atomic rename (rename preserves mtime,
+    * and the tombstone has no racing writers): if the renamed file
+    * turns out FRESH — a successor re-created the path between our
+    * pre-check and our rename — it is restored, not deleted. Exactly
+    * one breaker can win the rename; the residual no-fencing window
+    * (restore failing because the path was re-created again, leaving
+    * the displaced holder unprotected until its ownership-checked beat
+    * notices) is documented on the class.
     */
   private def breakIfStale(fs: FileSystem, path: Path, ttlMs: Long): Unit = {
     val mtime =
@@ -204,16 +241,30 @@ object MaintenanceLease {
         case _: IOException => None
       }
     mtime.foreach { m =>
-      val holderTtl = readBody(fs, path)
-        .flatMap("""ttl=(\d+)""".r.findFirstMatchIn(_))
-        .map(_.group(1).toLong)
-        .getOrElse(ttlMs)
-      if (System.currentTimeMillis() - m > holderTtl) {
+      if (System.currentTimeMillis() - m > staleBarMs(readBody(fs, path), ttlMs)) {
         val tomb = new Path(path.getParent,
           path.getName + ".broken-" + java.util.UUID.randomUUID())
         val won = try fs.rename(path, tomb) catch { case _: IOException => false }
         if (won) {
-          try fs.delete(tomb, false) catch { case _: Exception => () }
+          // Re-judge on the tombstone: mtime rode along, the body is
+          // stable, and nobody else renames this tombstone.
+          val tm =
+            try Some(fs.getFileStatus(tomb).getModificationTime)
+            catch { case _: Exception => None }
+          val staleForSure = tm.exists(t =>
+            System.currentTimeMillis() - t > staleBarMs(readBody(fs, tomb), ttlMs))
+          if (staleForSure) {
+            try fs.delete(tomb, false) catch { case _: Exception => () }
+          } else {
+            // We renamed a HEALTHY lease (the re-create race): put it
+            // back. If the path was re-created meanwhile, the restore
+            // fails and the tombstone is dropped — the displaced
+            // holder's beat will find its token gone and stand down.
+            val restored = try fs.rename(tomb, path) catch { case _: Exception => false }
+            if (!restored) {
+              try fs.delete(tomb, false) catch { case _: Exception => () }
+            }
+          }
         }
       }
     }

@@ -37,14 +37,57 @@ class MaintenanceLeaseSpec extends SparkSpec {
   test("lease: a TTL-stale lease (crashed holder) is broken and re-acquired") {
     val tmp = Files.createTempDirectory("graft-lease-stale").toString
     val p = hp(s"$tmp/idx.maintenance.lease")
-    // A crashed holder: lease file exists, nobody heartbeats it.
+    // A crashed holder with a RECORDED 1s TTL, 60s silent: any
+    // contender judges it stale by the holder's own bar and wins.
     val out = fs.create(p, false)
-    try out.write("dead-holder\n".getBytes("UTF-8")) finally out.close()
-    fs.setTimes(p, System.currentTimeMillis() - 60000, -1) // 60s silent
-    // Contender with a 1s TTL judges it stale, breaks it, wins.
-    val got = MaintenanceLease.acquire(fs, p, ttlMs = 1000, timeoutMs = 0)
+    try out.write("token=dead ttl=1000 host=x pid=0 t=0\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.setTimes(p, System.currentTimeMillis() - 60000, -1)
+    val got = MaintenanceLease.acquire(fs, p, ttlMs = 60000, timeoutMs = 0)
     assert(got.nonEmpty, "stale lease must self-heal")
     got.get.close()
+  }
+
+  test("lease: a tokenless foreign file only breaks past the CONSERVATIVE bar") {
+    val tmp = Files.createTempDirectory("graft-lease-foreign").toString
+    val p = hp(s"$tmp/idx.maintenance.lease")
+    val out = fs.create(p, false)
+    try out.write("dead-holder\n".getBytes("UTF-8")) finally out.close()
+    // 60s old: stale by the contender's 1s TTL, but a tokenless body
+    // gets max(contender, default) — a transient read fault or torn
+    // write must not let a short-TTL contender break a default holder.
+    fs.setTimes(p, System.currentTimeMillis() - 60000, -1)
+    assert(MaintenanceLease.acquire(fs, p, ttlMs = 1000, timeoutMs = 0).isEmpty,
+      "a 60s-old tokenless file must NOT break under the default bar")
+    // Past the default TTL it is a genuine orphan and clears.
+    fs.setTimes(p,
+      System.currentTimeMillis() - MaintenanceLease.DefaultTtlMs - 60000, -1)
+    val got = MaintenanceLease.acquire(fs, p, ttlMs = 1000, timeoutMs = 0)
+    assert(got.nonEmpty, "an orphan past the default TTL must self-heal")
+    got.get.close()
+  }
+
+  test("lease: a displaced holder's zombie heartbeat never refreshes the successor") {
+    val tmp = Files.createTempDirectory("graft-lease-zombie").toString
+    val p = hp(s"$tmp/idx.maintenance.lease")
+    // A beats every 200ms. Displace it: remove its file and plant a
+    // successor's lease with a known OLD mtime.
+    val a = MaintenanceLease.acquire(fs, p, ttlMs = 600).get
+    fs.delete(p, false)
+    val out = fs.create(p, false)
+    try out.write("token=successor ttl=600000 host=x pid=0 t=0\n".getBytes("UTF-8"))
+    finally out.close()
+    val planted = System.currentTimeMillis() - 5000
+    fs.setTimes(p, planted, -1)
+    try {
+      Thread.sleep(1000) // several of A's beat intervals
+      val m = fs.getFileStatus(p).getModificationTime
+      assert(m == planted,
+        s"zombie beat advanced the successor's mtime: $m != $planted")
+    } finally {
+      a.close() // token-guarded: must not delete the successor's lease
+      assert(fs.exists(p), "displaced holder's release deleted the successor")
+    }
   }
 
   test("lease: the heartbeat keeps a long-held lease fresh past its TTL") {
@@ -105,15 +148,16 @@ class MaintenanceLeaseSpec extends SparkSpec {
     // A FRESH foreign lease (another process mid-maintenance): compact
     // must refuse to run unserialized — loud timeout, index untouched.
     val out = fs.create(lease, false)
-    try out.write("foreign\n".getBytes("UTF-8")) finally out.close()
+    try out.write("token=foreign ttl=600000 host=x pid=0 t=0\n".getBytes("UTF-8"))
+    finally out.close()
     intercept[java.io.IOException] {
       IndexSink.compact(spark, index, "recordId", shards = 2,
         leaseTimeoutMs = 400)
     }
     assert(Files.exists(Paths.get(s"$index/epoch=0")), "index must be untouched")
-    // The foreign holder crashes (lease goes TTL-silent): the next
-    // compact breaks it and proceeds.
-    fs.setTimes(lease, System.currentTimeMillis() - 60000, -1)
+    // The foreign holder crashes (lease silent past ITS OWN recorded
+    // TTL): the next compact breaks it and proceeds.
+    fs.setTimes(lease, System.currentTimeMillis() - 700000, -1)
     assert(IndexSink.compact(spark, index, "recordId", shards = 2,
       leaseTtlMs = 1000, leaseTimeoutMs = 2000) == 2)
     assert(!fs.exists(lease), "compact must release its lease")
