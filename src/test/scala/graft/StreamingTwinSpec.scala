@@ -239,6 +239,72 @@ class StreamingTwinSpec extends SparkSpec {
       "streamed LSH buckets diverged from the batch bucketing")
   }
 
+  test("streaming text search: BM25-ranked match over delivered epochs, " +
+      "upsert-resolved, equals the batch ranking of the same closed input") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.streaming.IndexSink
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-text").toString
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("body", StringType)))
+
+    def deliver(rows: Seq[(Long, String)], tag: String): Unit = {
+      rows.toDF("doc_id", "body")
+        .select(to_json(struct(col("doc_id"), col("body"))).as("line"),
+          col("doc_id").cast("string").as("recordId"))
+        .select(to_json(struct(col("recordId"), col("line"))).as("value"))
+        .coalesce(1).write.mode("append").text(s"$tmp/in")
+      val env = spark.readStream
+        .schema(StructType(Seq(StructField("recordId", StringType),
+          StructField("line", StringType))))
+        .json(s"$tmp/in")
+        .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+          col("line").cast("binary").as("data"))
+      val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
+        s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false))
+      assert(q.awaitTermination(120000), s"delivery $tag timed out")
+    }
+    def liveSearch(query: String): Seq[(Long, Double)] = {
+      IndexSink.registerLatestView(spark, s"$tmp/index", "live_text", "recordId")
+      IndexSink.rankedMatch(spark, "live_text", "body", "doc_id", query)
+        .as[(Long, Double)].collect().toSeq
+    }
+    def batchSearch(rows: Seq[(Long, String)], query: String): Seq[(Long, Double)] = {
+      rows.toDF("doc_id", "body").createOrReplaceTempView("batch_text")
+      IndexSink.rankedMatch(spark, "batch_text", "body", "doc_id", query)
+        .as[(Long, Double)].collect().toSeq
+    }
+
+    val epoch1 = Seq(
+      1L -> "mortgage deposit approved for the savings account",
+      2L -> "wire transfer completed without a deposit",
+      3L -> "ATM withdrawal fee charged on checking")
+    deliver(epoch1, "epoch-1")
+    // Live ranking between epochs == batch ranking of the closed input:
+    // same analyzer, same BM25, and the live stats (df, avgdl) are
+    // computed from exactly the delivered docs.
+    val got1 = liveSearch("deposit mortgage")
+    assert(got1.nonEmpty && got1 == batchSearch(epoch1, "deposit mortgage"))
+    assert(got1.head._1 == 1L) // both terms
+    // Epoch 2 UPSERTS doc 1 (drops its terms) and adds doc 4: the live
+    // ranking must reflect last-write-wins — doc 1's old text gone from
+    // tf AND from df/avgdl — matching a batch over the resolved state.
+    val epoch2 = Seq(
+      1L -> "closed account with nothing relevant",
+      4L -> "new deposit recorded at the branch")
+    deliver(epoch2, "epoch-2")
+    val resolved = Seq(
+      1L -> "closed account with nothing relevant",
+      2L -> "wire transfer completed without a deposit",
+      3L -> "ATM withdrawal fee charged on checking",
+      4L -> "new deposit recorded at the branch")
+    val got2 = liveSearch("deposit mortgage")
+    assert(got2 == batchSearch(resolved, "deposit mortgage"),
+      s"live $got2 diverged from batch over the resolved corpus")
+    assert(!got2.exists(_._1 == 1L)) // the upsert removed doc 1's match
+  }
+
   test("IVF search recall vs brute force (nprobe=4 of k=8 cells)") {
     import spark.implicits._
     val emb = queries.Tables.t(spark, sfDir, "embeddings")
