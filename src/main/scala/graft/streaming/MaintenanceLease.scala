@@ -76,9 +76,12 @@ final class MaintenanceLease private (fs: FileSystem, val path: Path,
       // liveness signal forever (mtime must only ever be advanced by
       // the file's actual holder). Token gone -> stop beating for good.
       try if (!released) {
-        if (MaintenanceLease.readBody(fs, path).exists(_.contains(s"token=$token")))
-          fs.setTimes(path, System.currentTimeMillis(), -1)
-        else released = true
+        MaintenanceLease.readBody(fs, path) match {
+          case Some(b) if b.contains(s"token=$token") =>
+            fs.setTimes(path, System.currentTimeMillis(), -1)
+          case Some(_) => released = true // confirmed foreign: stand down for good
+          case None => () // read fault / missing: a MISSED beat, not a displacement
+        }
       } catch { case _: Exception => () }
     }, math.max(1, ttlMs / 3), math.max(1, ttlMs / 3), TimeUnit.MILLISECONDS)
 
@@ -171,22 +174,38 @@ object MaintenanceLease {
         s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
         s"pid=${ProcessHandle.current().pid()} t=${System.currentTimeMillis()}\n")
         .getBytes(StandardCharsets.UTF_8)
+    val bodyStr = new String(body, StandardCharsets.UTF_8)
+    // Delete only what is provably OURS or nobody's: empty, carries our
+    // token, or is a PREFIX of our body (our own torn partial write —
+    // without the prefix case a truncated token squats unowned for a
+    // full default TTL).
     def cleanup(): Unit =
       try {
         val b = readBody(fs, path)
-        if (b.forall(c => c.isEmpty || c.contains(s"token=$token")))
+        if (b.forall(c => c.isEmpty || bodyStr.startsWith(c)))
           fs.delete(path, false)
       } catch { case _: Exception => () }
     if ("file".equalsIgnoreCase(fs.getScheme)) {
       // RawLocalFileSystem's create(overwrite = false) is exists-then-
-      // open — NOT atomic. O_EXCL through nio is.
+      // open — NOT atomic. CREATE_NEW through ONE nio channel is the
+      // O_EXCL create AND the body write on the same handle, so there
+      // is no create-then-reopen window for a breaker + successor to
+      // slip into (a second open-by-path would TRUNCATE the
+      // successor's lease).
       val local = java.nio.file.Paths.get(path.toUri.getPath)
       try {
         Option(local.getParent).foreach(java.nio.file.Files.createDirectories(_))
-        java.nio.file.Files.createFile(local)
+        val ch = java.nio.channels.FileChannel.open(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val buf = java.nio.ByteBuffer.wrap(body)
+          while (buf.hasRemaining) ch.write(buf)
+          Some(token)
+        } catch {
+          case _: IOException => cleanup(); None
+        } finally ch.close()
       } catch { case _: IOException => return None } // exists / racing loser
-      try { java.nio.file.Files.write(local, body); Some(token) }
-      catch { case _: IOException => cleanup(); None }
     } else {
       val out =
         try fs.create(path, false)
@@ -219,7 +238,7 @@ object MaintenanceLease {
     */
   private def staleBarMs(body: Option[String], ttlMs: Long): Long =
     body.flatMap("""ttl=(\d+)""".r.findFirstMatchIn(_))
-      .map(_.group(1).toLong)
+      .flatMap(m => scala.util.Try(m.group(1).toLong).toOption) // overflow-corrupt -> fallback
       .getOrElse(math.max(ttlMs, DefaultTtlMs))
 
   /** Break a lease whose mtime proves ≥ TTL of missed heartbeats.
@@ -257,10 +276,23 @@ object MaintenanceLease {
             try fs.delete(tomb, false) catch { case _: Exception => () }
           } else {
             // We renamed a HEALTHY lease (the re-create race): put it
-            // back. If the path was re-created meanwhile, the restore
-            // fails and the tombstone is dropped — the displaced
+            // back. The restore must FAIL if the path was re-created
+            // meanwhile — on local paths that means nio move WITHOUT
+            // REPLACE_EXISTING (POSIX rename(2), which Hadoop's local
+            // rename maps to, silently overwrites the destination and
+            // would clobber the new holder's lease); HDFS rename
+            // refuses an existing destination natively. On a failed
+            // restore the tombstone is dropped — the displaced
             // holder's beat will find its token gone and stand down.
-            val restored = try fs.rename(tomb, path) catch { case _: Exception => false }
+            val restored =
+              if ("file".equalsIgnoreCase(fs.getScheme))
+                try {
+                  java.nio.file.Files.move(
+                    java.nio.file.Paths.get(tomb.toUri.getPath),
+                    java.nio.file.Paths.get(path.toUri.getPath))
+                  true
+                } catch { case _: Exception => false }
+              else try fs.rename(tomb, path) catch { case _: Exception => false }
             if (!restored) {
               try fs.delete(tomb, false) catch { case _: Exception => () }
             }

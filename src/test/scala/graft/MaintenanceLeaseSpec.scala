@@ -77,6 +77,12 @@ class MaintenanceLeaseSpec extends SparkSpec {
     val out = fs.create(p, false)
     try out.write("token=successor ttl=600000 host=x pid=0 t=0\n".getBytes("UTF-8"))
     finally out.close()
+    // A beat already mid-flight (token read BEFORE the swap, touch
+    // landing after) is the documented no-fencing window, not the bug
+    // under test — let one full beat period drain before planting the
+    // baseline mtime, so every beat that fires afterwards reads the
+    // successor's body.
+    Thread.sleep(300)
     val planted = System.currentTimeMillis() - 5000
     fs.setTimes(p, planted, -1)
     try {

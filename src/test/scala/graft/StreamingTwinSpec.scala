@@ -80,6 +80,33 @@ class StreamingTwinSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  /** Shared delivery scaffolding for the four sink twins: wrap a
+    * pre-shaped (recordId string, line string) frame in the wire
+    * envelope, append it to the test's input dir, and run one
+    * IndexSink.start pass over the accumulated files (the shared
+    * checkpoint carries epoch ids across calls, so repeated deliveries
+    * append epochs exactly like a long-running stream).
+    */
+  private def deliverEnvelopes(tmp: String,
+      lines: org.apache.spark.sql.DataFrame,
+      payloadSchema: org.apache.spark.sql.types.StructType,
+      enrich: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity,
+      tag: String = "epoch"): Unit = {
+    import org.apache.spark.sql.types._
+    import graft.streaming.IndexSink
+    lines.select(to_json(struct(col("recordId"), col("line"))).as("value"))
+      .coalesce(1).write.mode("append").text(s"$tmp/in")
+    val env = spark.readStream
+      .schema(StructType(Seq(StructField("recordId", StringType),
+        StructField("line", StringType))))
+      .json(s"$tmp/in")
+      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+        col("line").cast("binary").as("data"))
+    val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
+      s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false), enrich = enrich)
+    assert(q.awaitTermination(120000), s"delivery $tag timed out")
+  }
+
   test("streaming ANN: epochs delivered through the sink are searchable " +
       "between epochs, equal to the batch index on the same closed input") {
     import spark.implicits._
@@ -97,22 +124,12 @@ class StreamingTwinSpec extends SparkSpec {
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
 
-    def deliver(rows: org.apache.spark.sql.DataFrame, batchTag: String): Unit = {
-      rows.select(to_json(struct(col("vec_id"), col("embedding"))).as("line"),
-          col("vec_id").cast("string").as("recordId"))
-        .select(to_json(struct(col("recordId"), col("line"))).as("value"))
-        .coalesce(1).write.mode("append").text(s"$tmp/in")
-      val env = spark.readStream
-        .schema(StructType(Seq(StructField("recordId", StringType),
-          StructField("line", StringType))))
-        .json(s"$tmp/in")
-        .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
-          col("line").cast("binary").as("data"))
-      val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
-        s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false),
-        enrich = df => Ivf.withCell(spark, df, model))
-      assert(q.awaitTermination(120000), s"delivery $batchTag timed out")
-    }
+    def deliver(rows: org.apache.spark.sql.DataFrame, batchTag: String): Unit =
+      deliverEnvelopes(tmp,
+        rows.select(to_json(struct(col("vec_id"), col("embedding"))).as("line"),
+          col("vec_id").cast("string").as("recordId")),
+        payloadSchema, enrich = df => Ivf.withCell(spark, df, model),
+        tag = batchTag)
     def liveSearch(probes: org.apache.spark.sql.DataFrame) =
       Ivf.search(spark,
         IndexSink.liveVectors(spark, s"$tmp/index", "recordId")
@@ -164,20 +181,10 @@ class StreamingTwinSpec extends SparkSpec {
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
     val rows = embW.filter(size(col("embedding")) === (dim / 4) * 4)
-    rows.select(to_json(struct(col("vec_id"), col("embedding"))).as("line"),
-        col("vec_id").cast("string").as("recordId"))
-      .select(to_json(struct(col("recordId"), col("line"))).as("value"))
-      .coalesce(1).write.mode("append").text(s"$tmp/in")
-    val env = spark.readStream
-      .schema(StructType(Seq(StructField("recordId", StringType),
-        StructField("line", StringType))))
-      .json(s"$tmp/in")
-      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
-        col("line").cast("binary").as("data"))
-    val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
-      s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false),
-      enrich = df => IvfPq.withCellCodes(spark, df, model))
-    assert(q.awaitTermination(120000))
+    deliverEnvelopes(tmp,
+      rows.select(to_json(struct(col("vec_id"), col("embedding"))).as("line"),
+        col("vec_id").cast("string").as("recordId")),
+      payloadSchema, enrich = df => IvfPq.withCellCodes(spark, df, model))
     val probes = rows.filter(col("vec_id") < 5)
     val live = IvfPq.search(spark,
         IndexSink.liveVectors(spark, s"$tmp/index", "recordId")
@@ -209,20 +216,11 @@ class StreamingTwinSpec extends SparkSpec {
     val payloadSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
-    emb.select(to_json(struct(col("vec_id"), col("embedding"))).as("line"),
-        col("vec_id").cast("string").as("recordId"))
-      .select(to_json(struct(col("recordId"), col("line"))).as("value"))
-      .coalesce(1).write.mode("append").text(s"$tmp/in")
-    val env = spark.readStream
-      .schema(StructType(Seq(StructField("recordId", StringType),
-        StructField("line", StringType))))
-      .json(s"$tmp/in")
-      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
-        col("line").cast("binary").as("data"))
-    val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
-      s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false),
+    deliverEnvelopes(tmp,
+      emb.select(to_json(struct(col("vec_id"), col("embedding"))).as("line"),
+        col("vec_id").cast("string").as("recordId")),
+      payloadSchema,
       enrich = df => Similarity.hyperplaneLsh(df, nPlanes = 8, dim = dim))
-    assert(q.awaitTermination(120000))
     val probes = emb.filter(col("vec_id") < 5)
     val live = Similarity.lshSearch(spark,
         IndexSink.liveVectors(spark, s"$tmp/index", "recordId")
@@ -249,22 +247,12 @@ class StreamingTwinSpec extends SparkSpec {
       StructField("doc_id", LongType),
       StructField("body", StringType)))
 
-    def deliver(rows: Seq[(Long, String)], tag: String): Unit = {
-      rows.toDF("doc_id", "body")
-        .select(to_json(struct(col("doc_id"), col("body"))).as("line"),
-          col("doc_id").cast("string").as("recordId"))
-        .select(to_json(struct(col("recordId"), col("line"))).as("value"))
-        .coalesce(1).write.mode("append").text(s"$tmp/in")
-      val env = spark.readStream
-        .schema(StructType(Seq(StructField("recordId", StringType),
-          StructField("line", StringType))))
-        .json(s"$tmp/in")
-        .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
-          col("line").cast("binary").as("data"))
-      val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
-        s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false))
-      assert(q.awaitTermination(120000), s"delivery $tag timed out")
-    }
+    def deliver(rows: Seq[(Long, String)], tag: String): Unit =
+      deliverEnvelopes(tmp,
+        rows.toDF("doc_id", "body")
+          .select(to_json(struct(col("doc_id"), col("body"))).as("line"),
+            col("doc_id").cast("string").as("recordId")),
+        payloadSchema, tag = tag)
     def liveSearch(query: String): Seq[(Long, Double)] = {
       IndexSink.registerLatestView(spark, s"$tmp/index", "live_text", "recordId")
       IndexSink.rankedMatch(spark, "live_text", "body", "doc_id", query)
