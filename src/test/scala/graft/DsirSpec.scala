@@ -74,6 +74,42 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("logWeights matches the local replay on seeded random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    (1 to 5).foreach { trial =>
+      val B = 16 + trial * 8 // vary bucket count: collisions must not matter
+      val raw = Seq.tabulate(7) { i =>
+        i.toLong -> Seq.fill(rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val target = Seq.tabulate(3) { i =>
+        (100L + i) -> Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val feats = Dsir.features(toksDf(raw), B)
+      val model = Dsir.train(spark, feats, Dsir.features(toksDf(target), B), B)
+      val got = Dsir.logWeights(spark, feats, model)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+
+      val rawB = raw.flatMap { case (_, ts) => gramsOf(ts).map(bucketOf(_, B)) }
+      val tgtB = target.flatMap { case (_, ts) => gramsOf(ts).map(bucketOf(_, B)) }
+      val rc = rawB.groupBy(identity).map { case (b, xs) => b -> xs.size }
+      val tc = tgtB.groupBy(identity).map { case (b, xs) => b -> xs.size }
+      def term(b: Long): Double =
+        math.log((tc.getOrElse(b, 0) + 1.0) / (tgtB.size + B)) -
+          math.log((rc.getOrElse(b, 0) + 1.0) / (rawB.size + B))
+      val nonEmpty = raw.filter(_._2.nonEmpty)
+      assert(got.keySet == nonEmpty.map(_._1).toSet, s"trial $trial")
+      nonEmpty.foreach { case (id, ts) =>
+        val bs = gramsOf(ts).map(bucketOf(_, B))
+        assert(got(id)._1 == bs.size.toLong, s"trial $trial doc $id n_feat")
+        assert(math.abs(got(id)._2 - bs.map(term).sum) < 1e-9,
+          s"trial $trial doc $id: got ${got(id)._2}")
+      }
+    }
+  }
+
   test("a target-typical doc outweighs a target-absent doc") {
     import spark.implicits._
     val B = 4096 // large: the 6 grams here must not collide for the sign test
