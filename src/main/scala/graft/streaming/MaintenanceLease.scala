@@ -157,15 +157,15 @@ object MaintenanceLease {
   }
 
   /** One atomic create attempt; Some(ownership token) on the win. The
-    * body is written through the SAME create where possible (hadoop
-    * branch: one create(false) stream; nio branch: write to the file
-    * O_EXCL just made) — never a second overwrite-create, which could
-    * clobber a successor's lease after a stall between the two steps.
+    * body is written through the SAME handle as the create (hadoop
+    * branch: one create(false) stream; nio branch: one CREATE_NEW
+    * channel) — never a second open-by-path, which could truncate or
+    * clobber a successor's lease after a stall between two steps.
     * A body-write failure must not leave an unowned tokenless lease
-    * squatting for a full TTL; the cleanup delete is TOKEN-GUARDED
-    * (delete only if the body is empty/unreadable or carries OUR
-    * token), so it can never remove a lease someone else has since
-    * written.
+    * squatting for a full TTL; the cleanup delete is OWNERSHIP-GUARDED
+    * (delete only if the body is empty/unreadable, carries OUR token,
+    * or is a prefix of OUR body — our own torn write), so it can never
+    * remove a lease someone else has since written.
     */
   private def tryCreate(fs: FileSystem, path: Path, ttlMs: Long): Option[String] = {
     val token = java.util.UUID.randomUUID().toString
