@@ -102,6 +102,12 @@ object Bench {
         case Left(_) => ss
       })
     }
+    // Upper-middle on even counts is INTENTIONAL, not an off-by-one: a
+    // 4-sample vector exists only after a re-probe, i.e. the original
+    // passes already disagreed; taking the pessimistic middle keeps a
+    // 2-of-3-stalled query visibly slow instead of averaging the stall
+    // away (suspect_stall flags it either way, and `mins` carries the
+    // optimistic reading).
     def median(ss: Seq[Double]): Double = ss.sorted.apply(ss.size / 2)
     val times = samples.map { case (n, ss) => n -> median(ss) }
     val mins = samples.map { case (n, ss) => n -> ss.min }

@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Text-relevance ranking and rank fusion — the query-side surface of
   * the reference's search sink. The reference delivers into OpenSearch
-  * and queries it with analyzed full-text match
-  * (`kds_example/oss_utils.py:43-47`); OpenSearch's default relevance
-  * for that query is BM25 (k1=1.2, b=0.75, the Lucene defaults), and
-  * its headline retrieval pattern is hybrid search: fuse the BM25
-  * ranking with a vector-similarity ranking by reciprocal rank fusion.
+  * and its observed query surface is match_all / count /
+  * delete_by_query (`kds_example/oss_utils.py:43-55`) — it never
+  * issues an analyzed relevance query. This module ADDS the standard
+  * search-sink capability a user of that sink reaches for next:
+  * analyzed full-text relevance, which in OpenSearch/Lucene defaults
+  * to BM25 (k1=1.2, b=0.75), plus the headline hybrid-retrieval
+  * pattern of fusing a BM25 ranking with a vector-similarity ranking
+  * by reciprocal rank fusion.
   * This module provides both halves engine-side: [[bm25]] scores the
   * corpus against a bag of query terms, [[rrf]] fuses any number of
   * (key, rank) lists. The ANN ladder (`Similarity`/`Ivf`/`Pq`) supplies

@@ -52,6 +52,15 @@ object LambdaStage {
   /** A ported Lambda: one call per ≤`maxInvocationBytes` batch, one
     * result per input record (any order), statuses from
     * [[graft.model.DeliveryStatus]].
+    *
+    * AT-LEAST-ONCE contract (matching the Firehose transform it
+    * ports): under retries `fn` is re-invoked against the SAME batch —
+    * including after a deterministic contract violation — and Spark
+    * task re-execution can replay whole partitions on top of that.
+    * Any external side effect `fn` performs before throwing is
+    * repeated on each attempt, so `fn` MUST be idempotent; a pure
+    * transform (the reference's Lambda is one) satisfies this
+    * trivially.
     */
   type BatchFn = Seq[Rec] => Seq[RoutedRecord]
 

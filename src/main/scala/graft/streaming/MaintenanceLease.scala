@@ -236,6 +236,17 @@ object MaintenanceLease {
     * holder whose mtime is legitimately minutes old, while a genuine
     * orphan still clears after the default TTL.
     */
+  /** Best-effort removal of a local path's ChecksumFileSystem sidecar
+    * (".&lt;name&gt;.crc" in the same directory) — for cleanup after raw
+    * nio file ops that Hadoop's checksum layer cannot see.
+    */
+  private def dropLocalCrcSidecar(p: Path): Unit = {
+    val crc = new Path(p.getParent, "." + p.getName + ".crc")
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(crc.toUri.getPath))
+    catch { case _: Exception => () }
+  }
+
   private def staleBarMs(body: Option[String], ttlMs: Long): Long =
     body.flatMap("""ttl=(\d+)""".r.findFirstMatchIn(_))
       .flatMap(m => scala.util.Try(m.group(1).toLong).toOption) // overflow-corrupt -> fallback
@@ -295,6 +306,17 @@ object MaintenanceLease {
               else try fs.rename(tomb, path) catch { case _: Exception => false }
             if (!restored) {
               try fs.delete(tomb, false) catch { case _: Exception => () }
+            } else if ("file".equalsIgnoreCase(fs.getScheme)) {
+              // The raw nio move (needed for its no-REPLACE_EXISTING
+              // semantics) bypasses ChecksumFileSystem, which tracks
+              // local files via ".<name>.crc" sidecars: the earlier
+              // Hadoop rename carried the sidecar to the tombstone
+              // name, so after the move back the tombstone's sidecar
+              // is orphaned and any crc left at the restored path is
+              // stale (a mismatch fails later Hadoop reads). Drop
+              // both, best-effort.
+              dropLocalCrcSidecar(tomb)
+              dropLocalCrcSidecar(path)
             }
           }
         }
