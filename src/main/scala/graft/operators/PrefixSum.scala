@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
 
-/** Distributed running total — the scale-correct form of
-  * `sum(x) OVER (ORDER BY k)`.
+/** Distributed running total / running max — the scale-correct forms of
+  * `sum(x) OVER (ORDER BY k)` and
+  * `max(x) OVER (ORDER BY k ROWS ... 1 PRECEDING)`.
   *
   * Spark executes an ORDER-BY window with no PARTITION BY as a single-
   * partition WindowExec: the entire corpus flows through ONE task (the
@@ -110,6 +111,101 @@ object PrefixSum {
       }
     }
     spark.createDataFrame(outRdd, ranged.schema.add(outCol, LongType))
+  }
+
+  /** Append `outCol` = running max of `valueCol` over STRICTLY EARLIER
+    * rows in ascending `sortCol` order — the scale-correct form of
+    * `max(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+    * 1 PRECEDING)`, which Spark would otherwise execute as a single-
+    * partition WindowExec. q39's watermark contract is the motivating
+    * case: each arrival is judged against the high-water mark of
+    * everything BEFORE it. The first row gets NULL and null values
+    * never advance the max (SQL max ignores nulls).
+    *
+    * Deterministic iff `sortCol` is unique — the exclusive ROWS frame's
+    * own contract (with ties, which row is "previous" is arbitrary in
+    * the SQL form too); q39 orders by the unique event_id. Same
+    * two-phase shape as [[withRunningTotal]]: one range exchange,
+    * O(partitions) driver state, one narrow final pass, and both passes
+    * hang off the same shuffle dependency (no recompute, no cache).
+    *
+    * `outCol` keeps `valueCol`'s type; any orderable atomic type works
+    * (numeric, string, timestamp, date, decimal, boolean).
+    */
+  def withRunningMaxExclusive(df: DataFrame, sortCol: String,
+      valueCol: String, outCol: String, partitions: Int = 0): DataFrame = {
+    require(!df.columns.contains(outCol), s"column $outCol already exists")
+    val vDt = df.schema(valueCol).dataType
+    require(orderableAtomic(vDt), s"$valueCol must be an orderable atomic type; got $vDt")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyCol = df.schema(sortCol).dataType match {
+      case DoubleType | FloatType =>
+        when(col(sortCol) === 0, lit(0).cast(df.schema(sortCol).dataType))
+          .otherwise(col(sortCol))
+      case _ => col(sortCol)
+    }
+    val ranged = df
+      .repartitionByRange(p, keyCol)
+      .sortWithinPartitions(keyCol)
+    val vIdx = ranged.schema.fieldIndex(valueCol)
+
+    // Phase 1+2: per-partition max → driver-side exclusive max scan
+    // (null = no non-null value seen in any earlier partition).
+    val partMax = ranged.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var m: Any = null
+        it.foreach { r =>
+          if (!r.isNullAt(vIdx)) {
+            val v = r.get(vIdx)
+            if (m == null || ComparableOrd.compare(v, m) > 0) m = v
+          }
+        }
+        Iterator((i, m))
+      }
+      .collect().sortBy(_._1)
+    // Closure capture, not broadcast — O(partitions), see withRunningTotal.
+    val offsets: Array[Any] = partMax.map(_._2).scanLeft(null: Any) { (acc, m) =>
+      if (m != null && (acc == null || ComparableOrd.compare(m, acc) > 0)) m else acc
+    }
+
+    // Phase 3: narrow pass — emit the pre-row max, then fold the row in.
+    val outRdd = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
+      var m: Any = offsets(i)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ m)
+        if (!r.isNullAt(vIdx)) {
+          val v = r.get(vIdx)
+          if (m == null || ComparableOrd.compare(v, m) > 0) m = v
+        }
+        out
+      }
+    }
+    spark.createDataFrame(outRdd, ranged.schema.add(outCol, vDt))
+  }
+
+  private def orderableAtomic(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case LongType | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.ByteType
+         | DoubleType | FloatType
+         | org.apache.spark.sql.types.StringType
+         | org.apache.spark.sql.types.TimestampType
+         | org.apache.spark.sql.types.TimestampNTZType
+         | org.apache.spark.sql.types.DateType
+         | org.apache.spark.sql.types.BooleanType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+
+  /** All whitelisted external row types implement Comparable with SQL-
+    * compatible semantics (java.lang.Double.compareTo even places NaN
+    * last, matching Spark's sort order).
+    */
+  private object ComparableOrd extends Ordering[Any] with Serializable {
+    def compare(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
 
   /** Peer equality must match SQL, not boxed Java equals: -0.0 and 0.0

@@ -20,14 +20,16 @@ import graft.functions.TextFunctions.h64
   * marks recovers exactly the maximal duplicated runs (paper §4.1's
   * windowed variant).
   *
-  * Scale shape: ONE gram-keyed exchange (8-byte hashed keys — never
-  * gram text — on the shuffle) feeds a window count that marks the
-  * duplicated occurrences in the same pass as the scan, then ONE
-  * doc-keyed window pass merges marks into maximal spans — the merge's
-  * two windows and the final span agg all share the doc_id exchange.
-  * Nothing is ever pairwise over documents; cost is bounded by
-  * occurrence count, and the marked subset (what the merge windows
-  * see) is only the duplicated fraction of the corpus.
+  * Scale shape: the occurrence table (8-byte hashed keys — never gram
+  * text — on every shuffle) materializes once, the corpus-wide gram
+  * count is a two-phase hash aggregate, marking is a SALTED join back
+  * (no single reducer ever holds a hot gram's occurrences — see
+  * [[duplicatedSpans]]), then ONE doc-keyed window pass merges marks
+  * into maximal spans — the merge's two windows and the final span agg
+  * all share the doc_id exchange. Nothing is ever pairwise over
+  * documents; cost is bounded by occurrence count, and the marked
+  * subset (what the merge windows see) is only the duplicated fraction
+  * of the corpus.
   *
   * Hash collisions (h64, 60-bit) can mark a non-duplicated gram at
   * ~n²/2⁶¹ expected false positives — the standard trade the paper's
@@ -59,22 +61,44 @@ object SpanDedup {
     * caught.
     */
   def duplicatedSpans(toks: DataFrame, k: Int): DataFrame = {
-    val occ = gramOccurrences(toks, k)
-    // Duplicate detection as a WINDOW count over the gram partition,
-    // not groupBy + join back: the join form computes the tokenize-and-
-    // explode subtree TWICE per action (its two exchange children
-    // differ, so ReuseExchange cannot dedupe them) — the q82 window-
-    // over-self-join lesson. One scan, one gh exchange. A pathological
-    // mega-gram makes one window partition large, but the same rows
-    // would pile into one join partition too, and the count pass is a
-    // single streaming fold.
-    val marked = occ
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
-      .filter(col("cnt") > 1)
+    // Skew-proof two-phase duplicate detection. The earlier form — a
+    // count over Window.partitionBy(gh) — was one scan and one
+    // exchange, but a window partition CANNOT be split: a mega-gram
+    // (one k-gram occurring millions of times — boilerplate headers do
+    // this at corpus scale) funnels every occurrence through a single
+    // WindowExec task. The replacement keeps cost linear in occurrence
+    // count while spreading the hot gram:
+    //  1. occurrences materialize ONCE (localCheckpoint) — the window
+    //     form's one-scan property survives because the count side and
+    //     the mark side both read the checkpoint blocks instead of
+    //     recomputing the tokenize-and-explode subtree (whose two
+    //     exchange children differ, so ReuseExchange alone could not
+    //     dedupe them — the q82 lesson);
+    //  2. the corpus-wide gram count is a TWO-PHASE hash aggregate:
+    //     the map-side partial is exactly the salted first phase of
+    //     Skew.saltedCount with salt := source partition, so the hot
+    //     gram's final reducer receives at most one partial row per
+    //     map task, never raw occurrences;
+    //  3. marking joins occurrences back to the duplicated gram keys
+    //     via Skew.saltedJoin — the occurrence side takes a
+    //     deterministic content salt and the dup-key side (8-byte
+    //     rows, duplicated-gram-type cardinality) is replicated
+    //     `MarkSaltFactor` ways, so a mega-gram's occurrences spread
+    //     over MarkSaltFactor reducers instead of hashing into the one
+    //     partition a plain equi-join would send them to.
+    val occ = gramOccurrences(toks, k).localCheckpoint()
+    val dup = occ.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gh")
+    val marked = Skew.saltedJoin(occ, dup, "gh", MarkSaltFactor)
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + lit(k)).cast("long").as("e"))
     mergeMarks(marked)
   }
+
+  /** Salt fan-out for the mark joins: a hot gram spreads over this many
+    * reducers; the replicated side pays 8 bytes × factor per gram key.
+    */
+  private val MarkSaltFactor = 16
 
   /** Maximal spans of `toks` whose k-grams appear ANYWHERE in `ref`
     * (another token corpus — q66's benchmark, a blocklist, a license
@@ -90,8 +114,12 @@ object SpanDedup {
     */
   def matchedSpans(toks: DataFrame, ref: DataFrame, k: Int): DataFrame = {
     val refGrams = gramOccurrences(ref, k).select("gh").distinct()
-    val marked = gramOccurrences(toks, k)
-      .join(refGrams, "gh")
+    // Same salted mark join as duplicatedSpans: when the ref side is
+    // benchmark-sized the replicated frame still broadcasts (16× tiny
+    // is tiny), and when it is not, a corpus-hot gram matching a ref
+    // gram would otherwise pile into one sort-merge partition.
+    val marked = Skew.saltedJoin(gramOccurrences(toks, k), refGrams, "gh",
+        MarkSaltFactor)
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + lit(k)).cast("long").as("e"))
     mergeMarks(marked)

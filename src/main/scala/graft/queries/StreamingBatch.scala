@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Q36–Q40: the streaming semantics of SURVEY.md §2B, expressed as batch
   * computations over the closed `events` table so the DuckDB oracle can
@@ -95,12 +94,14 @@ object StreamingBatch {
     // Watermark semantics made deterministic: arrival order := event_id,
     // watermark := running max(ts) - 10 min over STRICTLY EARLIER
     // arrivals; late rows are excluded from the tumbling aggregation.
-    // The single-partition running max is the price of a deterministic
-    // oracle — the streaming twin (DeliveryPipeline) uses the real
-    // distributed withWatermark.
-    val w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    t(s, dir, "events")
-      .withColumn("mx", max(col("ts")).over(w))
+    // The running max is the range-partitioned two-phase scan
+    // (PrefixSum.withRunningMaxExclusive) — the naive
+    // Window.orderBy(event_id) form is a single-partition WindowExec
+    // that would serialize the whole corpus through one task. The
+    // streaming twin (DeliveryPipeline) uses the real distributed
+    // withWatermark.
+    graft.operators.PrefixSum
+      .withRunningMaxExclusive(t(s, dir, "events"), "event_id", "ts", "mx")
       .filter(col("mx").isNull || col("ts") >= col("mx") - expr("INTERVAL 10 MINUTES"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -170,20 +170,37 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q87: span dedup marks in ONE corpus pass + a PARTITIONED merge, never all-pairs") {
+  test("q87: span dedup is a salted two-phase count — no per-gram fold, PARTITIONED merge") {
     val p = plan("q87_span_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
-    // Duplicate marking is a gram-partitioned window count, not a
-    // groupBy + self-join — the join form computes the tokenize-and-
-    // explode subtree twice (its exchange children differ, defeating
-    // ReuseExchange). One scan of the corpus, total.
-    assert(!p.contains("Join"), p)
-    // explain("formatted") prints each node twice (tree + detail
-    // section), so ONE scan node == exactly two textual occurrences.
-    assert("Scan parquet".r.findAllIn(p).size == 2, p)
+    // The corpus scans ONCE, at checkpoint-build time: the final plan's
+    // count side and mark side both read the materialized occurrence
+    // blocks (ExistingRDD), never a second parquet pass.
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("ExistingRDD"), p)
+    // The duplicate-gram count is a two-phase hash aggregate (map-side
+    // partial = the salted first phase), NEVER a gram-partitioned
+    // window fold — a mega-gram must not own a WindowExec partition.
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("windowspecdefinition(gh"), p)
+    // The mark join-back carries the deterministic salt key, spreading
+    // a hot gram over MarkSaltFactor reducers when the dup side is too
+    // big to broadcast.
+    assert(p.contains("_graft_salt"), p)
     // Both merge windows run per-doc — the unpartitioned-window trap
     // would funnel every marked gram through one task.
     assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
+  test("q39: watermark running max is the two-phase scan — no window operator at all") {
+    val p = plan("q39_watermark_late")
+    // The old form's Window.orderBy(event_id) planned a single-partition
+    // WindowExec over the whole events table; the PrefixSum rewrite
+    // leaves NO window node anywhere (the tumbling agg is a plain
+    // hash aggregate over the time-window projection).
+    assert("Window \\(\\d".r.findAllIn(p).isEmpty, p)
+    // The two-phase scan hands the plan its materialized rows.
+    assert(p.contains("ExistingRDD"), p)
   }
 
   test("q94: the postings query never re-scans the corpus") {

@@ -43,6 +43,40 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("withRunningMaxExclusive equals the exclusive-frame window on unique keys (nulls included)") {
+    import spark.implicits._
+    // Unique keys — the determinism precondition (q39's event_id).
+    val rows = for {
+      n <- Gen.choose(1, 50)
+      vs <- Gen.listOfN(n, Gen.option(Gen.choose(-40L, 40L)))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    samples(rows, 6).foreach { data =>
+      val df = data.toDF("k", "v")
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).sortBy(_._1).toSeq
+      val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+      val expected = canon(df
+        .withColumn("mx", max("v").over(w)).select("k", "v", "mx").collect())
+      val got = canon(PrefixSum.withRunningMaxExclusive(df, "k", "v", "mx", partitions = 4)
+        .select("k", "v", "mx").collect())
+      assert(got == expected, s"mismatch for input ${data.take(8)}...")
+    }
+  }
+
+  test("withRunningMaxExclusive handles timestamps (q39's value type)") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val data = Seq(5L -> 300, 1L -> 100, 3L -> 900, 2L -> 50, 4L -> 200).map {
+      case (k, off) => (k, new java.sql.Timestamp(base.getTime + off * 1000L))
+    }
+    val got = PrefixSum
+      .withRunningMaxExclusive(data.toDF("k", "ts"), "k", "ts", "mx", partitions = 3)
+      .select("k", "mx").collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    def ts(off: Int) = Some(new java.sql.Timestamp(base.getTime + off * 1000L))
+    assert(got.toSeq == Seq(1L -> None, 2L -> ts(100), 3L -> ts(100),
+      4L -> ts(900), 5L -> ts(900)))
+  }
+
   test("groupByBytes: conserves records and order; bounds every multi-record batch") {
     val recGen = Gen.listOf(for {
       id <- Gen.identifier

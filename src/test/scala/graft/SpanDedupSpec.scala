@@ -85,6 +85,36 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("adversarial mega-gram: one gram in (almost) every doc still merges correctly") {
+    // The 100 TB failure mode the salted two-phase count exists for: a
+    // single k-gram ("the boilerplate header") occurring once per doc
+    // across the whole corpus. Under the old gram-partitioned window
+    // fold all of its occurrences landed in ONE task; here they spread
+    // over the salt fan-out. ScalaCheck drives corpus shape — the
+    // mega-gram's position, doc count, and filler — and the local
+    // replay is the oracle.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val mega = Seq("mg1", "mg2", "mg3")
+    val corpusGen = for {
+      nDocs <- Gen.choose(30, 60)
+      docs <- Gen.listOfN(nDocs, for {
+        lead <- Gen.choose(0, 4)
+        tail <- Gen.choose(0, 4)
+        skip <- Gen.choose(0, 9) // ~10% of docs omit the mega-gram
+      } yield (lead, tail, skip))
+    } yield docs.zipWithIndex.map { case ((lead, tail, skip), i) =>
+      val filler = (n: Int, tag: String) => Seq.tabulate(n)(j => s"u$i${tag}$j")
+      val body = if (skip == 0) filler(lead + 3 + tail, "s")
+        else filler(lead, "a") ++ mega ++ filler(tail, "b")
+      i.toLong -> body
+    }
+    (0 until 4).foreach { trial =>
+      val rows = corpusGen.apply(Gen.Parameters.default, Seed(9090L + trial)).get
+      assert(spans(rows, 3) == spansLocal(rows, 3), s"trial $trial")
+    }
+  }
+
   test("removeSpans cuts exactly the span tokens and passes novel docs through") {
     import spark.implicits._
     val rows = Seq(
