@@ -47,6 +47,30 @@ object Bench {
     */
   private val SpreadBar = 5.0
 
+  /** A query regresses vs the pinned baseline when its stall-robust MIN
+    * is both 1.5× the baseline min AND ≥0.3 s absolutely slower — the
+    * ratio alone would flag 0.1 s queries on scheduler jitter, the
+    * floor alone would miss a 2× slide on a mid-weight query.
+    */
+  private val RegressionRatio = 1.5
+  private val RegressionFloorSec = 0.3
+
+  /** Per-query baseline (BASELINE_QUERIES.json — a flat name→seconds
+    * map; "_"-prefixed keys are metadata). Parsed with a numeric-pair
+    * regex rather than a JSON library so the bench main keeps zero
+    * dependencies; returns the metadata sf (to refuse cross-scale
+    * comparison) and the query map. Missing/unreadable file → None:
+    * the bench must never fail because its baseline is absent.
+    */
+  private def loadBaseline(path: String): Option[(Double, Map[String, Double])] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      val txt = try src.mkString finally src.close()
+      val all = """"([^"]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      all.get("_sf").map(sf => sf -> all.filter(!_._1.startsWith("_")))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -118,6 +142,26 @@ object Bench {
       case (n, ss) if median(ss) > SpreadBar * ss.min => n
     }.toSeq.sorted
 
+    // Mechanical regression check against the pinned per-query baseline
+    // (VERDICT r7 item 7): compare stall-robust min vs baseline min,
+    // only at the baseline's own scale factor.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
+    val sfOfDir = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+    val (baselineState, regressions) = loadBaseline(baselinePath) match {
+      case None => ("absent", Map.empty[String, Double])
+      case Some((bSf, _)) if !sfOfDir.contains(bSf) =>
+        (s"sf-mismatch($bSf)", Map.empty[String, Double])
+      case Some((_, base)) =>
+        ("ok", mins.flatMap { case (n, v) =>
+          base.get(n).collect {
+            case b if b > 0 && v > RegressionRatio * b && v - b > RegressionFloorSec =>
+              // Ratio rounded to 2dp — it's a flag, not a measurement.
+              n -> math.rint(v / b * 100) / 100
+          }
+        }.toMap)
+    }
+
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val qs = jmap(times.toSeq.sortBy(_._1) :+ ("pipeline_stream" -> pipeSecs))
@@ -128,7 +172,7 @@ object Bench {
     val total = times.values.sum + pipeSecs
     val totalMin = mins.values.sum + pipeSecs
     val rps = if (pipeSecs > 0 && pipeRecs > 0) pipeRecs / pipeSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":${jstr(conservation)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"baseline":${jstr(baselineState)},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":${jstr(conservation)}}""")
     spark.stop()
   }
 

@@ -993,9 +993,12 @@ object TrainingData {
        |${ivfAssignSql(s"pe$j", s"pc2$j", s"v$j")}""".stripMargin + probeTable
   }
 
-  val q76_pq_ann: QueryDef = q(
-    "q76_pq_ann",
-    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+  /** q76's full oracle chain (training → encoding → ADC scoring →
+    * `ranked`), shared with the q96 recall rung, which appends the
+    * exhaustive ground truth instead of emitting the ranking.
+    */
+  private val pqChainSql: String =
+    s"""v AS (SELECT vec_id, embedding FROM embeddings),
        |${(0 until 4).map(pqSubspaceSql(_, 16, 4)).mkString(",\n")},
        |pn AS (SELECT vec_id AS probe_id, ${ivfNormSql("embedding")} AS na FROM v WHERE vec_id < 5),
        |scored AS (SELECT pn.probe_id, e0.vec_id AS neighbor_id,
@@ -1010,7 +1013,11 @@ object TrainingData {
        |  JOIN pt3 t3 ON t3.probe_id = pn.probe_id AND t3.cell = e3.cell
        |  WHERE e0.vec_id <> pn.probe_id),
        |ranked AS (SELECT probe_id, neighbor_id, pq_cos,
-       |    row_number() OVER (PARTITION BY probe_id ORDER BY pq_cos DESC, neighbor_id) AS rnk FROM scored)
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY pq_cos DESC, neighbor_id) AS rnk FROM scored)""".stripMargin
+
+  val q76_pq_ann: QueryDef = q(
+    "q76_pq_ann",
+    s"""WITH $pqChainSql
        |SELECT probe_id, neighbor_id, floor(pq_cos * 100 + 0.5) / 100 AS pq_cos, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
   ) { (s, dir) =>
@@ -1050,9 +1057,9 @@ object TrainingData {
        |  FROM gc2 c CROSS JOIN pc2$j r)""".stripMargin
   }
 
-  val q77_ivfpq_ann: QueryDef = q(
-    "q77_ivfpq_ann",
-    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+  /** q77's full oracle chain up to `ranked` — shared with q97. */
+  private val ivfpqChainSql: String =
+    s"""v AS (SELECT vec_id, embedding FROM embeddings),
        |gcz AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM
        |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM v) WHERE rn <= 4),
        |${ivfAssignSql("ga1", "gcz", "v")}, ${ivfCentroidSql("gc1", "ga1", "gcz")},
@@ -1095,7 +1102,11 @@ object TrainingData {
        |  JOIN qw3 ON qw3.cell = i.cell AND qw3.code = e3.cell
        |  WHERE i.vec_id <> gpc.probe_id),
        |ranked AS (SELECT probe_id, neighbor_id, pq_cos,
-       |    row_number() OVER (PARTITION BY probe_id ORDER BY pq_cos DESC, neighbor_id) AS rnk FROM scored)
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY pq_cos DESC, neighbor_id) AS rnk FROM scored)""".stripMargin
+
+  val q77_ivfpq_ann: QueryDef = q(
+    "q77_ivfpq_ann",
+    s"""WITH $ivfpqChainSql
        |SELECT probe_id, neighbor_id, floor(pq_cos * 100 + 0.5) / 100 AS pq_cos, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
   ) { (s, dir) =>
@@ -1120,9 +1131,9 @@ object TrainingData {
       .orderBy("probe_id", "rnk")
   }
 
-  val q78_opq_ann: QueryDef = q(
-    "q78_opq_ann",
-    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+  /** q78's full oracle chain up to `ranked` — shared with q98. */
+  private val opqChainSql: String =
+    s"""v AS (SELECT vec_id, embedding FROM embeddings),
        |u AS (SELECT list(sgn / sqrt(64.0) ORDER BY d) AS uv FROM (
        |    SELECT d, CAST((CAST(concat('0x', substr(md5(concat('0|', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) & 1) * 2 - 1 AS DOUBLE) AS sgn
        |    FROM (SELECT unnest(range(0, 64)) AS d))),
@@ -1146,7 +1157,11 @@ object TrainingData {
        |  JOIN pt3 t3 ON t3.probe_id = pn.probe_id AND t3.cell = e3.cell
        |  WHERE e0.vec_id <> pn.probe_id),
        |ranked AS (SELECT probe_id, neighbor_id, pq_cos,
-       |    row_number() OVER (PARTITION BY probe_id ORDER BY pq_cos DESC, neighbor_id) AS rnk FROM scored)
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY pq_cos DESC, neighbor_id) AS rnk FROM scored)""".stripMargin
+
+  val q78_opq_ann: QueryDef = q(
+    "q78_opq_ann",
+    s"""WITH $opqChainSql
        |SELECT probe_id, neighbor_id, floor(pq_cos * 100 + 0.5) / 100 AS pq_cos, CAST(rnk AS BIGINT) AS rnk
        |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
   ) { (s, dir) =>
@@ -1418,6 +1433,125 @@ object TrainingData {
         coalesce(col("n_hits"), lit(0L)).cast("bigint").as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)).cast("double") / 5).as("recall"))
       .orderBy("probe_id")
+  }
+
+  /** Exhaustive-ground-truth recall tail shared by the q96–q98 recall
+    * rungs' oracles: intersect a quantized `ranked` CTE's top-5 with
+    * brute-force cosine top-5 over the RAW corpus `v` (recall is
+    * always measured against TRUE neighbors — for OPQ that means the
+    * unrotated space). q83's hits/recall contract verbatim: identical
+    * (cos DESC, neighbor_id) tie-break on both engines, recall as an
+    * exact integer division.
+    */
+  private val recallTailSql: String =
+    s"""qtop AS (SELECT probe_id, neighbor_id FROM ranked WHERE rnk <= 5),
+       |pe AS (SELECT vec_id AS probe_id, embedding AS pemb, ${ivfNormSql("embedding")} AS na FROM v WHERE vec_id < 5),
+       |bpairs AS (SELECT pe.probe_id, i2.vec_id AS neighbor_id,
+       |    $ivfDotSql / (pe.na * ${ivfNormSql("i2.embedding")}) AS cos
+       |  FROM pe CROSS JOIN v i2 WHERE i2.vec_id <> pe.probe_id),
+       |bftop AS (SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS brnk
+       |    FROM bpairs) WHERE brnk <= 5),
+       |hits AS (SELECT qt.probe_id, count(*) AS n_hits FROM qtop qt
+       |         JOIN bftop b ON b.probe_id = qt.probe_id AND b.neighbor_id = qt.neighbor_id
+       |         GROUP BY 1)
+       |SELECT p.probe_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(n_hits, 0) AS DOUBLE) / 5 AS recall
+       |FROM (SELECT vec_id AS probe_id FROM v WHERE vec_id < 5) p
+       |LEFT JOIN hits ON hits.probe_id = p.probe_id
+       |ORDER BY p.probe_id""".stripMargin
+
+  /** Spark side of the recall rungs: recall@5 of a quantized top-5
+    * (`qtop`: probe_id, neighbor_id) against exhaustive cosine search
+    * over the raw corpus. Scale shape is q83's: ground truth only for
+    * the probe SAMPLE (broadcast probes × one corpus scan, per-probe
+    * top-5 under a group limit), never corpus × corpus; the
+    * intersection join is probes × k rows.
+    */
+  private def recallVsExhaustive(s: SparkSession, dir: String,
+      qtop: DataFrame): DataFrame = {
+    val nrm = normed(s, dir)
+    val bprobes = nrm.filter(col("vec_id") < 5).select(
+      col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val bftop = nrm.join(broadcast(bprobes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (dot_f(col("pe"), col("embedding")) / (col("pn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = qtop.join(bftop, Seq("probe_id", "neighbor_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    nrm.filter(col("vec_id") < 5).select(col("vec_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).cast("bigint").as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5).as("recall"))
+      .orderBy("probe_id")
+  }
+
+  val q96_pq_recall: QueryDef = q(
+    "q96_pq_recall",
+    s"""WITH $pqChainSql,
+       |$recallTailSql""".stripMargin
+  ) { (s, dir) =>
+    // Recall@5 of the PQ/ADC rung (q76's exact configuration) against
+    // exhaustive search — the quantization quality loss MEASURED, not
+    // assumed (q83 covers IVF-flat; q96–q98 complete the ladder). The
+    // quantized top-5 and the ground-truth top-5 are each hash-proven
+    // by their own registry entries; this rung hash-checks their
+    // intersection as exact integers.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val model = graft.operators.Pq.train(s, emb, nSub = 4, subDim = 16,
+      k = 4, iters = 2, meanRound = 4)
+    val encoded = graft.operators.Pq.encode(s, emb, model)
+    val probes = emb.filter(col("vec_id") < 5)
+    val qtop = graft.operators.Pq.search(s, encoded, model, probes, k = 5)
+      .select(col("probe_id"), col("neighbor_id"))
+    recallVsExhaustive(s, dir, qtop)
+  }
+
+  val q97_ivfpq_recall: QueryDef = q(
+    "q97_ivfpq_recall",
+    s"""WITH $ivfpqChainSql,
+       |$recallTailSql""".stripMargin
+  ) { (s, dir) =>
+    // Recall@5 of the IVF-PQ rung (q77's exact configuration: coarse
+    // prune to 2 of 4 cells + residual ADC) against exhaustive search.
+    // Measures BOTH loss sources at once — cell pruning (q83's axis)
+    // and residual quantization (q96's axis).
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val model = graft.operators.IvfPq.train(s, emb, kCoarse = 4,
+      coarseIters = 2, nSub = 4, subDim = 16, kSub = 4, pqIters = 2,
+      meanRound = 4)
+    val encoded = graft.operators.IvfPq.encode(s, emb, model)
+    val probes = emb.filter(col("vec_id") < 5)
+    val qtop = graft.operators.IvfPq.search(s, encoded, model, probes,
+        k = 5, nprobe = 2)
+      .select(col("probe_id"), col("neighbor_id"))
+    recallVsExhaustive(s, dir, qtop)
+  }
+
+  val q98_opq_recall: QueryDef = q(
+    "q98_opq_recall",
+    s"""WITH $opqChainSql,
+       |$recallTailSql""".stripMargin
+  ) { (s, dir) =>
+    // Recall@5 of the rotated-PQ rung (q78's exact configuration)
+    // against exhaustive search over the UNROTATED corpus — ground
+    // truth is always true neighbors; the rotation is part of the
+    // index under test, not of the truth. Comparing q98 to q96
+    // isolates what the rotation buys (or costs) at equal code budget.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val remb = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
+    val model = graft.operators.Pq.train(s, remb, nSub = 4, subDim = 16,
+      k = 4, iters = 2, meanRound = 4)
+    val encoded = graft.operators.Pq.encode(s, remb, model)
+    val probes = remb.filter(col("vec_id") < 5)
+    val qtop = graft.operators.Pq.search(s, encoded, model, probes, k = 5)
+      .select(col("probe_id"), col("neighbor_id"))
+    recallVsExhaustive(s, dir, qtop)
   }
 
   val q84_dsir_weights: QueryDef = q(
@@ -1993,5 +2127,6 @@ object TrainingData {
     q82_curation_pipeline, q83_ann_recall, q84_dsir_weights, q85_bm25,
     q86_hybrid_rrf, q87_span_dedup, q88_span_coverage, q89_filtered_ann,
     q90_chunking, q91_source_budget, q92_full_curation, q93_passage_bm25,
-    q94_bm25_postings, q95_decontaminate_spans)
+    q94_bm25_postings, q95_decontaminate_spans, q96_pq_recall,
+    q97_ivfpq_recall, q98_opq_recall)
 }
