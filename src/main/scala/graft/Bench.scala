@@ -148,10 +148,12 @@ object Bench {
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
     val sfOfDir = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
-    val (baselineState, regressions) = loadBaseline(baselinePath) match {
-      case None => ("absent", Map.empty[String, Double])
+    // A baseline:"ok" with silently-skipped queries would read as full
+    // coverage; surface the gap so a grown registry forces a re-pin.
+    val (baselineState, regressions, uncovered) = loadBaseline(baselinePath) match {
+      case None => ("absent", Map.empty[String, Double], Seq.empty[String])
       case Some((bSf, _)) if !sfOfDir.contains(bSf) =>
-        (s"sf-mismatch($bSf)", Map.empty[String, Double])
+        (s"sf-mismatch($bSf)", Map.empty[String, Double], Seq.empty[String])
       case Some((_, base)) =>
         ("ok", mins.flatMap { case (n, v) =>
           base.get(n).collect {
@@ -159,7 +161,8 @@ object Bench {
               // Ratio rounded to 2dp — it's a flag, not a measurement.
               n -> math.rint(v / b * 100) / 100
           }
-        }.toMap)
+        }.toMap,
+        mins.keys.filterNot(base.contains).toSeq.sorted)
     }
 
     def jmap(m: Iterable[(String, Double)]): String =
@@ -172,7 +175,7 @@ object Bench {
     val total = times.values.sum + pipeSecs
     val totalMin = mins.values.sum + pipeSecs
     val rps = if (pipeSecs > 0 && pipeRecs > 0) pipeRecs / pipeSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"baseline":${jstr(baselineState)},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":${jstr(conservation)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"baseline":${jstr(baselineState)},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"baseline_uncovered":${uncovered.map(jstr).mkString("[", ",", "]")},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":${jstr(conservation)}}""")
     spark.stop()
   }
 

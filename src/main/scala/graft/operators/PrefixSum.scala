@@ -159,7 +159,7 @@ object PrefixSum {
         it.foreach { r =>
           if (!r.isNullAt(vIdx)) {
             val v = r.get(vIdx)
-            if (m == null || ComparableOrd.compare(v, m) > 0) m = v
+            if (m == null || sqlCompare(v, m) > 0) m = v
           }
         }
         Iterator((i, m))
@@ -167,7 +167,7 @@ object PrefixSum {
       .collect().sortBy(_._1)
     // Closure capture, not broadcast — O(partitions), see withRunningTotal.
     val offsets: Array[Any] = partMax.map(_._2).scanLeft(null: Any) { (acc, m) =>
-      if (m != null && (acc == null || ComparableOrd.compare(m, acc) > 0)) m else acc
+      if (m != null && (acc == null || sqlCompare(m, acc) > 0)) m else acc
     }
 
     // Phase 3: narrow pass — emit the pre-row max, then fold the row in.
@@ -177,7 +177,7 @@ object PrefixSum {
         val out = Row.fromSeq(r.toSeq :+ m)
         if (!r.isNullAt(vIdx)) {
           val v = r.get(vIdx)
-          if (m == null || ComparableOrd.compare(v, m) > 0) m = v
+          if (m == null || sqlCompare(v, m) > 0) m = v
         }
         out
       }
@@ -207,6 +207,17 @@ object PrefixSum {
   private object ComparableOrd extends Ordering[Any] with Serializable {
     def compare(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
+
+  /** Value comparison with SQL zero semantics: compareTo alone orders
+    * -0.0 &lt; 0.0, so a running max that has seen -0.0 would "advance"
+    * to a later 0.0 and surface the flipped sign bit where the
+    * WindowExec form keeps the first-seen zero (SQL treats them equal,
+    * max never advances on an equal value). Canonicalizing both sides
+    * through [[canonKey]] makes ±0.0 compare as peers for float/double
+    * values; all other whitelisted types pass through untouched.
+    */
+  private def sqlCompare(a: Any, b: Any): Int =
+    ComparableOrd.compare(canonKey(a), canonKey(b))
 
   /** Peer equality must match SQL, not boxed Java equals: -0.0 and 0.0
     * are SQL peers (Double.equals says otherwise); NaN==NaN is already

@@ -59,6 +59,19 @@ object SpanDedup {
     * hash occurs more than once CORPUS-WIDE — including twice within
     * one document, which is how within-doc boilerplate repetition is
     * caught.
+    *
+    * '''Materialization trade''': the gram-occurrence table (one row
+    * per token position) is checkpointed so the count side and the
+    * mark side share one scan. With no checkpoint dir configured this
+    * is a `localCheckpoint` — executor-local blocks that are NOT
+    * fault-tolerant (an executor loss fails the job; rerun to recover)
+    * and that ContextCleaner frees only once the returned frame is
+    * unreachable, so long-lived sessions holding many results
+    * accumulate executor storage. For fault-critical or long-lived
+    * runs, call `spark.sparkContext.setCheckpointDir(...)` first: the
+    * operator then writes a reliable checkpoint to that FS and
+    * executor loss becomes a re-read, at the price of one remote
+    * write/read cycle.
     */
   def duplicatedSpans(toks: DataFrame, k: Int): DataFrame = {
     // Skew-proof two-phase duplicate detection. The earlier form — a
@@ -68,12 +81,24 @@ object SpanDedup {
     // this at corpus scale) funnels every occurrence through a single
     // WindowExec task. The replacement keeps cost linear in occurrence
     // count while spreading the hot gram:
-    //  1. occurrences materialize ONCE (localCheckpoint) — the window
+    //  1. occurrences materialize ONCE (checkpoint) — the window
     //     form's one-scan property survives because the count side and
     //     the mark side both read the checkpoint blocks instead of
     //     recomputing the tokenize-and-explode subtree (whose two
     //     exchange children differ, so ReuseExchange alone could not
-    //     dedupe them — the q82 lesson);
+    //     dedupe them — the q82 lesson). Costs of that materialization,
+    //     not just its benefit (see the "materialization trade" note on
+    //     the method scaladoc): the table is one row per token position,
+    //     so at corpus scale it is a large spill; the localCheckpoint
+    //     default truncates lineage WITHOUT fault tolerance (an executor
+    //     loss fails the job instead of recomputing); and the blocks are
+    //     freed by ContextCleaner only after the returned frame — and
+    //     every derived plan — becomes unreachable, so a long-lived
+    //     session that holds results accumulates executor storage.
+    //     Sessions that set `sparkContext.setCheckpointDir` get a
+    //     RELIABLE checkpoint instead: blocks live in the (typically
+    //     replicated) checkpoint FS, executor loss re-reads instead of
+    //     failing, and storage is bounded by the dir's own lifecycle.
     //  2. the corpus-wide gram count is a TWO-PHASE hash aggregate:
     //     the map-side partial is exactly the salted first phase of
     //     Skew.saltedCount with salt := source partition, so the hot
@@ -86,7 +111,11 @@ object SpanDedup {
     //     `MarkSaltFactor` ways, so a mega-gram's occurrences spread
     //     over MarkSaltFactor reducers instead of hashing into the one
     //     partition a plain equi-join would send them to.
-    val occ = gramOccurrences(toks, k).localCheckpoint()
+    val grams = gramOccurrences(toks, k)
+    val occ =
+      if (toks.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        grams.checkpoint()
+      else grams.localCheckpoint()
     val dup = occ.groupBy("gh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("gh")
     val marked = Skew.saltedJoin(occ, dup, "gh", MarkSaltFactor)

@@ -28,15 +28,30 @@ object Tables {
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy long mode) and
-    * truncate to micros — exactly what DuckDB does when it loads the same
-    * file into its micro-precision TIMESTAMP, so oracle parity holds.
+  /** `events.ts` has shipped as two different parquet types across
+    * testdata generations, so the reader adapts to the file's schema
+    * instead of assuming one:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    outright; legacy long mode reads raw nanos, truncated here to
+    *    micros — exactly what DuckDB does when it loads the same file
+    *    into its micro-precision TIMESTAMP.
+    *  - timestamp[us] with isAdjustedToUTC=false: arrives as
+    *    TIMESTAMP_NTZ; cast to the session-zone type every downstream
+    *    query expects. All graft sessions pin the session zone to UTC,
+    *    so the cast preserves the wall-clock value DuckDB sees in its
+    *    naive TIMESTAMP read of the same file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already the session-zone timestamp type
+    }
   }
 }
 

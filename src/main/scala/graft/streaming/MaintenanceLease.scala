@@ -227,15 +227,6 @@ object MaintenanceLease {
       } finally in.close()
     } catch { case _: Exception => None }
 
-  /** The staleness bar for a lease file: the TTL RECORDED IN ITS BODY
-    * (so a short-TTL contender never breaks a healthy long-TTL holder
-    * between its beats). An unreadable or tokenless body — a transient
-    * read fault, a torn write, a crashed pre-body create — falls back
-    * CONSERVATIVELY to max(contender TTL, DefaultTtlMs): a single read
-    * hiccup must not let a 1-second contender break a healthy default
-    * holder whose mtime is legitimately minutes old, while a genuine
-    * orphan still clears after the default TTL.
-    */
   /** Best-effort removal of a local path's ChecksumFileSystem sidecar
     * (".&lt;name&gt;.crc" in the same directory) — for cleanup after raw
     * nio file ops that Hadoop's checksum layer cannot see.
@@ -247,6 +238,15 @@ object MaintenanceLease {
     catch { case _: Exception => () }
   }
 
+  /** The staleness bar for a lease file: the TTL RECORDED IN ITS BODY
+    * (so a short-TTL contender never breaks a healthy long-TTL holder
+    * between its beats). An unreadable or tokenless body — a transient
+    * read fault, a torn write, a crashed pre-body create — falls back
+    * CONSERVATIVELY to max(contender TTL, DefaultTtlMs): a single read
+    * hiccup must not let a 1-second contender break a healthy default
+    * holder whose mtime is legitimately minutes old, while a genuine
+    * orphan still clears after the default TTL.
+    */
   private def staleBarMs(body: Option[String], ttlMs: Long): Long =
     body.flatMap("""ttl=(\d+)""".r.findFirstMatchIn(_))
       .flatMap(m => scala.util.Try(m.group(1).toLong).toOption) // overflow-corrupt -> fallback

@@ -77,6 +77,23 @@ class KernelPropertySpec extends SparkSpec {
       4L -> ts(900), 5L -> ts(900)))
   }
 
+  test("withRunningMaxExclusive treats -0.0 and 0.0 as SQL-equal values (sign bit survives)") {
+    import spark.implicits._
+    // compareTo alone says -0.0 < 0.0, which would let the running max
+    // "advance" from a seen -0.0 to a later 0.0 and flip the sign bit
+    // vs the WindowExec form (SQL comparison treats them equal, so max
+    // keeps the first-seen zero). Assert bitwise, not numerically.
+    val df = Seq((1L, -0.0), (2L, 0.0), (3L, -1.0), (4L, 0.5)).toDF("k", "v")
+    val got = PrefixSum.withRunningMaxExclusive(df, "k", "v", "mx", partitions = 3)
+      .select("k", "mx").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(v =>
+        java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]))))
+      .sortBy(_._1).toSeq
+    val neg0 = java.lang.Double.doubleToRawLongBits(-0.0)
+    assert(got == Seq(1L -> None, 2L -> Some(neg0), 3L -> Some(neg0),
+      4L -> Some(neg0)))
+  }
+
   test("groupByBytes: conserves records and order; bounds every multi-record batch") {
     val recGen = Gen.listOf(for {
       id <- Gen.identifier
