@@ -1,0 +1,220 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generic per-epoch parquet store with crash-safe compaction — the
+  * storage discipline behind every incrementally-maintained artifact
+  * here (the delivery index in [[IndexSink]], the live postings index
+  * in [[LiveTextIndex]], the cross-epoch gram counts in
+  * [[graft.operators.SpanDedup]]'s streaming form). One root directory
+  * holds `epoch=<id>` subdirectories, each written once by a delivery
+  * (or maintenance) pass; readers glob the root; compaction replaces
+  * the epoch history with one resolved snapshot under the same
+  * manifest + lease protocol [[IndexSink]] proved out:
+  *
+  *  - the snapshot is written OUTSIDE the root (`<root>.compact.tmp`),
+  *    then renamed in under a fresh `epoch=compact-<gen>` name BEFORE
+  *    the old epoch dirs are deleted, so the store is readable at
+  *    every instant;
+  *  - an in-flight manifest (`<root>.compact.inflight`, END-terminated)
+  *    written before the rename lets [[heal]] finish a crashed
+  *    compaction's deletions — resolution semantics must therefore
+  *    tolerate snapshot + victim epochs coexisting (rows duplicated
+  *    with their original epoch values), which every resolver here
+  *    does by construction (latest-wins keeps one winner; additive
+  *    counts are re-resolved per read);
+  *  - a cross-process [[MaintenanceLease]] (`<root>.maintenance.lease`)
+  *    plus a JVM-local lock serialize maintenance mutations; readers
+  *    stay unserialized.
+  *
+  * What is PLUGGABLE per store is only the resolution semantics
+  * (`resolve`: collapse the epoch history to the snapshot content) and
+  * the snapshot layout (`writeSnapshot`: partitioning / sort of the
+  * snapshot files — e.g. term-clustered for a postings store). The
+  * crash protocol is deliberately NOT pluggable: it is the part that
+  * has to be right once.
+  */
+object EpochStore {
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** OUTSIDE the store root, like `.compact.tmp`: a manifest inside the
+    * root would be expanded by the raw-read star-glob as an explicit
+    * root path (exempt from the hidden-file filter) and fail parquet
+    * footer reads for the whole rename-to-deletion window.
+    */
+  private def manifestPath(root: String) =
+    new Path(root.stripSuffix("/") + ".compact.inflight")
+
+  /** Sibling of the manifest, for the same star-glob reason. */
+  private[streaming] def leasePath(root: String) =
+    new Path(root.stripSuffix("/") + ".maintenance.lease")
+
+  /** One JVM-local lock per store root serializes compact() and the
+    * heals embedded in read entries within THIS process — cheap, and it
+    * also keeps same-process sessions from contending on the
+    * cross-process [[MaintenanceLease]] underneath it. Unbounded growth
+    * is not a concern: one entry per distinct store root ever touched.
+    */
+  private val maintenanceLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def maintenanceLock(root: String): Object =
+    maintenanceLocks.computeIfAbsent(root.stripSuffix("/"), _ => new Object)
+
+  private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** The store's current epoch directories (committed or in flight —
+    * listing is point-in-time; see [[compact]] for why that is safe).
+    */
+  private[streaming] def listEpochs(fs: FileSystem, root: Path): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("epoch="))
+
+  /** Finish a compaction that crashed between its snapshot rename and
+    * its epoch deletions: if the in-flight manifest names a snapshot
+    * that exists, the listed victim epochs are duplicates of snapshot
+    * rows — delete any that remain. A manifest without its END
+    * terminator is an incomplete write from a crash BEFORE the rename
+    * (the rename only runs after the manifest is fully persisted): its
+    * victim list cannot be trusted and nothing was renamed, so it is
+    * simply discarded. A manifest that cannot be READ (readFullyUtf8
+    * None on an existing path: checksum error, transient FS fault) is
+    * NOT discarded — it may be a perfectly valid manifest whose victim
+    * deletions are still pending, and deleting it would leave the
+    * duplicate-masking resolution as the only defense until the next
+    * full compact; the heal simply retries at the next entry.
+    * Idempotent; no-op when no manifest exists.
+    *
+    * Serialized against [[compact]] at TWO scopes: the JVM-local lock
+    * and the cross-process [[MaintenanceLease]] — a reader's heal
+    * racing a LIVE compaction would otherwise read — and then delete —
+    * the manifest the compaction is still relying on, re-opening the
+    * crash window the manifest exists to close. The read-path heal is
+    * OPPORTUNISTIC about the lease (try-once, no wait): a held-fresh
+    * lease means a live maintainer that will finish its own deletions,
+    * and a read must not block behind (or fail because of) it; a
+    * crashed maintainer's lease goes TTL-stale and the next read
+    * breaks it and heals. Readers themselves stay unserialized, as
+    * always — the lease protects maintenance mutations, not scans.
+    */
+  def heal(spark: SparkSession, root: String): Unit = {
+    val (fs, rootPath) = fsOf(spark, root)
+    // Fast path OUTSIDE the locks: no manifest, nothing to heal — the
+    // common case for every read entry on a healthy store.
+    if (!fs.exists(manifestPath(root))) return
+    maintenanceLock(root).synchronized {
+      MaintenanceLease.acquire(fs, leasePath(root), timeoutMs = 0)
+        .foreach { lease =>
+          try healLocked(fs, rootPath, root) finally lease.close()
+        }
+    }
+  }
+
+  /** The heal body — caller must hold the JVM lock AND the lease. */
+  private def healLocked(fs: FileSystem, root: Path, rootStr: String): Unit = {
+    val mf = manifestPath(rootStr)
+    if (!fs.exists(mf)) return
+    BufferedChannel.readFullyUtf8(fs, mf).foreach { text =>
+      val lines = text.split("\n", -1).toSeq.dropRight(1) // trailing \n
+      if (lines.length >= 2 && lines.last == "END") {
+        val snapshot = lines.head
+        val victims = lines.tail.dropRight(1)
+        if (fs.exists(new Path(root, snapshot)))
+          victims.foreach(v => fs.delete(new Path(root, v), true))
+      }
+      // Spent (or torn-and-untrusted) — only now that the read
+      // SUCCEEDED. On a read failure the manifest survives for the
+      // next heal attempt (see scaladoc).
+      fs.delete(mf, false)
+    }
+  }
+
+  /** Replace the epoch history with one resolved snapshot.
+    *
+    * Crash-safe ordering: the snapshot moves IN (under a fresh unique
+    * `epoch=compact-<gen>` name) BEFORE the old epoch dirs are deleted,
+    * so the store is readable at every instant — never a window where
+    * the only copy sits outside the read glob. A crash mid-deletion
+    * leaves snapshot + some old epochs coexisting; the in-flight
+    * manifest written before the rename lets [[heal]] (run at every
+    * compact / read entry) finish the deletions. Stale `.compact.tmp`
+    * from a crashed attempt is dropped at entry.
+    *
+    * Concurrency-safe vs a live delivery query: the epoch set is
+    * listed ONCE, up front, and both the snapshot read and the
+    * deletion use exactly that set — an epoch delivered while the
+    * snapshot is being written is neither read nor deleted; it simply
+    * rides until the next compaction. Listing after the write would
+    * delete it — permanent loss of everything delivered during
+    * compaction.
+    *
+    * Cross-process exclusivity for the WHOLE maintenance window (heal
+    * through deletions): a compaction WAITS for the lease — and throws
+    * past the timeout rather than proceeding unserialized (two
+    * compactors listing, snapshotting, and deleting the same epochs
+    * would lose whichever epochs landed between their listings).
+    *
+    * @param resolve collapse the listed epoch history (read as one
+    *                DataFrame) to the snapshot content; must tolerate
+    *                snapshot-plus-victims coexistence on later reads
+    * @param writeSnapshot write the resolved frame to the given tmp
+    *                      path (store-specific partitioning / sort)
+    * @return rows in the snapshot, 0 when the store was empty
+    */
+  def compact(spark: SparkSession, root: String,
+      resolve: DataFrame => DataFrame,
+      writeSnapshot: (DataFrame, String) => Unit,
+      leaseTtlMs: Long = MaintenanceLease.DefaultTtlMs,
+      leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs): Long =
+      maintenanceLock(root).synchronized {
+    val (fs, rootPath) = fsOf(spark, root)
+    val lease = MaintenanceLease.acquire(fs, leasePath(root),
+      ttlMs = leaseTtlMs, timeoutMs = leaseTimeoutMs)
+      .getOrElse(throw new java.io.IOException( // unreachable: timeout>0 throws
+        s"maintenance lease unavailable for $root"))
+    try compactLeased(spark, root, rootPath, fs, resolve, writeSnapshot)
+    finally lease.close()
+  }
+
+  /** The compaction body — caller holds the JVM lock AND the lease. */
+  private def compactLeased(spark: SparkSession, rootStr: String, root: Path,
+      fs: FileSystem, resolve: DataFrame => DataFrame,
+      writeSnapshot: (DataFrame, String) => Unit): Long = {
+    healLocked(fs, root, rootStr) // finish a crashed predecessor first
+    val tmp = new Path(rootStr.stripSuffix("/") + ".compact.tmp")
+    fs.delete(tmp, true)
+    val old = listEpochs(fs, root)
+    if (old.isEmpty) return 0L
+    writeSnapshot(resolve(spark.read.parquet(old.map(_.toString): _*)),
+      tmp.toString)
+    val gen = 1L + old.map(_.getName)
+      .filter(_.startsWith("epoch=compact-"))
+      .map(n => scala.util.Try(n.stripPrefix("epoch=compact-").toLong).getOrElse(0L))
+      .foldLeft(0L)(math.max)
+    val snapshot = new Path(root, s"epoch=compact-$gen")
+    // In-flight manifest BEFORE the rename: a crash between the rename
+    // and the deletions below would otherwise leave every snapshot row
+    // duplicated in the surviving epoch dirs with nothing to trigger
+    // cleanup (heal replays the deletions from this manifest; the END
+    // terminator proves the write completed — see its scaladoc).
+    val mf = manifestPath(rootStr)
+    val out = fs.create(mf, true)
+    try out.write((snapshot.getName +: old.map(_.getName) :+ "END")
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, snapshot)) {
+      fs.delete(mf, false) // nothing renamed — retract the manifest
+      throw new java.io.IOException(
+        s"compact aborted: rename $tmp -> $snapshot failed")
+    }
+    old.foreach(p => fs.delete(p, true))
+    fs.delete(mf, false) // deletions complete — the manifest is spent
+    // Count the snapshot dir itself, not the whole glob: cheaper, and
+    // correct when concurrent epochs landed during compaction.
+    spark.read.parquet(snapshot.toString).count()
+  }
+}

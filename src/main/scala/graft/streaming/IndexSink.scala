@@ -21,6 +21,17 @@ import graft.model.DeliveryStatus._
   */
 object IndexSink {
 
+  /** Per-epoch BM25 maintenance hook for [[start]]: tokenize `field`
+    * of each delivered epoch's Ok frame (after `enrich`) and append
+    * the epoch's postings delta to the [[LiveTextIndex]] at `root` —
+    * the reference's continuous-indexing behavior (OpenSearch ingests
+    * each Firehose delivery and is immediately text-searchable with
+    * live statistics, iac/s2_app.py:841-858). Query via
+    * `LiveTextIndex.read` + the index-backed [[rankedMatch]].
+    */
+  final case class LiveIndexSpec(root: String, field: String,
+      key: String = "recordId", shards: Int = 4)
+
   /** Start the index-delivery query: decode → route → append Ok payloads
     * to `indexPath` (parquet, `shards`-way), with the raw-backup channel
     * written alongside (reference backs up ALL documents on the oss
@@ -35,6 +46,13 @@ object IndexSink {
     * its Spark twin must not need a batch re-index between epochs).
     * Identity by default. Narrow transformations only: a shuffle here
     * would serialize inside the epoch commit.
+    *
+    * `textIndex` adds the text half of the same continuously-queryable
+    * contract: each epoch's delta lands in the named [[LiveTextIndex]]
+    * AFTER the epoch's parquet commit (the index is the source of
+    * truth; a crash between the two leaves a delivered epoch whose
+    * postings delta arrives on replay — both writes are idempotent
+    * whole-directory overwrites keyed by the same epoch id).
     */
   def start(
       envelope: DataFrame,
@@ -45,7 +63,8 @@ object IndexSink {
       shards: Int,
       dropIf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       trigger: Trigger = Trigger.AvailableNow(),
-      enrich: DataFrame => DataFrame = identity): StreamingQuery =
+      enrich: DataFrame => DataFrame = identity,
+      textIndex: Option[LiveIndexSpec] = None): StreamingQuery =
     envelope.writeStream
       .queryName("graft-index-delivery")
       .trigger(trigger)
@@ -62,12 +81,19 @@ object IndexSink {
           DeliveryPipeline.writeNdjson(
             src.select(col("data").cast("string").as("line")),
             s"$backupPath/epoch=$epochId")
-          enrich(Codecs.transformEnvelope(src, payloadSchema, dropIf)
-              .filter(col("result") === Ok)
-              .select(col("recordId"), col("payload.*")))
-            .withColumn("_epoch", lit(epochId))
+          val ok = enrich(Codecs.transformEnvelope(src, payloadSchema, dropIf)
+            .filter(col("result") === Ok)
+            .select(col("recordId"), col("payload.*")))
+          ok.withColumn("_epoch", lit(epochId))
             .repartition(shards)
             .write.mode("overwrite").parquet(s"$indexPath/epoch=$epochId")
+          textIndex.foreach { spec =>
+            import graft.functions.TextFunctions.tokens
+            LiveTextIndex.writeDelta(
+              ok.select(col(spec.key).cast("string").as("doc_id"),
+                tokens(col(spec.field)).as("toks")),
+              spec.root, epochId, spec.shards)
+          }
         } finally src.unpersist()
       }
       .start()
@@ -108,117 +134,27 @@ object IndexSink {
       .createOrReplaceTempView(name)
   }
 
-  /** Finish a compaction that crashed between its snapshot rename and
-    * its epoch deletions (see [[compact]]'s manifest protocol): if the
-    * in-flight manifest names a snapshot that exists, the listed victim
-    * epochs are duplicates of snapshot rows — delete any that remain.
-    * A manifest without its END terminator is an incomplete write from
-    * a crash BEFORE the rename (the rename only runs after the manifest
-    * is fully persisted): its victim list cannot be trusted and nothing
-    * was renamed, so it is simply discarded. A manifest that cannot be
-    * READ (readFullyUtf8 None on an existing path: checksum error,
-    * transient FS fault) is NOT discarded — it may be a perfectly valid
-    * manifest whose victim deletions are still pending, and deleting it
-    * would leave the raw-count surface inflated until the next full
-    * compact; the heal simply retries at the next entry. Idempotent;
-    * no-op when no manifest exists.
-    *
-    * Serialized against [[compact]] at TWO scopes: the JVM-local lock
-    * (cheap, same-process sessions) and the cross-process
-    * [[MaintenanceLease]] — a registration's heal racing a LIVE
-    * compaction would otherwise read — and then delete — the manifest
-    * the compaction is still relying on, re-opening the crash window
-    * the manifest exists to close. The registration-path heal is
-    * OPPORTUNISTIC about the lease (try-once, no wait): a held-fresh
-    * lease means a live maintainer that will finish its own deletions,
-    * and a registration must not block behind (or fail because of) it;
-    * a crashed maintainer's lease goes TTL-stale and the next
-    * registration breaks it and heals. Readers themselves stay
-    * unserialized, as always — the lease protects maintenance
-    * mutations, not scans.
+  /** Finish a crashed compaction (see [[EpochStore.heal]]) — for this
+    * store, surviving victim epochs duplicate every latest-per-key row
+    * (snapshot + original epoch), which `registerLatestView` masks but
+    * the raw view — and the A13 `_count` contract over it — would
+    * report inflated; the heal closes that window at every read entry.
     */
-  private def healCompaction(spark: SparkSession, indexPath: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // Fast path OUTSIDE the locks: no manifest, nothing to heal — the
-    // common case for every registration on a healthy index.
-    if (!fs.exists(manifestPath(indexPath))) return
-    maintenanceLock(indexPath).synchronized {
-      MaintenanceLease.acquire(fs, leasePath(indexPath), timeoutMs = 0)
-        .foreach { lease =>
-          try healLocked(fs, root, indexPath) finally lease.close()
-        }
-    }
-  }
+  private def healCompaction(spark: SparkSession, indexPath: String): Unit =
+    EpochStore.heal(spark, indexPath)
 
-  /** The heal body — caller must hold the JVM lock AND the lease. */
-  private def healLocked(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, indexPath: String): Unit = {
-    val mf = manifestPath(indexPath)
-    if (!fs.exists(mf)) return
-    BufferedChannel.readFullyUtf8(fs, mf).foreach { text =>
-      val lines = text.split("\n", -1).toSeq.dropRight(1) // trailing \n
-      if (lines.length >= 2 && lines.last == "END") {
-        val snapshot = lines.head
-        val victims = lines.tail.dropRight(1)
-        if (fs.exists(new org.apache.hadoop.fs.Path(root, snapshot)))
-          victims.foreach(v =>
-            fs.delete(new org.apache.hadoop.fs.Path(root, v), true))
-      }
-      // Spent (or torn-and-untrusted) — only now that the read
-      // SUCCEEDED. On a read failure the manifest survives for the
-      // next heal attempt (see scaladoc).
-      fs.delete(mf, false)
-    }
-  }
-
-  /** OUTSIDE the index root, like `.compact.tmp`: a manifest inside the
-    * root would be expanded by the raw-read star-glob as an explicit
-    * root path (exempt from the hidden-file filter) and fail parquet
-    * footer reads for the whole rename-to-deletion window.
-    */
-  private def manifestPath(indexPath: String) =
-    new org.apache.hadoop.fs.Path(indexPath.stripSuffix("/") + ".compact.inflight")
-
-  /** Sibling of the manifest, for the same star-glob reason. */
+  /** Sibling naming shared with every [[EpochStore]] root. */
   private[streaming] def leasePath(indexPath: String) =
-    new org.apache.hadoop.fs.Path(indexPath.stripSuffix("/") + ".maintenance.lease")
-
-  /** One JVM-local lock per index path serializes compact() and the
-    * heals embedded in view registration within THIS process — cheap,
-    * and it also keeps same-process sessions from contending on the
-    * cross-process [[MaintenanceLease]] underneath it. Unbounded growth
-    * is not a concern: one entry per distinct index root ever touched.
-    */
-  private val maintenanceLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def maintenanceLock(indexPath: String): Object =
-    maintenanceLocks.computeIfAbsent(indexPath.stripSuffix("/"), _ => new Object)
+    EpochStore.leasePath(indexPath)
 
   /** Materialize upsert resolution like an index segment merge: the
-    * epoch history is REPLACED by one snapshot directory (written
-    * outside the index first — writing into the glob being read would
-    * self-overwrite — then swapped in).
-    *
-    * Crash-safe ordering: the snapshot moves IN (under a fresh unique
-    * epoch name) BEFORE the old epoch dirs are deleted, so the index is
-    * readable at every instant — never a window where the only copy sits
-    * outside the read glob. A crash mid-deletion leaves snapshot + some
-    * old epochs coexisting: the rows are exact duplicates with their
-    * original `_epoch` values, so `registerLatestView` still resolves
-    * correctly — and the in-flight manifest written before the rename
-    * lets [[healCompaction]] (run at every compact/registerView entry)
-    * finish the deletions, so the raw-count surface self-heals instead
-    * of reporting inflated until a manual re-compaction. Stale
-    * `.compact.tmp` from a crashed attempt is dropped at entry.
-    *
-    * Concurrency-safe vs a live delivery query: the epoch set is listed
-    * ONCE, up front, and both the snapshot read and the deletion use
-    * exactly that set — an epoch the streaming query delivers while the
-    * snapshot is being written (the window spans the whole shuffle +
-    * parquet write) is neither read nor deleted; it simply rides until
-    * the next compaction. Listing after the write would delete it —
-    * permanent loss of everything delivered during compaction.
+    * epoch history is REPLACED by one snapshot of the latest-per-`key`
+    * rows (with their original `_epoch` values, so resolution stays
+    * correct if a crash leaves snapshot + victims coexisting). The
+    * crash-safe rename-then-delete protocol, the in-flight manifest,
+    * and the lease + JVM-lock serialization all live in
+    * [[EpochStore.compact]]; this store plugs in only its resolution
+    * (last write per key) and its snapshot layout (`shards`-way).
     *
     * All file mechanics go through the Hadoop [[org.apache.hadoop.fs
     * .FileSystem]] API like every other component here, so compaction
@@ -229,64 +165,11 @@ object IndexSink {
       shards: Int,
       leaseTtlMs: Long = MaintenanceLease.DefaultTtlMs,
       leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs): Long =
-      maintenanceLock(indexPath).synchronized {
-    val root = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // Cross-process exclusivity for the WHOLE maintenance window (heal
-    // through deletions): unlike the registration heal, a compaction
-    // WAITS for the lease — and throws past the timeout rather than
-    // proceeding unserialized (two compactors listing, snapshotting,
-    // and deleting the same epochs would lose whichever epochs landed
-    // between their listings).
-    val lease = MaintenanceLease.acquire(fs, leasePath(indexPath),
-      ttlMs = leaseTtlMs, timeoutMs = leaseTimeoutMs)
-      .getOrElse(throw new java.io.IOException( // unreachable: timeout>0 throws
-        s"maintenance lease unavailable for $indexPath"))
-    try compactLeased(spark, indexPath, key, shards, root, fs)
-    finally lease.close()
-  }
-
-  /** The compaction body — caller holds the JVM lock AND the lease. */
-  private def compactLeased(spark: SparkSession, indexPath: String,
-      key: String, shards: Int, root: org.apache.hadoop.fs.Path,
-      fs: org.apache.hadoop.fs.FileSystem): Long = {
-    healLocked(fs, root, indexPath) // finish a crashed predecessor first
-    val tmp = new org.apache.hadoop.fs.Path(indexPath.stripSuffix("/") + ".compact.tmp")
-    fs.delete(tmp, true)
-    val old =
-      if (!fs.exists(root)) Seq.empty[org.apache.hadoop.fs.Path]
-      else fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("epoch="))
-    if (old.isEmpty) return 0L
-    latestPerKey(spark.read.parquet(old.map(_.toString): _*), key)
-      .repartition(shards)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val gen = 1L + old.map(_.getName)
-      .filter(_.startsWith("epoch=compact-"))
-      .map(n => scala.util.Try(n.stripPrefix("epoch=compact-").toLong).getOrElse(0L))
-      .foldLeft(0L)(math.max)
-    val snapshot = new org.apache.hadoop.fs.Path(root, s"epoch=compact-$gen")
-    // In-flight manifest BEFORE the rename: a crash between the rename
-    // and the deletions below would otherwise leave every snapshot row
-    // duplicated in the surviving epoch dirs with nothing to trigger
-    // cleanup (healCompaction replays the deletions from this manifest;
-    // the END terminator proves the write completed — see its scaladoc).
-    val mf = manifestPath(indexPath)
-    val out = fs.create(mf, true)
-    try out.write((snapshot.getName +: old.map(_.getName) :+ "END")
-      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, snapshot)) {
-      fs.delete(mf, false) // nothing renamed — retract the manifest
-      throw new java.io.IOException(
-        s"compact aborted: rename $tmp -> $snapshot failed")
-    }
-    old.foreach(p => fs.delete(p, true))
-    fs.delete(mf, false) // deletions complete — the manifest is spent
-    // Count the snapshot dir itself, not the whole glob: cheaper, and
-    // correct when concurrent epochs landed during compaction.
-    spark.read.parquet(snapshot.toString).count()
-  }
+    EpochStore.compact(spark, indexPath,
+      resolve = latestPerKey(_, key),
+      writeSnapshot = (df, tmp) =>
+        df.repartition(shards).write.mode("overwrite").parquet(tmp),
+      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
 
   /** The live VECTOR view over an enriched delivery index (see
     * [[start]]'s `enrich`): upsert-resolved (last write per `key`, like
@@ -361,12 +244,12 @@ object IndexSink {
   }
 
   /** [[rankedMatch]] served from a PREBUILT postings index
-    * ([[textIndex]] / `Retrieval.buildTextIndex`): same analyzer, same
-    * scoring, but the query touches only its terms' postings instead
-    * of re-scanning the view — the shape for a query-heavy endpoint.
-    * Rebuild (or `Retrieval.writeTextIndex`-persist) the index per
-    * delivered epoch batch; incremental per-epoch postings maintenance
-    * is future work.
+    * ([[textIndex]] / `Retrieval.buildTextIndex` for a batch snapshot,
+    * or [[LiveTextIndex.read]] for an index maintained incrementally
+    * per delivered epoch — see [[start]]'s `textIndex` hook): same
+    * analyzer, same scoring, but the query touches only its terms'
+    * postings instead of re-scanning the view — the shape for a
+    * query-heavy endpoint.
     */
   def rankedMatch(spark: SparkSession, index: graft.operators.Retrieval.TextIndex,
       key: String, query: String, operator: String, k: Int): DataFrame = {

@@ -293,6 +293,118 @@ class StreamingTwinSpec extends SparkSpec {
     assert(!got2.exists(_._1 == 1L)) // the upsert removed doc 1's match
   }
 
+  test("incremental postings index: per-epoch deltas + one upsert equal " +
+      "a batch index rebuild, before and after compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.streaming.{IndexSink, LiveTextIndex}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-live-postings").toString
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("body", StringType)))
+    val spec = IndexSink.LiveIndexSpec(s"$tmp/textindex", field = "body",
+      key = "doc_id", shards = 2)
+
+    def deliver(rows: Seq[(Long, String)], tag: String): Unit = {
+      rows.toDF("doc_id", "body")
+        .select(to_json(struct(col("doc_id"), col("body"))).as("value"))
+        .coalesce(1).write.mode("append").text(s"$tmp/in")
+      val env = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("body", StringType))))
+        .json(s"$tmp/in")
+        .select(col("doc_id").cast("string").as("recordId"),
+          lit(0L).as("approximateArrivalTimestamp"),
+          to_json(struct(col("doc_id"), col("body"))).cast("binary").as("data"))
+      val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
+        s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false), textIndex = Some(spec))
+      assert(q.awaitTermination(120000), s"delivery $tag timed out")
+    }
+    def liveSearch(query: String): Seq[(Long, Double)] =
+      IndexSink.rankedMatch(spark, LiveTextIndex.read(spark, spec.root),
+          "doc_id", query, "or", 10)
+        .select(col("doc_id").cast("long"), col("_score"))
+        .as[(Long, Double)].collect().toSeq
+    def batchSearch(rows: Seq[(Long, String)], query: String): Seq[(Long, Double)] = {
+      // The rebuild the live index must MATCH WITHOUT DOING: one full
+      // corpus pass over the resolved state (buildTextIndex), queried
+      // through the identical index-backed path.
+      rows.toDF("doc_id", "body")
+        .select(col("doc_id").cast("string"), col("body"))
+        .createOrReplaceTempView("batch_live_text")
+      IndexSink.rankedMatch(spark,
+          IndexSink.textIndex(spark, "batch_live_text", "body", "doc_id"),
+          "doc_id", query, "or", 10)
+        .select(col("doc_id").cast("long"), col("_score"))
+        .as[(Long, Double)].collect().toSeq
+    }
+    def deltaEpochs(): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"${spec.root}/postings")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.startsWith("epoch="))
+    }
+
+    val epoch1 = Seq(
+      1L -> "mortgage deposit approved for the savings account",
+      2L -> "wire transfer completed without a deposit",
+      3L -> "ATM withdrawal fee charged on checking")
+    deliver(epoch1, "epoch-1")
+    val got1 = liveSearch("deposit mortgage")
+    assert(got1.nonEmpty && got1 == batchSearch(epoch1, "deposit mortgage"))
+    assert(got1.head._1 == 1L) // both terms
+    // Epoch 2 UPSERTS doc 1 (drops its terms) and adds doc 4. The
+    // currency rule must retire doc 1's old postings even though its
+    // NEW version never mentions them — per-term latest-epoch would
+    // keep the stale rows forever; the doclen authority retires them.
+    val epoch2 = Seq(
+      1L -> "closed account with nothing relevant",
+      4L -> "new deposit recorded at the branch")
+    deliver(epoch2, "epoch-2")
+    val resolved = Seq(
+      1L -> "closed account with nothing relevant",
+      2L -> "wire transfer completed without a deposit",
+      3L -> "ATM withdrawal fee charged on checking",
+      4L -> "new deposit recorded at the branch")
+    assert(deltaEpochs() >= 2, "expected one postings delta per epoch")
+    val got2 = liveSearch("deposit mortgage")
+    assert(got2 == batchSearch(resolved, "deposit mortgage"),
+      s"live $got2 diverged from the batch rebuild over the resolved corpus")
+    assert(!got2.exists(_._1 == 1L)) // the upsert retired doc 1's match
+    // df currency: "mortgage" existed only in doc 1's RETIRED version,
+    // so it must vanish from the document-frequency table entirely,
+    // while "deposit" counts exactly its two current docs (2 and 4).
+    val idx = LiveTextIndex.read(spark, spec.root)
+    assert(idx.df.filter(col("term") === "mortgage").count() == 0)
+    assert(idx.df.filter(col("term") === "deposit").as[(String, Double)]
+      .collect().toSeq == Seq("deposit" -> 2.0))
+    assert(idx.stats.select(col("n")).as[Double].head() == 4.0)
+    // Compaction folds the history into one snapshot per store and
+    // changes NOTHING observable; superseded doc-1 rows are gone.
+    val kept = LiveTextIndex.compact(spark, spec.root, shards = 2)
+    assert(deltaEpochs() == 1, "compaction should leave one snapshot dir")
+    assert(liveSearch("deposit mortgage") == got2)
+    val postSnapshot = LiveTextIndex.read(spark, spec.root)
+    assert(postSnapshot.postings.count() == kept)
+    // A post-compaction delta keeps composing: epoch 3 re-adds a
+    // mortgage doc; live == rebuild again, no corpus pass in between.
+    val epoch3 = Seq(5L -> "second mortgage deposit approved")
+    deliver(epoch3, "epoch-3")
+    assert(liveSearch("deposit mortgage") ==
+      batchSearch(resolved ++ epoch3, "deposit mortgage"))
+    // Plan pin: the query's term filter reaches the postings scans —
+    // pushed below BOTH the currency join and the df aggregate — so
+    // per-query cost is the terms' postings, never the corpus.
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.operators.Retrieval.bm25FromIndex(spark,
+        LiveTextIndex.read(spark, spec.root), Seq("deposit", "mortgage"))
+        .explain("formatted")
+    }
+    val p = out.toString("UTF-8")
+    assert("In\\(term|EqualTo\\(term".r.findAllIn(p).size >= 2, p)
+  }
+
   test("IVF search recall vs brute force (nprobe=4 of k=8 cells)") {
     import spark.implicits._
     val emb = queries.Tables.t(spark, sfDir, "embeddings")
