@@ -118,7 +118,18 @@ object SpanDedup {
       else grams.localCheckpoint()
     val dup = occ.groupBy("gh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("gh")
-    val marked = Skew.saltedJoin(occ, dup, "gh", MarkSaltFactor)
+    markAndMerge(occ, dup, k)
+  }
+
+  /** Shared mark-and-merge tail: salted join of gram occurrences
+    * against the duplicated-gram keys (see [[duplicatedSpans]] step 3),
+    * then the one-exchange interval merge. Package-visible so the
+    * cross-epoch streaming form ([[graft.streaming.LiveSpanDedup]])
+    * shares the exact marking semantics with the batch operators.
+    */
+  private[graft] def markAndMerge(occ: DataFrame, dupKeys: DataFrame,
+      k: Int): DataFrame = {
+    val marked = Skew.saltedJoin(occ, dupKeys, "gh", MarkSaltFactor)
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + lit(k)).cast("long").as("e"))
     mergeMarks(marked)
@@ -147,11 +158,7 @@ object SpanDedup {
     // benchmark-sized the replicated frame still broadcasts (16× tiny
     // is tiny), and when it is not, a corpus-hot gram matching a ref
     // gram would otherwise pile into one sort-merge partition.
-    val marked = Skew.saltedJoin(gramOccurrences(toks, k), refGrams, "gh",
-        MarkSaltFactor)
-      .select(col("doc_id"), col("pos").as("s"),
-        (col("pos") + lit(k)).cast("long").as("e"))
-    mergeMarks(marked)
+    markAndMerge(gramOccurrences(toks, k), refGrams, k)
   }
 
   /** Classic streaming interval merge as two windows over ONE doc_id

@@ -405,6 +405,90 @@ class StreamingTwinSpec extends SparkSpec {
     assert("In\\(term|EqualTo\\(term".r.findAllIn(p).size >= 2, p)
   }
 
+  test("cross-epoch span dedup: gram state over delivered epochs equals " +
+      "batch SpanDedup on the closed corpus, before and after compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.functions.TextFunctions.tokens
+    import graft.streaming.LiveSpanDedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-live-span").toString
+    val root = s"$tmp/gramstate"
+    val k = 3
+
+    // A REAL streaming maintenance path: each delivery appends to the
+    // file source and one AvailableNow pass writes that epoch's gram
+    // delta from inside foreachBatch (the shared checkpoint carries
+    // epoch ids across calls, like the index-delivery tests).
+    def deliver(rows: Seq[(Long, String)], tag: String): Unit = {
+      rows.toDF("doc_id", "body")
+        .select(to_json(struct(col("doc_id"), col("body"))).as("value"))
+        .coalesce(1).write.mode("append").text(s"$tmp/in")
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("body", StringType))))
+        .json(s"$tmp/in")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+          LiveSpanDedup.writeDelta(
+            batch.select(col("doc_id"), tokens(col("body")).as("toks")),
+            root, epochId, k, shards = 2)
+        }
+        .start()
+      assert(q.awaitTermination(120000), s"delivery $tag timed out")
+    }
+    def liveSpans(): Set[(Long, Long, Long)] =
+      LiveSpanDedup.duplicatedSpans(spark, root, k, idType = LongType)
+        .as[(Long, Long, Long)].collect().toSet
+    def batchSpans(rows: Seq[(Long, String)]): Set[(Long, Long, Long)] =
+      graft.operators.SpanDedup.duplicatedSpans(
+          rows.toDF("doc_id", "body")
+            .select(col("doc_id"), tokens(col("body")).as("toks")), k)
+        .as[(Long, Long, Long)].collect().toSet
+
+    val epoch1 = Seq(
+      1L -> "alpha beta gamma delta closes the unique first document",
+      2L -> "wholly unrelated second text with nothing repeated")
+    deliver(epoch1, "epoch-1")
+    // No duplication yet — and live agrees with batch on that too.
+    assert(liveSpans().isEmpty && batchSpans(epoch1).isEmpty)
+    // Epoch 2 re-uses epoch 1's boilerplate run: the duplicated span
+    // crosses the epoch boundary, which batch SpanDedup could only see
+    // by re-processing the closed corpus — the live state sees it from
+    // the merged gram counts, marking BOTH occurrences (doc 1's span
+    // retroactively, doc 3's on arrival).
+    val epoch2 = Seq(
+      3L -> "preamble then alpha beta gamma delta and a novel tail")
+    deliver(epoch2, "epoch-2")
+    val closed2 = epoch1 ++ epoch2
+    val live2 = liveSpans()
+    assert(live2 == batchSpans(closed2),
+      s"cross-epoch spans $live2 diverged from batch on the closed corpus")
+    assert(live2.map(_._1) == Set(1L, 3L), s"both copies must be marked: $live2")
+    // Epoch 3 duplicates WITHIN the delivery; merged counts catch it
+    // the same way.
+    val epoch3 = Seq(
+      4L -> "shared run one two three four ends here",
+      5L -> "prefix one two three four suffix words")
+    deliver(epoch3, "epoch-3")
+    val closed3 = closed2 ++ epoch3
+    assert(liveSpans() == batchSpans(closed3))
+    // Compaction consolidates both stores to one snapshot each and
+    // changes nothing observable; a post-compaction delta composes.
+    LiveSpanDedup.compact(spark, root, shards = 2)
+    def dirs(sub: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .listStatus(p).count(_.getPath.getName.startsWith("epoch="))
+    }
+    assert(dirs("occ") == 1 && dirs("counts") == 1)
+    assert(liveSpans() == batchSpans(closed3))
+    val epoch4 = Seq(6L -> "echoes alpha beta gamma delta once more")
+    deliver(epoch4, "epoch-4")
+    assert(liveSpans() == batchSpans(closed3 ++ epoch4))
+  }
+
   test("IVF search recall vs brute force (nprobe=4 of k=8 cells)") {
     import spark.implicits._
     val emb = queries.Tables.t(spark, sfDir, "embeddings")
