@@ -1131,8 +1131,10 @@ object TrainingData {
       .orderBy("probe_id", "rnk")
   }
 
-  /** q78's full oracle chain up to `ranked` — shared with q98. */
-  private val opqChainSql: String =
+  /** The q78/q99 shared mix prefix: raw corpus `v`, Householder
+    * direction `u`, rotated corpus `r`.
+    */
+  private val opqMixSql: String =
     s"""v AS (SELECT vec_id, embedding FROM embeddings),
        |u AS (SELECT list(sgn / sqrt(64.0) ORDER BY d) AS uv FROM (
        |    SELECT d, CAST((CAST(concat('0x', substr(md5(concat('0|', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) & 1) * 2 - 1 AS DOUBLE) AS sgn
@@ -1142,9 +1144,14 @@ object TrainingData {
        |  FROM (SELECT v.vec_id, v.embedding, u.uv,
        |      list_sum(list_transform(range(1, len(v.embedding) + 1),
        |        i -> uv[i] * CAST(v.embedding[i] AS DOUBLE))) AS s
-       |    FROM v CROSS JOIN u)),
-       |${(0 until 4).map(pqSubspaceSql(_, 16, 4, src = "r")).mkString(",\n")},
-       |pn AS (SELECT vec_id AS probe_id, ${ivfNormSql("embedding")} AS na FROM r WHERE vec_id < 5),
+       |    FROM v CROSS JOIN u))""".stripMargin
+
+  /** The PQ ADC scoring tail over 4 trained subspaces, probes drawn
+    * from `src` — shared by the q78 and q99 chains (q76's differs only
+    * in reading probes from the raw `v`).
+    */
+  private def adcTailSql(src: String): String =
+    s"""pn AS (SELECT vec_id AS probe_id, ${ivfNormSql("embedding")} AS na FROM $src WHERE vec_id < 5),
        |scored AS (SELECT pn.probe_id, e0.vec_id AS neighbor_id,
        |    CASE WHEN pn.na = 0 OR sqrt(t0.nsq + t1.nsq + t2.nsq + t3.nsq) = 0 THEN -1.0
        |         ELSE (t0.t + t1.t + t2.t + t3.t)
@@ -1158,6 +1165,35 @@ object TrainingData {
        |  WHERE e0.vec_id <> pn.probe_id),
        |ranked AS (SELECT probe_id, neighbor_id, pq_cos,
        |    row_number() OVER (PARTITION BY probe_id ORDER BY pq_cos DESC, neighbor_id) AS rnk FROM scored)""".stripMargin
+
+  /** q78's full oracle chain up to `ranked` — shared with q98. */
+  private val opqChainSql: String =
+    s"""$opqMixSql,
+       |${(0 until 4).map(pqSubspaceSql(_, 16, 4, src = "r")).mkString(",\n")},
+       |${adcTailSql("r")}""".stripMargin
+
+  /** q99's oracle chain: the Householder mix, then the LEARNED
+    * variance-balancing allocation replayed in SQL — per-dim variance
+    * (snapped to the 1e-4 grid `Opq.allocate` uses), descending-
+    * variance rank, the closed-form snake assignment to 4 bins of 16,
+    * the permutation as a list — then the q76 PQ path over the
+    * permuted corpus `p2`. Shared with q100's recall rung.
+    */
+  private val opqLearnedChainSql: String =
+    s"""$opqMixSql,
+       |rv AS (SELECT d, floor(((sxx - sx * sx / n) / n) * 10000 + 0.5) / 10000 AS vr FROM (
+       |    SELECT t.d AS d, sum(CAST(embedding[t.d] AS DOUBLE)) AS sx,
+       |           sum(CAST(embedding[t.d] AS DOUBLE) * CAST(embedding[t.d] AS DOUBLE)) AS sxx,
+       |           count(*) AS n
+       |    FROM r, unnest(range(1, 65)) AS t(d)
+       |    WHERE embedding IS NOT NULL GROUP BY t.d)),
+       |rk AS (SELECT d, row_number() OVER (ORDER BY vr DESC, d) - 1 AS r0 FROM rv),
+       |asn AS (SELECT d, r0, CASE WHEN (r0 // 4) % 2 = 0 THEN r0 % 4 ELSE 3 - (r0 % 4) END AS bin FROM rk),
+       |slt AS (SELECT d, r0, bin * 16 + (row_number() OVER (PARTITION BY bin ORDER BY r0) - 1) AS slot FROM asn),
+       |pm AS (SELECT list(d ORDER BY slot) AS pm FROM slt),
+       |p2 AS (SELECT vec_id, list_transform(range(1, 65), j -> embedding[pm[j]]) AS embedding FROM r CROSS JOIN pm),
+       |${(0 until 4).map(pqSubspaceSql(_, 16, 4, src = "p2")).mkString(",\n")},
+       |${adcTailSql("p2")}""".stripMargin
 
   val q78_opq_ann: QueryDef = q(
     "q78_opq_ann",
@@ -1545,6 +1581,60 @@ object TrainingData {
     // isolates what the rotation buys (or costs) at equal code budget.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val remb = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
+    val model = graft.operators.Pq.train(s, remb, nSub = 4, subDim = 16,
+      k = 4, iters = 2, meanRound = 4)
+    val encoded = graft.operators.Pq.encode(s, remb, model)
+    val probes = remb.filter(col("vec_id") < 5)
+    val qtop = graft.operators.Pq.search(s, encoded, model, probes, k = 5)
+      .select(col("probe_id"), col("neighbor_id"))
+    recallVsExhaustive(s, dir, qtop)
+  }
+
+  val q99_opq_learned: QueryDef = q(
+    "q99_opq_learned",
+    s"""WITH $opqLearnedChainSql
+       |SELECT probe_id, neighbor_id, floor(pq_cos * 100 + 0.5) / 100 AS pq_cos, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  ) { (s, dir) =>
+    // LEARNED OPQ rotation, oracle-gated (Ge et al. 2013 §4's
+    // PARAMETRIC solution): after the q78 Householder mix, the engine
+    // LEARNS a variance-balancing dimension allocation from corpus
+    // statistics (Opq.allocate — per-dim variance snapped to a 1e-4
+    // grid, descending-rank snake assignment into the 4 PQ subspaces;
+    // a permutation matrix, so the composed transform stays exactly
+    // orthogonal), then runs the q76 PQ path in the learned layout.
+    // The closed-form allocation is what makes a LEARNED transform
+    // oracle-replayable — the full alternating optimization
+    // (Opq.trainRotation) needs an SVD no SQL engine replays and is
+    // spec-gated in OpqSpec instead.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val mixed = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
+    val alloc = graft.operators.Opq.allocate(s, mixed, dim = 64, nSub = 4)
+    val remb = graft.operators.Opq.permute(s, mixed, alloc)
+    val model = graft.operators.Pq.train(s, remb, nSub = 4, subDim = 16,
+      k = 4, iters = 2, meanRound = 4)
+    val encoded = graft.operators.Pq.encode(s, remb, model)
+    val probes = remb.filter(col("vec_id") < 5)
+    graft.operators.Pq.search(s, encoded, model, probes, k = 5)
+      .select(col("probe_id"), col("neighbor_id"),
+        Par.r2(col("pq_cos")).as("pq_cos"), col("rnk").cast("bigint").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  val q100_opq_learned_recall: QueryDef = q(
+    "q100_opq_learned_recall",
+    s"""WITH $opqLearnedChainSql,
+       |$recallTailSql""".stripMargin
+  ) { (s, dir) =>
+    // Recall@5 of the LEARNED-rotation rung (q99's exact configuration)
+    // against exhaustive search over the raw corpus — completing the
+    // recall ladder (q96 plain PQ, q98 fixed rotation, q100 learned):
+    // the three at equal code budget isolate what each rotation rung
+    // buys.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val mixed = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
+    val alloc = graft.operators.Opq.allocate(s, mixed, dim = 64, nSub = 4)
+    val remb = graft.operators.Opq.permute(s, mixed, alloc)
     val model = graft.operators.Pq.train(s, remb, nSub = 4, subDim = 16,
       k = 4, iters = 2, meanRound = 4)
     val encoded = graft.operators.Pq.encode(s, remb, model)
@@ -2128,5 +2218,6 @@ object TrainingData {
     q86_hybrid_rrf, q87_span_dedup, q88_span_coverage, q89_filtered_ann,
     q90_chunking, q91_source_budget, q92_full_curation, q93_passage_bm25,
     q94_bm25_postings, q95_decontaminate_spans, q96_pq_recall,
-    q97_ivfpq_recall, q98_opq_recall)
+    q97_ivfpq_recall, q98_opq_recall, q99_opq_learned,
+    q100_opq_learned_recall)
 }
