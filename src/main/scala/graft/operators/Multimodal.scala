@@ -97,6 +97,53 @@ object Multimodal {
     }.toOption.flatten // corrupt header mid-parse → None, not a throw
   }
 
+  /** Deterministic REAL image fixtures: `n` rows of (media_id, payload,
+    * media_type) where payload is a genuine encoded image (JDK
+    * `ImageIO.write` — the inverse of the [[decodeImages]] reader) with
+    * closed-form header values:
+    *
+    *   width = 8 + id,  height = 12 + (id·3) mod 17,
+    *   id mod 3 = 0 → RGB PNG (3 bands) · 1 → grayscale PNG (1 band)
+    *             · 2 → RGB BMP (3 bands)
+    *
+    * The ENCODED BYTES are free to vary across JDK encoders — only the
+    * header facts are contracted — which is exactly what lets an
+    * external oracle check the real `javax.imageio` decode path: it
+    * recomputes the closed-form dimensions independently and compares
+    * against what [[decodeImages]] read back out of real headers
+    * (q101's gate). Pixel content is deterministic but irrelevant.
+    * Generation is a narrow per-row map, distributed like any decode.
+    */
+  def syntheticImages(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + id.toInt
+          val h = 12 + (id.toInt * 3) % 17
+          val (imgType, fmt) = (id % 3) match {
+            case 0 => (java.awt.image.BufferedImage.TYPE_3BYTE_BGR, "png")
+            case 1 => (java.awt.image.BufferedImage.TYPE_BYTE_GRAY, "png")
+            case _ => (java.awt.image.BufferedImage.TYPE_3BYTE_BGR, "bmp")
+          }
+          val img = new java.awt.image.BufferedImage(w, h, imgType)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (x * 31 + y * 7 + id.toInt) & 0xffffff)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, baos)
+          (id, baos.toByteArray, "image")
+        }
+      }
+      .toDF("media_id", "payload", "media_type")
+  }
+
   /** [[decodeImageMeta]] over a media frame: (media_id, media_type,
     * n_bytes, width, height, channels, format, decoded). Undecodable
     * rows survive with `decoded = false` and null dims — a curation

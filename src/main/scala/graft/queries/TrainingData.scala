@@ -468,6 +468,44 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  val q101_image_decode: QueryDef = q(
+    "q101_image_decode",
+    """WITH ids AS (SELECT unnest(range(0, 20)) AS media_id),
+      |expect AS (SELECT media_id,
+      |    CAST(8 + media_id AS INT) AS width,
+      |    CAST(12 + (media_id * 3) % 17 AS INT) AS height,
+      |    CAST(CASE WHEN media_id % 3 = 1 THEN 1 ELSE 3 END AS INT) AS channels,
+      |    CASE WHEN media_id % 3 = 2 THEN 'bmp' ELSE 'png' END AS format,
+      |    CAST(1 AS INT) AS decoded
+      |  FROM ids)
+      |SELECT * FROM (
+      |  SELECT * FROM expect
+      |  UNION ALL SELECT CAST(20 AS BIGINT), NULL, NULL, NULL, NULL, CAST(0 AS INT)
+      |  UNION ALL SELECT CAST(21 AS BIGINT), NULL, NULL, NULL, NULL, CAST(0 AS INT)
+      |) ORDER BY media_id""".stripMargin
+  ) { (s, dir) =>
+    // REAL image decode, correctness-gated (q47 covers the opaque-bytes
+    // plumbing with a replayable stub; this key exercises the actual
+    // javax.imageio path): Multimodal.syntheticImages ENCODES 20
+    // genuine PNG/BMP images whose header facts are closed-form in the
+    // id, decodeImages reads the headers back, and the oracle
+    // recomputes the closed form independently — the encoded bytes are
+    // free to differ across JDK encoders, the decoded facts are not.
+    // Two poison rows (garbage bytes, null payload) gate the quarantine
+    // contract: decoded = 0, null dims, no crash.
+    import s.implicits._
+    val real = graft.operators.Multimodal.syntheticImages(s, 20)
+    val bad = Seq(
+      (20L, Some("definitely not an image".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)), "image"),
+      (21L, None: Option[Array[Byte]], "image"))
+      .toDF("media_id", "payload", "media_type")
+    graft.operators.Multimodal.decodeImages(s, real.unionByName(bad))
+      .select(col("media_id"), col("width"), col("height"), col("channels"),
+        col("format"), col("decoded").cast("int").as("decoded"))
+      .orderBy("media_id")
+  }
+
   val q50_token_count: QueryDef = q(
     "q50_token_count",
     """SELECT doc_id,
@@ -2219,5 +2257,5 @@ object TrainingData {
     q90_chunking, q91_source_budget, q92_full_curation, q93_passage_bm25,
     q94_bm25_postings, q95_decontaminate_spans, q96_pq_recall,
     q97_ivfpq_recall, q98_opq_recall, q99_opq_learned,
-    q100_opq_learned_recall)
+    q100_opq_learned_recall, q101_image_decode)
 }
