@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -14,125 +15,206 @@ import graft.operators.SpanDedup
   * deliveries (epoch-3 boilerplate matching epoch-1 text) needs gram
   * state that outlives the epoch. This store keeps that state as
   * per-epoch deltas merged at read — the [[LiveTextIndex]] design
-  * applied to gram counts:
+  * applied to gram counts — WITH UPSERT RETRACTION: re-delivering a
+  * doc_id replaces its text (the OpenSearch per-id overwrite contract
+  * the rest of the delivery surface honors), its superseded version's
+  * grams stop counting, and spans its old text used to co-duplicate
+  * disappear retroactively.
   *
-  *  - `<root>/occ/epoch=<e>`: (doc_id, pos, gh) — the epoch's gram
-  *    occurrences, the SAME rows batch SpanDedup materializes, written
-  *    once per delivery (one epoch-sized tokenize+explode — the corpus
-  *    is never re-tokenized);
-  *  - `<root>/counts/epoch=<e>`: (gh, cnt, _epoch) — the epoch's
-  *    per-gram occurrence counts, one row per distinct gram.
+  * Three [[EpochStore]] roots:
   *
-  * Read-side merge: corpus-wide count(gh) = Σ over epoch deltas — an
-  * aggregate over per-epoch DISTINCT grams, cheaper than re-counting
-  * raw occurrences — then the batch operator's own salted mark join +
-  * interval merge over the occurrence union
-  * ([[SpanDedup.markAndMerge]]), so cross-epoch spans are EXACTLY the
-  * batch spans of the closed corpus delivered so far (twin-spec
-  * pinned). Within-epoch duplicates, cross-epoch duplicates, and a
-  * doc duplicated against itself all fall out of the same summed
-  * counts.
+  *  - `<root>/occ/epoch=<e>`: (doc_id, pos, gh, _epoch) — the epoch's
+  *    gram occurrences (the rows batch SpanDedup materializes),
+  *    written once per delivery: no corpus re-tokenize, ever;
+  *  - `<root>/counts/epoch=<e>`: (gh, cnt, _epoch) — the epoch's NET
+  *    per-gram count delta: gross adds for the delivered text MINUS
+  *    the full counts of each re-delivered doc's superseded version
+  *    (computed at delivery from that version's stored occurrences —
+  *    bounded by the epoch's re-delivered docs, found by doc-clustered
+  *    row-group pruning after compaction);
+  *  - `<root>/docs/epoch=<e>`: (doc_id, _epoch) — one short row per
+  *    delivered doc VERSION: the currency authority (a re-delivered
+  *    doc may emit NO grams at all — k-1 tokens — so occurrence
+  *    presence cannot define currency).
   *
-  * Crash tolerance mirrors the additive-state rule: count rows carry
-  * their epoch identity and are deduplicated on (gh, _epoch) before
+  * Read-side merge: corpus-wide count(gh) = Σ net deltas, and a doc's
+  * occurrences mark only while its version is current — both EXACTLY
+  * the values batch SpanDedup computes on the resolved corpus (each
+  * version's grams are added once on delivery and subtracted once on
+  * supersession, so the telescoped sum is the current corpus; the
+  * currency join selects exactly the current occurrence rows). The
+  * marking itself reuses the batch operator's salted join + interval
+  * merge ([[SpanDedup.markAndMerge]]), twin-spec pinned equal to the
+  * batch spans of the resolved corpus after every delivery.
+  *
+  * Crash tolerance (the additive-state rule): count rows are NET — one
+  * row per (gh, epoch) — and deduplicate on (gh, _epoch) before
   * summing, so a crashed compaction's snapshot+victim coexistence
-  * (identical rows, twice) cannot double a count; duplicate
-  * OCCURRENCE rows need no dedup at all — they produce identical
-  * marks and the interval merge collapses them.
+  * (identical rows, twice) cannot double a count; docs rows resolve by
+  * max-epoch (duplicates harmless); duplicate OCCURRENCE rows need no
+  * dedup at all — identical marks collapse in the interval merge.
   *
-  * Write order inside a delta is occurrences BEFORE counts: counts
-  * are what ACTIVATE detection (a gram reaches cnt &gt; 1 through the
-  * summed counts), so a reader between the two writes sees the
-  * previous consistent state — never a newly-duplicated gram whose
-  * marking join then misses the epoch's occurrences.
-  *
-  * The corpus is APPEND-ONLY: re-delivering a doc_id adds a second
-  * copy whose grams count (exactly like batch SpanDedup on a corpus
-  * with a repeated doc). Upsert retraction — subtracting a retired
-  * version's gram counts via negative deltas — is the designed next
-  * step on this layout (per-epoch identity is what a retraction would
-  * key on) but not yet implemented.
+  * Delta write order is occ → counts → docs: the docs marker is what
+  * ACTIVATES both the new occurrences (currency) and the retraction
+  * (the old version stays current until it lands), so a reader between
+  * writes sees at worst a conservative transient — counts already
+  * retracted against a currency that has not moved yet can only
+  * UNDER-detect for that instant, never invent a span. Epochs must be
+  * written serially in increasing order (what `foreachBatch` provides);
+  * the retraction of version v assumes every delta before the current
+  * epoch is durable.
   */
 object LiveSpanDedup {
 
   private def occRoot(root: String) = root.stripSuffix("/") + "/occ"
   private def countsRoot(root: String) = root.stripSuffix("/") + "/counts"
+  private def docsRoot(root: String) = root.stripSuffix("/") + "/docs"
 
   private def occSchema(idType: DataType) = StructType(Seq(
     StructField("doc_id", idType),
     StructField("pos", IntegerType),
-    StructField("gh", LongType)))
+    StructField("gh", LongType),
+    StructField("_epoch", LongType)))
   private def countsSchema = StructType(Seq(
     StructField("gh", LongType),
     StructField("cnt", LongType),
     StructField("_epoch", LongType)))
+  private def docsSchema(idType: DataType) = StructType(Seq(
+    StructField("doc_id", idType),
+    StructField("_epoch", LongType)))
 
-  /** Append one epoch's gram state. `toks` is the epoch's delivered
-    * docs as (doc_id, toks: array&lt;string&gt;); `k` is the span gram
-    * length and MUST match across every delta of a root (the gram hash
-    * and the span arithmetic both depend on it — mixing k values would
-    * silently mark nothing, since k-gram hashes never collide across
-    * k). Idempotent per (root, epoch): whole-directory overwrites, so
-    * a replayed epoch lands identical content.
+  /** Append one epoch's gram state, retracting superseded versions.
+    * `toks` is the epoch's delivered docs as (doc_id, toks:
+    * array&lt;string&gt;) — docs repeated WITHIN the epoch collapse to
+    * one arbitrary version first (a single bulk request's per-id
+    * overwrite). `k` is the span gram length and MUST match across
+    * every delta of a root (k-gram hashes never collide across k, so
+    * mixing silently marks nothing). Idempotent per (root, epoch):
+    * whole-directory overwrites land identical content on a streaming
+    * replay — including the retraction rows, which are computed from
+    * strictly-earlier epochs' state.
     */
   def writeDelta(toks: DataFrame, root: String, epoch: Long, k: Int,
       shards: Int = 4): Unit = {
     require(shards > 0, s"shard count must be positive, got $shards")
-    val occ = SpanDedup.gramOccurrences(toks, k)
-    occ.repartition(shards)
-      .write.mode("overwrite").parquet(s"${occRoot(root)}/epoch=$epoch")
-    // Counts LAST (see class doc) — and derived from the WRITTEN delta,
-    // not the lazy plan, so the two files can never disagree about an
-    // epoch's grams (and the tokenize+explode runs once, not twice).
     val spark = toks.sparkSession
-    spark.read.schema(occSchema(toks.schema("doc_id").dataType))
+    val idType = toks.schema("doc_id").dataType
+    val one = toks.dropDuplicates("doc_id")
+    val occ = SpanDedup.gramOccurrences(one, k).withColumn("_epoch", lit(epoch))
+    // Occurrences first (inactive until the docs marker lands) —
+    // doc-clustered so a later epoch's retraction lookup and the
+    // compaction both prune row groups by doc_id min/max.
+    occ.repartition(shards, col("doc_id")).sortWithinPartitions("doc_id", "pos")
+      .write.mode("overwrite").parquet(s"${occRoot(root)}/epoch=$epoch")
+    // Gross adds from the delta just written (one tokenize, two files
+    // that can never disagree) ...
+    val gross = spark.read.schema(occSchema(idType))
       .parquet(s"${occRoot(root)}/epoch=$epoch")
       .groupBy("gh").agg(count(lit(1)).as("cnt"))
-      .withColumn("_epoch", lit(epoch))
+    // ... minus the superseded versions' counts: each re-delivered
+    // doc's CURRENT version (max prior docs-store epoch) contributes
+    // the negation of its stored occurrence counts. Reads only state
+    // from epochs < this one, so a replay recomputes identical rows.
+    val prior = readStore(spark, docsRoot(root), docsSchema(idType))
+      .join(one.select("doc_id"), Seq("doc_id"))
+      .groupBy("doc_id").agg(max(col("_epoch")).as("_prev"))
+    val net =
+      if (prior.isEmpty) gross
+      else {
+        val occStore = readStore(spark, occRoot(root), occSchema(idType))
+        val retract = occStore
+          .join(prior, occStore("doc_id") === prior("doc_id") &&
+            occStore("_epoch") === prior("_prev"))
+          .groupBy("gh").agg((-count(lit(1))).as("cnt"))
+        gross.unionByName(retract).groupBy("gh")
+          .agg(sum(col("cnt")).as("cnt")).filter(col("cnt") =!= 0)
+      }
+    net.withColumn("_epoch", lit(epoch))
       .repartition(math.min(shards, 2))
       .write.mode("overwrite").parquet(s"${countsRoot(root)}/epoch=$epoch")
+    // Currency marker LAST (see class doc): activates the new rows and
+    // the retraction together.
+    one.select(col("doc_id"), lit(epoch).as("_epoch"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"${docsRoot(root)}/epoch=$epoch")
   }
 
-  /** Maximal duplicated token spans over EVERYTHING delivered so far:
-    * (doc_id, span_start, span_end) — `SpanDedup.duplicatedSpans`
-    * contract, equal to running the batch operator on the closed
-    * union of all delivered epochs, with no re-tokenize of any prior
-    * epoch. `idType` is the doc_id type the deltas were written with.
+  /** Maximal duplicated token spans over the RESOLVED corpus delivered
+    * so far (latest version per doc_id): (doc_id, span_start,
+    * span_end) — `SpanDedup.duplicatedSpans` contract, equal to
+    * running the batch operator on the closed resolved corpus, with no
+    * re-tokenize of any prior epoch. `idType` is the doc_id type the
+    * deltas were written with.
     */
   def duplicatedSpans(spark: SparkSession, root: String, k: Int,
       idType: DataType = StringType): DataFrame = {
     EpochStore.heal(spark, occRoot(root))
     EpochStore.heal(spark, countsRoot(root))
+    EpochStore.heal(spark, docsRoot(root))
     val dup = readStore(spark, countsRoot(root), countsSchema)
       .dropDuplicates("gh", "_epoch") // crash-window guard (class doc)
       .groupBy("gh").agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") > 1).select("gh")
-    SpanDedup.markAndMerge(
-      readStore(spark, occRoot(root), occSchema(idType)), dup, k)
+    SpanDedup.markAndMerge(currentOcc(spark, root, idType), dup, k)
+  }
+
+  /** The current-version occurrence rows: occ ⋈ (latest docs-store
+    * epoch per doc) — the resolved corpus's occurrence table.
+    */
+  private def currentOcc(spark: SparkSession, root: String,
+      idType: DataType): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("_epoch").desc)
+    val cur = readStore(spark, docsRoot(root), docsSchema(idType))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("_epoch").as("_cur"))
+    readStore(spark, occRoot(root), occSchema(idType))
+      .join(cur, Seq("doc_id"))
+      .filter(col("_epoch") === col("_cur"))
+      .select("doc_id", "pos", "gh")
   }
 
   /** Consolidate each store's epoch history into one snapshot (crash
-    * protocol in [[EpochStore.compact]]). Counts KEEP their per-epoch
-    * rows — the additive merge happens at read, and per-epoch identity
-    * is both the crash-dedup key and the future retraction key — so
-    * compaction here is file consolidation plus duplicate scrubbing,
-    * the actual many-small-deltas pain at scale. Returns occurrence
-    * rows kept.
+    * protocol in [[EpochStore.compact]]). Occurrences drop superseded
+    * versions and re-cluster by doc_id (the retraction-lookup key);
+    * counts KEEP their per-epoch NET rows — the additive merge happens
+    * at read, per-epoch identity is the crash-dedup key, and their sum
+    * already reflects every retraction — so count compaction is file
+    * consolidation plus duplicate scrubbing; docs keep the latest row
+    * per doc. Returns occurrence rows kept.
     */
   def compact(spark: SparkSession, root: String, shards: Int = 4,
       leaseTtlMs: Long = MaintenanceLease.DefaultTtlMs,
       leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs): Long = {
     require(shards > 0, s"shard count must be positive, got $shards")
+    val w = Window.partitionBy("doc_id").orderBy(col("_epoch").desc)
     val kept = EpochStore.compact(spark, occRoot(root),
-      resolve = _.dropDuplicates("doc_id", "pos"),
-      writeSnapshot = (df, tmp) =>
-        df.repartition(shards).write.mode("overwrite").parquet(tmp),
+      resolve = occ => {
+        val cur = readStore(spark, docsRoot(root),
+            docsSchema(occ.schema("doc_id").dataType)) // id type from the store itself
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("doc_id"), col("_epoch").as("_cur"))
+        occ.join(cur, Seq("doc_id"))
+          .filter(col("_epoch") === col("_cur")).drop("_cur")
+          .dropDuplicates("doc_id", "pos")
+      },
+      writeSnapshot = (df, tmp) => df
+        .repartition(shards, col("doc_id"))
+        .sortWithinPartitions("doc_id", "pos")
+        .write.mode("overwrite").parquet(tmp),
       leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
     EpochStore.compact(spark, countsRoot(root),
       resolve = _.dropDuplicates("gh", "_epoch"),
       writeSnapshot = (df, tmp) => df
         .repartition(math.max(1, shards / 2), col("gh"))
         .sortWithinPartitions("gh")
+        .write.mode("overwrite").parquet(tmp),
+      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
+    EpochStore.compact(spark, docsRoot(root),
+      resolve = docs => docs.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn"),
+      writeSnapshot = (df, tmp) => df.repartition(1)
         .write.mode("overwrite").parquet(tmp),
       leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
     kept

@@ -474,7 +474,7 @@ class StreamingTwinSpec extends SparkSpec {
     deliver(epoch3, "epoch-3")
     val closed3 = closed2 ++ epoch3
     assert(liveSpans() == batchSpans(closed3))
-    // Compaction consolidates both stores to one snapshot each and
+    // Compaction consolidates the stores to one snapshot each and
     // changes nothing observable; a post-compaction delta composes.
     LiveSpanDedup.compact(spark, root, shards = 2)
     def dirs(sub: String): Int = {
@@ -482,11 +482,44 @@ class StreamingTwinSpec extends SparkSpec {
       p.getFileSystem(spark.sessionState.newHadoopConf())
         .listStatus(p).count(_.getPath.getName.startsWith("epoch="))
     }
-    assert(dirs("occ") == 1 && dirs("counts") == 1)
+    assert(dirs("occ") == 1 && dirs("counts") == 1 && dirs("docs") == 1)
     assert(liveSpans() == batchSpans(closed3))
     val epoch4 = Seq(6L -> "echoes alpha beta gamma delta once more")
     deliver(epoch4, "epoch-4")
     assert(liveSpans() == batchSpans(closed3 ++ epoch4))
+    // Epoch 5 UPSERTS doc 3, REMOVING its boilerplate: the superseded
+    // version's grams retract, so the resolved corpus has the "alpha
+    // beta gamma delta" run in docs 1 and 6 only — doc 3's span is
+    // gone AND docs 1/6 stay marked (still two copies). Also upsert
+    // doc 4, erasing the epoch-3 within-delivery duplication: doc 5's
+    // "one two three four" loses its partner, so its span must
+    // retroactively UNMARK — the case only true retraction can get
+    // right.
+    val epoch5 = Seq(
+      3L -> "rewritten clean text with no repeats",
+      4L -> "also rewritten into novel content")
+    deliver(epoch5, "epoch-5")
+    val resolved5 = Seq(
+      1L -> "alpha beta gamma delta closes the unique first document",
+      2L -> "wholly unrelated second text with nothing repeated",
+      3L -> "rewritten clean text with no repeats",
+      4L -> "also rewritten into novel content",
+      5L -> "prefix one two three four suffix words",
+      6L -> "echoes alpha beta gamma delta once more")
+    val live5 = liveSpans()
+    assert(live5 == batchSpans(resolved5),
+      s"post-upsert spans $live5 diverged from batch on the resolved corpus")
+    assert(live5.map(_._1) == Set(1L, 6L), s"retraction failed: $live5")
+    // Re-delivering doc 3 WITH the boilerplate re-counts it (the
+    // second retraction chain: e2 version retracted at e5, e5 version
+    // retracted now) — and compaction after upserts stays equal.
+    val epoch6 = Seq(3L -> "back again alpha beta gamma delta indeed")
+    deliver(epoch6, "epoch-6")
+    val resolved6 = resolved5.filterNot(_._1 == 3L) ++ epoch6
+    assert(liveSpans() == batchSpans(resolved6))
+    LiveSpanDedup.compact(spark, root, shards = 2)
+    assert(dirs("occ") == 1 && dirs("docs") == 1)
+    assert(liveSpans() == batchSpans(resolved6))
   }
 
   test("IVF search recall vs brute force (nprobe=4 of k=8 cells)") {
