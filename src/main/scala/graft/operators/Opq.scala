@@ -368,9 +368,22 @@ object Opq {
     val d = s.length
     val a = s.map(_.clone())
     val q = identityMatrix(d)
+    // Convergence is judged RELATIVE to the matrix scale: Jacobi stalls
+    // at off-diagonals ~|λ|max·1e-16 (machine precision), so an
+    // absolute bar would never be met for realistically-scaled input
+    // (corpus correlation sums reach 1e6+) and every call would burn
+    // all 100 sweeps doing no-op rotations after converging in ~10.
+    var scale = 0.0
+    var i0 = 0
+    while (i0 < d) {
+      var j0 = 0
+      while (j0 < d) { scale = math.max(scale, math.abs(s(i0)(j0))); j0 += 1 }
+      i0 += 1
+    }
+    val bar = math.max(scale * 1e-15, Double.MinPositiveValue)
     var sweep = 0
     var off = Double.MaxValue
-    while (sweep < 100 && off > 1e-22) {
+    while (sweep < 100 && off > bar) {
       off = 0.0
       var p = 0
       while (p < d - 1) {

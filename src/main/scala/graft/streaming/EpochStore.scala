@@ -74,6 +74,49 @@ object EpochStore {
     else fs.listStatus(root).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("epoch="))
 
+  /** All of a store's epoch dirs as one frame — explicit paths from a
+    * point-in-time listing (a bare root glob could not distinguish "no
+    * store yet" from a listing fault), explicit schema so epoch dirs
+    * whose delta was empty (zero files) and an entirely-empty store
+    * both read cleanly. This is the ONE read rule every store shares.
+    */
+  def readAll(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val (fs, p) = fsOf(spark, root)
+    val epochs = listEpochs(fs, p)
+    if (epochs.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(epochs.map(_.toString): _*)
+  }
+
+  /** The distinct `_epoch` values present in a store's ROWS (a partial-
+    * schema read — only the epoch column is projected, whatever the
+    * store's full schema). This is the ACTIVATION set for stores whose
+    * data is validated by a marker sibling: a marker row for epoch e
+    * exists only after e's data write completed (the last-write rule
+    * every store here follows), so an epoch listed in the data store
+    * but absent from this set is an in-flight delivery.
+    */
+  def rowEpochs(spark: SparkSession, root: String): Set[Long] = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    readAll(spark, root, StructType(Seq(StructField("_epoch", LongType))))
+      .distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  /** Latest-`_epoch` row per `key` — the shared last-write-wins
+    * resolution (row_number, so exact-duplicate rows from a crashed
+    * compaction's snapshot+victim coexistence still yield ONE winner).
+    */
+  def latestPerKey(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(key).orderBy(col("_epoch").desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Finish a compaction that crashed between its snapshot rename and
     * its epoch deletions: if the in-flight manifest names a snapshot
     * that exists, the listed victim epochs are duplicates of snapshot
@@ -163,31 +206,49 @@ object EpochStore {
     *                snapshot-plus-victims coexistence on later reads
     * @param writeSnapshot write the resolved frame to the given tmp
     *                      path (store-specific partitioning / sort)
+    * @param epochEligible extra victim predicate over a NUMERIC epoch
+    *                      id (prior `epoch=compact-*` snapshots are
+    *                      always eligible — their content was already
+    *                      judged). Stores whose rows are ACTIVATED by a
+    *                      marker in a SIBLING store pass the set of
+    *                      activated epochs here: a data dir whose
+    *                      marker has not landed yet (an in-flight
+    *                      delivery) would otherwise be resolved as
+    *                      content-less — dropped from the snapshot AND
+    *                      deleted, permanent loss. Ineligible dirs are
+    *                      neither read nor deleted; they ride.
     * @return rows in the snapshot, 0 when the store was empty
     */
   def compact(spark: SparkSession, root: String,
       resolve: DataFrame => DataFrame,
       writeSnapshot: (DataFrame, String) => Unit,
       leaseTtlMs: Long = MaintenanceLease.DefaultTtlMs,
-      leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs): Long =
+      leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs,
+      epochEligible: Long => Boolean = _ => true): Long =
       maintenanceLock(root).synchronized {
     val (fs, rootPath) = fsOf(spark, root)
     val lease = MaintenanceLease.acquire(fs, leasePath(root),
       ttlMs = leaseTtlMs, timeoutMs = leaseTimeoutMs)
       .getOrElse(throw new java.io.IOException( // unreachable: timeout>0 throws
         s"maintenance lease unavailable for $root"))
-    try compactLeased(spark, root, rootPath, fs, resolve, writeSnapshot)
+    try compactLeased(spark, root, rootPath, fs, resolve, writeSnapshot,
+      epochEligible)
     finally lease.close()
   }
 
   /** The compaction body — caller holds the JVM lock AND the lease. */
   private def compactLeased(spark: SparkSession, rootStr: String, root: Path,
       fs: FileSystem, resolve: DataFrame => DataFrame,
-      writeSnapshot: (DataFrame, String) => Unit): Long = {
+      writeSnapshot: (DataFrame, String) => Unit,
+      epochEligible: Long => Boolean): Long = {
     healLocked(fs, root, rootStr) // finish a crashed predecessor first
     val tmp = new Path(rootStr.stripSuffix("/") + ".compact.tmp")
     fs.delete(tmp, true)
-    val old = listEpochs(fs, root)
+    val old = listEpochs(fs, root).filter { p =>
+      val name = p.getName.stripPrefix("epoch=")
+      name.startsWith("compact-") ||
+        scala.util.Try(name.toLong).toOption.exists(epochEligible)
+    }
     if (old.isEmpty) return 0L
     writeSnapshot(resolve(spark.read.parquet(old.map(_.toString): _*)),
       tmp.toString)

@@ -81,17 +81,24 @@ object IndexSink {
           DeliveryPipeline.writeNdjson(
             src.select(col("data").cast("string").as("line")),
             s"$backupPath/epoch=$epochId")
-          val ok = enrich(Codecs.transformEnvelope(src, payloadSchema, dropIf)
-            .filter(col("result") === Ok)
-            .select(col("recordId"), col("payload.*")))
-          ok.withColumn("_epoch", lit(epochId))
+          enrich(Codecs.transformEnvelope(src, payloadSchema, dropIf)
+              .filter(col("result") === Ok)
+              .select(col("recordId"), col("payload.*")))
+            .withColumn("_epoch", lit(epochId))
             .repartition(shards)
             .write.mode("overwrite").parquet(s"$indexPath/epoch=$epochId")
           textIndex.foreach { spec =>
             import graft.functions.TextFunctions.tokens
+            // Tokenize the epoch parquet JUST WRITTEN, not the lazy
+            // `ok` plan: one decode+transform+enrich evaluation per
+            // epoch instead of two, and the postings delta can never
+            // disagree with the index content (e.g. under a
+            // non-deterministic enrich) — the LiveSpanDedup
+            // read-back-what-you-wrote rule.
             LiveTextIndex.writeDelta(
-              ok.select(col(spec.key).cast("string").as("doc_id"),
-                tokens(col(spec.field)).as("toks")),
+              src.sparkSession.read.parquet(s"$indexPath/epoch=$epochId")
+                .select(col(spec.key).cast("string").as("doc_id"),
+                  tokens(col(spec.field)).as("toks")),
               spec.root, epochId, spec.shards)
           }
         } finally src.unpersist()
@@ -111,15 +118,11 @@ object IndexSink {
   }
 
   /** Last-write-per-key resolution over the epoch history (shared by the
-    * query-time view and compaction so the two can never diverge).
+    * query-time view and compaction so the two can never diverge — and
+    * with every other epoch store, via [[EpochStore.latestPerKey]]).
     */
-  private def latestPerKey(df: DataFrame, key: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(key).orderBy(col("_epoch").desc)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
-  }
+  private def latestPerKey(df: DataFrame, key: String): DataFrame =
+    EpochStore.latestPerKey(df, key)
 
   /** UPSERT semantics (the actual OpenSearch contract: indexing a doc id
     * again OVERWRITES it — reference iac/s2_app.py:841-858 delivers by

@@ -56,13 +56,19 @@ import graft.operators.SpanDedup
   *
   * Delta write order is occ → counts → docs: the docs marker is what
   * ACTIVATES both the new occurrences (currency) and the retraction
-  * (the old version stays current until it lands), so a reader between
-  * writes sees at worst a conservative transient — counts already
-  * retracted against a currency that has not moved yet can only
-  * UNDER-detect for that instant, never invent a span. Epochs must be
-  * written serially in increasing order (what `foreachBatch` provides);
-  * the retraction of version v assumes every delta before the current
-  * epoch is durable.
+  * (the old version stays current until it lands). A reader BETWEEN
+  * the counts and docs writes sees a mixed transient — the counts
+  * already reflect the epoch (its adds and its retractions) while
+  * marking still runs over the pre-epoch currency — so a span can be
+  * detected early (both copies will exist once the marker lands) or
+  * missed briefly (a retracted copy's count is gone while its rows
+  * still mark); the state converges the instant the marker lands, and
+  * a crash inside the window converges on replay (writes are
+  * whole-directory overwrites and the retraction reads only epochs
+  * strictly earlier, so the replay rewrites identical content — see
+  * [[writeDelta]]). Epochs must be written serially in increasing
+  * order (what `foreachBatch` provides); the retraction of version v
+  * assumes every delta before the current epoch is durable.
   */
 object LiveSpanDedup {
 
@@ -99,6 +105,14 @@ object LiveSpanDedup {
     require(shards > 0, s"shard count must be positive, got $shards")
     val spark = toks.sparkSession
     val idType = toks.schema("doc_id").dataType
+    // Heal BEFORE the retraction lookup: a crashed occ compaction
+    // leaves snapshot + victim dirs whose identical rows would
+    // double-count the superseded version (harmless for marking,
+    // persisted-wrong for a NET count). The dropDuplicates below is
+    // the second line of defense for the unreadable-manifest window
+    // heal cannot close.
+    EpochStore.heal(spark, occRoot(root))
+    EpochStore.heal(spark, docsRoot(root))
     val one = toks.dropDuplicates("doc_id")
     val occ = SpanDedup.gramOccurrences(one, k).withColumn("_epoch", lit(epoch))
     // Occurrences first (inactive until the docs marker lands) —
@@ -112,16 +126,25 @@ object LiveSpanDedup {
       .parquet(s"${occRoot(root)}/epoch=$epoch")
       .groupBy("gh").agg(count(lit(1)).as("cnt"))
     // ... minus the superseded versions' counts: each re-delivered
-    // doc's CURRENT version (max prior docs-store epoch) contributes
-    // the negation of its stored occurrence counts. Reads only state
-    // from epochs < this one, so a replay recomputes identical rows.
-    val prior = readStore(spark, docsRoot(root), docsSchema(idType))
+    // doc's CURRENT version (max docs-store epoch STRICTLY BEFORE this
+    // one) contributes the negation of its stored occurrence counts.
+    // The strict filter is what makes a streaming REPLAY idempotent: a
+    // crash after this epoch's docs marker but before the offset
+    // commit re-runs writeDelta with the marker already present —
+    // unfiltered, `prior` would resolve to the epoch's OWN version and
+    // retract the grams it just added (net 0) while skipping the real
+    // prior-version retraction, permanently corrupting the counts.
+    // Restricted to epochs < this one, the replay reads exactly the
+    // state the first attempt read and rewrites identical rows.
+    val prior = EpochStore.readAll(spark, docsRoot(root), docsSchema(idType))
+      .filter(col("_epoch") < epoch)
       .join(one.select("doc_id"), Seq("doc_id"))
       .groupBy("doc_id").agg(max(col("_epoch")).as("_prev"))
     val net =
       if (prior.isEmpty) gross
       else {
-        val occStore = readStore(spark, occRoot(root), occSchema(idType))
+        val occStore = EpochStore.readAll(spark, occRoot(root), occSchema(idType))
+          .dropDuplicates("doc_id", "pos", "_epoch") // crash-window guard
         val retract = occStore
           .join(prior, occStore("doc_id") === prior("doc_id") &&
             occStore("_epoch") === prior("_prev"))
@@ -151,7 +174,7 @@ object LiveSpanDedup {
     EpochStore.heal(spark, occRoot(root))
     EpochStore.heal(spark, countsRoot(root))
     EpochStore.heal(spark, docsRoot(root))
-    val dup = readStore(spark, countsRoot(root), countsSchema)
+    val dup = EpochStore.readAll(spark, countsRoot(root), countsSchema)
       .dropDuplicates("gh", "_epoch") // crash-window guard (class doc)
       .groupBy("gh").agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") > 1).select("gh")
@@ -163,12 +186,10 @@ object LiveSpanDedup {
     */
   private def currentOcc(spark: SparkSession, root: String,
       idType: DataType): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy(col("_epoch").desc)
-    val cur = readStore(spark, docsRoot(root), docsSchema(idType))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    val cur = EpochStore.latestPerKey(
+        EpochStore.readAll(spark, docsRoot(root), docsSchema(idType)), "doc_id")
       .select(col("doc_id"), col("_epoch").as("_cur"))
-    readStore(spark, occRoot(root), occSchema(idType))
+    EpochStore.readAll(spark, occRoot(root), occSchema(idType))
       .join(cur, Seq("doc_id"))
       .filter(col("_epoch") === col("_cur"))
       .select("doc_id", "pos", "gh")
@@ -176,24 +197,28 @@ object LiveSpanDedup {
 
   /** Consolidate each store's epoch history into one snapshot (crash
     * protocol in [[EpochStore.compact]]). Occurrences drop superseded
-    * versions and re-cluster by doc_id (the retraction-lookup key);
-    * counts KEEP their per-epoch NET rows — the additive merge happens
-    * at read, per-epoch identity is the crash-dedup key, and their sum
-    * already reflects every retraction — so count compaction is file
-    * consolidation plus duplicate scrubbing; docs keep the latest row
-    * per doc. Returns occurrence rows kept.
+    * versions and re-cluster by doc_id (the retraction-lookup key) —
+    * restricted to ACTIVATED epochs (docs-marker rows present when
+    * this compaction starts), so an in-flight delivery's occ dir is
+    * neither resolved-empty nor deleted (the [[LiveTextIndex.compact]]
+    * rule). Counts KEEP their per-epoch NET rows — the additive merge
+    * happens at read, per-epoch identity is the crash-dedup key, and
+    * their sum already reflects every retraction — so count compaction
+    * is file consolidation plus duplicate scrubbing (and needs no
+    * activation filter: moving count rows into a snapshot changes no
+    * read-side sum); docs keep the latest row per doc. Returns
+    * occurrence rows kept.
     */
   def compact(spark: SparkSession, root: String, shards: Int = 4,
       leaseTtlMs: Long = MaintenanceLease.DefaultTtlMs,
       leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs): Long = {
     require(shards > 0, s"shard count must be positive, got $shards")
-    val w = Window.partitionBy("doc_id").orderBy(col("_epoch").desc)
+    val activated = EpochStore.rowEpochs(spark, docsRoot(root))
     val kept = EpochStore.compact(spark, occRoot(root),
       resolve = occ => {
-        val cur = readStore(spark, docsRoot(root),
-            docsSchema(occ.schema("doc_id").dataType)) // id type from the store itself
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1)
+        val cur = EpochStore.latestPerKey(
+            EpochStore.readAll(spark, docsRoot(root),
+              docsSchema(occ.schema("doc_id").dataType)), "doc_id")
           .select(col("doc_id"), col("_epoch").as("_cur"))
         occ.join(cur, Seq("doc_id"))
           .filter(col("_epoch") === col("_cur")).drop("_cur")
@@ -203,7 +228,8 @@ object LiveSpanDedup {
         .repartition(shards, col("doc_id"))
         .sortWithinPartitions("doc_id", "pos")
         .write.mode("overwrite").parquet(tmp),
-      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
+      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
+      epochEligible = activated.contains)
     EpochStore.compact(spark, countsRoot(root),
       resolve = _.dropDuplicates("gh", "_epoch"),
       writeSnapshot = (df, tmp) => df
@@ -212,24 +238,10 @@ object LiveSpanDedup {
         .write.mode("overwrite").parquet(tmp),
       leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
     EpochStore.compact(spark, docsRoot(root),
-      resolve = docs => docs.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn"),
+      resolve = docs => EpochStore.latestPerKey(docs, "doc_id"),
       writeSnapshot = (df, tmp) => df.repartition(1)
         .write.mode("overwrite").parquet(tmp),
       leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
     kept
-  }
-
-  /** Point-in-time listing read with explicit schema — empty store and
-    * empty epoch dirs both read cleanly (the [[LiveTextIndex]] rule).
-    */
-  private def readStore(spark: SparkSession, root: String,
-      schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val epochs = EpochStore.listEpochs(fs, p)
-    if (epochs.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    else spark.read.schema(schema).parquet(epochs.map(_.toString): _*)
   }
 }

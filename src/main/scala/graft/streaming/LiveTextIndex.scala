@@ -78,11 +78,15 @@ object LiveTextIndex {
     * envelope recordId); callers with numeric keys cast on the way in
     * and out ([[IndexSink.start]]'s maintenance hook does).
     *
-    * Idempotent per (root, epoch): both writes are whole-directory
-    * overwrites, so a replayed epoch (streaming restart) lands
-    * identical content. Docs repeated WITHIN one epoch collapse to one
-    * version via a last-wins arbitrary pick (matching a single bulk
-    * request's per-id overwrite).
+    * Both writes are whole-directory overwrites keyed by the epoch id,
+    * so a replayed epoch (streaming restart) lands a CONSISTENT pair.
+    * Docs repeated WITHIN one epoch collapse to one version via an
+    * arbitrary pick (a single bulk request's per-id overwrite); the
+    * pick is LOCAL-CHECKPOINTED so the postings job and the doclen job
+    * read the same materialized choice — without it the two
+    * independent jobs could each re-evaluate the nondeterministic
+    * dropDuplicates and store version A's tf against version B's
+    * length and currency.
     */
   def writeDelta(toks: DataFrame, root: String, epoch: Long,
       shards: Int = 4): Unit = {
@@ -92,6 +96,7 @@ object LiveTextIndex {
     val one = toks
       .select(col("doc_id").cast("string").as("doc_id"), col("toks"))
       .dropDuplicates("doc_id")
+      .localCheckpoint() // epoch-sized; pin the arbitrary pick (scaladoc)
     val posted = one
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
@@ -119,13 +124,11 @@ object LiveTextIndex {
   def read(spark: SparkSession, root: String): Retrieval.TextIndex = {
     EpochStore.heal(spark, postingsRoot(root))
     EpochStore.heal(spark, doclenRoot(root))
-    val doclen = readStore(spark, doclenRoot(root), doclenSchema)
-    val postings = readStore(spark, postingsRoot(root), postingsSchema)
+    val doclen = EpochStore.readAll(spark, doclenRoot(root), doclenSchema)
+    val postings = EpochStore.readAll(spark, postingsRoot(root), postingsSchema)
     // Currency: latest doclen epoch per doc (row_number, so a crashed
     // compaction's duplicated winner rows still yield ONE currency row).
-    val w = Window.partitionBy("doc_id").orderBy(col("_epoch").desc)
-    val cur = doclen.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    val cur = EpochStore.latestPerKey(doclen, "doc_id")
       .select(col("doc_id"), col("dl"), col("_epoch").as("_cur"))
     // Stats over CURRENT doc versions — the exact formula
     // buildTextIndex uses, so live scores match a batch rebuild's.
@@ -150,23 +153,30 @@ object LiveTextIndex {
   /** Fold each store's epoch history into one snapshot (crash protocol
     * and serialization in [[EpochStore.compact]]). Postings resolve
     * against the doclen store's CURRENT epoch set — rows of superseded
-    * doc versions are dropped; a delivery landing mid-compaction is
-    * neither read nor deleted and simply rides (its doclen marker then
-    * points at an epoch dir the postings listing never saw, which is
-    * exactly the surviving new dir). Snapshot rows keep their original
-    * `_epoch` values so read-time resolution is unchanged over any mix
-    * of snapshot and later deltas. Returns postings rows kept.
+    * doc versions are dropped. A delivery landing mid-compaction is
+    * protected by the ACTIVATION rule: only postings epochs whose
+    * doclen marker had landed when this compaction started are
+    * eligible victims (the marker is written last, so an in-flight
+    * epoch's data dir is listed but not yet activated — resolving it
+    * against a currency that does not know it would drop its rows
+    * from the snapshot and then delete the only copy). Ineligible
+    * dirs simply ride to the next compaction. Snapshot rows keep
+    * their original `_epoch` values so read-time resolution is
+    * unchanged over any mix of snapshot and later deltas. Returns
+    * postings rows kept.
     */
   def compact(spark: SparkSession, root: String, shards: Int = 4,
       leaseTtlMs: Long = MaintenanceLease.DefaultTtlMs,
       leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs): Long = {
     require(shards > 0, s"shard count must be positive, got $shards")
-    val w = Window.partitionBy("doc_id").orderBy(col("_epoch").desc)
+    // Point-in-time activated set: epochs whose currency marker rows
+    // exist NOW. Markers landing later exclude their data epochs from
+    // this compaction — the safe direction.
+    val activated = EpochStore.rowEpochs(spark, doclenRoot(root))
     val kept = EpochStore.compact(spark, postingsRoot(root),
       resolve = posted => {
-        val cur = readStore(spark, doclenRoot(root), doclenSchema)
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1)
+        val cur = EpochStore.latestPerKey(
+            EpochStore.readAll(spark, doclenRoot(root), doclenSchema), "doc_id")
           .select(col("doc_id"), col("_epoch").as("_cur"))
         posted.join(cur, Seq("doc_id"))
           .filter(col("_epoch") === col("_cur"))
@@ -176,29 +186,15 @@ object LiveTextIndex {
       writeSnapshot = (df, tmp) => df
         .repartition(shards, col("term")).sortWithinPartitions("term")
         .write.mode("overwrite").parquet(tmp),
-      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
+      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
+      epochEligible = activated.contains)
+    // The doclen store is self-contained (its rows ARE the markers):
+    // every listed epoch is eligible.
     EpochStore.compact(spark, doclenRoot(root),
-      resolve = dl => dl.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn"),
+      resolve = dl => EpochStore.latestPerKey(dl, "doc_id"),
       writeSnapshot = (df, tmp) => df.repartition(math.min(shards, 2))
         .write.mode("overwrite").parquet(tmp),
       leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
     kept
-  }
-
-  /** All of a store's epoch dirs as one frame — explicit paths from a
-    * point-in-time listing (a bare root glob would also work but could
-    * not distinguish "no store yet" from a listing fault), explicit
-    * schema so epoch dirs whose delta was empty (zero files) and an
-    * entirely-empty store both read cleanly.
-    */
-  private def readStore(spark: SparkSession, root: String,
-      schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val epochs = EpochStore.listEpochs(fs, p)
-    if (epochs.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    else spark.read.schema(schema).parquet(epochs.map(_.toString): _*)
   }
 }

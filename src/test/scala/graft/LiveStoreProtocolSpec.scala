@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.{IndexSink, LiveSpanDedup, LiveTextIndex}
+
+/** Crash/replay protocol tests for the incrementally-maintained stores:
+  * the windows a live delivery + maintenance interleaving actually
+  * opens, driven through the public API with surgical file deletions
+  * standing in for the crash points.
+  *
+  * Two properties under test, for BOTH two-store designs:
+  *
+  *  1. REPLAY IDEMPOTENCE — `foreachBatch` is at-least-once: a crash
+  *     after an epoch's writes but before the checkpoint offset commit
+  *     re-runs the epoch. The rewritten delta must land identical
+  *     state; for LiveSpanDedup that specifically means the retraction
+  *     must read only epochs STRICTLY EARLIER than the replayed one
+  *     (the epoch's own already-landed marker must not satisfy its own
+  *     retraction lookup, which would retract the just-added grams and
+  *     skip the real superseded version).
+  *
+  *  2. IN-FLIGHT EPOCHS SURVIVE COMPACTION — the activation marker
+  *     lives in a SIBLING store and is written last, so a compaction
+  *     that lists a data dir whose marker has not landed must neither
+  *     resolve it (the currency join would drop every row) nor delete
+  *     it (the rename-then-delete protocol would destroy the only
+  *     copy). Unactivated dirs ride; the delivery completes on replay.
+  */
+class LiveStoreProtocolSpec extends SparkSpec {
+
+  private def deleteDir(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+  private def dirExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  test("LiveSpanDedup: replaying an epoch whose marker already landed " +
+      "rewrites identical state (retraction reads strictly-earlier epochs)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-span-replay")
+      .toString + "/state"
+    val k = 3
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    def spans(): Set[(Long, Long, Long)] =
+      LiveSpanDedup.duplicatedSpans(spark, root, k, idType = LongType)
+        .as[(Long, Long, Long)].collect().toSet
+
+    val e0 = Seq(1L -> "alpha beta gamma delta unique text one",
+      2L -> "some other words alpha beta gamma delta here")
+    val e1 = Seq(1L -> "rewritten with nothing shared anymore")
+    LiveSpanDedup.writeDelta(toks(e0), root, 0L, k)
+    LiveSpanDedup.writeDelta(toks(e1), root, 1L, k)
+    // The upsert removed doc 1's copy of the run: no spans remain.
+    val settled = spans()
+    assert(settled.isEmpty, s"expected no spans after retraction: $settled")
+    // At-least-once replay of epoch 1 (its docs marker is on disk):
+    // must rewrite the same retraction, not retract its own grams.
+    LiveSpanDedup.writeDelta(toks(e1), root, 1L, k)
+    assert(spans() == settled, "replay changed the gram state")
+    // And a third party arriving later still sees correct counts: a
+    // new doc re-adding the run pairs with doc 2's surviving copy.
+    LiveSpanDedup.writeDelta(
+      toks(Seq(3L -> "again alpha beta gamma delta appears")), root, 2L, k)
+    assert(spans().map(_._1) == Set(2L, 3L))
+  }
+
+  test("LiveSpanDedup: an occ dir without its docs marker (in-flight " +
+      "delivery) survives compaction and completes on replay") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-span-inflight")
+      .toString + "/state"
+    val k = 3
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    def spans(): Set[(Long, Long, Long)] =
+      LiveSpanDedup.duplicatedSpans(spark, root, k, idType = LongType)
+        .as[(Long, Long, Long)].collect().toSet
+
+    val e0 = Seq(1L -> "shared run one two three four ends",
+      2L -> "prefix one two three four suffix")
+    LiveSpanDedup.writeDelta(toks(e0), root, 0L, k)
+    val before = spans()
+    assert(before.map(_._1) == Set(1L, 2L))
+    // Epoch 1 crashes right after its occ write: counts + docs missing.
+    val e1 = Seq(3L -> "echo one two three four again")
+    LiveSpanDedup.writeDelta(toks(e1), root, 1L, k)
+    deleteDir(s"$root/counts/epoch=1")
+    deleteDir(s"$root/docs/epoch=1")
+    assert(spans() == before, "unactivated epoch must be invisible")
+    // Compaction must leave the in-flight occ dir alone — resolving it
+    // against a currency that has never heard of epoch 1 would drop
+    // every row from the snapshot and then delete the only copy.
+    LiveSpanDedup.compact(spark, root, shards = 2)
+    assert(dirExists(s"$root/occ/epoch=1"),
+      "compaction deleted an unactivated in-flight epoch")
+    assert(spans() == before)
+    // The streaming replay completes the delivery; doc 3 now counts.
+    LiveSpanDedup.writeDelta(toks(e1), root, 1L, k)
+    assert(spans().map(_._1) == Set(1L, 2L, 3L))
+    // And the next compaction folds it in normally.
+    LiveSpanDedup.compact(spark, root, shards = 2)
+    assert(spans().map(_._1) == Set(1L, 2L, 3L))
+  }
+
+  test("LiveTextIndex: a postings dir without its doclen marker survives " +
+      "compaction and completes on replay") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-text-inflight")
+      .toString + "/index"
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id").cast("string").as("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    def hits(query: String): Set[Long] =
+      IndexSink.rankedMatch(spark, LiveTextIndex.read(spark, root),
+          "doc_id", query, "or", 10)
+        .select(col("doc_id").cast("long")).as[Long].collect().toSet
+
+    LiveTextIndex.writeDelta(
+      toks(Seq(1L -> "mortgage approved", 2L -> "transfer completed")),
+      root, 0L)
+    assert(hits("mortgage") == Set(1L))
+    // Epoch 1 crashes after the postings write, before the marker.
+    LiveTextIndex.writeDelta(toks(Seq(3L -> "mortgage denied")), root, 1L)
+    deleteDir(s"$root/doclen/epoch=1")
+    assert(hits("mortgage") == Set(1L), "unactivated epoch must be invisible")
+    LiveTextIndex.compact(spark, root, shards = 2)
+    assert(dirExists(s"$root/postings/epoch=1"),
+      "compaction deleted an unactivated in-flight epoch")
+    assert(hits("mortgage") == Set(1L))
+    // Replay completes the delivery; the rider dir's content activates.
+    LiveTextIndex.writeDelta(toks(Seq(3L -> "mortgage denied")), root, 1L)
+    assert(hits("mortgage") == Set(1L, 3L))
+    LiveTextIndex.compact(spark, root, shards = 2)
+    assert(hits("mortgage") == Set(1L, 3L))
+  }
+}
