@@ -104,6 +104,44 @@ object EpochStore {
       .distinct().collect().map(_.getLong(0)).toSet
   }
 
+  private def watermarkPath(root: String) =
+    new Path(root.stripSuffix("/") + ".compacted.watermark")
+
+  /** The highest epoch id a compaction has ever folded out of this
+    * store (-1 when none): the REPLAY FENCE. An epoch is only folded
+    * after its activation marker proved the delivery complete, and a
+    * folded epoch's directories no longer exist — so an at-least-once
+    * streaming replay of an epoch ≤ this value must be a NO-OP: its
+    * content already lives in snapshots, and re-deriving it would read
+    * post-compaction state (superseded doc versions gone, history
+    * folded) and write rows that disagree with what was folded.
+    * Delta writers check this before writing; [[compact]] advances it
+    * via `onCommit` while still holding the lease.
+    */
+  def readWatermark(spark: SparkSession, root: String): Long = {
+    val (fs, _) = fsOf(spark, root)
+    val p = watermarkPath(root)
+    if (!fs.exists(p)) -1L
+    else BufferedChannel.readFullyUtf8(fs, p)
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      // Unreadable/torn → -1: the fence fails OPEN (a replay proceeds),
+      // which only re-exposes the pre-watermark behavior, never skips
+      // a delivery that was not folded.
+      .getOrElse(-1L)
+  }
+
+  /** Monotonic advance of the replay fence — call only while holding
+    * the store's maintenance lease (compact's `onCommit` does), so
+    * concurrent read-modify-writes cannot regress it.
+    */
+  def advanceWatermark(spark: SparkSession, root: String, epoch: Long): Unit = {
+    val (fs, _) = fsOf(spark, root)
+    if (epoch <= readWatermark(spark, root)) return
+    val out = fs.create(watermarkPath(root), true)
+    try out.write(epoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Latest-`_epoch` row per `key` — the shared last-write-wins
     * resolution (row_number, so exact-duplicate rows from a crashed
     * compaction's snapshot+victim coexistence still yield ONE winner).
@@ -217,6 +255,17 @@ object EpochStore {
     *                      content-less — dropped from the snapshot AND
     *                      deleted, permanent loss. Ineligible dirs are
     *                      neither read nor deleted; they ride.
+    *                      Activation-store callers build the set from
+    *                      marker ROWS plus [[committedEpochs]] of the
+    *                      marker store, so a zero-row delivery (no
+    *                      marker rows, but a committed marker dir)
+    *                      still becomes eligible instead of riding
+    *                      forever.
+    * @param onCommit invoked with the NUMERIC victim epoch ids after
+    *                 their deletion completes, still under the lease —
+    *                 the hook [[advanceWatermark]] callers use, so the
+    *                 replay fence can only advance for epochs whose
+    *                 folding actually committed.
     * @return rows in the snapshot, 0 when the store was empty
     */
   def compact(spark: SparkSession, root: String,
@@ -224,7 +273,8 @@ object EpochStore {
       writeSnapshot: (DataFrame, String) => Unit,
       leaseTtlMs: Long = MaintenanceLease.DefaultTtlMs,
       leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs,
-      epochEligible: Long => Boolean = _ => true): Long =
+      epochEligible: Long => Boolean = _ => true,
+      onCommit: Seq[Long] => Unit = _ => ()): Long =
       maintenanceLock(root).synchronized {
     val (fs, rootPath) = fsOf(spark, root)
     val lease = MaintenanceLease.acquire(fs, leasePath(root),
@@ -232,15 +282,36 @@ object EpochStore {
       .getOrElse(throw new java.io.IOException( // unreachable: timeout>0 throws
         s"maintenance lease unavailable for $root"))
     try compactLeased(spark, root, rootPath, fs, resolve, writeSnapshot,
-      epochEligible)
+      epochEligible, onCommit)
     finally lease.close()
+  }
+
+  /** The NUMERIC epochs whose dir in this store carries a COMMITTED
+    * write (_SUCCESS present — lands only at job commit, so an
+    * in-flight write never qualifies). For an activation store this is
+    * the proof-of-delivery set even when the delivery had ZERO rows:
+    * the marker is written last, so a committed marker dir means every
+    * sibling data dir of that epoch is complete. [[rowEpochs]] misses
+    * such epochs (no rows to carry the id); the union of both is the
+    * full activation set.
+    */
+  def committedEpochs(spark: SparkSession, root: String): Set[Long] = {
+    val (fs, p) = fsOf(spark, root)
+    listEpochs(fs, p).flatMap { dir =>
+      scala.util.Try(dir.getName.stripPrefix("epoch=").toLong).toOption
+        .filter { _ =>
+          try fs.exists(new Path(dir, "_SUCCESS"))
+          catch { case _: java.io.IOException => false }
+        }
+    }.toSet
   }
 
   /** The compaction body — caller holds the JVM lock AND the lease. */
   private def compactLeased(spark: SparkSession, rootStr: String, root: Path,
       fs: FileSystem, resolve: DataFrame => DataFrame,
       writeSnapshot: (DataFrame, String) => Unit,
-      epochEligible: Long => Boolean): Long = {
+      epochEligible: Long => Boolean,
+      onCommit: Seq[Long] => Unit): Long = {
     healLocked(fs, root, rootStr) // finish a crashed predecessor first
     val tmp = new Path(rootStr.stripSuffix("/") + ".compact.tmp")
     fs.delete(tmp, true)
@@ -274,6 +345,8 @@ object EpochStore {
     }
     old.foreach(p => fs.delete(p, true))
     fs.delete(mf, false) // deletions complete — the manifest is spent
+    onCommit(old.map(_.getName.stripPrefix("epoch="))
+      .flatMap(n => scala.util.Try(n.toLong).toOption))
     // Count the snapshot dir itself, not the whole glob: cheaper, and
     // correct when concurrent epochs landed during compaction.
     spark.read.parquet(snapshot.toString).count()

@@ -146,10 +146,6 @@ object IndexSink {
   private def healCompaction(spark: SparkSession, indexPath: String): Unit =
     EpochStore.heal(spark, indexPath)
 
-  /** Sibling naming shared with every [[EpochStore]] root. */
-  private[streaming] def leasePath(indexPath: String) =
-    EpochStore.leasePath(indexPath)
-
   /** Materialize upsert resolution like an index segment merge: the
     * epoch history is REPLACED by one snapshot of the latest-per-`key`
     * rows (with their original `_epoch` values, so resolution stays

@@ -105,6 +105,15 @@ object LiveSpanDedup {
     require(shards > 0, s"shard count must be positive, got $shards")
     val spark = toks.sparkSession
     val idType = toks.schema("doc_id").dataType
+    // REPLAY FENCE: an epoch at or below the compaction watermark was
+    // already folded into snapshots (folding requires the activation
+    // marker, which proves this delivery completed), and its input
+    // history — the superseded doc versions the retraction would need
+    // to re-derive — no longer exists. Re-writing it from
+    // post-compaction state would land gross-only counts that disagree
+    // with the folded net rows. The replay's only correct action is
+    // nothing.
+    if (epoch <= EpochStore.readWatermark(spark, docsRoot(root))) return
     // Heal BEFORE the retraction lookup: a crashed occ compaction
     // leaves snapshot + victim dirs whose identical rows would
     // double-count the superseded version (harmless for marking,
@@ -144,10 +153,17 @@ object LiveSpanDedup {
       if (prior.isEmpty) gross
       else {
         val occStore = EpochStore.readAll(spark, occRoot(root), occSchema(idType))
-          .dropDuplicates("doc_id", "pos", "_epoch") // crash-window guard
         val retract = occStore
           .join(prior, occStore("doc_id") === prior("doc_id") &&
             occStore("_epoch") === prior("_prev"))
+          // Crash-window dedup AFTER the join: each occ row matches at
+          // most one prior version, so deduping the matched rows is
+          // equivalent to deduping the store — but the exchange it
+          // costs is bounded by the re-delivered docs' rows, not one
+          // corpus-token-sized shuffle per delivery (prior is tiny, so
+          // the join itself broadcasts over a plain occ scan).
+          .select(occStore("doc_id").as("doc_id"), col("pos"), col("gh"))
+          .dropDuplicates("doc_id", "pos")
           .groupBy("gh").agg((-count(lit(1))).as("cnt"))
         gross.unionByName(retract).groupBy("gh")
           .agg(sum(col("cnt")).as("cnt")).filter(col("cnt") =!= 0)
@@ -213,7 +229,11 @@ object LiveSpanDedup {
       leaseTtlMs: Long = MaintenanceLease.DefaultTtlMs,
       leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs): Long = {
     require(shards > 0, s"shard count must be positive, got $shards")
-    val activated = EpochStore.rowEpochs(spark, docsRoot(root))
+    // Marker rows plus committed marker dirs: a zero-row delivery has
+    // no docs rows, but its committed marker dir still proves the
+    // epoch complete (the LiveTextIndex rule).
+    val activated = EpochStore.rowEpochs(spark, docsRoot(root)) ++
+      EpochStore.committedEpochs(spark, docsRoot(root))
     val kept = EpochStore.compact(spark, occRoot(root),
       resolve = occ => {
         val cur = EpochStore.latestPerKey(
@@ -241,7 +261,12 @@ object LiveSpanDedup {
       resolve = docs => EpochStore.latestPerKey(docs, "doc_id"),
       writeSnapshot = (df, tmp) => df.repartition(1)
         .write.mode("overwrite").parquet(tmp),
-      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
+      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
+      // Folding the activation store commits those epochs' history:
+      // advance the replay fence (still under the lease) so a late
+      // at-least-once replay of a folded epoch becomes a no-op.
+      onCommit = folded => folded.reduceOption(_ max _)
+        .foreach(EpochStore.advanceWatermark(spark, docsRoot(root), _)))
     kept
   }
 }

@@ -91,6 +91,13 @@ object LiveTextIndex {
   def writeDelta(toks: DataFrame, root: String, epoch: Long,
       shards: Int = 4): Unit = {
     require(shards > 0, s"shard count must be positive, got $shards")
+    // REPLAY FENCE (the LiveSpanDedup rule): an epoch at or below the
+    // compaction watermark was already folded — its marker proved the
+    // delivery complete — and re-writing it could re-pick a different
+    // in-epoch version than the folded one, leaving two currencies for
+    // one doc. The replay's only correct action is nothing.
+    if (epoch <= EpochStore.readWatermark(toks.sparkSession, doclenRoot(root)))
+      return
     // One in-epoch version per doc: postings from two versions of the
     // same doc in one epoch would double-count tf.
     val one = toks
@@ -170,9 +177,14 @@ object LiveTextIndex {
       leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs): Long = {
     require(shards > 0, s"shard count must be positive, got $shards")
     // Point-in-time activated set: epochs whose currency marker rows
-    // exist NOW. Markers landing later exclude their data epochs from
-    // this compaction — the safe direction.
-    val activated = EpochStore.rowEpochs(spark, doclenRoot(root))
+    // exist NOW, plus committed marker DIRS (a zero-row delivery has
+    // no marker rows but its committed marker dir still proves the
+    // epoch complete — without it the empty data dir would never
+    // become a victim and would ride forever). Markers landing later
+    // exclude their data epochs from this compaction — the safe
+    // direction.
+    val activated = EpochStore.rowEpochs(spark, doclenRoot(root)) ++
+      EpochStore.committedEpochs(spark, doclenRoot(root))
     val kept = EpochStore.compact(spark, postingsRoot(root),
       resolve = posted => {
         val cur = EpochStore.latestPerKey(
@@ -189,12 +201,15 @@ object LiveTextIndex {
       leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
       epochEligible = activated.contains)
     // The doclen store is self-contained (its rows ARE the markers):
-    // every listed epoch is eligible.
+    // every listed epoch is eligible. Folding it commits those epochs'
+    // history — advance the replay fence under the lease.
     EpochStore.compact(spark, doclenRoot(root),
       resolve = dl => EpochStore.latestPerKey(dl, "doc_id"),
       writeSnapshot = (df, tmp) => df.repartition(math.min(shards, 2))
         .write.mode("overwrite").parquet(tmp),
-      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
+      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
+      onCommit = folded => folded.reduceOption(_ max _)
+        .foreach(EpochStore.advanceWatermark(spark, doclenRoot(root), _)))
     kept
   }
 }

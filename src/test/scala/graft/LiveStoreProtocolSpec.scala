@@ -110,6 +110,70 @@ class LiveStoreProtocolSpec extends SparkSpec {
     assert(spans().map(_._1) == Set(1L, 2L, 3L))
   }
 
+  test("LiveSpanDedup: replaying an epoch AFTER compaction folded it is " +
+      "a no-op (the watermark fence) — counts cannot be re-derived from " +
+      "post-compaction state") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-span-fence")
+      .toString + "/state"
+    val k = 3
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    def spans(): Set[(Long, Long, Long)] =
+      LiveSpanDedup.duplicatedSpans(spark, root, k, idType = LongType)
+        .as[(Long, Long, Long)].collect().toSet
+
+    // Docs A(1) and B(2) share a run; epoch 1 upserts A without it.
+    LiveSpanDedup.writeDelta(toks(Seq(
+      1L -> "alpha beta gamma delta from the first doc",
+      2L -> "second doc repeats alpha beta gamma delta run")), root, 0L, k)
+    LiveSpanDedup.writeDelta(
+      toks(Seq(1L -> "fresh text sharing nothing at all")), root, 1L, k)
+    val settled = spans()
+    assert(settled.isEmpty, s"retraction should clear all spans: $settled")
+    // Compaction folds both epochs (destroying A@0 — the state the
+    // retraction was derived from) and advances the replay fence.
+    LiveSpanDedup.compact(spark, root, shards = 2)
+    // At-least-once replay of epoch 1 (crash happened before the
+    // offset commit): without the fence this would recompute a
+    // gross-only delta (no earlier version of A exists any more) and
+    // resurrect B's span. It must be a no-op.
+    LiveSpanDedup.writeDelta(
+      toks(Seq(1L -> "fresh text sharing nothing at all")), root, 1L, k)
+    assert(spans() == settled,
+      "replay after compaction corrupted the folded counts")
+    // New epochs above the fence still apply normally.
+    LiveSpanDedup.writeDelta(
+      toks(Seq(3L -> "third doc with alpha beta gamma delta too")), root, 2L, k)
+    assert(spans().map(_._1) == Set(2L, 3L))
+  }
+
+  test("EpochStore: committed-empty epoch dirs (zero-row deliveries, " +
+      "never activated) are folded away instead of riding forever") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-span-empty")
+      .toString + "/state"
+    val k = 3
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    LiveSpanDedup.writeDelta(toks(Seq(
+      1L -> "alpha beta gamma delta once",
+      2L -> "twice alpha beta gamma delta")), root, 0L, k)
+    // Epoch 1 delivers zero docs (all records routed to the error
+    // channel): committed dirs with no rows, hence no marker rows and
+    // no activation — without the committed-empty rule they could
+    // never become compaction victims.
+    LiveSpanDedup.writeDelta(toks(Seq.empty[(Long, String)]), root, 1L, k)
+    assert(dirExists(s"$root/occ/epoch=1"))
+    LiveSpanDedup.compact(spark, root, shards = 2)
+    assert(!dirExists(s"$root/occ/epoch=1"),
+      "committed-empty epoch dir should have been folded away")
+    assert(LiveSpanDedup.duplicatedSpans(spark, root, k, idType = LongType)
+      .as[(Long, Long, Long)].collect().map(_._1).toSet == Set(1L, 2L))
+  }
+
   test("LiveTextIndex: a postings dir without its doclen marker survives " +
       "compaction and completes on replay") {
     import spark.implicits._
