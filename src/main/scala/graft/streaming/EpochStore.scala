@@ -142,6 +142,35 @@ object EpochStore {
     finally out.close()
   }
 
+  /** Serialize a MULTI-STORE maintenance pass across processes: hold
+    * ONE lease at the INDEX root (`<indexRoot>.maintenance.lease` — a
+    * sibling of the store roots nested under it, so it never collides
+    * with their per-store leases) for the whole of `body`. The
+    * per-store [[compact]] protocol serializes compactions of ONE
+    * store, but an index made of sibling stores (postings + doclen,
+    * occ + counts + docs) resolves each store AGAINST its siblings —
+    * process A compacting the postings store reads doclen epoch dirs
+    * that process B's concurrent doclen compaction may delete mid-job,
+    * failing A's snapshot read (before any mutation, so retryable, but
+    * a failure a coordinator-level lease removes entirely). Callers
+    * take THIS lease first, then the per-store leases inside — a
+    * strict outer-then-inner order on distinct paths, so no deadlock;
+    * readers and delta writers take neither and stay unserialized.
+    * Waits like [[compact]] does and THROWS past the timeout rather
+    * than proceeding unserialized.
+    */
+  def withIndexLease[T](spark: SparkSession, indexRoot: String,
+      leaseTtlMs: Long = MaintenanceLease.DefaultTtlMs,
+      leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs)
+      (body: => T): T = maintenanceLock(indexRoot).synchronized {
+    val (fs, _) = fsOf(spark, indexRoot)
+    val lease = MaintenanceLease.acquire(fs, leasePath(indexRoot),
+      ttlMs = leaseTtlMs, timeoutMs = leaseTimeoutMs)
+      .getOrElse(throw new java.io.IOException( // reachable only at timeout=0
+        s"index maintenance lease unavailable for $indexRoot"))
+    try body finally lease.close()
+  }
+
   /** Latest-`_epoch` row per `key` — the shared last-write-wins
     * resolution (row_number, so exact-duplicate rows from a crashed
     * compaction's snapshot+victim coexistence still yield ONE winner).

@@ -224,49 +224,57 @@ object LiveSpanDedup {
     * activation filter: moving count rows into a snapshot changes no
     * read-side sum); docs keep the latest row per doc. Returns
     * occurrence rows kept.
+    *
+    * The whole three-store pass runs under ONE index-level lease
+    * ([[EpochStore.withIndexLease]]): the occ resolution reads the
+    * docs store's epoch dirs, so a concurrent docs compaction in
+    * another process could delete them mid-read — the per-store
+    * leases cannot see across stores.
     */
   def compact(spark: SparkSession, root: String, shards: Int = 4,
       leaseTtlMs: Long = MaintenanceLease.DefaultTtlMs,
       leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs): Long = {
     require(shards > 0, s"shard count must be positive, got $shards")
-    // Marker rows plus committed marker dirs: a zero-row delivery has
-    // no docs rows, but its committed marker dir still proves the
-    // epoch complete (the LiveTextIndex rule).
-    val activated = EpochStore.rowEpochs(spark, docsRoot(root)) ++
-      EpochStore.committedEpochs(spark, docsRoot(root))
-    val kept = EpochStore.compact(spark, occRoot(root),
-      resolve = occ => {
-        val cur = EpochStore.latestPerKey(
-            EpochStore.readAll(spark, docsRoot(root),
-              docsSchema(occ.schema("doc_id").dataType)), "doc_id")
-          .select(col("doc_id"), col("_epoch").as("_cur"))
-        occ.join(cur, Seq("doc_id"))
-          .filter(col("_epoch") === col("_cur")).drop("_cur")
-          .dropDuplicates("doc_id", "pos")
-      },
-      writeSnapshot = (df, tmp) => df
-        .repartition(shards, col("doc_id"))
-        .sortWithinPartitions("doc_id", "pos")
-        .write.mode("overwrite").parquet(tmp),
-      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
-      epochEligible = activated.contains)
-    EpochStore.compact(spark, countsRoot(root),
-      resolve = _.dropDuplicates("gh", "_epoch"),
-      writeSnapshot = (df, tmp) => df
-        .repartition(math.max(1, shards / 2), col("gh"))
-        .sortWithinPartitions("gh")
-        .write.mode("overwrite").parquet(tmp),
-      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
-    EpochStore.compact(spark, docsRoot(root),
-      resolve = docs => EpochStore.latestPerKey(docs, "doc_id"),
-      writeSnapshot = (df, tmp) => df.repartition(1)
-        .write.mode("overwrite").parquet(tmp),
-      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
-      // Folding the activation store commits those epochs' history:
-      // advance the replay fence (still under the lease) so a late
-      // at-least-once replay of a folded epoch becomes a no-op.
-      onCommit = folded => folded.reduceOption(_ max _)
-        .foreach(EpochStore.advanceWatermark(spark, docsRoot(root), _)))
-    kept
+    EpochStore.withIndexLease(spark, root, leaseTtlMs, leaseTimeoutMs) {
+      // Marker rows plus committed marker dirs: a zero-row delivery has
+      // no docs rows, but its committed marker dir still proves the
+      // epoch complete (the LiveTextIndex rule).
+      val activated = EpochStore.rowEpochs(spark, docsRoot(root)) ++
+        EpochStore.committedEpochs(spark, docsRoot(root))
+      val kept = EpochStore.compact(spark, occRoot(root),
+        resolve = occ => {
+          val cur = EpochStore.latestPerKey(
+              EpochStore.readAll(spark, docsRoot(root),
+                docsSchema(occ.schema("doc_id").dataType)), "doc_id")
+            .select(col("doc_id"), col("_epoch").as("_cur"))
+          occ.join(cur, Seq("doc_id"))
+            .filter(col("_epoch") === col("_cur")).drop("_cur")
+            .dropDuplicates("doc_id", "pos")
+        },
+        writeSnapshot = (df, tmp) => df
+          .repartition(shards, col("doc_id"))
+          .sortWithinPartitions("doc_id", "pos")
+          .write.mode("overwrite").parquet(tmp),
+        leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
+        epochEligible = activated.contains)
+      EpochStore.compact(spark, countsRoot(root),
+        resolve = _.dropDuplicates("gh", "_epoch"),
+        writeSnapshot = (df, tmp) => df
+          .repartition(math.max(1, shards / 2), col("gh"))
+          .sortWithinPartitions("gh")
+          .write.mode("overwrite").parquet(tmp),
+        leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
+      EpochStore.compact(spark, docsRoot(root),
+        resolve = docs => EpochStore.latestPerKey(docs, "doc_id"),
+        writeSnapshot = (df, tmp) => df.repartition(1)
+          .write.mode("overwrite").parquet(tmp),
+        leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
+        // Folding the activation store commits those epochs' history:
+        // advance the replay fence (still under the lease) so a late
+        // at-least-once replay of a folded epoch becomes a no-op.
+        onCommit = folded => folded.reduceOption(_ max _)
+          .foreach(EpochStore.advanceWatermark(spark, docsRoot(root), _)))
+      kept
+    }
   }
 }

@@ -171,45 +171,53 @@ object LiveTextIndex {
     * their original `_epoch` values so read-time resolution is
     * unchanged over any mix of snapshot and later deltas. Returns
     * postings rows kept.
+    *
+    * The whole two-store pass runs under ONE index-level lease
+    * ([[EpochStore.withIndexLease]]): the postings resolution reads
+    * the doclen store's epoch dirs, so a concurrent doclen compaction
+    * in another process could delete them mid-read — the per-store
+    * leases cannot see across stores.
     */
   def compact(spark: SparkSession, root: String, shards: Int = 4,
       leaseTtlMs: Long = MaintenanceLease.DefaultTtlMs,
       leaseTimeoutMs: Long = MaintenanceLease.DefaultAcquireTimeoutMs): Long = {
     require(shards > 0, s"shard count must be positive, got $shards")
-    // Point-in-time activated set: epochs whose currency marker rows
-    // exist NOW, plus committed marker DIRS (a zero-row delivery has
-    // no marker rows but its committed marker dir still proves the
-    // epoch complete — without it the empty data dir would never
-    // become a victim and would ride forever). Markers landing later
-    // exclude their data epochs from this compaction — the safe
-    // direction.
-    val activated = EpochStore.rowEpochs(spark, doclenRoot(root)) ++
-      EpochStore.committedEpochs(spark, doclenRoot(root))
-    val kept = EpochStore.compact(spark, postingsRoot(root),
-      resolve = posted => {
-        val cur = EpochStore.latestPerKey(
-            EpochStore.readAll(spark, doclenRoot(root), doclenSchema), "doc_id")
-          .select(col("doc_id"), col("_epoch").as("_cur"))
-        posted.join(cur, Seq("doc_id"))
-          .filter(col("_epoch") === col("_cur"))
-          .drop("_cur")
-          .dropDuplicates("term", "doc_id")
-      },
-      writeSnapshot = (df, tmp) => df
-        .repartition(shards, col("term")).sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(tmp),
-      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
-      epochEligible = activated.contains)
-    // The doclen store is self-contained (its rows ARE the markers):
-    // every listed epoch is eligible. Folding it commits those epochs'
-    // history — advance the replay fence under the lease.
-    EpochStore.compact(spark, doclenRoot(root),
-      resolve = dl => EpochStore.latestPerKey(dl, "doc_id"),
-      writeSnapshot = (df, tmp) => df.repartition(math.min(shards, 2))
-        .write.mode("overwrite").parquet(tmp),
-      leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
-      onCommit = folded => folded.reduceOption(_ max _)
-        .foreach(EpochStore.advanceWatermark(spark, doclenRoot(root), _)))
-    kept
+    EpochStore.withIndexLease(spark, root, leaseTtlMs, leaseTimeoutMs) {
+      // Point-in-time activated set: epochs whose currency marker rows
+      // exist NOW, plus committed marker DIRS (a zero-row delivery has
+      // no marker rows but its committed marker dir still proves the
+      // epoch complete — without it the empty data dir would never
+      // become a victim and would ride forever). Markers landing later
+      // exclude their data epochs from this compaction — the safe
+      // direction.
+      val activated = EpochStore.rowEpochs(spark, doclenRoot(root)) ++
+        EpochStore.committedEpochs(spark, doclenRoot(root))
+      val kept = EpochStore.compact(spark, postingsRoot(root),
+        resolve = posted => {
+          val cur = EpochStore.latestPerKey(
+              EpochStore.readAll(spark, doclenRoot(root), doclenSchema), "doc_id")
+            .select(col("doc_id"), col("_epoch").as("_cur"))
+          posted.join(cur, Seq("doc_id"))
+            .filter(col("_epoch") === col("_cur"))
+            .drop("_cur")
+            .dropDuplicates("term", "doc_id")
+        },
+        writeSnapshot = (df, tmp) => df
+          .repartition(shards, col("term")).sortWithinPartitions("term")
+          .write.mode("overwrite").parquet(tmp),
+        leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
+        epochEligible = activated.contains)
+      // The doclen store is self-contained (its rows ARE the markers):
+      // every listed epoch is eligible. Folding it commits those epochs'
+      // history — advance the replay fence under the lease.
+      EpochStore.compact(spark, doclenRoot(root),
+        resolve = dl => EpochStore.latestPerKey(dl, "doc_id"),
+        writeSnapshot = (df, tmp) => df.repartition(math.min(shards, 2))
+          .write.mode("overwrite").parquet(tmp),
+        leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
+        onCommit = folded => folded.reduceOption(_ max _)
+          .foreach(EpochStore.advanceWatermark(spark, doclenRoot(root), _)))
+      kept
+    }
   }
 }

@@ -174,6 +174,46 @@ class LiveStoreProtocolSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(_._1).toSet == Set(1L, 2L))
   }
 
+  test("multi-store compactions serialize under one index-level lease: a " +
+      "held index lease blocks compact (which throws past its timeout) " +
+      "instead of letting sibling-store passes interleave") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-index-lease")
+    val textRoot = base.toString + "/index"
+    val spanRoot = base.toString + "/state"
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    LiveTextIndex.writeDelta(
+      toks(Seq(1L -> "mortgage approved")).withColumn("doc_id",
+        col("doc_id").cast("string")), textRoot, 0L)
+    LiveSpanDedup.writeDelta(toks(Seq(
+      1L -> "alpha beta gamma delta once",
+      2L -> "twice alpha beta gamma delta")), spanRoot, 0L, k = 3)
+    val fs = new org.apache.hadoop.fs.Path(base.toString)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // A foreign maintainer holds each INDEX's coordinator lease (fresh,
+    // heartbeating): both compacts must refuse to run rather than race
+    // its cross-store reads, and must say so loudly past the timeout.
+    for ((root, doCompact) <- Seq[(String, () => Unit)](
+        (textRoot, () => { LiveTextIndex.compact(spark, root = textRoot,
+          shards = 2, leaseTimeoutMs = 300L); () }),
+        (spanRoot, () => { LiveSpanDedup.compact(spark, root = spanRoot,
+          shards = 2, leaseTimeoutMs = 300L); () }))) {
+      val held = graft.streaming.MaintenanceLease.acquire(fs,
+        new org.apache.hadoop.fs.Path(root + ".maintenance.lease")).get
+      try intercept[java.io.IOException](doCompact())
+      finally held.close()
+      doCompact() // freed: the same compact proceeds normally
+    }
+    // And both indexes still answer correctly after the real compacts.
+    assert(IndexSink.rankedMatch(spark, LiveTextIndex.read(spark, textRoot),
+        "doc_id", "mortgage", "or", 10)
+      .select(col("doc_id").cast("long")).as[Long].collect().toSet == Set(1L))
+    assert(LiveSpanDedup.duplicatedSpans(spark, spanRoot, 3, idType = LongType)
+      .as[(Long, Long, Long)].collect().map(_._1).toSet == Set(1L, 2L))
+  }
+
   test("LiveTextIndex: a postings dir without its doclen marker survives " +
       "compaction and completes on replay") {
     import spark.implicits._
