@@ -171,6 +171,31 @@ object EpochStore {
     try body finally lease.close()
   }
 
+  /** DETERMINISTIC one-row-per-key pick, for collapsing duplicate keys
+    * WITHIN one delivery: the winner is the row with the greatest
+    * `order` value (ties are only between identical payloads when
+    * `order` IS the payload, which is how callers use it). The point is
+    * replay stability, not which version wins: `dropDuplicates` picks
+    * whichever row a partition happens to surface first, so an
+    * at-least-once replay re-running the pick could legitimately land
+    * DIFFERENT content for the same epoch — and once a compaction has
+    * folded the first attempt's rows into a snapshot, the replay's
+    * divergent rewrite would coexist with them under the same epoch id,
+    * where duplicate-tolerant resolution (which assumes coexisting rows
+    * are IDENTICAL) silently mixes the two versions. A deterministic
+    * pick makes every replay land byte-identical content, collapsing
+    * that whole family of windows.
+    */
+  def onePerKey(df: DataFrame, key: String,
+      order: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(key).orderBy(order.desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Latest-`_epoch` row per `key` — the shared last-write-wins
     * resolution (row_number, so exact-duplicate rows from a crashed
     * compaction's snapshot+victim coexistence still yield ONE winner).

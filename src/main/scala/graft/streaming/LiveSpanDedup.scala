@@ -92,12 +92,19 @@ object LiveSpanDedup {
   /** Append one epoch's gram state, retracting superseded versions.
     * `toks` is the epoch's delivered docs as (doc_id, toks:
     * array&lt;string&gt;) — docs repeated WITHIN the epoch collapse to
-    * one arbitrary version first (a single bulk request's per-id
-    * overwrite). `k` is the span gram length and MUST match across
-    * every delta of a root (k-gram hashes never collide across k, so
-    * mixing silently marks nothing). Idempotent per (root, epoch):
-    * whole-directory overwrites land identical content on a streaming
-    * replay — including the retraction rows, which are computed from
+    * one version first via a DETERMINISTIC pick
+    * ([[EpochStore.onePerKey]] on the token array — a single bulk
+    * request's per-id overwrite, chosen so a replay re-running the
+    * pick lands byte-identical content even after a compaction folded
+    * the first attempt's counts into a snapshot; an arbitrary pick
+    * replayed differently would coexist with the folded rows as
+    * DIVERGENT duplicates under the same epoch id, which the
+    * duplicate-tolerant read resolution would silently mix). `k` is
+    * the span gram length and MUST match across every delta of a root
+    * (k-gram hashes never collide across k, so mixing silently marks
+    * nothing). Idempotent per (root, epoch): whole-directory
+    * overwrites land identical content on a streaming replay —
+    * including the retraction rows, which are computed from
     * strictly-earlier epochs' state.
     */
   def writeDelta(toks: DataFrame, root: String, epoch: Long, k: Int,
@@ -122,7 +129,7 @@ object LiveSpanDedup {
     // heal cannot close.
     EpochStore.heal(spark, occRoot(root))
     EpochStore.heal(spark, docsRoot(root))
-    val one = toks.dropDuplicates("doc_id")
+    val one = EpochStore.onePerKey(toks, "doc_id", col("toks"))
     val occ = SpanDedup.gramOccurrences(one, k).withColumn("_epoch", lit(epoch))
     // Occurrences first (inactive until the docs marker lands) —
     // doc-clustered so a later epoch's retraction lookup and the

@@ -18,13 +18,24 @@ import graft.operators.Retrieval
   * corpus size — the property that makes a query-heavy live corpus
   * affordable at 100 TB.
   *
-  * Layout — two [[EpochStore]] roots under one index root:
+  * Layout — three [[EpochStore]] roots under one index root:
   *
   *  - `<root>/postings/epoch=<e>`: (term, doc_id, tf, dl, _epoch) —
   *    the epoch's docs' postings, term-clustered within files so a
   *    query's `term IN (...)` filter prunes row groups;
   *  - `<root>/doclen/epoch=<e>`: (doc_id, dl, _epoch) — one row per
-  *    delivered doc VERSION, including token-less docs.
+  *    delivered doc VERSION, including token-less docs;
+  *  - `<root>/stats/epoch=<e>`: (n_delta, sumdl_delta, _epoch) — ONE
+  *    row per epoch: the NET change this delivery makes to the current
+  *    corpus's doc count and total token count (gross adds minus the
+  *    superseded versions' contributions, the
+  *    [[LiveSpanDedup]] net-delta rule applied to BM25's collection
+  *    statistics). Per-query (n, avgdl) becomes a sum over O(epochs)
+  *    one-row deltas instead of an O(docs) aggregation pass over the
+  *    doclen store — the telescoped sum equals the doclen aggregate
+  *    EXACTLY (longs, added once per version and subtracted once at
+  *    supersession), so live scores are bit-identical to a batch
+  *    rebuild's.
   *
   * Upsert semantics (the OpenSearch contract: re-indexing a doc id
   * overwrites it): a doc's CURRENT version is its latest doclen epoch,
@@ -35,11 +46,22 @@ import graft.operators.Retrieval
   * short row per doc version: its latest-per-doc resolution is a
   * doc-keyed window over O(docs) rows, never corpus-token-sized.
   *
-  * Write order inside a delta is postings BEFORE doclen: currency is
-  * what ACTIVATES an epoch's rows, so the marker lands only after the
-  * rows it activates are durable — a reader between the two writes
+  * Write order inside a delta is postings → stats → doclen: currency
+  * is what ACTIVATES an epoch's rows, so the marker lands only after
+  * everything it activates is durable — a reader between the writes
   * sees the previous consistent state, never a doc with its old
-  * postings deactivated and its new ones missing.
+  * postings deactivated and its new ones missing. The stats sidecar
+  * keeps that no-transient property: a stats delta only COUNTS once
+  * its epoch's doclen marker proves the delivery complete (marker dir
+  * committed, or the epoch already folded below the compaction
+  * watermark — both file-metadata checks, no data pass), so a crash
+  * between the stats and doclen writes leaves the delta invisible
+  * until the streaming replay completes the delivery. The
+  * below-the-watermark arm of that test infers activation from epoch
+  * ORDER, so epochs must be written serially in increasing order —
+  * the contract `foreachBatch` provides (a crashed epoch replays
+  * before the next begins), and the one [[LiveSpanDedup]] already
+  * requires for its retraction lookups.
   *
   * [[read]] returns a plain [[Retrieval.TextIndex]], so the whole
   * existing query surface ([[Retrieval.bm25FromIndex]],
@@ -47,7 +69,7 @@ import graft.operators.Retrieval
   * unchanged — per-query cost stays bounded by the query terms'
   * postings (the term filter pushes below the currency join and the
   * df aggregate to the delta scans) plus one O(docs) doclen pass for
-  * currency and stats.
+  * currency; (n, avgdl) come from the O(epochs) stats sidecar.
   *
   * [[compact]] folds the epoch history into one resolved snapshot per
   * store under [[EpochStore]]'s crash-safe manifest + lease protocol,
@@ -55,9 +77,10 @@ import graft.operators.Retrieval
   */
 object LiveTextIndex {
 
-  /** Where a live index keeps its two stores. */
+  /** Where a live index keeps its three stores. */
   private def postingsRoot(root: String) = root.stripSuffix("/") + "/postings"
   private def doclenRoot(root: String) = root.stripSuffix("/") + "/doclen"
+  private def statsRoot(root: String) = root.stripSuffix("/") + "/stats"
 
   private val postingsSchema = StructType(Seq(
     StructField("term", StringType),
@@ -69,6 +92,10 @@ object LiveTextIndex {
     StructField("doc_id", StringType),
     StructField("dl", LongType),
     StructField("_epoch", LongType)))
+  private val statsSchema = StructType(Seq(
+    StructField("n_delta", LongType),
+    StructField("sumdl_delta", LongType),
+    StructField("_epoch", LongType)))
 
   /** Append one epoch's postings + doclen deltas. `toks` is the
     * epoch's delivered docs as (doc_id, toks: array&lt;string&gt;) —
@@ -78,32 +105,37 @@ object LiveTextIndex {
     * envelope recordId); callers with numeric keys cast on the way in
     * and out ([[IndexSink.start]]'s maintenance hook does).
     *
-    * Both writes are whole-directory overwrites keyed by the epoch id,
-    * so a replayed epoch (streaming restart) lands a CONSISTENT pair.
-    * Docs repeated WITHIN one epoch collapse to one version via an
-    * arbitrary pick (a single bulk request's per-id overwrite); the
-    * pick is LOCAL-CHECKPOINTED so the postings job and the doclen job
-    * read the same materialized choice — without it the two
-    * independent jobs could each re-evaluate the nondeterministic
-    * dropDuplicates and store version A's tf against version B's
-    * length and currency.
+    * All writes are whole-directory overwrites keyed by the epoch id,
+    * so a replayed epoch (streaming restart) lands a CONSISTENT set.
+    * Docs repeated WITHIN one epoch collapse to one version via a
+    * DETERMINISTIC pick ([[EpochStore.onePerKey]] on the token array —
+    * a single bulk request's per-id overwrite, chosen so a replay
+    * re-running the pick lands byte-identical content even after a
+    * compaction folded the first attempt's rows); the pick is also
+    * LOCAL-CHECKPOINTED so the three store writes share one
+    * materialized input instead of three re-evaluations.
     */
   def writeDelta(toks: DataFrame, root: String, epoch: Long,
       shards: Int = 4): Unit = {
     require(shards > 0, s"shard count must be positive, got $shards")
+    val spark = toks.sparkSession
     // REPLAY FENCE (the LiveSpanDedup rule): an epoch at or below the
     // compaction watermark was already folded — its marker proved the
-    // delivery complete — and re-writing it could re-pick a different
-    // in-epoch version than the folded one, leaving two currencies for
-    // one doc. The replay's only correct action is nothing.
-    if (epoch <= EpochStore.readWatermark(toks.sparkSession, doclenRoot(root)))
+    // delivery complete — and its stats retraction was derived from
+    // history the compaction has since destroyed. The replay's only
+    // correct action is nothing.
+    if (epoch <= EpochStore.readWatermark(spark, doclenRoot(root)))
       return
+    // Heal BEFORE the retraction lookup (the LiveSpanDedup rule): a
+    // crashed doclen compaction's snapshot+victim coexistence is
+    // masked at read by latestPerKey, which the lookup below uses too.
+    EpochStore.heal(spark, doclenRoot(root))
     // One in-epoch version per doc: postings from two versions of the
     // same doc in one epoch would double-count tf.
-    val one = toks
-      .select(col("doc_id").cast("string").as("doc_id"), col("toks"))
-      .dropDuplicates("doc_id")
-      .localCheckpoint() // epoch-sized; pin the arbitrary pick (scaladoc)
+    val one = EpochStore.onePerKey(
+        toks.select(col("doc_id").cast("string").as("doc_id"), col("toks")),
+        "doc_id", col("toks"))
+      .localCheckpoint() // epoch-sized; one materialization, three writes
     val posted = one
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
@@ -114,8 +146,32 @@ object LiveTextIndex {
       .repartition(shards, col("term")).sortWithinPartitions("term")
       .write.mode("overwrite")
       .parquet(s"${postingsRoot(root)}/epoch=$epoch")
-    // Currency marker LAST (see class doc): only after the postings it
-    // activates are durable.
+    // NET stats delta: gross (docs, Σdl) of this epoch's versions minus
+    // the contributions of the versions they supersede — each version's
+    // dl enters the sum once at delivery and leaves once at
+    // supersession, so Σ deltas telescopes to the CURRENT corpus's
+    // exact (n, Σdl). The superseded lookup reads only doclen epochs
+    // STRICTLY EARLIER than this one (the replay-idempotence rule: the
+    // epoch's own already-landed marker must not retract itself), and
+    // costs one O(docs) doclen pass PER DELIVERY — the pass the sidecar
+    // removes from every query. Two one-row aggregates collected to the
+    // driver: bounded metadata, not data.
+    val g = one.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("s")).head
+    val p = EpochStore.latestPerKey(
+        EpochStore.readAll(spark, doclenRoot(root), doclenSchema)
+          .filter(col("_epoch") < epoch), "doc_id")
+      .join(one.select("doc_id"), Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")).head
+    spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(g.getLong(0) - p.getLong(0), g.getLong(1) - p.getLong(1), epoch)),
+        statsSchema)
+      .write.mode("overwrite")
+      .parquet(s"${statsRoot(root)}/epoch=$epoch")
+    // Currency marker LAST (see class doc): only after everything it
+    // activates — the postings rows and the stats delta — is durable.
     one.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         lit(epoch).as("_epoch"))
       .repartition(math.min(shards, 2))
@@ -131,17 +187,33 @@ object LiveTextIndex {
   def read(spark: SparkSession, root: String): Retrieval.TextIndex = {
     EpochStore.heal(spark, postingsRoot(root))
     EpochStore.heal(spark, doclenRoot(root))
+    EpochStore.heal(spark, statsRoot(root))
     val doclen = EpochStore.readAll(spark, doclenRoot(root), doclenSchema)
     val postings = EpochStore.readAll(spark, postingsRoot(root), postingsSchema)
     // Currency: latest doclen epoch per doc (row_number, so a crashed
     // compaction's duplicated winner rows still yield ONE currency row).
     val cur = EpochStore.latestPerKey(doclen, "doc_id")
       .select(col("doc_id"), col("dl"), col("_epoch").as("_cur"))
-    // Stats over CURRENT doc versions — the exact formula
-    // buildTextIndex uses, so live scores match a batch rebuild's.
-    val stats = cur.select(col("dl"))
-      .agg(count(lit(1)).cast("double").as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // Stats from the sidecar: Σ net deltas over ACTIVATED epochs — one
+    // row per epoch, against cur's O(docs) window. A delta counts once
+    // its doclen marker proves the delivery complete: marker dir
+    // committed, or the epoch already folded below the watermark (both
+    // file-metadata checks). The telescoped long sums equal the doclen
+    // aggregate exactly, and the same (sum.cast(double) / count-as-long)
+    // shape keeps the resulting doubles bit-identical to
+    // buildTextIndex's, so live scores match a batch rebuild's.
+    // dropDuplicates(_epoch) guards the crashed-compaction window where
+    // a snapshot and its victim dirs briefly carry identical rows.
+    val wm = EpochStore.readWatermark(spark, doclenRoot(root))
+    val committed = EpochStore.committedEpochs(spark, doclenRoot(root))
+    val activeStats = EpochStore.readAll(spark, statsRoot(root), statsSchema)
+      .dropDuplicates("_epoch")
+      .filter(if (committed.isEmpty) col("_epoch") <= wm
+        else col("_epoch") <= wm || col("_epoch").isInCollection(committed))
+    val stats = activeStats
+      .agg(coalesce(sum(col("n_delta")), lit(0L)).cast("double").as("n"),
+        (sum(col("sumdl_delta")).cast("double") / sum(col("n_delta")))
+          .as("avgdl"))
     // A posting counts iff its epoch IS the doc's current version.
     // dropDuplicates guards the crashed-compaction window (snapshot +
     // victim epochs briefly coexist with identical rows) — keyed by
@@ -217,6 +289,23 @@ object LiveTextIndex {
         leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
         onCommit = folded => folded.reduceOption(_ max _)
           .foreach(EpochStore.advanceWatermark(spark, doclenRoot(root), _)))
+      // Stats deltas are ADDITIVE with per-epoch identity (the
+      // LiveSpanDedup counts rule): folding moves rows without changing
+      // the read-side sum, and dedup-by-epoch is the crash guard, so
+      // resolution is consolidation only. Eligibility mirrors the READ
+      // activation rule — folded below the watermark (re-read AFTER the
+      // doclen compact just advanced it) or marker-activated — so an
+      // in-flight delivery's stats dir rides, and the delta of an epoch
+      // whose every doc version was later superseded (absent from
+      // doclen's surviving rows, but part of the sum forever) still
+      // folds instead of riding indefinitely.
+      val wm = EpochStore.readWatermark(spark, doclenRoot(root))
+      EpochStore.compact(spark, statsRoot(root),
+        resolve = _.dropDuplicates("_epoch"),
+        writeSnapshot = (df, tmp) => df.repartition(1)
+          .write.mode("overwrite").parquet(tmp),
+        leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
+        epochEligible = e => e <= wm || activated.contains(e))
       kept
     }
   }

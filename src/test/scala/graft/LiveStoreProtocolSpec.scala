@@ -214,6 +214,73 @@ class LiveStoreProtocolSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(_._1).toSet == Set(1L, 2L))
   }
 
+  test("LiveTextIndex: a stats delta without its doclen marker does not " +
+      "count (no-transient activation) and activates once the replay " +
+      "completes the delivery") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-text-stats")
+      .toString + "/index"
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id").cast("string").as("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    def stats(): (Double, Option[Double]) = {
+      val r = LiveTextIndex.read(spark, root).stats
+        .select(col("n"), col("avgdl")).head
+      (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    LiveTextIndex.writeDelta(
+      toks(Seq(1L -> "three word doc", 2L -> "five little words right here")),
+      root, 0L)
+    assert(stats() == (2.0, Some(4.0)))
+    // Epoch 1 crashes between the stats write and the doclen marker:
+    // the delta is on disk but must not count — BM25's (n, avgdl) would
+    // otherwise reflect a delivery whose postings are not active yet.
+    LiveTextIndex.writeDelta(toks(Seq(3L -> "one more tiny doc arrives")),
+      root, 1L)
+    deleteDir(s"$root/doclen/epoch=1")
+    assert(dirExists(s"$root/stats/epoch=1"))
+    assert(stats() == (2.0, Some(4.0)),
+      "an unactivated stats delta leaked into the collection statistics")
+    // The replay completes the delivery; the delta activates exactly once.
+    LiveTextIndex.writeDelta(toks(Seq(3L -> "one more tiny doc arrives")),
+      root, 1L)
+    assert(stats() == (3.0, Some(13.0 / 3)))
+    // Compaction changes nothing observable; an UPSERT that shrinks a
+    // doc retracts its old contribution from the telescoped sum.
+    LiveTextIndex.compact(spark, root, shards = 2)
+    assert(stats() == (3.0, Some(13.0 / 3)))
+    LiveTextIndex.writeDelta(toks(Seq(2L -> "two words")), root, 2L)
+    assert(stats() == (3.0, Some(10.0 / 3)))
+  }
+
+  test("EpochStore.onePerKey: in-epoch duplicate doc_ids collapse via an " +
+      "order-independent pick, so replays and re-delivered batches land " +
+      "identical state regardless of partition order") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-det-pick")
+    val k = 3
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .repartition(4) // scramble row placement: the pick must not care
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    // Doc 1 arrives TWICE in the same epoch with different bodies (a
+    // single bulk request writing the same id twice): whichever version
+    // wins must be the same one every time the epoch is (re)written.
+    val versions = Seq(
+      1L -> "alpha beta gamma delta from version one",
+      1L -> "totally different text in version two",
+      2L -> "background doc with alpha beta gamma delta")
+    val spans = Seq(Seq(0, 1, 2), Seq(2, 1, 0), Seq(1, 2, 0)).zipWithIndex
+      .map { case (ord, i) =>
+        val root = base.toString + s"/state-$i"
+        LiveSpanDedup.writeDelta(toks(ord.map(versions)), root, 0L, k)
+        LiveSpanDedup.duplicatedSpans(spark, root, k, idType = LongType)
+          .as[(Long, Long, Long)].collect().toSet
+      }
+    assert(spans.distinct.size == 1,
+      s"input order changed the in-epoch version pick: $spans")
+  }
+
   test("LiveTextIndex: a postings dir without its doclen marker survives " +
       "compaction and completes on replay") {
     import spark.implicits._
