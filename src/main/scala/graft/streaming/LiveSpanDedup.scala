@@ -23,9 +23,16 @@ import graft.operators.SpanDedup
   *
   * Three [[EpochStore]] roots:
   *
-  *  - `<root>/occ/epoch=<e>`: (doc_id, pos, gh, _epoch) — the epoch's
-  *    gram occurrences (the rows batch SpanDedup materializes),
-  *    written once per delivery: no corpus re-tokenize, ever;
+  *  - `<root>/occ/epoch=<e>`: (doc_id, pos, gh, bk, _epoch) — the
+  *    epoch's gram occurrences (the rows batch SpanDedup
+  *    materializes), written once per delivery: no corpus re-tokenize,
+  *    ever. `bk` is the doc's hash bucket (`hash(doc_id) mod 64`),
+  *    and files are bucket-clustered, so the per-upsert retraction
+  *    lookup pushes `bk IN (re-delivered docs' buckets)` into the
+  *    parquet scan — a ≤64-value driver-side filter that prunes
+  *    files and row groups by footer min/max, instead of scanning the
+  *    whole corpus-token-sized store under a broadcast join (which
+  *    pushes nothing);
   *  - `<root>/counts/epoch=<e>`: (gh, cnt, _epoch) — the epoch's NET
   *    per-gram count delta: gross adds for the delivered text MINUS
   *    the full counts of each re-delivered doc's superseded version
@@ -80,7 +87,37 @@ object LiveSpanDedup {
     StructField("doc_id", idType),
     StructField("pos", IntegerType),
     StructField("gh", LongType),
+    StructField("bk", IntegerType),
     StructField("_epoch", LongType)))
+
+  /** Hash-bucket count for the occ store's retraction-pruning column —
+    * an upper bound on the IN-list a retraction pushes into the scan,
+    * and the granularity of the pruning. Fixed per store lifetime (the
+    * bucket of a stored row must match the bucket a later lookup
+    * computes for the same doc_id).
+    */
+  private val OccBuckets = 64
+  private def bucketOf(docId: org.apache.spark.sql.Column) =
+    pmod(xxhash64(docId), lit(OccBuckets)).cast("int")
+
+  /** The stored occurrence rows relevant to `docs` (doc_id column):
+    * the occ-store scan prefiltered to the docs' hash buckets — a
+    * SUPERSET by bucket collision, exact after the caller's doc_id
+    * join. The bucket set is collected driver-side (≤ [[OccBuckets]]
+    * values — bounded metadata, the [[graft.operators.PrefixSum]]
+    * rule) so it pushes into the parquet scan as a static IN filter:
+    * footer min/max prunes the bucket-clustered files and row groups,
+    * where the plain broadcast join this replaces scanned every row of
+    * the store per upsert epoch.
+    */
+  def occForDocs(spark: SparkSession, root: String, idType: DataType,
+      docs: DataFrame): DataFrame = {
+    val bks = docs.select(bucketOf(col("doc_id")).as("bk"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val store = EpochStore.readAll(spark, occRoot(root), occSchema(idType))
+    if (bks.isEmpty) store.filter(lit(false))
+    else store.filter(col("bk").isInCollection(bks))
+  }
   private def countsSchema = StructType(Seq(
     StructField("gh", LongType),
     StructField("cnt", LongType),
@@ -130,11 +167,15 @@ object LiveSpanDedup {
     EpochStore.heal(spark, occRoot(root))
     EpochStore.heal(spark, docsRoot(root))
     val one = EpochStore.onePerKey(toks, "doc_id", col("toks"))
-    val occ = SpanDedup.gramOccurrences(one, k).withColumn("_epoch", lit(epoch))
+    val occ = SpanDedup.gramOccurrences(one, k)
+      .withColumn("bk", bucketOf(col("doc_id")))
+      .withColumn("_epoch", lit(epoch))
     // Occurrences first (inactive until the docs marker lands) —
-    // doc-clustered so a later epoch's retraction lookup and the
-    // compaction both prune row groups by doc_id min/max.
-    occ.repartition(shards, col("doc_id")).sortWithinPartitions("doc_id", "pos")
+    // BUCKET-clustered (bk first, then doc_id, pos) so a later epoch's
+    // retraction lookup prunes whole files and row groups with its
+    // pushed bucket filter ([[occForDocs]]); docs stay contiguous
+    // within a bucket.
+    occ.repartition(shards, col("bk")).sortWithinPartitions("bk", "doc_id", "pos")
       .write.mode("overwrite").parquet(s"${occRoot(root)}/epoch=$epoch")
     // Gross adds from the delta just written (one tokenize, two files
     // that can never disagree) ...
@@ -152,14 +193,24 @@ object LiveSpanDedup {
     // prior-version retraction, permanently corrupting the counts.
     // Restricted to epochs < this one, the replay reads exactly the
     // state the first attempt read and rewrites identical rows.
+    // localCheckpoint: `prior` (the re-delivered docs — tiny) feeds
+    // three consumers (the isEmpty probe, the bucket collection, the
+    // retraction join); one materialization beats three docs-store
+    // scans.
     val prior = EpochStore.readAll(spark, docsRoot(root), docsSchema(idType))
       .filter(col("_epoch") < epoch)
       .join(one.select("doc_id"), Seq("doc_id"))
       .groupBy("doc_id").agg(max(col("_epoch")).as("_prev"))
+      .localCheckpoint()
     val net =
       if (prior.isEmpty) gross
       else {
-        val occStore = EpochStore.readAll(spark, occRoot(root), occSchema(idType))
+        // Scan bounded to the re-delivered docs' hash buckets — the
+        // pushed IN filter prunes the bucket-clustered store's files
+        // and row groups ([[occForDocs]]), so the lookup reads ~(re-
+        // delivered buckets / 64) of the store, not all of it.
+        val occStore = occForDocs(spark, root, idType,
+          prior.select("doc_id"))
         val retract = occStore
           .join(prior, occStore("doc_id") === prior("doc_id") &&
             occStore("_epoch") === prior("_prev"))
@@ -168,7 +219,7 @@ object LiveSpanDedup {
           // equivalent to deduping the store — but the exchange it
           // costs is bounded by the re-delivered docs' rows, not one
           // corpus-token-sized shuffle per delivery (prior is tiny, so
-          // the join itself broadcasts over a plain occ scan).
+          // the join itself broadcasts over the pruned occ scan).
           .select(occStore("doc_id").as("doc_id"), col("pos"), col("gh"))
           .dropDuplicates("doc_id", "pos")
           .groupBy("gh").agg((-count(lit(1))).as("cnt"))
@@ -220,7 +271,8 @@ object LiveSpanDedup {
 
   /** Consolidate each store's epoch history into one snapshot (crash
     * protocol in [[EpochStore.compact]]). Occurrences drop superseded
-    * versions and re-cluster by doc_id (the retraction-lookup key) —
+    * versions and re-cluster by hash bucket (the retraction-lookup
+    * pruning key — see [[occForDocs]]) —
     * restricted to ACTIVATED epochs (docs-marker rows present when
     * this compaction starts), so an in-flight delivery's occ dir is
     * neither resolved-empty nor deleted (the [[LiveTextIndex.compact]]
@@ -259,8 +311,8 @@ object LiveSpanDedup {
             .dropDuplicates("doc_id", "pos")
         },
         writeSnapshot = (df, tmp) => df
-          .repartition(shards, col("doc_id"))
-          .sortWithinPartitions("doc_id", "pos")
+          .repartition(shards, col("bk"))
+          .sortWithinPartitions("bk", "doc_id", "pos")
           .write.mode("overwrite").parquet(tmp),
         leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
         epochEligible = activated.contains)

@@ -214,6 +214,41 @@ class LiveStoreProtocolSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(_._1).toSet == Set(1L, 2L))
   }
 
+  test("LiveSpanDedup: the retraction lookup's bucket filter is PUSHED " +
+      "into the occ-store parquet scan (file/row-group pruning, not a " +
+      "full-store scan per upsert)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-span-bucket")
+      .toString + "/state"
+    val k = 3
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    LiveSpanDedup.writeDelta(toks(Seq(
+      1L -> "alpha beta gamma delta once",
+      2L -> "twice alpha beta gamma delta")), root, 0L, k)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      LiveSpanDedup.occForDocs(spark, root, LongType,
+        Seq(1L).toDF("doc_id")).explain("formatted")
+    }
+    val plan = out.toString("UTF-8")
+    // A single candidate bucket collapses the IN to an EqualTo; either
+    // way it must reach the scan's PushedFilters.
+    assert("PushedFilters:.*(In|EqualTo)\\(bk".r.findFirstIn(plan).nonEmpty,
+      s"bucket filter not pushed to the occ scan:\n$plan")
+    // And the prefilter is a SUPERSET that the doc_id join makes exact:
+    // doc 1's rows are all present, rows outside its bucket are gone.
+    val got = LiveSpanDedup.occForDocs(spark, root, LongType,
+        Seq(1L).toDF("doc_id"))
+      .filter(col("doc_id") === 1L).count()
+    val all = LiveSpanDedup.occForDocs(spark, root, LongType,
+        (1L to 2L).toDF("doc_id"))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(got == 3, s"doc 1 should have 3 gram occurrences, got $got")
+    assert(all == Set(1L, 2L))
+  }
+
   test("LiveTextIndex: a stats delta without its doclen marker does not " +
       "count (no-transient activation) and activates once the replay " +
       "completes the delivery") {
