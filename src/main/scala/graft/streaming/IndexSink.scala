@@ -32,6 +32,17 @@ object IndexSink {
   final case class LiveIndexSpec(root: String, field: String,
       key: String = "recordId", shards: Int = 4)
 
+  /** Cross-epoch span-dedup maintenance for [[start]]: each delivered
+    * epoch's Ok docs feed [[LiveSpanDedup.writeDelta]] — gram state
+    * that outlives the epoch, so exact-substring duplication across
+    * deliveries (and its retraction on per-id overwrite) is queryable
+    * at any point via [[LiveSpanDedup.duplicatedSpans]] without ever
+    * re-tokenizing a prior epoch. `k` is the span gram length, fixed
+    * per store root.
+    */
+  final case class LiveSpanSpec(root: String, field: String,
+      key: String = "recordId", k: Int = 8, shards: Int = 4)
+
   /** Start the index-delivery query: decode → route → append Ok payloads
     * to `indexPath` (parquet, `shards`-way), with the raw-backup channel
     * written alongside (reference backs up ALL documents on the oss
@@ -53,6 +64,9 @@ object IndexSink {
     * truth; a crash between the two leaves a delivered epoch whose
     * postings delta arrives on replay — both writes are idempotent
     * whole-directory overwrites keyed by the same epoch id).
+    * `spanState` is the third maintained artifact, same rules: each
+    * epoch's gram-state delta lands in the named [[LiveSpanDedup]]
+    * store, so cross-epoch duplicated spans are live-queryable.
     */
   def start(
       envelope: DataFrame,
@@ -64,7 +78,8 @@ object IndexSink {
       dropIf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       trigger: Trigger = Trigger.AvailableNow(),
       enrich: DataFrame => DataFrame = identity,
-      textIndex: Option[LiveIndexSpec] = None): StreamingQuery =
+      textIndex: Option[LiveIndexSpec] = None,
+      spanState: Option[LiveSpanSpec] = None): StreamingQuery =
     envelope.writeStream
       .queryName("graft-index-delivery")
       .trigger(trigger)
@@ -100,6 +115,15 @@ object IndexSink {
                 .select(col(spec.key).cast("string").as("doc_id"),
                   tokens(col(spec.field)).as("toks")),
               spec.root, epochId, spec.shards)
+          }
+          spanState.foreach { spec =>
+            import graft.functions.TextFunctions.tokens
+            // Same read-back-what-you-wrote rule as the text index.
+            LiveSpanDedup.writeDelta(
+              src.sparkSession.read.parquet(s"$indexPath/epoch=$epochId")
+                .select(col(spec.key).cast("string").as("doc_id"),
+                  tokens(col(spec.field)).as("toks")),
+              spec.root, epochId, spec.k, spec.shards)
           }
         } finally src.unpersist()
       }

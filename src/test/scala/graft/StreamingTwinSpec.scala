@@ -522,6 +522,68 @@ class StreamingTwinSpec extends SparkSpec {
     assert(liveSpans() == batchSpans(resolved6))
   }
 
+  test("delivery sink spanState hook: spans over epochs delivered through " +
+      "IndexSink.start equal batch SpanDedup on the resolved corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.functions.TextFunctions.tokens
+    import graft.streaming.{IndexSink, LiveSpanDedup}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink-span").toString
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("body", StringType)))
+    val spec = IndexSink.LiveSpanSpec(s"$tmp/spanstate", field = "body",
+      key = "doc_id", k = 3, shards = 2)
+
+    def deliver(rows: Seq[(Long, String)], tag: String): Unit = {
+      rows.toDF("doc_id", "body")
+        .select(to_json(struct(col("doc_id"), col("body"))).as("value"))
+        .coalesce(1).write.mode("append").text(s"$tmp/in")
+      val env = spark.readStream
+        .schema(payloadSchema)
+        .json(s"$tmp/in")
+        .select(col("doc_id").cast("string").as("recordId"),
+          lit(0L).as("approximateArrivalTimestamp"),
+          to_json(struct(col("doc_id"), col("body"))).cast("binary").as("data"))
+      val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
+        s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false),
+        spanState = Some(spec))
+      assert(q.awaitTermination(120000), s"delivery $tag timed out")
+    }
+    // The hook stores doc_id as string (the delivery key contract);
+    // compare as longs against the batch operator over long ids.
+    def liveSpans(): Set[(Long, Long, Long)] =
+      LiveSpanDedup.duplicatedSpans(spark, spec.root, spec.k)
+        .select(col("doc_id").cast("long"), col("span_start"), col("span_end"))
+        .as[(Long, Long, Long)].collect().toSet
+    def batchSpans(rows: Seq[(Long, String)]): Set[(Long, Long, Long)] =
+      graft.operators.SpanDedup.duplicatedSpans(
+          rows.toDF("doc_id", "body")
+            .select(col("doc_id"), tokens(col("body")).as("toks")), spec.k)
+        .as[(Long, Long, Long)].collect().toSet
+
+    val epoch1 = Seq(
+      1L -> "alpha beta gamma delta anchors the first document",
+      2L -> "unrelated second body with no repeats")
+    deliver(epoch1, "epoch-1")
+    assert(liveSpans().isEmpty)
+    // Epoch 2 repeats epoch 1's run across the boundary AND upserts
+    // doc 2 — the full contract (cross-epoch detection + retraction)
+    // through the delivery sink, not a hand-rolled foreachBatch.
+    val epoch2 = Seq(
+      2L -> "rewritten alpha beta gamma delta appears here",
+      3L -> "third doc closes quietly")
+    deliver(epoch2, "epoch-2")
+    val resolved = Seq(
+      1L -> "alpha beta gamma delta anchors the first document",
+      2L -> "rewritten alpha beta gamma delta appears here",
+      3L -> "third doc closes quietly")
+    val live = liveSpans()
+    assert(live == batchSpans(resolved),
+      s"sink-maintained spans $live diverged from batch over the resolved corpus")
+    assert(live.map(_._1) == Set(1L, 2L))
+  }
+
   test("IVF search recall vs brute force (nprobe=4 of k=8 cells)") {
     import spark.implicits._
     val emb = queries.Tables.t(spark, sfDir, "embeddings")
