@@ -146,10 +146,13 @@ object TrainingData {
     * result: a base rung and its recall rung (q76/q96, q77/q97,
     * q78/q98, q99/q100) and the four IVF consumers each retrain the
     * same model only because registry entries are independent
-    * functions. Models are small driver-side arrays (k·d floats), so
-    * the map stays O(configs) per scale factor. Per-JVM, which is the
-    * scope that matters: one Verify/Bench run executes the whole
-    * registry in one JVM.
+    * functions. Keys spell out the full hyperparameter tuple alongside
+    * the dir, so a call site tuned away from its sharers forks its own
+    * entry instead of silently serving them a stale model. Models are
+    * small driver-side arrays (k·d floats), so the map stays
+    * O(configs) per scale factor. Per-JVM, which is the scope that
+    * matters: one Verify/Bench run executes the whole registry in one
+    * JVM.
     */
   private val modelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
@@ -942,7 +945,7 @@ object TrainingData {
     // (m·1e4 + 0.5)/1e4) before the float cast, shrinking the collision
     // window by ~3 orders of magnitude below the already-tiny ulp case.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = memo(s"ivf8|$dir")(
+    val model = memo(s"ivf|$dir|k=8|it=3|r=4")(
       graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4))
     val indexed = graft.operators.Ivf.index(s, emb, model)
     val probes = emb.filter(col("vec_id") < 5)
@@ -1020,7 +1023,7 @@ object TrainingData {
     // engine-exact; the output carries only integer columns — no float
     // rendering in the hash at all.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = memo(s"ivf8|$dir")(
+    val model = memo(s"ivf|$dir|k=8|it=3|r=4")(
       graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4))
     val indexed = graft.operators.Ivf.index(s, emb, model)
     graft.operators.Dedup.semDedup(indexed, minCos = 0.4)
@@ -1088,7 +1091,7 @@ object TrainingData {
     // table adds with the same float-exact arithmetic as q73, so the
     // whole PQ path is hash-checked end-to-end.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = memo(s"pq|$dir")(graft.operators.Pq.train(s, emb,
+    val model = memo(s"pq|$dir|sub=4x16|k=4|it=2|r=4")(graft.operators.Pq.train(s, emb,
       nSub = 4, subDim = 16, k = 4, iters = 2, meanRound = 4))
     val encoded = graft.operators.Pq.encode(s, emb, model)
     val probes = emb.filter(col("vec_id") < 5)
@@ -1178,7 +1181,7 @@ object TrainingData {
     // Lloyd chain, residuals, per-subspace chains, encoding, tables)
     // with q73's float-exact arithmetic.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = memo(s"ivfpq|$dir")(graft.operators.IvfPq.train(s, emb,
+    val model = memo(s"ivfpq|$dir|c=4x2|sub=4x16|k=4|it=2|r=4")(graft.operators.IvfPq.train(s, emb,
       kCoarse = 4, coarseIters = 2, nSub = 4, subDim = 16, kSub = 4,
       pqIters = 2, meanRound = 4))
     val encoded = graft.operators.IvfPq.encode(s, emb, model)
@@ -1271,7 +1274,7 @@ object TrainingData {
     // once (checkpoint/write) before training, like any derived table.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val remb = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
-    val model = memo(s"opqfix|$dir")(graft.operators.Pq.train(s, remb,
+    val model = memo(s"pqrot|$dir|hh64|sub=4x16|k=4|it=2|r=4")(graft.operators.Pq.train(s, remb,
       nSub = 4, subDim = 16, k = 4, iters = 2, meanRound = 4))
     val encoded = graft.operators.Pq.encode(s, remb, model)
     val probes = remb.filter(col("vec_id") < 5)
@@ -1504,7 +1507,7 @@ object TrainingData {
     // for the SAMPLE, never corpus x corpus); the intersection join is
     // probes x k rows — trivially broadcast.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = memo(s"ivf8|$dir")(
+    val model = memo(s"ivf|$dir|k=8|it=3|r=4")(
       graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4))
     val indexed = graft.operators.Ivf.index(s, emb, model)
     val probes = emb.filter(col("vec_id") < 5)
@@ -1598,7 +1601,7 @@ object TrainingData {
     // by their own registry entries; this rung hash-checks their
     // intersection as exact integers.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = memo(s"pq|$dir")(graft.operators.Pq.train(s, emb,
+    val model = memo(s"pq|$dir|sub=4x16|k=4|it=2|r=4")(graft.operators.Pq.train(s, emb,
       nSub = 4, subDim = 16, k = 4, iters = 2, meanRound = 4))
     val encoded = graft.operators.Pq.encode(s, emb, model)
     val probes = emb.filter(col("vec_id") < 5)
@@ -1617,7 +1620,7 @@ object TrainingData {
     // Measures BOTH loss sources at once — cell pruning (q83's axis)
     // and residual quantization (q96's axis).
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val model = memo(s"ivfpq|$dir")(graft.operators.IvfPq.train(s, emb,
+    val model = memo(s"ivfpq|$dir|c=4x2|sub=4x16|k=4|it=2|r=4")(graft.operators.IvfPq.train(s, emb,
       kCoarse = 4, coarseIters = 2, nSub = 4, subDim = 16, kSub = 4,
       pqIters = 2, meanRound = 4))
     val encoded = graft.operators.IvfPq.encode(s, emb, model)
@@ -1640,7 +1643,7 @@ object TrainingData {
     // isolates what the rotation buys (or costs) at equal code budget.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val remb = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
-    val model = memo(s"opqfix|$dir")(graft.operators.Pq.train(s, remb,
+    val model = memo(s"pqrot|$dir|hh64|sub=4x16|k=4|it=2|r=4")(graft.operators.Pq.train(s, remb,
       nSub = 4, subDim = 16, k = 4, iters = 2, meanRound = 4))
     val encoded = graft.operators.Pq.encode(s, remb, model)
     val probes = remb.filter(col("vec_id") < 5)
@@ -1668,10 +1671,10 @@ object TrainingData {
     // spec-gated in OpqSpec instead.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val mixed = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
-    val alloc = memo(s"opqalloc|$dir")(
+    val alloc = memo(s"opqalloc|$dir|hh64|d=64|sub=4")(
       graft.operators.Opq.allocate(s, mixed, dim = 64, nSub = 4))
     val remb = graft.operators.Opq.permute(s, mixed, alloc)
-    val model = memo(s"opqlearn|$dir")(graft.operators.Pq.train(s, remb,
+    val model = memo(s"pqrot|$dir|hh64+alloc|sub=4x16|k=4|it=2|r=4")(graft.operators.Pq.train(s, remb,
       nSub = 4, subDim = 16, k = 4, iters = 2, meanRound = 4))
     val encoded = graft.operators.Pq.encode(s, remb, model)
     val probes = remb.filter(col("vec_id") < 5)
@@ -1693,10 +1696,10 @@ object TrainingData {
     // buys.
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val mixed = graft.operators.Opq.rotate(s, emb, graft.operators.Opq.rotation(64))
-    val alloc = memo(s"opqalloc|$dir")(
+    val alloc = memo(s"opqalloc|$dir|hh64|d=64|sub=4")(
       graft.operators.Opq.allocate(s, mixed, dim = 64, nSub = 4))
     val remb = graft.operators.Opq.permute(s, mixed, alloc)
-    val model = memo(s"opqlearn|$dir")(graft.operators.Pq.train(s, remb,
+    val model = memo(s"pqrot|$dir|hh64+alloc|sub=4x16|k=4|it=2|r=4")(graft.operators.Pq.train(s, remb,
       nSub = 4, subDim = 16, k = 4, iters = 2, meanRound = 4))
     val encoded = graft.operators.Pq.encode(s, remb, model)
     val probes = remb.filter(col("vec_id") < 5)
@@ -2025,7 +2028,7 @@ object TrainingData {
     // filtered — the query vector needs no label.
     val embT = t(s, dir, "embeddings")
     val emb = embT.select(col("vec_id"), col("embedding"))
-    val model = memo(s"ivf8|$dir")(
+    val model = memo(s"ivf|$dir|k=8|it=3|r=4")(
       graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4))
     val indexed = graft.operators.Ivf.index(s, emb, model)
     val filtered = indexed

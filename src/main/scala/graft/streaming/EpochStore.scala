@@ -17,12 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the old epoch dirs are deleted, so the store is readable at
   *    every instant;
   *  - an in-flight manifest (`<root>.compact.inflight`, END-terminated)
-  *    written before the rename lets [[heal]] finish a crashed
-  *    compaction's deletions — resolution semantics must therefore
-  *    tolerate snapshot + victim epochs coexisting (rows duplicated
-  *    with their original epoch values), which every resolver here
-  *    does by construction (latest-wins keeps one winner; additive
-  *    counts are re-resolved per read);
+  *    written after the rename and the commit hooks lets [[heal]]
+  *    finish a crashed compaction's deletions — resolution semantics
+  *    must therefore tolerate snapshot + victim epochs coexisting
+  *    (rows duplicated with their original epoch values), which every
+  *    resolver here does by construction (latest-wins keeps one
+  *    winner; additive counts are re-resolved per read);
   *  - a cross-process [[MaintenanceLease]] (`<root>.maintenance.lease`)
   *    plus a JVM-local lock serialize maintenance mutations; readers
   *    stay unserialized.
@@ -90,6 +90,17 @@ object EpochStore {
     else spark.read.schema(schema).parquet(epochs.map(_.toString): _*)
   }
 
+  /** The store's epoch directory NAMES — a pure listing, no data read.
+    * Used to tell "store never existed / empty" apart from "store
+    * populated" when choosing a legacy fallback or backfill path.
+    */
+  private[streaming] def epochDirNames(spark: SparkSession, root: String): Seq[String] = {
+    val (fs, p) = fsOf(spark, root)
+    listEpochs(fs, p).map(_.getName)
+  }
+  private[streaming] def hasEpochDirs(spark: SparkSession, root: String): Boolean =
+    epochDirNames(spark, root).nonEmpty
+
   /** The distinct `_epoch` values present in a store's ROWS (a partial-
     * schema read — only the epoch column is projected, whatever the
     * store's full schema). This is the ACTIVATION set for stores whose
@@ -109,14 +120,23 @@ object EpochStore {
 
   /** The highest epoch id a compaction has ever folded out of this
     * store (-1 when none): the REPLAY FENCE. An epoch is only folded
-    * after its activation marker proved the delivery complete, and a
-    * folded epoch's directories no longer exist — so an at-least-once
-    * streaming replay of an epoch ≤ this value must be a NO-OP: its
-    * content already lives in snapshots, and re-deriving it would read
-    * post-compaction state (superseded doc versions gone, history
-    * folded) and write rows that disagree with what was folded.
-    * Delta writers check this before writing; [[compact]] advances it
-    * via `onCommit` while still holding the lease.
+    * after its activation marker proved the delivery complete — so an
+    * at-least-once streaming replay of an epoch ≤ this value must be a
+    * NO-OP: its content already lives in snapshots, and re-deriving it
+    * would read post-compaction state (superseded doc versions gone,
+    * history folded) and write rows that disagree with what was
+    * folded. Delta writers check this before writing; [[compact]]
+    * advances it via `onCommit` while still holding the lease, BEFORE
+    * the victim deletions (so the fence covers an epoch from before
+    * the moment the snapshot becomes its only copy).
+    *
+    * An EXISTING-but-unreadable watermark file THROWS instead of
+    * defaulting: the value now also gates read-side activation (which
+    * stats deltas count) and compaction eligibility, so "guess -1"
+    * would not merely re-expose pre-watermark replay behavior — it
+    * would silently drop every folded epoch's delta from query
+    * results. A transient read fault should fail the one operation
+    * loudly and retryably, not mis-resolve it.
     */
   def readWatermark(spark: SparkSession, root: String): Long = {
     val (fs, _) = fsOf(spark, root)
@@ -124,10 +144,9 @@ object EpochStore {
     if (!fs.exists(p)) -1L
     else BufferedChannel.readFullyUtf8(fs, p)
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
-      // Unreadable/torn → -1: the fence fails OPEN (a replay proceeds),
-      // which only re-exposes the pre-watermark behavior, never skips
-      // a delivery that was not folded.
-      .getOrElse(-1L)
+      .getOrElse(throw new java.io.IOException(
+        s"unreadable compaction watermark $p — refusing to guess: a " +
+          "stale fence would silently mis-resolve folded epochs"))
   }
 
   /** Monotonic advance of the replay fence — call only while holding
@@ -270,14 +289,16 @@ object EpochStore {
 
   /** Replace the epoch history with one resolved snapshot.
     *
-    * Crash-safe ordering: the snapshot moves IN (under a fresh unique
-    * `epoch=compact-<gen>` name) BEFORE the old epoch dirs are deleted,
-    * so the store is readable at every instant — never a window where
-    * the only copy sits outside the read glob. A crash mid-deletion
-    * leaves snapshot + some old epochs coexisting; the in-flight
-    * manifest written before the rename lets [[heal]] (run at every
-    * compact / read entry) finish the deletions. Stale `.compact.tmp`
-    * from a crashed attempt is dropped at entry.
+    * Crash-safe ordering (rename → onCommit → manifest → deletions):
+    * the snapshot moves IN (under a fresh unique `epoch=compact-<gen>`
+    * name) BEFORE the old epoch dirs are deleted, so the store is
+    * readable at every instant — never a window where the only copy
+    * sits outside the read glob. A crash mid-deletion leaves snapshot
+    * + some old epochs coexisting; the in-flight manifest (written
+    * after the rename AND after `onCommit` — see the commit-order
+    * comment in the body) lets [[heal]] (run at every compact / read
+    * entry) finish the deletions. Stale `.compact.tmp` from a crashed
+    * attempt is dropped at entry.
     *
     * Concurrency-safe vs a live delivery query: the epoch set is
     * listed ONCE, up front, and both the snapshot read and the
@@ -315,11 +336,15 @@ object EpochStore {
     *                      marker rows, but a committed marker dir)
     *                      still becomes eligible instead of riding
     *                      forever.
-    * @param onCommit invoked with the NUMERIC victim epoch ids after
-    *                 their deletion completes, still under the lease —
-    *                 the hook [[advanceWatermark]] callers use, so the
-    *                 replay fence can only advance for epochs whose
-    *                 folding actually committed.
+    * @param onCommit invoked with the NUMERIC victim epoch ids once
+    *                 the renamed snapshot has made their folding
+    *                 durable, still under the lease and BEFORE any
+    *                 victim deletion — the hook [[advanceWatermark]]
+    *                 callers use. The fence must cover an epoch before
+    *                 its directories can die; advancing after the
+    *                 deletions would leave a crash window in which a
+    *                 replay re-derives a destroyed epoch from
+    *                 post-fold state.
     * @return rows in the snapshot, 0 when the store was empty
     */
   def compact(spark: SparkSession, root: String,
@@ -382,25 +407,33 @@ object EpochStore {
       .map(n => scala.util.Try(n.stripPrefix("epoch=compact-").toLong).getOrElse(0L))
       .foldLeft(0L)(math.max)
     val snapshot = new Path(root, s"epoch=compact-$gen")
-    // In-flight manifest BEFORE the rename: a crash between the rename
-    // and the deletions below would otherwise leave every snapshot row
-    // duplicated in the surviving epoch dirs with nothing to trigger
-    // cleanup (heal replays the deletions from this manifest; the END
-    // terminator proves the write completed — see its scaladoc).
+    if (!fs.rename(tmp, snapshot))
+      throw new java.io.IOException(
+        s"compact aborted: rename $tmp -> $snapshot failed")
+    // COMMIT ORDER — rename, onCommit, manifest, deletions — so that by
+    // the time any victim dir can die (here, or in a later heal), every
+    // commit-time consequence is already durable. onCommit (the
+    // watermark advance) MUST precede the deletions: the fence promises
+    // "epoch folded ⇒ replay no-ops", and a crash that destroyed a
+    // victim before advancing the fence would let the replay re-derive
+    // the epoch from post-fold state — exactly the divergence the fence
+    // exists to stop. The manifest in turn lands only AFTER onCommit,
+    // because heal replays deletions from it with no knowledge of
+    // onCommit: a manifest armed before the advance would let a heal
+    // delete victims whose folding the fence never heard about. The
+    // price is a narrow rename→manifest crash window with snapshot and
+    // victims coexisting and nothing to trigger cleanup — safe
+    // (duplicate-tolerant resolution masks the rows) and self-limiting
+    // (the next compaction lists both, re-resolves, and retires them).
+    onCommit(old.map(_.getName.stripPrefix("epoch="))
+      .flatMap(n => scala.util.Try(n.toLong).toOption))
     val mf = manifestPath(rootStr)
     val out = fs.create(mf, true)
     try out.write((snapshot.getName +: old.map(_.getName) :+ "END")
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, snapshot)) {
-      fs.delete(mf, false) // nothing renamed — retract the manifest
-      throw new java.io.IOException(
-        s"compact aborted: rename $tmp -> $snapshot failed")
-    }
     old.foreach(p => fs.delete(p, true))
     fs.delete(mf, false) // deletions complete — the manifest is spent
-    onCommit(old.map(_.getName.stripPrefix("epoch="))
-      .flatMap(n => scala.util.Try(n.toLong).toOption))
     // Count the snapshot dir itself, not the whole glob: cheaper, and
     // correct when concurrent epochs landed during compaction.
     spark.read.parquet(snapshot.toString).count()

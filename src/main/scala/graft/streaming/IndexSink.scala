@@ -102,28 +102,38 @@ object IndexSink {
             .withColumn("_epoch", lit(epochId))
             .repartition(shards)
             .write.mode("overwrite").parquet(s"$indexPath/epoch=$epochId")
-          textIndex.foreach { spec =>
+          if (textIndex.nonEmpty || spanState.nonEmpty) {
             import graft.functions.TextFunctions.tokens
             // Tokenize the epoch parquet JUST WRITTEN, not the lazy
             // `ok` plan: one decode+transform+enrich evaluation per
-            // epoch instead of two, and the postings delta can never
-            // disagree with the index content (e.g. under a
+            // epoch instead of two, and the maintained artifacts can
+            // never disagree with the index content (e.g. under a
             // non-deterministic enrich) — the LiveSpanDedup
-            // read-back-what-you-wrote rule.
-            LiveTextIndex.writeDelta(
-              src.sparkSession.read.parquet(s"$indexPath/epoch=$epochId")
-                .select(col(spec.key).cast("string").as("doc_id"),
-                  tokens(col(spec.field)).as("toks")),
-              spec.root, epochId, spec.shards)
-          }
-          spanState.foreach { spec =>
-            import graft.functions.TextFunctions.tokens
-            // Same read-back-what-you-wrote rule as the text index.
-            LiveSpanDedup.writeDelta(
-              src.sparkSession.read.parquet(s"$indexPath/epoch=$epochId")
-                .select(col(spec.key).cast("string").as("doc_id"),
-                  tokens(col(spec.field)).as("toks")),
-              spec.root, epochId, spec.k, spec.shards)
+            // read-back-what-you-wrote rule. One (doc_id, toks) frame
+            // per DISTINCT (key, field) pair, persisted when two hooks
+            // share it, so the common both-hooks configuration pays
+            // one scan + tokenize per epoch, not two.
+            val wanted = (textIndex.map(s => (s.key, s.field)).toSeq ++
+              spanState.map(s => (s.key, s.field)).toSeq).distinct
+            val toksFor = wanted.map { case (key, field) =>
+              val f = src.sparkSession.read
+                .parquet(s"$indexPath/epoch=$epochId")
+                .select(col(key).cast("string").as("doc_id"),
+                  tokens(col(field)).as("toks"))
+              (key, field) ->
+                (if (textIndex.nonEmpty && spanState.nonEmpty &&
+                   wanted.size == 1) f.persist() else f)
+            }.toMap
+            try {
+              textIndex.foreach { spec =>
+                LiveTextIndex.writeDelta(toksFor((spec.key, spec.field)),
+                  spec.root, epochId, spec.shards)
+              }
+              spanState.foreach { spec =>
+                LiveSpanDedup.writeDelta(toksFor((spec.key, spec.field)),
+                  spec.root, epochId, spec.k, spec.shards)
+              }
+            } finally toksFor.values.foreach(_.unpersist())
           }
         } finally src.unpersist()
       }

@@ -115,8 +115,12 @@ object LiveSpanDedup {
     val bks = docs.select(bucketOf(col("doc_id")).as("bk"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val store = EpochStore.readAll(spark, occRoot(root), occSchema(idType))
+    // The isNull arm keeps rows written before the bucket column
+    // existed (legacy stores read them back as bk = null): they cannot
+    // be pruned, but silently excluding them would skip their
+    // retraction forever — graceful degradation, not silent loss.
     if (bks.isEmpty) store.filter(lit(false))
-    else store.filter(col("bk").isInCollection(bks))
+    else store.filter(col("bk").isNull || col("bk").isInCollection(bks))
   }
   private def countsSchema = StructType(Seq(
     StructField("gh", LongType),
@@ -148,7 +152,6 @@ object LiveSpanDedup {
       shards: Int = 4): Unit = {
     require(shards > 0, s"shard count must be positive, got $shards")
     val spark = toks.sparkSession
-    val idType = toks.schema("doc_id").dataType
     // REPLAY FENCE: an epoch at or below the compaction watermark was
     // already folded into snapshots (folding requires the activation
     // marker, which proves this delivery completed), and its input
@@ -158,6 +161,29 @@ object LiveSpanDedup {
     // with the folded net rows. The replay's only correct action is
     // nothing.
     if (epoch <= EpochStore.readWatermark(spark, docsRoot(root))) return
+    // A replay whose first attempt's marker landed takes the INDEX
+    // lease and re-checks the fence under it: the epoch is activation-
+    // eligible, so a concurrent compaction could otherwise fold it
+    // between the fence check and the retraction lookup, leaving the
+    // rewrite to re-derive gross-only counts from post-fold state (the
+    // LiveTextIndex rule — see its writeDelta). First deliveries stay
+    // lease-free: an unmarked epoch cannot be folded under its writer.
+    val markerDirExists = {
+      val p = new org.apache.hadoop.fs.Path(s"${docsRoot(root)}/epoch=$epoch")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    if (markerDirExists)
+      EpochStore.withIndexLease(spark, root) {
+        if (epoch > EpochStore.readWatermark(spark, docsRoot(root)))
+          writeDeltaBody(toks, root, epoch, k, shards)
+      }
+    else writeDeltaBody(toks, root, epoch, k, shards)
+  }
+
+  private def writeDeltaBody(toks: DataFrame, root: String, epoch: Long,
+      k: Int, shards: Int): Unit = {
+    val spark = toks.sparkSession
+    val idType = toks.schema("doc_id").dataType
     // Heal BEFORE the retraction lookup: a crashed occ compaction
     // leaves snapshot + victim dirs whose identical rows would
     // double-count the superseded version (harmless for marking,
@@ -167,6 +193,7 @@ object LiveSpanDedup {
     EpochStore.heal(spark, occRoot(root))
     EpochStore.heal(spark, docsRoot(root))
     val one = EpochStore.onePerKey(toks, "doc_id", col("toks"))
+      .localCheckpoint() // epoch-sized; one materialization, three consumers
     val occ = SpanDedup.gramOccurrences(one, k)
       .withColumn("bk", bucketOf(col("doc_id")))
       .withColumn("_epoch", lit(epoch))

@@ -126,6 +126,32 @@ object LiveTextIndex {
     // correct action is nothing.
     if (epoch <= EpochStore.readWatermark(spark, doclenRoot(root)))
       return
+    // A REPLAY whose first attempt's marker landed is the one delta
+    // write a CONCURRENT compaction can corrupt: the epoch is
+    // activation-eligible, so a compact running in another process may
+    // fold it between the fence check above and the lookups below —
+    // the rewrite would then re-derive the superseded-version state
+    // from post-fold history (prior versions gone) and land a
+    // gross-only stats row diverging from the folded net row. Such
+    // replays take the INDEX lease (serializing against compaction
+    // only — a rare restart path, never the hot delivery path) and
+    // re-check the fence under it. First deliveries need no lease: an
+    // epoch with no marker cannot be folded out from under its writer.
+    val markerDirExists = {
+      val p = new org.apache.hadoop.fs.Path(s"${doclenRoot(root)}/epoch=$epoch")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    if (markerDirExists)
+      EpochStore.withIndexLease(spark, root) {
+        if (epoch > EpochStore.readWatermark(spark, doclenRoot(root)))
+          writeDeltaBody(toks, root, epoch, shards)
+      }
+    else writeDeltaBody(toks, root, epoch, shards)
+  }
+
+  private def writeDeltaBody(toks: DataFrame, root: String, epoch: Long,
+      shards: Int): Unit = {
+    val spark = toks.sparkSession
     // Heal BEFORE the retraction lookup (the LiveSpanDedup rule): a
     // crashed doclen compaction's snapshot+victim coexistence is
     // masked at read by latestPerKey, which the lookup below uses too.
@@ -164,9 +190,30 @@ object LiveTextIndex {
       .join(one.select("doc_id"), Seq("doc_id"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("s")).head
+    // LEGACY BACKFILL: the first delta on an index whose stats store
+    // has no dirs besides (possibly) this epoch's own — a pre-sidecar
+    // index being upgraded, or a replay of that first delta — folds
+    // the whole legacy corpus's (n, Σdl) into its delta row, so the
+    // read-side sum covers the pre-sidecar history. The own-dir
+    // exclusion is what keeps the REPLAY deterministic: the first
+    // attempt's stats dir must not flip the store to "populated" and
+    // shrink the rewrite to an incremental row. Base and superseded
+    // overlap is fine — base counts the old versions, p retracts them.
+    val virgin = !EpochStore.epochDirNames(spark, statsRoot(root))
+      .exists(_ != s"epoch=$epoch")
+    val (baseN, baseS) =
+      if (virgin && EpochStore.hasEpochDirs(spark, doclenRoot(root))) {
+        val b = EpochStore.latestPerKey(
+            EpochStore.readAll(spark, doclenRoot(root), doclenSchema)
+              .filter(col("_epoch") < epoch), "doc_id")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("dl")), lit(0L)).as("s")).head
+        (b.getLong(0), b.getLong(1))
+      } else (0L, 0L)
     spark.createDataFrame(
         java.util.Arrays.asList(
-          Row(g.getLong(0) - p.getLong(0), g.getLong(1) - p.getLong(1), epoch)),
+          Row(baseN + g.getLong(0) - p.getLong(0),
+            baseS + g.getLong(1) - p.getLong(1), epoch)),
         statsSchema)
       .write.mode("overwrite")
       .parquet(s"${statsRoot(root)}/epoch=$epoch")
@@ -182,7 +229,11 @@ object LiveTextIndex {
   /** The live index as a point-in-time [[Retrieval.TextIndex]] view
     * over the current epoch set (lazy frames — each query re-reads the
     * deltas it needs; heal-at-entry like every store read). Empty
-    * store → empty index (queries return no rows).
+    * store → empty index (queries return no rows). The stats
+    * activation test costs one watermark read, one doclen dir listing,
+    * and one `_SUCCESS` probe per live doclen epoch dir — metadata
+    * RPCs bounded by the compaction cadence, the accepted price of the
+    * O(docs) aggregation pass the sidecar removes.
     */
   def read(spark: SparkSession, root: String): Retrieval.TextIndex = {
     EpochStore.heal(spark, postingsRoot(root))
@@ -210,10 +261,24 @@ object LiveTextIndex {
       .dropDuplicates("_epoch")
       .filter(if (committed.isEmpty) col("_epoch") <= wm
         else col("_epoch") <= wm || col("_epoch").isInCollection(committed))
-    val stats = activeStats
-      .agg(coalesce(sum(col("n_delta")), lit(0L)).cast("double").as("n"),
-        (sum(col("sumdl_delta")).cast("double") / sum(col("n_delta")))
-          .as("avgdl"))
+    // LEGACY FALLBACK: an index written before the sidecar existed has
+    // doclen epochs but no stats store at all — computing n=0 from the
+    // absent sidecar while still serving every posting would silently
+    // zero the BM25 statistics. Detection is a pure dir listing; the
+    // fallback is the pre-sidecar O(docs) aggregate. Mixed mode is
+    // safe: the FIRST delta written to such a store backfills the
+    // legacy corpus into its row (see writeDeltaBody), so as soon as
+    // any stats dir exists, the sidecar sum is complete.
+    val stats =
+      if (!EpochStore.hasEpochDirs(spark, statsRoot(root)) &&
+          EpochStore.hasEpochDirs(spark, doclenRoot(root)))
+        cur.select(col("dl"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      else activeStats
+        .agg(coalesce(sum(col("n_delta")), lit(0L)).cast("double").as("n"),
+          (sum(col("sumdl_delta")).cast("double") / sum(col("n_delta")))
+            .as("avgdl"))
     // A posting counts iff its epoch IS the doc's current version.
     // dropDuplicates guards the crashed-compaction window (snapshot +
     // victim epochs briefly coexist with identical rows) — keyed by

@@ -288,6 +288,71 @@ class LiveStoreProtocolSpec extends SparkSpec {
     assert(stats() == (3.0, Some(10.0 / 3)))
   }
 
+  test("LiveTextIndex: a pre-sidecar index (no stats store) serves exact " +
+      "stats via the read fallback, and the first new delta backfills " +
+      "the legacy corpus into its row") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-text-legacy")
+      .toString + "/index"
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id").cast("string").as("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    def stats(): (Double, Double) = {
+      val r = LiveTextIndex.read(spark, root).stats
+        .select(col("n"), col("avgdl")).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    LiveTextIndex.writeDelta(toks(Seq(1L -> "three word doc",
+      2L -> "five little words right here")), root, 0L)
+    LiveTextIndex.writeDelta(toks(Seq(3L -> "four more words arrive")),
+      root, 1L)
+    // Simulate an index written before the sidecar existed.
+    deleteDir(s"$root/stats")
+    assert(stats() == (3.0, 4.0),
+      "read fallback must recover stats from the doclen store")
+    // The first delta on the upgraded store backfills epochs 0-1's
+    // corpus into its own row; the sidecar sum is complete from then on.
+    LiveTextIndex.writeDelta(toks(Seq(2L -> "two words")), root, 2L)
+    assert(stats() == (3.0, 3.0)) // dl 3,2,4 after the upsert
+    // And a replay of the backfill epoch rewrites the identical row.
+    LiveTextIndex.writeDelta(toks(Seq(2L -> "two words")), root, 2L)
+    assert(stats() == (3.0, 3.0))
+    LiveTextIndex.compact(spark, root, shards = 2)
+    assert(stats() == (3.0, 3.0))
+  }
+
+  test("EpochStore: a corrupted watermark file fails loudly (writers and " +
+      "readers throw) instead of silently mis-resolving folded epochs") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wm-corrupt")
+      .toString + "/state"
+    val k = 3
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    LiveSpanDedup.writeDelta(toks(Seq(
+      1L -> "alpha beta gamma delta once",
+      2L -> "twice alpha beta gamma delta")), root, 0L, k)
+    LiveSpanDedup.compact(spark, root, shards = 2) // creates the watermark
+    val wm = new org.apache.hadoop.fs.Path(s"$root/docs.compacted.watermark")
+    val fs = wm.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(wm), "compaction should have advanced the fence")
+    val out = fs.create(wm, true)
+    try out.write("not-a-number".getBytes("UTF-8")) finally out.close()
+    intercept[java.io.IOException] {
+      LiveSpanDedup.writeDelta(
+        toks(Seq(3L -> "any new text at all")), root, 1L, k)
+    }
+    // Restoring a readable fence restores service.
+    val out2 = fs.create(wm, true)
+    try out2.write("0".getBytes("UTF-8")) finally out2.close()
+    LiveSpanDedup.writeDelta(
+      toks(Seq(3L -> "third doc with alpha beta gamma delta too")),
+      root, 1L, k)
+    assert(LiveSpanDedup.duplicatedSpans(spark, root, k, idType = LongType)
+      .as[(Long, Long, Long)].collect().map(_._1).toSet == Set(1L, 2L, 3L))
+  }
+
   test("EpochStore.onePerKey: in-epoch duplicate doc_ids collapse via an " +
       "order-independent pick, so replays and re-delivered batches land " +
       "identical state regardless of partition order") {
