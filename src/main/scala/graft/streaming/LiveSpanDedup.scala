@@ -152,32 +152,35 @@ object LiveSpanDedup {
       shards: Int = 4): Unit = {
     require(shards > 0, s"shard count must be positive, got $shards")
     val spark = toks.sparkSession
-    // REPLAY FENCE: an epoch at or below the compaction watermark was
-    // already folded into snapshots (folding requires the activation
-    // marker, which proves this delivery completed), and its input
-    // history — the superseded doc versions the retraction would need
-    // to re-derive — no longer exists. Re-writing it from
-    // post-compaction state would land gross-only counts that disagree
-    // with the folded net rows. The replay's only correct action is
-    // nothing.
-    if (epoch <= EpochStore.readWatermark(spark, docsRoot(root))) return
     // A replay whose first attempt's marker landed takes the INDEX
     // lease and re-checks the fence under it: the epoch is activation-
     // eligible, so a concurrent compaction could otherwise fold it
     // between the fence check and the retraction lookup, leaving the
     // rewrite to re-derive gross-only counts from post-fold state (the
-    // LiveTextIndex rule — see its writeDelta). First deliveries stay
-    // lease-free: an unmarked epoch cannot be folded under its writer.
+    // LiveTextIndex rule — see its writeDelta, including why the
+    // marker probe must come BEFORE the fence read: the commit order
+    // advances the watermark before a folded epoch's dirs die, so a
+    // marker-absent probe guarantees the fence read after it sees the
+    // fold). First deliveries stay lease-free: an unmarked epoch
+    // cannot be folded under its writer.
     val markerDirExists = {
       val p = new org.apache.hadoop.fs.Path(s"${docsRoot(root)}/epoch=$epoch")
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
     if (markerDirExists)
       EpochStore.withIndexLease(spark, root) {
+        // REPLAY FENCE, re-read under the lease: an epoch at or below
+        // the watermark was already folded into snapshots, and its
+        // input history — the superseded doc versions the retraction
+        // would need — no longer exists. Re-writing it from
+        // post-compaction state would land gross-only counts that
+        // disagree with the folded net rows. The replay's only correct
+        // action is nothing.
         if (epoch > EpochStore.readWatermark(spark, docsRoot(root)))
           writeDeltaBody(toks, root, epoch, k, shards)
       }
-    else writeDeltaBody(toks, root, epoch, k, shards)
+    else if (epoch > EpochStore.readWatermark(spark, docsRoot(root)))
+      writeDeltaBody(toks, root, epoch, k, shards)
   }
 
   private def writeDeltaBody(toks: DataFrame, root: String, epoch: Long,

@@ -119,34 +119,41 @@ object LiveTextIndex {
       shards: Int = 4): Unit = {
     require(shards > 0, s"shard count must be positive, got $shards")
     val spark = toks.sparkSession
-    // REPLAY FENCE (the LiveSpanDedup rule): an epoch at or below the
-    // compaction watermark was already folded — its marker proved the
-    // delivery complete — and its stats retraction was derived from
-    // history the compaction has since destroyed. The replay's only
-    // correct action is nothing.
-    if (epoch <= EpochStore.readWatermark(spark, doclenRoot(root)))
-      return
     // A REPLAY whose first attempt's marker landed is the one delta
     // write a CONCURRENT compaction can corrupt: the epoch is
     // activation-eligible, so a compact running in another process may
-    // fold it between the fence check above and the lookups below —
-    // the rewrite would then re-derive the superseded-version state
-    // from post-fold history (prior versions gone) and land a
-    // gross-only stats row diverging from the folded net row. Such
-    // replays take the INDEX lease (serializing against compaction
-    // only — a rare restart path, never the hot delivery path) and
-    // re-check the fence under it. First deliveries need no lease: an
-    // epoch with no marker cannot be folded out from under its writer.
+    // fold it between the fence check and the lookups below — the
+    // rewrite would then re-derive the superseded-version state from
+    // post-fold history (prior versions gone) and land a gross-only
+    // stats row diverging from the folded net row. Such replays take
+    // the INDEX lease (serializing against compaction only — a rare
+    // restart path, never the hot delivery path) and re-check the
+    // fence under it. First deliveries need no lease: an epoch with no
+    // marker cannot be folded out from under its writer.
+    //
+    // CHECK ORDER MATTERS: marker first, fence second. Compaction
+    // advances the watermark BEFORE deleting a folded epoch's dirs
+    // (EpochStore commit order), so "marker absent" at the time of
+    // this probe means either never-delivered (safe lease-free) or
+    // already-folded — and in the folded case the fence read BELOW the
+    // probe is guaranteed to see the advanced watermark. Probing after
+    // the fence would leave a window where the fold lands in between
+    // and the replay proceeds lease-free on a stale fence reading.
     val markerDirExists = {
       val p = new org.apache.hadoop.fs.Path(s"${doclenRoot(root)}/epoch=$epoch")
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
     if (markerDirExists)
       EpochStore.withIndexLease(spark, root) {
+        // REPLAY FENCE (the LiveSpanDedup rule), re-read under the
+        // lease: an epoch at or below the compaction watermark was
+        // already folded — its content lives in snapshots, and the
+        // replay's only correct action is nothing.
         if (epoch > EpochStore.readWatermark(spark, doclenRoot(root)))
           writeDeltaBody(toks, root, epoch, shards)
       }
-    else writeDeltaBody(toks, root, epoch, shards)
+    else if (epoch > EpochStore.readWatermark(spark, doclenRoot(root)))
+      writeDeltaBody(toks, root, epoch, shards)
   }
 
   private def writeDeltaBody(toks: DataFrame, root: String, epoch: Long,
