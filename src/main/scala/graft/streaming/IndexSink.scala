@@ -30,7 +30,7 @@ object IndexSink {
     * `LiveTextIndex.read` + the index-backed [[rankedMatch]].
     */
   final case class LiveIndexSpec(root: String, field: String,
-      key: String = "recordId", shards: Int = 4)
+      key: String = "recordId", shards: Int = 4, compactEvery: Int = 0)
 
   /** Cross-epoch span-dedup maintenance for [[start]]: each delivered
     * epoch's Ok docs feed [[LiveSpanDedup.writeDelta]] — gram state
@@ -39,9 +39,19 @@ object IndexSink {
     * at any point via [[LiveSpanDedup.duplicatedSpans]] without ever
     * re-tokenizing a prior epoch. `k` is the span gram length, fixed
     * per store root.
+    *
+    * `compactEvery` (both specs): fold the store's epoch history into
+    * one snapshot after every Nth delivered epoch (0 = never, the
+    * default), bounding the per-query delta count without a separate
+    * maintenance process. The compaction runs INSIDE the epoch commit
+    * — the documented trade: the Nth delivery pays the fold's latency,
+    * in exchange for queries between deliveries never seeing more
+    * than N deltas. Deployments with an external maintenance cadence
+    * leave this 0 and call compact() themselves.
     */
   final case class LiveSpanSpec(root: String, field: String,
-      key: String = "recordId", k: Int = 8, shards: Int = 4)
+      key: String = "recordId", k: Int = 8, shards: Int = 4,
+      compactEvery: Int = 0)
 
   /** Start the index-delivery query: decode → route → append Ok payloads
     * to `indexPath` (parquet, `shards`-way), with the raw-backup channel
@@ -124,14 +134,24 @@ object IndexSink {
                 (if (textIndex.nonEmpty && spanState.nonEmpty &&
                    wanted.size == 1) f.persist() else f)
             }.toMap
+            // Epoch ids from foreachBatch start at 0, so "every Nth
+            // delivery" is (epochId + 1) % N == 0 — the policy fires
+            // first on epoch N-1, after N deltas exist.
+            def due(n: Int) = n > 0 && (epochId + 1) % n == 0
             try {
               textIndex.foreach { spec =>
                 LiveTextIndex.writeDelta(toksFor((spec.key, spec.field)),
                   spec.root, epochId, spec.shards)
+                if (due(spec.compactEvery))
+                  LiveTextIndex.compact(src.sparkSession, spec.root,
+                    spec.shards)
               }
               spanState.foreach { spec =>
                 LiveSpanDedup.writeDelta(toksFor((spec.key, spec.field)),
                   spec.root, epochId, spec.k, spec.shards)
+                if (due(spec.compactEvery))
+                  LiveSpanDedup.compact(src.sparkSession, spec.root,
+                    spec.shards)
               }
             } finally toksFor.values.foreach(_.unpersist())
           }

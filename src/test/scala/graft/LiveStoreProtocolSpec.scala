@@ -321,6 +321,44 @@ class LiveStoreProtocolSpec extends SparkSpec {
     assert(stats() == (3.0, 3.0))
   }
 
+  test("property: sidecar stats equal the resolved-corpus truth over " +
+      "random upsert histories with interleaved compactions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id").cast("string").as("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    for (trial <- 0 until 2) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-stats-prop-$trial").toString + "/index"
+      val truth = scala.collection.mutable.Map.empty[Long, Long] // doc -> dl
+      for (epoch <- 0 until 5) {
+        // Unique doc_ids within the epoch (the in-epoch pick is tested
+        // elsewhere); ids overlap ACROSS epochs so upsert retraction
+        // and telescoping are exercised on every delivery.
+        val ids = rnd.shuffle((0L until 6L).toList).take(1 + rnd.nextInt(4))
+        val docs = ids.map { id =>
+          val dl = 1 + rnd.nextInt(6)
+          id -> Seq.fill(dl)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        }
+        LiveTextIndex.writeDelta(toks(docs), root, epoch.toLong)
+        docs.foreach { case (id, body) =>
+          truth(id) = body.split(" ").length.toLong
+        }
+        if (rnd.nextBoolean()) LiveTextIndex.compact(spark, root, shards = 2)
+        val r = LiveTextIndex.read(spark, root).stats
+          .select(col("n"), col("avgdl")).head
+        val n = truth.size.toDouble
+        val avgdl = truth.values.sum.toDouble / truth.size
+        assert(r.getDouble(0) == n && r.getDouble(1) == avgdl,
+          s"trial $trial epoch $epoch: sidecar (${r.getDouble(0)}, " +
+            s"${r.getDouble(1)}) != truth ($n, $avgdl) [$truth]")
+      }
+    }
+  }
+
   test("EpochStore: a corrupted watermark file fails loudly (writers and " +
       "readers throw) instead of silently mis-resolving folded epochs") {
     import spark.implicits._

@@ -532,8 +532,10 @@ class StreamingTwinSpec extends SparkSpec {
     val payloadSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("body", StringType)))
+    // compactEvery = 2: the second delivery folds the stores inline —
+    // the sink-managed maintenance cadence, asserted below.
     val spec = IndexSink.LiveSpanSpec(s"$tmp/spanstate", field = "body",
-      key = "doc_id", k = 3, shards = 2)
+      key = "doc_id", k = 3, shards = 2, compactEvery = 2)
 
     def deliver(rows: Seq[(Long, String)], tag: String): Unit = {
       rows.toDF("doc_id", "body")
@@ -582,6 +584,15 @@ class StreamingTwinSpec extends SparkSpec {
     assert(live == batchSpans(resolved),
       s"sink-maintained spans $live diverged from batch over the resolved corpus")
     assert(live.map(_._1) == Set(1L, 2L))
+    // The compactEvery policy fired on the second delivery: each store
+    // is one snapshot dir, and nothing observable changed.
+    def dirs(sub: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"${spec.root}/$sub")
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .listStatus(p).count(_.getPath.getName.startsWith("epoch="))
+    }
+    assert(dirs("occ") == 1 && dirs("counts") == 1 && dirs("docs") == 1,
+      "compactEvery=2 should have folded the stores on the second epoch")
   }
 
   test("IVF search recall vs brute force (nprobe=4 of k=8 cells)") {
