@@ -136,7 +136,12 @@ object EpochStore {
     * would not merely re-expose pre-watermark replay behavior — it
     * would silently drop every folded epoch's delta from query
     * results. A transient read fault should fail the one operation
-    * loudly and retryably, not mis-resolve it.
+    * loudly and retryably, not mis-resolve it. A PERSISTENTLY corrupt
+    * fence file needs operator repair (rewrite it with the true
+    * highest folded epoch): no automatic overwrite is safe, because a
+    * guessed-low value silently re-opens the replay window for every
+    * epoch between the guess and the lost truth — the exact corruption
+    * the fence exists to stop.
     */
   def readWatermark(spark: SparkSession, root: String): Long = {
     val (fs, _) = fsOf(spark, root)
