@@ -166,6 +166,47 @@ object EpochStore {
     finally out.close()
   }
 
+  /** Point-in-time operational snapshot of one store — pure metadata
+    * (listings, file probes), no data read. What an operator checks
+    * before trusting or maintaining a store: how much un-folded
+    * history queries are paying for (`deltaEpochs` vs
+    * `snapshotGenerations`), whether an epoch write died mid-job
+    * (`uncommittedEpochs` — numeric dirs whose own `_SUCCESS` never
+    * landed; an in-flight DELIVERY instead shows as a data store
+    * leading its marker store's epoch count), whether a crashed
+    * compaction awaits healing (`inflightManifest`), where the replay
+    * fence stands, and whether a maintainer currently holds the lease.
+    */
+  final case class Status(
+      root: String,
+      deltaEpochs: Int,
+      snapshotGenerations: Int,
+      uncommittedEpochs: Int,
+      watermark: Long,
+      inflightManifest: Boolean,
+      leaseHeld: Boolean)
+
+  /** [[Status]] for the store at `root`. `leaseHeld` is advisory (a
+    * point-in-time existence probe — the holder may release or expire
+    * the next instant); everything else is exact at listing time.
+    */
+  def status(spark: SparkSession, root: String): Status = {
+    val (fs, p) = fsOf(spark, root)
+    val dirs = listEpochs(fs, p)
+    val numeric = dirs.filter(d =>
+      scala.util.Try(d.getName.stripPrefix("epoch=").toLong).isSuccess)
+    val committed = committedEpochs(spark, root)
+    Status(
+      root = root,
+      deltaEpochs = numeric.size,
+      snapshotGenerations = dirs.size - numeric.size,
+      uncommittedEpochs = numeric.count(d =>
+        !committed.contains(d.getName.stripPrefix("epoch=").toLong)),
+      watermark = readWatermark(spark, root),
+      inflightManifest = fs.exists(manifestPath(root)),
+      leaseHeld = fs.exists(leasePath(root)))
+  }
+
   /** Serialize a MULTI-STORE maintenance pass across processes: hold
     * ONE lease at the INDEX root (`<indexRoot>.maintenance.lease` — a
     * sibling of the store roots nested under it, so it never collides

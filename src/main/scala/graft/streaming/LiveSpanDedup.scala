@@ -299,6 +299,16 @@ object LiveSpanDedup {
       .select("doc_id", "pos", "gh")
   }
 
+  /** Operational snapshot of the state's three stores, keyed by store
+    * name — pure metadata ([[EpochStore.status]]): delta backlog per
+    * store, replay fence, crashed-compaction and lease indicators.
+    */
+  def status(spark: SparkSession, root: String): Map[String, EpochStore.Status] =
+    Map(
+      "occ" -> EpochStore.status(spark, occRoot(root)),
+      "counts" -> EpochStore.status(spark, countsRoot(root)),
+      "docs" -> EpochStore.status(spark, docsRoot(root)))
+
   /** Consolidate each store's epoch history into one snapshot (crash
     * protocol in [[EpochStore.compact]]). Occurrences drop superseded
     * versions and re-cluster by hash bucket (the retraction-lookup

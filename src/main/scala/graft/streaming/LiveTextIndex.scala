@@ -301,6 +301,16 @@ object LiveTextIndex {
     Retrieval.TextIndex(live, df, stats)
   }
 
+  /** Operational snapshot of the index's three stores, keyed by store
+    * name — pure metadata ([[EpochStore.status]]): delta backlog per
+    * store, replay fence, crashed-compaction and lease indicators.
+    */
+  def status(spark: SparkSession, root: String): Map[String, EpochStore.Status] =
+    Map(
+      "postings" -> EpochStore.status(spark, postingsRoot(root)),
+      "doclen" -> EpochStore.status(spark, doclenRoot(root)),
+      "stats" -> EpochStore.status(spark, statsRoot(root)))
+
   /** Fold each store's epoch history into one snapshot (crash protocol
     * and serialization in [[EpochStore.compact]]). Postings resolve
     * against the doclen store's CURRENT epoch set — rows of superseded

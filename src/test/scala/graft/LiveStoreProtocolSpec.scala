@@ -321,6 +321,42 @@ class LiveStoreProtocolSpec extends SparkSpec {
     assert(stats() == (3.0, 3.0))
   }
 
+  test("EpochStore.status: the operational surface reports delta backlog, " +
+      "snapshot generations, the fence, and in-flight indicators from " +
+      "metadata alone") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-status")
+      .toString + "/state"
+    val k = 3
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("body")).as("toks"))
+    LiveSpanDedup.writeDelta(toks(Seq(
+      1L -> "alpha beta gamma delta once",
+      2L -> "twice alpha beta gamma delta")), root, 0L, k)
+    LiveSpanDedup.writeDelta(toks(Seq(3L -> "gamma delta epsilon zeta")),
+      root, 1L, k)
+    val before = LiveSpanDedup.status(spark, root)
+    assert(before("occ").deltaEpochs == 2 &&
+      before("occ").snapshotGenerations == 0)
+    assert(before("docs").watermark == -1L)
+    assert(before.values.forall(s =>
+      !s.inflightManifest && !s.leaseHeld && s.uncommittedEpochs == 0))
+    LiveSpanDedup.compact(spark, root, shards = 2)
+    val after = LiveSpanDedup.status(spark, root)
+    assert(after("occ").deltaEpochs == 0 &&
+      after("occ").snapshotGenerations == 1, after("occ").toString)
+    assert(after("docs").watermark == 1L, "fence should cover both folded epochs")
+    // An epoch whose occ write landed but whose delivery never
+    // completed shows as the data store LEADING the marker store.
+    LiveSpanDedup.writeDelta(toks(Seq(4L -> "more text here now")), root, 2L, k)
+    deleteDir(s"$root/counts/epoch=2")
+    deleteDir(s"$root/docs/epoch=2")
+    val inflight = LiveSpanDedup.status(spark, root)
+    assert(inflight("occ").deltaEpochs == 1 && inflight("docs").deltaEpochs == 0,
+      "in-flight delivery should show as occ leading docs")
+  }
+
   test("property: sidecar stats equal the resolved-corpus truth over " +
       "random upsert histories with interleaved compactions") {
     import spark.implicits._
