@@ -286,6 +286,17 @@ class LiveStoreProtocolSpec extends SparkSpec {
     assert(stats() == (3.0, Some(13.0 / 3)))
     LiveTextIndex.writeDelta(toks(Seq(2L -> "two words")), root, 2L)
     assert(stats() == (3.0, Some(10.0 / 3)))
+    // Plan pin for the sidecar's point: the stats subtree scans the
+    // stats store's one-row deltas only — never the doclen store the
+    // O(docs) aggregate used to pay for.
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      LiveTextIndex.read(spark, root).stats.explain("formatted")
+    }
+    val plan = out.toString("UTF-8")
+    assert(plan.contains("/stats/"), s"stats should scan the sidecar:\n$plan")
+    assert(!plan.contains("/doclen/"),
+      s"sidecar-backed stats must not scan the doclen store:\n$plan")
   }
 
   test("LiveTextIndex: a pre-sidecar index (no stats store) serves exact " +
