@@ -32,11 +32,13 @@ import org.apache.spark.sql.functions._
   *    BIT-IDENTICAL to the unfiltered plan. The prefilter moves bytes,
   *    never semantics (DecontaminateSpec asserts equality).
   *
-  * The one non-declarative piece is the `mightContainString` scalar UDF:
-  * Spark exposes no public Column API over `util.sketch.BloomFilter`
-  * (the internal BloomFilterMightContain expression backs only the
-  * runtime-filter rewrite), and the UDF sits in a narrow filter where
-  * its per-row cost is two hash calls — not in a join or aggregate path.
+  * The probe itself is a native codegen'd expression
+  * ([[graft.functions.BloomMightContainStr]]): Spark exposes no public
+  * Column API over `util.sketch.BloomFilter` (the internal
+  * BloomFilterMightContain expression backs only the runtime-filter
+  * rewrite), and the Scala-UDF spelling paid a call boundary plus a
+  * UTF8String→String conversion per corpus gram — in the one loop that
+  * runs once per corpus token.
   */
 object Decontaminate {
 
@@ -69,9 +71,8 @@ object Decontaminate {
     val n = bench.count()
     if (n == 0) return corpusGrams.select(col("doc_id")).limit(0)
     val bf = bench.stat.bloomFilter("gram", n, fpp)
-    val mightMatch = udf((g: String) => g != null && bf.mightContainString(g))
     corpusGrams
-      .filter(mightMatch(col("gram")))
+      .filter(graft.functions.BloomFunctions.bloomMightContain(bf, col("gram")))
       .join(bench, "gram") // exact verification: false positives die here
       .select("doc_id").distinct()
   }

@@ -26,6 +26,60 @@ class DecontaminateSpec extends SparkSpec {
     assert(bloomed == exact)
   }
 
+  test("codegen bloom probe agrees with the driver-side string probe on " +
+      "random unicode (byte-path hashing equals putString's) and " +
+      "null probes to false inside the plan") {
+    import spark.implicits._
+    import graft.functions.BloomFunctions.bloomMightContain
+    val rnd = new scala.util.Random(7L)
+    // Mixed-script strings: ASCII, 2-byte, 3-byte, 4-byte (surrogate
+    // pair) code points — any UTF-8 encoding divergence between the
+    // expression's byte path and BloomFilter.putString's shows here.
+    def randStr(): String = (0 until 1 + rnd.nextInt(12)).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+        case 1 => ('à' + rnd.nextInt(16)).toChar.toString
+        case 2 => ('一' + rnd.nextInt(256)).toChar.toString
+        case _ => new String(Character.toChars(0x1F300 + rnd.nextInt(64)))
+      }
+    }.mkString
+    val all = Seq.fill(400)(randStr()).distinct
+    val (inSet, outSet) = all.splitAt(all.size / 2)
+    val bf = inSet.toDF("gram").stat.bloomFilter("gram", inSet.size.toLong, 0.01)
+    val got = all.toDF("gram").repartition(4)
+      .select(col("gram"), bloomMightContain(bf, col("gram")).as("hit"))
+      .as[(String, Boolean)].collect().toMap
+    all.foreach { s =>
+      assert(got(s) == bf.mightContainString(s),
+        s"probe divergence for ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+    // Everything inserted must hit (no false negatives through the
+    // byte path); and a null gram probes to false, not null.
+    inSet.foreach(s => assert(got(s), s"false negative for $s"))
+    val nullHit = Seq(Option.empty[String]).toDF("gram")
+      .select(bloomMightContain(bf, col("gram")).as("hit"))
+      .as[Boolean].collect()
+    assert(nullHit.sameElements(Array(false)))
+    // Plan pin: the probe is a native expression inside the codegen'd
+    // filter — no ScalaUDF call boundary in the per-token hot loop.
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      // parquet roundtrip: a real scan, so the filter can't be folded
+      // into a local relation at plan time
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-bloom-plan").toString + "/grams"
+      all.toDF("gram").write.parquet(tmp)
+      spark.read.parquet(tmp)
+        .filter(bloomMightContain(bf, col("gram")))
+        .explain("formatted")
+    }
+    val plan = out.toString("UTF-8")
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(!plan.contains("UDF"), s"probe should not be a UDF:\n$plan")
+    assert("Filter \\[codegen id".r.findFirstIn(plan).nonEmpty ||
+      plan.contains("WholeStageCodegen"), s"filter not codegen'd:\n$plan")
+  }
+
   test("planted contamination is caught; gram-disjoint docs survive") {
     import spark.implicits._
     val corpus = Seq(
