@@ -2270,6 +2270,200 @@ object TrainingData {
       .orderBy("doc_id", "span_start")
   }
 
+  // ------------------------------------------ q102: match_phrase
+
+  val q102_phrase_match: QueryDef = q(
+    "q102_phrase_match",
+    s"""WITH $docTokSql,
+       |hits AS (SELECT doc_id, count(*) AS n_hits
+       |    FROM (SELECT doc_id, g FROM tok, unnest(range(1, len(toks))) AS u(g)
+       |          WHERE toks[g] = 'table' AND toks[g+1] = 'hash')
+       |    GROUP BY doc_id)
+       |SELECT doc_id, n_hits FROM hits ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // match_phrase (operators/SearchDsl.phraseMatch): documents
+    // containing the exact token sequence "table hash", with the
+    // occurrence count — the OpenSearch phrase query the reference's
+    // search sink serves, over positional postings instead of a
+    // corpus re-scan. Scale shape: the phrase terms' postings only
+    // (scan-side isin, bucket-pruned under writePositionalIndex's
+    // layout), slot table broadcast, ONE exchange regardless of
+    // phrase length (slot-coverage count, not m-1 self-joins).
+    graft.operators.SearchDsl.phraseMatch(
+        graft.operators.SearchDsl.positionalPostings(tokenized(s, dir)),
+        Seq("table", "hash"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------ q103: fuzzy term query
+
+  val q103_fuzzy_match: QueryDef = q(
+    "q103_fuzzy_match",
+    s"""WITH $docTokSql,
+       |vocab AS (SELECT term, count(DISTINCT doc_id) AS df
+       |    FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1)
+       |SELECT term, CAST(levenshtein(term, 'spak') AS BIGINT) AS dist, df
+       |FROM vocab
+       |WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'spak') <= 2
+       |ORDER BY dist, term""".stripMargin
+  ) { (s, dir) =>
+    // fuzzy term query (operators/SearchDsl.fuzzyExpand): vocabulary
+    // terms within 2 Levenshtein edits of the (misspelled) query
+    // "spak", with their document frequency — OpenSearch's fuzzy
+    // query resolved against the engine's own term dictionary. Scale
+    // shape: the candidate set is the corpus-DISTINCT vocabulary
+    // (never corpus-sized), length-banded BEFORE the O(len²) edit
+    // distance runs; df rides the same vocab agg.
+    val vocab = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    graft.operators.SearchDsl.fuzzyExpand(vocab, "spak", maxEdits = 2)
+      .select(col("term"), col("dist"), col("df"))
+      .orderBy("dist", "term")
+  }
+
+  // ------------------------------------------ q104: bool query
+
+  val q104_bool_search: QueryDef = q(
+    "q104_bool_search",
+    s"""WITH $docTokSql,
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |      CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |    FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+       |    WHERE term IN ('data', 'spark') GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, count(*) AS n_terms,
+       |      sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+       |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+       |    FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY doc_id),
+       |hits AS (SELECT s.doc_id, s.score FROM sc s
+       |    JOIN documents d ON s.doc_id = d.doc_id
+       |    JOIN tok tk ON tk.doc_id = s.doc_id
+       |    WHERE s.n_terms = 2 AND d.lang = 'en'
+       |      AND d.n_chars BETWEEN 100 AND 400
+       |      AND NOT list_contains(tk.toks, 'slow')),
+       |ranked AS (SELECT doc_id, score,
+       |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |    FROM hits)
+       |SELECT doc_id, floor(score * 100 + 0.5) / 100 AS score, CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // bool query — the OpenSearch composition pattern, engine-side:
+    //   must     = match "data" AND "spark" (BM25 with n_terms = 2 —
+    //              AND semantics fall out of Retrieval.bm25's agg);
+    //   filter   = lang = 'en' AND n_chars in [100, 400] (non-scoring,
+    //              plain predicates on the metadata table);
+    //   must_not = documents containing "slow".
+    // Scored by the must clause only (filters never affect BM25, as
+    // in Lucene), top-10 by rounded score. Scale shape: bm25's one
+    // corpus shuffle; the metadata/filter join is doc-keyed; the
+    // must_not check evaluates on the already-tokenized array —
+    // no extra corpus pass, no new exchange beyond the doc-key join.
+    val toksDf = tokenized(s, dir)
+    val scored = graft.operators.Retrieval.bm25(s, toksDf, Seq("data", "spark"))
+      .filter(col("n_terms") === 2)
+    val meta = t(s, dir, "documents")
+      .filter(col("lang") === "en" && col("n_chars").between(100, 400))
+      .select(col("doc_id"))
+    val hits = scored
+      .join(meta, "doc_id")
+      .join(toksDf.filter(!array_contains(col("toks"), "slow"))
+        .select(col("doc_id")), "doc_id")
+    rankedTopByScore(hits, 10, Seq("doc_id"))
+      .select(col("doc_id"), Par.r2(col("score")).as("score"),
+        col("rnk").cast("bigint").as("rank"))
+      .orderBy("rank")
+  }
+
+  // ------------------------------------------ q105: more_like_this
+
+  val q105_more_like_this: QueryDef = q(
+    "q105_more_like_this",
+    s"""WITH $docTokSql,
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |      CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+       |tfall AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |    FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+       |    GROUP BY 1, 2),
+       |dfall AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfall GROUP BY 1),
+       |mlt AS (SELECT term FROM (
+       |      SELECT t.term, t.tf * ln((n + 1.0) / (df + 1.0)) AS tfidf
+       |      FROM tfall t JOIN dfall USING (term) CROSS JOIN stats
+       |      WHERE t.doc_id = 0)
+       |    ORDER BY tfidf DESC, term LIMIT 3),
+       |sc AS (SELECT doc_id, sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+       |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+       |    FROM tfall JOIN dfall USING (term) CROSS JOIN stats
+       |    WHERE term IN (SELECT term FROM mlt) AND doc_id <> 0
+       |    GROUP BY doc_id),
+       |ranked AS (SELECT doc_id, score,
+       |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |    FROM sc)
+       |SELECT doc_id, floor(score * 100 + 0.5) / 100 AS score, CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // more_like_this (operators/SearchDsl.mltTerms): select doc 0's 3
+    // most characteristic terms by tf·idf (q35's idf; selection is a
+    // single count×log product per term — bit-deterministic, no
+    // rounding guard), then run them as an ordinary match query from
+    // the SAME index, excluding the probe. Scale shape: term
+    // selection reads the probe's postings rows + their df rows (a
+    // one-doc filter, driver-bounded like IVF centroids); the match
+    // is bm25FromIndex — per-query cost proportional to the selected
+    // terms' postings, never a corpus re-scan.
+    val idx = graft.operators.Retrieval.buildTextIndex(s, tokenized(s, dir))
+    val terms = graft.operators.SearchDsl.mltTerms(idx, probeId = 0L, maxQueryTerms = 3)
+    val scored = graft.operators.Retrieval.bm25FromIndex(s, idx, terms)
+      .filter(col("doc_id") =!= 0L)
+    rankedTopByScore(scored, 10, Seq("doc_id"))
+      .select(col("doc_id"), Par.r2(col("score")).as("score"),
+        col("rnk").cast("bigint").as("rank"))
+      .orderBy("rank")
+  }
+
+  // ------------------------------------------ q106: NB quality filter
+
+  val q106_nb_quality: QueryDef = q(
+    "q106_nb_quality",
+    """WITH tok AS (SELECT doc_id, lang = 'en' AS pos,
+      |        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |      FROM documents),
+      |pr AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np, count(*) AS n FROM tok),
+      |cnt AS (SELECT term, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_n, count(*) AS all_n
+      |    FROM (SELECT pos, unnest(toks) AS term FROM tok) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(pos_n) AS DOUBLE) AS tp,
+      |      CAST(sum(all_n - pos_n) AS DOUBLE) AS tn,
+      |      CAST(count(*) AS DOUBLE) AS v FROM cnt),
+      |w AS (SELECT term, ln((pos_n + 1.0) / (tp + v)) - ln((all_n - pos_n + 1.0) / (tn + v)) AS w
+      |    FROM cnt CROSS JOIN tot),
+      |tf AS (SELECT doc_id, term, count(*) AS tf
+      |    FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+      |sc AS (SELECT doc_id,
+      |      sum(tf * w) + (SELECT ln((np + 1.0) / (n - np + 1.0)) FROM pr) AS log_odds
+      |    FROM tf JOIN w USING (term) GROUP BY doc_id)
+      |SELECT doc_id, floor(log_odds * 100 + 0.5) / 100 AS log_odds,
+      |  CAST(CASE WHEN floor(log_odds * 100 + 0.5) / 100 > 0 THEN 1 ELSE 0 END AS INT) AS pred
+      |FROM sc ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Trained quality/class filter (operators/NaiveBayes): multinomial
+    // NB with Laplace smoothing, labels = (lang = 'en'), trained and
+    // scored over the corpus — the GPT-3/CCNet classifier rung with a
+    // closed-form (hence SQL-replayable) model. Emits the rounded
+    // log-odds and the keep/route decision taken ON the rounded value
+    // (so both engines decide from identical doubles). Scale shape:
+    // train = one corpus shuffle (label rides the explode) + a
+    // vocab-sized totals agg; score = the q34-shaped tf agg joined to
+    // the vocab-sized weight table on term.
+    val lab = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"), col("lang"))
+    val model = graft.operators.NaiveBayes.train(lab, col("lang") === "en")
+    graft.operators.NaiveBayes.score(lab, model)
+      .select(col("doc_id"), Par.r2(col("log_odds")).as("log_odds"),
+        (Par.r2(col("log_odds")) > 0).cast("int").as("pred"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -2284,5 +2478,7 @@ object TrainingData {
     q90_chunking, q91_source_budget, q92_full_curation, q93_passage_bm25,
     q94_bm25_postings, q95_decontaminate_spans, q96_pq_recall,
     q97_ivfpq_recall, q98_opq_recall, q99_opq_learned,
-    q100_opq_learned_recall, q101_image_decode)
+    q100_opq_learned_recall, q101_image_decode, q102_phrase_match,
+    q103_fuzzy_match, q104_bool_search, q105_more_like_this,
+    q106_nb_quality)
 }

@@ -1,0 +1,216 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{NaiveBayes, Retrieval, SearchDsl}
+
+class SearchDslSpec extends SparkSpec {
+
+  private def toksDf(rows: Seq[(Long, Seq[String])]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "toks")
+  }
+
+  /** Naive reference: count occurrences of `phrase` as a contiguous
+    * subsequence of `toks`.
+    */
+  private def naivePhrase(toks: Seq[String], phrase: Seq[String]): Int =
+    toks.sliding(phrase.length).count(_ == phrase)
+
+  private def runPhrase(corpus: Seq[(Long, Seq[String])],
+      phrase: Seq[String]): Map[Long, Long] = {
+    import spark.implicits._
+    SearchDsl.phraseMatch(SearchDsl.positionalPostings(toksDf(corpus)), phrase)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("phraseMatch counts exact adjacent-in-order occurrences, matching docs only") {
+    val corpus = Seq(
+      1L -> Seq("big", "table", "hash", "join"),        // one hit
+      2L -> Seq("table", "hash", "table", "hash"),      // two hits
+      3L -> Seq("hash", "table"),                       // reversed: none
+      4L -> Seq("table", "x", "hash"),                  // gap: none
+      5L -> Seq("table"),                               // truncated at end: none
+      6L -> Seq("x", "y"))                              // no phrase terms
+    val got = runPhrase(corpus, Seq("table", "hash"))
+    val want = corpus.map { case (id, t) => id -> naivePhrase(t, Seq("table", "hash")).toLong }
+      .filter(_._2 > 0).toMap
+    assert(got == want)
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("phraseMatch handles repeated terms, overlaps, and 3-term phrases") {
+    // "a a" in "a a a" overlaps: starts 0 and 1.
+    assert(runPhrase(Seq(1L -> Seq("a", "a", "a")), Seq("a", "a")) == Map(1L -> 2L))
+    // A lone "a" is not "a a" (slot 1 never covered).
+    assert(runPhrase(Seq(1L -> Seq("a", "b", "a")), Seq("a", "a")) == Map.empty[Long, Long])
+    // 3-term phrase, including one straddling candidate start at pos-2
+    // that must not fire (start < 0 groups can never reach m slots).
+    val c = Seq(1L -> Seq("x", "a", "b", "c", "a", "b"), 2L -> Seq("b", "c", "a"))
+    assert(runPhrase(c, Seq("a", "b", "c")) == Map(1L -> 1L))
+    // Single-term phrase degrades to term frequency.
+    assert(runPhrase(c, Seq("b")) == Map(1L -> 2L, 2L -> 1L))
+    intercept[IllegalArgumentException] { runPhrase(c, Seq.empty) }
+  }
+
+  test("phraseMatch agrees with the naive reference on a generated corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = (1L to 60L).map(id =>
+      id -> Vector.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).toSeq)
+    for (phrase <- Seq(Seq("a", "b"), Seq("b", "b"), Seq("c", "a", "d"))) {
+      val want = corpus.map { case (id, t) => id -> naivePhrase(t, phrase).toLong }
+        .filter(_._2 > 0).toMap
+      assert(runPhrase(corpus, phrase) == want, s"phrase $phrase")
+    }
+  }
+
+  test("a persisted positional index prunes to the phrase terms' buckets") {
+    val corpus = Seq(
+      1L -> Seq("a", "b", "a"), 2L -> Seq("b", "c"), 3L -> Seq("c", "d"))
+    SearchDsl.writePositionalIndex(
+      SearchDsl.positionalPostings(toksDf(corpus)), "sds_pidx", buckets = 8)
+    try {
+      import spark.implicits._
+      val reopened = SearchDsl.readPositionalIndex(spark, "sds_pidx")
+      val got = SearchDsl.phraseMatch(reopened, Seq("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L))
+      // The scale property (RetrievalSpec's bucket pin, positional
+      // flavor): the phrase terms' isin filter prunes the bucketed
+      // store scan instead of reading the whole positional table.
+      val out = new ByteArrayOutputStream()
+      Console.withOut(new PrintStream(out, true, "UTF-8")) {
+        SearchDsl.phraseMatch(reopened, Seq("a", "b")).explain("formatted")
+      }
+      val p = out.toString("UTF-8")
+      assert(p.contains("SelectedBucketsCount: 2 out of 8"), p)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sds_pidx_pos")
+    }
+  }
+
+  /** Textbook dynamic-programming Levenshtein, the spec for both
+    * engines' built-ins.
+    */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzyExpand returns exactly the vocabulary within maxEdits, with dist") {
+    import spark.implicits._
+    val vocab = Seq("spark", "scan", "sort", "part", "a", "sparkle", "spak")
+      .toDF("term")
+    val got = SearchDsl.fuzzyExpand(vocab, "spak", maxEdits = 2)
+      .as[(String, Long)].collect().toMap
+    val want = Seq("spark", "scan", "sort", "part", "a", "sparkle", "spak")
+      .map(t => t -> lev(t, "spak").toLong).filter(_._2 <= 2).toMap
+    assert(got == want)
+    assert(got.contains("spark") && got("spak") == 0L && !got.contains("part"))
+    // maxEdits = 0 degrades to exact term lookup.
+    val exact = SearchDsl.fuzzyExpand(vocab, "spark", maxEdits = 0)
+      .as[(String, Long)].collect().toMap
+    assert(exact == Map("spark" -> 0L))
+    // The length band never excludes a true match (it is a necessary
+    // condition): nothing outside the band has dist <= maxEdits.
+    assert(want.keys.forall(t => math.abs(t.length - 4) <= 2))
+    intercept[IllegalArgumentException] {
+      SearchDsl.fuzzyExpand(vocab, "x", maxEdits = -1)
+    }
+  }
+
+  test("mltTerms picks the probe's top tf·idf terms with term tie-break") {
+    // Corpus built so doc 1's terms rank: "rare" (tf=2, df=1) beats
+    // "mid" (tf=2, df=2) beats "common" (tf=3, df=4 — high tf, low idf
+    // keeps it behind mid for k=2 checks), and the absent term never
+    // appears.
+    val corpus = Seq(
+      1L -> Seq("rare", "rare", "mid", "mid", "common", "common", "common"),
+      2L -> Seq("mid", "common"),
+      3L -> Seq("common", "other"),
+      4L -> Seq("common", "other"))
+    val idx = Retrieval.buildTextIndex(spark, toksDf(corpus))
+    val n = 4.0
+    def tfidf(tf: Long, df: Long) = tf * math.log((n + 1) / (df + 1.0))
+    val expectOrder = Seq(
+      "rare" -> tfidf(2, 1), "mid" -> tfidf(2, 2), "common" -> tfidf(3, 4))
+      .sortBy { case (t, s) => (-s, t) }.map(_._1)
+    assert(SearchDsl.mltTerms(idx, 1L, maxQueryTerms = 2) == expectOrder.take(2))
+    assert(SearchDsl.mltTerms(idx, 1L, maxQueryTerms = 10) == expectOrder)
+    // Ties break on term: two terms with identical tf and df.
+    val tied = Seq(1L -> Seq("zz", "aa"), 2L -> Seq("x"))
+    val idx2 = Retrieval.buildTextIndex(spark, toksDf(tied))
+    assert(SearchDsl.mltTerms(idx2, 1L, maxQueryTerms = 2) == Seq("aa", "zz"))
+    intercept[IllegalArgumentException] { SearchDsl.mltTerms(idx, 1L, 0) }
+  }
+
+  /** Local NB replay: smoothed log-count-ratio weights + prior bias. */
+  private def nbLocal(corpus: Seq[(Long, Seq[String], Boolean)]): Map[Long, Double] = {
+    val vocab = corpus.flatMap(_._2).distinct
+    val v = vocab.size.toDouble
+    val posToks = corpus.filter(_._3).flatMap(_._2)
+    val negToks = corpus.filterNot(_._3).flatMap(_._2)
+    val (tp, tn) = (posToks.size.toDouble, negToks.size.toDouble)
+    val w = vocab.map { t =>
+      t -> (math.log((posToks.count(_ == t) + 1.0) / (tp + v))
+        - math.log((negToks.count(_ == t) + 1.0) / (tn + v)))
+    }.toMap
+    val bias = math.log((corpus.count(_._3) + 1.0) / (corpus.count(!_._3) + 1.0))
+    corpus.map { case (id, toks, _) =>
+      id -> (toks.map(w).sum + bias)
+    }.toMap
+  }
+
+  test("NaiveBayes matches a local replay and separates a separable corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq("good", "good", "fine", "stop"), true),
+      (2L, Seq("good", "fine", "stop"), true),
+      (3L, Seq("bad", "awful", "stop"), false),
+      (4L, Seq("bad", "bad", "stop", "stop"), false),
+      (5L, Seq("good", "bad", "stop"), true))
+    val df = corpus.toDF("doc_id", "toks", "lab")
+    val model = NaiveBayes.train(df, col("lab"))
+    val got = NaiveBayes.score(df, model)
+      .as[(Long, Double)].collect().toMap
+    val want = nbLocal(corpus)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, s) =>
+      assert(math.abs(got(id) - s) < 1e-9, s"doc $id: got ${got(id)}, want $s")
+    }
+    // The separable part separates: pure-positive docs score above
+    // pure-negative docs.
+    assert(got(1L) > 0 && got(2L) > 0 && got(3L) < 0 && got(4L) < 0)
+  }
+
+  test("NaiveBayes: null labels are negative, OOV terms drop, degenerate corpora train") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b"), Some(true)),
+      (2L, Seq("a", "c"), None)) // null label counts as negative
+      .toDF("doc_id", "toks", "lab")
+    val model = NaiveBayes.train(df, col("lab"))
+    val w = model.weights.as[(String, Double)].collect().toMap
+    // "b" is positive-only evidence, "c" negative-only, "a" in both.
+    assert(w("b") > w("a") && w("a") > w("c"))
+    // Scoring a doc whose terms are all OOV yields no row (inner join).
+    val oov = Seq((9L, Seq("zz"))).toDF("doc_id", "toks")
+    assert(NaiveBayes.score(oov, model).count() == 0)
+    // A mixed doc of known terms scores: bias + w(a)+w(zz dropped).
+    val part = Seq((8L, Seq("a", "zz"))).toDF("doc_id", "toks")
+    val s8 = NaiveBayes.score(part, model).as[(Long, Double)].collect().toMap
+    assert(math.abs(s8(8L) - (model.bias + w("a"))) < 1e-12)
+    // Single-class corpus: smoothing keeps weights and bias finite.
+    val single = Seq((1L, Seq("a"), true)).toDF("doc_id", "toks", "lab")
+    val m1 = NaiveBayes.train(single, col("lab"))
+    assert(!m1.bias.isInfinite && !m1.bias.isNaN)
+    val sw = m1.weights.as[(String, Double)].collect().toMap
+    assert(sw.values.forall(x => !x.isInfinite && !x.isNaN))
+  }
+}
