@@ -28,9 +28,14 @@ object IndexSink {
     * each Firehose delivery and is immediately text-searchable with
     * live statistics, iac/s2_app.py:841-858). Query via
     * `LiveTextIndex.read` + the index-backed [[rankedMatch]].
+    * `positions = true` additionally maintains the positional store
+    * (live `match_phrase` via `SearchDsl.phraseMatch` over
+    * `LiveTextIndex.readPositional`) — must be chosen at the index's
+    * FIRST delivery; positions cannot be backfilled.
     */
   final case class LiveIndexSpec(root: String, field: String,
-      key: String = "recordId", shards: Int = 4, compactEvery: Int = 0)
+      key: String = "recordId", shards: Int = 4, compactEvery: Int = 0,
+      positions: Boolean = false)
 
   /** Cross-epoch span-dedup maintenance for [[start]]: each delivered
     * epoch's Ok docs feed [[LiveSpanDedup.writeDelta]] — gram state
@@ -141,7 +146,7 @@ object IndexSink {
             try {
               textIndex.foreach { spec =>
                 LiveTextIndex.writeDelta(toksFor((spec.key, spec.field)),
-                  spec.root, epochId, spec.shards)
+                  spec.root, epochId, spec.shards, spec.positions)
                 if (due(spec.compactEvery))
                   LiveTextIndex.compact(src.sparkSession, spec.root,
                     spec.shards)

@@ -35,7 +35,15 @@ import graft.operators.Retrieval
   *    doclen store — the telescoped sum equals the doclen aggregate
   *    EXACTLY (longs, added once per version and subtracted once at
   *    supersession), so live scores are bit-identical to a batch
-  *    rebuild's.
+  *    rebuild's;
+  *  - `<root>/positions/epoch=<e>` (OPTIONAL, [[writeDelta]]'s
+  *    `positions` flag): (term, doc_id, pos, _epoch) — positional
+  *    postings for live `match_phrase` queries
+  *    ([[graft.operators.SearchDsl.phraseMatch]] over
+  *    [[readPositional]]), same currency/activation rules as the
+  *    postings. Opt-in because it is the one store whose size is the
+  *    tokenized corpus itself (one row per token, vs one per distinct
+  *    (doc, term)), the same price Lucene charges for positions.
   *
   * Upsert semantics (the OpenSearch contract: re-indexing a doc id
   * overwrites it): a doc's CURRENT version is its latest doclen epoch,
@@ -77,10 +85,13 @@ import graft.operators.Retrieval
   */
 object LiveTextIndex {
 
-  /** Where a live index keeps its three stores. */
+  /** Where a live index keeps its stores (`positions` is optional —
+    * see [[writeDelta]]'s `positions` flag).
+    */
   private def postingsRoot(root: String) = root.stripSuffix("/") + "/postings"
   private def doclenRoot(root: String) = root.stripSuffix("/") + "/doclen"
   private def statsRoot(root: String) = root.stripSuffix("/") + "/stats"
+  private def positionsRoot(root: String) = root.stripSuffix("/") + "/positions"
 
   private val postingsSchema = StructType(Seq(
     StructField("term", StringType),
@@ -95,6 +106,11 @@ object LiveTextIndex {
   private val statsSchema = StructType(Seq(
     StructField("n_delta", LongType),
     StructField("sumdl_delta", LongType),
+    StructField("_epoch", LongType)))
+  private val positionsSchema = StructType(Seq(
+    StructField("term", StringType),
+    StructField("doc_id", StringType),
+    StructField("pos", LongType),
     StructField("_epoch", LongType)))
 
   /** Append one epoch's postings + doclen deltas. `toks` is the
@@ -116,9 +132,29 @@ object LiveTextIndex {
     * materialized input instead of three re-evaluations.
     */
   def writeDelta(toks: DataFrame, root: String, epoch: Long,
-      shards: Int = 4): Unit = {
+      shards: Int = 4, positions: Boolean = false): Unit = {
     require(shards > 0, s"shard count must be positive, got $shards")
     val spark = toks.sparkSession
+    // The positional store cannot be BACKFILLED (deltas keep tokenized
+    // aggregates, not the text), so partial coverage would silently
+    // drop older docs from every phrase query. Fail the misuse loudly
+    // at write time, in both directions: turning positions on after
+    // epochs landed without them, and turning them off after epochs
+    // maintained them. Both checks are dir listings ("other than this
+    // epoch's own dir" keeps replays of the affected epoch valid).
+    val posDirs = EpochStore.epochDirNames(spark, positionsRoot(root))
+      .exists(_ != s"epoch=$epoch")
+    val docDirs = EpochStore.epochDirNames(spark, doclenRoot(root))
+      .exists(_ != s"epoch=$epoch")
+    if (positions)
+      require(posDirs || !docDirs,
+        s"positions=true on $root, but earlier epochs were delivered without " +
+          "a positional store — positions must be maintained from the index's " +
+          "first delivery (they cannot be backfilled from postings deltas)")
+    else
+      require(!posDirs,
+        s"positions=false on $root, but the index maintains a positional " +
+          "store — later epochs' docs would be invisible to phrase queries")
     // A REPLAY whose first attempt's marker landed is the one delta
     // write a CONCURRENT compaction can corrupt: the epoch is
     // activation-eligible, so a compact running in another process may
@@ -150,14 +186,14 @@ object LiveTextIndex {
         // already folded — its content lives in snapshots, and the
         // replay's only correct action is nothing.
         if (epoch > EpochStore.readWatermark(spark, doclenRoot(root)))
-          writeDeltaBody(toks, root, epoch, shards)
+          writeDeltaBody(toks, root, epoch, shards, positions)
       }
     else if (epoch > EpochStore.readWatermark(spark, doclenRoot(root)))
-      writeDeltaBody(toks, root, epoch, shards)
+      writeDeltaBody(toks, root, epoch, shards, positions)
   }
 
   private def writeDeltaBody(toks: DataFrame, root: String, epoch: Long,
-      shards: Int): Unit = {
+      shards: Int, positions: Boolean): Unit = {
     val spark = toks.sparkSession
     // Heal BEFORE the retraction lookup (the LiveSpanDedup rule): a
     // crashed doclen compaction's snapshot+victim coexistence is
@@ -179,6 +215,20 @@ object LiveTextIndex {
       .repartition(shards, col("term")).sortWithinPartitions("term")
       .write.mode("overwrite")
       .parquet(s"${postingsRoot(root)}/epoch=$epoch")
+    // Positional delta (optional — [[SearchDsl.phraseMatch]]'s input),
+    // BEFORE the doclen marker like everything the marker activates:
+    // a crash between this write and the marker leaves the epoch's
+    // positions invisible until the replay completes the delivery.
+    // Term-clustered like the postings so a phrase query's term filter
+    // prunes row groups.
+    if (positions)
+      one.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos", "term")))
+        .select(col("term"), col("doc_id"),
+          col("pos").cast("long").as("pos"), lit(epoch).as("_epoch"))
+        .repartition(shards, col("term")).sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(s"${positionsRoot(root)}/epoch=$epoch")
     // NET stats delta: gross (docs, Σdl) of this epoch's versions minus
     // the contributions of the versions they supersede — each version's
     // dl enters the sum once at delivery and leaves once at
@@ -301,15 +351,49 @@ object LiveTextIndex {
     Retrieval.TextIndex(live, df, stats)
   }
 
-  /** Operational snapshot of the index's three stores, keyed by store
-    * name — pure metadata ([[EpochStore.status]]): delta backlog per
-    * store, replay fence, crashed-compaction and lease indicators.
+  /** The live POSITIONAL postings — (term, doc_id, pos), the
+    * [[graft.operators.SearchDsl.phraseMatch]] input — resolved over
+    * the current epoch set with the same doclen currency rule as
+    * [[read]] (a re-delivered doc's old positions retire even though
+    * its new version never mentions those terms). Phrase queries'
+    * `isin` filter pushes below the currency join to the term-
+    * clustered delta scans, so per-query cost is the phrase terms'
+    * positional postings, never the corpus.
+    *
+    * Loud on an index that never maintained positions (deltas cannot
+    * be backfilled — see [[writeDelta]]); empty store → empty frame.
+    */
+  def readPositional(spark: SparkSession, root: String): DataFrame = {
+    EpochStore.heal(spark, positionsRoot(root))
+    EpochStore.heal(spark, doclenRoot(root))
+    if (!EpochStore.hasEpochDirs(spark, positionsRoot(root)) &&
+        EpochStore.hasEpochDirs(spark, doclenRoot(root)))
+      throw new IllegalStateException(
+        s"live index $root has no positional store — it was maintained with " +
+          "positions=false; phrase queries over it would return nothing")
+    val doclen = EpochStore.readAll(spark, doclenRoot(root), doclenSchema)
+    val cur = EpochStore.latestPerKey(doclen, "doc_id")
+      .select(col("doc_id"), col("_epoch").as("_cur"))
+    EpochStore.readAll(spark, positionsRoot(root), positionsSchema)
+      .join(cur, Seq("doc_id"))
+      .filter(col("_epoch") === col("_cur"))
+      .select("term", "doc_id", "pos")
+      .dropDuplicates("term", "doc_id", "pos")
+  }
+
+  /** Operational snapshot of the index's stores, keyed by store name
+    * (`positions` present only when maintained) — pure metadata
+    * ([[EpochStore.status]]): delta backlog per store, replay fence,
+    * crashed-compaction and lease indicators.
     */
   def status(spark: SparkSession, root: String): Map[String, EpochStore.Status] =
     Map(
       "postings" -> EpochStore.status(spark, postingsRoot(root)),
       "doclen" -> EpochStore.status(spark, doclenRoot(root)),
-      "stats" -> EpochStore.status(spark, statsRoot(root)))
+      "stats" -> EpochStore.status(spark, statsRoot(root))) ++
+      (if (EpochStore.hasEpochDirs(spark, positionsRoot(root)))
+        Map("positions" -> EpochStore.status(spark, positionsRoot(root)))
+      else Map.empty)
 
   /** Fold each store's epoch history into one snapshot (crash protocol
     * and serialization in [[EpochStore.compact]]). Postings resolve
@@ -361,6 +445,26 @@ object LiveTextIndex {
           .write.mode("overwrite").parquet(tmp),
         leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
         epochEligible = activated.contains)
+      // The optional positional store resolves exactly like the
+      // postings (currency filter + identity dedup), under the same
+      // activation rule, BEFORE the doclen fold below advances the
+      // fence — it reads the same un-folded doclen epoch set.
+      if (EpochStore.hasEpochDirs(spark, positionsRoot(root)))
+        EpochStore.compact(spark, positionsRoot(root),
+          resolve = pos => {
+            val cur = EpochStore.latestPerKey(
+                EpochStore.readAll(spark, doclenRoot(root), doclenSchema), "doc_id")
+              .select(col("doc_id"), col("_epoch").as("_cur"))
+            pos.join(cur, Seq("doc_id"))
+              .filter(col("_epoch") === col("_cur"))
+              .drop("_cur")
+              .dropDuplicates("term", "doc_id", "pos")
+          },
+          writeSnapshot = (df, tmp) => df
+            .repartition(shards, col("term")).sortWithinPartitions("term")
+            .write.mode("overwrite").parquet(tmp),
+          leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
+          epochEligible = activated.contains)
       // The doclen store is self-contained (its rows ARE the markers):
       // every listed epoch is eligible. Folding it commits those epochs'
       // history — advance the replay fence under the lease.

@@ -405,6 +405,109 @@ class StreamingTwinSpec extends SparkSpec {
     assert("In\\(term|EqualTo\\(term".r.findAllIn(p).size >= 2, p)
   }
 
+  test("live positional postings: phrase search over delivered epochs equals " +
+      "batch, through upserts and compaction; coverage misuse fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.operators.SearchDsl
+    import graft.streaming.{IndexSink, LiveTextIndex}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-live-pos").toString
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("body", StringType)))
+    val spec = IndexSink.LiveIndexSpec(s"$tmp/textindex", field = "body",
+      key = "doc_id", shards = 2, positions = true)
+
+    def deliver(rows: Seq[(Long, String)], tag: String): Unit = {
+      rows.toDF("doc_id", "body")
+        .select(to_json(struct(col("doc_id"), col("body"))).as("value"))
+        .coalesce(1).write.mode("append").text(s"$tmp/in")
+      val env = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("body", StringType))))
+        .json(s"$tmp/in")
+        .select(col("doc_id").cast("string").as("recordId"),
+          lit(0L).as("approximateArrivalTimestamp"),
+          to_json(struct(col("doc_id"), col("body"))).cast("binary").as("data"))
+      val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
+        s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false), textIndex = Some(spec))
+      assert(q.awaitTermination(120000), s"delivery $tag timed out")
+    }
+    def livePhrase(phrase: Seq[String]): Map[Long, Long] =
+      SearchDsl.phraseMatch(
+          LiveTextIndex.readPositional(spark, spec.root), phrase)
+        .select(col("doc_id").cast("long"), col("n_hits"))
+        .as[(Long, Long)].collect().toMap
+    def batchPhrase(rows: Seq[(Long, String)], phrase: Seq[String]): Map[Long, Long] = {
+      import graft.functions.TextFunctions.tokens
+      val toks = rows.toDF("doc_id", "body")
+        .select(col("doc_id"), tokens(col("body")).as("toks"))
+      SearchDsl.phraseMatch(SearchDsl.positionalPostings(toks), phrase)
+        .as[(Long, Long)].collect().toMap
+    }
+
+    val phrase = Seq("mortgage", "deposit")
+    val epoch1 = Seq(
+      1L -> "mortgage deposit approved for the savings account",
+      2L -> "deposit mortgage reversed order never matches",
+      3L -> "mortgage deposit twice mortgage deposit here")
+    deliver(epoch1, "epoch-1")
+    val got1 = livePhrase(phrase)
+    assert(got1 == batchPhrase(epoch1, phrase) && got1 == Map(1L -> 1L, 3L -> 2L))
+    // Epoch 2 UPSERTS doc 1 (phrase gone — its old positions must
+    // retire under the doclen currency even though the new version
+    // never mentions either term) and adds doc 4 with the phrase.
+    val epoch2 = Seq(
+      1L -> "closed account with nothing relevant",
+      4L -> "approved mortgage deposit at the branch")
+    deliver(epoch2, "epoch-2")
+    val resolved = Seq(
+      1L -> "closed account with nothing relevant",
+      2L -> "deposit mortgage reversed order never matches",
+      3L -> "mortgage deposit twice mortgage deposit here",
+      4L -> "approved mortgage deposit at the branch")
+    val got2 = livePhrase(phrase)
+    assert(got2 == batchPhrase(resolved, phrase) && got2 == Map(3L -> 2L, 4L -> 1L))
+    // Compaction folds all four stores; nothing observable changes.
+    LiveTextIndex.compact(spark, spec.root, shards = 2)
+    assert(livePhrase(phrase) == got2)
+    assert(LiveTextIndex.status(spark, spec.root).contains("positions"))
+    // A post-compaction delta keeps composing.
+    val epoch3 = Seq(5L -> "final mortgage deposit closes it")
+    deliver(epoch3, "epoch-3")
+    assert(livePhrase(phrase) == batchPhrase(resolved ++ epoch3, phrase))
+    // Plan pin: the phrase terms' filter pushes below the currency
+    // join to the positional delta scans.
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      SearchDsl.phraseMatch(
+        LiveTextIndex.readPositional(spark, spec.root), phrase).explain("formatted")
+    }
+    val p = out.toString("UTF-8")
+    assert("In\\(term|EqualTo\\(term".r.findAllIn(p).nonEmpty, p)
+
+    // COVERAGE GUARDS: flipping the positions flag mid-life fails
+    // loudly in both directions (positions cannot be backfilled).
+    val e = intercept[IllegalArgumentException] {
+      LiveTextIndex.writeDelta(
+        Seq((9L, Seq("a", "b"))).toDF("doc_id", "toks"),
+        spec.root, epoch = 99L, shards = 2, positions = false)
+    }
+    assert(e.getMessage.contains("positional store"))
+    val noPos = java.nio.file.Files.createTempDirectory("graft-nopos").toString
+    LiveTextIndex.writeDelta(
+      Seq((1L, Seq("a", "b"))).toDF("doc_id", "toks"),
+      noPos, epoch = 0L, shards = 2)
+    intercept[IllegalArgumentException] {
+      LiveTextIndex.writeDelta(
+        Seq((2L, Seq("c"))).toDF("doc_id", "toks"),
+        noPos, epoch = 1L, shards = 2, positions = true)
+    }
+    intercept[IllegalStateException] {
+      LiveTextIndex.readPositional(spark, noPos)
+    }
+  }
+
   test("cross-epoch span dedup: gram state over delivered epochs equals " +
       "batch SpanDedup on the closed corpus, before and after compaction") {
     import spark.implicits._
