@@ -151,4 +151,37 @@ object SearchDsl {
     */
   def mltTerms(toks: DataFrame, probeId: Any, maxQueryTerms: Int): Seq[String] =
     mltTerms(Retrieval.buildTextIndex(toks.sparkSession, toks), probeId, maxQueryTerms)
+
+  /** `highlight`: for every document containing `term`, the snippet
+    * around its FIRST occurrence — (doc_id, pos, snippet) with `pos`
+    * the 0-based token position and `snippet` the tokens from
+    * max(0, pos − context) through min(end, pos + context) joined by
+    * single spaces, every occurrence of `term` WITHIN the snippet
+    * wrapped in `<em>…</em>` (the OpenSearch/Lucene highlighter's
+    * default tags and unified-highlighter best-fragment behavior,
+    * first-occurrence flavor).
+    *
+    * Pure narrow expressions over the tokenized corpus — first
+    * occurrence via `array_position`, window via `slice`, wrapping via
+    * `transform`: no shuffle, no explode; non-matching docs are
+    * filtered scan-side. At 100 TB this is a map-only pass over
+    * whatever doc set the caller's retrieval stage already bounded —
+    * highlighters run on the RESULT page, never the corpus.
+    */
+  def highlight(toks: DataFrame, term: String, context: Int = 2): DataFrame = {
+    require(context >= 0, s"context must be >= 0, got $context")
+    toks
+      .select(col("doc_id"), col("toks"),
+        array_position(col("toks"), term).as("p")) // 1-based; 0 = absent
+      .filter(col("p") > 0)
+      .select(col("doc_id"), (col("p") - 1).as("pos"),
+        concat_ws(" ",
+          transform(
+            slice(col("toks"),
+              greatest(col("p") - context, lit(1)),
+              least(col("p") + context,
+                size(col("toks")).cast("long")) - greatest(col("p") - context, lit(1)) + 1),
+            x => when(x === term, concat(lit("<em>"), x, lit("</em>")))
+              .otherwise(x))).as("snippet"))
+  }
 }

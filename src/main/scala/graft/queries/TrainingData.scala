@@ -2464,6 +2464,31 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------ q107: highlight
+
+  val q107_highlight: QueryDef = q(
+    "q107_highlight",
+    s"""WITH $docTokSql,
+       |hit AS (SELECT doc_id, toks, list_position(toks, 'spark') AS p
+       |    FROM tok WHERE list_position(toks, 'spark') > 0)
+       |SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+       |  array_to_string(list_transform(
+       |    toks[greatest(p - 2, 1):least(p + 2, len(toks))],
+       |    x -> CASE WHEN x = 'spark' THEN '<em>' || x || '</em>' ELSE x END),
+       |    ' ') AS snippet
+       |FROM hit ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // highlight (operators/SearchDsl.highlight): the snippet around
+    // the first occurrence of "spark" in every matching doc, the term
+    // wrapped in <em> tags — the OpenSearch highlighter the reference's
+    // search sink would serve next to every match query. Scale shape:
+    // pure narrow expressions (array_position/slice/transform), no
+    // shuffle — a map-only pass over the result set a retrieval stage
+    // already bounded.
+    graft.operators.SearchDsl.highlight(tokenized(s, dir), "spark", context = 2)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -2480,5 +2505,5 @@ object TrainingData {
     q97_ivfpq_recall, q98_opq_recall, q99_opq_learned,
     q100_opq_learned_recall, q101_image_decode, q102_phrase_match,
     q103_fuzzy_match, q104_bool_search, q105_more_like_this,
-    q106_nb_quality)
+    q106_nb_quality, q107_highlight)
 }

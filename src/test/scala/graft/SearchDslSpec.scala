@@ -150,6 +150,30 @@ class SearchDslSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SearchDsl.mltTerms(idx, 1L, 0) }
   }
 
+  test("highlight: first-occurrence snippet with boundary clipping and in-window wrapping") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> Seq("a", "b", "hit", "c", "d", "e"),   // interior
+      2L -> Seq("hit", "x", "y"),                  // clipped left
+      3L -> Seq("x", "y", "z", "hit"),             // clipped right
+      4L -> Seq("q", "hit", "w", "hit", "hit"),    // first occurrence wins; 2nd in window wraps
+      5L -> Seq("no", "match", "here"))
+    val got = SearchDsl.highlight(toksDf(corpus), "hit", context = 2)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((2L, "a b <em>hit</em> c d")),
+      2L -> ((0L, "<em>hit</em> x y")),
+      3L -> ((3L, "y z <em>hit</em>")),
+      4L -> ((1L, "q <em>hit</em> w <em>hit</em>"))))
+    // context=0 is just the wrapped term.
+    val zero = SearchDsl.highlight(toksDf(corpus.take(1)), "hit", context = 0)
+      .as[(Long, Long, String)].collect()
+    assert(zero.toSeq == Seq((1L, 2L, "<em>hit</em>")))
+    intercept[IllegalArgumentException] {
+      SearchDsl.highlight(toksDf(corpus), "hit", context = -1)
+    }
+  }
+
   /** Local NB replay: smoothed log-count-ratio weights + prior bias. */
   private def nbLocal(corpus: Seq[(Long, Seq[String], Boolean)]): Map[Long, Double] = {
     val vocab = corpus.flatMap(_._2).distinct
