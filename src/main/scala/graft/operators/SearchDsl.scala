@@ -22,7 +22,15 @@ import org.apache.spark.sql.functions._
   *    existing match machinery;
   *  - `bool` queries are composition (must = match-AND via
   *    [[Retrieval.bm25]]'s n_terms, filter/must_not = plain
-  *    predicates) — see q104 in the registry for the canonical shape.
+  *    predicates) — see q104 in the registry for the canonical shape;
+  *  - [[prefixExpand]] / [[wildcardExpand]] — `prefix` and `wildcard`
+  *    term queries resolved against the term dictionary (q108/q112);
+  *  - [[searchAfter]] — keyset pagination, the `search_after` cursor
+  *    contract (q110);
+  *  - [[percolate]] — reverse search over registered queries, the
+  *    percolator/alerting surface (q111);
+  *  - [[termsFacet]] — the `terms` aggregation panel beside a search
+  *    page (q109).
   *
   * Scale shapes are per-method; the common theme mirrors
   * [[Retrieval]]: per-query work is bounded by the QUERY TERMS'
@@ -117,6 +125,127 @@ object SearchDsl {
       .filter(abs(length(col("term")) - lit(query.length)) <= maxEdits)
       .withColumn("dist", levenshtein(col("term"), lit(query)).cast("long"))
       .filter(col("dist") <= maxEdits)
+  }
+
+  /** `prefix` term expansion: vocabulary terms starting with `prefix` —
+    * the input frame (a vocabulary table like [[Retrieval.TextIndex]]'s
+    * `df`) filtered to matches. OpenSearch's prefix query resolves the
+    * same way: walk the term dictionary, then read the matching terms'
+    * postings ([[Retrieval.bm25FromIndex]] or a postings join
+    * downstream — q108 shows the composition).
+    *
+    * `startsWith` compiles to a `StartsWith` predicate the parquet
+    * scan evaluates, and on a term-sorted dictionary (the
+    * [[Retrieval.writeTextIndex]] layout sorts within buckets) footer
+    * min/max prune whole row groups — the scan-pruned analogue of
+    * Lucene seeking the term-dictionary block. The vocabulary is
+    * corpus-DISTINCT terms, never corpus-sized.
+    */
+  def prefixExpand(vocab: DataFrame, prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    vocab.filter(col("term").startsWith(prefix))
+  }
+
+  /** `wildcard` term expansion, Lucene pattern syntax (`*` = any run,
+    * `?` = one char). Translated to a SQL LIKE over the vocabulary
+    * (SQL metacharacters in the pattern are escaped); a pattern with a
+    * non-wildcard prefix keeps that prefix scannable — Catalyst
+    * rewrites `LIKE 'sc*'`-shaped patterns to StartsWith, and mixed
+    * patterns still evaluate scan-side on the dictionary, never
+    * against the corpus. Lucene documents the same hazard this
+    * inherits: a leading `*` forces a full dictionary walk (still
+    * vocabulary-sized, not corpus-sized).
+    */
+  def wildcardExpand(vocab: DataFrame, pattern: String): DataFrame = {
+    require(pattern.nonEmpty, "pattern must be non-empty")
+    val sql = pattern.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case '%' => "\\%"
+      case '_' => "\\_"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    vocab.filter(col("term").like(sql))
+  }
+
+  /** `search_after` keyset pagination: the next `k` results strictly
+    * after the cursor `(afterScore, afterDoc)` in the engine's ranking
+    * order (rounded score descending, doc_id ascending — the q85/q104
+    * contract). `scoreCol` must already be the ROUNDED score the
+    * cursor was taken from, so cursor comparisons are exact.
+    *
+    * This is why OpenSearch deprecates deep offset paging in favor of
+    * search_after: an OFFSET n page materializes and discards n rows
+    * per partition, while the keyset predicate filters scan-side and
+    * the `limit(k)` compiles to TakeOrderedAndProject — per-partition
+    * top-k then a k-row driver merge, never a global sort. Page cost
+    * is flat in page DEPTH at any corpus size.
+    */
+  def searchAfter(scored: DataFrame, scoreCol: Column,
+      afterScore: Double, afterDoc: Long, k: Int): DataFrame = {
+    require(k > 0, s"page size must be positive, got $k")
+    scored
+      .filter(scoreCol < afterScore ||
+        (scoreCol === afterScore && col("doc_id") > afterDoc))
+      .orderBy(scoreCol.desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** `percolate` — reverse search, the OpenSearch alerting pattern:
+    * registered queries are DATA (`queries`: one row per saved query,
+    * `query_id` + `terms` array), and each document in `toks` reports
+    * which registered queries it satisfies (conjunctive match: every
+    * query term present). Returns (doc_id, query_id) pairs.
+    *
+    * Shape: the registry is tiny next to the corpus (saved searches vs
+    * 100 TB of docs), so its exploded (term, query_id, n_q) table
+    * BROADCASTS; each doc's DISTINCT terms join against it map-side and
+    * the only exchange groups the surviving (doc, query) candidate
+    * rows — bounded by matches, not by corpus × queries. A query term
+    * no document contains simply never matches (correct conjunctive
+    * semantics: the count can't reach n_q). Duplicate terms inside one
+    * registered query are collapsed so `count == n_q` is exact.
+    *
+    * Streaming: percolation is stateless per doc, so running this on
+    * each delivered micro-batch (e.g. from [[graft.streaming.IndexSink]]'s
+    * enrich hook) alerts on ingest exactly like the OpenSearch
+    * percolator — the batch and per-epoch forms agree by construction.
+    */
+  def percolate(toks: DataFrame, queries: DataFrame): DataFrame = {
+    val qt = queries
+      .select(col("query_id"), array_distinct(col("terms")).as("terms"))
+      .select(col("query_id"), size(col("terms")).as("n_q"),
+        explode(col("terms")).as("term"))
+    toks
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      .join(broadcast(qt), "term")
+      .groupBy(col("doc_id"), col("query_id"))
+      .agg(count(lit(1)).as("matched"), first(col("n_q")).as("n_q"))
+      .filter(col("matched") === col("n_q"))
+      .select(col("doc_id"), col("query_id"))
+  }
+
+  /** `terms` facet (the OpenSearch aggregation served next to every
+    * search page): bucket the HITS of a query by a document attribute
+    * and aggregate per bucket. `hits` is whatever the retrieval stage
+    * produced (must carry `doc_id`), `docs` the attribute table,
+    * `metrics` the per-bucket aggregates (count, sums, min/max — the
+    * facet panel's numbers).
+    *
+    * Cost rides the result set, not the corpus: the hits frame is
+    * already query-bounded, the doc-keyed attribute join is the same
+    * join every hydration step pays, and the facet groupBy exchanges
+    * only hit rows with ≤ |field cardinality| groups out. OpenSearch
+    * computes the same thing per-shard then merges — here the partial
+    * aggregation before the exchange IS the per-shard half.
+    */
+  def termsFacet(hits: DataFrame, docs: DataFrame, field: String,
+      metrics: Seq[Column]): DataFrame = {
+    require(metrics.nonEmpty, "at least one facet metric required")
+    hits.join(docs, "doc_id")
+      .groupBy(col(field))
+      .agg(metrics.head, metrics.tail: _*)
   }
 
   /** `more_like_this` query planning: the probe document's

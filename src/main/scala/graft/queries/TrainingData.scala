@@ -2489,6 +2489,155 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------ q108: prefix query
+
+  val q108_prefix_search: QueryDef = q(
+    "q108_prefix_search",
+    s"""WITH $docTokSql,
+       |dt AS (SELECT DISTINCT doc_id, term
+       |    FROM (SELECT doc_id, unnest(toks) AS term FROM tok) WHERE term LIKE 's%')
+       |SELECT doc_id, count(*) AS n_terms FROM dt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // prefix query (operators/SearchDsl.prefixExpand): documents
+    // containing any term starting with "s", with the count of
+    // distinct matching terms — OpenSearch's prefix query resolved
+    // against the term dictionary, then served from the postings of
+    // the expanded terms only. Scale shape: the StartsWith predicate
+    // evaluates on the vocab-sized df table (footer-prunable on a
+    // term-sorted dictionary); the postings join is bounded by the
+    // expanded terms' postings, never a corpus re-scan; the expansion
+    // frame broadcasts.
+    val idx = graft.operators.Retrieval.buildTextIndex(s, tokenized(s, dir))
+    val terms = graft.operators.SearchDsl.prefixExpand(idx.df, "s").select(col("term"))
+    idx.postings.join(broadcast(terms), "term")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------ q109: facets
+
+  val q109_facets: QueryDef = q(
+    "q109_facets",
+    s"""WITH $docTokSql,
+       |$bm25Sql
+       |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  max(n_chars) AS max_chars
+       |FROM bscored JOIN documents USING (doc_id)
+       |GROUP BY source ORDER BY n_docs DESC, source""".stripMargin
+  ) { (s, dir) =>
+    // terms facet (operators/SearchDsl.termsFacet): the OpenSearch
+    // aggregation panel next to a search page — the q85 match query's
+    // hits bucketed by `source` with per-bucket doc count and char
+    // totals (integer metrics: exact in any engine, no rounding
+    // guard). Scale shape: cost rides the HIT SET, not the corpus —
+    // bm25's one shuffle bounds the hits, the doc-keyed metadata join
+    // is the standard hydration join, and the facet groupBy partially
+    // aggregates before its |sources|-group exchange.
+    val hits = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+      .select(col("doc_id"))
+    graft.operators.SearchDsl.termsFacet(hits, t(s, dir, "documents"), "source",
+        Seq(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("n_chars")).as("max_chars")))
+      .orderBy(col("n_docs").desc, col("source"))
+  }
+
+  // ------------------------------------------ q110: search_after
+
+  val q110_search_after: QueryDef = q(
+    "q110_search_after",
+    s"""WITH $docTokSql,
+       |$bm25Sql,
+       |ranked AS (SELECT doc_id, floor(score * 100 + 0.5) / 100 AS score,
+       |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |    FROM bscored)
+       |SELECT doc_id, score, CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk BETWEEN 11 AND 20 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // search_after pagination (operators/SearchDsl.searchAfter): page 2
+    // of the q85 BM25 ranking, fetched the way a search client pages —
+    // page 1's last (score, doc_id) is the cursor, and the next page is
+    // everything strictly after it in ranking order. The cursor rows
+    // collected driver-side are one page (the client's previous
+    // response), the bounded-metadata class. Scale shape: the keyset
+    // predicate filters scan-side and limit(k) is
+    // TakeOrderedAndProject — per-partition top-k + a k-row driver
+    // merge; no OFFSET materialization, page cost flat in depth.
+    val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+      .select(col("doc_id"), Par.r2(col("score")).as("score"))
+    val page1 = scored.orderBy(col("score").desc, col("doc_id")).limit(10).collect()
+    require(page1.length == 10, s"page 1 short: ${page1.length} rows")
+    val cursor = page1.last
+    graft.operators.SearchDsl.searchAfter(scored, col("score"),
+        cursor.getDouble(1), cursor.getLong(0), k = 10)
+      .withColumn("rank",
+        (row_number().over(Window.orderBy(col("score").desc, col("doc_id"))) + 10)
+          .cast("bigint"))
+      .orderBy("rank")
+  }
+
+  // ------------------------------------------ q111: percolate
+
+  val q111_percolate: QueryDef = q(
+    "q111_percolate",
+    s"""WITH $docTokSql,
+       |qreg AS (SELECT * FROM (VALUES (0, ['spark', 'fast']), (1, ['data', 'query']),
+       |      (2, ['dup']), (3, ['slow', 'window', 'merge']), (4, ['spark', 'zzz']))
+       |    AS t(query_id, terms)),
+       |qt AS (SELECT query_id, len(list_distinct(terms)) AS n_q,
+       |      unnest(list_distinct(terms)) AS term FROM qreg),
+       |dt AS (SELECT DISTINCT doc_id, term
+       |    FROM (SELECT doc_id, unnest(toks) AS term FROM tok))
+       |SELECT doc_id, CAST(query_id AS BIGINT) AS query_id
+       |FROM dt JOIN qt USING (term)
+       |GROUP BY doc_id, query_id, n_q HAVING count(*) = n_q
+       |ORDER BY doc_id, query_id""".stripMargin
+  ) { (s, dir) =>
+    // percolate (operators/SearchDsl.percolate): reverse search — five
+    // registered conjunctive term queries (saved searches) evaluated
+    // against every document; each doc reports the query_ids it
+    // satisfies. Query 2 probes the rare term, query 4 contains a term
+    // no document has (never matches — the conjunctive count can't
+    // reach n_q), and its duplicate-free n_q also pins the
+    // distinct-collapse contract. This is the OpenSearch alerting
+    // pattern; percolation is stateless per doc, so the same call
+    // serves each delivered micro-batch (SearchDslSpec pins the
+    // epoch-union = batch equality). Scale shape: the registry
+    // broadcasts; the only exchange groups surviving (doc, query)
+    // candidates — bounded by matches, never corpus × queries.
+    import s.implicits._
+    val reg = Seq(
+      (0L, Seq("spark", "fast")), (1L, Seq("data", "query")), (2L, Seq("dup")),
+      (3L, Seq("slow", "window", "merge")), (4L, Seq("spark", "zzz"))
+    ).toDF("query_id", "terms")
+    graft.operators.SearchDsl.percolate(tokenized(s, dir), reg)
+      .orderBy("doc_id", "query_id")
+  }
+
+  // ------------------------------------------ q112: wildcard query
+
+  val q112_wildcard: QueryDef = q(
+    "q112_wildcard",
+    s"""WITH $docTokSql,
+       |vocab AS (SELECT term, count(DISTINCT doc_id) AS df
+       |    FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1)
+       |SELECT term, df FROM vocab WHERE term LIKE 's_a%' ORDER BY term""".stripMargin
+  ) { (s, dir) =>
+    // wildcard term query (operators/SearchDsl.wildcardExpand):
+    // vocabulary terms matching the Lucene pattern "s?a*" (one char
+    // between s and a, any tail), with document frequency — q103's
+    // dictionary-resolution shape for the remaining Lucene term-level
+    // query type. Scale shape: the LIKE evaluates on the
+    // corpus-DISTINCT vocabulary scan-side; a non-wildcard prefix
+    // keeps the dictionary walk seekable (footer min/max on a
+    // term-sorted table), and even the leading-* worst case is a
+    // vocabulary walk, never a corpus pass.
+    val vocab = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    graft.operators.SearchDsl.wildcardExpand(vocab, "s?a*")
+      .orderBy("term")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -2505,5 +2654,6 @@ object TrainingData {
     q97_ivfpq_recall, q98_opq_recall, q99_opq_learned,
     q100_opq_learned_recall, q101_image_decode, q102_phrase_match,
     q103_fuzzy_match, q104_bool_search, q105_more_like_this,
-    q106_nb_quality, q107_highlight)
+    q106_nb_quality, q107_highlight, q108_prefix_search, q109_facets,
+    q110_search_after, q111_percolate, q112_wildcard)
 }

@@ -237,4 +237,98 @@ class SearchDslSpec extends SparkSpec {
     val sw = m1.weights.as[(String, Double)].collect().toMap
     assert(sw.values.forall(x => !x.isInfinite && !x.isNaN))
   }
+
+  private def vocabDf(terms: String*) = {
+    import spark.implicits._
+    terms.toSeq.toDF("term")
+  }
+
+  private def terms(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import spark.implicits._
+    df.select("term").as[String].collect().toSet
+  }
+
+  test("prefixExpand filters the dictionary; wildcardExpand speaks Lucene syntax") {
+    val v = vocabDf("scan", "slow", "small", "sort", "spark", "stream", "table", "a_b", "axb", "ab")
+    assert(terms(SearchDsl.prefixExpand(v, "s")) ==
+      Set("scan", "slow", "small", "sort", "spark", "stream"))
+    assert(terms(SearchDsl.prefixExpand(v, "sc")) == Set("scan"))
+    assert(terms(SearchDsl.prefixExpand(v, "zzz")).isEmpty)
+    intercept[IllegalArgumentException] { SearchDsl.prefixExpand(v, "") }
+    // * = any run (incl. empty), ? = exactly one char.
+    assert(terms(SearchDsl.wildcardExpand(v, "s?a*")) == Set("scan", "small", "spark"))
+    assert(terms(SearchDsl.wildcardExpand(v, "a?b")) == Set("a_b", "axb"))
+    assert(terms(SearchDsl.wildcardExpand(v, "a*b")) == Set("a_b", "axb", "ab"))
+    // SQL metacharacters in the pattern are LITERALS, not wildcards.
+    assert(terms(SearchDsl.wildcardExpand(v, "a_b")) == Set("a_b"))
+    assert(terms(SearchDsl.wildcardExpand(v, "a%b")).isEmpty)
+    intercept[IllegalArgumentException] { SearchDsl.wildcardExpand(v, "") }
+  }
+
+  test("searchAfter pages reconstruct the full ranking with tie-safe cursors") {
+    import spark.implicits._
+    // Heavy score ties so the doc_id tie-break carries page boundaries.
+    val scored = (1L to 23L).map(i => (i, (i % 4).toDouble))
+      .toDF("doc_id", "score")
+    val fullOrder = scored.orderBy(col("score").desc, col("doc_id"))
+      .as[(Long, Double)].collect().toSeq
+    // Page through with k = 5 exactly as a client would.
+    var pages = Seq(scored.orderBy(col("score").desc, col("doc_id")).limit(5)
+      .as[(Long, Double)].collect().toSeq)
+    var cursor = pages.last.last
+    var done = false
+    while (!done) {
+      val next = SearchDsl.searchAfter(scored, col("score"), cursor._2, cursor._1, 5)
+        .as[(Long, Double)].collect().toSeq
+      if (next.isEmpty) done = true
+      else { pages = pages :+ next; cursor = next.last }
+    }
+    assert(pages.flatten == fullOrder)
+    assert(pages.init.forall(_.size == 5)) // only the last page is short
+    intercept[IllegalArgumentException] {
+      SearchDsl.searchAfter(scored, col("score"), 1.0, 1L, 0)
+    }
+  }
+
+  test("percolate: conjunctive semantics, dup collapse, unmatched terms, epoch-union = batch") {
+    import spark.implicits._
+    val docs = toksDf(Seq(
+      1L -> Seq("spark", "fast", "x"),
+      2L -> Seq("spark", "spark"),      // dup tokens in the DOC collapse too
+      3L -> Seq("fast"),
+      4L -> Seq("a", "b", "c")))
+    val reg = Seq(
+      (10L, Seq("spark", "fast")),      // conjunctive: doc 1 only
+      (11L, Seq("spark", "spark")),     // dup terms collapse: any spark doc
+      (12L, Seq("zzz")),                // vocabulary miss: never matches
+      (13L, Seq("a", "b", "c")),
+      (14L, Seq("fast", "zzz")))        // partial presence is NOT a match
+      .toDF("query_id", "terms")
+    val got = SearchDsl.percolate(docs, reg)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 11L), (4L, 13L)))
+    // Stateless per doc: percolating two delivered epochs separately
+    // and unioning equals percolating the closed corpus (the
+    // alert-on-ingest contract).
+    val e1 = toksDf(Seq(1L -> Seq("spark", "fast", "x"), 3L -> Seq("fast")))
+    val e2 = toksDf(Seq(2L -> Seq("spark", "spark"), 4L -> Seq("a", "b", "c")))
+    val byEpoch = SearchDsl.percolate(e1, reg).as[(Long, Long)].collect().toSet ++
+      SearchDsl.percolate(e2, reg).as[(Long, Long)].collect().toSet
+    assert(byEpoch == got)
+  }
+
+  test("termsFacet aggregates the hit set by a doc attribute") {
+    import spark.implicits._
+    val hits = Seq(1L, 2L, 4L).toDF("doc_id")
+    val meta = Seq((1L, "s1", 10L), (2L, "s1", 30L), (3L, "s1", 99L), (4L, "s2", 5L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = SearchDsl.termsFacet(hits, meta, "source",
+        Seq(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")))
+      .as[(String, Long, Long)].collect().toSet
+    // doc 3 never hit: its chars don't leak into the s1 bucket.
+    assert(got == Set(("s1", 2L, 40L), ("s2", 1L, 5L)))
+    intercept[IllegalArgumentException] {
+      SearchDsl.termsFacet(hits, meta, "source", Seq.empty)
+    }
+  }
 }
