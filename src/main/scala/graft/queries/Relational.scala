@@ -866,6 +866,89 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  val q113_pivot: QueryDef = q(
+    "q113_pivot",
+    """SELECT CAST(ts AS DATE) AS day,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  ) { (s, dir) =>
+    // PIVOT: the wide per-day event-type count matrix (the report shape
+    // BI layers ask of an event stream). The explicit value list
+    // matters twice: it fixes the output schema without the extra
+    // distinct-values job Spark otherwise runs, and it makes the plan
+    // ONE hash-agg over day with five conditional counts — no shuffle
+    // per column, no transpose. Absent (day, type) cells are 0, as the
+    // oracle's FILTER counts produce.
+    t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+  }
+
+  val q114_unpivot: QueryDef = q(
+    "q114_unpivot",
+    """WITH p AS (SELECT CAST(ts AS DATE) AS day,
+      |      count(*) FILTER (WHERE event_type = 'click') AS click,
+      |      count(*) FILTER (WHERE event_type = 'error') AS error,
+      |      count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |      count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |      count(*) FILTER (WHERE event_type = 'view') AS view
+      |    FROM events GROUP BY 1)
+      |SELECT day, event_type, n FROM (
+      |  SELECT day, 'click' AS event_type, click AS n FROM p
+      |  UNION ALL SELECT day, 'error', error FROM p
+      |  UNION ALL SELECT day, 'purchase', purchase FROM p
+      |  UNION ALL SELECT day, 'signup', signup FROM p
+      |  UNION ALL SELECT day, 'view', view FROM p)
+      |ORDER BY day, event_type""".stripMargin
+  ) { (s, dir) =>
+    // UNPIVOT (melt): the wide matrix back to long form — the inverse
+    // reshape, round-tripping q113's pivot. Spark's unpivot is a
+    // NARROW Expand (each input row emits one row per value column,
+    // no shuffle, no join) — the oracle's 5-way UNION ALL re-reads the
+    // CTE five times to say the same thing. Zero cells survive the
+    // round trip explicitly (long form keeps them as n = 0 rows).
+    val p = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    p.unpivot(Array(col("day")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "n")
+      .orderBy("day", "event_type")
+  }
+
+  val q115_corr: QueryDef = q(
+    "q115_corr",
+    """SELECT l_returnflag,
+      |  floor(corr(l_quantity, l_extendedprice) * 100 + 0.5) / 100 AS corr_qp,
+      |  floor(covar_samp(l_quantity, l_extendedprice) * 100 + 0.5) / 100 AS covs_qp,
+      |  floor(covar_pop(l_quantity, l_extendedprice) * 100 + 0.5) / 100 AS covp_qp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    // Bivariate statistics (corr / covar): the q49 family's two-column
+    // siblings. Both engines accumulate one-pass co-moments that merge
+    // across partitions (a mergeable agg — partial before the exchange,
+    // |groups| rows after), so the only cross-engine drift is summation
+    // order in the last ulps; the r2 guard absorbs it as in q49.
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        Par.r2(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        Par.r2(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covs_qp"),
+        Par.r2(covar_pop(col("l_quantity"), col("l_extendedprice"))).as("covp_qp"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_scan, q02_project, q03_filter, q04_filter_in_between, q05_join,
     q06_broadcast_join, q07_multijoin, q08_left_join, q09_semi_join,
@@ -877,5 +960,5 @@ object Relational {
     q52_correlated_subquery, q53_window_extra, q55_strings_extra,
     q56_datetime_extra, q57_cube, q58_limit_offset, q59_range_frame,
     q60_report, q61_part_revenue, q62_supplier_volume, q63_lateral,
-    q64_array_agg)
+    q64_array_agg, q113_pivot, q114_unpivot, q115_corr)
 }
