@@ -58,6 +58,25 @@ object IndexSink {
       key: String = "recordId", k: Int = 8, shards: Int = 4,
       compactEvery: Int = 0)
 
+  /** Per-epoch percolation (alert-on-ingest) for [[start]]: each
+    * delivered epoch's Ok docs are matched against the registered
+    * query table (`queries`: query_id + terms, the
+    * [[graft.operators.SearchDsl.percolate]] contract) and the hits
+    * land as one alert file per epoch under `alertsPath` —
+    * (doc_id, query_id, _epoch) — the OpenSearch percolate-on-ingest /
+    * alerting pattern over the same delivery the reference indexes
+    * continuously. Alerts are a LOG of deliveries, not a resolved
+    * view: a re-delivered doc that still matches alerts again (what a
+    * notification channel wants), and the per-epoch whole-directory
+    * overwrite keyed by epoch id keeps replays idempotent like every
+    * other channel. Percolation is stateless per doc, so no store /
+    * currency machinery is involved — the per-epoch union IS the
+    * batch semantics (`SearchDslSpec` pins the equality), and the
+    * registry broadcasts inside each epoch's one bounded exchange.
+    */
+  final case class PercolatorSpec(queries: DataFrame, alertsPath: String,
+      field: String, key: String = "recordId")
+
   /** Start the index-delivery query: decode → route → append Ok payloads
     * to `indexPath` (parquet, `shards`-way), with the raw-backup channel
     * written alongside (reference backs up ALL documents on the oss
@@ -82,6 +101,10 @@ object IndexSink {
     * `spanState` is the third maintained artifact, same rules: each
     * epoch's gram-state delta lands in the named [[LiveSpanDedup]]
     * store, so cross-epoch duplicated spans are live-queryable.
+    * `percolator` is the outbound twin of those inbound artifacts:
+    * instead of maintaining state for future queries, it runs the
+    * REGISTERED queries against each epoch as it lands and logs the
+    * hits per epoch ([[PercolatorSpec]]).
     */
   def start(
       envelope: DataFrame,
@@ -94,7 +117,8 @@ object IndexSink {
       trigger: Trigger = Trigger.AvailableNow(),
       enrich: DataFrame => DataFrame = identity,
       textIndex: Option[LiveIndexSpec] = None,
-      spanState: Option[LiveSpanSpec] = None): StreamingQuery =
+      spanState: Option[LiveSpanSpec] = None,
+      percolator: Option[PercolatorSpec] = None): StreamingQuery =
     envelope.writeStream
       .queryName("graft-index-delivery")
       .trigger(trigger)
@@ -117,7 +141,7 @@ object IndexSink {
             .withColumn("_epoch", lit(epochId))
             .repartition(shards)
             .write.mode("overwrite").parquet(s"$indexPath/epoch=$epochId")
-          if (textIndex.nonEmpty || spanState.nonEmpty) {
+          if (textIndex.nonEmpty || spanState.nonEmpty || percolator.nonEmpty) {
             import graft.functions.TextFunctions.tokens
             // Tokenize the epoch parquet JUST WRITTEN, not the lazy
             // `ok` plan: one decode+transform+enrich evaluation per
@@ -125,19 +149,19 @@ object IndexSink {
             // never disagree with the index content (e.g. under a
             // non-deterministic enrich) — the LiveSpanDedup
             // read-back-what-you-wrote rule. One (doc_id, toks) frame
-            // per DISTINCT (key, field) pair, persisted when two hooks
-            // share it, so the common both-hooks configuration pays
-            // one scan + tokenize per epoch, not two.
-            val wanted = (textIndex.map(s => (s.key, s.field)).toSeq ++
-              spanState.map(s => (s.key, s.field)).toSeq).distinct
-            val toksFor = wanted.map { case (key, field) =>
+            // per DISTINCT (key, field) pair, persisted when several
+            // hooks share it, so a multi-hook configuration pays one
+            // scan + tokenize per epoch, not one per hook.
+            val pairs = textIndex.map(s => (s.key, s.field)).toSeq ++
+              spanState.map(s => (s.key, s.field)).toSeq ++
+              percolator.map(s => (s.key, s.field)).toSeq
+            val wanted = pairs.distinct
+            val toksFor = wanted.map { case kf @ (key, field) =>
               val f = src.sparkSession.read
                 .parquet(s"$indexPath/epoch=$epochId")
                 .select(col(key).cast("string").as("doc_id"),
                   tokens(col(field)).as("toks"))
-              (key, field) ->
-                (if (textIndex.nonEmpty && spanState.nonEmpty &&
-                   wanted.size == 1) f.persist() else f)
+              kf -> (if (pairs.count(_ == kf) > 1) f.persist() else f)
             }.toMap
             // Epoch ids from foreachBatch start at 0, so "every Nth
             // delivery" is (epochId + 1) % N == 0 — the policy fires
@@ -157,6 +181,13 @@ object IndexSink {
                 if (due(spec.compactEvery))
                   LiveSpanDedup.compact(src.sparkSession, spec.root,
                     spec.shards)
+              }
+              percolator.foreach { spec =>
+                graft.operators.SearchDsl
+                  .percolate(toksFor((spec.key, spec.field)), spec.queries)
+                  .withColumn("_epoch", lit(epochId))
+                  .write.mode("overwrite")
+                  .parquet(s"${spec.alertsPath}/epoch=$epochId")
               }
             } finally toksFor.values.foreach(_.unpersist())
           }

@@ -698,6 +698,69 @@ class StreamingTwinSpec extends SparkSpec {
       "compactEvery=2 should have folded the stores on the second epoch")
   }
 
+  test("delivery sink percolator hook: per-epoch alerts through IndexSink.start " +
+      "equal batch percolation, and a re-delivered match alerts again") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.functions.TextFunctions.tokens
+    import graft.streaming.IndexSink
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink-perc").toString
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("body", StringType)))
+    val registry = Seq(
+      (10L, Seq("alpha", "beta")),   // conjunctive pair
+      (11L, Seq("quiet")),           // single rare term
+      (12L, Seq("alpha", "zzz")))    // never satisfiable
+      .toDF("query_id", "terms")
+    val spec = IndexSink.PercolatorSpec(registry, s"$tmp/alerts",
+      field = "body", key = "doc_id")
+
+    def deliver(rows: Seq[(Long, String)], tag: String): Unit = {
+      rows.toDF("doc_id", "body")
+        .select(to_json(struct(col("doc_id"), col("body"))).as("value"))
+        .coalesce(1).write.mode("append").text(s"$tmp/in")
+      val env = spark.readStream
+        .schema(payloadSchema)
+        .json(s"$tmp/in")
+        .select(col("doc_id").cast("string").as("recordId"),
+          lit(0L).as("approximateArrivalTimestamp"),
+          to_json(struct(col("doc_id"), col("body"))).cast("binary").as("data"))
+      val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
+        s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false),
+        percolator = Some(spec))
+      assert(q.awaitTermination(120000), s"delivery $tag timed out")
+    }
+    def alerts(): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$tmp/alerts/*")
+        .select(col("doc_id").cast("long"), col("query_id"), col("_epoch"))
+        .as[(Long, Long, Long)].collect().toSet
+    def batchPerc(rows: Seq[(Long, String)]): Set[(Long, Long)] =
+      graft.operators.SearchDsl.percolate(
+          rows.toDF("doc_id", "body")
+            .select(col("doc_id"), tokens(col("body")).as("toks")), registry)
+        .as[(Long, Long)].collect().toSet
+
+    val epoch1 = Seq(
+      1L -> "alpha beta gamma",     // query 10
+      2L -> "alpha only here")      // no full match
+    deliver(epoch1, "epoch-1")
+    assert(alerts() == batchPerc(epoch1).map { case (d, q) => (d, q, 0L) })
+    // Epoch 2: a new match (doc 3 → query 11) AND doc 1 re-delivered
+    // still matching — the alert LOG fires again for the new delivery,
+    // while each epoch's alert set equals batch percolation of that
+    // epoch alone (stateless per doc).
+    val epoch2 = Seq(
+      1L -> "alpha beta rewritten",
+      3L -> "closes quiet")
+    deliver(epoch2, "epoch-2")
+    val expect = batchPerc(epoch1).map { case (d, q) => (d, q, 0L) } ++
+      batchPerc(epoch2).map { case (d, q) => (d, q, 1L) }
+    assert(alerts() == expect)
+    assert(alerts().contains((1L, 10L, 0L)) && alerts().contains((1L, 10L, 1L)),
+      "a re-delivered matching doc must alert on both deliveries")
+  }
+
   test("IVF search recall vs brute force (nprobe=4 of k=8 cells)") {
     import spark.implicits._
     val emb = queries.Tables.t(spark, sfDir, "embeddings")
