@@ -877,12 +877,14 @@ object Relational {
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   ) { (s, dir) =>
     // PIVOT: the wide per-day event-type count matrix (the report shape
-    // BI layers ask of an event stream). The explicit value list
-    // matters twice: it fixes the output schema without the extra
-    // distinct-values job Spark otherwise runs, and it makes the plan
-    // ONE hash-agg over day with five conditional counts — no shuffle
-    // per column, no transpose. Absent (day, type) cells are 0, as the
-    // oracle's FILTER counts produce.
+    // BI layers ask of an event stream). The explicit value list fixes
+    // the output schema without the extra distinct-values job Spark
+    // otherwise runs. Spark plans pivot as a two-step agg chain —
+    // (day, type) counts, then pivotfirst over day — and map-side
+    // combine bounds BOTH exchanges by distinct group counts, never
+    // event count; no join, no transpose (ExplainSpec pins the shape).
+    // Absent (day, type) cells are 0, as the oracle's FILTER counts
+    // produce.
     t(s, dir, "events")
       .select(to_date(col("ts")).as("day"), col("event_type"))
       .groupBy("day")

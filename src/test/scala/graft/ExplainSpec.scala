@@ -226,4 +226,36 @@ class ExplainSpec extends SparkSpec {
     // single-partition trap.
     assert(!p.contains("No Partition Defined"), p)
   }
+
+  test("q113/q114: pivot is ONE two-phase agg, unpivot a narrow Expand — no join") {
+    val p = plan("q113_pivot")
+    // Spark rewrites pivot to a two-step agg chain — (day, type) counts,
+    // then pivotfirst over day. Both exchanges are bounded by DISTINCT
+    // group counts after map-side combine (never event-sized), and the
+    // explicit value list avoids the extra distinct-values job; what
+    // must never appear is a per-column join or transpose.
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert("hashpartitioning".r.findAllIn(p).size == 2, p)
+    val u = plan("q114_unpivot")
+    assert(u.contains("Expand"), u)
+    assert(!u.contains("Join"), u)
+  }
+
+  test("q111: percolate broadcasts the query registry — no corpus-side merge join") {
+    val p = plan("q111_percolate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q110: search_after page is TakeOrderedAndProject (no offset materialization)") {
+    val p = plan("q110_search_after")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q108: prefix expansion joins the postings via broadcast") {
+    val p = plan("q108_prefix_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
