@@ -226,6 +226,99 @@ object SearchDsl {
       .select(col("doc_id"), col("query_id"))
   }
 
+  /** One search request — the full query-DSL surface as a single value,
+    * what a search sink's request body carries. Clause semantics follow
+    * the engine's oracle-gated operators:
+    *
+    *  - `must`: analyzed match terms, BM25-scored ([[Retrieval.bm25]]);
+    *    `matchAll = true` demands every term (AND via n_terms, q104's
+    *    shape), else any term matches (OR, q85's);
+    *  - `phrase`: a `match_phrase` clause the doc must also contain
+    *    ([[phraseMatch]]) — non-scoring here (a pure constraint);
+    *  - `mustNot`: docs containing ANY of these terms are excluded;
+    *  - `filter`: a non-scoring predicate over the attribute table
+    *    (never affects BM25, as in Lucene);
+    *  - `size` / `after`: page size and the optional keyset cursor
+    *    ([[searchAfter]]);
+    *  - `highlight`: attach the first-occurrence snippet for a term
+    *    ([[highlight]]); hits without the term keep a null snippet;
+    *  - `facet`: a `terms` aggregation field over the FULL hit set
+    *    (not the page — OpenSearch aggs run pre-pagination).
+    */
+  final case class SearchRequest(
+      must: Seq[String],
+      matchAll: Boolean = false,
+      phrase: Seq[String] = Nil,
+      mustNot: Seq[String] = Nil,
+      filter: Option[Column] = None,
+      size: Int = 10,
+      after: Option[(Double, Long)] = None,
+      highlight: Option[String] = None,
+      facet: Option[String] = None)
+
+  /** A request's results: the ranked page (`doc_id`, rounded `score`,
+    * `rank`, and `snippet` when highlighting) and, when requested, the
+    * facet table over the full hit set.
+    */
+  final case class SearchResponse(hits: DataFrame, facets: Option[DataFrame])
+
+  /** Execute a [[SearchRequest]] — the single entry point composing the
+    * oracle-gated clause operators into one response, the way a search
+    * sink's query endpoint does. `toks` is the tokenized corpus (or a
+    * live `LiveTextIndex`-backed view of it), `meta` the doc-keyed
+    * attribute table for `filter`/`facet`.
+    *
+    * Plan shape: BM25's one corpus shuffle bounds everything — every
+    * later clause either filters that hit set scan-side (mustNot rides
+    * the tokenized frame, filter/facet join doc-keyed) or joins a
+    * clause-bounded frame (the phrase terms' postings). Pagination is
+    * TakeOrderedAndProject; the facet groupBy exchanges only hit rows.
+    * Nothing downstream of the match re-scans the corpus.
+    */
+  def search(toks: DataFrame, meta: DataFrame, req: SearchRequest): SearchResponse = {
+    require(req.must.nonEmpty, "a search request needs at least one must term")
+    require(req.size > 0, s"size must be positive, got ${req.size}")
+    val spark = toks.sparkSession
+    // Round-half-up-to-2-decimals in explicit IEEE ops (graft.queries.Par
+    // spells out why this beats round(x, 2) for engine parity): the
+    // cursor contract needs scores a CLIENT holds to compare exactly.
+    def r2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
+    var hits = Retrieval.bm25(spark, toks, req.must)
+    if (req.matchAll) hits = hits.filter(col("n_terms") === req.must.distinct.size)
+    if (req.phrase.nonEmpty)
+      hits = hits.join(
+        phraseMatch(positionalPostings(toks), req.phrase).select(col("doc_id")),
+        "doc_id")
+    if (req.mustNot.nonEmpty) {
+      val banned = array(req.mustNot.map(lit): _*)
+      hits = hits.join(
+        toks.filter(!arrays_overlap(col("toks"), banned)).select(col("doc_id")),
+        "doc_id")
+    }
+    req.filter.foreach { pred =>
+      hits = hits.join(meta.filter(pred).select(col("doc_id")), "doc_id")
+    }
+    val scored = hits.select(col("doc_id"), r2(col("score")).as("score"))
+    val facets = req.facet.map { field =>
+      termsFacet(scored.select(col("doc_id")), meta, field,
+        Seq(count(lit(1)).as("n_docs")))
+    }
+    val page = req.after match {
+      case Some((s, d)) => searchAfter(scored, col("score"), s, d, req.size)
+      case None => scored.orderBy(col("score").desc, col("doc_id")).limit(req.size)
+    }
+    val ranked = page.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
+    val out = req.highlight match {
+      case Some(term) =>
+        ranked.join(highlight(toks, term).select(col("doc_id"), col("snippet")),
+          Seq("doc_id"), "left")
+      case None => ranked
+    }
+    SearchResponse(out.orderBy("rank"), facets)
+  }
+
   /** `terms` facet (the OpenSearch aggregation served next to every
     * search page): bucket the HITS of a query by a document attribute
     * and aggregate per bucket. `hits` is whatever the retrieval stage

@@ -2638,6 +2638,57 @@ object TrainingData {
       .orderBy("term")
   }
 
+  // ------------------------------------------ q116: one search request
+
+  val q116_search_request: QueryDef = q(
+    "q116_search_request",
+    s"""WITH $docTokSql,
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |      CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |    FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+       |    WHERE term IN ('data', 'spark') GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+       |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+       |    FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY doc_id),
+       |hits AS (SELECT s.doc_id, s.score FROM sc s
+       |    JOIN documents d ON s.doc_id = d.doc_id
+       |    JOIN tok tk ON tk.doc_id = s.doc_id
+       |    WHERE d.lang = 'en' AND NOT list_contains(tk.toks, 'slow')),
+       |ranked AS (SELECT doc_id, floor(score * 100 + 0.5) / 100 AS score,
+       |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |    FROM hits),
+       |hl AS (SELECT doc_id, array_to_string(list_transform(
+       |      toks[greatest(p - 2, 1):least(p + 2, len(toks))],
+       |      x -> CASE WHEN x = 'spark' THEN '<em>' || x || '</em>' ELSE x END),
+       |      ' ') AS snippet
+       |    FROM (SELECT doc_id, toks, list_position(toks, 'spark') AS p FROM tok)
+       |    WHERE p > 0)
+       |SELECT r.doc_id, r.score, CAST(rnk AS BIGINT) AS rank, hl.snippet
+       |FROM ranked r LEFT JOIN hl ON r.doc_id = hl.doc_id
+       |WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // One FULL search request through the single entry point
+    // (operators/SearchDsl.search) — the capstone over the
+    // clause-level keys: must = match "data" OR "spark" (BM25),
+    // must_not = "slow", filter = lang 'en' (non-scoring), size 10,
+    // highlight = "spark" (hits matching only "data" keep a null
+    // snippet — LEFT join semantics, both engines). Scale shape is the
+    // composition's: bm25's one corpus shuffle bounds the hit set,
+    // every clause filters it scan-side or joins doc-keyed, the page
+    // is TakeOrderedAndProject, and the highlighter is a narrow
+    // map over the paged rows' source docs.
+    val resp = graft.operators.SearchDsl.search(
+      tokenized(s, dir), t(s, dir, "documents"),
+      graft.operators.SearchDsl.SearchRequest(
+        must = Seq("data", "spark"), mustNot = Seq("slow"),
+        filter = Some(col("lang") === "en"), size = 10,
+        highlight = Some("spark")))
+    resp.hits.select(col("doc_id"), col("score"), col("rank"), col("snippet"))
+      .orderBy("rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -2655,5 +2706,5 @@ object TrainingData {
     q100_opq_learned_recall, q101_image_decode, q102_phrase_match,
     q103_fuzzy_match, q104_bool_search, q105_more_like_this,
     q106_nb_quality, q107_highlight, q108_prefix_search, q109_facets,
-    q110_search_after, q111_percolate, q112_wildcard)
+    q110_search_after, q111_percolate, q112_wildcard, q116_search_request)
 }

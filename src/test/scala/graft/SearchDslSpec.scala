@@ -317,6 +317,62 @@ class SearchDslSpec extends SparkSpec {
     assert(byEpoch == got)
   }
 
+  test("search executes a full request: clauses compose, facets are pre-pagination, " +
+      "cursor pages continue the ranking") {
+    import spark.implicits._
+    val toks = toksDf(Seq(
+      1L -> Seq("data", "spark", "x"),
+      2L -> Seq("data", "data", "spark"),
+      3L -> Seq("spark", "bad"),          // mustNot casualty
+      4L -> Seq("data"),
+      5L -> Seq("data", "spark", "fast"),
+      6L -> Seq("spark"),
+      7L -> Seq("data", "spark", "y"),
+      8L -> Seq("zzz")))                  // never matches
+    val meta = Seq(
+      (1L, "en", "s1"), (2L, "en", "s1"), (3L, "en", "s2"), (4L, "fr", "s2"),
+      (5L, "en", "s2"), (6L, "en", "s3"), (7L, "en", "s3"), (8L, "en", "s3"))
+      .toDF("doc_id", "lang", "source")
+    val req = SearchDsl.SearchRequest(
+      must = Seq("data", "spark"), mustNot = Seq("bad"),
+      filter = Some(col("lang") === "en"), size = 3,
+      highlight = Some("spark"), facet = Some("source"))
+    val resp = SearchDsl.search(toks, meta, req)
+    val hits = resp.hits.select("doc_id", "score", "rank")
+      .as[(Long, Double, Long)].collect().toSeq
+    // Manual composition of the same clauses (each independently
+    // oracle-gated; here we pin the WIRING).
+    val manual = Retrieval.bm25(spark, toks, Seq("data", "spark"))
+      .join(toks.filter(!array_contains(col("toks"), "bad")).select("doc_id"), "doc_id")
+      .join(meta.filter(col("lang") === "en").select("doc_id"), "doc_id")
+      .select(col("doc_id"), (floor(col("score") * 100 + 0.5) / 100).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .as[(Long, Double)].collect().toSeq
+    assert(hits.map(h => (h._1, h._2)) == manual.take(3))
+    assert(hits.map(_._3) == Seq(1L, 2L, 3L))
+    // Docs 3 (mustNot), 4 (filter), 8 (no match) are out everywhere.
+    assert(!manual.map(_._1).exists(Set(3L, 4L, 8L)))
+    // The snippet attaches where the term occurs (all these hits have "spark").
+    val snips = resp.hits.select("doc_id", "snippet").as[(Long, String)].collect().toMap
+    assert(snips.values.forall(_.contains("<em>spark</em>")))
+    // Facets aggregate the FULL hit set (5 docs), not the 3-row page.
+    val facets = resp.facets.get.as[(String, Long)].collect().toMap
+    assert(facets == Map("s1" -> 2L, "s2" -> 1L, "s3" -> 2L))
+    assert(facets.values.sum == manual.size)
+    // Page 2 via the cursor from page 1's last row.
+    val cursor = (hits.last._2, hits.last._1)
+    val page2 = SearchDsl.search(toks, meta,
+        req.copy(after = Some(cursor), highlight = None, facet = None))
+      .hits.select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(hits.map(h => (h._1, h._2)) ++ page2 == manual)
+    // matchAll + phrase constrain the same pipeline.
+    val strict = SearchDsl.search(toks, meta,
+      SearchDsl.SearchRequest(must = Seq("data", "spark"), matchAll = true,
+        phrase = Seq("data", "spark")))
+    val strictIds = strict.hits.select("doc_id").as[Long].collect().toSet
+    assert(strictIds == Set(1L, 2L, 5L, 7L)) // doc 4/6: one term; 3: no "data spark" adjacency
+  }
+
   test("termsFacet aggregates the hit set by a doc attribute") {
     import spark.implicits._
     val hits = Seq(1L, 2L, 4L).toDF("doc_id")
