@@ -2689,6 +2689,47 @@ object TrainingData {
       .orderBy("rank")
   }
 
+  // ------------------------------------------ q117: source overlap matrix
+
+  val q117_source_overlap: QueryDef = q(
+    "q117_source_overlap",
+    s"""WITH $shinglesSql,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT id1, id2,
+       |      CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |    FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+       |    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8)
+       |SELECT least(da.source, db.source) AS src_a,
+       |  greatest(da.source, db.source) AS src_b,
+       |  count(*) AS n_pairs,
+       |  floor(avg(jaccard) * 100 + 0.5) / 100 AS avg_jaccard
+       |FROM pairs JOIN documents da ON id1 = da.doc_id
+       |JOIN documents db ON id2 = db.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    // Cross-source duplication matrix — the dataset-report diagnostic
+    // behind mixture decisions ("which sources copy each other"):
+    // q32's exact near-dup pairs attributed to their docs' sources,
+    // the pair canonicalized with least/greatest so the matrix is
+    // one triangle regardless of which doc got the smaller id. Scale
+    // shape: the pair set is the subquadratic prefix-filtered join's
+    // output (tiny next to the corpus); the two source lookups are
+    // doc-keyed broadcastable joins; the matrix groupBy exchanges
+    // |pairs| rows into ≤ |sources|² groups.
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    jaccardPairs(s, dir)
+      .join(d.select(col("doc_id").as("id1"), col("source").as("sa")), "id1")
+      .join(d.select(col("doc_id").as("id2"), col("source").as("sb")), "id2")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jaccard"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"), Par.r2(avg(col("jaccard"))).as("avg_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -2706,5 +2747,5 @@ object TrainingData {
     q100_opq_learned_recall, q101_image_decode, q102_phrase_match,
     q103_fuzzy_match, q104_bool_search, q105_more_like_this,
     q106_nb_quality, q107_highlight, q108_prefix_search, q109_facets,
-    q110_search_after, q111_percolate, q112_wildcard, q116_search_request)
+    q110_search_after, q111_percolate, q112_wildcard, q116_search_request, q117_source_overlap)
 }
