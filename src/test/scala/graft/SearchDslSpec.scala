@@ -373,6 +373,32 @@ class SearchDslSpec extends SparkSpec {
     assert(strictIds == Set(1L, 2L, 5L, 7L)) // doc 4/6: one term; 3: no "data spark" adjacency
   }
 
+  test("percolate agrees with the naive reference on generated corpora/registries") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docGen = Gen.listOfN(12,
+      Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    val regGen = Gen.listOfN(5,
+      Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab :+ "zz"))))
+    (0 until 8).foreach { i =>
+      val params = Gen.Parameters.default
+      val docs = docGen(params, Seed(99L + i)).get
+        .zipWithIndex.map { case (t, id) => id.toLong -> t.toSeq }
+      val reg = regGen(params, Seed(777L + i)).get
+        .zipWithIndex.map { case (t, id) => (id.toLong, t.toSeq) }
+      import spark.implicits._
+      val got = SearchDsl.percolate(toksDf(docs), reg.toDF("query_id", "terms"))
+        .as[(Long, Long)].collect().toSet
+      val want = (for {
+        (d, toks) <- docs
+        (q, terms) <- reg
+        if terms.toSet.subsetOf(toks.toSet) && toks.nonEmpty
+      } yield (d, q)).toSet
+      assert(got == want, s"seed round $i: got $got, want $want")
+    }
+  }
+
   test("termsFacet aggregates the hit set by a doc attribute") {
     import spark.implicits._
     val hits = Seq(1L, 2L, 4L).toDF("doc_id")
