@@ -95,8 +95,35 @@ object TrainingData {
     * Jaccard for the few candidates. Results are identical to the
     * all-shingles join (and the oracle); only the plan changes.
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+  /** Memoized per (dir): q94, q105 and q108 each want the SAME
+    * postings artifact over the same corpus, and `buildTextIndex`
+    * already materializes its frames via localCheckpoint — sharing
+    * keeps ONE resident copy per scale factor instead of one per key
+    * per rep. Counts are exact integers (deterministic), so sharing
+    * changes no result (the model-memo argument).
+    */
+  private def textIndexFor(s: SparkSession, dir: String): graft.operators.Retrieval.TextIndex =
+    memo(s"textindex|$dir|tokens") {
+      graft.operators.Retrieval.buildTextIndex(s, tokenized(s, dir))
+    }
+
+  /** Memoized + materialized per (dir): three registry keys consume
+    * the identical pair set (q32 sorts it, q72 clusters it, q117
+    * attributes it to sources), and the pair VALUES are exact
+    * arithmetic over distinct shingle sets — deterministic, so
+    * sharing changes no result (the model-memo argument; the memo
+    * scaladoc's caveats apply). The localCheckpoint bounds what stays
+    * resident to the tiny pair set, not the lineage's shuffles.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    memo(s"jacpairs|$dir|sh3|t=0.8") {
+      val sh = shingles(s, dir).cache()
+      val out = jaccardPairsFrom(sh).localCheckpoint(true)
+      sh.unpersist() // the checkpoint holds the VALUES; drop the lineage cache
+      out
+    }
+
+  private def jaccardPairsFrom(sh: DataFrame): DataFrame = {
     val sdf = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
     // One doc_id shuffle computes BOTH per-doc windows: |doc| via an
     // unordered count and the frequency rank via row_number share the
@@ -2231,7 +2258,7 @@ object TrainingData {
     // per-query cost proportional to matching postings, not the corpus
     // — the OpenSearch-analogue a query-heavy workload needs, with the
     // index as a reusable artifact instead of a server.
-    val index = graft.operators.Retrieval.buildTextIndex(s, tokenized(s, dir))
+    val index = textIndexFor(s, dir)
     val scored = graft.operators.Retrieval.bm25FromIndex(s, index, bm25Terms)
     rankedTopByScore(scored, 10, Seq("doc_id"))
       .select(col("doc_id"), Par.r2(col("score")).as("score"),
@@ -2412,7 +2439,7 @@ object TrainingData {
     // one-doc filter, driver-bounded like IVF centroids); the match
     // is bm25FromIndex — per-query cost proportional to the selected
     // terms' postings, never a corpus re-scan.
-    val idx = graft.operators.Retrieval.buildTextIndex(s, tokenized(s, dir))
+    val idx = textIndexFor(s, dir)
     val terms = graft.operators.SearchDsl.mltTerms(idx, probeId = 0L, maxQueryTerms = 3)
     val scored = graft.operators.Retrieval.bm25FromIndex(s, idx, terms)
       .filter(col("doc_id") =!= 0L)
@@ -2507,7 +2534,7 @@ object TrainingData {
     // term-sorted dictionary); the postings join is bounded by the
     // expanded terms' postings, never a corpus re-scan; the expansion
     // frame broadcasts.
-    val idx = graft.operators.Retrieval.buildTextIndex(s, tokenized(s, dir))
+    val idx = textIndexFor(s, dir)
     val terms = graft.operators.SearchDsl.prefixExpand(idx.df, "s").select(col("term"))
     idx.postings.join(broadcast(terms), "term")
       .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
