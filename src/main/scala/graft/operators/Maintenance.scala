@@ -53,6 +53,57 @@ object Maintenance {
     total - kept
   }
 
+  /** Upsert `updates` into a parquet table directory by `key` — the
+    * batch form of the OpenSearch index-by-_id the delivery sink does
+    * continuously (a re-delivered id REPLACES the stored doc;
+    * `IndexSink.registerLatestView` resolves the same way per epoch).
+    * Existing rows whose key appears in `updates` are dropped, the
+    * update rows appended; rows with new keys insert. The rewrite
+    * rides [[deleteWhere]]'s machinery: same `.rewrite.tmp`/`.old`
+    * atomic swap, same crash self-healing, so a died upsert is always
+    * re-runnable and readers never see a half state.
+    *
+    * `updates` must be one row per key (the caller's resolution
+    * policy, applied BEFORE the upsert — enforced here, because a
+    * duplicate-key update would silently store both rows and poison
+    * every later latest-per-key read). Scale shape: one anti-join of
+    * the table against the (typically broadcastable) update keys plus
+    * the rewrite; plain parquet has no row-level MERGE, so the
+    * rewrite cost is the whole table — the documented trade vs the
+    * epoch-store path (which this op complements for out-of-band
+    * corrections, not per-epoch delivery).
+    * @return (updated, inserted) row counts
+    */
+  def upsertByKey(spark: SparkSession, path: String,
+      updates: org.apache.spark.sql.DataFrame, key: String): (Long, Long) = {
+    val p = Paths.get(path)
+    val old = Paths.get(path.stripSuffix("/") + ".old")
+    val tmpPath = Paths.get(path.stripSuffix("/") + ".rewrite.tmp")
+    if (!Files.exists(p) && Files.exists(old))
+      Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+    deleteRecursively(tmpPath)
+
+    val up = updates.cache()
+    try {
+      val nUpdates = up.count()
+      require(up.select(key).distinct().count() == nUpdates,
+        s"updates carry duplicate '$key' values — resolve to one row per key first")
+      val df = spark.read.parquet(path)
+      val total = df.count()
+      val keep = df.join(up.select(col(key)), Seq(key), "left_anti")
+      keep.select(df.columns.map(col): _*)
+        .unionByName(up.select(df.columns.map(col): _*))
+        .write.mode("overwrite").parquet(tmpPath.toString)
+      val keptRows = spark.read.parquet(tmpPath.toString).count() - nUpdates
+      val updated = total - keptRows // rows whose key an update replaced
+      Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmpPath, p, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(old)
+      (updated, nUpdates - updated)
+    } finally up.unpersist()
+  }
+
   /** A16: register a sharded table in the session catalog. */
   def createIndex(spark: SparkSession, name: String,
       source: org.apache.spark.sql.DataFrame, shards: Int): Unit =

@@ -110,6 +110,39 @@ class SourcesSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$tmp/t.rewrite.tmp")))
   }
 
+  test("maintenance: upsertByKey replaces by id, inserts new keys, heals crashes, " +
+      "rejects duplicate-key updates") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-maint-upsert").toString
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "name", "v").write.mode("overwrite").parquet(s"$tmp/t")
+    // Replace id 2, insert id 9; column order of updates differs from
+    // the table's (unionByName contract).
+    val up = Seq(("B2", 2L, 22), ("Z", 9L, 99)).toDF("name", "id", "v")
+    val (updated, inserted) = Maintenance.upsertByKey(spark, s"$tmp/t", up, "id")
+    assert((updated, inserted) == (1L, 1L))
+    val got = spark.read.parquet(s"$tmp/t").as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10), (2L, "B2", 22), (3L, "c", 30), (9L, "Z", 99)))
+    // Crash state: table parked in .old + a stale tmp — same healing
+    // contract as deleteWhere.
+    Files.move(Paths.get(s"$tmp/t"), Paths.get(s"$tmp/t.old"))
+    spark.range(5).write.mode("overwrite").parquet(s"$tmp/t.rewrite.tmp")
+    val (u2, i2) = Maintenance.upsertByKey(spark, s"$tmp/t",
+      Seq((9L, "Z9", 100)).toDF("id", "name", "v"), "id")
+    assert((u2, i2) == (1L, 0L))
+    assert(spark.read.parquet(s"$tmp/t").count() == 4)
+    assert(!Files.exists(Paths.get(s"$tmp/t.old")))
+    assert(!Files.exists(Paths.get(s"$tmp/t.rewrite.tmp")))
+    // Duplicate keys in the update frame are a caller bug — refused
+    // loudly, table untouched.
+    intercept[IllegalArgumentException] {
+      Maintenance.upsertByKey(spark, s"$tmp/t",
+        Seq((5L, "x", 1), (5L, "y", 2)).toDF("id", "name", "v"), "id")
+    }
+    assert(spark.read.parquet(s"$tmp/t").count() == 4)
+  }
+
   test("dot_f is SQL-callable after extension registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
