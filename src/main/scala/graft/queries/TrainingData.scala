@@ -2716,6 +2716,79 @@ object TrainingData {
       .orderBy("rank")
   }
 
+  // ------------------------------------------ q118/q119: recall ladder tail
+
+  val q118_lsh_recall: QueryDef = q(
+    "q118_lsh_recall",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |b AS (SELECT vec_id, embedding,
+       |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |        ${(0 until 8).map(lshBitSql).mkString(" || ")} AS bucket
+       |      FROM embeddings),
+       |pairs AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |        CASE WHEN p.nrm = 0 OR e.nrm = 0 THEN -1.0
+       |             ELSE list_sum(list_transform(range(1, len(p.embedding) + 1),
+       |               i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) / (p.nrm * e.nrm)
+       |        END AS cos
+       |      FROM b p JOIN b e ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
+       |      WHERE p.vec_id < 5),
+       |ranked AS (SELECT probe_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |      FROM pairs),
+       |$recallTailSql""".stripMargin
+  ) { (s, dir) =>
+    // Recall@5 of the hyperplane-LSH search (q69's exact
+    // configuration) against exhaustive search — the rung q83/q96–q98
+    // give every other ANN family, closing the ladder: LSH recall is
+    // the most volatile of the five (a probe whose true neighbors
+    // land across the hyperplane simply never sees them — candidates
+    // come ONLY from the probe's bucket), which is exactly why it
+    // must be measured per corpus before choosing nPlanes. Both top-5
+    // sets are hash-proven by their own entries (q69/q33); recall is
+    // an exact integer division.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val withB = graft.operators.Similarity.hyperplaneLsh(emb, 8)
+    val qtop = graft.operators.Similarity
+      .lshSearch(s, withB, emb.filter(col("vec_id") < 5), nPlanes = 8, k = 5)
+      .select(col("probe_id"), col("neighbor_id"))
+    recallVsExhaustive(s, dir, qtop)
+  }
+
+  val q119_int8_recall: QueryDef = q(
+    "q119_int8_recall",
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+       |      FROM embeddings),
+       |qz AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CASE WHEN mx = 0 THEN 0
+       |      ELSE CAST(least(127, greatest(-127, floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5))) AS BIGINT) END) AS codes
+       |  FROM v),
+       |n AS (SELECT vec_id, codes, list_sum(list_transform(codes, c -> c * c)) AS nsq FROM qz),
+       |pairs AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |    CASE WHEN p.nsq = 0 OR e.nsq = 0 THEN -1.0
+       |         ELSE CAST(list_sum(list_transform(range(1, len(p.codes) + 1), i -> p.codes[i] * e.codes[i])) AS DOUBLE)
+       |              / (sqrt(CAST(p.nsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE))) END AS qcos
+       |  FROM n p JOIN n e ON e.vec_id <> p.vec_id WHERE p.vec_id < 5),
+       |ranked AS (SELECT probe_id, neighbor_id, qcos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY qcos DESC, neighbor_id) AS rnk FROM pairs),
+       |$recallTailSql""".stripMargin
+  ) { (s, dir) =>
+    // Recall@5 of int8 scalar quantization (q74's exact configuration)
+    // against float exhaustive search — what the 4x memory saving
+    // costs in ranking fidelity. Unlike the PQ rungs there is no
+    // trained codebook: the only loss is per-dimension rounding, so
+    // this rung isolates PRECISION loss from codebook loss (comparing
+    // q119 to q96 at equal bytes tells a user which quantizer to
+    // deploy). Integer-exact scoring on the quantized side; exact
+    // integer division for recall.
+    val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+      graft.operators.Quantize.int8Codes(col("embedding")).as("codes"))
+    val qtop = graft.operators.Quantize
+      .topKQuantized(emb, emb.filter(col("id") < 5), 5)
+      .select(col("probe_id"), col("neighbor_id"))
+    recallVsExhaustive(s, dir, qtop)
+  }
+
   // ------------------------------------------ q117: source overlap matrix
 
   val q117_source_overlap: QueryDef = q(
@@ -2774,5 +2847,6 @@ object TrainingData {
     q100_opq_learned_recall, q101_image_decode, q102_phrase_match,
     q103_fuzzy_match, q104_bool_search, q105_more_like_this,
     q106_nb_quality, q107_highlight, q108_prefix_search, q109_facets,
-    q110_search_after, q111_percolate, q112_wildcard, q116_search_request, q117_source_overlap)
+    q110_search_after, q111_percolate, q112_wildcard, q116_search_request, q117_source_overlap,
+    q118_lsh_recall, q119_int8_recall)
 }
