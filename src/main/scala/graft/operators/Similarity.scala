@@ -245,13 +245,21 @@ object Similarity {
     val width = if (dim > 0) dim
       else Option(embeddings.agg(max(size(col("embedding")))).head().get(0))
         .map(_.asInstanceOf[Int]).getOrElse(0)
+    embeddings.withColumn("bucket", bucketExpr(nPlanes, width, table = 0))
+  }
+
+  /** The signature expression for one LSH table: table `t`'s planes are
+    * the global plane indices t·nPlanes … t·nPlanes + nPlanes − 1, so
+    * table 0 IS the single-table [[hyperplaneLsh]] family (bit-stable
+    * with every persisted bucket) and further tables draw fresh,
+    * deterministic planes from the same md5 stream.
+    */
+  private def bucketExpr(nPlanes: Int, width: Int, table: Int): org.apache.spark.sql.Column = {
     val sigBits = (0 until nPlanes).map { p =>
-      val plane = typedLit((0 until width).map(d => planeWeight(p, d)))
-      val proj = dot(col("embedding"), plane)
-      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+      val plane = typedLit((0 until width).map(d => planeWeight(table * nPlanes + p, d)))
+      when(dot(col("embedding"), plane) >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
-    embeddings.withColumn("bucket",
-      if (sigBits.isEmpty) lit("") else concat(sigBits: _*))
+    if (sigBits.isEmpty) lit("") else concat(sigBits: _*)
   }
 
   /** ANN top-k over an LSH-BUCKETED corpus: candidates come only from
@@ -284,6 +292,55 @@ object Similarity {
     val scored = corpus.join(broadcast(p), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosSafe(dot(col("pe"), col("embedding")), col("pn"), col("nrm")).as("cos"))
+    topKByScore(scored, "cos", k)
+  }
+
+  /** Multi-table LSH ANN — the standard OR-amplification of
+    * [[lshSearch]]: `tables` independent plane families each bucket
+    * the corpus, a candidate is anyone sharing ANY table's bucket with
+    * the probe, and the union is exact-scored + ranked. One table with
+    * long signatures has collapsing recall when true neighbors land
+    * across a hyperplane (q118 MEASURES 0.0 at 8 planes on the test
+    * corpus); shorter signatures × more tables trade a bounded extra
+    * candidate fraction for recovered recall (q121: 0.52 at 4×4).
+    * Tuning rule: P(candidate) = 1 − (1 − p₁^nPlanes)^tables with
+    * p₁ = 1 − θ/π — pick nPlanes for per-table selectivity, tables
+    * for recall.
+    *
+    * Scale shape: ONE corpus pass computes every table's signature
+    * (all narrow expressions) and posexplode stacks them — corpus ×
+    * tables rows into a (table, bucket)-keyed join against the
+    * broadcast probe signatures; the distinct collapses duplicate
+    * pairs BEFORE scoring (a pair found by 3 tables scores once); the
+    * scoring join is candidate-bounded, never corpus-sized.
+    */
+  def lshSearchMulti(spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, probes: DataFrame, nPlanes: Int, tables: Int,
+      k: Int, dim: Int = 0): DataFrame = {
+    require(tables > 0, s"tables must be positive, got $tables")
+    require(k > 0, s"top-k must be positive, got $k")
+    val width = if (dim > 0) dim
+      else Option(embeddings.agg(max(size(col("embedding")))).head().get(0))
+        .map(_.asInstanceOf[Int]).getOrElse(0)
+    def stacked(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol),
+        posexplode(array((0 until tables).map(t => bucketExpr(nPlanes, width, t)): _*))
+          .as(Seq("t", "bucket")))
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val p = probes.select(col("vec_id"), col("embedding"))
+    val cand = stacked(corpus, "neighbor_id")
+      .join(broadcast(stacked(p, "probe_id")), Seq("t", "bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"))
+      .distinct()
+    val pe = p.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+      norm(col("embedding")).as("pn"))
+    val scored = cand
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        norm(col("embedding")).as("nrm")), "neighbor_id")
+      .join(broadcast(pe), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
         cosSafe(dot(col("pe"), col("embedding")), col("pn"), col("nrm")).as("cos"))
     topKByScore(scored, "cos", k)
   }

@@ -2789,6 +2789,84 @@ object TrainingData {
     recallVsExhaustive(s, dir, qtop)
   }
 
+  // ------------------------------ q120/q121: multi-table LSH + its recall
+
+  /** One LSH table's 4-bit signature (table `t` = global planes
+    * 4t … 4t+3 — Similarity.bucketExpr's indexing).
+    */
+  private def lshTableSql(t: Int): String =
+    (0 until 4).map(p => lshBitSql(4 * t + p)).mkString(" || ")
+
+  private val lshMultiChainSql: String =
+    s"""b AS (SELECT vec_id, embedding,
+       |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |        ${lshTableSql(0)} AS b0, ${lshTableSql(1)} AS b1,
+       |        ${lshTableSql(2)} AS b2, ${lshTableSql(3)} AS b3
+       |      FROM embeddings),
+       |cand AS (SELECT DISTINCT probe_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id FROM b p
+       |      JOIN b e ON p.b0 = e.b0 AND e.vec_id <> p.vec_id WHERE p.vec_id < 5
+       |    UNION ALL SELECT p.vec_id, e.vec_id FROM b p
+       |      JOIN b e ON p.b1 = e.b1 AND e.vec_id <> p.vec_id WHERE p.vec_id < 5
+       |    UNION ALL SELECT p.vec_id, e.vec_id FROM b p
+       |      JOIN b e ON p.b2 = e.b2 AND e.vec_id <> p.vec_id WHERE p.vec_id < 5
+       |    UNION ALL SELECT p.vec_id, e.vec_id FROM b p
+       |      JOIN b e ON p.b3 = e.b3 AND e.vec_id <> p.vec_id WHERE p.vec_id < 5)),
+       |pairs AS (SELECT c.probe_id, c.neighbor_id,
+       |    CASE WHEN pb.nrm = 0 OR eb.nrm = 0 THEN -1.0
+       |         ELSE list_sum(list_transform(range(1, len(pb.embedding) + 1),
+       |           i -> CAST(pb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+       |              / (pb.nrm * eb.nrm) END AS cos
+       |  FROM cand c JOIN b pb ON pb.vec_id = c.probe_id
+       |  JOIN b eb ON eb.vec_id = c.neighbor_id),
+       |ranked AS (SELECT probe_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM pairs)""".stripMargin
+
+  val q120_ann_lsh_multi: QueryDef = q(
+    "q120_ann_lsh_multi",
+    s"""WITH $lshMultiChainSql
+       |SELECT probe_id, neighbor_id, floor(cos * 100 + 0.5) / 100 AS cos_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  ) { (s, dir) =>
+    // Multi-table LSH ANN (operators/Similarity.lshSearchMulti): the
+    // standard OR-amplification — 4 independent 4-plane tables,
+    // candidates = anyone sharing ANY table's bucket, union
+    // exact-scored once. q69's single 8-plane table measures recall
+    // 0.0 on this corpus (q118): true neighbors land across a
+    // hyperplane and are never candidates; shorter signatures × more
+    // tables recover recall (q121) for a bounded extra candidate
+    // fraction. Scale shape: one corpus pass computes all four
+    // signatures (narrow), posexplode stacks them into a (table,
+    // bucket)-keyed join against broadcast probe signatures, distinct
+    // collapses duplicate pairs BEFORE scoring, and the scoring join
+    // is candidate-bounded.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity
+      .lshSearchMulti(s, emb, emb.filter(col("vec_id") < 5),
+        nPlanes = 4, tables = 4, k = 5)
+      .select(col("probe_id"), col("neighbor_id"),
+        Par.r2(col("cos")).as("cos_sim"), col("rnk").cast("bigint").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  val q121_lsh_multi_recall: QueryDef = q(
+    "q121_lsh_multi_recall",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |$lshMultiChainSql,
+       |$recallTailSql""".stripMargin
+  ) { (s, dir) =>
+    // Recall@5 of the 4×4 multi-table search — the measured payoff of
+    // q120's amplification next to q118's single-table 0.0, same
+    // exhaustive ground truth, exact integer division.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val qtop = graft.operators.Similarity
+      .lshSearchMulti(s, emb, emb.filter(col("vec_id") < 5),
+        nPlanes = 4, tables = 4, k = 5)
+      .select(col("probe_id"), col("neighbor_id"))
+    recallVsExhaustive(s, dir, qtop)
+  }
+
   // ------------------------------------------ q117: source overlap matrix
 
   val q117_source_overlap: QueryDef = q(
@@ -2848,5 +2926,5 @@ object TrainingData {
     q103_fuzzy_match, q104_bool_search, q105_more_like_this,
     q106_nb_quality, q107_highlight, q108_prefix_search, q109_facets,
     q110_search_after, q111_percolate, q112_wildcard, q116_search_request, q117_source_overlap,
-    q118_lsh_recall, q119_int8_recall)
+    q118_lsh_recall, q119_int8_recall, q120_ann_lsh_multi, q121_lsh_multi_recall)
 }

@@ -141,6 +141,36 @@ class OperatorsSpec extends SparkSpec {
     assert(explicit == probed, "explicit dim must reproduce the probed planes")
   }
 
+  test("lshSearchMulti: tables=1 equals lshSearch; more tables only widen candidates") {
+    import spark.implicits._
+    def corpus(n: Int, dim: Int) =
+      (1 to n).map(i => (i.toLong,
+        Array.tabulate(dim)(d => ((i * 13 + d * 5) % 89 / 89.0f) - 0.5f)))
+        .toDF("vec_id", "embedding")
+    val vecs = corpus(60, 6)
+    val probes = vecs.filter(col("vec_id") <= 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "cos", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // Table 0 of the multi family IS the single-table plane family.
+    val single = rows(Similarity.lshSearch(spark,
+      Similarity.hyperplaneLsh(vecs, 8), probes, nPlanes = 8, k = 5))
+    val multi1 = rows(Similarity.lshSearchMulti(spark, vecs, probes,
+      nPlanes = 8, tables = 1, k = 5))
+    assert(multi1 == single)
+    // Extra tables can only ADD candidates: every exhaustive-true
+    // neighbor found by 1 table is still found by 4 (per-probe hit
+    // count is monotone in tables).
+    val multi4 = Similarity.lshSearchMulti(spark, vecs, probes,
+      nPlanes = 8, tables = 4, k = 5)
+    val bf = rows(Similarity.topKPerProbe(
+      vecs.withColumnRenamed("vec_id", "id"),
+      probes.withColumnRenamed("vec_id", "id"), 5))
+    def hits(ann: Set[(Long, Long, Double, Int)]) =
+      ann.map(r => (r._1, r._2)).intersect(bf.map(r => (r._1, r._2)))
+    assert(hits(multi1).subsetOf(hits(rows(multi4))))
+  }
+
   test("autoBlockCount grows with corpus size; explicit and auto kernels agree") {
     import spark.implicits._
     def corpus(n: Int, dim: Int) =
