@@ -318,17 +318,52 @@ object Similarity {
   def lshSearchMulti(spark: org.apache.spark.sql.SparkSession,
       embeddings: DataFrame, probes: DataFrame, nPlanes: Int, tables: Int,
       k: Int, dim: Int = 0): DataFrame = {
-    require(tables > 0, s"tables must be positive, got $tables")
-    require(k > 0, s"top-k must be positive, got $k")
     val width = if (dim > 0) dim
       else Option(embeddings.agg(max(size(col("embedding")))).head().get(0))
         .map(_.asInstanceOf[Int]).getOrElse(0)
+    lshSearchMultiBucketed(spark,
+      multiBuckets(embeddings.select(col("vec_id"), col("embedding")),
+        nPlanes, tables, width),
+      probes, nPlanes, tables, k, width)
+  }
+
+  /** Every table's signature in one narrow pass — `buckets` as an
+    * array column, table t at index t. This is the multi-table
+    * analogue of [[hyperplaneLsh]]'s single `bucket` column and the
+    * frame [[lshSearchMultiBucketed]] searches; attach it epoch-side
+    * (the [[graft.streaming.IndexSink.start]] `enrich` pattern) so
+    * delivered epochs are multi-table-searchable against the frozen
+    * plane family without re-projection at query time.
+    */
+  def multiBuckets(embeddings: DataFrame, nPlanes: Int, tables: Int,
+      dim: Int = 0): DataFrame = {
+    require(tables > 0, s"tables must be positive, got $tables")
+    val width = if (dim > 0) dim
+      else Option(embeddings.agg(max(size(col("embedding")))).head().get(0))
+        .map(_.asInstanceOf[Int]).getOrElse(0)
+    embeddings.withColumn("buckets",
+      array((0 until tables).map(t => bucketExpr(nPlanes, width, t)): _*))
+  }
+
+  /** The search half of [[lshSearchMulti]] over a corpus whose
+    * `buckets` array is already attached ([[multiBuckets]] batch-side
+    * or the enrich hook streaming-side) — the factoring that lets a
+    * LIVE index and a batch corpus run the identical plan (the
+    * [[lshSearch]] contract, multi-table form). Probes are bucketed
+    * here with the same plane family; `dim` must match the corpus's
+    * bucketing width when vectors are ragged.
+    */
+  def lshSearchMultiBucketed(spark: org.apache.spark.sql.SparkSession,
+      bucketed: DataFrame, probes: DataFrame, nPlanes: Int, tables: Int,
+      k: Int, dim: Int = 0): DataFrame = {
+    require(tables > 0, s"tables must be positive, got $tables")
+    require(k > 0, s"top-k must be positive, got $k")
+    val corpus = bucketed.select(col("vec_id"), col("embedding"), col("buckets"))
+    val p = multiBuckets(probes.select(col("vec_id"), col("embedding")),
+      nPlanes, tables, dim)
     def stacked(df: DataFrame, idCol: String): DataFrame =
       df.select(col("vec_id").as(idCol),
-        posexplode(array((0 until tables).map(t => bucketExpr(nPlanes, width, t)): _*))
-          .as(Seq("t", "bucket")))
-    val corpus = embeddings.select(col("vec_id"), col("embedding"))
-    val p = probes.select(col("vec_id"), col("embedding"))
+        posexplode(col("buckets")).as(Seq("t", "bucket")))
     val cand = stacked(corpus, "neighbor_id")
       .join(broadcast(stacked(p, "probe_id")), Seq("t", "bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))

@@ -237,6 +237,39 @@ class StreamingTwinSpec extends SparkSpec {
       "streamed LSH buckets diverged from the batch bucketing")
   }
 
+  test("streaming ANN (multi-table LSH): delivered epochs carry every table's " +
+      "bucket; live OR-amplified search equals the batch bucketing") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.streaming.IndexSink
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-mlsh").toString
+    val emb = queries.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+    val dim = emb.agg(max(size(col("embedding")))).head().getInt(0)
+    val payloadSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    deliverEnvelopes(tmp,
+      emb.select(to_json(struct(col("vec_id"), col("embedding"))).as("line"),
+        col("vec_id").cast("string").as("recordId")),
+      payloadSchema,
+      enrich = df => Similarity.multiBuckets(df, nPlanes = 4, tables = 4, dim = dim))
+    val probes = emb.filter(col("vec_id") < 5)
+    val live = Similarity.lshSearchMultiBucketed(spark,
+        IndexSink.liveVectors(spark, s"$tmp/index", "recordId")
+          .select("vec_id", "embedding", "buckets"),
+        probes, nPlanes = 4, tables = 4, k = 5, dim = dim)
+      .select("probe_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val batch = Similarity.lshSearchMulti(spark, emb, probes,
+        nPlanes = 4, tables = 4, k = 5, dim = dim)
+      .select("probe_id", "neighbor_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(live.nonEmpty && live == batch,
+      "streamed multi-table buckets diverged from the batch bucketing")
+  }
+
   test("streaming text search: BM25-ranked match over delivered epochs, " +
       "upsert-resolved, equals the batch ranking of the same closed input") {
     import spark.implicits._
