@@ -951,6 +951,55 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  val q122_grouping_sets: QueryDef = q(
+    "q122_grouping_sets",
+    """SELECT coalesce(l_returnflag, '-') AS rf, coalesce(l_linestatus, '-') AS ls,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+      |  count(*) AS n, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      |ORDER BY gid, rf, ls""".stripMargin
+  ) { (s, dir) =>
+    // Explicit GROUPING SETS — the arbitrary-subset form rollup (q17)
+    // and cube (q57) are shorthands of, with grouping() disambiguating
+    // a NULL group key from a super-aggregate row (both engines fold
+    // the three sets through ONE Expand + hash agg, not three scans).
+    // Spark's Scala API spells grouping sets via SQL.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val lv = s"lineitem_v122_$tag"
+    t(s, dir, "lineitem").createOrReplaceTempView(lv)
+    try s.sql(
+      s"""SELECT coalesce(l_returnflag, '-') AS rf, coalesce(l_linestatus, '-') AS ls,
+         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+         |  count(*) AS n, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+         |FROM $lv
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+         |ORDER BY gid, rf, ls""".stripMargin)
+    finally s.catalog.dropTempView(lv)
+  }
+
+  val q123_percentile_cont: QueryDef = q(
+    "q123_percentile_cont",
+    """SELECT l_returnflag,
+      |  floor(quantile_cont(l_quantity, 0.5) * 100 + 0.5) / 100 AS median_qty,
+      |  floor(quantile_cont(l_quantity, 0.9) * 100 + 0.5) / 100 AS p90_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    // Interpolated percentiles (percentile_cont / quantile_cont): the
+    // SQL-standard linear interpolation both engines implement —
+    // complementing q48's exact rank-selection percentiles, which
+    // sidestep interpolation entirely. The interpolation arithmetic is
+    // one lerp between two order statistics (same doubles both
+    // engines); r2 guards the division. Mergeable sort-based agg, one
+    // exchange of |groups| buffers.
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        Par.r2(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)")).as("median_qty"),
+        Par.r2(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)")).as("p90_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_scan, q02_project, q03_filter, q04_filter_in_between, q05_join,
     q06_broadcast_join, q07_multijoin, q08_left_join, q09_semi_join,
@@ -962,5 +1011,6 @@ object Relational {
     q52_correlated_subquery, q53_window_extra, q55_strings_extra,
     q56_datetime_extra, q57_cube, q58_limit_offset, q59_range_frame,
     q60_report, q61_part_revenue, q62_supplier_volume, q63_lateral,
-    q64_array_agg, q113_pivot, q114_unpivot, q115_corr)
+    q64_array_agg, q113_pivot, q114_unpivot, q115_corr, q122_grouping_sets,
+    q123_percentile_cont)
 }
