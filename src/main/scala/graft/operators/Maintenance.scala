@@ -20,38 +20,50 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
-  /** Delete rows matching `predicate` from a parquet table directory.
+  /** The shared whole-table rewrite protocol behind [[deleteWhere]] and
+    * [[upsertByKey]]: heal any crashed prior swap (restore a parked
+    * `.old` table, drop stale intermediates), let `build` write the
+    * replacement under `.rewrite.tmp`, then commit via the atomic move
+    * pair. Healing and commit live in ONE place so the two mutations'
+    * crash contracts cannot diverge.
     *
     * Self-healing across crashes: a previous call that died mid-swap can
     * leave (a) a stale `.rewrite.tmp`/`.old` behind, or (b) the table
     * path missing with the data parked in `.old` (crash between the two
-    * moves). Entry recovers both states before doing any work, so the
-    * operation is always re-runnable instead of failing forever on
-    * leftover directories.
-    * @return number of rows deleted
+    * moves). Entry recovers both states before doing any work, so every
+    * operation built on this is always re-runnable instead of failing
+    * forever on leftover directories.
     */
-  def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long = {
+  private def rewriteSwap[T](path: String)(build: Path => T): T = {
     val p = Paths.get(path)
     val old = Paths.get(path.stripSuffix("/") + ".old")
     val tmpPath = Paths.get(path.stripSuffix("/") + ".rewrite.tmp")
-    // Crash recovery (see scaladoc): restore a parked table, then drop
-    // stale intermediates from any earlier failed attempt.
+    // Crash recovery (see deleteWhere scaladoc): restore a parked
+    // table, then drop stale intermediates from earlier failed attempts.
     if (!Files.exists(p) && Files.exists(old))
       Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
     deleteRecursively(tmpPath)
-
-    val df = spark.read.parquet(path)
-    val total = df.count()
-    val keep = df.filter(!coalesce(predicate, lit(false)))
-    keep.write.mode("overwrite").parquet(tmpPath.toString)
-    val kept = spark.read.parquet(tmpPath.toString).count()
+    val out = build(tmpPath)
     // Atomic-ish swap: move old out, tmp in, drop old.
     Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmpPath, p, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
-    total - kept
+    out
   }
+
+  /** Delete rows matching `predicate` from a parquet table directory
+    * ([[rewriteSwap]] carries the crash contract).
+    * @return number of rows deleted
+    */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long =
+    rewriteSwap(path) { tmpPath =>
+      val df = spark.read.parquet(path)
+      val total = df.count()
+      df.filter(!coalesce(predicate, lit(false)))
+        .write.mode("overwrite").parquet(tmpPath.toString)
+      total - spark.read.parquet(tmpPath.toString).count()
+    }
 
   /** Upsert `updates` into a parquet table directory by `key` — the
     * batch form of the OpenSearch index-by-_id the delivery sink does
@@ -72,35 +84,30 @@ object Maintenance {
     * rewrite cost is the whole table — the documented trade vs the
     * epoch-store path (which this op complements for out-of-band
     * corrections, not per-epoch delivery).
-    * @return (updated, inserted) row counts
+    * @return (existing keys replaced, new keys inserted)
     */
   def upsertByKey(spark: SparkSession, path: String,
       updates: org.apache.spark.sql.DataFrame, key: String): (Long, Long) = {
-    val p = Paths.get(path)
-    val old = Paths.get(path.stripSuffix("/") + ".old")
-    val tmpPath = Paths.get(path.stripSuffix("/") + ".rewrite.tmp")
-    if (!Files.exists(p) && Files.exists(old))
-      Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
-    deleteRecursively(tmpPath)
-
     val up = updates.cache()
     try {
       val nUpdates = up.count()
       require(up.select(key).distinct().count() == nUpdates,
         s"updates carry duplicate '$key' values — resolve to one row per key first")
-      val df = spark.read.parquet(path)
-      val total = df.count()
-      val keep = df.join(up.select(col(key)), Seq(key), "left_anti")
-      keep.select(df.columns.map(col): _*)
-        .unionByName(up.select(df.columns.map(col): _*))
-        .write.mode("overwrite").parquet(tmpPath.toString)
-      val keptRows = spark.read.parquet(tmpPath.toString).count() - nUpdates
-      val updated = total - keptRows // rows whose key an update replaced
-      Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmpPath, p, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(old)
-      (updated, nUpdates - updated)
+      rewriteSwap(path) { tmpPath =>
+        val df = spark.read.parquet(path)
+        // `updated` counts update KEYS that existed (not rows dropped):
+        // a target table carrying duplicate keys — e.g. built by plain
+        // appends — supersedes EVERY row of a replaced key, so a
+        // row-count delta would overstate updates and drive `inserted`
+        // negative. Distinct-key intersection is exact either way.
+        val updated = df.select(col(key)).distinct()
+          .join(up.select(col(key)), key).count()
+        df.join(up.select(col(key)), Seq(key), "left_anti")
+          .select(df.columns.map(col): _*)
+          .unionByName(up.select(df.columns.map(col): _*))
+          .write.mode("overwrite").parquet(tmpPath.toString)
+        (updated, nUpdates - updated)
+      }
     } finally up.unpersist()
   }
 

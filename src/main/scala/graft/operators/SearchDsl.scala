@@ -147,8 +147,11 @@ object SearchDsl {
   }
 
   /** `wildcard` term expansion, Lucene pattern syntax (`*` = any run,
-    * `?` = one char). Translated to a SQL LIKE over the vocabulary
-    * (SQL metacharacters in the pattern are escaped); a pattern with a
+    * `?` = one char, `\` escapes the next character to a literal —
+    * `\*` matches a literal asterisk). Translated to a SQL LIKE over
+    * the vocabulary (SQL metacharacters, whether literal in the
+    * pattern or produced by an escape, are LIKE-escaped); a dangling
+    * trailing `\` is refused as Lucene does. A pattern with a
     * non-wildcard prefix keeps that prefix scannable — Catalyst
     * rewrites `LIKE 'sc*'`-shaped patterns to StartsWith, and mixed
     * patterns still evaluate scan-side on the dictionary, never
@@ -158,15 +161,27 @@ object SearchDsl {
     */
   def wildcardExpand(vocab: DataFrame, pattern: String): DataFrame = {
     require(pattern.nonEmpty, "pattern must be non-empty")
-    val sql = pattern.flatMap {
-      case '*' => "%"
-      case '?' => "_"
+    def likeLiteral(c: Char): String = c match {
       case '%' => "\\%"
       case '_' => "\\_"
       case '\\' => "\\\\"
-      case c => c.toString
+      case other => other.toString
     }
-    vocab.filter(col("term").like(sql))
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      pattern(i) match {
+        case '\\' =>
+          require(i + 1 < pattern.length,
+            s"dangling escape at end of wildcard pattern '$pattern'")
+          sb.append(likeLiteral(pattern(i + 1)))
+          i += 2
+        case '*' => sb.append('%'); i += 1
+        case '?' => sb.append('_'); i += 1
+        case c => sb.append(likeLiteral(c)); i += 1
+      }
+    }
+    vocab.filter(col("term").like(sb.toString))
   }
 
   /** `search_after` keyset pagination: the next `k` results strictly
@@ -217,11 +232,18 @@ object SearchDsl {
       .select(col("query_id"), array_distinct(col("terms")).as("terms"))
       .select(col("query_id"), size(col("terms")).as("n_q"),
         explode(col("terms")).as("term"))
+    // countDistinct, not count(*): a doc_id appearing on several input
+    // ROWS (an at-least-once delivery landing one record twice in an
+    // epoch) would otherwise contribute each term per copy, push
+    // `matched` past n_q, and silently suppress the alert for a doc
+    // that DOES match. Distinct terms per (doc, query) is the
+    // conjunctive check under any input multiplicity, still one
+    // partial-aggregated exchange.
     toks
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
       .join(broadcast(qt), "term")
       .groupBy(col("doc_id"), col("query_id"))
-      .agg(count(lit(1)).as("matched"), first(col("n_q")).as("n_q"))
+      .agg(countDistinct(col("term")).as("matched"), first(col("n_q")).as("n_q"))
       .filter(col("matched") === col("n_q"))
       .select(col("doc_id"), col("query_id"))
   }
@@ -257,8 +279,10 @@ object SearchDsl {
       facet: Option[String] = None)
 
   /** A request's results: the ranked page (`doc_id`, rounded `score`,
-    * `rank`, and `snippet` when highlighting) and, when requested, the
-    * facet table over the full hit set.
+    * `rank` — 1-based within THIS page; cursor pages restart at 1, the
+    * client's running offset supplies absolute positions — and
+    * `snippet` when highlighting) and, when requested, the facet table
+    * over the full hit set.
     */
   final case class SearchResponse(hits: DataFrame, facets: Option[DataFrame])
 
@@ -307,12 +331,23 @@ object SearchDsl {
       case Some((s, d)) => searchAfter(scored, col("score"), s, d, req.size)
       case None => scored.orderBy(col("score").desc, col("doc_id")).limit(req.size)
     }
+    // `rank` is the position WITHIN the returned page (1..size). A
+    // keyset cursor deliberately carries no global offset — that is
+    // what makes page cost flat in depth — so the engine cannot know
+    // how many rows precede the cursor without counting them; a client
+    // that wants absolute positions adds its own running offset, as
+    // q110 does when it labels page 2 ranks 11–20.
     val ranked = page.withColumn("rank",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
     val out = req.highlight match {
       case Some(term) =>
-        ranked.join(highlight(toks, term).select(col("doc_id"), col("snippet")),
+        // Highlight the PAGE's docs only (the highlight scaladoc's own
+        // contract): semi-join the tokenized corpus down to the ≤ size
+        // hit rows before snippetting — per-request highlight cost is
+        // page-bounded, never a corpus-wide map.
+        val pageToks = toks.join(ranked.select(col("doc_id")), "doc_id")
+        ranked.join(highlight(pageToks, term).select(col("doc_id"), col("snippet")),
           Seq("doc_id"), "left")
       case None => ranked
     }

@@ -95,15 +95,19 @@ object TrainingData {
     * Jaccard for the few candidates. Results are identical to the
     * all-shingles join (and the oracle); only the plan changes.
     */
-  /** Memoized per (dir): q94, q105 and q108 each want the SAME
-    * postings artifact over the same corpus, and `buildTextIndex`
-    * already materializes its frames via localCheckpoint — sharing
-    * keeps ONE resident copy per scale factor instead of one per key
-    * per rep. Counts are exact integers (deterministic), so sharing
-    * changes no result (the model-memo argument).
+  /** Memoized per (session, dir): q94, q105, q108 and q112 each want
+    * the SAME postings artifact over the same corpus, and
+    * `buildTextIndex` already materializes its frames via
+    * localCheckpoint — sharing keeps ONE resident copy per scale
+    * factor instead of one per key per rep. Counts are exact integers
+    * (deterministic), so sharing changes no result (the model-memo
+    * argument). Unlike the trained models (driver-side arrays,
+    * session-independent), these entries cache SESSION-BOUND frames —
+    * the applicationId in the key stops a later session in the same
+    * JVM from being served checkpoint blocks of a stopped context.
     */
   private def textIndexFor(s: SparkSession, dir: String): graft.operators.Retrieval.TextIndex =
-    memo(s"textindex|$dir|tokens") {
+    memo(s"textindex|${s.sparkContext.applicationId}|$dir|tokens") {
       graft.operators.Retrieval.buildTextIndex(s, tokenized(s, dir))
     }
 
@@ -116,7 +120,7 @@ object TrainingData {
     * resident to the tiny pair set, not the lineage's shuffles.
     */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    memo(s"jacpairs|$dir|sh3|t=0.8") {
+    memo(s"jacpairs|${s.sparkContext.applicationId}|$dir|sh3|t=0.8") {
       val sh = shingles(s, dir).cache()
       val out = jaccardPairsFrom(sh).localCheckpoint(true)
       sh.unpersist() // the checkpoint holds the VALUES; drop the lineage cache
@@ -2341,9 +2345,8 @@ object TrainingData {
     // shape: the candidate set is the corpus-DISTINCT vocabulary
     // (never corpus-sized), length-banded BEFORE the O(len²) edit
     // distance runs; df rides the same vocab agg.
-    val vocab = tokenized(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val vocab = textIndexFor(s, dir).df
+      .select(col("term"), col("df").cast("long").as("df"))
     graft.operators.SearchDsl.fuzzyExpand(vocab, "spak", maxEdits = 2)
       .select(col("term"), col("dist"), col("df"))
       .orderBy("dist", "term")
@@ -2658,9 +2661,11 @@ object TrainingData {
     // keeps the dictionary walk seekable (footer min/max on a
     // term-sorted table), and even the leading-* worst case is a
     // vocabulary walk, never a corpus pass.
-    val vocab = tokenized(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    // The memoized text index's df table IS this vocabulary (postings
+    // are unique per (term, doc), so its count equals countDistinct
+    // doc_id) — reuse it instead of paying a fresh corpus explode.
+    val vocab = textIndexFor(s, dir).df
+      .select(col("term"), col("df").cast("long").as("df"))
     graft.operators.SearchDsl.wildcardExpand(vocab, "s?a*")
       .orderBy("term")
   }

@@ -183,8 +183,15 @@ object IndexSink {
                     spec.shards)
               }
               percolator.foreach { spec =>
-                graft.operators.SearchDsl
-                  .percolate(toksFor((spec.key, spec.field)), spec.queries)
+                // Resolve in-epoch duplicate doc_ids BEFORE percolating
+                // (the sibling stores' onePerKey invariant): two
+                // versions of one doc in a single epoch would otherwise
+                // evaluate the conjunctive match against the UNION of
+                // their terms — alerting on a doc no delivered version
+                // actually matches.
+                val one = EpochStore.onePerKey(
+                  toksFor((spec.key, spec.field)), "doc_id", col("toks"))
+                graft.operators.SearchDsl.percolate(one, spec.queries)
                   .withColumn("_epoch", lit(epochId))
                   .write.mode("overwrite")
                   .parquet(s"${spec.alertsPath}/epoch=$epochId")

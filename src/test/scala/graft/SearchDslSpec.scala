@@ -263,6 +263,13 @@ class SearchDslSpec extends SparkSpec {
     assert(terms(SearchDsl.wildcardExpand(v, "a_b")) == Set("a_b"))
     assert(terms(SearchDsl.wildcardExpand(v, "a%b")).isEmpty)
     intercept[IllegalArgumentException] { SearchDsl.wildcardExpand(v, "") }
+    // Lucene \-escapes: an escaped wildcard is a literal; dangling \ refused.
+    val vx = vocabDf("a*b", "axb", "a?b", "a\\b")
+    assert(terms(SearchDsl.wildcardExpand(vx, "a\\*b")) == Set("a*b"))
+    assert(terms(SearchDsl.wildcardExpand(vx, "a\\?b")) == Set("a?b"))
+    assert(terms(SearchDsl.wildcardExpand(vx, "a\\\\b")) == Set("a\\b"))
+    assert(terms(SearchDsl.wildcardExpand(vx, "a?b")) == Set("a*b", "axb", "a?b", "a\\b"))
+    intercept[IllegalArgumentException] { SearchDsl.wildcardExpand(vx, "ab\\") }
   }
 
   test("searchAfter pages reconstruct the full ranking with tie-safe cursors") {
@@ -315,6 +322,12 @@ class SearchDslSpec extends SparkSpec {
     val byEpoch = SearchDsl.percolate(e1, reg).as[(Long, Long)].collect().toSet ++
       SearchDsl.percolate(e2, reg).as[(Long, Long)].collect().toSet
     assert(byEpoch == got)
+    // A doc appearing on SEVERAL input rows (at-least-once replay
+    // landing one record twice) still matches exactly once — the
+    // distinct-term count can't be inflated past n_q by multiplicity.
+    val dup = toksDf(Seq(1L -> Seq("spark", "fast"), 1L -> Seq("spark", "fast")))
+    assert(SearchDsl.percolate(dup, reg).as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (1L, 11L)))
   }
 
   test("search executes a full request: clauses compose, facets are pre-pagination, " +

@@ -141,6 +141,16 @@ class SourcesSpec extends SparkSpec {
         Seq((5L, "x", 1), (5L, "y", 2)).toDF("id", "name", "v"), "id")
     }
     assert(spark.read.parquet(s"$tmp/t").count() == 4)
+    // A TARGET table carrying duplicate keys (plain appends): every
+    // row of the replaced key is superseded, and the counts stay
+    // key-based — (1 updated, 0 inserted), never a negative insert.
+    Seq((7L, "d1", 1), (7L, "d2", 2), (8L, "e", 3))
+      .toDF("id", "name", "v").write.mode("overwrite").parquet(s"$tmp/t2")
+    val (u3, i3) = Maintenance.upsertByKey(spark, s"$tmp/t2",
+      Seq((7L, "D", 9)).toDF("id", "name", "v"), "id")
+    assert((u3, i3) == (1L, 0L))
+    assert(spark.read.parquet(s"$tmp/t2").as[(Long, String, Int)].collect().toSet ==
+      Set((7L, "D", 9), (8L, "e", 3)))
   }
 
   test("dot_f is SQL-callable after extension registration") {

@@ -783,15 +783,28 @@ class StreamingTwinSpec extends SparkSpec {
     // still matching — the alert LOG fires again for the new delivery,
     // while each epoch's alert set equals batch percolation of that
     // epoch alone (stateless per doc).
+    // Epoch 2 also lands doc 4 TWICE with different bodies (an
+    // at-least-once duplicate inside one delivery): the hook resolves
+    // one version per doc before percolating (onePerKey, greatest
+    // token array — "quiet..." > "nothing..."), so the alert reflects
+    // a delivered version, never the UNION of both versions' terms.
     val epoch2 = Seq(
       1L -> "alpha beta rewritten",
-      3L -> "closes quiet")
+      3L -> "closes quiet",
+      4L -> "nothing here",
+      4L -> "quiet corner")
     deliver(epoch2, "epoch-2")
+    val resolved2 = Seq(
+      1L -> "alpha beta rewritten",
+      3L -> "closes quiet",
+      4L -> "quiet corner")
     val expect = batchPerc(epoch1).map { case (d, q) => (d, q, 0L) } ++
-      batchPerc(epoch2).map { case (d, q) => (d, q, 1L) }
+      batchPerc(resolved2).map { case (d, q) => (d, q, 1L) }
     assert(alerts() == expect)
     assert(alerts().contains((1L, 10L, 0L)) && alerts().contains((1L, 10L, 1L)),
       "a re-delivered matching doc must alert on both deliveries")
+    assert(alerts().contains((4L, 11L, 1L)),
+      "the resolved duplicate's surviving version must drive the alert")
   }
 
   test("IVF search recall vs brute force (nprobe=4 of k=8 cells)") {
