@@ -258,4 +258,14 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q116: the one-call search request pages via TakeOrderedAndProject, " +
+      "no cartesian anywhere in the composition") {
+    val p = plan("q116_search_request")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The stats cross-join must be the broadcast nested loop over ONE
+    // row, never a shuffled product.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }
