@@ -111,6 +111,37 @@ object Maintenance {
     } finally up.unpersist()
   }
 
+  /** Retention sweep for per-epoch LOG channels — the engine's
+    * index-lifecycle analogue (the reference's S3 destinations age out
+    * via bucket lifecycle rules; OpenSearch via ILM): delete `epoch=N`
+    * directories with N < `keepFrom` under `path`. Valid ONLY for
+    * channels whose epochs are independent FACTS (the raw-backup
+    * NDJSON channel, the percolator alerts log, failure/dropped audit
+    * prefixes) — an upsert-RESOLVED index reads latest-per-key ACROSS
+    * epochs, where deleting an old epoch loses docs that are still
+    * current; use the stores' compaction there instead. Idempotent and
+    * trivially crash-safe (each victim either exists or it doesn't;
+    * re-running finishes the sweep).
+    * @return number of epoch directories removed
+    */
+  def expireEpochsBelow(path: String, keepFrom: Long): Long = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) return 0L
+    val s = Files.list(root)
+    val victims =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("epoch=") &&
+            n.stripPrefix("epoch=").forall(_.isDigit) &&
+            n.stripPrefix("epoch=").toLong < keepFrom
+        }.toSeq
+      } finally s.close()
+    victims.foreach(deleteRecursively)
+    victims.size.toLong
+  }
+
   /** A16: register a sharded table in the session catalog. */
   def createIndex(spark: SparkSession, name: String,
       source: org.apache.spark.sql.DataFrame, shards: Int): Unit =

@@ -153,6 +153,28 @@ class SourcesSpec extends SparkSpec {
       Set((7L, "D", 9), (8L, "e", 3)))
   }
 
+  test("maintenance: expireEpochsBelow ages out log epochs, leaves the rest, " +
+      "ignores non-epoch entries, and re-runs clean") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-maint-expire").toString
+    (0L to 3L).foreach { e =>
+      Files.createDirectories(Paths.get(s"$tmp/alerts/epoch=$e"))
+      Files.write(Paths.get(s"$tmp/alerts/epoch=$e/part-0"), s"e$e".getBytes)
+    }
+    Files.createDirectories(Paths.get(s"$tmp/alerts/epoch=notanum"))
+    Files.write(Paths.get(s"$tmp/alerts/_marker"), "x".getBytes)
+    assert(Maintenance.expireEpochsBelow(s"$tmp/alerts", keepFrom = 2L) == 2L)
+    assert(!Files.exists(Paths.get(s"$tmp/alerts/epoch=0")))
+    assert(!Files.exists(Paths.get(s"$tmp/alerts/epoch=1")))
+    assert(Files.exists(Paths.get(s"$tmp/alerts/epoch=2/part-0")))
+    assert(Files.exists(Paths.get(s"$tmp/alerts/epoch=3/part-0")))
+    assert(Files.exists(Paths.get(s"$tmp/alerts/epoch=notanum")))
+    assert(Files.exists(Paths.get(s"$tmp/alerts/_marker")))
+    // Idempotent; absent roots are a no-op, not an error.
+    assert(Maintenance.expireEpochsBelow(s"$tmp/alerts", keepFrom = 2L) == 0L)
+    assert(Maintenance.expireEpochsBelow(s"$tmp/nosuch", keepFrom = 5L) == 0L)
+  }
+
   test("dot_f is SQL-callable after extension registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
