@@ -278,6 +278,62 @@ object SearchDsl {
       highlight: Option[String] = None,
       facet: Option[String] = None)
 
+  /** Parse a `simple_query_string`-style query into a [[SearchRequest]]
+    * — the text box in front of the search endpoint. Supported syntax
+    * (the OpenSearch simple_query_string subset that maps onto the
+    * engine's clauses):
+    *
+    *  - bare words → `must` terms, analyzed with the INDEX analyzer
+    *    (lowercase, non-word split — a token like `Data-Driven`
+    *    contributes the terms `data` and `driven`, exactly as the
+    *    indexed corpus was tokenized);
+    *  - `"quoted words"` → the `phrase` clause (at most one);
+    *  - `-word` → `mustNot` terms;
+    *  - `defaultOperator` = "or" (any term) or "and" (every term, the
+    *    `matchAll` flag).
+    *
+    * Syntax this engine serves through richer operators — wildcards
+    * (`*`/`?` → [[wildcardExpand]]), fuzziness (`~` →
+    * [[fuzzyExpand]]), boosts (`^`), field prefixes (`:`), grouping
+    * (`( )`) — is REFUSED loudly instead of silently stripped: a
+    * query the parser cannot honor must not quietly search for
+    * something else.
+    */
+  def parseQueryString(qs: String, defaultOperator: String = "or"): SearchRequest = {
+    require(qs.trim.nonEmpty, "query string must be non-empty")
+    require(Seq("or", "and").contains(defaultOperator),
+      s"defaultOperator must be 'or' or 'and', got '$defaultOperator'")
+    val reserved = "*?~^:()".toSet
+    val bad = qs.filter(reserved)
+    require(bad.isEmpty,
+      s"unsupported query_string syntax '${bad.distinct}' in '$qs' — use " +
+        "wildcardExpand/fuzzyExpand or the SearchRequest clauses directly")
+    def analyze(s: String): Seq[String] =
+      s.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    // Lex: quoted phrase segments, then whitespace-split the rest.
+    val quote = "\"([^\"]*)\"".r
+    val phrases = quote.findAllMatchIn(qs).map(_.group(1)).toSeq
+    require(phrases.size <= 1,
+      s"at most one quoted phrase is supported, got ${phrases.size} in '$qs'")
+    require(qs.count(_ == '"') % 2 == 0, s"unbalanced quote in '$qs'")
+    val rest = quote.replaceAllIn(qs, " ")
+    val (neg, pos) = rest.split("\\s+").filter(_.nonEmpty).toSeq
+      .partition(_.startsWith("-"))
+    val must = pos.flatMap(t => analyze(t.stripPrefix("+")))
+    val mustNot = neg.flatMap(t => analyze(t.stripPrefix("-")))
+    val phrase = phrases.headOption.map(analyze).getOrElse(Nil)
+    require(must.nonEmpty || phrase.nonEmpty,
+      s"query '$qs' has no positive clause")
+    // A phrase-only query still needs scoring terms: the phrase's own
+    // tokens serve as the match terms (OpenSearch scores a lone
+    // match_phrase the same way — by its terms' BM25).
+    SearchRequest(
+      must = if (must.nonEmpty) must.distinct else phrase.distinct,
+      matchAll = defaultOperator == "and",
+      phrase = phrase,
+      mustNot = mustNot.distinct)
+  }
+
   /** A request's results: the ranked page (`doc_id`, rounded `score`,
     * `rank` — 1-based within THIS page; cursor pages restart at 1, the
     * client's running offset supplies absolute positions — and

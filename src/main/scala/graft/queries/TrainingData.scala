@@ -2872,6 +2872,48 @@ object TrainingData {
     recallVsExhaustive(s, dir, qtop)
   }
 
+  // ------------------------------------------ q124: query_string search
+
+  val q124_query_string: QueryDef = q(
+    "q124_query_string",
+    s"""WITH $docTokSql,
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |      CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |    FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+       |    WHERE term IN ('data', 'spark') GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+       |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+       |    FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY doc_id),
+       |ph AS (SELECT DISTINCT doc_id
+       |    FROM (SELECT doc_id FROM tok, unnest(range(1, len(toks))) AS u(g)
+       |          WHERE toks[g] = 'data' AND toks[g+1] = 'spark')),
+       |hits AS (SELECT s.doc_id, s.score FROM sc s
+       |    JOIN ph USING (doc_id)
+       |    JOIN tok tk ON tk.doc_id = s.doc_id
+       |    WHERE NOT list_contains(tk.toks, 'slow')),
+       |ranked AS (SELECT doc_id, floor(score * 100 + 0.5) / 100 AS score,
+       |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |    FROM hits)
+       |SELECT doc_id, score, CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // query_string end-to-end (operators/SearchDsl.parseQueryString →
+    // search): the text-box query 'data spark -slow "data spark"'
+    // parsed into its clauses — must = match data OR spark, a phrase
+    // constraint, must_not slow — and executed through the one-call
+    // entry point. The parse is pure driver-side string work; the
+    // executed plan is exactly q116's composition shape plus the
+    // phrase clause's postings-bounded join.
+    val req = graft.operators.SearchDsl
+      .parseQueryString("data spark -slow \"data spark\"")
+    graft.operators.SearchDsl
+      .search(tokenized(s, dir), t(s, dir, "documents"), req)
+      .hits.select(col("doc_id"), col("score"), col("rank"))
+      .orderBy("rank")
+  }
+
   // ------------------------------------------ q117: source overlap matrix
 
   val q117_source_overlap: QueryDef = q(
@@ -2931,5 +2973,5 @@ object TrainingData {
     q103_fuzzy_match, q104_bool_search, q105_more_like_this,
     q106_nb_quality, q107_highlight, q108_prefix_search, q109_facets,
     q110_search_after, q111_percolate, q112_wildcard, q116_search_request, q117_source_overlap,
-    q118_lsh_recall, q119_int8_recall, q120_ann_lsh_multi, q121_lsh_multi_recall)
+    q118_lsh_recall, q119_int8_recall, q120_ann_lsh_multi, q121_lsh_multi_recall, q124_query_string)
 }

@@ -412,6 +412,24 @@ class SearchDslSpec extends SparkSpec {
     }
   }
 
+  test("parseQueryString maps the simple query-string subset onto SearchRequest, " +
+      "refusing syntax it cannot honor") {
+    val r = SearchDsl.parseQueryString("Data-Driven spark -slow \"data spark\"")
+    assert(r == SearchDsl.SearchRequest(
+      must = Seq("data", "driven", "spark"), matchAll = false,
+      phrase = Seq("data", "spark"), mustNot = Seq("slow")))
+    assert(SearchDsl.parseQueryString("a b", "and").matchAll)
+    // Phrase-only queries score by the phrase's own terms.
+    val p = SearchDsl.parseQueryString("\"big table\"")
+    assert(p.must == Seq("big", "table") && p.phrase == Seq("big", "table"))
+    // Refused: wildcard/fuzzy/boost/field/group syntax, pure negation,
+    // multiple phrases, unbalanced quotes, empties, bad operator.
+    for (bad <- Seq("a*", "b?", "c~2", "d^3", "f:g", "(a b)", "-slow",
+        "\"a\" \"b\"", "\"a b", "   "))
+      intercept[IllegalArgumentException] { SearchDsl.parseQueryString(bad) }
+    intercept[IllegalArgumentException] { SearchDsl.parseQueryString("a", "not") }
+  }
+
   test("termsFacet aggregates the hit set by a doc attribute") {
     import spark.implicits._
     val hits = Seq(1L, 2L, 4L).toDF("doc_id")
