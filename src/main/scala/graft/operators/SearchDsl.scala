@@ -410,6 +410,32 @@ object SearchDsl {
     SearchResponse(out.orderBy("rank"), facets)
   }
 
+  /** `dis_max` score combination: each clause frame is (doc_id, score)
+    * — a match, phrase, or vector ranking — and a doc's combined score
+    * is its BEST clause plus `tieBreaker` times the rest
+    * (max + tie·(sum − max), Lucene's disjunction-max). Union
+    * semantics: a doc present in any clause is scored; absent clauses
+    * contribute nothing (no zero-fill).
+    *
+    * Shape: unionByName + ONE per-doc hash agg — max and sum fold the
+    * same group, so there is no k-way outer join however many clauses
+    * combine; cost is the clauses' total hit rows, each already
+    * query-bounded. Float note: with two clauses the per-doc sum is a
+    * single IEEE add (order-exact); at three-plus the fold order is
+    * engine-internal, so emit through an r2-style guard as q125 does.
+    */
+  def disMax(clauses: Seq[DataFrame], tieBreaker: Double = 0.0): DataFrame = {
+    require(clauses.nonEmpty, "dis_max needs at least one clause")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1], got $tieBreaker")
+    clauses.map(_.select(col("doc_id"), col("score")))
+      .reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(max(col("score")).as("mx"), sum(col("score")).as("sm"))
+      .select(col("doc_id"),
+        (col("mx") + lit(tieBreaker) * (col("sm") - col("mx"))).as("score"))
+  }
+
   /** `terms` facet (the OpenSearch aggregation served next to every
     * search page): bucket the HITS of a query by a document attribute
     * and aggregate per bucket. `hits` is whatever the retrieval stage

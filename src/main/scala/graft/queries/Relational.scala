@@ -1000,6 +1000,29 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  val q126_regression: QueryDef = q(
+    "q126_regression",
+    """SELECT l_returnflag,
+      |  floor(regr_slope(l_extendedprice, l_quantity) * 100 + 0.5) / 100 AS slope,
+      |  floor(regr_intercept(l_extendedprice, l_quantity) * 100 + 0.5) / 100 AS intercept,
+      |  floor(regr_r2(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000 AS r2
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    // Linear-regression aggregates (regr_slope/intercept/r2): the
+    // third rung of the moment-statistics family (q49 univariate, q115
+    // bivariate, this the fitted line) — all mergeable one-pass
+    // co-moments, |groups| rows after the exchange. r2 sits in [0, 1]
+    // so it takes the 4-decimal guard; slope/intercept take r2's
+    // 2-decimal form like every other large-magnitude double.
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        Par.r2(expr("regr_slope(l_extendedprice, l_quantity)")).as("slope"),
+        Par.r2(expr("regr_intercept(l_extendedprice, l_quantity)")).as("intercept"),
+        Par.r4(expr("regr_r2(l_extendedprice, l_quantity)")).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_scan, q02_project, q03_filter, q04_filter_in_between, q05_join,
     q06_broadcast_join, q07_multijoin, q08_left_join, q09_semi_join,
@@ -1012,5 +1035,5 @@ object Relational {
     q56_datetime_extra, q57_cube, q58_limit_offset, q59_range_frame,
     q60_report, q61_part_revenue, q62_supplier_volume, q63_lateral,
     q64_array_agg, q113_pivot, q114_unpivot, q115_corr, q122_grouping_sets,
-    q123_percentile_cont)
+    q123_percentile_cont, q126_regression)
 }

@@ -2914,6 +2914,74 @@ object TrainingData {
       .orderBy("rank")
   }
 
+  // ------------------------------------------ q125: dis_max scoring
+
+  val q125_dis_max: QueryDef = q(
+    "q125_dis_max",
+    s"""WITH $docTokSql,
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |      CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |    FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+       |    WHERE term IN ('data', 'spark') GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT doc_id, ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+       |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+       |    FROM tf JOIN df USING (term) CROSS JOIN stats),
+       |dm AS (SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS score
+       |    FROM scored GROUP BY doc_id),
+       |ranked AS (SELECT doc_id, floor(score * 100 + 0.5) / 100 AS score,
+       |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |    FROM dm)
+       |SELECT doc_id, score, CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // dis_max (operators/SearchDsl.disMax): two single-term match
+    // clauses combined by best-clause-plus-tiebreaker — Lucene's
+    // disjunction-max, the scoring OpenSearch uses when a query should
+    // rank by its STRONGEST field/clause instead of the bool query's
+    // sum. df note: each clause computes df over its own term's
+    // postings, which equals the shared two-term chain's df, so the
+    // oracle's per-(doc, term) rows ARE the two clauses' scores. One
+    // union + one per-doc agg — no outer join however many clauses.
+    val toksDf = tokenized(s, dir)
+    val clause = (term: String) =>
+      graft.operators.Retrieval.bm25(s, toksDf, Seq(term))
+        .select(col("doc_id"), col("score"))
+    val dm = graft.operators.SearchDsl
+      .disMax(Seq(clause("data"), clause("spark")), tieBreaker = 0.3)
+      .select(col("doc_id"), Par.r2(col("score")).as("score"))
+    rankedTopByScore(dm, 10, Seq("doc_id"))
+      .select(col("doc_id"), col("score"), col("rnk").cast("bigint").as("rank"))
+      .orderBy("rank")
+  }
+
+  // ------------------------------------------ q127: histogram facet
+
+  val q127_histogram: QueryDef = q(
+    "q127_histogram",
+    s"""WITH $docTokSql,
+       |hits AS (SELECT doc_id FROM tok WHERE list_contains(toks, 'spark')),
+       |b AS (SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket
+       |    FROM hits JOIN documents USING (doc_id))
+       |SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    // histogram aggregation (the numeric sibling of q109's terms
+    // facet): the hits of a term query bucketed by fixed-width
+    // n_chars intervals — the OpenSearch histogram agg a search page
+    // renders as a bar chart. Same scale shape as every facet: cost
+    // rides the hit set, the bucket groupBy partially aggregates
+    // before a |buckets|-group exchange.
+    val hits = tokenized(s, dir)
+      .filter(array_contains(col("toks"), "spark"))
+      .select(col("doc_id"))
+    val withBucket = t(s, dir, "documents")
+      .withColumn("bucket", (floor(col("n_chars") / 100) * 100).cast("long"))
+    graft.operators.SearchDsl.termsFacet(hits, withBucket, "bucket",
+        Seq(count(lit(1)).as("n_docs")))
+      .orderBy("bucket")
+  }
+
   // ------------------------------------------ q117: source overlap matrix
 
   val q117_source_overlap: QueryDef = q(
@@ -2973,5 +3041,6 @@ object TrainingData {
     q103_fuzzy_match, q104_bool_search, q105_more_like_this,
     q106_nb_quality, q107_highlight, q108_prefix_search, q109_facets,
     q110_search_after, q111_percolate, q112_wildcard, q116_search_request, q117_source_overlap,
-    q118_lsh_recall, q119_int8_recall, q120_ann_lsh_multi, q121_lsh_multi_recall, q124_query_string)
+    q118_lsh_recall, q119_int8_recall, q120_ann_lsh_multi, q121_lsh_multi_recall, q124_query_string,
+    q125_dis_max, q127_histogram)
 }

@@ -430,6 +430,23 @@ class SearchDslSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SearchDsl.parseQueryString("a", "not") }
   }
 
+  test("disMax: best clause plus tie-broken rest, union semantics, bounds checked") {
+    import spark.implicits._
+    val c1 = Seq((1L, 4.0), (2L, 1.0)).toDF("doc_id", "score")
+    val c2 = Seq((1L, 2.0), (3L, 5.0)).toDF("doc_id", "score")
+    val got = SearchDsl.disMax(Seq(c1, c2), tieBreaker = 0.5)
+      .as[(Long, Double)].collect().toMap
+    // doc 1: max(4,2) + 0.5·2 = 5; docs 2/3 appear in one clause only.
+    assert(got == Map(1L -> 5.0, 2L -> 1.0, 3L -> 5.0))
+    // tieBreaker 0 is pure disjunction-max; 1 degrades to the sum.
+    assert(SearchDsl.disMax(Seq(c1, c2), 0.0).as[(Long, Double)].collect().toMap ==
+      Map(1L -> 4.0, 2L -> 1.0, 3L -> 5.0))
+    assert(SearchDsl.disMax(Seq(c1, c2), 1.0).as[(Long, Double)].collect().toMap ==
+      Map(1L -> 6.0, 2L -> 1.0, 3L -> 5.0))
+    intercept[IllegalArgumentException] { SearchDsl.disMax(Seq.empty) }
+    intercept[IllegalArgumentException] { SearchDsl.disMax(Seq(c1), 1.5) }
+  }
+
   test("termsFacet aggregates the hit set by a doc attribute") {
     import spark.implicits._
     val hits = Seq(1L, 2L, 4L).toDF("doc_id")
