@@ -1023,6 +1023,115 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  val q128_gapfill: QueryDef = q(
+    "q128_gapfill",
+    """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+      |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+      |    FROM events GROUP BY 1, 2)
+      |SELECT strftime(hours.h, '%Y-%m-%d %H:%M') AS ws, types.event_type AS event_type,
+      |  CAST(coalesce(n, 0) AS BIGINT) AS n
+      |FROM hours CROSS JOIN types
+      |LEFT JOIN counts ON counts.h = hours.h AND counts.event_type = types.event_type
+      |ORDER BY ws, types.event_type""".stripMargin
+  ) { (s, dir) =>
+    // Gap filling (resample-to-dense): the hourly × event-type grid
+    // with EXPLICIT zero rows for silent cells — what a monitoring
+    // chart needs and q36's plain groupBy cannot say (an absent group
+    // is indistinguishable from an unobserved one). Scale shape: the
+    // grid derives from ONE scalar bounds agg + sequence/explode (grid
+    // size = hours × types, time-bounded and tiny relative to events);
+    // the counts agg is the only corpus shuffle; the left join keys on
+    // the grid, broadcastable.
+    val ev = t(s, dir, "events")
+    val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val hours = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    hours.crossJoin(types)
+      .join(counts, Seq("h", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm").as("ws"),
+        col("event_type"), col("n"))
+      .orderBy("ws", "event_type")
+  }
+
+  val q129_funnel: QueryDef = q(
+    "q129_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |    WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+      |    WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 1 DAY GROUP BY 1),
+      |p AS (SELECT e.user_id FROM events e JOIN c USING (user_id)
+      |    WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL 1 DAY GROUP BY 1)
+      |SELECT stage, n_users FROM (
+      |  SELECT 'l1_view' AS stage, count(*) AS n_users FROM v
+      |  UNION ALL SELECT 'l2_click', count(*) FROM c
+      |  UNION ALL SELECT 'l3_purchase', count(*) FROM p)
+      |ORDER BY stage""".stripMargin
+  ) { (s, dir) =>
+    // Ordered funnel (view → click → purchase): users counted at each
+    // stage only if the stage's FIRST qualifying event follows their
+    // previous stage's — the event-analytics staple (the
+    // windowFunnel pattern: strict order under a 1-day conversion
+    // window, which gives the funnel real attrition) expressed as two user-keyed
+    // min-aggs + semi-join-shaped steps. Scale shape: every join and
+    // agg keys on user_id (one partitioning reused down the chain);
+    // stage frames shrink monotonically; no window over a global
+    // order anywhere.
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 1 DAY"))
+      .select("user_id").distinct()
+    val one = (df: DataFrame, tag: String) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(tag).as("stage"), col("n_users"))
+    one(v, "l1_view")
+      .unionByName(one(c, "l2_click"))
+      .unionByName(one(p, "l3_purchase"))
+      .orderBy("stage")
+  }
+
+  val q130_retention: QueryDef = q(
+    "q130_retention",
+    """WITH f AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+      |    FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT e.user_id, f.cohort,
+      |      date_diff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+      |    FROM events e JOIN f USING (user_id))
+      |SELECT cohort, CAST(day_offset AS BIGINT) AS day_offset, count(*) AS n_users
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    // Retention cohorts: users grouped by first-seen day, counted on
+    // each later day they return — the (cohort × day-offset) matrix
+    // behind every retention curve. Scale shape: the cohort table is
+    // one user-keyed agg; activity joins it on the same key; the
+    // distinct bounds the matrix agg by (users × active days), never
+    // raw events.
+    val ev = t(s, dir, "events")
+    val f = ev.groupBy("user_id")
+      .agg(date_trunc("day", min(col("ts"))).cast("date").as("cohort"))
+    ev.join(f, "user_id")
+      .select(col("user_id"), col("cohort"),
+        datediff(date_trunc("day", col("ts")).cast("date"), col("cohort"))
+          .cast("long").as("day_offset"))
+      .distinct()
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_scan, q02_project, q03_filter, q04_filter_in_between, q05_join,
     q06_broadcast_join, q07_multijoin, q08_left_join, q09_semi_join,
@@ -1035,5 +1144,6 @@ object Relational {
     q56_datetime_extra, q57_cube, q58_limit_offset, q59_range_frame,
     q60_report, q61_part_revenue, q62_supplier_volume, q63_lateral,
     q64_array_agg, q113_pivot, q114_unpivot, q115_corr, q122_grouping_sets,
-    q123_percentile_cont, q126_regression)
+    q123_percentile_cont, q126_regression, q128_gapfill, q129_funnel,
+    q130_retention)
 }
