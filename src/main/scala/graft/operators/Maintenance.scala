@@ -133,9 +133,13 @@ object Maintenance {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
-          n.startsWith("epoch=") &&
-            n.stripPrefix("epoch=").forall(_.isDigit) &&
-            n.stripPrefix("epoch=").toLong < keepFrom
+          val id = n.stripPrefix("epoch=")
+          // digits + toLongOption: a bare "epoch=", a negative, or an
+          // over-Long digit run is a non-epoch entry to IGNORE, not a
+          // NumberFormatException that aborts the sweep before any
+          // victim is removed.
+          n.startsWith("epoch=") && id.nonEmpty && id.forall(_.isDigit) &&
+            id.toLongOption.exists(_ < keepFrom)
         }.toSeq
       } finally s.close()
     victims.foreach(deleteRecursively)

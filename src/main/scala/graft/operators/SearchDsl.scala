@@ -303,13 +303,22 @@ object SearchDsl {
     require(qs.trim.nonEmpty, "query string must be non-empty")
     require(Seq("or", "and").contains(defaultOperator),
       s"defaultOperator must be 'or' or 'and', got '$defaultOperator'")
-    val reserved = "*?~^:()".toSet
+    val reserved = "*?~^:()|".toSet
     val bad = qs.filter(reserved)
     require(bad.isEmpty,
       s"unsupported query_string syntax '${bad.distinct}' in '$qs' — use " +
         "wildcardExpand/fuzzyExpand or the SearchRequest clauses directly")
+    // Locale.ROOT, matching the INDEX analyzer's locale-independent
+    // lower(): a bare toLowerCase under e.g. a Turkish default locale
+    // folds I to dotless ı and silently matches nothing.
     def analyze(s: String): Seq[String] =
-      s.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+      s.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).toSeq
+    // A negated/boosted PHRASE has no SearchRequest clause — refuse it
+    // before the quote regex would silently strip the operator and
+    // invert the user's intent (-"bad phrase" must not become a
+    // positive constraint).
+    require(!"[-+]\\s*\"".r.findFirstIn(qs).isDefined,
+      s"negated or marked quoted phrases are not supported in '$qs'")
     // Lex: quoted phrase segments, then whitespace-split the rest.
     val quote = "\"([^\"]*)\"".r
     val phrases = quote.findAllMatchIn(qs).map(_.group(1)).toSeq
@@ -319,8 +328,16 @@ object SearchDsl {
     val rest = quote.replaceAllIn(qs, " ")
     val (neg, pos) = rest.split("\\s+").filter(_.nonEmpty).toSeq
       .partition(_.startsWith("-"))
-    val must = pos.flatMap(t => analyze(t.stripPrefix("+")))
-    val mustNot = neg.flatMap(t => analyze(t.stripPrefix("-")))
+    // Refuse-loudly extends to tokens the analyzer dissolves (a lone
+    // '+', '--', punctuation runs): dropping them would silently
+    // execute a DIFFERENT query than the user wrote.
+    def analyzed(raw: String, stripped: String): Seq[String] = {
+      val ts = analyze(stripped)
+      require(ts.nonEmpty, s"unsupported query_string token '$raw' in '$qs'")
+      ts
+    }
+    val must = pos.flatMap(t => analyzed(t, t.stripPrefix("+")))
+    val mustNot = neg.flatMap(t => analyzed(t, t.stripPrefix("-")))
     val phrase = phrases.headOption.map(analyze).getOrElse(Nil)
     require(must.nonEmpty || phrase.nonEmpty,
       s"query '$qs' has no positive clause")

@@ -425,7 +425,11 @@ class SearchDslSpec extends SparkSpec {
     // Refused: wildcard/fuzzy/boost/field/group syntax, pure negation,
     // multiple phrases, unbalanced quotes, empties, bad operator.
     for (bad <- Seq("a*", "b?", "c~2", "d^3", "f:g", "(a b)", "-slow",
-        "\"a\" \"b\"", "\"a b", "   "))
+        "\"a\" \"b\"", "\"a b", "   ",
+        // a negated/marked phrase must refuse, never invert to positive
+        "foo -\"bad phrase\"", "foo +\"p q\"",
+        // operator-ish tokens the analyzer dissolves must refuse, not drop
+        "fast | cheap", "fast + cheap", "fast -- cheap"))
       intercept[IllegalArgumentException] { SearchDsl.parseQueryString(bad) }
     intercept[IllegalArgumentException] { SearchDsl.parseQueryString("a", "not") }
   }

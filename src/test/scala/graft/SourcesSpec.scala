@@ -162,6 +162,8 @@ class SourcesSpec extends SparkSpec {
       Files.write(Paths.get(s"$tmp/alerts/epoch=$e/part-0"), s"e$e".getBytes)
     }
     Files.createDirectories(Paths.get(s"$tmp/alerts/epoch=notanum"))
+    Files.createDirectories(Paths.get(s"$tmp/alerts/epoch="))
+    Files.createDirectories(Paths.get(s"$tmp/alerts/epoch=99999999999999999999"))
     Files.write(Paths.get(s"$tmp/alerts/_marker"), "x".getBytes)
     assert(Maintenance.expireEpochsBelow(s"$tmp/alerts", keepFrom = 2L) == 2L)
     assert(!Files.exists(Paths.get(s"$tmp/alerts/epoch=0")))
@@ -169,6 +171,8 @@ class SourcesSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$tmp/alerts/epoch=2/part-0")))
     assert(Files.exists(Paths.get(s"$tmp/alerts/epoch=3/part-0")))
     assert(Files.exists(Paths.get(s"$tmp/alerts/epoch=notanum")))
+    assert(Files.exists(Paths.get(s"$tmp/alerts/epoch=")))
+    assert(Files.exists(Paths.get(s"$tmp/alerts/epoch=99999999999999999999")))
     assert(Files.exists(Paths.get(s"$tmp/alerts/_marker")))
     // Idempotent; absent roots are a no-op, not an error.
     assert(Maintenance.expireEpochsBelow(s"$tmp/alerts", keepFrom = 2L) == 0L)
