@@ -2982,6 +2982,68 @@ object TrainingData {
       .orderBy("bucket")
   }
 
+  // --------------------------- q131/q132: stratified + weighted sampling
+
+  val q131_stratified_sample: QueryDef = q(
+    "q131_stratified_sample",
+    s"""WITH r AS (SELECT doc_id, source,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY ${h64sql("text")}, doc_id) AS rn
+       |    FROM documents)
+       |SELECT doc_id, source, CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= 3 ORDER BY source, rank""".stripMargin
+  ) { (s, dir) =>
+    // Stratified fixed-n sampling: exactly 3 docs per source, chosen
+    // by smallest content hash — the per-group CAP beside q67's
+    // per-row rate and q70's proportional mixture (an eval set or a
+    // per-source inspection sample wants exactly-n, not a rate).
+    // Deterministic (content-hash order, doc_id tie-break), so
+    // replayable in any engine. Scale shape: a PARTITIONED window —
+    // Spark's WindowGroupLimit pushes rn <= 3 below the exchange, so
+    // only each group's top rows shuffle, never the corpus (q19/q33's
+    // pinned pattern); no global order anywhere.
+    val w = Window.partitionBy("source").orderBy(h64(col("text")), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("source"), col("rank"))
+      .orderBy("source", "rank")
+  }
+
+  val q132_weighted_sample: QueryDef = q(
+    "q132_weighted_sample",
+    s"""WITH w AS (SELECT doc_id, source,
+       |      ln(CAST(${h64sql("text")} % 999983 + 1 AS DOUBLE) / 999984.0)
+       |        / CAST(n_chars AS DOUBLE) AS k
+       |    FROM documents),
+       |ranked AS (SELECT doc_id, source, k,
+       |      row_number() OVER (ORDER BY k DESC, doc_id) AS rn FROM w)
+       |SELECT doc_id, source, CAST(rn AS BIGINT) AS rank
+       |FROM ranked WHERE rn <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES): key = ln(u)/w with u a deterministic rational in (0, 1)
+    // from the content hash and w = n_chars; the top-k keys ARE a
+    // weighted sample — longer docs proportionally likelier, yet every
+    // pick replayable (the data-mixing sampler beside q70's
+    // per-source weights: THIS one weights per document). Float note:
+    // u is an exact rational, ln and the divide are one fixed chain,
+    // so both engines rank identical doubles; doc_id breaks ties.
+    // Scale shape: narrow key computation; top-10 is
+    // TakeOrderedAndProject, never a global-order window over the
+    // corpus (the rank window runs over 10 survivors).
+    val k = log(((h64(col("text")) % 999983 + 1).cast("double")) / 999984.0) /
+      col("n_chars").cast("double")
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), k.as("k"))
+    scored.orderBy(col("k").desc, col("doc_id")).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("k").desc, col("doc_id"))).cast("bigint"))
+      .select(col("doc_id"), col("source"), col("rank"))
+      .orderBy("rank")
+  }
+
   // ------------------------------------------ q117: source overlap matrix
 
   val q117_source_overlap: QueryDef = q(
@@ -3042,5 +3104,5 @@ object TrainingData {
     q106_nb_quality, q107_highlight, q108_prefix_search, q109_facets,
     q110_search_after, q111_percolate, q112_wildcard, q116_search_request, q117_source_overlap,
     q118_lsh_recall, q119_int8_recall, q120_ann_lsh_multi, q121_lsh_multi_recall, q124_query_string,
-    q125_dis_max, q127_histogram)
+    q125_dis_max, q127_histogram, q131_stratified_sample, q132_weighted_sample)
 }
