@@ -259,6 +259,22 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q129/q131/q132: event analytics and sampling avoid the global-order trap") {
+    // Funnel: user-keyed aggs and joins only — no WindowExec at all,
+    // no cartesian.
+    val f = plan("q129_funnel")
+    assert(!f.contains("Window"), f)
+    assert(!f.contains("CartesianProduct"), f)
+    // Stratified sample: the rank filter pushes below the exchange
+    // (WindowGroupLimit), so only each group's top rows shuffle.
+    val s = plan("q131_stratified_sample")
+    assert(s.contains("WindowGroupLimit"), s)
+    // Weighted sample: global top-k is TakeOrderedAndProject; the rank
+    // window runs over the k survivors, never the corpus.
+    val w = plan("q132_weighted_sample")
+    assert(w.contains("TakeOrderedAndProject"), w)
+  }
+
   test("q116: the one-call search request pages via TakeOrderedAndProject, " +
       "no cartesian anywhere in the composition") {
     val p = plan("q116_search_request")
