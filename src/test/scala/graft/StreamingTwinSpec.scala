@@ -80,6 +80,53 @@ class StreamingTwinSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("streaming funnel: stage-reached emissions over event-time-ordered epochs " +
+      "equal the q129 batch contract") {
+    import spark.implicits._
+    import graft.streaming.Funnel
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-funnel").toString
+    val ev = queries.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    // Three epoch files split on GLOBAL event-time boundaries — the
+    // in-order delivery the operator's precondition names (a replayed
+    // shard-ordered log, or a CEP runtime's watermark buffer).
+    val bounds = ev.select(min("ts").as("lo"), max("ts").as("hi")).head()
+    val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val cut1 = new java.sql.Timestamp(lo + (hi - lo) / 3)
+    val cut2 = new java.sql.Timestamp(lo + 2 * (hi - lo) / 3)
+    Seq(
+      ev.filter(col("ts") <= cut1),
+      ev.filter(col("ts") > cut1 && col("ts") <= cut2),
+      ev.filter(col("ts") > cut2)
+    ).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/chunk=$i")
+    }
+    val src = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1) // one epoch file per micro-batch
+      .parquet(s"$tmp/in/chunk=*")
+      .as[Funnel.Event]
+    val q = Funnel.track(spark, src,
+        stages = Seq("view", "click", "purchase"),
+        windowMillis = 24L * 3600 * 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("twin_funnel")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val live = spark.table("twin_funnel")
+      .groupBy("stage").agg(countDistinct("user_id").as("n"))
+      .as[(Int, Long)].collect().toMap
+    val batch = SparkEntry.queries("q129_funnel")(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    assert(live.getOrElse(1, 0L) == batch("l1_view"), s"live $live batch $batch")
+    assert(live.getOrElse(2, 0L) == batch("l2_click"), s"live $live batch $batch")
+    assert(live.getOrElse(3, 0L) == batch("l3_purchase"), s"live $live batch $batch")
+    // Monotone facts: a stage is reached at most once per user.
+    assert(spark.table("twin_funnel")
+      .groupBy("user_id", "stage").count().filter(col("count") > 1).count() == 0)
+  }
+
   /** Shared delivery scaffolding for the four sink twins: wrap a
     * pre-shaped (recordId string, line string) frame in the wire
     * envelope, append it to the test's input dir, and run one
