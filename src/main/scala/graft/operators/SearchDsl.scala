@@ -313,15 +313,20 @@ object SearchDsl {
     // folds I to dotless ı and silently matches nothing.
     def analyze(s: String): Seq[String] =
       s.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty).toSeq
-    // A negated/boosted PHRASE has no SearchRequest clause — refuse it
-    // before the quote regex would silently strip the operator and
-    // invert the user's intent (-"bad phrase" must not become a
-    // positive constraint).
-    require(!"[-+]\\s*\"".r.findFirstIn(qs).isDefined,
-      s"negated or marked quoted phrases are not supported in '$qs'")
     // Lex: quoted phrase segments, then whitespace-split the rest.
     val quote = "\"([^\"]*)\"".r
-    val phrases = quote.findAllMatchIn(qs).map(_.group(1)).toSeq
+    val phraseMatches = quote.findAllMatchIn(qs).toSeq
+    // A negated/boosted PHRASE has no SearchRequest clause — refuse it
+    // before the extraction would silently strip the operator and
+    // invert the user's intent (-"bad phrase" must not become a
+    // positive constraint). Anchored to each phrase's OPENING quote —
+    // a '-' or '+' INSIDE a phrase, or trailing before its closing
+    // quote, is ordinary analyzed content.
+    phraseMatches.foreach { m =>
+      require(m.start == 0 || !"-+".contains(qs(m.start - 1)),
+        s"negated or marked quoted phrases are not supported in '$qs'")
+    }
+    val phrases = phraseMatches.map(_.group(1))
     require(phrases.size <= 1,
       s"at most one quoted phrase is supported, got ${phrases.size} in '$qs'")
     require(qs.count(_ == '"') % 2 == 0, s"unbalanced quote in '$qs'")

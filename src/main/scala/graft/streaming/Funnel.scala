@@ -24,7 +24,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * replaying a shard-ordered log satisfies it naturally). Under that
   * precondition "first qualifying event" equals the batch contract's
   * "min-ts qualifying event", so final stages match q129 exactly —
-  * `FunnelSpec`/`StreamingTwinSpec` pin the equality. An event
+  * `FunnelSpec` pins the automaton's unit semantics and
+  * `StreamingTwinSpec` the end-to-end equality. An event
   * arriving out of order behind its user's current stage time is
   * ignored, exactly like a CEP automaton that has already advanced.
   *

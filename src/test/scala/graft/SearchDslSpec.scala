@@ -422,12 +422,17 @@ class SearchDslSpec extends SparkSpec {
     // Phrase-only queries score by the phrase's own terms.
     val p = SearchDsl.parseQueryString("\"big table\"")
     assert(p.must == Seq("big", "table") && p.phrase == Seq("big", "table"))
+    // '-'/'+' INSIDE a phrase or before its CLOSING quote is content,
+    // not a negation marker — the guard anchors to opening quotes.
+    val tr = SearchDsl.parseQueryString("\"grade a-\" spark")
+    assert(tr.phrase == Seq("grade", "a") && tr.must == Seq("spark"))
+    assert(SearchDsl.parseQueryString("\"type a+b\"").phrase == Seq("type", "a", "b"))
     // Refused: wildcard/fuzzy/boost/field/group syntax, pure negation,
     // multiple phrases, unbalanced quotes, empties, bad operator.
     for (bad <- Seq("a*", "b?", "c~2", "d^3", "f:g", "(a b)", "-slow",
         "\"a\" \"b\"", "\"a b", "   ",
         // a negated/marked phrase must refuse, never invert to positive
-        "foo -\"bad phrase\"", "foo +\"p q\"",
+        "foo -\"bad phrase\"", "foo +\"p q\"", "-\"p q\"",
         // operator-ish tokens the analyzer dissolves must refuse, not drop
         "fast | cheap", "fast + cheap", "fast -- cheap"))
       intercept[IllegalArgumentException] { SearchDsl.parseQueryString(bad) }

@@ -100,6 +100,19 @@ class StreamingTwinSpec extends SparkSpec {
       ev.filter(col("ts") > cut2)
     ).zipWithIndex.foreach { case (chunk, i) =>
       chunk.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/chunk=$i")
+      // FileStreamSource orders files by modification time: pin each
+      // chunk's files to strictly increasing mtimes so the delivery
+      // order is the EPOCH order by construction, not a race against
+      // filesystem timestamp granularity.
+      val dir = java.nio.file.Paths.get(s"$tmp/in/chunk=$i")
+      val ls = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.foreach { p =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
+      } finally ls.close()
     }
     val src = spark.readStream
       .schema(ev.schema)
