@@ -20,11 +20,15 @@ import graft.functions.TextFunctions.h64
   * marks recovers exactly the maximal duplicated runs (paper §4.1's
   * windowed variant).
   *
-  * Scale shape: the occurrence table (8-byte hashed keys — never gram
-  * text — on every shuffle) materializes once, the corpus-wide gram
-  * count is a two-phase hash aggregate, marking is a SALTED join back
-  * (no single reducer ever holds a hot gram's occurrences — see
-  * [[duplicatedSpans]]), then ONE doc-keyed window pass merges marks
+  * Scale shape (big regime — inputs past [[SaltThresholdConf]]): the
+  * occurrence table (8-byte hashed keys — never gram text — on every
+  * shuffle) materializes once, the corpus-wide gram count is a
+  * two-phase hash aggregate, marking is a SALTED join back (no single
+  * reducer ever holds a hot gram's occurrences — see
+  * [[duplicatedSpans]]); small inputs instead take a one-scan,
+  * one-exchange window count whose worst-case single-task fold is
+  * bounded by the (small) input. Both regimes produce identical spans;
+  * then ONE doc-keyed window pass merges marks
   * into maximal spans — the merge's two windows and the final span agg
   * all share the doc_id exchange. Nothing is ever pairwise over
   * documents; cost is bounded by occurrence count, and the marked
@@ -37,6 +41,43 @@ import graft.functions.TextFunctions.h64
   * oracle bit-exact on the same decision.
   */
 object SpanDedup {
+
+  /** Regime switch for the skew-proof machinery (conf key, bytes).
+    * Inputs whose Catalyst size estimate is BELOW the threshold take the
+    * small-regime plan — single scan, plain gh exchange, no checkpoint,
+    * no salt replication; at or above it, the salted two-phase form
+    * runs. Rationale: the salt fan-out and the occurrence checkpoint
+    * exist to stop a mega-gram (one k-gram in millions of documents)
+    * from funnelling a corpus-scale partition through one task — but
+    * below ~[[DefaultSaltThresholdBytes]] of input even the worst case
+    * (every token one gram) is a single bounded fold, and the salted
+    * form's extra exchange + 16× key replication + eager checkpoint
+    * job triple the cost of the common case (the r9→r10 lesson: the
+    * always-salted rewrite cost 3–8× at small scale). `0` forces the
+    * salted regime everywhere (tests, known-skewed inputs);
+    * `Long.MaxValue` forces the small regime.
+    */
+  private[graft] val SaltThresholdConf = "spark.graft.spanDedup.saltThresholdBytes"
+
+  /** 256 MB: a worst-case all-one-gram corpus below this bound costs one
+    * reducer a fold over ≤256 MB of 20-byte occurrence keys — seconds,
+    * not a scale-killer — while real corpora past it start meeting
+    * boilerplate grams hot enough to own a partition.
+    */
+  private[graft] val DefaultSaltThresholdBytes: Long = 256L << 20
+
+  /** True when `df`'s optimizer size estimate crosses the salt
+    * threshold. Checkpointed/materialized frames (LogicalRDD) have no
+    * file-backed estimate and default to the session's huge
+    * defaultSizeInBytes — conservatively salted, which is correct: the
+    * big regime is the only one that checkpoints.
+    */
+  private[graft] def saltRegime(df: DataFrame): Boolean = {
+    val thr = df.sparkSession.conf
+      .getOption(SaltThresholdConf).map(_.toLong)
+      .getOrElse(DefaultSaltThresholdBytes)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(thr)
+  }
 
   /** One row per k-gram occurrence of (doc_id, toks): (doc_id, pos,
     * gh) with pos the 0-based token index of the gram's first token
@@ -74,8 +115,22 @@ object SpanDedup {
     * write/read cycle.
     */
   def duplicatedSpans(toks: DataFrame, k: Int): DataFrame = {
-    // Skew-proof two-phase duplicate detection. The earlier form — a
-    // count over Window.partitionBy(gh) — was one scan and one
+    // SMALL REGIME (input below the salt threshold): the one-scan,
+    // one-gh-exchange window count. A window partition cannot be split,
+    // but below the threshold even a gram owning EVERY occurrence is a
+    // bounded single-task fold — and this plan skips the eager
+    // checkpoint job, the second exchange, and the 16× key replication
+    // the skew-proof form pays.
+    if (!saltRegime(toks)) {
+      val marked = gramOccurrences(toks, k)
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
+        .filter(col("cnt") > 1)
+        .select(col("doc_id"), col("pos").as("s"),
+          (col("pos") + lit(k)).cast("long").as("e"))
+      return mergeMarks(marked)
+    }
+    // BIG REGIME: skew-proof two-phase duplicate detection. The small
+    // regime's count over Window.partitionBy(gh) is one scan and one
     // exchange, but a window partition CANNOT be split: a mega-gram
     // (one k-gram occurring millions of times — boilerplate headers do
     // this at corpus scale) funnels every occurrence through a single
@@ -121,18 +176,26 @@ object SpanDedup {
     markAndMerge(occ, dup, k)
   }
 
-  /** Shared mark-and-merge tail: salted join of gram occurrences
-    * against the duplicated-gram keys (see [[duplicatedSpans]] step 3),
-    * then the one-exchange interval merge. Package-visible so the
-    * cross-epoch streaming form ([[graft.streaming.LiveSpanDedup]])
-    * shares the exact marking semantics with the batch operators.
+  /** Shared mark-and-merge tail: join of gram occurrences against the
+    * duplicated-gram keys (see [[duplicatedSpans]] step 3), then the
+    * one-exchange interval merge. The join is SALTED only in the big
+    * regime ([[saltRegime]] of the occurrence side): a plain equi-join
+    * below the threshold lets AQE broadcast a benchmark-sized key set
+    * over one scan with zero replication, while past it a corpus-hot
+    * gram's occurrences spread over [[MarkSaltFactor]] reducers instead
+    * of hashing into one sort-merge partition. Identical output either
+    * way. Package-visible so the cross-epoch streaming form
+    * ([[graft.streaming.LiveSpanDedup]]) shares the exact marking
+    * semantics with the batch operators.
     */
   private[graft] def markAndMerge(occ: DataFrame, dupKeys: DataFrame,
       k: Int): DataFrame = {
-    val marked = Skew.saltedJoin(occ, dupKeys, "gh", MarkSaltFactor)
+    val joined =
+      if (saltRegime(occ)) Skew.saltedJoin(occ, dupKeys, "gh", MarkSaltFactor)
+      else occ.join(dupKeys, Seq("gh"))
+    mergeMarks(joined
       .select(col("doc_id"), col("pos").as("s"),
-        (col("pos") + lit(k)).cast("long").as("e"))
-    mergeMarks(marked)
+        (col("pos") + lit(k)).cast("long").as("e")))
   }
 
   /** Salt fan-out for the mark joins: a hot gram spreads over this many
@@ -154,10 +217,10 @@ object SpanDedup {
     */
   def matchedSpans(toks: DataFrame, ref: DataFrame, k: Int): DataFrame = {
     val refGrams = gramOccurrences(ref, k).select("gh").distinct()
-    // Same salted mark join as duplicatedSpans: when the ref side is
-    // benchmark-sized the replicated frame still broadcasts (16× tiny
-    // is tiny), and when it is not, a corpus-hot gram matching a ref
-    // gram would otherwise pile into one sort-merge partition.
+    // Same adaptive mark join as duplicatedSpans: below the salt
+    // threshold a plain equi-join AQE-broadcasts the benchmark-sized
+    // gram set; past it, a corpus-hot gram matching a ref gram would
+    // pile into one sort-merge partition, so the salted form takes over.
     markAndMerge(gramOccurrences(toks, k), refGrams, k)
   }
 

@@ -170,8 +170,10 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q87: span dedup is a salted two-phase count — no per-gram fold, PARTITIONED merge") {
-    val p = plan("q87_span_dedup")
+  test("q87 big regime: span dedup is a salted two-phase count — no per-gram fold") {
+    // Threshold 0 forces the salted plan the 100 TB path takes; the
+    // sf0.001 input would otherwise (correctly) pick the small regime.
+    val p = inSpanRegime(0L)(plan("q87_span_dedup"))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
     // The corpus scans ONCE, at checkpoint-build time: the final plan's
     // count side and mark side both read the materialized occurrence
@@ -190,6 +192,31 @@ class ExplainSpec extends SparkSpec {
     // Both merge windows run per-doc — the unpartitioned-window trap
     // would funnel every marked gram through one task.
     assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
+  test("q87 small regime: one scan, one gh window count, no checkpoint or salt") {
+    // Below the threshold (the bench scales live here) the plan must be
+    // the cheap one: a single parquet pass, the duplicate decision as a
+    // gh-partitioned window count, NO eager checkpoint materialization
+    // and NO salt replication — the r9 3–8× constant-factor regression
+    // came from paying the skew machinery on inputs that can't skew.
+    val p = inSpanRegime(Long.MaxValue)(plan("q87_span_dedup"))
+    assert(p.contains("Scan parquet"), p)
+    assert(!p.contains("ExistingRDD"), p)
+    assert(p.contains("windowspecdefinition(gh"), p)
+    assert(!p.contains("_graft_salt"), p)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
+  /** Pin helper: run `f` with the SpanDedup salt threshold fixed. */
+  private def inSpanRegime[T](thresholdBytes: Long)(f: => T): T = {
+    val key = graft.operators.SpanDedup.SaltThresholdConf
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, thresholdBytes.toString)
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("q39: watermark running max is the two-phase scan — no window operator at all") {

@@ -19,6 +19,20 @@ class SpanDedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq.sorted
   }
 
+  /** Run `f` with the salt-regime threshold pinned: 0 forces the
+    * salted big-regime plan on tiny inputs, Long.MaxValue forces the
+    * small-regime window plan.
+    */
+  private def inRegime[T](thresholdBytes: Long)(f: => T): T = {
+    val key = SpanDedup.SaltThresholdConf
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, thresholdBytes.toString)
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Naive local replay: mark k-gram occurrences whose gram text occurs
     * more than once corpus-wide, merge marks that overlap or touch.
     */
@@ -111,8 +125,29 @@ class SpanDedupSpec extends SparkSpec {
     }
     (0 until 4).foreach { trial =>
       val rows = corpusGen.apply(Gen.Parameters.default, Seed(9090L + trial)).get
-      assert(spans(rows, 3) == spansLocal(rows, 3), s"trial $trial")
+      // threshold 0 forces the salted big-regime plan the test exists
+      // for — tiny adversarial corpora would otherwise take the small
+      // regime and never touch the salt machinery.
+      assert(inRegime(0L)(spans(rows, 3)) == spansLocal(rows, 3), s"trial $trial")
     }
+  }
+
+  test("small and salted regimes produce identical spans and matched spans") {
+    val rnd = new scala.util.Random(31L)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val rows = Seq.tabulate(14) { i =>
+      i.toLong -> Seq.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val ref = Seq(200L -> Seq("a", "b", "c", "d", "e"))
+    import spark.implicits._
+    val small = inRegime(Long.MaxValue)(spans(rows, 3))
+    val salted = inRegime(0L)(spans(rows, 3))
+    assert(small == salted)
+    assert(small == spansLocal(rows, 3))
+    def matched(): Seq[(Long, Long, Long)] =
+      SpanDedup.matchedSpans(toksDf(rows), toksDf(ref), 3)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(inRegime(Long.MaxValue)(matched()) == inRegime(0L)(matched()))
   }
 
   test("removeSpans cuts exactly the span tokens and passes novel docs through") {
