@@ -58,6 +58,42 @@ object EpochStore {
     */
   private val maintenanceLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Target rows per snapshot output partition for [[writeKeyedSnapshot]]
+    * (conf key + default). 8M short key rows ≈ 100–200 MB of parquet —
+    * comfortable task-size at write AND read. Overridable per session so
+    * tests can pin a tiny value and observe the partition count grow.
+    */
+  private[streaming] val SnapshotRowsPerPartConf =
+    "spark.graft.store.snapshotRowsPerPartition"
+  private[streaming] val DefaultSnapshotRowsPerPartition: Long = 8L * 1000 * 1000
+
+  /** Snapshot writer for stores whose resolved size is O(keys) — e.g. a
+    * doc-version store with one row per live document. A fixed
+    * `repartition(1)` there means ONE task rewrites the entire store at
+    * every compaction (at corpus scale: a single writer over ~10⁹
+    * rows); a fixed high count means thousands of near-empty files for
+    * small stores. Instead: hash-partition by `key` with a count derived
+    * from the ACTUAL resolved row count (one cached count — the frame is
+    * about to be written anyway, so the cache is not wasted work),
+    * targeting [[SnapshotRowsPerPartConf]] rows per file. Hash-keyed so
+    * a later per-key lookup can prune files once sorted within
+    * partitions by the same key.
+    */
+  def writeKeyedSnapshot(df: DataFrame, tmp: String, key: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rowsPer = df.sparkSession.conf.getOption(SnapshotRowsPerPartConf)
+      .map(_.toLong).getOrElse(DefaultSnapshotRowsPerPartition)
+    require(rowsPer > 0, s"$SnapshotRowsPerPartConf must be positive, got $rowsPer")
+    val cached = df.persist()
+    try {
+      val n = cached.count()
+      val parts = math.max(1L, (n + rowsPer - 1) / rowsPer)
+        .min(1L << 20).toInt
+      cached.repartition(parts, col(key)).sortWithinPartitions(key)
+        .write.mode("overwrite").parquet(tmp)
+    } finally cached.unpersist(blocking = false)
+  }
   private def maintenanceLock(root: String): Object =
     maintenanceLocks.computeIfAbsent(root.stripSuffix("/"), _ => new Object)
 

@@ -365,8 +365,10 @@ object LiveSpanDedup {
         leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs)
       EpochStore.compact(spark, docsRoot(root),
         resolve = docs => EpochStore.latestPerKey(docs, "doc_id"),
-        writeSnapshot = (df, tmp) => df.repartition(1)
-          .write.mode("overwrite").parquet(tmp),
+        // O(resolved docs) rows — keyed + row-count-sized layout, never
+        // a single-task rewrite of the whole currency store.
+        writeSnapshot = (df, tmp) =>
+          EpochStore.writeKeyedSnapshot(df, tmp, "doc_id"),
         leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
         // Folding the activation store commits those epochs' history:
         // advance the replay fence (still under the lease) so a late

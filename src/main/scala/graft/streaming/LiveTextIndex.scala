@@ -470,8 +470,11 @@ object LiveTextIndex {
       // history — advance the replay fence under the lease.
       EpochStore.compact(spark, doclenRoot(root),
         resolve = dl => EpochStore.latestPerKey(dl, "doc_id"),
-        writeSnapshot = (df, tmp) => df.repartition(math.min(shards, 2))
-          .write.mode("overwrite").parquet(tmp),
+        // O(resolved docs) rows — keyed + row-count-sized layout (a
+        // fixed tiny partition count would single-task the rewrite of
+        // a corpus-scale doclen store).
+        writeSnapshot = (df, tmp) =>
+          EpochStore.writeKeyedSnapshot(df, tmp, "doc_id"),
         leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,
         onCommit = folded => folded.reduceOption(_ max _)
           .foreach(EpochStore.advanceWatermark(spark, doclenRoot(root), _)))
@@ -488,6 +491,8 @@ object LiveTextIndex {
       val wm = EpochStore.readWatermark(spark, doclenRoot(root))
       EpochStore.compact(spark, statsRoot(root),
         resolve = _.dropDuplicates("_epoch"),
+        // ONE row per folded epoch — bounded by delivery count, never
+        // corpus size, so a single-file snapshot is the right layout.
         writeSnapshot = (df, tmp) => df.repartition(1)
           .write.mode("overwrite").parquet(tmp),
         leaseTtlMs = leaseTtlMs, leaseTimeoutMs = leaseTimeoutMs,

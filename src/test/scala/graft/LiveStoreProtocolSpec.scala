@@ -71,6 +71,40 @@ class LiveStoreProtocolSpec extends SparkSpec {
     assert(spans().map(_._1) == Set(2L, 3L))
   }
 
+  test("compaction snapshots of O(docs) stores are keyed and sized by " +
+      "row count — partition count grows with the store") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-span-snap")
+      .toString + "/state"
+    val confKey = "spark.graft.store.snapshotRowsPerPartition"
+    def toks(ids: Range) = ids.map(i =>
+        (i.toLong, Seq(s"t$i", s"u$i", s"v$i", s"w$i"))).toDF("doc_id", "toks")
+    def snapshotFiles(): Array[java.io.File] = {
+      val snap = new java.io.File(s"$root/docs").listFiles()
+        .filter(_.getName.startsWith("epoch=compact-"))
+      assert(snap.length == 1, snap.mkString(","))
+      snap.head.listFiles().filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    }
+    LiveSpanDedup.writeDelta(toks(0 until 60), root, 0L, k = 3)
+    LiveSpanDedup.writeDelta(toks(60 until 120), root, 1L, k = 3)
+    // 120 resolved docs at 25 rows/partition → ceil(120/25) = 5 hash
+    // partitions; the old repartition(1) layout wrote exactly one.
+    spark.conf.set(confKey, "25")
+    try {
+      LiveSpanDedup.compact(spark, root)
+      assert(snapshotFiles().length >= 4,
+        s"keyed snapshot should spread over ~5 files: ${snapshotFiles().length}")
+    } finally spark.conf.unset(confKey)
+    // Default sizing collapses the same (tiny) store back to one file —
+    // the small-store layout — and the read-side truth is unchanged.
+    LiveSpanDedup.writeDelta(toks(120 until 130), root, 2L, k = 3)
+    LiveSpanDedup.compact(spark, root)
+    assert(snapshotFiles().length == 1)
+    assert(LiveSpanDedup.duplicatedSpans(spark, root, 3,
+      idType = LongType).count() == 0) // all docs distinct: no dup spans
+  }
+
   test("LiveSpanDedup: an occ dir without its docs marker (in-flight " +
       "delivery) survives compaction and completes on replay") {
     import spark.implicits._
