@@ -56,4 +56,53 @@ class FunnelSpec extends SparkSpec {
       Funnel.track(spark, Seq.empty[Funnel.Event].toDS(), Seq("view"), 0L)
     }
   }
+
+  test("a violated cross-batch in-order precondition is visible, not silent") {
+    // Two micro-batches delivered AGAINST event-time order: batch 1
+    // advances user 1 to stage 2 at t=10; batch 2 then carries a t=5
+    // click — behind the automaton clock, so it is ignored (the CEP
+    // already-advanced rule) AND counted into the violation
+    // accumulator. In-order users never increment it.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Funnel.Event]
+    val tracked = Funnel.trackInstrumented(spark, src.toDS(),
+      Seq("view", "click", "purchase"), 60 * 60000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel-ooo").toString
+    val q = tracked.events.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_ooo")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      src.addData(Funnel.Event(1L, ts(0), "view"), Funnel.Event(1L, ts(10), "click"))
+      q.processAllAvailable()
+      assert(tracked.outOfOrderBehindState.value == 0L)
+      src.addData(Funnel.Event(1L, ts(5), "click"), Funnel.Event(2L, ts(20), "view"))
+      q.processAllAvailable()
+      assert(tracked.outOfOrderBehindState.value == 1L)
+      // The late event was ignored (no state regression, no re-emission).
+      val got = spark.table("funnel_ooo")
+        .as[Funnel.StageReached].collect()
+        .map(r => (r.user_id, r.stage, r.ts.getTime / 60000L)).toSet
+      assert(got == Set((1L, 1, 0L), (1L, 2, 10L), (2L, 1, 20L)))
+    } finally q.stop()
+  }
+
+  test("processing-time state TTL keeps batch semantics and rejects bad values") {
+    import spark.implicits._
+    // On a closed input timeouts never fire: TTL-tracked results equal
+    // the untracked contract.
+    val rows = Seq((1L, 0L, "view"), (1L, 10L, "click"), (3L, 0L, "view"))
+    val ev = rows.map { case (u, m, t) => Funnel.Event(u, ts(m), t) }.toDS()
+    val withTtl = Funnel.trackInstrumented(spark, ev,
+        Seq("view", "click", "purchase"), 60 * 60000L,
+        stateTtlMillis = Some(3600000L))
+      .events.collect().map(r => (r.user_id, r.stage)).toSet
+    assert(withTtl == Set((1L, 1), (1L, 2), (3L, 1)))
+    intercept[IllegalArgumentException] {
+      Funnel.trackInstrumented(spark, ev, Seq("view"), 1000L,
+        stateTtlMillis = Some(0L))
+    }
+  }
 }
