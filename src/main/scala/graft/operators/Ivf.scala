@@ -116,18 +116,19 @@ object Ivf {
     * broadcast), so rows encoded epoch-by-epoch land in EXACTLY the
     * cells a batch rebuild would give them — [[search]] over the
     * accumulated epochs equals search over a batch index of the same
-    * closed input. A scalar UDF rather than a typed map because the
-    * payload schema is dynamic here; the per-row cost (k·d distance
-    * folds) dwarfs the UDF boundary. Null embeddings get a null cell:
-    * absent from every probe's equi-join, present in the table.
+    * closed input. The assignment is the codegen'd
+    * [[graft.functions.IvfCellExpr]] (the `DotProductF` pattern):
+    * the dynamic payload schema rides untouched, the kernel reads the
+    * ArrayData in place with no per-row Catalyst→Scala conversion —
+    * this runs over every delivered vector exactly once, so the UDF
+    * boundary it replaces sat on the heaviest scan of the ANN build.
+    * Null embeddings get a null cell: absent from every probe's
+    * equi-join, present in the table.
     */
   def withCell(spark: SparkSession, df: DataFrame, model: Model,
-      embCol: String = "embedding"): DataFrame = {
-    val bc = spark.sparkContext.broadcast(model.centroids)
-    val cellU = udf((v: Seq[Float]) =>
-      if (v == null) None else Some(nearest(bc.value, v.toArray)))
-    df.withColumn("cell", cellU(col(embCol)))
-  }
+      embCol: String = "embedding"): DataFrame =
+    df.withColumn("cell",
+      graft.functions.AnnFunctions.ivf_cell(col(embCol), model.centroids))
 
   /** The `nprobe` nearest cells per probe: (probe_id, cell). The
     * bit-parity-critical probe-cell rule — single-precision per-dim

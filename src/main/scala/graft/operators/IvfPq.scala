@@ -113,27 +113,16 @@ object IvfPq {
     */
   def withCellCodes(spark: SparkSession, df: DataFrame, model: Model,
       embCol: String = "embedding"): DataFrame = {
-    val bc = spark.sparkContext.broadcast(model)
-    val encU = udf((v: Seq[Float]) =>
-      if (v == null) None
-      else {
-        val m = bc.value
-        val arr = v.toArray
-        require(arr.length == m.pq.subModels.length * m.pq.subDim,
-          s"IvfPq.withCellCodes: vec has dim ${arr.length}, expected " +
-            s"${m.pq.subModels.length * m.pq.subDim}")
-        val cell = Ivf.nearest(m.coarse.centroids, arr)
-        val cv = m.coarse.centroids(cell)._2
-        val r = Array.tabulate(arr.length)(d => arr(d) - cv(d))
-        val codes = (0 until m.pq.subModels.length).map { j =>
-          Ivf.nearest(m.pq.subModels(j).centroids,
-            r.slice(j * m.pq.subDim, (j + 1) * m.pq.subDim))
-        }
-        Some((cell, codes))
-      })
-    df.withColumn("_enc", encU(col(embCol)))
-      .withColumn("cell", col("_enc._1"))
-      .withColumn("codes", col("_enc._2"))
+    // Codegen'd one-expression encode (graft.functions.IvfPqEncodeExpr,
+    // the DotProductF pattern): no per-row Catalyst→Scala conversion on
+    // the every-delivered-vector scan the Scala UDF it replaces paid,
+    // same loud wrong-width failure, null embeddings → null cell/codes.
+    val enc = graft.functions.AnnFunctions.ivfpq_encode(col(embCol),
+      model.coarse.centroids,
+      model.pq.subModels.map(_.centroids).toArray, model.pq.subDim)
+    df.withColumn("_enc", enc)
+      .withColumn("cell", col("_enc.cell"))
+      .withColumn("codes", col("_enc.codes"))
       .drop("_enc")
   }
 

@@ -24,6 +24,51 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("codegen'd withCellCodes encodes bit-identically to the batch encode") {
+    import spark.implicits._
+    // The streaming-epoch expression path and the batch typed-map path
+    // must assign EXACTLY the same (cell, codes) per vector — epoch-
+    // appended rows land where a batch rebuild would put them.
+    val batch = IvfPq.encode(spark, emb, model)
+      .select("vec_id", "cell", "codes").as[(Long, Int, Seq[Int])]
+      .collect().sortBy(_._1)
+    val expr = IvfPq.withCellCodes(spark,
+        emb.withColumn("payload", lit("kept")), model)
+      .select("vec_id", "cell", "codes").as[(Long, Int, Seq[Int])]
+      .collect().sortBy(_._1)
+    assert(expr.toSeq == batch.toSeq)
+    // Extra payload columns ride through untouched (the dynamic-schema
+    // contract the UDF this replaced existed for).
+    assert(IvfPq.withCellCodes(spark,
+      emb.withColumn("payload", lit("kept")), model)
+      .columns.toSeq == Seq("vec_id", "embedding", "payload", "cell", "codes"))
+    // Null embeddings: null cell/codes, row retained.
+    val withNull = IvfPq.withCellCodes(spark,
+      emb.limit(1).select(col("vec_id"), lit(null)
+        .cast("array<float>").as("embedding")), model)
+    assert(withNull.filter(col("cell").isNull && col("codes").isNull).count() == 1)
+    // Wrong-width vectors fail loud, never truncated-encode.
+    val thrown = intercept[org.apache.spark.SparkException] {
+      IvfPq.withCellCodes(spark,
+        emb.limit(1).select(col("vec_id"),
+          expr_slice1.as("embedding")), model).collect()
+    }
+    assert(thrown.getMessage != null)
+  }
+
+  private def expr_slice1 =
+    slice(col("embedding"), 1, 3)
+
+  test("codegen'd Ivf.withCell matches the batch index assignment") {
+    import spark.implicits._
+    val m = model.coarse
+    val batch = Ivf.index(spark, emb, m)
+      .select("vec_id", "cell").as[(Long, Int)].collect().sortBy(_._1)
+    val viaExpr = Ivf.withCell(spark, emb, m)
+      .select("vec_id", "cell").as[(Long, Int)].collect().sortBy(_._1)
+    assert(viaExpr.toSeq == batch.toSeq)
+  }
+
   test("ADC scores equal the naive decomposition, bit for bit") {
     import spark.implicits._
     // The operator's identity: dot(p, c + r-hat) via dot(p,c) + per-
