@@ -337,6 +337,14 @@ object SearchDsl {
     // '+', '--', punctuation runs): dropping them would silently
     // execute a DIFFERENT query than the user wrote.
     def analyzed(raw: String, stripped: String): Seq[String] = {
+      // A stripped form STILL starting with an operator ('--word',
+      // '+-word') is a doubled/ambiguous operator, not content — the
+      // analyzer would dissolve the residue and silently accept the
+      // token as if singly-marked, the exact inversion refuse-loudly
+      // exists to block ('--' alone was already refused; this anchors
+      // the rule for operator-prefixed residues too).
+      require(!stripped.startsWith("-") && !stripped.startsWith("+"),
+        s"unsupported doubled operator token '$raw' in '$qs'")
       val ts = analyze(stripped)
       require(ts.nonEmpty, s"unsupported query_string token '$raw' in '$qs'")
       ts

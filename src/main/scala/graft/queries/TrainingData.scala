@@ -2595,14 +2595,23 @@ object TrainingData {
     val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
       .select(col("doc_id"), Par.r2(col("score")).as("score"))
     val page1 = scored.orderBy(col("score").desc, col("doc_id")).limit(10).collect()
-    require(page1.length == 10, s"page 1 short: ${page1.length} rows")
-    val cursor = page1.last
-    graft.operators.SearchDsl.searchAfter(scored, col("score"),
-        cursor.getDouble(1), cursor.getLong(0), k = 10)
-      .withColumn("rank",
-        (row_number().over(Window.orderBy(col("score").desc, col("doc_id"))) + 10)
-          .cast("bigint"))
-      .orderBy("rank")
+    page1.lastOption match {
+      // A short page 1 means the ranking is exhausted: page 2 is empty,
+      // exactly the oracle's `rnk BETWEEN 11 AND 20` on a small corpus
+      // (a search client stops paging when a page comes back short —
+      // aborting here would fail where the oracle returns zero rows).
+      case Some(cursor) if page1.length == 10 =>
+        graft.operators.SearchDsl.searchAfter(scored, col("score"),
+            cursor.getDouble(1), cursor.getLong(0), k = 10)
+          .withColumn("rank",
+            (row_number().over(Window.orderBy(col("score").desc, col("doc_id"))) + 10)
+              .cast("bigint"))
+          .orderBy("rank")
+      case _ =>
+        scored.filter(lit(false))
+          .withColumn("rank", lit(0L))
+          .select("doc_id", "score", "rank")
+    }
   }
 
   // ------------------------------------------ q111: percolate

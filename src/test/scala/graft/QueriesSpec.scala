@@ -23,6 +23,18 @@ class QueriesSpec extends SparkSpec {
       s"unexpected empty results: ${empty.map(_.name)}")
   }
 
+  test("q110 returns the oracle's empty page, not a failure, when the ranking is short") {
+    // The SQL oracle's `rnk BETWEEN 11 AND 20` yields zero rows on a
+    // corpus with <= 10 BM25 hits; the Spark side must mirror that (a
+    // search client stops paging on a short page) instead of aborting.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q110").toString
+    queries.Tables.t(spark, sfDir, "documents").limit(3)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q110_search_after")(spark, tmp)
+    assert(out.columns.sorted.toSeq == Seq("doc_id", "rank", "score"))
+    assert(out.count() == 0)
+  }
+
   test("oracle SQL exists for every query (q16 included, via tolerance column)") {
     // EVERY registry entry is oracle-checked — q73's Lloyd iterations
     // are replayed as chained CTEs with float-exact arithmetic, so even

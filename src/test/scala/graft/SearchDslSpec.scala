@@ -434,7 +434,10 @@ class SearchDslSpec extends SparkSpec {
         // a negated/marked phrase must refuse, never invert to positive
         "foo -\"bad phrase\"", "foo +\"p q\"", "-\"p q\"",
         // operator-ish tokens the analyzer dissolves must refuse, not drop
-        "fast | cheap", "fast + cheap", "fast -- cheap"))
+        "fast | cheap", "fast + cheap", "fast -- cheap",
+        // doubled/ambiguous operators whose residue the analyzer would
+        // dissolve must refuse, not silently read as singly-marked
+        "foo --word", "foo +-word", "foo -+word", "--word"))
       intercept[IllegalArgumentException] { SearchDsl.parseQueryString(bad) }
     intercept[IllegalArgumentException] { SearchDsl.parseQueryString("a", "not") }
   }
