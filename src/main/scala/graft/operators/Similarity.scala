@@ -380,6 +380,66 @@ object Similarity {
     topKByScore(scored, "cos", k)
   }
 
+  /** What an LSH configuration will actually deliver on a given
+    * bucketed corpus — the guardrail for the silent-garbage failure
+    * mode the recall ladder MEASURES (q118: single-table 8-plane recall
+    * is 0.0 on the gate corpus): too many planes for the corpus size
+    * leaves every vector alone in its bucket, so every probe sees zero
+    * candidates and [[lshSearch]] returns an empty/garbage top-k with
+    * no error anywhere.
+    *
+    * `expectedCandidatesPerProbe` is the size-biased bucket mean minus
+    * one (Σ size² / n − 1): the candidate count a probe drawn like the
+    * corpus sees. `nearZeroRecallRisk` trips when that expectation is
+    * below 1 — most probes meet NOBODY. Cost: one groupBy over the
+    * bucketed frame — a diagnostic pass, not wired into the search hot
+    * path; run it when choosing parameters or on a sample.
+    */
+  final case class LshDiagnosis(corpusRows: Long, distinctBuckets: Long,
+      maxBucketSize: Long, expectedCandidatesPerProbe: Double) {
+    def nearZeroRecallRisk: Boolean =
+      corpusRows > 0 && expectedCandidatesPerProbe < 1.0
+  }
+
+  /** Diagnose a bucketed corpus ([[hyperplaneLsh]] output, or one
+    * table of [[multiBuckets]] exploded). Logs a LOUD warning on
+    * near-zero-recall risk, with the concrete fix (fewer planes via
+    * [[defaultLshPlanes]], or multi-table OR-amplification).
+    */
+  def diagnoseLsh(bucketed: DataFrame, bucketCol: String = "bucket"): LshDiagnosis = {
+    val stats = bucketed.groupBy(col(bucketCol)).agg(count(lit(1)).as("sz"))
+      .agg(sum(col("sz")), count(lit(1)), max(col("sz")),
+        sum(col("sz") * col("sz")))
+      .head()
+    val d =
+      if (stats.isNullAt(0)) LshDiagnosis(0L, 0L, 0L, 0.0)
+      else LshDiagnosis(stats.getLong(0), stats.getLong(1), stats.getLong(2),
+        stats.getLong(3).toDouble / stats.getLong(0) - 1.0)
+    if (d.corpusRows > 0 && d.nearZeroRecallRisk)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"LSH config risk: ${d.corpusRows} vectors spread over " +
+          s"${d.distinctBuckets} buckets (max ${d.maxBucketSize}); expected " +
+          f"candidates/probe = ${d.expectedCandidatesPerProbe}%.2f — most " +
+          "probes will see NO candidates and recall will be near zero. " +
+          s"Use <= ${defaultLshPlanes(d.corpusRows)} planes " +
+          "(Similarity.defaultLshPlanes) or multi-table search " +
+          "(lshSearchMulti) to recover recall.")
+    d
+  }
+
+  /** Planes sized from the corpus: 2^planes buckets targeting
+    * `targetBucketSize` expected members each — the per-table
+    * selectivity half of the tuning rule on [[lshSearchMulti]] (pick
+    * `tables` for recall). Floors at 1 plane.
+    */
+  def defaultLshPlanes(corpusRows: Long, targetBucketSize: Int = 32): Int = {
+    require(targetBucketSize > 0,
+      s"targetBucketSize must be positive, got $targetBucketSize")
+    if (corpusRows <= targetBucketSize) 1
+    else math.max(1, (math.log(corpusRows.toDouble / targetBucketSize) /
+      math.log(2.0)).floor.toInt)
+  }
+
   /** Plane-p, dim-d rademacher weight ∈ {-1, +1} from an md5 bit — the
     * driver-side twin of the SQL spelling
     * `(conv(substring(md5(concat(p, '|', d)), 1, 15), 16, 10) & 1) * 2 - 1`.

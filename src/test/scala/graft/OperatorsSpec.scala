@@ -141,6 +141,37 @@ class OperatorsSpec extends SparkSpec {
     assert(explicit == probed, "explicit dim must reproduce the probed planes")
   }
 
+  test("LSH guardrail: over-planed configs are diagnosed as near-zero recall; " +
+      "defaultLshPlanes sizes from the corpus") {
+    import spark.implicits._
+    // Scattered full-rank directions (seeded RNG — lattice or
+    // sinusoid corpora live on low-dim manifolds whose sign patterns
+    // collapse): 16 planes over 60 vectors means 2^16 buckets,
+    // (nearly) everyone alone — the q118-measured silent-garbage
+    // config. The diagnosis must trip.
+    val rnd = new scala.util.Random(1234L)
+    val vecs = (1 to 60).map(i => (i.toLong,
+        Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val bad = Similarity.diagnoseLsh(Similarity.hyperplaneLsh(vecs, 16))
+    assert(bad.corpusRows == 60 && bad.nearZeroRecallRisk,
+      s"over-planed config not flagged: $bad")
+    // The derived default keeps expected occupancy healthy: 60 vectors
+    // at target bucket 8 → 2 planes → 4 buckets → ~15/bucket.
+    val planes = Similarity.defaultLshPlanes(60, targetBucketSize = 8)
+    assert(planes == 2, s"defaultLshPlanes(60, 8) = $planes")
+    val good = Similarity.diagnoseLsh(Similarity.hyperplaneLsh(vecs, planes))
+    assert(!good.nearZeroRecallRisk, s"derived config flagged: $good")
+    assert(good.distinctBuckets <= 4 && good.expectedCandidatesPerProbe >= 1.0)
+    // Degenerate inputs: empty corpus diagnoses quietly.
+    val empty = Similarity.diagnoseLsh(
+      Similarity.hyperplaneLsh(vecs.filter(lit(false)), 4, dim = 8))
+    assert(empty.corpusRows == 0 && !empty.nearZeroRecallRisk)
+    intercept[IllegalArgumentException] {
+      Similarity.defaultLshPlanes(100, targetBucketSize = 0)
+    }
+  }
+
   test("lshSearchMulti: tables=1 equals lshSearch; more tables only widen candidates") {
     import spark.implicits._
     def corpus(n: Int, dim: Int) =
