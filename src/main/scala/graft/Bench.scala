@@ -135,6 +135,13 @@ object Bench {
     def median(ss: Seq[Double]): Double = ss.sorted.apply(ss.size / 2)
     val times = samples.map { case (n, ss) => n -> median(ss) }
     val mins = samples.map { case (n, ss) => n -> ss.min }
+    // First-rep (coldest-available) time per query: for keys whose later
+    // reps hit an in-JVM memo/localCheckpoint (the shared ANN model
+    // memo, q32's cached pair set), the MIN measures cache lookup and
+    // would mask a regression in the underlying computation — the first
+    // rep keeps a cold-path reference alongside it (rep-major order:
+    // every query's first pass runs before any second pass).
+    val firsts = samples.map { case (n, ss) => n -> ss.head }
     // Spread survived the re-probe too: every low reading says the plan
     // is fast, every high one says the host stalled. The median is
     // untrustworthy for these — graders should read queries_min.
@@ -169,13 +176,14 @@ object Bench {
       m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val qs = jmap(times.toSeq.sortBy(_._1) :+ ("pipeline_stream" -> pipeSecs))
     val qmins = jmap(mins.toSeq.sortBy(_._1))
+    val qfirsts = jmap(firsts.toSeq.sortBy(_._1))
     val errs = errorsAll.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(160)) }
       .mkString("{", ",", "}")
     val total = times.values.sum + pipeSecs
     val totalMin = mins.values.sum + pipeSecs
     val rps = if (pipeSecs > 0 && pipeRecs > 0) pipeRecs / pipeSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"baseline":${jstr(baselineState)},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"baseline_uncovered":${uncovered.map(jstr).mkString("[", ",", "]")},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":${jstr(conservation)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"queries_first":$qfirsts,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"baseline":${jstr(baselineState)},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"baseline_uncovered":${uncovered.map(jstr).mkString("[", ",", "]")},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":${jstr(conservation)}}""")
     spark.stop()
   }
 

@@ -260,9 +260,10 @@ object LiveSpanDedup {
       .repartition(math.min(shards, 2))
       .write.mode("overwrite").parquet(s"${countsRoot(root)}/epoch=$epoch")
     // Currency marker LAST (see class doc): activates the new rows and
-    // the retraction together.
+    // the retraction together. Keyed like the doclen marker — one short
+    // row per delivered doc, epoch-bounded but potentially large.
     one.select(col("doc_id"), lit(epoch).as("_epoch"))
-      .repartition(1)
+      .repartition(math.max(1, shards / 2), col("doc_id"))
       .write.mode("overwrite").parquet(s"${docsRoot(root)}/epoch=$epoch")
   }
 

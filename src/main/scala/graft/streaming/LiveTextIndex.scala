@@ -276,9 +276,12 @@ object LiveTextIndex {
       .parquet(s"${statsRoot(root)}/epoch=$epoch")
     // Currency marker LAST (see class doc): only after everything it
     // activates — the postings rows and the stats delta — is durable.
+    // Keyed so a corpus-scale delivery epoch's marker never funnels
+    // through one or two writer tasks (the delta is one short row per
+    // delivered doc — epoch-bounded, but an epoch can be large).
     one.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         lit(epoch).as("_epoch"))
-      .repartition(math.min(shards, 2))
+      .repartition(math.max(1, shards / 2), col("doc_id"))
       .write.mode("overwrite")
       .parquet(s"${doclenRoot(root)}/epoch=$epoch")
   }
