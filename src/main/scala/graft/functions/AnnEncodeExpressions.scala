@@ -66,6 +66,49 @@ object AnnEncode {
     ids(best)
   }
 
+  /** Plain PQ codes of one vector (no coarse stage): per-subspace
+    * nearest centroid over the direct slices — [[graft.operators.Pq.encode]]'s
+    * arithmetic. Null element → null; wrong width fails loud.
+    */
+  def encodePq(subIds: Array[Array[Int]], subVecs: Array[Array[Array[Float]]],
+      subDim: Int, v: ArrayData): ArrayData = {
+    val vn = v.numElements()
+    var i = 0
+    while (i < vn) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    if (vn != subIds.length * subDim) throw new IllegalArgumentException(
+      s"Pq encode: vec has dim $vn, expected ${subIds.length * subDim}")
+    val codes = new Array[Int](subIds.length)
+    var j = 0
+    while (j < subIds.length) {
+      val sv = subVecs(j)
+      val sid = subIds(j)
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < sv.length) {
+        val scv = sv(c)
+        val n = math.min(scv.length, subDim)
+        var d = 0.0
+        var k = 0
+        while (k < n) {
+          val t = scv(k) - v.getFloat(j * subDim + k)
+          d += t * t
+          k += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      if (best < 0) throw new IllegalArgumentException(
+        s"Pq encode: no nearest centroid in subspace $j")
+      codes(j) = sid(best)
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
   /** IVFADC encode of one vector: (cell, residual PQ codes) as an
     * InternalRow, or null when the vector carries a null element.
     * Identical arithmetic to [[graft.operators.IvfPq.encode]]: coarse
@@ -159,6 +202,44 @@ case class IvfCellExpr(child: Expression, ids: Array[Int],
   override def prettyName: String = "ivf_cell"
 }
 
+/** `pq_codes(embedding)` against frozen per-subspace codebooks:
+  * array&lt;int&gt; of nearest-centroid codes over the direct slices,
+  * null-in/null-element → null out, wrong-width → loud failure. See
+  * [[AnnEncode.encodePq]].
+  */
+case class PqCodesExpr(child: Expression, subIds: Array[Array[Int]],
+    subVecs: Array[Array[Array[Float]]], subDim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_codes expects array<float> input, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    AnnEncode.encodePq(subIds, subVecs, subDim, a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val siRef = ctx.addReferenceObj("pqSubIds", subIds, "int[][]")
+      val svRef = ctx.addReferenceObj("pqSubCents", subVecs, "float[][][]")
+      val r = ctx.freshName("pqRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.AnnEncode.encodePq($siRef, $svRef, $subDim, $a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_codes"
+}
+
 /** `ivfpq_encode(embedding)` against a frozen IVFADC model: a
   * struct(cell int, codes array&lt;int&gt;), null-in/null-element →
   * null out, wrong-width → loud failure. See [[AnnEncode]].
@@ -221,5 +302,13 @@ object AnnFunctions {
       sub: Array[Array[(Int, Array[Float])]], subDim: Int): Column =
     GraftSqlBridge.column(IvfPqEncodeExpr(GraftSqlBridge.expression(c),
       coarse.map(_._1), coarse.map(_._2),
+      sub.map(_.map(_._1)), sub.map(_.map(_._2)), subDim))
+
+  /** Per-subspace PQ codes of an `array<float>` column under frozen
+    * [[graft.operators.Pq.Model]] codebooks.
+    */
+  def pq_codes(c: Column, sub: Array[Array[(Int, Array[Float])]],
+      subDim: Int): Column =
+    GraftSqlBridge.column(PqCodesExpr(GraftSqlBridge.expression(c),
       sub.map(_.map(_._1)), sub.map(_.map(_._2)), subDim))
 }

@@ -79,7 +79,7 @@ object Ivf {
     } finally vecs.unpersist(blocking = false)
   }
 
-  private[operators] def nearest(cents: Array[(Int, Array[Float])], v: Array[Float]): Int = {
+  private[graft] def nearest(cents: Array[(Int, Array[Float])], v: Array[Float]): Int = {
     var best = -1; var bestD = Double.MaxValue
     cents.foreach { case (c, cv) =>
       var d = 0.0; var i = 0
@@ -97,14 +97,15 @@ object Ivf {
     best
   }
 
-  /** Assign every vector to its IVF cell (the index build). */
-  def index(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame = {
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model.centroids)
-    embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, nearest(bc.value, v)) }
-      .toDF("vec_id", "embedding", "cell")
-  }
+  /** Assign every vector to its IVF cell (the index build) — the same
+    * codegen'd [[graft.functions.IvfCellExpr]] kernel as [[withCell]]
+    * (one corpus pass, no typed-map ser/de of the embedding array per
+    * row, identical nearest arithmetic so the two paths cannot drift).
+    */
+  def index(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"),
+      graft.functions.AnnFunctions.ivf_cell(col("embedding"), model.centroids)
+        .as("cell"))
 
   /** Column-PRESERVING cell assignment against a frozen model: adds
     * `cell` to a frame of arbitrary schema — the incremental-encode

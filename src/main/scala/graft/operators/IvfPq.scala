@@ -75,34 +75,23 @@ object IvfPq {
       .toDF("vec_id", "embedding")
   }
 
-  /** Encode the corpus: (vec_id, cell, codes) in ONE narrow map — a
-    * single nearest() for the cell, the residual, and the per-subspace
-    * codes per vector, no shuffle. (Composing Ivf.index with Pq.encode
-    * would scan the corpus twice and join the halves on vec_id — a
-    * corpus-wide shuffle for data this pass derives row-locally.)
+  /** Encode the corpus: (vec_id, cell, codes) in ONE narrow codegen'd
+    * pass ([[graft.functions.IvfPqEncodeExpr]] — a single nearest()
+    * for the cell, the residual, and the per-subspace codes per
+    * vector, no shuffle, no typed-map ser/de; the wrong-width tiling
+    * contract fails loud inside the kernel). Composing Ivf.index with
+    * Pq.encode would scan the corpus twice and join the halves on
+    * vec_id — a corpus-wide shuffle for data this pass derives
+    * row-locally.
     */
-  def encode(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame = {
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
-    embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val m = bc.value
-        // Same tiling contract as Pq.encode — a stray short vector
-        // would otherwise encode truncated slices silently.
-        require(v.length == m.pq.subModels.length * m.pq.subDim,
-          s"IvfPq.encode: vec $id has dim ${v.length}, expected " +
-            s"${m.pq.subModels.length * m.pq.subDim}")
-        val cell = Ivf.nearest(m.coarse.centroids, v)
-        val cv = m.coarse.centroids(cell)._2
-        val r = Array.tabulate(v.length)(d => v(d) - cv(d))
-        val codes = Array.tabulate(m.pq.subModels.length) { j =>
-          Ivf.nearest(m.pq.subModels(j).centroids,
-            r.slice(j * m.pq.subDim, (j + 1) * m.pq.subDim))
-        }
-        (id, cell, codes)
-      }
-      .toDF("vec_id", "cell", "codes")
-  }
+  def encode(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        graft.functions.AnnFunctions.ivfpq_encode(col("embedding"),
+          model.coarse.centroids, model.pq.subModels.map(_.centroids),
+          model.pq.subDim).as("_enc"))
+      .select(col("vec_id"), col("_enc.cell").as("cell"),
+        col("_enc.codes").as("codes"))
 
   /** Column-preserving (cell, codes) assignment against a frozen model —
     * [[Ivf.withCell]]'s IVFADC sibling, for streaming epochs that must

@@ -76,29 +76,16 @@ object Pq {
 
   /** Encode every vector as its per-subspace nearest-centroid codes:
     * (vec_id, codes: array<int>, one entry per subspace). One narrow
-    * map; all `nSub` codes are computed in a single pass over the row
-    * (the slices are views into the same backing array).
+    * codegen'd pass ([[graft.functions.PqCodesExpr]] — all `nSub`
+    * codes computed in-place over the row's ArrayData, no typed-map
+    * ser/de); the per-row tiling contract stays LOUD inside the
+    * kernel, because a stray short vector would otherwise encode
+    * against truncated slices and score as a cosine of nothing.
     */
-  def encode(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame = {
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
-    embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val m = bc.value
-        // Same tiling contract as train() — per-row here, because a
-        // stray short vector would otherwise encode against truncated
-        // slices and score as a cosine of nothing.
-        require(v.length == m.subModels.length * m.subDim,
-          s"Pq.encode: vec $id has dim ${v.length}, expected " +
-            s"${m.subModels.length * m.subDim}")
-        val codes = Array.tabulate(m.subModels.length) { j =>
-          Ivf.nearest(m.subModels(j).centroids,
-            v.slice(j * m.subDim, (j + 1) * m.subDim))
-        }
-        (id, codes)
-      }
-      .toDF("vec_id", "codes")
-  }
+  def encode(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame =
+    embeddings.select(col("vec_id"),
+      graft.functions.AnnFunctions.pq_codes(col("embedding"),
+        model.subModels.map(_.centroids), model.subDim).as("codes"))
 
   /** Subspace j's codebook table: (cell, cv, nsq) — nsq is the
     * centroid's squared norm via the same sequential double fold the

@@ -24,14 +24,29 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
-  test("codegen'd withCellCodes encodes bit-identically to the batch encode") {
+  test("codegen'd withCellCodes encodes bit-identically to the batch encode " +
+      "and to a driver-side replay of the nearest kernel") {
     import spark.implicits._
-    // The streaming-epoch expression path and the batch typed-map path
-    // must assign EXACTLY the same (cell, codes) per vector — epoch-
+    // Ground truth INDEPENDENT of the expression kernel (both paths
+    // now share it): replay the encode driver-side with Ivf.nearest —
+    // the arithmetic the SQL oracles also replay.
+    val local = emb.as[(Long, Array[Float])].collect().map { case (id, v) =>
+      val cell = Ivf.nearest(model.coarse.centroids, v)
+      val cv = model.coarse.centroids(cell)._2
+      val r = Array.tabulate(v.length)(d => v(d) - cv(d))
+      val codes = (0 until model.pq.subModels.length).map { j =>
+        Ivf.nearest(model.pq.subModels(j).centroids,
+          r.slice(j * model.pq.subDim, (j + 1) * model.pq.subDim))
+      }
+      (id, cell, codes)
+    }.sortBy(_._1)
+    // The streaming-epoch expression path and the batch path must
+    // assign EXACTLY the same (cell, codes) per vector — epoch-
     // appended rows land where a batch rebuild would put them.
     val batch = IvfPq.encode(spark, emb, model)
       .select("vec_id", "cell", "codes").as[(Long, Int, Seq[Int])]
       .collect().sortBy(_._1)
+    assert(batch.toSeq == local.toSeq)
     val expr = IvfPq.withCellCodes(spark,
         emb.withColumn("payload", lit("kept")), model)
       .select("vec_id", "cell", "codes").as[(Long, Int, Seq[Int])]
