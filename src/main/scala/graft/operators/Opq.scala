@@ -68,26 +68,14 @@ object Opq {
     * downstream.
     */
   def rotate(spark: SparkSession, embeddings: DataFrame,
-      rot: Rotation): DataFrame = {
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(rot.u)
-    embeddings.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val u = bc.value
-        require(v == null || v.length <= u.length,
-          s"Opq.rotate: vec $id has dim ${v.length} > rotation dim ${u.length}")
-        if (v == null) (id, null)
-        else {
-          var s = 0.0
-          var i = 0
-          while (i < v.length) { s += u(i) * v(i).toDouble; i += 1 }
-          (id, Array.tabulate(v.length)(d =>
-            (v(d).toDouble - 2.0 * u(d) * s).toFloat))
-        }
-      }
-      .toDF("vec_id", "embedding")
-  }
+      rot: Rotation): DataFrame =
+    // Codegen'd kernel (graft.functions.HouseholderRotateExpr) — this
+    // narrow pass runs over the WHOLE corpus every time a rotated
+    // family builds or searches, so the typed-map ser/de it replaces
+    // was pure per-row overhead (the AnnEncode rationale).
+    embeddings.select(col("vec_id"),
+      graft.functions.RotateFunctions.opq_rotate(col("embedding"), rot.u)
+        .as("embedding"))
 
   // -------------------------------------------------------------------
   // Learned rung 1: balanced-variance dimension allocation (parametric)
@@ -163,21 +151,10 @@ object Opq {
     * through null like [[rotate]].
     */
   def permute(spark: SparkSession, embeddings: DataFrame,
-      alloc: Allocation): DataFrame = {
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(alloc.perm)
-    embeddings.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val perm = bc.value
-        require(v == null || v.length == perm.length,
-          s"Opq.permute: vec $id has dim ${if (v == null) -1 else v.length}" +
-            s", allocation expects ${perm.length}")
-        if (v == null) (id, null)
-        else (id, Array.tabulate(v.length)(slot => v(perm(slot))))
-      }
-      .toDF("vec_id", "embedding")
-  }
+      alloc: Allocation): DataFrame =
+    embeddings.select(col("vec_id"),
+      graft.functions.RotateFunctions.opq_permute(col("embedding"), alloc.perm)
+        .as("embedding"))
 
   // --------------------------------------------------------------------
   // Learned rung 2: full alternating optimization (non-parametric OPQ)
@@ -201,20 +178,10 @@ object Opq {
     * shuffle, no state; R broadcasts). Float32 output like [[rotate]].
     */
   def rotateDense(spark: SparkSession, embeddings: DataFrame,
-      rot: DenseRotation): DataFrame = {
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(rot.m)
-    embeddings.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val m = bc.value
-        require(v == null || v.length == m.length,
-          s"Opq.rotateDense: vec $id has dim ${if (v == null) -1 else v.length}" +
-            s", rotation is ${m.length}x${m.length}")
-        if (v == null) (id, null) else (id, applyDense(m, v))
-      }
-      .toDF("vec_id", "embedding")
-  }
+      rot: DenseRotation): DataFrame =
+    embeddings.select(col("vec_id"),
+      graft.functions.RotateFunctions.opq_rotate_dense(col("embedding"), rot.m)
+        .as("embedding"))
 
   /** Ge et al. §3's NON-PARAMETRIC OPQ: alternate (a) retraining the
     * per-subspace codebooks in the current rotated space with (b) the

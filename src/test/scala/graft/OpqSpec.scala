@@ -68,9 +68,14 @@ class OpqSpec extends SparkSpec {
   test("rotate fails loud on vectors wider than the rotation") {
     import spark.implicits._
     val wide = Seq((1L, Array.fill(65)(1.0f))).toDF("vec_id", "embedding")
-    val ex = intercept[org.apache.spark.SparkException] {
+    // Raw IAE when ConvertToLocalRelation evaluates the expression at
+    // the driver (LocalRelation input), SparkException-wrapped when it
+    // runs in a task — loud either way.
+    val ex = intercept[Exception] {
       Opq.rotate(spark, wide, rot).collect()
     }
+    assert(ex.isInstanceOf[org.apache.spark.SparkException] ||
+      ex.isInstanceOf[IllegalArgumentException], ex.toString)
     assert(ex.getMessage != null)
   }
 
