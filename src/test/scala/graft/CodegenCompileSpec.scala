@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.functions._
+
+/** Every custom Catalyst expression must COMPILE under Janino — a
+  * generated-code error would not fail any value test (Spark silently
+  * falls back to interpreted eval and logs a warning), it would only
+  * silently forfeit the codegen win the expression exists for. This
+  * suite forces the code generator directly: `GenerateUnsafeProjection
+  * .generate` throws on a Janino compile failure instead of falling
+  * back.
+  */
+class CodegenCompileSpec extends SparkSpec {
+
+  private val vecIn = BoundReference(0, ArrayType(FloatType), nullable = true)
+
+  private def cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+  private def ids = Array(0, 1)
+
+  test("ANN encode expressions compile under Janino") {
+    GenerateUnsafeProjection.generate(Seq(IvfCellExpr(vecIn, ids, cents)))
+    GenerateUnsafeProjection.generate(Seq(PqCodesExpr(vecIn,
+      Array(ids), Array(cents), subDim = 2)))
+    GenerateUnsafeProjection.generate(Seq(IvfPqEncodeExpr(vecIn,
+      ids, cents, Array(ids), Array(cents), subDim = 2)))
+  }
+
+  test("rotation expressions compile under Janino") {
+    GenerateUnsafeProjection.generate(Seq(
+      HouseholderRotateExpr(vecIn, Array(0.5, -0.5))))
+    GenerateUnsafeProjection.generate(Seq(PermuteExpr(vecIn, Array(1, 0))))
+    GenerateUnsafeProjection.generate(Seq(
+      DenseRotateExpr(vecIn, Array(Array(0.0, 1.0), Array(1.0, 0.0)))))
+  }
+
+  test("vector expressions compile under Janino") {
+    val b = BoundReference(1, ArrayType(FloatType), nullable = true)
+    GenerateUnsafeProjection.generate(Seq(DotProductF(vecIn, b)))
+    GenerateUnsafeProjection.generate(Seq(Int8CodesExpr(vecIn)))
+    val l1 = BoundReference(0, ArrayType(org.apache.spark.sql.types.LongType),
+      nullable = true)
+    val l2 = BoundReference(1, ArrayType(org.apache.spark.sql.types.LongType),
+      nullable = true)
+    GenerateUnsafeProjection.generate(Seq(DotProductL(l1, l2)))
+  }
+}
