@@ -52,6 +52,16 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q73: the index build is the codegen'd cell expression, not a typed map") {
+    val p = plan("q73_ann_ivf")
+    // The corpus encode must be the ivf_cell expression inside codegen;
+    // a MapElements here means the typed-map ser/de crept back onto the
+    // every-vector scan. (The remaining DeserializeToObject is the
+    // probe-side flatMap — bounded by probe count, not corpus.)
+    assert(p.contains("ivf_cell"), p)
+    assert(!p.contains("MapElements"), p)
+  }
+
   test("q74: quantized scorer broadcasts probes and runs the codegen'd dot_l") {
     val p = plan("q74_quantized_ann")
     assert(p.contains("Broadcast"), p)
