@@ -89,6 +89,56 @@ class FunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark-bounded reorder buffer: out-of-order epochs yield the " +
+      "in-order result; bound violations stay observable") {
+    // Cross-batch disorder WITHIN the 30-minute bound: click@20 lands a
+    // batch before view@10. The unbuffered tracker would ignore the
+    // click forever (no view yet) and strand the user at stage 1; the
+    // reorder buffer holds both until the watermark passes, replays
+    // them in timestamp order, and completes the funnel — the CEP
+    // pre-automaton reordering.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Funnel.Event]
+    val tracked = Funnel.trackReordered(spark, src.toDS(),
+      Seq("view", "click", "purchase"), windowMillis = 60 * 60000L,
+      maxDelayMillis = 30 * 60000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel-ro").toString
+    val q = tracked.events.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_reorder")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      src.addData(Funnel.Event(1L, ts(20), "click"))
+      q.processAllAvailable()
+      src.addData(Funnel.Event(1L, ts(10), "view"))
+      q.processAllAvailable()
+      // Sentinel far ahead: advances the watermark past user 1's
+      // events so the no-data batch flushes the buffer.
+      src.addData(Funnel.Event(1L, ts(30), "purchase"),
+        Funnel.Event(999L, ts(300), "view"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_reorder")
+        .as[Funnel.StageReached].collect()
+        .map(r => (r.user_id, r.stage, r.ts.getTime / 60000L)).toSet
+      assert(got == Set((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L)),
+        s"got $got")
+      assert(tracked.outOfOrderBehindState.value == 0L)
+      // Beyond-bound straggler (t=5 under a watermark at 270): DROPPED
+      // by Spark's stateful-op late-data filter before the automaton —
+      // no output change, and the drop is observable in the streaming
+      // progress metric (the thing to alert on at scale).
+      src.addData(Funnel.Event(1L, ts(5), "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_reorder").count() == 3) // no new rows
+      val dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, s"late drop not visible in progress: $dropped")
+    } finally q.stop()
+  }
+
   test("processing-time state TTL keeps batch semantics and rejects bad values") {
     import spark.implicits._
     // On a closed input timeouts never fire: TTL-tracked results equal
