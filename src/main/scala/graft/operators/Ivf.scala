@@ -101,11 +101,20 @@ object Ivf {
     * codegen'd [[graft.functions.IvfCellExpr]] kernel as [[withCell]]
     * (one corpus pass, no typed-map ser/de of the embedding array per
     * row, identical nearest arithmetic so the two paths cannot drift).
+    * Null embeddings/elements FAIL LOUD here, like the typed map this
+    * replaces: a batch build owns its whole corpus, and a null cell
+    * would silently vanish from every probe's equi-join (the exact
+    * hazard [[nearest]]'s sentinel comment names). The streaming
+    * [[withCell]] keeps the documented null-pass-through instead.
     */
-  def index(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame =
+  def index(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame = {
+    val enc = graft.functions.AnnFunctions.ivf_cell(col("embedding"), model.centroids)
     embeddings.select(col("vec_id"), col("embedding"),
-      graft.functions.AnnFunctions.ivf_cell(col("embedding"), model.centroids)
+      when(enc.isNotNull, enc).otherwise(raise_error(lit(
+        "Ivf.index: null embedding or null element — a batch build " +
+          "refuses silent row loss; filter nulls upstream or use withCell")))
         .as("cell"))
+  }
 
   /** Column-PRESERVING cell assignment against a frozen model: adds
     * `cell` to a frame of arbitrary schema — the incremental-encode

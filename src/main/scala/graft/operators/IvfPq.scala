@@ -84,14 +84,20 @@ object IvfPq {
     * vec_id — a corpus-wide shuffle for data this pass derives
     * row-locally.
     */
-  def encode(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame =
+  def encode(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame = {
+    val enc = graft.functions.AnnFunctions.ivfpq_encode(col("embedding"),
+      model.coarse.centroids, model.pq.subModels.map(_.centroids),
+      model.pq.subDim)
     embeddings
+      // Loud on null embeddings/elements (the Ivf.index rationale);
+      // the streaming withCellCodes keeps null-pass-through.
       .select(col("vec_id"),
-        graft.functions.AnnFunctions.ivfpq_encode(col("embedding"),
-          model.coarse.centroids, model.pq.subModels.map(_.centroids),
-          model.pq.subDim).as("_enc"))
+        when(enc.isNotNull, enc).otherwise(raise_error(lit(
+          "IvfPq.encode: null embedding or null element — a batch " +
+            "build refuses silent row loss"))).as("_enc"))
       .select(col("vec_id"), col("_enc.cell").as("cell"),
         col("_enc.codes").as("codes"))
+  }
 
   /** Column-preserving (cell, codes) assignment against a frozen model —
     * [[Ivf.withCell]]'s IVFADC sibling, for streaming epochs that must

@@ -82,10 +82,17 @@ object Pq {
     * kernel, because a stray short vector would otherwise encode
     * against truncated slices and score as a cosine of nothing.
     */
-  def encode(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame =
+  def encode(spark: SparkSession, embeddings: DataFrame, model: Model): DataFrame = {
+    val enc = graft.functions.AnnFunctions.pq_codes(col("embedding"),
+      model.subModels.map(_.centroids), model.subDim)
+    // Loud on null embeddings/elements, like the typed map this
+    // replaces (the Ivf.index rationale: silent null codes vanish
+    // from every ADC join).
     embeddings.select(col("vec_id"),
-      graft.functions.AnnFunctions.pq_codes(col("embedding"),
-        model.subModels.map(_.centroids), model.subDim).as("codes"))
+      when(enc.isNotNull, enc).otherwise(raise_error(lit(
+        "Pq.encode: null embedding or null element — a batch build " +
+          "refuses silent row loss"))).as("codes"))
+  }
 
   /** Subspace j's codebook table: (cell, cv, nsq) — nsq is the
     * centroid's squared norm via the same sequential double fold the

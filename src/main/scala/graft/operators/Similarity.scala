@@ -407,14 +407,17 @@ object Similarity {
     * [[defaultLshPlanes]], or multi-table OR-amplification).
     */
   def diagnoseLsh(bucketed: DataFrame, bucketCol: String = "bucket"): LshDiagnosis = {
+    // sz² as DOUBLE: a single multi-billion-row bucket (exactly the
+    // under-planed pathology this diagnoses) overflows a long square
+    // into a negative sum, flipping the verdict to the OPPOSITE advice.
     val stats = bucketed.groupBy(col(bucketCol)).agg(count(lit(1)).as("sz"))
       .agg(sum(col("sz")), count(lit(1)), max(col("sz")),
-        sum(col("sz") * col("sz")))
+        sum(col("sz").cast("double") * col("sz")))
       .head()
     val d =
       if (stats.isNullAt(0)) LshDiagnosis(0L, 0L, 0L, 0.0)
       else LshDiagnosis(stats.getLong(0), stats.getLong(1), stats.getLong(2),
-        stats.getLong(3).toDouble / stats.getLong(0) - 1.0)
+        stats.getDouble(3) / stats.getLong(0) - 1.0)
     if (d.corpusRows > 0 && d.nearZeroRecallRisk)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"LSH config risk: ${d.corpusRows} vectors spread over " +

@@ -189,9 +189,18 @@ object SpanDedup {
     * semantics with the batch operators.
     */
   private[graft] def markAndMerge(occ: DataFrame, dupKeys: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame = markAndMerge(occ, dupKeys, k, saltRegime(occ))
+
+  /** [[markAndMerge]] with the regime decided by the CALLER — for
+    * occurrence frames whose own Catalyst estimate is useless (the
+    * live store's currency JOIN estimates as the product of its
+    * children, so tiny stores would read as huge and always pay the
+    * salt; the caller decides from the underlying store scan instead).
+    */
+  private[graft] def markAndMerge(occ: DataFrame, dupKeys: DataFrame,
+      k: Int, salted: Boolean): DataFrame = {
     val joined =
-      if (saltRegime(occ)) Skew.saltedJoin(occ, dupKeys, "gh", MarkSaltFactor)
+      if (salted) Skew.saltedJoin(occ, dupKeys, "gh", MarkSaltFactor)
       else occ.join(dupKeys, Seq("gh"))
     mergeMarks(joined
       .select(col("doc_id"), col("pos").as("s"),

@@ -53,19 +53,30 @@ final case class ProducerEnvelopeSource(config: KinesisShaped.StreamConfig,
   * `{"recordId": ..., "data": <base64>}` — the offline twin of the wire
   * (what a Firehose S3 backup restores, and what the benchmark replays).
   * `maxFilesPerTrigger` bounds micro-batch size (0 = all available).
+  *
+  * Arrival time: the file's own `approximateArrivalTimestamp` (millis)
+  * when present, otherwise RE-ARRIVAL time (the read batch's clock) —
+  * the Kinesis semantics for replayed data, and load-bearing: a
+  * constant arrival (the naive `lit(0)`) freezes every downstream
+  * event-time watermark at epoch, so `dedupByRecordId`'s horizon
+  * silently becomes infinite and its state store never evicts.
   */
 final case class FileReplayEnvelopeSource(path: String,
     maxFilesPerTrigger: Int = 0) extends EnvelopeSource {
+  import org.apache.spark.sql.types.LongType
   override def wireBase64: Boolean = true
   override def envelope(spark: SparkSession): DataFrame = {
     val reader = spark.readStream
       .schema(StructType(Seq(StructField("recordId", StringType),
+        StructField("approximateArrivalTimestamp", LongType),
         StructField("data", StringType))))
     val tuned = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
     else reader
     tuned.json(path)
-      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+      .select(col("recordId"),
+        coalesce(col("approximateArrivalTimestamp"),
+          unix_millis(current_timestamp())).as("approximateArrivalTimestamp"),
         col("data").cast("binary").as("data"))
   }
 }

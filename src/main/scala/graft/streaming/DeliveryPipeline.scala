@@ -161,6 +161,17 @@ object DeliveryPipeline {
     }
   }
 
+  /** [[start]] over an [[graft.sources.EnvelopeSource]] — the connector
+    * seam: a real Kinesis connector (or the in-repo producer / file
+    * replay) binds here by implementing the envelope contract, and the
+    * source's own `wireBase64` declaration replaces the ad-hoc flag.
+    */
+  def start(spark: SparkSession, source: graft.sources.EnvelopeSource,
+      payloadSchema: StructType, sinks: Sinks, checkpointRoot: String,
+      dropIf: Column => Column): Pipeline =
+    start(source.envelope(spark), payloadSchema, sinks, checkpointRoot,
+      dropIf, wireBase64 = source.wireBase64)
+
   /** Start the full dual-sink graph over a streaming envelope frame
     * (columns: recordId, approximateArrivalTimestamp, data). The returned
     * [[Pipeline]] flushes the delivery buffers on termination; callers
@@ -180,17 +191,6 @@ object DeliveryPipeline {
     *                     (the Lambda declares Dropped itself)
     * @param lambdaMaxBytes per-invocation payload bound for `lambdaFn`
     */
-  /** [[start]] over an [[graft.sources.EnvelopeSource]] — the connector
-    * seam: a real Kinesis connector (or the in-repo producer / file
-    * replay) binds here by implementing the envelope contract, and the
-    * source's own `wireBase64` declaration replaces the ad-hoc flag.
-    */
-  def start(spark: SparkSession, source: graft.sources.EnvelopeSource,
-      payloadSchema: StructType, sinks: Sinks, checkpointRoot: String,
-      dropIf: Column => Column): Pipeline =
-    start(source.envelope(spark), payloadSchema, sinks, checkpointRoot,
-      dropIf, wireBase64 = source.wireBase64)
-
   def start(
       envelope: DataFrame,
       payloadSchema: StructType,

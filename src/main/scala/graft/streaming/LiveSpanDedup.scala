@@ -283,7 +283,12 @@ object LiveSpanDedup {
       .dropDuplicates("gh", "_epoch") // crash-window guard (class doc)
       .groupBy("gh").agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") > 1).select("gh")
-    SpanDedup.markAndMerge(currentOcc(spark, root, idType), dup, k)
+    // Salt regime decided from the occ STORE SCAN, not the currency
+    // join (whose Catalyst estimate is the product of its children —
+    // a tiny store would read as huge and always pay the salt).
+    val salted = SpanDedup.saltRegime(
+      EpochStore.readAll(spark, occRoot(root), occSchema(idType)))
+    SpanDedup.markAndMerge(currentOcc(spark, root, idType), dup, k, salted)
   }
 
   /** The current-version occurrence rows: occ ⋈ (latest docs-store

@@ -219,15 +219,9 @@ class ExplainSpec extends SparkSpec {
   }
 
   /** Pin helper: run `f` with the SpanDedup salt threshold fixed. */
-  private def inSpanRegime[T](thresholdBytes: Long)(f: => T): T = {
-    val key = graft.operators.SpanDedup.SaltThresholdConf
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, thresholdBytes.toString)
-    try f finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  private def inSpanRegime[T](thresholdBytes: Long)(f: => T): T =
+    withSparkConf(graft.operators.SpanDedup.SaltThresholdConf,
+      thresholdBytes.toString)(f)
 
   test("q39: watermark running max is the two-phase scan — no window operator at all") {
     val p = plan("q39_watermark_late")

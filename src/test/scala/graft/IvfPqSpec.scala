@@ -57,11 +57,20 @@ class IvfPqSpec extends SparkSpec {
     assert(IvfPq.withCellCodes(spark,
       emb.withColumn("payload", lit("kept")), model)
       .columns.toSeq == Seq("vec_id", "embedding", "payload", "cell", "codes"))
-    // Null embeddings: null cell/codes, row retained.
-    val withNull = IvfPq.withCellCodes(spark,
-      emb.limit(1).select(col("vec_id"), lit(null)
-        .cast("array<float>").as("embedding")), model)
+    // Null embeddings: the STREAMING path passes them through with
+    // null cell/codes (rows ride, absent from probes' joins) ...
+    val nullEmb = emb.limit(1).select(col("vec_id"),
+      lit(null).cast("array<float>").as("embedding"))
+    val withNull = IvfPq.withCellCodes(spark, nullEmb, model)
     assert(withNull.filter(col("cell").isNull && col("codes").isNull).count() == 1)
+    // ... while the BATCH build fails loud, like the typed map it
+    // replaced (silent null codes would vanish from every ADC join).
+    val loud = intercept[Exception] {
+      IvfPq.encode(spark, nullEmb, model).collect()
+    }
+    assert(loud.toString.contains("refuses silent row loss")
+        || Option(loud.getCause).exists(_.toString.contains("refuses silent row loss")),
+      loud.toString)
     // Wrong-width vectors fail loud, never truncated-encode.
     val thrown = intercept[org.apache.spark.SparkException] {
       IvfPq.withCellCodes(spark,

@@ -19,19 +19,11 @@ class SpanDedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq.sorted
   }
 
-  /** Run `f` with the salt-regime threshold pinned: 0 forces the
-    * salted big-regime plan on tiny inputs, Long.MaxValue forces the
-    * small-regime window plan.
+  /** Salt-regime pin: 0 forces the salted big-regime plan on tiny
+    * inputs, Long.MaxValue forces the small-regime window plan.
     */
-  private def inRegime[T](thresholdBytes: Long)(f: => T): T = {
-    val key = SpanDedup.SaltThresholdConf
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, thresholdBytes.toString)
-    try f finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  private def inRegime[T](thresholdBytes: Long)(f: => T): T =
+    withSparkConf(SpanDedup.SaltThresholdConf, thresholdBytes.toString)(f)
 
   /** Naive local replay: mark k-gram occurrences whose gram text occurs
     * more than once corpus-wide, merge marks that overlap or touch.
