@@ -3103,6 +3103,54 @@ object TrainingData {
       .orderBy("src_a", "src_b")
   }
 
+  // ------------------------------------------ q133: PII redaction
+
+  val q133_pii_redact: QueryDef = q(
+    "q133_pii_redact",
+    """WITH injected AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |    '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+      |    ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+      |    '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+      |    ' end' AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+      |FROM injected ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // PII redaction (operators/Redact) — the pre-release scrub stage of
+    // a production curation pipeline. The synthetic corpus carries no
+    // PII, so the fixture injects it CLOSED-FORM from doc_id (the q101
+    // synthetic-image discipline: both engines derive identical input
+    // independently), then masks it with the portable Java-regex ∩ RE2
+    // pattern set; counts are the independent raw-text contract. Scale
+    // shape: pure narrow regexp expressions riding the text scan —
+    // zero shuffle beyond the output order.
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit(".0."), pmod(col("doc_id"), lit(100L)).cast("string"),
+        lit(" call 555-"),
+        lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
+        lit("-"),
+        lpad(pmod(col("doc_id") * 7, lit(10000L)).cast("string"), 4, "0"),
+        lit(" end")).as("t"))
+    val (ne, ni, np) = graft.operators.Redact.piiCounts(col("t"))
+    injected.select(col("doc_id"), ne.as("n_emails"), ni.as("n_ips"),
+        np.as("n_phones"),
+        graft.operators.Redact.scrub(col("t")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -3122,5 +3170,6 @@ object TrainingData {
     q106_nb_quality, q107_highlight, q108_prefix_search, q109_facets,
     q110_search_after, q111_percolate, q112_wildcard, q116_search_request, q117_source_overlap,
     q118_lsh_recall, q119_int8_recall, q120_ann_lsh_multi, q121_lsh_multi_recall, q124_query_string,
-    q125_dis_max, q127_histogram, q131_stratified_sample, q132_weighted_sample)
+    q125_dis_max, q127_histogram, q131_stratified_sample, q132_weighted_sample,
+    q133_pii_redact)
 }

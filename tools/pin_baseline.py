@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--out", default="BASELINE_QUERIES.json")
     ap.add_argument("--reason", default=None,
                     help="named cause for any >1.3x upward move")
+    ap.add_argument("--merge", action="store_true",
+                    help="add only keys MISSING from the pin (registry "
+                         "growth); existing pins stay untouched, so a "
+                         "slow bench window cannot ratchet the baseline")
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args()
 
@@ -93,23 +97,35 @@ def main():
     print(f"\n{len(mins)} keys: {len(added)} added, {len(removed)} removed, "
           f"{len(slower)} moved >%.1fx slower" % UPWARD_BAR)
 
-    if slower and not args.reason:
+    if slower and not args.reason and not args.merge:
         for k, o, n, r in slower:
             print(f"  {k}: {o:.3f} -> {n:.3f} ({r:.2f}x)", file=sys.stderr)
         sys.exit("REFUSED: upward moves above need a named cause; "
-                 "re-run with --reason \"...\"")
+                 "re-run with --reason \"...\" (or --merge to only add "
+                 "new keys)")
 
     if args.dry_run:
         return
-    pin = {"_sf": sf}
-    if args.reason:
-        pin["_reason"] = args.reason
-    pin["_pinned_from"] = args.bench
-    for k in sorted(mins):
-        pin[k] = round(mins[k], 4)
-    for k in sorted(firsts):
-        if k in mins and firsts[k] > mins[k] * 1.05:
-            pin[f"_first:{k}"] = round(firsts[k], 4)
+    if args.merge:
+        # Registry growth: existing pins (and their cold references)
+        # stay byte-untouched; only absent keys get today's values.
+        pin = dict(old) if old else {"_sf": sf}
+        pin.setdefault("_sf", sf)
+        for k in added:
+            pin[k] = round(mins[k], 4)
+            if k in firsts and firsts[k] > mins[k] * 1.05:
+                pin[f"_first:{k}"] = round(firsts[k], 4)
+        pin = {k: pin[k] for k in sorted(pin)}
+    else:
+        pin = {"_sf": sf}
+        if args.reason:
+            pin["_reason"] = args.reason
+        pin["_pinned_from"] = args.bench
+        for k in sorted(mins):
+            pin[k] = round(mins[k], 4)
+        for k in sorted(firsts):
+            if k in mins and firsts[k] > mins[k] * 1.05:
+                pin[f"_first:{k}"] = round(firsts[k], 4)
     with open(args.out, "w") as f:
         json.dump(pin, f, indent=1)
         f.write("\n")
