@@ -3151,6 +3151,44 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------ q134: text fix / normalize
+
+  val q134_text_fix: QueryDef = q(
+    "q134_text_fix",
+    """WITH injected AS (
+      |  SELECT doc_id,
+      |    text || '  caf' || chr(101) || chr(769) || ' ' || chr(7) ||
+      |      'x' || chr(9) || chr(9) || 'y' || chr(11) || 'z  ' AS t
+      |  FROM documents),
+      |fixed AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(nfc_normalize(t),
+      |      '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g'),
+      |      '[ \t\n\r\f]+', ' ', 'g')) AS fixed
+      |  FROM injected)
+      |SELECT doc_id, fixed, CAST(length(fixed) AS BIGINT) AS n_chars
+      |FROM fixed ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Text cleanup (operators/TextFix — the ftfy/CCNet fix-the-bytes
+    // rung before tokenization): NFC composition, control strip,
+    // whitespace squash, trim. The word-salad corpus is already clean,
+    // so the fixture injects a decomposed accent (e + U+0301), a BEL,
+    // tabs, a VT, and edge spaces closed-form per doc (the q133/q101
+    // discipline; Spark injects via \u literals because its chr() is
+    // mod-256 ASCII while DuckDB's is codepoint-based — the oracle uses
+    // chr()). Scale shape: narrow codegen'd expressions on the scan.
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit("  caf"), lit("e"), lit("\u0301"), lit(" "), lit("\u0007"),
+        lit("x"), lit("\t"), lit("\t"), lit("y"), lit("\u000B"),
+        lit("z  ")).as("t"))
+    injected
+      .select(col("doc_id"), graft.operators.TextFix.fix(col("t")).as("fixed"))
+      .select(col("doc_id"), col("fixed"),
+        length(col("fixed")).cast("bigint").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -3171,5 +3209,5 @@ object TrainingData {
     q110_search_after, q111_percolate, q112_wildcard, q116_search_request, q117_source_overlap,
     q118_lsh_recall, q119_int8_recall, q120_ann_lsh_multi, q121_lsh_multi_recall, q124_query_string,
     q125_dis_max, q127_histogram, q131_stratified_sample, q132_weighted_sample,
-    q133_pii_redact)
+    q133_pii_redact, q134_text_fix)
 }

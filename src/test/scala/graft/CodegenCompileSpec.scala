@@ -37,6 +37,12 @@ class CodegenCompileSpec extends SparkSpec {
       DenseRotateExpr(vecIn, Array(Array(0.0, 1.0), Array(1.0, 0.0)))))
   }
 
+  test("text expressions compile under Janino") {
+    val str = BoundReference(0, org.apache.spark.sql.types.StringType,
+      nullable = true)
+    GenerateUnsafeProjection.generate(Seq(NfcNormalizeExpr(str)))
+  }
+
   test("vector expressions compile under Janino") {
     val b = BoundReference(1, ArrayType(FloatType), nullable = true)
     GenerateUnsafeProjection.generate(Seq(DotProductF(vecIn, b)))
