@@ -54,15 +54,21 @@ final case class ProducerEnvelopeSource(config: KinesisShaped.StreamConfig,
   * (what a Firehose S3 backup restores, and what the benchmark replays).
   * `maxFilesPerTrigger` bounds micro-batch size (0 = all available).
   *
-  * Arrival time: the file's own `approximateArrivalTimestamp` (millis)
-  * when present, otherwise RE-ARRIVAL time (the read batch's clock) —
-  * the Kinesis semantics for replayed data, and load-bearing: a
-  * constant arrival (the naive `lit(0)`) freezes every downstream
-  * event-time watermark at epoch, so `dedupByRecordId`'s horizon
-  * silently becomes infinite and its state store never evicts.
+  * Arrival time: ONE clock per stream, never mixed per record. With
+  * `reArrival = false` (default) every record must carry the file's
+  * own `approximateArrivalTimestamp` (historical fidelity — a missing
+  * field fails LOUD); with `reArrival = true` every record is stamped
+  * at read time (the Kinesis semantics for re-ingested data). Both
+  * choices keep downstream event-time watermarks coherent. The two
+  * rejected designs are the instructive ones: a constant `lit(0)`
+  * freezes every watermark at epoch (dedup state never evicts), and a
+  * per-record `coalesce(file, now)` mixes clocks — one legacy file
+  * without the field races the watermark to NOW and the late filter
+  * then silently DROPS every historical record that follows.
   */
 final case class FileReplayEnvelopeSource(path: String,
-    maxFilesPerTrigger: Int = 0) extends EnvelopeSource {
+    maxFilesPerTrigger: Int = 0,
+    reArrival: Boolean = false) extends EnvelopeSource {
   import org.apache.spark.sql.types.LongType
   override def wireBase64: Boolean = true
   override def envelope(spark: SparkSession): DataFrame = {
@@ -73,10 +79,15 @@ final case class FileReplayEnvelopeSource(path: String,
     val tuned = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
     else reader
+    val arrival =
+      if (reArrival) unix_millis(current_timestamp())
+      else coalesce(col("approximateArrivalTimestamp"), raise_error(concat(
+        lit("FileReplayEnvelopeSource: record "), col("recordId"),
+        lit(" has no approximateArrivalTimestamp — historical replay " +
+          "needs the field on every record (use reArrival = true to " +
+          "stamp at read time instead)"))).cast("long"))
     tuned.json(path)
-      .select(col("recordId"),
-        coalesce(col("approximateArrivalTimestamp"),
-          unix_millis(current_timestamp())).as("approximateArrivalTimestamp"),
+      .select(col("recordId"), arrival.as("approximateArrivalTimestamp"),
         col("data").cast("binary").as("data"))
   }
 }

@@ -110,90 +110,6 @@ object Funnel {
     * never fire on a batch (closed-input) run, so the batch contract
     * is unchanged by any TTL.
     */
-  /** Per-user buffered state for [[trackReordered]]: the automaton
-    * plus the not-yet-ripe events held for watermark-bounded
-    * reordering.
-    */
-  final case class ReorderState(stage: Int, sinceMicros: Long,
-      buf: Seq[Event])
-
-  /** [[track]] with a WATERMARK-BOUNDED REORDER BUFFER — the CEP
-    * runtime's pre-automaton reordering, so the in-order
-    * precondition holds BY CONSTRUCTION for any cross-batch disorder
-    * within `maxDelayMillis`: each user's events are held in state
-    * until the event-time watermark passes them, then fed to the
-    * automaton in timestamp order. Output equals [[track]] over the
-    * same events delivered in order (twin-pinned), at the price of
-    * O(events inside the watermark horizon) state per user and
-    * emission latency of one watermark advance.
-    *
-    * STREAMING-ONLY (event-time timeouts need a watermark; on a
-    * closed input use [[track]], which sorts within the single
-    * invocation). Two lifecycle notes callers must know:
-    *
-    *  - the watermark advances BETWEEN micro-batches, so a run that
-    *    ends right after its last data batch leaves that batch's
-    *    events buffered (no later batch advanced the watermark past
-    *    them) — the standard structured-streaming tail, same as a
-    *    windowed aggregation's last window; deliver a later event (or
-    *    keep the stream running) to flush;
-    *  - an event arriving LATER than `maxDelayMillis` out of order
-    *    (below the watermark) is DROPPED by Spark's standard
-    *    stateful-operator late-data filter before this function sees
-    *    it — observable in the streaming progress as
-    *    `numRowsDroppedByWatermark`, the metric to alert on (the
-    *    in-function [[Tracked.outOfOrderBehindState]] counter stays as
-    *    defense-in-depth for watermark-boundary stragglers that pass
-    *    the filter yet land behind a flushed automaton).
-    */
-  def trackReordered(spark: SparkSession, events: Dataset[Event],
-      stages: Seq[String], windowMillis: Long,
-      maxDelayMillis: Long): Tracked = {
-    import spark.implicits._
-    require(stages.nonEmpty, "funnel needs at least one stage")
-    require(windowMillis > 0, s"conversion window must be positive, got $windowMillis")
-    require(maxDelayMillis >= 0, s"max delay must be >= 0, got $maxDelayMillis")
-    val stageArr = stages.toIndexedSeq
-    val windowMicros = windowMillis * 1000L
-    val behindAcc = spark.sparkContext
-      .longAccumulator("graft.funnel.outOfOrderBehindState")
-    val tracked = events
-      .withWatermark("ts", s"$maxDelayMillis milliseconds")
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[ReorderState, StageReached](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: Long, it: Iterator[Event], state: GroupState[ReorderState]) =>
-          val st0 = state.getOption.getOrElse(ReorderState(0, Long.MinValue, Nil))
-          val wmMs = state.getCurrentWatermarkMs()
-          // Everything at or below the watermark is RIPE: no
-          // earlier-timestamped event can arrive within the bound, so
-          // processing ripe events in sorted order IS in-order
-          // processing. (A bound-violating straggler below the
-          // watermark lands directly in `ripe` — immediate, unsorted
-          // against history, observable via the accumulator.)
-          val (ripe, hold) = (st0.buf ++ it).partition(_.ts.getTime <= wmMs)
-          val behind = ripe.count(e => micros(e.ts) < st0.sinceMicros)
-          if (behind > 0) behindAcc.add(behind.toLong)
-          val (a1, out) = advance(FunnelState(st0.stage, st0.sinceMicros),
-            ripe, stageArr, windowMicros)
-          val st1 = ReorderState(a1.stage, a1.sinceMicros, hold)
-          if (hold.isEmpty && a1.stage == 0) {
-            // Nothing to hold, automaton never started: keep the state
-            // store empty rather than storing the zero state forever.
-            if (state.exists) state.remove()
-          } else {
-            state.update(st1)
-            // Flush trigger: fire when the watermark passes the
-            // earliest held event (strictly greater than the current
-            // watermark by the partition above, as the API requires).
-            if (hold.nonEmpty)
-              state.setTimeoutTimestamp(hold.map(_.ts.getTime).min)
-          }
-          out.iterator
-      }
-    Tracked(tracked, behindAcc)
-  }
-
   def trackInstrumented(spark: SparkSession, events: Dataset[Event],
       stages: Seq[String], windowMillis: Long,
       stateTtlMillis: Option[Long] = None): Tracked = {
@@ -229,6 +145,109 @@ object Funnel {
               if (state.exists) state.setTimeoutDuration(ttl))
             out.iterator
           }
+      }
+    Tracked(tracked, behindAcc)
+  }
+
+  /** Per-user buffered state for [[trackReordered]]: the automaton
+    * plus the not-yet-ripe events held for watermark-bounded
+    * reordering.
+    */
+  final case class ReorderState(stage: Int, sinceMicros: Long,
+      buf: Seq[Event])
+
+  /** [[track]] with a WATERMARK-BOUNDED REORDER BUFFER — the CEP
+    * runtime's pre-automaton reordering, so the in-order
+    * precondition holds BY CONSTRUCTION for any cross-batch disorder
+    * within `maxDelayMillis`: each user's events are held in state
+    * until the event-time watermark passes them, then fed to the
+    * automaton in timestamp order. Output equals [[track]] over the
+    * same events delivered in order (twin-pinned). State cost, stated
+    * fully: the in-horizon buffer (bounded by watermark delay × rate
+    * per user) PLUS one O(1) automaton entry per user who ever started
+    * the funnel — the latter persists for the query's life by default,
+    * exactly like [[track]]'s; `evictLapsed = true` bounds it by
+    * dropping a user once the watermark proves the automaton inert
+    * (past since + window + delay no in-bound event can ever advance
+    * it), at the stated trade that a user re-appearing after eviction
+    * restarts at stage 0 — a post-lapse stage-1 event re-opens the
+    * funnel and re-emits, which the default (matching the batch
+    * contract: a funnel never re-opens) does not.
+    *
+    * STREAMING-ONLY (event-time timeouts need a watermark; on a
+    * closed input use [[track]], which sorts within the single
+    * invocation). Two lifecycle notes callers must know:
+    *
+    *  - the watermark advances BETWEEN micro-batches, so a run that
+    *    ends right after its last data batch leaves that batch's
+    *    events buffered (no later batch advanced the watermark past
+    *    them) — the standard structured-streaming tail, same as a
+    *    windowed aggregation's last window; deliver a later event (or
+    *    keep the stream running) to flush;
+    *  - an event arriving LATER than `maxDelayMillis` out of order
+    *    (below the watermark) is DROPPED by Spark's standard
+    *    stateful-operator late-data filter before this function sees
+    *    it — observable in the streaming progress as
+    *    `numRowsDroppedByWatermark`, the metric to alert on (the
+    *    in-function [[Tracked.outOfOrderBehindState]] counter stays as
+    *    defense-in-depth for watermark-boundary stragglers that pass
+    *    the filter yet land behind a flushed automaton).
+    */
+  def trackReordered(spark: SparkSession, events: Dataset[Event],
+      stages: Seq[String], windowMillis: Long,
+      maxDelayMillis: Long, evictLapsed: Boolean = false): Tracked = {
+    import spark.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(windowMillis > 0, s"conversion window must be positive, got $windowMillis")
+    require(maxDelayMillis >= 0, s"max delay must be >= 0, got $maxDelayMillis")
+    val stageArr = stages.toIndexedSeq
+    val windowMicros = windowMillis * 1000L
+    val behindAcc = spark.sparkContext
+      .longAccumulator("graft.funnel.outOfOrderBehindState")
+    val tracked = events
+      .withWatermark("ts", s"$maxDelayMillis milliseconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ReorderState, StageReached](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[ReorderState]) =>
+          val st0 = state.getOption.getOrElse(ReorderState(0, Long.MinValue, Nil))
+          val wmMs = state.getCurrentWatermarkMs()
+          // Everything at or below the watermark is RIPE: no
+          // earlier-timestamped event can arrive within the bound, so
+          // processing ripe events in sorted order IS in-order
+          // processing. (A bound-violating straggler below the
+          // watermark lands directly in `ripe` — immediate, unsorted
+          // against history, observable via the accumulator.)
+          val (ripe, hold) = (st0.buf ++ it).partition(_.ts.getTime <= wmMs)
+          val behind = ripe.count(e => micros(e.ts) < st0.sinceMicros)
+          if (behind > 0) behindAcc.add(behind.toLong)
+          val (a1, out) = advance(FunnelState(st0.stage, st0.sinceMicros),
+            ripe, stageArr, windowMicros)
+          val st1 = ReorderState(a1.stage, a1.sinceMicros, hold)
+          if (hold.isEmpty && a1.stage == 0) {
+            // Nothing to hold, automaton never started: keep the state
+            // store empty rather than storing the zero state forever.
+            if (state.exists) state.remove()
+          } else {
+            state.update(st1)
+            if (hold.nonEmpty)
+              // Flush trigger: fire when the watermark passes the
+              // earliest held event (strictly greater than the current
+              // watermark by the partition above, as the API requires).
+              state.setTimeoutTimestamp(hold.map(_.ts.getTime).min)
+            else if (evictLapsed) {
+              // Stage > 0, nothing buffered: once the watermark passes
+              // since + window + delay the automaton is INERT — any
+              // still-in-bound event has ts > wm > since + window and
+              // fails the window predicate, so no advance or emission
+              // can ever happen. Evict then (see the scaladoc trade).
+              val evictAtMs =
+                a1.sinceMicros / 1000L + windowMillis + maxDelayMillis + 1L
+              if (evictAtMs > wmMs) state.setTimeoutTimestamp(evictAtMs)
+              else state.remove()
+            }
+          }
+          out.iterator
       }
     Tracked(tracked, behindAcc)
   }

@@ -139,6 +139,43 @@ class FunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("evictLapsed bounds reorder-buffer state: lapsed automatons leave the store") {
+    // Window 1 minute, no reorder slack: u1's funnel lapses long before
+    // the sentinel's watermark, so with eviction ON its automaton row is
+    // dropped while the still-in-window sentinel's stays — numRowsTotal
+    // proves it. Output is unaffected (eviction happens only once the
+    // watermark shows no in-bound event could ever advance the user).
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Funnel.Event]
+    val tracked = Funnel.trackReordered(spark, src.toDS(),
+      Seq("view", "click"), windowMillis = 60000L, maxDelayMillis = 0L,
+      evictLapsed = true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel-ev").toString
+    val q = tracked.events.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_evict")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      src.addData(Funnel.Event(1L, ts(1), "view"))
+      q.processAllAvailable()
+      src.addData(Funnel.Event(999L, ts(10), "view"))
+      q.processAllAvailable()
+      // An empty nudge batch lets the eviction timeout fire after the
+      // sentinel's watermark proved u1's window lapsed.
+      src.addData(Funnel.Event(999L, ts(10), "noise"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_evict")
+        .as[Funnel.StageReached].collect().map(r => (r.user_id, r.stage)).toSet
+      assert(got == Set((1L, 1)), s"got $got") // u999's view is still held
+      val stateRows = q.recentProgress.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten).map(_.numRowsTotal).lastOption
+      assert(stateRows.contains(1L),
+        s"lapsed u1 should be evicted, leaving only u999's buffer: $stateRows")
+    } finally q.stop()
+  }
+
   test("processing-time state TTL keeps batch semantics and rejects bad values") {
     import spark.implicits._
     // On a closed input timeouts never fire: TTL-tracked results equal

@@ -83,10 +83,12 @@ class SourcesSpec extends SparkSpec {
     // real connector would hand over after its own framing.
     val lines = spark.range(200).select(
       col("id").cast("string").as("recordId"),
+      (lit(1700000000000L) + col("id")).as("approximateArrivalTimestamp"),
       base64(concat(to_json(struct(col("id").as("event_id"),
           (col("id") % 20).cast("double").as("value"))), lit("\n"))
         .cast("binary")).as("data"))
-    lines.select(to_json(struct(col("recordId"), col("data"))))
+    lines.select(to_json(struct(col("recordId"),
+        col("approximateArrivalTimestamp"), col("data"))))
       .coalesce(1).write.mode("overwrite").text(s"$tmp/in")
     val sinks = graft.streaming.DeliveryPipeline.Sinks(s"$tmp/out")
     val pipe = graft.streaming.DeliveryPipeline.start(spark,

@@ -108,14 +108,21 @@ def main():
         return
     if args.merge:
         # Registry growth: existing pins (and their cold references)
-        # stay byte-untouched; only absent keys get today's values.
+        # keep their VALUES and their file ORDER (python dicts preserve
+        # insertion order, so the diff is append-only); new keys append
+        # at the end with their own provenance note, and a merge note
+        # flags that any pre-existing aggregate metadata (_source,
+        # _total_min_sec) predates this merge.
         pin = dict(old) if old else {"_sf": sf}
         pin.setdefault("_sf", sf)
+        note = pin.get("_merge_note", "")
+        entry = (f"added {','.join(added)} from {args.bench}; "
+                 "pre-existing _source/_total aggregates predate this merge")
+        pin["_merge_note"] = (note + " | " if note else "") + entry
         for k in added:
             pin[k] = round(mins[k], 4)
             if k in firsts and firsts[k] > mins[k] * 1.05:
                 pin[f"_first:{k}"] = round(firsts[k], 4)
-        pin = {k: pin[k] for k in sorted(pin)}
     else:
         pin = {"_sf": sf}
         if args.reason:
