@@ -167,6 +167,44 @@ class StreamingTwinSpec extends SparkSpec {
     assert(q.awaitTermination(120000), s"delivery $tag timed out")
   }
 
+  test("scrub-on-ingest: PII redaction + text fix applied per delivered " +
+      "epoch equal the batch scrub of the same closed corpus") {
+    // The reference pattern is transform-on-delivery (its Lambda
+    // rewrites records in flight); the curation analogue is scrubbing
+    // PII and normalizing bytes as epochs land, so the index never
+    // stores an unscrubbed row. Both operators are stateless narrow
+    // expressions, so per-epoch application must equal one batch pass.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.streaming.IndexSink
+    import graft.operators.{Redact, TextFix}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-scrub").toString
+    val docs = queries.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit("  mail u"), col("doc_id").cast("string"),
+          lit("@ex.com\t10.0.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(" ")).as("text"))
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def scrub(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("text", TextFix.fix(Redact.scrub(col("text"))))
+    // Two epochs, split mid-corpus.
+    Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      .foreach { chunk =>
+        deliverEnvelopes(tmp,
+          chunk.select(to_json(struct(col("doc_id"), col("text"))).as("line"),
+            col("doc_id").cast("string").as("recordId")),
+          payloadSchema, enrich = scrub)
+      }
+    val live = IndexSink.liveVectors(spark, s"$tmp/index", "recordId")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val batch = scrub(docs).as[(Long, String)].collect().toMap
+    assert(live == batch, "per-epoch scrub diverged from the batch scrub")
+    // And the scrub actually fired: no raw emails/IPs survive.
+    assert(live.values.forall(t => t.contains("<EMAIL>") && t.contains("<IP>")))
+    assert(live.values.forall(t => !t.contains("@ex.com") && !t.contains("\t")))
+  }
+
   test("streaming ANN: epochs delivered through the sink are searchable " +
       "between epochs, equal to the batch index on the same closed input") {
     import spark.implicits._
