@@ -82,7 +82,11 @@ final case class FileReplayEnvelopeSource(path: String,
     val arrival =
       if (reArrival) unix_millis(current_timestamp())
       else coalesce(col("approximateArrivalTimestamp"), raise_error(concat(
-        lit("FileReplayEnvelopeSource: record "), col("recordId"),
+        lit("FileReplayEnvelopeSource: record "),
+        // recordId may ALSO be null on a malformed record — a null
+        // message would degrade raise_error to a bare messageless
+        // exception, defeating the fail-loud diagnostic.
+        coalesce(col("recordId"), lit("<no recordId>")),
         lit(" has no approximateArrivalTimestamp — historical replay " +
           "needs the field on every record (use reArrival = true to " +
           "stamp at read time instead)"))).cast("long"))

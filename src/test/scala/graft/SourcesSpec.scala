@@ -112,6 +112,46 @@ class SourcesSpec extends SparkSpec {
       Seq("recordId", "approximateArrivalTimestamp", "data"))
   }
 
+  test("FileReplay arrival clocks: reArrival stamps read time; a missing " +
+      "historical field fails loud") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-clock").toString
+    // Field-less legacy files — the form both new arms must handle.
+    spark.range(3).select(col("id").cast("string").as("recordId"),
+        base64(lit("x").cast("binary")).as("data"))
+      .select(to_json(struct(col("recordId"), col("data"))))
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/in")
+    // (a) reArrival = true: every record stamped with the read batch's
+    // clock — one consistent, recent timeline.
+    val arrivals = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.sources.FileReplayEnvelopeSource(s"$tmp/in", reArrival = true)
+      .envelope(spark).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batch = b.select("approximateArrivalTimestamp").as[Long].collect()
+        arrivals.synchronized { arrivals ++= batch }
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ck1").start()
+    q.processAllAvailable(); q.stop()
+    assert(arrivals.size == 3 && arrivals.forall(_ > 1600000000000L),
+      s"re-arrival stamps should be recent wall-clock: $arrivals")
+    // (b) historical mode on the same field-less files: LOUD failure
+    // naming the field, never a silent clock mix.
+    val q2 = graft.sources.FileReplayEnvelopeSource(s"$tmp/in")
+      .envelope(spark).writeStream.format("noop")
+      .option("checkpointLocation", s"$tmp/ck2").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    try {
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("approximateArrivalTimestamp")),
+        s"failure should name the missing field: ${msgs(ex)}")
+    } finally q2.stop()
+  }
+
   test("maintenance: delete-by-predicate, sharded index create/count/drop") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-maint").toString
     val cfg = StreamConfig("s", 4)

@@ -112,7 +112,12 @@ def main():
         # insertion order, so the diff is append-only); new keys append
         # at the end with their own provenance note, and a merge note
         # flags that any pre-existing aggregate metadata (_source,
-        # _total_min_sec) predates this merge.
+        # _total_min_sec) predates this merge. A no-op merge (nothing
+        # to add) must not touch the file — a rewrite would append an
+        # empty-key note, polluting the provenance each rerun.
+        if not added:
+            print("nothing to merge: every bench key is already pinned")
+            return
         pin = dict(old) if old else {"_sf": sf}
         pin.setdefault("_sf", sf)
         note = pin.get("_merge_note", "")
