@@ -51,29 +51,35 @@ object Ivf {
         .orderBy("vec_id").limit(k)
         .collect().zipWithIndex.map { case ((_, v), i) => (i, v) }
       (0 until iters).foreach { _ =>
-        val bc = spark.sparkContext.broadcast(centroids)
-        try {
-          val assigned = vecs
-            .map { case (_, v) => (nearest(bc.value, v), v) }
-            .toDF("cell", "v")
-          // Per-dimension mean via posexplode + two-level aggregate: never
-          // collects a cell's vectors into one row (a hot cell at scale
-          // would OOM a collect_list-based mean).
-          val meanSql =
-            if (meanRound > 0) {
-              val p = math.pow(10, meanRound)
-              s"transform(array_sort(collect_list(struct(d, m))), s -> cast(floor(s.m * ${p}d + 0.5d) / ${p}d as float))"
-            } else "transform(array_sort(collect_list(struct(d, m))), s -> cast(s.m as float))"
-          val sums = assigned
-            .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-            .groupBy("cell", "d").agg(avg(col("x")).as("m"))
-            .groupBy("cell")
-            .agg(expr(meanSql).as("mean"))
-            .collect()
-          val updated = centroids.toMap ++ sums.map(r =>
-            r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
-          centroids = updated.toArray.sortBy(_._1)
-        } finally bc.destroy()
+        // Assignment via the same codegen'd kernel as index()/withCell
+        // (identical nearest arithmetic — the Lloyd chain the SQL
+        // oracles replay cannot drift from the serving paths); the
+        // per-iteration centroids ride as plan reference objects, so
+        // no explicit broadcast lifecycle to manage. Loud on nulls,
+        // like the typed map this replaces.
+        val enc = graft.functions.AnnFunctions.ivf_cell(col("embedding"), centroids)
+        val assigned = vecs.select(
+          when(enc.isNotNull, enc).otherwise(raise_error(lit(
+            "Ivf.train: null embedding or null element in the training set")))
+            .as("cell"),
+          col("embedding").as("v"))
+        // Per-dimension mean via posexplode + two-level aggregate: never
+        // collects a cell's vectors into one row (a hot cell at scale
+        // would OOM a collect_list-based mean).
+        val meanSql =
+          if (meanRound > 0) {
+            val p = math.pow(10, meanRound)
+            s"transform(array_sort(collect_list(struct(d, m))), s -> cast(floor(s.m * ${p}d + 0.5d) / ${p}d as float))"
+          } else "transform(array_sort(collect_list(struct(d, m))), s -> cast(s.m as float))"
+        val sums = assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("cell", "d").agg(avg(col("x")).as("m"))
+          .groupBy("cell")
+          .agg(expr(meanSql).as("mean"))
+          .collect()
+        val updated = centroids.toMap ++ sums.map(r =>
+          r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+        centroids = updated.toArray.sortBy(_._1)
       }
       Model(centroids)
     } finally vecs.unpersist(blocking = false)
