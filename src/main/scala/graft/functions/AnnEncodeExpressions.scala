@@ -45,6 +45,7 @@ object AnnEncode {
       i += 1
     }
     var best = -1
+    var bestId = -1
     var bestD = Double.MaxValue
     var c = 0
     while (c < vecs.length) {
@@ -57,7 +58,13 @@ object AnnEncode {
         d += t * t                    // widened at the += (Ivf.nearest)
         k += 1
       }
-      if (d < bestD) { bestD = d; best = c }
+      // Explicit smallest-ID tie-break (Ivf.nearest's exact test):
+      // Ivf.train emits ascending ids so scan order used to coincide,
+      // but Model is a public case class — an externally built model
+      // with unordered ids must still match the interpreted path.
+      if (d < bestD || (d == bestD && ids(c) < bestId)) {
+        bestD = d; best = c; bestId = ids(c)
+      }
       c += 1
     }
     if (best < 0) throw new IllegalArgumentException(
@@ -86,6 +93,7 @@ object AnnEncode {
       val sv = subVecs(j)
       val sid = subIds(j)
       var best = -1
+      var bestId = -1
       var bestD = Double.MaxValue
       var c = 0
       while (c < sv.length) {
@@ -98,7 +106,10 @@ object AnnEncode {
           d += t * t
           k += 1
         }
-        if (d < bestD) { bestD = d; best = c }
+        // Smallest-ID tie-break — see nearestCell.
+        if (d < bestD || (d == bestD && sid(c) < bestId)) {
+          bestD = d; best = c; bestId = sid(c)
+        }
         c += 1
       }
       if (best < 0) throw new IllegalArgumentException(
@@ -132,6 +143,13 @@ object AnnEncode {
     var cIdx = 0
     while (coarseIds(cIdx) != cell.intValue()) cIdx += 1
     val cv = coarseVecs(cIdx)
+    // The residual needs every vector dimension; nearestCell tolerates
+    // a narrower centroid (min-length distance fold), so enforce the
+    // documented fail-loud contract HERE instead of letting the loop
+    // below throw a context-free ArrayIndexOutOfBoundsException.
+    if (cv.length < vn) throw new IllegalArgumentException(
+      s"IvfPq encode: coarse centroid ${cell.intValue()} has dim " +
+        s"${cv.length}, vector has dim $vn — cannot form the residual")
     val r = new Array[Float](vn)
     i = 0
     while (i < vn) { r(i) = v.getFloat(i) - cv(i); i += 1 }
@@ -141,6 +159,7 @@ object AnnEncode {
       val sv = subVecs(j)
       val sid = subIds(j)
       var best = -1
+      var bestId = -1
       var bestD = Double.MaxValue
       var c = 0
       while (c < sv.length) {
@@ -153,7 +172,10 @@ object AnnEncode {
           d += t * t
           k += 1
         }
-        if (d < bestD) { bestD = d; best = c }
+        // Smallest-ID tie-break — see nearestCell.
+        if (d < bestD || (d == bestD && sid(c) < bestId)) {
+          bestD = d; best = c; bestId = sid(c)
+        }
         c += 1
       }
       if (best < 0) throw new IllegalArgumentException(

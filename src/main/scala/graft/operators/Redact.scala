@@ -38,28 +38,59 @@ object Redact {
     */
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** NANP-style ddd-ddd-dddd, word-bounded — the form to extend (not
-    * generalize in place) for other locales.
+  /** NANP-style ddd-ddd-dddd, word-bounded — one of the EXTEND-don't-
+    * generalize pattern family (see [[IntlPhonePattern]] for the
+    * international form added alongside it).
     */
   val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** E.164-style international number: `+`, a 1–3 digit country code,
+    * then 2–5 groups of 2–4 digits with optional single `-`/`.`/space
+    * separators — covers `+447911123456`, `+44 20 7946 0958`,
+    * `+1 555-123-4567`, `+12.345.6789`. The trailing `\b` is
+    * load-bearing: without it a greedy parse of a compact digit run
+    * can stop one digit short (`+447911123456` → `+44791112345` + a
+    * leaked `6`); the boundary forces the group split that covers the
+    * whole run. Permissive like [[Ipv4Pattern]] (a `+`-prefixed
+    * non-phone masked costs nothing; a leaked number is PII), and
+    * still in the Java∩RE2 subset: non-capturing groups and bounded
+    * repetition only, no lookaround. The minimum match is `+` and 5
+    * digits, under E.164's 7-digit floor by design — short leaks are
+    * still leaks.
+    */
+  val IntlPhonePattern = "\\+\\d{1,3}(?:[-. ]?\\d{2,4}){2,5}\\b"
 
   val EmailMask = "<EMAIL>"
   val IpMask = "<IP>"
   val PhoneMask = "<PHONE>"
 
-  /** The text with every match masked, email → IP → phone order. */
+  /** The text with every match masked, email → intl phone → IP → NANP
+    * phone order. The intl mask runs BEFORE the IP mask because a
+    * dot-separated international number (`+12.345.678.901`) contains a
+    * dotted quad the IP pattern would claim first, leaving a mixed
+    * `+<IP>` residue; masked in this order it leaves one clean
+    * `<PHONE>`. No other pair overlaps asymmetrically: IPs and NANP
+    * numbers never start with `+`, and the email pattern cannot span
+    * either mask's output.
+    */
   def scrub(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, EmailPattern, EmailMask),
+        regexp_replace(
+          regexp_replace(text, EmailPattern, EmailMask),
+          IntlPhonePattern, PhoneMask),
         Ipv4Pattern, IpMask),
       PhonePattern, PhoneMask)
 
   /** Independent per-pattern match counts over the RAW text:
-    * (emails, ipv4s, phones), each bigint.
+    * (emails, ipv4s, phones, intl phones), each bigint. Independent
+    * means a dot-separated intl number also counts its embedded dotted
+    * quad as an IP — counts answer "what did the corpus contain", the
+    * scrub resolves the overlap (see [[scrub]]).
     */
-  def piiCounts(text: Column): (Column, Column, Column) =
+  def piiCounts(text: Column): (Column, Column, Column, Column) =
     (regexp_count(text, lit(EmailPattern)).cast("bigint"),
       regexp_count(text, lit(Ipv4Pattern)).cast("bigint"),
-      regexp_count(text, lit(PhonePattern)).cast("bigint"))
+      regexp_count(text, lit(PhonePattern)).cast("bigint"),
+      regexp_count(text, lit(IntlPhonePattern)).cast("bigint"))
 }

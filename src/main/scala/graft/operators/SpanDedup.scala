@@ -74,7 +74,13 @@ object SpanDedup {
     */
   private[graft] def saltRegime(df: DataFrame): Boolean = {
     val thr = df.sparkSession.conf
-      .getOption(SaltThresholdConf).map(_.toLong)
+      .getOption(SaltThresholdConf).map { s =>
+        try s.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$SaltThresholdConf must be a long byte count, got '$s'")
+        }
+      }
       .getOrElse(DefaultSaltThresholdBytes)
     df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(thr)
   }

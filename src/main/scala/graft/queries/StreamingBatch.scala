@@ -140,6 +140,14 @@ object StreamingBatch {
         // a fixed-scale decimal renders identically in both engines.
         col("event_type"), Par.r2(col("value")).cast("decimal(18,2)").cast("string"),
         col("props")).as("payload"))
+    // GATE-ONLY SHAPE (the q33 brute-force-oracle discipline): the
+    // per-status collect_list materializes a whole channel's payloads
+    // in one aggregation buffer — at 100× one buffer would hold a
+    // third of the corpus. That shape is FORCED by the oracle contract
+    // (DuckDB `string_agg ... ORDER BY` under md5 needs the full
+    // ordered concatenation on both sides); the production path is
+    // DeliveryPipeline's distributed per-channel NDJSON write, which
+    // never aggregates a channel into one row.
     r.groupBy("status")
       .agg(count(lit(1)).as("n"),
         md5(concat_ws("\n",

@@ -3114,14 +3114,18 @@ object TrainingData {
       |    '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
       |    ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
       |    '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+      |    ' or +44 20 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' ' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ||
       |    ' end' AS t
       |  FROM documents)
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
       |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
       |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
-      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |  CAST(len(regexp_extract_all(t, '\+\d{1,3}(?:[-. ]?\d{2,4}){2,5}\b')) AS BIGINT) AS n_intl_phones,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+\d{1,3}(?:[-. ]?\d{2,4}){2,5}\b', '<PHONE>', 'g'),
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
       |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
       |FROM injected ORDER BY doc_id""".stripMargin
@@ -3143,10 +3147,14 @@ object TrainingData {
         lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
         lit("-"),
         lpad(pmod(col("doc_id") * 7, lit(10000L)).cast("string"), 4, "0"),
+        lit(" or +44 20 "),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" "),
+        lpad(pmod(col("doc_id") * 3, lit(10000L)).cast("string"), 4, "0"),
         lit(" end")).as("t"))
-    val (ne, ni, np) = graft.operators.Redact.piiCounts(col("t"))
+    val (ne, ni, np, nx) = graft.operators.Redact.piiCounts(col("t"))
     injected.select(col("doc_id"), ne.as("n_emails"), ni.as("n_ips"),
-        np.as("n_phones"),
+        np.as("n_phones"), nx.as("n_intl_phones"),
         graft.operators.Redact.scrub(col("t")).as("redacted"))
       .orderBy("doc_id")
   }

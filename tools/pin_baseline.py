@@ -133,6 +133,21 @@ def main():
         if args.reason:
             pin["_reason"] = args.reason
         pin["_pinned_from"] = args.bench
+        # Carry forward auxiliary metadata the current pin accumulated
+        # (_cpus, _pipeline_records_per_sec, _merge_note, ...) — a full
+        # re-pin replaces the QUERY values, not the provenance trail.
+        # Keys this re-pin itself writes (_sf/_reason/_pinned_from and
+        # the per-key _first: cold references, rebuilt below) are
+        # excluded; everything else is preserved and reported.
+        rebuilt = {"_sf", "_reason", "_pinned_from"}
+        carried = sorted(
+            k for k in old
+            if k.startswith("_") and k not in rebuilt
+            and not k.startswith("_first:"))
+        for k in carried:
+            pin[k] = old[k]
+        if carried:
+            print(f"carried forward metadata: {', '.join(carried)}")
         for k in sorted(mins):
             pin[k] = round(mins[k], 4)
         for k in sorted(firsts):
