@@ -32,6 +32,12 @@ import graft.streaming.DeliveryPipeline
   * - a secondary scale (the sf0.01 sibling of the primary dir, when it
   *   exists) is timed single-pass in the same run, so plan regressions
   *   can be separated from throttle noise across rounds;
+  * - the q01 scan is the WINDOW CANARY (round-11): its min vs its own
+  *   pin is emitted as `window_factor`, the regression map is reported
+  *   both raw and canary-normalized (`regressed_normalized`), and a
+  *   canary ≥1.5× its pin marks the run `window: "contended"` — so an
+  *   ambient host swing adjudicates itself instead of needing a
+  *   fresh-window re-run (see [[normalizedRegressions]]);
   * - the pipeline number counts DELIVERED records (success + failed
   *   channels via countChannel + the dropped count), asserted conserved
   *   against the source count before printing, over the base64 wire form
@@ -52,8 +58,53 @@ object Bench {
     * ratio alone would flag 0.1 s queries on scheduler jitter, the
     * floor alone would miss a 2× slide on a mid-weight query.
     */
-  private val RegressionRatio = 1.5
-  private val RegressionFloorSec = 0.3
+  private[graft] val RegressionRatio = 1.5
+  private[graft] val RegressionFloorSec = 0.3
+
+  /** The window canary: a pure parquet scan whose plan has not changed
+    * since round 1, so its ratio vs its own pin measures the HOST
+    * window, not the code. Four rounds running, ambient 3–4× host
+    * swings produced regression flags that dissolved on a judge re-run
+    * (r10: 11 flagged keys, 2 real); the canary lets the bench
+    * adjudicate that itself.
+    */
+  private[graft] val CanaryKey = "q01_scan"
+
+  /** A window whose canary runs ≥1.5× its pin is contended — per-query
+    * flags from it are suspect even after normalization.
+    */
+  private[graft] val ContendedBar = 1.5
+
+  /** Regression maps vs the pinned baseline, raw and canary-normalized:
+    * (window_factor, raw flags, normalized flags).
+    *
+    * window_factor = canary min / canary pin (1.0 when either side is
+    * missing — no canary, no adjustment). The normalized map divides
+    * every query's min by max(1, window_factor) before the regression
+    * test: a slow HOST window excuses uniformly-slow queries, while a
+    * genuinely regressed plan stays above the bar because it slowed
+    * MORE than the canary did. The excuse is clamped at 1 — a faster-
+    * than-pin window must not amplify ratios into false flags, and a
+    * fast canary must never excuse anything either. The canary itself
+    * normalizes to ratio 1 by construction, so it can only appear in
+    * the RAW map — which is exactly the "window: contended" signal.
+    */
+  private[graft] def normalizedRegressions(mins: Map[String, Double],
+      base: Map[String, Double])
+      : (Double, Map[String, Double], Map[String, Double]) = {
+    val wf = (for { v <- mins.get(CanaryKey); b <- base.get(CanaryKey) if b > 0 }
+      yield v / b).getOrElse(1.0)
+    val excuse = math.max(1.0, wf)
+    def flags(scale: Double) = mins.flatMap { case (n, v) =>
+      base.get(n).collect {
+        case b if b > 0 && v / scale > RegressionRatio * b &&
+            v / scale - b > RegressionFloorSec =>
+          // Ratio rounded to 2dp — it's a flag, not a measurement.
+          n -> math.rint(v / scale / b * 100) / 100
+      }
+    }.toMap
+    (wf, flags(1.0), flags(excuse))
+  }
 
   /** Per-query baseline (BASELINE_QUERIES.json — a flat name→seconds
     * map; "_"-prefixed keys are metadata). Parsed with a numeric-pair
@@ -114,6 +165,18 @@ object Bench {
         (0.0, -1L, "error: " + Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
       }
 
+    // Live-store epoch delivery (VERDICT r10 #6): the most intricate
+    // machinery in the repo — epoch deltas into the text index, the
+    // span-dedup gram state, and the percolator, inside the delivery
+    // commit — previously had no recorded number, so a regression
+    // there was invisible. Guarded like the pipeline.
+    val (liveRecs, liveRps, compactSecs, liveState) =
+      try liveStoreThroughput(spark, sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        (-1L, 0.0, 0.0,
+          "error: " + Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
+      }
+
     // End-of-run re-probe — deliberately LAST, maximizing the distance
     // from whatever stall window contaminated the original passes. One
     // fresh pass per high-spread query, folded into its samples; a
@@ -157,20 +220,21 @@ object Bench {
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
     // A baseline:"ok" with silently-skipped queries would read as full
     // coverage; surface the gap so a grown registry forces a re-pin.
-    val (baselineState, regressions, uncovered) = loadBaseline(baselinePath) match {
-      case None => ("absent", Map.empty[String, Double], Seq.empty[String])
-      case Some((bSf, _)) if !sfOfDir.contains(bSf) =>
-        (s"sf-mismatch($bSf)", Map.empty[String, Double], Seq.empty[String])
-      case Some((_, base)) =>
-        ("ok", mins.flatMap { case (n, v) =>
-          base.get(n).collect {
-            case b if b > 0 && v > RegressionRatio * b && v - b > RegressionFloorSec =>
-              // Ratio rounded to 2dp — it's a flag, not a measurement.
-              n -> math.rint(v / b * 100) / 100
-          }
-        }.toMap,
-        mins.keys.filterNot(base.contains).toSeq.sorted)
-    }
+    val (baselineState, windowFactor, regressions, regressionsNorm, uncovered) =
+      loadBaseline(baselinePath) match {
+        case None => ("absent", 1.0, Map.empty[String, Double],
+          Map.empty[String, Double], Seq.empty[String])
+        case Some((bSf, _)) if !sfOfDir.contains(bSf) =>
+          (s"sf-mismatch($bSf)", 1.0, Map.empty[String, Double],
+            Map.empty[String, Double], Seq.empty[String])
+        case Some((_, base)) =>
+          val (wf, raw, norm) = normalizedRegressions(mins, base)
+          ("ok", wf, raw, norm, mins.keys.filterNot(base.contains).toSeq.sorted)
+      }
+    val windowState =
+      if (baselineState != "ok") "unknown"
+      else if (windowFactor >= ContendedBar) "contended"
+      else "ok"
 
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
@@ -183,7 +247,7 @@ object Bench {
     val total = times.values.sum + pipeSecs
     val totalMin = mins.values.sum + pipeSecs
     val rps = if (pipeSecs > 0 && pipeRecs > 0) pipeRecs / pipeSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"queries_first":$qfirsts,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"baseline":${jstr(baselineState)},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"baseline_uncovered":${uncovered.map(jstr).mkString("[", ",", "]")},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":${jstr(conservation)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"queries_first":$qfirsts,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"baseline":${jstr(baselineState)},"window_factor":${math.rint(windowFactor * 100) / 100},"window":${jstr(windowState)},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"regressed_normalized":${jmap(regressionsNorm.toSeq.sortBy(_._1))},"baseline_uncovered":${uncovered.map(jstr).mkString("[", ",", "]")},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":${jstr(conservation)},"live_epoch_records":$liveRecs,"live_epoch_records_per_sec":$liveRps,"compaction_sec":$compactSecs,"live_state":${jstr(liveState)}}""")
     spark.stop()
   }
 
@@ -252,6 +316,89 @@ object Bench {
       rep += 1
     }
     (samples.toMap, errors.toMap)
+  }
+
+  /** Epoch-delivery throughput with every per-epoch maintenance hook
+    * active, plus the store compaction latency — the live half of the
+    * delivery surface ([[graft.streaming.IndexSink.start]] with
+    * `textIndex` + `spanState` + `percolator`). The documents table is
+    * replicated 4× with remapped ids and delivered as 4 epoch files
+    * (`maxFilesPerTrigger = 1`), so each epoch pays the real per-epoch
+    * costs: postings delta + NET stats, gram-occurrence delta with the
+    * upsert-retraction lookup against prior epochs, and a broadcast
+    * percolation — then one [[graft.streaming.LiveTextIndex.compact]] +
+    * [[graft.streaming.LiveSpanDedup.compact]] + index compaction pass
+    * is timed separately (`compaction_sec`). Records/s here is NOT
+    * comparable to the pipeline number (each record carries a full
+    * document, not one event) — it is its own pinned series.
+    * Conservation: the delivered index must hold exactly the source
+    * doc count; a miss is reported, never thrown.
+    *
+    * @return (records, records/s, compaction seconds, state)
+    */
+  private def liveStoreThroughput(spark: SparkSession, sfDir: String)
+      : (Long, Double, Double, String) = {
+    import graft.streaming.{IndexSink, LiveSpanDedup, LiveTextIndex}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-live").toString
+    val docs = queries.Tables.t(spark, sfDir, "documents")
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val epochs = 4
+    // 4 copies with remapped ids: every epoch is corpus-sized (sf0.1:
+    // 5k docs ≈ one real delivery batch) and ids never collide, so the
+    // span-state retraction path sees only genuine prior-epoch lookups.
+    val rep = docs.crossJoin(spark.range(epochs).select(col("id").as("copy")))
+      .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"),
+        col("copy"))
+    val n = docs.count() * epochs
+    val par = spark.sparkContext.defaultParallelism
+    // One input FILE per epoch (coalesce(1) + per-copy write): the
+    // file source with maxFilesPerTrigger=1 then delivers exactly
+    // `epochs` micro-batches through the hooks.
+    (0 until epochs).foreach { e =>
+      rep.filter(col("copy") === e)
+        .select(to_json(struct(
+          concat_ws("-", lit(e), col("doc_id")).as("recordId"),
+          to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("line"))).as("value"))
+        .coalesce(1).write.mode("append").text(s"$tmp/in")
+    }
+    val envelope = spark.readStream
+      .schema(StructType(Seq(StructField("recordId", StringType),
+        StructField("line", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$tmp/in")
+      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+        col("line").cast("binary").as("data"))
+    import spark.implicits._
+    val percQueries = Seq(
+      (1L, Seq("data", "spark")), (2L, Seq("query", "stream")),
+      (3L, Seq("model", "index")), (4L, Seq("graph")))
+      .toDF("query_id", "terms")
+    val t0 = System.nanoTime()
+    val q = IndexSink.start(envelope, payloadSchema,
+      s"$tmp/index", s"$tmp/backup", s"$tmp/ckpt", shards = par,
+      dropIf = _ => lit(false),
+      textIndex = Some(IndexSink.LiveIndexSpec(s"$tmp/tindex", "text",
+        key = "doc_id", shards = par)),
+      spanState = Some(IndexSink.LiveSpanSpec(s"$tmp/sstate", "text",
+        key = "doc_id", k = 8, shards = par)),
+      percolator = Some(IndexSink.PercolatorSpec(percQueries,
+        s"$tmp/alerts", "text", key = "doc_id")))
+    val done = q.awaitTermination(600000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!done) { q.stop(); return (-1L, 0.0, 0.0, "timeout") }
+    val t1 = System.nanoTime()
+    LiveTextIndex.compact(spark, s"$tmp/tindex", shards = par)
+    LiveSpanDedup.compact(spark, s"$tmp/sstate", shards = par)
+    IndexSink.compact(spark, s"$tmp/index", "doc_id", shards = par)
+    val cSecs = (System.nanoTime() - t1) / 1e9
+    val delivered = spark.read.parquet(s"$tmp/index/*").count()
+    if (delivered == n) (n, n / secs, cSecs, "ok")
+    else (-1L, 0.0, cSecs, s"violated: delivered=$delivered source=$n")
   }
 
   /** Replay the events table through the full streaming graph (NDJSON

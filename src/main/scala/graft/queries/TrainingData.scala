@@ -423,31 +423,51 @@ object TrainingData {
     lshPairsFromSignatures(signatures(s, dir)).orderBy("id1", "id2")
   }
 
-  /** MinHash-LSH banding (8 bands × 2 rows): THE subquadratic near-dup
-    * path at 100 TB — candidate pairs come from equality on band keys
-    * (a plain hash join on short strings), never from comparing docs.
+  /** LSH band keys of a signature frame (8 bands × 2 rows):
+    * (doc_id, band, key) — the banding half of
+    * [[lshPairsFromSignatures]], shared with the live store
+    * ([[graft.streaming.LiveNearDedup]]) so batch and live banding can
+    * never drift.
     */
-  private def lshPairsFromSignatures(sig: DataFrame): DataFrame = {
-    val sg = sig.cache()
+  private[graft] def lshBands(sig: DataFrame): DataFrame = {
     val bandCols = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", col(s"mh${2 * b}").cast("string"),
           col(s"mh${2 * b + 1}").cast("string")).as("key"))
     }
-    val bands = sg.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.select(col("doc_id").as("id1"), col("band"), col("key"))
-      .join(bands.select(col("doc_id").as("id2"), col("band"), col("key")),
-        Seq("band", "key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    val sa = sg.toDF(("id1" +: (0 until 16).map(j => s"a$j")): _*)
-    val sb = sg.toDF(("id2" +: (0 until 16).map(j => s"b$j")): _*)
+  }
+
+  /** Estimated similarity of candidate `(id1, id2)` pairs from the
+    * signature table: fraction of agreeing MinHash components — the
+    * scoring half of [[lshPairsFromSignatures]], shared with the live
+    * store. Exact integer agreement count over a final /16, so the
+    * double is bit-identical across engines and epochs.
+    */
+  private[graft] def lshEstSim(cand: DataFrame, sig: DataFrame): DataFrame = {
+    val sa = sig.toDF(("id1" +: (0 until 16).map(j => s"a$j")): _*)
+    val sb = sig.toDF(("id2" +: (0 until 16).map(j => s"b$j")): _*)
     val agree = (0 until 16)
       .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
       .reduce(_ + _)
     cand.join(sa, "id1").join(sb, "id2")
       .select(col("id1"), col("id2"), (agree.cast("double") / 16).as("est_sim"))
+  }
+
+  /** MinHash-LSH banding (8 bands × 2 rows): THE subquadratic near-dup
+    * path at 100 TB — candidate pairs come from equality on band keys
+    * (a plain hash join on short strings), never from comparing docs.
+    */
+  private[graft] def lshPairsFromSignatures(sig: DataFrame): DataFrame = {
+    val sg = sig.cache()
+    val bands = lshBands(sg)
+    val cand = bands.select(col("doc_id").as("id1"), col("band"), col("key"))
+      .join(bands.select(col("doc_id").as("id2"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    lshEstSim(cand, sg)
   }
 
   val q45_simhash: QueryDef = q(

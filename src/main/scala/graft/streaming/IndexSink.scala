@@ -58,6 +58,19 @@ object IndexSink {
       key: String = "recordId", k: Int = 8, shards: Int = 4,
       compactEvery: Int = 0)
 
+  /** Cross-epoch document NEAR-dedup maintenance for [[start]]: each
+    * delivered epoch's Ok docs feed [[LiveNearDedup.writeDelta]] —
+    * MinHash signatures that outlive the epoch, so LSH candidate
+    * pairs across deliveries (and their retraction on per-id
+    * overwrite) are queryable at any point via
+    * [[LiveNearDedup.candidatePairs]] / [[LiveNearDedup.deltaPairs]]
+    * without ever re-shingling a prior epoch. Consumes the raw FIELD
+    * text (shingling has its own tokenize), not the shared token
+    * frame. `compactEvery` as in the sibling specs.
+    */
+  final case class LiveNearDupSpec(root: String, field: String,
+      key: String = "recordId", shards: Int = 4, compactEvery: Int = 0)
+
   /** Per-epoch percolation (alert-on-ingest) for [[start]]: each
     * delivered epoch's Ok docs are matched against the registered
     * query table (`queries`: query_id + terms, the
@@ -104,7 +117,10 @@ object IndexSink {
     * `percolator` is the outbound twin of those inbound artifacts:
     * instead of maintaining state for future queries, it runs the
     * REGISTERED queries against each epoch as it lands and logs the
-    * hits per epoch ([[PercolatorSpec]]).
+    * hits per epoch ([[PercolatorSpec]]). `nearDupState` is the fourth
+    * maintained artifact: each epoch's MinHash signature delta lands
+    * in the named [[LiveNearDedup]] store, so cross-epoch LSH
+    * near-dup pairs are live-queryable with no corpus re-shingle.
     */
   def start(
       envelope: DataFrame,
@@ -118,7 +134,8 @@ object IndexSink {
       enrich: DataFrame => DataFrame = identity,
       textIndex: Option[LiveIndexSpec] = None,
       spanState: Option[LiveSpanSpec] = None,
-      percolator: Option[PercolatorSpec] = None): StreamingQuery =
+      percolator: Option[PercolatorSpec] = None,
+      nearDupState: Option[LiveNearDupSpec] = None): StreamingQuery =
     envelope.writeStream
       .queryName("graft-index-delivery")
       .trigger(trigger)
@@ -141,6 +158,19 @@ object IndexSink {
             .withColumn("_epoch", lit(epochId))
             .repartition(shards)
             .write.mode("overwrite").parquet(s"$indexPath/epoch=$epochId")
+          nearDupState.foreach { spec =>
+            // The near-dup delta reads the epoch parquet just written
+            // (the read-back-what-you-wrote rule below) but takes the
+            // raw FIELD, not the shared token frame — shingling
+            // tokenizes internally via the same analyzer.
+            val texts = src.sparkSession.read
+              .parquet(s"$indexPath/epoch=$epochId")
+              .select(col(spec.key).cast("string").as("doc_id"),
+                col(spec.field).cast("string").as("text"))
+            LiveNearDedup.writeDelta(texts, spec.root, epochId, spec.shards)
+            if (spec.compactEvery > 0 && (epochId + 1) % spec.compactEvery == 0)
+              LiveNearDedup.compact(src.sparkSession, spec.root, spec.shards)
+          }
           if (textIndex.nonEmpty || spanState.nonEmpty || percolator.nonEmpty) {
             import graft.functions.TextFunctions.tokens
             // Tokenize the epoch parquet JUST WRITTEN, not the lazy
