@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.streaming.{IndexSink, LiveSpanDedup, LiveTextIndex}
+import graft.streaming.{IndexSink, LiveNearDedup, LiveSpanDedup, LiveTextIndex}
 
 /** Crash/replay protocol tests for the incrementally-maintained stores:
   * the windows a live delivery + maintenance interleaving actually
@@ -181,6 +181,59 @@ class LiveStoreProtocolSpec extends SparkSpec {
     LiveSpanDedup.writeDelta(
       toks(Seq(3L -> "third doc with alpha beta gamma delta too")), root, 2L, k)
     assert(spans().map(_._1) == Set(2L, 3L))
+  }
+
+  test("LiveNearDedup: in-flight sig dir (no docs marker) is invisible, " +
+      "survives compaction, and completes on replay; a marker-present " +
+      "replay and a post-fold replay both leave state unchanged") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup-proto")
+      .toString + "/state"
+    val base = "the quick brown fox jumps over the lazy dog by the river bank"
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def pairs(): Set[(Long, Long)] =
+      LiveNearDedup.candidatePairs(spark, root, idType = LongType)
+        .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+
+    LiveNearDedup.writeDelta(docs(Seq(
+      1L -> base,
+      2L -> "unrelated second document about spark plans and shuffles")), root, 0L)
+    assert(pairs().isEmpty)
+    // Epoch 1 crashes right after its sig write: docs marker missing —
+    // doc 3's near-copy signature must be INVISIBLE (currency defines
+    // membership), and compaction must neither resolve nor delete the
+    // unactivated dir.
+    LiveNearDedup.writeDelta(
+      docs(Seq(3L -> base.replace("dog", "owl"))), root, 1L)
+    deleteDir(s"$root/docs/epoch=1")
+    assert(pairs().isEmpty, "unactivated epoch must be invisible")
+    LiveNearDedup.compact(spark, root, shards = 2)
+    assert(dirExists(s"$root/sig/epoch=1"),
+      "compaction deleted an unactivated in-flight epoch")
+    // The streaming replay completes the delivery (marker absent →
+    // lease-free path), and the cross-epoch pair appears.
+    LiveNearDedup.writeDelta(
+      docs(Seq(3L -> base.replace("dog", "owl"))), root, 1L)
+    assert(pairs() == Set((1L, 3L)))
+    // Marker-present replay (crash before offset commit): rewrites
+    // identical state under the lease.
+    LiveNearDedup.writeDelta(
+      docs(Seq(3L -> base.replace("dog", "owl"))), root, 1L)
+    assert(pairs() == Set((1L, 3L)))
+    // Fold everything; a replay of the folded epoch must be a no-op
+    // (the fence) — its dirs must NOT be resurrected.
+    LiveNearDedup.compact(spark, root, shards = 2)
+    assert(!dirExists(s"$root/sig/epoch=1"))
+    LiveNearDedup.writeDelta(
+      docs(Seq(3L -> base.replace("dog", "owl"))), root, 1L)
+    assert(!dirExists(s"$root/sig/epoch=1"),
+      "post-fold replay resurrected a folded epoch dir")
+    assert(pairs() == Set((1L, 3L)))
+    // New epochs above the fence still apply: upsert doc 3 away — the
+    // pair retracts through currency resolution alone.
+    LiveNearDedup.writeDelta(
+      docs(Seq(3L -> "rewritten into something else entirely new")), root, 2L)
+    assert(pairs().isEmpty)
   }
 
   test("EpochStore: committed-empty epoch dirs (zero-row deliveries, " +

@@ -29,6 +29,10 @@ UPWARD_BAR = 1.3
 # Below this many seconds a ratio is scheduler jitter, not a drift —
 # mirrors graft.Bench's RegressionFloorSec.
 ABS_FLOOR = 0.3
+# Bench-line scalar metrics pinned as '_'-metadata alongside the query
+# map (graders diff them by hand; graft.Bench ignores '_' keys).
+THROUGHPUT_KEYS = ("pipeline_records_per_sec", "live_epoch_records_per_sec",
+                   "compaction_sec")
 
 
 def load_bench_line(path):
@@ -115,19 +119,29 @@ def main():
         # _total_min_sec) predates this merge. A no-op merge (nothing
         # to add) must not touch the file — a rewrite would append an
         # empty-key note, polluting the provenance each rerun.
-        if not added:
+        missing_tp = [k for k in THROUGHPUT_KEYS
+                      if f"_{k}" not in old and bench.get(k, 0) > 0]
+        if not added and not missing_tp:
             print("nothing to merge: every bench key is already pinned")
             return
         pin = dict(old) if old else {"_sf": sf}
         pin.setdefault("_sf", sf)
         note = pin.get("_merge_note", "")
-        entry = (f"added {','.join(added)} from {args.bench}; "
+        entry = (f"added {','.join(added + missing_tp)} from {args.bench}; "
                  "pre-existing _source/_total aggregates predate this merge")
         pin["_merge_note"] = (note + " | " if note else "") + entry
         for k in added:
             pin[k] = round(mins[k], 4)
             if k in firsts and firsts[k] > mins[k] * 1.05:
                 pin[f"_first:{k}"] = round(firsts[k], 4)
+        # Throughput metrics merge like query keys: only when ABSENT
+        # (an existing throughput pin must not be ratcheted by a slow
+        # or fast window any more than a query pin).
+        for bench_key in THROUGHPUT_KEYS:
+            meta = f"_{bench_key}"
+            if meta not in pin and bench.get(bench_key, 0) > 0:
+                pin[meta] = round(bench[bench_key], 2)
+                print(f"pinned {meta} = {pin[meta]}")
     else:
         pin = {"_sf": sf}
         if args.reason:
@@ -153,6 +167,11 @@ def main():
         for k in sorted(firsts):
             if k in mins and firsts[k] > mins[k] * 1.05:
                 pin[f"_first:{k}"] = round(firsts[k], 4)
+        # A full re-pin refreshes the throughput metadata from this
+        # bench line (carried-forward stale values would misgrade).
+        for bench_key in THROUGHPUT_KEYS:
+            if bench.get(bench_key, 0) > 0:
+                pin[f"_{bench_key}"] = round(bench[bench_key], 2)
     with open(args.out, "w") as f:
         json.dump(pin, f, indent=1)
         f.write("\n")
