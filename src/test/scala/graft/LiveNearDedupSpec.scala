@@ -155,6 +155,54 @@ class LiveNearDedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 3L -> 1L, 7L -> 1L))
   }
 
+  test("property: live pairs equal batch lshPairs over randomized upsert " +
+      "histories with interleaved compactions") {
+    // Seeded generator (reproducible): 6 epochs over a 12-doc id space
+    // drawing texts from a pool with deliberate near-dup structure —
+    // each base text has a one-word-changed variant — so every epoch
+    // can create, extend, or dissolve clusters via upserts. After
+    // every delivery the live pair set must equal the batch kernel on
+    // the resolved corpus; a compaction fires mid-history and at the
+    // end.
+    val rnd = new scala.util.Random(421107)
+    val bases = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "spark shuffles partitions codegen catalyst tungsten exchange broadcast join scan filter agg",
+      "rivers mountains valleys forests deserts oceans islands plains cliffs caves meadows springs")
+    def draw(): String = {
+      val b = bases(rnd.nextInt(bases.length))
+      if (rnd.nextBoolean()) b
+      else {
+        val toks = b.split(" ")
+        toks(rnd.nextInt(toks.length)) = "variant" + rnd.nextInt(3)
+        toks.mkString(" ")
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-neardup-prop").toString
+    val root = s"$tmp/state"
+    var resolved = Map.empty[Long, String]
+    (0 until 6).foreach { epoch =>
+      val nDocs = 1 + rnd.nextInt(4)
+      val delta = (0 until nDocs).map(_ => rnd.nextInt(12).toLong -> draw())
+      LiveNearDedup.writeDelta(delta.toDF("doc_id", "text"), root,
+        epoch.toLong, shards = 2)
+      // In-epoch duplicates resolve by the deterministic max-text pick.
+      delta.groupBy(_._1).foreach { case (id, versions) =>
+        resolved += id -> versions.map(_._2).max
+      }
+      val live = LiveNearDedup.candidatePairs(spark, root, idType = LongType)
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = batchPairs(resolved.toSeq)
+      assert(live == batch,
+        s"epoch $epoch: live $live != batch $batch over $resolved")
+      if (epoch == 2) LiveNearDedup.compact(spark, root, shards = 2)
+    }
+    LiveNearDedup.compact(spark, root, shards = 2)
+    assert(LiveNearDedup.candidatePairs(spark, root, idType = LongType)
+      .as[(Long, Long, Double)].collect().toSet == batchPairs(resolved.toSeq))
+  }
+
   test("delivery sink nearDupState hook: pairs over epochs delivered " +
       "through IndexSink.start equal batch lshPairs on the resolved corpus") {
     import graft.streaming.IndexSink

@@ -80,11 +80,24 @@ def main():
                o_custkey + k * {SHIFT} AS o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM {src('orders')}, copies""")
+    # The source tier's (l_orderkey, l_linenumber) is NOT unique
+    # (118k duplicate keys at sf0.1), so queries ordering by it are
+    # only total by shared-file-order luck — luck a regenerated file's
+    # different physical order breaks. Renumber linenumbers uniquely
+    # per order with a deterministic full-row ordering: semantics are
+    # untouched (the column is only ever projected/sorted) and every
+    # ORDER BY over it becomes genuinely total.
     emit("lineitem", f"""
         SELECT l_orderkey + k * {SHIFT} AS l_orderkey,
                l_partkey + k * {SHIFT} AS l_partkey,
                l_suppkey + k * {SHIFT} AS l_suppkey,
-               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               CAST(row_number() OVER (
+                   PARTITION BY l_orderkey, k
+                   ORDER BY l_linenumber, l_quantity, l_extendedprice,
+                            l_partkey, l_suppkey, l_discount, l_tax,
+                            l_shipdate, l_returnflag, l_linestatus)
+                 AS INTEGER) AS l_linenumber,
+               l_quantity, l_extendedprice, l_discount,
                l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM {src('lineitem')}, copies""")
     emit("events", f"""
