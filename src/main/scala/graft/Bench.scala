@@ -342,15 +342,18 @@ object Bench {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-live").toString
     val docs = queries.Tables.t(spark, sfDir, "documents")
     val payloadSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("doc_id", StringType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
     val epochs = 4
-    // 4 copies with remapped ids: every epoch is corpus-sized (sf0.1:
-    // 5k docs ≈ one real delivery batch) and ids never collide, so the
-    // span-state retraction path sees only genuine prior-epoch lookups.
+    // 4 copies with copy-QUALIFIED string ids: every epoch is
+    // corpus-sized (sf0.1: 5k docs ≈ one real delivery batch) and ids
+    // never collide at ANY tier — an arithmetic shift collided with
+    // the sf1 tier's already-shifted ids (13×5000 = 65,000 resolved
+    // keys out of 200,000 records), turning the fixture into an
+    // unintended upsert storm and failing conservation.
     val rep = docs.crossJoin(spark.range(epochs).select(col("id").as("copy")))
-      .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+      .select(concat_ws("-", col("copy"), col("doc_id")).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"),
         col("copy"))
     val n = docs.count() * epochs
@@ -391,12 +394,15 @@ object Bench {
     val done = q.awaitTermination(600000)
     val secs = (System.nanoTime() - t0) / 1e9
     if (!done) { q.stop(); return (-1L, 0.0, 0.0, "timeout") }
+    // Conservation over the RAW epoch history, BEFORE compaction —
+    // the post-compaction view is latest-per-key, which counts
+    // distinct keys, not delivered records.
+    val delivered = spark.read.parquet(s"$tmp/index/*").count()
     val t1 = System.nanoTime()
     LiveTextIndex.compact(spark, s"$tmp/tindex", shards = par)
     LiveSpanDedup.compact(spark, s"$tmp/sstate", shards = par)
     IndexSink.compact(spark, s"$tmp/index", "doc_id", shards = par)
     val cSecs = (System.nanoTime() - t1) / 1e9
-    val delivered = spark.read.parquet(s"$tmp/index/*").count()
     if (delivered == n) (n, n / secs, cSecs, "ok")
     else (-1L, 0.0, cSecs, s"violated: delivered=$delivered source=$n")
   }
