@@ -32,12 +32,14 @@ import graft.streaming.DeliveryPipeline
   * - a secondary scale (the sf0.01 sibling of the primary dir, when it
   *   exists) is timed single-pass in the same run, so plan regressions
   *   can be separated from throttle noise across rounds;
-  * - the q01 scan is the WINDOW CANARY (round-11): its min vs its own
-  *   pin is emitted as `window_factor`, the regression map is reported
-  *   both raw and canary-normalized (`regressed_normalized`), and a
-  *   canary ≥1.5× its pin marks the run `window: "contended"` — so an
-  *   ambient host swing adjudicates itself instead of needing a
-  *   fresh-window re-run (see [[normalizedRegressions]]);
+  * - three plan-stable cheap queries are the WINDOW CANARY (round-11,
+  *   widened to a median-of-three round-12): the median of their mins
+  *   vs their own pins is emitted as `window_factor`, the regression
+  *   map is reported both raw and canary-normalized
+  *   (`regressed_normalized`), and a factor ≥1.5× marks the run
+  *   `window: "contended"` — so an ambient host swing adjudicates
+  *   itself instead of needing a fresh-window re-run (see
+  *   [[normalizedRegressions]]);
   * - the pipeline number counts DELIVERED records (success + failed
   *   channels via countChannel + the dropped count), asserted conserved
   *   against the source count before printing, over the base64 wire form
@@ -61,14 +63,20 @@ object Bench {
   private[graft] val RegressionRatio = 1.5
   private[graft] val RegressionFloorSec = 0.3
 
-  /** The window canary: a pure parquet scan whose plan has not changed
-    * since round 1, so its ratio vs its own pin measures the HOST
-    * window, not the code. Four rounds running, ambient 3–4× host
-    * swings produced regression flags that dissolved on a judge re-run
-    * (r10: 11 flagged keys, 2 real); the canary lets the bench
-    * adjudicate that itself.
+  /** The window canaries: three cheap queries whose plans have not
+    * changed since round 1 (a pure parquet scan, a narrow projection,
+    * a small agg+limit), so the MEDIAN of their ratios vs their own
+    * pins measures the HOST window, not the code. Four rounds running,
+    * ambient 3–4× host swings produced regression flags that dissolved
+    * on a judge re-run (r10: 11 flagged keys, 2 real); the canary lets
+    * the bench adjudicate that itself. A median of three, not a single
+    * key (round-12 hardening): with one canary, a genuine regression
+    * in the scan layer itself would inflate the factor and normalize
+    * away a co-occurring fleet-wide regression — with three, one
+    * regressed canary moves the median nowhere and instead shows up
+    * flagged like any other key.
     */
-  private[graft] val CanaryKey = "q01_scan"
+  private[graft] val CanaryKeys = Seq("q01_scan", "q02_project", "q58_limit_offset")
 
   /** A window whose canary runs ≥1.5× its pin is contended — per-query
     * flags from it are suspect even after normalization.
@@ -78,22 +86,27 @@ object Bench {
   /** Regression maps vs the pinned baseline, raw and canary-normalized:
     * (window_factor, raw flags, normalized flags).
     *
-    * window_factor = canary min / canary pin (1.0 when either side is
-    * missing — no canary, no adjustment). The normalized map divides
-    * every query's min by max(1, window_factor) before the regression
-    * test: a slow HOST window excuses uniformly-slow queries, while a
-    * genuinely regressed plan stays above the bar because it slowed
-    * MORE than the canary did. The excuse is clamped at 1 — a faster-
-    * than-pin window must not amplify ratios into false flags, and a
-    * fast canary must never excuse anything either. The canary itself
-    * normalizes to ratio 1 by construction, so it can only appear in
-    * the RAW map — which is exactly the "window: contended" signal.
+    * window_factor = MEDIAN over [[CanaryKeys]] of (key min / key pin),
+    * over the keys present on both sides (1.0 when none is — no
+    * canary, no adjustment); the LOWER middle on an even count, so a
+    * half-missing canary set errs toward excusing less. The normalized
+    * map divides every query's min by max(1, window_factor) before the
+    * regression test: a slow HOST window excuses uniformly-slow
+    * queries, while a genuinely regressed plan stays above the bar
+    * because it slowed MORE than the canaries did. The excuse is
+    * clamped at 1 — a faster-than-pin window must not amplify ratios
+    * into false flags, and a fast canary must never excuse anything
+    * either. A single regressed canary key no longer moves the factor
+    * (the other two hold the median down), so it surfaces in the
+    * NORMALIZED map like any other regression instead of masking the
+    * fleet.
     */
   private[graft] def normalizedRegressions(mins: Map[String, Double],
       base: Map[String, Double])
       : (Double, Map[String, Double], Map[String, Double]) = {
-    val wf = (for { v <- mins.get(CanaryKey); b <- base.get(CanaryKey) if b > 0 }
-      yield v / b).getOrElse(1.0)
+    val ratios = CanaryKeys.flatMap(k =>
+      for { v <- mins.get(k); b <- base.get(k) if b > 0 } yield v / b).sorted
+    val wf = if (ratios.isEmpty) 1.0 else ratios((ratios.size - 1) / 2)
     val excuse = math.max(1.0, wf)
     def flags(scale: Double) = mins.flatMap { case (n, v) =>
       base.get(n).collect {
@@ -167,13 +180,19 @@ object Bench {
 
     // Live-store epoch delivery (VERDICT r10 #6): the most intricate
     // machinery in the repo — epoch deltas into the text index, the
-    // span-dedup gram state, and the percolator, inside the delivery
-    // commit — previously had no recorded number, so a regression
-    // there was invisible. Guarded like the pipeline.
-    val (liveRecs, liveRps, compactSecs, liveState) =
+    // span-dedup gram state, the percolator, and the near-dup
+    // signature store, inside the delivery commit — previously had no
+    // recorded number, so a regression there was invisible. Guarded
+    // like the pipeline. Round-12: a second, production-shaped epoch
+    // separates the per-epoch protocol overhead (intercept) from the
+    // marginal per-record cost — the 4×corpus shape alone reads as
+    // "333 rec/s" when ~90% of that is fixed per-epoch cost that
+    // amortizes ~30× at the reference's real epoch size.
+    val (liveRecs, liveRps, compactSecs, liveOverheadSec, liveMarginalRps,
+        liveState) =
       try liveStoreThroughput(spark, sfDir)
       catch { case scala.util.control.NonFatal(e) =>
-        (-1L, 0.0, 0.0,
+        (-1L, 0.0, 0.0, 0.0, 0.0,
           "error: " + Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
       }
 
@@ -247,7 +266,7 @@ object Bench {
     val total = times.values.sum + pipeSecs
     val totalMin = mins.values.sum + pipeSecs
     val rps = if (pipeSecs > 0 && pipeRecs > 0) pipeRecs / pipeSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"queries_first":$qfirsts,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"baseline":${jstr(baselineState)},"window_factor":${math.rint(windowFactor * 100) / 100},"window":${jstr(windowState)},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"regressed_normalized":${jmap(regressionsNorm.toSeq.sortBy(_._1))},"baseline_uncovered":${uncovered.map(jstr).mkString("[", ",", "]")},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":${jstr(conservation)},"live_epoch_records":$liveRecs,"live_epoch_records_per_sec":$liveRps,"compaction_sec":$compactSecs,"live_state":${jstr(liveState)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"queries_first":$qfirsts,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"baseline":${jstr(baselineState)},"window_factor":${math.rint(windowFactor * 100) / 100},"window":${jstr(windowState)},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"regressed_normalized":${jmap(regressionsNorm.toSeq.sortBy(_._1))},"baseline_uncovered":${uncovered.map(jstr).mkString("[", ",", "]")},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":${jstr(conservation)},"live_epoch_records":$liveRecs,"live_epoch_records_per_sec":$liveRps,"live_epoch_overhead_sec":${math.rint(liveOverheadSec * 100) / 100},"live_epoch_marginal_rps":${math.rint(liveMarginalRps * 10) / 10},"compaction_sec":$compactSecs,"live_state":${jstr(liveState)}}""")
     spark.stop()
   }
 
@@ -319,92 +338,141 @@ object Bench {
   }
 
   /** Epoch-delivery throughput with every per-epoch maintenance hook
-    * active, plus the store compaction latency — the live half of the
-    * delivery surface ([[graft.streaming.IndexSink.start]] with
-    * `textIndex` + `spanState` + `percolator`). The documents table is
-    * replicated 4× with remapped ids and delivered as 4 epoch files
-    * (`maxFilesPerTrigger = 1`), so each epoch pays the real per-epoch
-    * costs: postings delta + NET stats, gram-occurrence delta with the
-    * upsert-retraction lookup against prior epochs, and a broadcast
-    * percolation — then one [[graft.streaming.LiveTextIndex.compact]] +
-    * [[graft.streaming.LiveSpanDedup.compact]] + index compaction pass
-    * is timed separately (`compaction_sec`). Records/s here is NOT
-    * comparable to the pipeline number (each record carries a full
-    * document, not one event) — it is its own pinned series.
-    * Conservation: the delivered index must hold exactly the source
-    * doc count; a miss is reported, never thrown.
+    * active — textIndex + spanState + percolator + nearDupState, all
+    * FOUR maintained artifacts of [[graft.streaming.IndexSink.start]] —
+    * plus the store compaction latency. Two fixture shapes:
     *
-    * @return (records, records/s, compaction seconds, state)
+    *  1. `epochs` corpus-sized deliveries (sf0.1: 4 × 5k docs) — the
+    *     pinned `live_epoch_records_per_sec` series;
+    *  2. ONE production-shaped epoch (≥100k records — the reference's
+    *     60 s × 2,500 rec/s delivery, README.rst:95-111) into fresh
+    *     stores.
+    *
+    * Shape 1's rate is fixed-overhead dominated (per-epoch store
+    * protocol: heal, lease, marker, watermark reads — independent of
+    * record count); shape 2 amortizes it. Fitting wall = a + m·n per
+    * epoch across the two shapes separates them:
+    * `live_epoch_overhead_sec` (the intercept a) and
+    * `live_epoch_marginal_rps` (1/m) are what transfer to other epoch
+    * sizes, while the aggregate rate explains itself by its intercept.
+    * Then one [[graft.streaming.LiveTextIndex.compact]] +
+    * [[graft.streaming.LiveSpanDedup.compact]] +
+    * [[graft.streaming.LiveNearDedup.compact]] + index compaction pass
+    * over shape 1's stores is timed separately (`compaction_sec`).
+    * Records/s here is NOT comparable to the pipeline number (each
+    * record carries a full document, not one event) — it is its own
+    * pinned series. Conservation: each delivered index must hold
+    * exactly its source record count; a miss is reported, never
+    * thrown.
+    *
+    * @return (records, records/s, compaction seconds,
+    *         per-epoch overhead seconds, marginal records/s, state)
     */
   private def liveStoreThroughput(spark: SparkSession, sfDir: String)
-      : (Long, Double, Double, String) = {
-    import graft.streaming.{IndexSink, LiveSpanDedup, LiveTextIndex}
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-live").toString
+      : (Long, Double, Double, Double, Double, String) = {
+    import graft.streaming.{IndexSink, LiveNearDedup, LiveSpanDedup, LiveTextIndex}
     val docs = queries.Tables.t(spark, sfDir, "documents")
-    val payloadSchema = StructType(Seq(
-      StructField("doc_id", StringType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val epochs = 4
-    // 4 copies with copy-QUALIFIED string ids: every epoch is
-    // corpus-sized (sf0.1: 5k docs ≈ one real delivery batch) and ids
-    // never collide at ANY tier — an arithmetic shift collided with
-    // the sf1 tier's already-shifted ids (13×5000 = 65,000 resolved
-    // keys out of 200,000 records), turning the fixture into an
-    // unintended upsert storm and failing conservation.
-    val rep = docs.crossJoin(spark.range(epochs).select(col("id").as("copy")))
-      .select(concat_ws("-", col("copy"), col("doc_id")).as("doc_id"),
-        col("text"), col("lang"), col("source"), col("n_chars"),
-        col("copy"))
-    val n = docs.count() * epochs
+    val docsN = docs.count()
     val par = spark.sparkContext.defaultParallelism
-    // One input FILE per epoch (coalesce(1) + per-copy write): the
-    // file source with maxFilesPerTrigger=1 then delivers exactly
-    // `epochs` micro-batches through the hooks.
-    (0 until epochs).foreach { e =>
-      rep.filter(col("copy") === e)
-        .select(to_json(struct(
-          concat_ws("-", lit(e), col("doc_id")).as("recordId"),
-          to_json(struct(col("doc_id"), col("text"), col("lang"),
-            col("source"), col("n_chars"))).as("line"))).as("value"))
-        .coalesce(1).write.mode("append").text(s"$tmp/in")
+
+    /** Deliver `copies` corpus replicas as `epochs` equal epoch files
+      * through all four hooks into fresh stores under `tmp`; returns
+      * (wall seconds, records) or a thrown-free error state.
+      */
+    def run(tmp: String, epochs: Int, copiesPerEpoch: Long)
+        : Either[String, (Double, Long)] = {
+      val payloadSchema = StructType(Seq(
+        StructField("doc_id", StringType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val copies = epochs * copiesPerEpoch
+      // Copy-QUALIFIED string ids: every replica is a distinct doc and
+      // ids never collide at ANY tier — an arithmetic shift collided
+      // with the sf1 tier's already-shifted ids (13×5000 = 65,000
+      // resolved keys out of 200,000 records), turning the fixture
+      // into an unintended upsert storm and failing conservation.
+      val rep = docs.crossJoin(spark.range(copies).select(col("id").as("copy")))
+        .select(concat_ws("-", col("copy"), col("doc_id")).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"),
+          (col("copy") % epochs).as("epoch"))
+      val n = docsN * copies
+      // One input FILE per epoch (coalesce(1) + per-epoch write): the
+      // file source with maxFilesPerTrigger=1 then delivers exactly
+      // `epochs` micro-batches through the hooks.
+      (0 until epochs).foreach { e =>
+        rep.filter(col("epoch") === e)
+          .select(to_json(struct(
+            concat_ws("-", lit(e), col("doc_id")).as("recordId"),
+            to_json(struct(col("doc_id"), col("text"), col("lang"),
+              col("source"), col("n_chars"))).as("line"))).as("value"))
+          .coalesce(1).write.mode("append").text(s"$tmp/in")
+      }
+      val envelope = spark.readStream
+        .schema(StructType(Seq(StructField("recordId", StringType),
+          StructField("line", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .json(s"$tmp/in")
+        .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+          col("line").cast("binary").as("data"))
+      import spark.implicits._
+      val percQueries = Seq(
+        (1L, Seq("data", "spark")), (2L, Seq("query", "stream")),
+        (3L, Seq("model", "index")), (4L, Seq("graph")))
+        .toDF("query_id", "terms")
+      val t0 = System.nanoTime()
+      val q = IndexSink.start(envelope, payloadSchema,
+        s"$tmp/index", s"$tmp/backup", s"$tmp/ckpt", shards = par,
+        dropIf = _ => lit(false),
+        textIndex = Some(IndexSink.LiveIndexSpec(s"$tmp/tindex", "text",
+          key = "doc_id", shards = par)),
+        spanState = Some(IndexSink.LiveSpanSpec(s"$tmp/sstate", "text",
+          key = "doc_id", k = 8, shards = par)),
+        percolator = Some(IndexSink.PercolatorSpec(percQueries,
+          s"$tmp/alerts", "text", key = "doc_id")),
+        nearDupState = Some(IndexSink.LiveNearDupSpec(s"$tmp/ndstate",
+          "text", key = "doc_id", shards = par)))
+      val done = q.awaitTermination(600000)
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (!done) { q.stop(); return Left("timeout") }
+      // Conservation over the RAW epoch history, BEFORE compaction —
+      // the post-compaction view is latest-per-key, which counts
+      // distinct keys, not delivered records.
+      val delivered = spark.read.parquet(s"$tmp/index/*").count()
+      if (delivered == n) Right((secs, n))
+      else Left(s"violated: delivered=$delivered source=$n")
     }
-    val envelope = spark.readStream
-      .schema(StructType(Seq(StructField("recordId", StringType),
-        StructField("line", StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .json(s"$tmp/in")
-      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
-        col("line").cast("binary").as("data"))
-    import spark.implicits._
-    val percQueries = Seq(
-      (1L, Seq("data", "spark")), (2L, Seq("query", "stream")),
-      (3L, Seq("model", "index")), (4L, Seq("graph")))
-      .toDF("query_id", "terms")
-    val t0 = System.nanoTime()
-    val q = IndexSink.start(envelope, payloadSchema,
-      s"$tmp/index", s"$tmp/backup", s"$tmp/ckpt", shards = par,
-      dropIf = _ => lit(false),
-      textIndex = Some(IndexSink.LiveIndexSpec(s"$tmp/tindex", "text",
-        key = "doc_id", shards = par)),
-      spanState = Some(IndexSink.LiveSpanSpec(s"$tmp/sstate", "text",
-        key = "doc_id", k = 8, shards = par)),
-      percolator = Some(IndexSink.PercolatorSpec(percQueries,
-        s"$tmp/alerts", "text", key = "doc_id")))
-    val done = q.awaitTermination(600000)
-    val secs = (System.nanoTime() - t0) / 1e9
-    if (!done) { q.stop(); return (-1L, 0.0, 0.0, "timeout") }
-    // Conservation over the RAW epoch history, BEFORE compaction —
-    // the post-compaction view is latest-per-key, which counts
-    // distinct keys, not delivered records.
-    val delivered = spark.read.parquet(s"$tmp/index/*").count()
+
+    val epochs = 4
+    val tmpSmall = java.nio.file.Files.createTempDirectory("graft-bench-live").toString
+    val small = run(tmpSmall, epochs, copiesPerEpoch = 1L) match {
+      case Left(state) => return (-1L, 0.0, 0.0, 0.0, 0.0, state)
+      case Right(v) => v
+    }
+    val (secs, n) = small
     val t1 = System.nanoTime()
-    LiveTextIndex.compact(spark, s"$tmp/tindex", shards = par)
-    LiveSpanDedup.compact(spark, s"$tmp/sstate", shards = par)
-    IndexSink.compact(spark, s"$tmp/index", "doc_id", shards = par)
+    LiveTextIndex.compact(spark, s"$tmpSmall/tindex", shards = par)
+    LiveSpanDedup.compact(spark, s"$tmpSmall/sstate", shards = par)
+    LiveNearDedup.compact(spark, s"$tmpSmall/ndstate", shards = par)
+    IndexSink.compact(spark, s"$tmpSmall/index", "doc_id", shards = par)
     val cSecs = (System.nanoTime() - t1) / 1e9
-    if (delivered == n) (n, n / secs, cSecs, "ok")
-    else (-1L, 0.0, cSecs, s"violated: delivered=$delivered source=$n")
+    // Production-shaped single epoch: ≥100k records (sf0.1: 20 corpus
+    // copies in one delivery). A failure here degrades to the shape-1
+    // numbers with the state recorded — it must not erase them.
+    val nBig = math.max(100000L, docsN)
+    val bigCopies = (nBig + docsN - 1) / docsN
+    val tmpBig = java.nio.file.Files.createTempDirectory("graft-bench-live-big").toString
+    run(tmpBig, epochs = 1, copiesPerEpoch = bigCopies) match {
+      case Left(state) =>
+        (n, n / secs, cSecs, 0.0, 0.0, s"big-epoch $state")
+      case Right((bigSecs, bigN)) =>
+        val perEpochSmall = secs / epochs
+        val nSmall = docsN
+        // wall = a + m·n through the two measured epoch shapes.
+        val m = (bigSecs - perEpochSmall) / (bigN - nSmall)
+        val a = perEpochSmall - m * nSmall
+        val marginalRps = if (m > 0) 1.0 / m else 0.0
+        (n, n / secs, cSecs, math.max(0.0, a), marginalRps, "ok")
+    }
   }
 
   /** Replay the events table through the full streaming graph (NDJSON

@@ -293,21 +293,29 @@ object Relational {
 
   val q17_rollup: QueryDef = q(
     "q17_rollup",
-    """SELECT o_orderstatus, o_orderpriority, floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_price, count(*) AS n
+    """SELECT o_orderstatus, o_orderpriority, floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 * 100 + 0.5) / 100 AS sum_price, count(*) AS n
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
   ) { (s, dir) =>
-    // DECIMAL sum, not double (the sf1 lesson): the rollup's grand
+    // LONG-CENTS sum, not double (the sf1 lesson): the rollup's grand
     // total adds EVERY order's price, and double addition is not
     // associative — at 1.5M terms the two engines' summation orders
-    // diverged past a rounding boundary (…585.59 vs …585.60). Money
-    // sources are exact 2dp, so the decimal sum is exact, associative,
-    // and order-independent at ANY scale; the final double cast is of
-    // the same exact value on both sides. The same policy applies to
-    // every whole-table money aggregate (q57/q60/q61).
+    // diverged past a rounding boundary (…585.59 vs …585.60). Each
+    // term is stabilized to integer cents with pure IEEE ops that are
+    // identical per row on both engines (floor(x*100+0.5) — exact:
+    // prices are ≤8 digits, so x*100 < 2^53), then summed as LONG —
+    // exact, associative, order-independent at any scale, and integer
+    // adds instead of the ~1.6× slower Decimal aggregate this policy
+    // first shipped with (round-11 decimal form; BENCH_r11 flagged the
+    // cost, round-12 settles it). Overflow bound: sf1's 1.5M orders ×
+    // max 6e7 cents ≈ 9e13 ≪ 2^63; even 10^9 rows stay < 6e16. The
+    // final cents→double cast rounds identically on both engines (one
+    // IEEE round-to-nearest of the same exact integer), so the policy
+    // holds past 2^53 too. Same policy: q57/q60/q61.
     t(s, dir, "orders")
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(Par.r2(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .agg(Par.r2(sum(floor(col("o_totalprice") * 100 + lit(0.5)))
+          .cast("double") / 100)
         .as("sum_price"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
@@ -719,15 +727,16 @@ object Relational {
   val q57_cube: QueryDef = q(
     "q57_cube",
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-      |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_price
+      |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 * 100 + 0.5) / 100 AS sum_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
   ) { (s, dir) =>
-    // Exact decimal sum — the q17 whole-table-money-aggregate policy.
+    // Exact long-cents sum — the q17 whole-table-money-aggregate policy.
     t(s, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        Par.r2(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        Par.r2(sum(floor(col("o_totalprice") * 100 + lit(0.5)))
+            .cast("double") / 100)
           .as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
@@ -770,7 +779,7 @@ object Relational {
     "q60_report",
     """WITH rev AS (
       |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
-      |    floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+      |    floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 * 100 + 0.5) / 100 AS revenue,
       |    count(*) AS n_items
       |  FROM lineitem
       |  JOIN orders ON l_orderkey = o_orderkey
@@ -785,20 +794,22 @@ object Relational {
     // per-year ranking. Ranking keys on the ROUNDED revenue (+ name
     // tie-break) so cross-engine float ulps can't flip ranks. The
     // revenue term is a COMPUTED double (price × (1−discount)), so the
-    // q17 decimal-sum policy needs one extra step: stabilize each term
-    // at 4dp with the engine-portable r4 formula (pure IEEE ops —
-    // identical per row on both engines; a direct double→decimal cast
-    // of a computed value is NOT portable, shortest-repr vs binary
-    // rounding), then sum the resulting exact decimals — associative
-    // and order-independent at any group size.
-    val revTerm = Par.r4(col("l_extendedprice") * (lit(1) - col("l_discount")))
-      .cast("decimal(18,4)")
+    // q17 long-cents policy stabilizes each term at 4dp-as-integer
+    // with pure IEEE ops — floor(x*1e4+0.5), identical per row on
+    // both engines (a direct double→decimal cast of a computed value
+    // is NOT portable, shortest-repr vs binary rounding) — then sums
+    // LONGs: exact, associative, order-independent at any group size,
+    // integer-add cheap (the round-11 decimal form of this sum was the
+    // BENCH_r11 q60 flag). Bound: 6M sf1 items × ≤1.1e9 per term
+    // ≈ 7e15 ≪ 2^63.
+    val revTerm = floor(
+      col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + lit(0.5))
     val rev = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
-      .agg(Par.r2(sum(revTerm).cast("double")).as("revenue"),
+      .agg(Par.r2(sum(revTerm).cast("double") / 10000).as("revenue"),
         count(lit(1)).as("n_items"))
     val w = Window.partitionBy("o_year").orderBy(col("revenue").desc, col("n_name"))
     rev.withColumn("rnk", row_number().over(w).cast("bigint"))
@@ -808,26 +819,26 @@ object Relational {
   val q61_part_revenue: QueryDef = q(
     "q61_part_revenue",
     """SELECT p_brand, p_type, count(*) AS n_items,
-      |  floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
-      |  floor(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS avg_retail
+      |  floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 * 100 + 0.5) / 100 AS revenue,
+      |  floor(CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / count(*) * 100 + 0.5) / 100 AS avg_retail
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE p_size <= 25
       |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin
   ) { (s, dir) =>
-    // Exact decimal sums (the q17/q60 policy): 4dp-stabilized terms
-    // for the computed revenue, direct decimal cast for the exact-2dp
-    // retail price; avg spelled as exact-sum ÷ count so the one double
-    // division has identical operands on both engines.
-    val revTerm = Par.r4(col("l_extendedprice") * (lit(1) - col("l_discount")))
-      .cast("decimal(18,4)")
+    // Exact long-unit sums (the q17/q60 policy): 4dp-as-integer terms
+    // for the computed revenue, integer cents for the exact-2dp retail
+    // price; avg spelled as exact-sum ÷ 100 ÷ count so every double op
+    // has identical operands on both engines.
+    val revTerm = floor(
+      col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + lit(0.5))
     t(s, dir, "lineitem")
       .join(t(s, dir, "part").filter(col("p_size") <= 25),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type")
       .agg(count(lit(1)).as("n_items"),
-        Par.r2(sum(revTerm).cast("double")).as("revenue"),
-        Par.r2(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
-          / count(lit(1))).as("avg_retail"))
+        Par.r2(sum(revTerm).cast("double") / 10000).as("revenue"),
+        Par.r2(sum(floor(col("p_retailprice") * 100 + lit(0.5))).cast("double")
+          / 100 / count(lit(1))).as("avg_retail"))
       .orderBy("p_brand", "p_type")
   }
 

@@ -459,8 +459,18 @@ object TrainingData {
     * path at 100 TB — candidate pairs come from equality on band keys
     * (a plain hash join on short strings), never from comparing docs.
     */
-  private[graft] def lshPairsFromSignatures(sig: DataFrame): DataFrame = {
-    val sg = sig.cache()
+  private[graft] def lshPairsFromSignatures(sig: DataFrame): DataFrame =
+    lshPairsOver(sig.cache())
+
+  /** The banding + scoring kernel of [[lshPairsFromSignatures]] over an
+    * ALREADY-materialized signature frame — no cache() here. The batch
+    * path above caches (the verify/bench harness clears between
+    * queries); per-epoch callers ([[graft.streaming.LiveNearDedup]])
+    * must NOT register a fresh session-lifetime CacheManager entry per
+    * delivered epoch (the plan changes every epoch, so nothing ever
+    * hits), and localCheckpoint their frame instead.
+    */
+  private[graft] def lshPairsOver(sg: DataFrame): DataFrame = {
     val bands = lshBands(sg)
     val cand = bands.select(col("doc_id").as("id1"), col("band"), col("key"))
       .join(bands.select(col("doc_id").as("id2"), col("band"), col("key")),

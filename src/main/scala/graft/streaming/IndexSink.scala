@@ -158,6 +158,11 @@ object IndexSink {
             .withColumn("_epoch", lit(epochId))
             .repartition(shards)
             .write.mode("overwrite").parquet(s"$indexPath/epoch=$epochId")
+          // Epoch ids from foreachBatch start at 0, so "every Nth
+          // delivery" is (epochId + 1) % N == 0 — the policy fires
+          // first on epoch N-1, after N deltas exist. ONE cadence
+          // helper for all four maintenance hooks.
+          def due(n: Int) = n > 0 && (epochId + 1) % n == 0
           nearDupState.foreach { spec =>
             // The near-dup delta reads the epoch parquet just written
             // (the read-back-what-you-wrote rule below) but takes the
@@ -168,7 +173,7 @@ object IndexSink {
               .select(col(spec.key).cast("string").as("doc_id"),
                 col(spec.field).cast("string").as("text"))
             LiveNearDedup.writeDelta(texts, spec.root, epochId, spec.shards)
-            if (spec.compactEvery > 0 && (epochId + 1) % spec.compactEvery == 0)
+            if (due(spec.compactEvery))
               LiveNearDedup.compact(src.sparkSession, spec.root, spec.shards)
           }
           if (textIndex.nonEmpty || spanState.nonEmpty || percolator.nonEmpty) {
@@ -193,10 +198,6 @@ object IndexSink {
                   tokens(col(field)).as("toks"))
               kf -> (if (pairs.count(_ == kf) > 1) f.persist() else f)
             }.toMap
-            // Epoch ids from foreachBatch start at 0, so "every Nth
-            // delivery" is (epochId + 1) % N == 0 — the policy fires
-            // first on epoch N-1, after N deltas exist.
-            def due(n: Int) = n > 0 && (epochId + 1) % n == 0
             try {
               textIndex.foreach { spec =>
                 LiveTextIndex.writeDelta(toksFor((spec.key, spec.field)),

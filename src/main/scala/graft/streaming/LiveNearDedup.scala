@@ -165,8 +165,12 @@ object LiveNearDedup {
     */
   def candidatePairs(spark: SparkSession, root: String,
       idType: DataType = StringType): DataFrame =
-    TrainingData.lshPairsFromSignatures(
-      currentSignatures(spark, root, idType))
+    // Same kernel as the batch path (lshPairsOver IS
+    // lshPairsFromSignatures minus its cache()), but the shared frame
+    // is localCheckpoint'd: a per-epoch reader must not leak one
+    // CacheManager entry per call — the deltaPairs rationale.
+    TrainingData.lshPairsOver(
+      currentSignatures(spark, root, idType).localCheckpoint())
 
   /** The candidate pairs TOUCHING one delivered epoch: pairs of the
     * resolved corpus where at least one side's CURRENT version landed
@@ -182,7 +186,13 @@ object LiveNearDedup {
     */
   def deltaPairs(spark: SparkSession, root: String, epoch: Long,
       idType: DataType = StringType): DataFrame = {
-    val sg = currentSignatures(spark, root, idType).cache()
+    // localCheckpoint, NOT cache: this runs once per delivered epoch
+    // (alert-on-ingest), and a cache() here would register a new
+    // CacheManager entry per call (the plan changes every epoch) that
+    // nobody unpersists — a session-lifetime leak. A localCheckpoint
+    // materializes the narrow O(docs) frame once for its two consumers
+    // and its blocks are released with the RDD by the context cleaner.
+    val sg = currentSignatures(spark, root, idType).localCheckpoint()
     val bands = TrainingData.lshBands(sg)
     val epochDocs = EpochStore.latestPerKey(
         EpochStore.readAll(spark, docsRoot(root), docsSchema(idType)), "doc_id")

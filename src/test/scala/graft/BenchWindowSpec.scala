@@ -8,11 +8,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * window inflates EVERY query ~2×, the driver flags 11 keys, and a
   * judge re-run shows all but the genuinely-regressed ones were
   * window noise. The canary must reproduce that adjudication inline.
+  * Round-12: the factor is the MEDIAN over three plan-stable keys, so
+  * a regression in any ONE canary's own layer cannot masquerade as a
+  * window swing and normalize away co-occurring regressions.
   */
 class BenchWindowSpec extends AnyFunSuite {
 
+  private val canaries = Bench.CanaryKeys // q01_scan, q02_project, q58_limit_offset
+
   private val pins = Map(
-    Bench.CanaryKey -> 0.4,
+    "q01_scan" -> 0.4,
+    "q02_project" -> 0.35, // not 0.3: ×2 would sit exactly on the abs floor
+    "q58_limit_offset" -> 0.5,
     "q44_lsh_pairs" -> 1.0,
     "q66_decontaminate" -> 2.0,
     "q86_hybrid_rrf" -> 0.8)
@@ -37,17 +44,28 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(math.abs(norm("q66_decontaminate") - 4.0) < 0.01) // 8× / 2× window
   }
 
+  test("one regressed canary key cannot inflate the factor or mask the fleet") {
+    // q01_scan itself regresses 3× while its sibling canaries sit at
+    // pin: the median holds the factor at 1.0 (< 1.2× — the VERDICT
+    // r11 hardening bar), and the regressed canary surfaces in the
+    // NORMALIZED map like any other key instead of excusing a
+    // co-occurring fleet-wide regression.
+    val mins = pins + ("q01_scan" -> 0.4 * 3.0) +
+      ("q66_decontaminate" -> 2.0 * 1.8) // a real sibling regression
+    val (wf, _, norm) = Bench.normalizedRegressions(mins, pins)
+    assert(wf < 1.2)
+    assert(norm.keySet == Set("q01_scan", "q66_decontaminate"))
+  }
+
   test("clean window: raw and normalized agree; a fast canary never " +
       "excuses or amplifies") {
-    // Canary FASTER than pin (0.5×) while one key regressed 2×: the
-    // excuse clamps at 1, so normalization must not divide by 0.5
+    // All canaries FASTER than pin (0.5×) while one key regressed 2×:
+    // the excuse clamps at 1, so normalization must not divide by 0.5
     // (which would double every ratio into false flags) and must not
     // excuse the real regression either.
-    val mins = Map(
-      Bench.CanaryKey -> 0.2,
-      "q44_lsh_pairs" -> 2.0,
-      "q66_decontaminate" -> 2.0,
-      "q86_hybrid_rrf" -> 0.8)
+    val mins = pins.map { case (k, v) =>
+      k -> (if (canaries.contains(k)) v * 0.5 else v) } +
+      ("q44_lsh_pairs" -> 2.0)
     val (wf, raw, norm) = Bench.normalizedRegressions(mins, pins)
     assert(math.abs(wf - 0.5) < 1e-9)
     assert(raw == norm)
@@ -55,19 +73,28 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(math.abs(raw("q44_lsh_pairs") - 2.0) < 0.01)
   }
 
-  test("missing canary pin or measurement: factor 1, raw behavior") {
-    val noCanaryPins = pins - Bench.CanaryKey
+  test("even canary count takes the lower middle (excuses less)") {
+    // Only two canaries pinned, at ratios 1.0 and 2.0: the lower
+    // middle (1.0) is the factor — a half-missing canary set must err
+    // toward flagging, not excusing.
+    val twoPins = pins - "q58_limit_offset"
+    val mins = twoPins + ("q02_project" -> 0.3 * 2.0)
+    val (wf, _, _) = Bench.normalizedRegressions(mins, twoPins)
+    assert(math.abs(wf - 1.0) < 1e-9)
+  }
+
+  test("missing canary pins or measurements: factor 1, raw behavior") {
+    val noCanaryPins = pins -- canaries
     val mins = Map("q44_lsh_pairs" -> 3.0)
     val (wf1, raw1, norm1) = Bench.normalizedRegressions(mins, noCanaryPins)
     assert(wf1 == 1.0 && raw1 == norm1 && raw1.keySet == Set("q44_lsh_pairs"))
     val (wf2, _, _) = Bench.normalizedRegressions(
-      Map("q44_lsh_pairs" -> 3.0), pins) // canary never measured
+      Map("q44_lsh_pairs" -> 3.0), pins) // canaries never measured
     assert(wf2 == 1.0)
   }
 
   test("sub-floor and sub-ratio moves stay unflagged in both maps") {
-    val mins = Map(
-      Bench.CanaryKey -> 0.4,
+    val mins = pins ++ Map(
       "q86_hybrid_rrf" -> 0.8 * 1.4, // under the 1.5× ratio
       "q44_lsh_pairs" -> 1.25)       // 1.25× and only +0.25 s: under floor
     val (_, raw, norm) = Bench.normalizedRegressions(mins, pins)

@@ -153,6 +153,20 @@ class LiveNearDedupSpec extends SparkSpec {
           .select(col("id1"), col("id2")))
       .as[(Long, Long)].collect().toMap
     assert(comp == Map(1L -> 1L, 3L -> 1L, 7L -> 1L))
+
+    // No cached-plan leak from the LIVE path (the r11 ADVICE finding:
+    // a per-epoch cache() in deltaPairs leaked one CacheManager entry
+    // per delivered epoch for a session's lifetime). The batch twin
+    // above (lshPairs via batchPairs) caches BY DESIGN — the harness
+    // clears between queries — so drop its entries first, then run the
+    // per-epoch reads once more: the live path alone must leave the
+    // CacheManager empty (it localCheckpoints its shared signature
+    // frame instead of caching).
+    spark.catalog.clearCache()
+    liveDelta(4L)
+    livePairs()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "deltaPairs/candidatePairs left entries in the CacheManager")
   }
 
   test("property: live pairs equal batch lshPairs over randomized upsert " +

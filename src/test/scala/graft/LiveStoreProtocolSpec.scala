@@ -553,6 +553,190 @@ class LiveStoreProtocolSpec extends SparkSpec {
       s"input order changed the in-epoch version pick: $spans")
   }
 
+  test("chaos property: N epochs through the delivery sink with ALL FOUR " +
+      "maintenance hooks + compactEvery, seeded kill-and-heal injected " +
+      "between commit-order steps — all four twin equalities hold at once") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    // The per-store crash points above are each tested in isolation;
+    // this gate interleaves them: every epoch delivers through
+    // IndexSink.start with textIndex + spanState + percolator +
+    // nearDupState active and compactEvery=2 on all three stateful
+    // stores, then a seeded coin kills ONE store's activation marker
+    // (the crash-between-data-write-and-marker window) and heals it by
+    // replaying that store's delta — exactly what the at-least-once
+    // sink does. At the end, after one more full compaction pass, all
+    // four hook outputs must equal their batch twins on the resolved
+    // corpus AT ONCE: no interleaving of upserts, inline compactions,
+    // kills, and replays may leave any store divergent.
+    val rnd = new scala.util.Random(20260814L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chaos").toString
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("body", StringType)))
+    val textRoot = s"$tmp/tindex"
+    val spanRoot = s"$tmp/sstate"
+    val ndRoot = s"$tmp/ndstate"
+    val alerts = s"$tmp/alerts"
+    val percQueries = Seq(
+      (1L, Seq("alpha", "beta")), (2L, Seq("spark")),
+      (3L, Seq("rivers", "mountains")), (4L, Seq("variant0")))
+      .toDF("query_id", "terms")
+
+    def deliver(rows: Seq[(Long, String)], tag: String): Unit = {
+      rows.toDF("doc_id", "body")
+        .select(to_json(struct(col("doc_id"), col("body"))).as("value"))
+        .coalesce(1).write.mode("append").text(s"$tmp/in")
+      val env = spark.readStream
+        .schema(payloadSchema)
+        .json(s"$tmp/in")
+        .select(col("doc_id").cast("string").as("recordId"),
+          lit(0L).as("approximateArrivalTimestamp"),
+          to_json(struct(col("doc_id"), col("body"))).cast("binary").as("data"))
+      val q = IndexSink.start(env, payloadSchema, s"$tmp/index", s"$tmp/backup",
+        s"$tmp/ckpt", shards = 2, dropIf = _ => lit(false),
+        textIndex = Some(IndexSink.LiveIndexSpec(textRoot, "body",
+          key = "doc_id", shards = 2, compactEvery = 2)),
+        spanState = Some(IndexSink.LiveSpanSpec(spanRoot, "body",
+          key = "doc_id", k = 3, shards = 2, compactEvery = 2)),
+        percolator = Some(IndexSink.PercolatorSpec(percQueries, alerts,
+          "body", key = "doc_id")),
+        nearDupState = Some(IndexSink.LiveNearDupSpec(ndRoot, "body",
+          key = "doc_id", shards = 2, compactEvery = 2)))
+      assert(q.awaitTermination(180000), s"delivery $tag timed out")
+    }
+    // The hooks' own input: the epoch parquet just written, keyed as
+    // the hooks key it (doc_id string) — what a replay recomputes.
+    def epochToks(e: Long) = spark.read.parquet(s"$tmp/index/epoch=$e")
+      .select(col("doc_id").cast("string").as("doc_id"),
+        tokens(col("body")).as("toks"))
+    def epochTexts(e: Long) = spark.read.parquet(s"$tmp/index/epoch=$e")
+      .select(col("doc_id").cast("string").as("doc_id"),
+        col("body").cast("string").as("text"))
+
+    // Near-dup-structured corpus (one-word variants of shared bases →
+    // LSH pairs AND ≥3-token duplicated runs), upserts via id reuse.
+    val bases = Vector(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "spark shuffles partitions codegen catalyst tungsten exchange broadcast join scan filter agg",
+      "rivers mountains valleys forests deserts oceans islands plains cliffs caves meadows springs")
+    def draw(): String = {
+      val b = bases(rnd.nextInt(bases.length))
+      if (rnd.nextBoolean()) b
+      else {
+        val toks = b.split(" ")
+        toks(rnd.nextInt(toks.length)) = "variant" + rnd.nextInt(3)
+        toks.mkString(" ")
+      }
+    }
+    var resolved = Map.empty[Long, String]
+    val perEpoch = scala.collection.mutable.Map.empty[Long, Seq[(Long, String)]]
+    val epochs = 6
+    (0 until epochs).foreach { e =>
+      // Unique ids within the epoch (the in-epoch pick is pinned
+      // elsewhere); overlap ACROSS epochs exercises upsert retraction
+      // in every store.
+      val ids = rnd.shuffle((0L until 10L).toList).take(1 + rnd.nextInt(4))
+      val delta = ids.map(id => id -> draw())
+      deliver(delta, s"epoch-$e")
+      perEpoch(e.toLong) = delta
+      resolved ++= delta
+      // Kill-and-heal between commit-order steps: delete one store's
+      // activation marker for THIS epoch (no-op if an inline
+      // compaction already folded it — then the heal is a fence-
+      // protected no-op, also a valid interleaving), then replay that
+      // store's delta the way the at-least-once sink would.
+      rnd.nextInt(4) match {
+        case 0 => // this epoch commits clean
+        case 1 =>
+          deleteDir(s"$textRoot/doclen/epoch=$e")
+          LiveTextIndex.writeDelta(epochToks(e.toLong), textRoot, e.toLong,
+            shards = 2)
+        case 2 =>
+          deleteDir(s"$spanRoot/counts/epoch=$e")
+          deleteDir(s"$spanRoot/docs/epoch=$e")
+          LiveSpanDedup.writeDelta(epochToks(e.toLong), spanRoot, e.toLong,
+            k = 3, shards = 2)
+        case 3 =>
+          deleteDir(s"$ndRoot/docs/epoch=$e")
+          LiveNearDedup.writeDelta(epochTexts(e.toLong), ndRoot, e.toLong,
+            shards = 2)
+      }
+    }
+    // One more full maintenance pass over every store, then judge all
+    // four twins at once.
+    LiveTextIndex.compact(spark, textRoot, shards = 2)
+    LiveSpanDedup.compact(spark, spanRoot, shards = 2)
+    LiveNearDedup.compact(spark, ndRoot, shards = 2)
+    IndexSink.compact(spark, s"$tmp/index", "doc_id", shards = 2)
+    val resolvedDf = resolved.toSeq.map { case (id, body) => (id.toString, body) }
+      .toDF("doc_id", "body")
+    val resolvedToks = resolvedDf
+      .select(col("doc_id"), tokens(col("body")).as("toks"))
+
+    // Twin 1 — near-dedup: live pairs equal batch lshPairs on the
+    // resolved corpus (string ids both sides: same canonical
+    // orientation).
+    val livePairs = graft.streaming.LiveNearDedup.candidatePairs(spark, ndRoot)
+      .as[(String, String, Double)].collect().toSet
+    val batchPairs = graft.operators.Dedup.lshCandidatePairs(
+        resolvedDf.withColumnRenamed("body", "text"), "doc_id", "text")
+      .as[(String, String, Double)].collect().toSet
+    assert(livePairs == batchPairs,
+      s"near-dup twin diverged: live $livePairs batch $batchPairs")
+    assert(batchPairs.nonEmpty, "degenerate corpus: no near-dup pairs formed")
+
+    // Twin 2 — span dedup: live duplicated spans equal the batch
+    // operator on the resolved corpus.
+    val liveSpans = LiveSpanDedup.duplicatedSpans(spark, spanRoot, k = 3)
+      .as[(String, Long, Long)].collect().toSet
+    val batchSpans = graft.operators.SpanDedup.duplicatedSpans(resolvedToks, 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(liveSpans == batchSpans,
+      s"span twin diverged: live ${liveSpans.size} batch ${batchSpans.size}")
+    assert(batchSpans.nonEmpty, "degenerate corpus: no duplicated spans formed")
+
+    // Twin 3 — text index: stats and BM25 rankings equal a fresh batch
+    // index built in one epoch from the resolved corpus.
+    val freshRoot = s"$tmp/tindex-batch"
+    LiveTextIndex.writeDelta(resolvedToks, freshRoot, 0L, shards = 2)
+    val liveStats = LiveTextIndex.read(spark, textRoot).stats
+      .select("n", "avgdl").as[(Double, Double)].head()
+    val batchStats = LiveTextIndex.read(spark, freshRoot).stats
+      .select("n", "avgdl").as[(Double, Double)].head()
+    assert(liveStats == batchStats, s"stats twin: $liveStats != $batchStats")
+    Seq("alpha beta", "spark", "variant0 rivers").foreach { q =>
+      val live = IndexSink.rankedMatch(spark,
+          LiveTextIndex.read(spark, textRoot), "doc_id", q, "or", 20)
+        .as[(String, Double)].collect().toSeq
+      val batch = IndexSink.rankedMatch(spark,
+          LiveTextIndex.read(spark, freshRoot), "doc_id", q, "or", 20)
+        .as[(String, Double)].collect().toSeq
+      assert(live == batch, s"bm25 twin diverged on '$q': $live vs $batch")
+    }
+
+    // Twin 4 — percolator: each epoch's alert log equals the batch
+    // percolation of that epoch's delivered docs (alerts are a log of
+    // deliveries, not a resolved view).
+    (0L until epochs.toLong).foreach { e =>
+      val logged = spark.read.parquet(s"$alerts/epoch=$e")
+        .select(col("doc_id").cast("string"), col("query_id"))
+        .as[(String, Long)].collect().toSet
+      val expect = graft.operators.SearchDsl.percolate(
+          perEpoch(e).toDF("doc_id", "body")
+            .select(col("doc_id").cast("string").as("doc_id"),
+              tokens(col("body")).as("toks")),
+          percQueries)
+        .as[(String, Long)].collect().toSet
+      assert(logged == expect, s"percolate twin diverged at epoch $e")
+    }
+
+    // Conservation across the whole chaos history: the delivered index
+    // resolves to exactly the resolved corpus.
+    val indexed = spark.read.parquet(s"$tmp/index/*")
+    assert(indexed.select("doc_id").distinct().count() == resolved.size)
+  }
+
   test("LiveTextIndex: a postings dir without its doclen marker survives " +
       "compaction and completes on replay") {
     import spark.implicits._

@@ -6,8 +6,23 @@ tables and compares against the parquet dumped by graft.Verify:
 columns sorted by name, rows as emitted (every query has a total ORDER BY),
 values canonicalized to strings (doubles via repr, NULL as \\N).
 
-Usage: python3 tools/check_oracle.py [sfdir] [verify_out]
+q72_cluster_dedup at LARGE tiers: its SQL oracle's WITH RECURSIVE
+reachability is cluster-quadratic in DuckDB's working table (>73 GB of
+spill at sf1 — the r11 finding), so above CC_SQL_MAX_DOCS documents the
+gate swaps the reachability CTE for an exact, linear INDEPENDENT path:
+the SAME pair-CTE prefix runs in DuckDB (shingles → Jaccard >= 0.8
+pairs — no Spark code involved), then a Python union-find derives the
+components and the survivor/members/count rows. Same fixpoint, bounded
+memory, no per-key tolerance. The driver's own sf0.01 gate still runs
+the full recursive SQL.
+
+Usage: python3 tools/check_oracle.py [sfdir] [verify_out] [--json OUT.json]
 (run `sbt "runMain graft.Verify <sfdir> <out>"` first)
+
+--json writes a driver-shaped per-key artifact
+  {key: {rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}}
+(hash_match here means full canonical row equality — strictly stronger
+than the driver's value hash).
 """
 import glob
 import json
@@ -16,10 +31,19 @@ import sys
 
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.01"
+OUT = ARGS[1] if len(ARGS) > 1 else "/tmp/verify_out"
+JSON_OUT = None
+if "--json" in sys.argv:
+    JSON_OUT = sys.argv[sys.argv.index("--json") + 1]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Above this many documents, q72's recursive SQL oracle is replaced by
+# the pair-prefix + union-find path (sf0.01 = 500 docs keeps the SQL
+# path; sf0.1 = 5,000 and sf1 = 50,000 take the bounded one).
+CC_SQL_MAX_DOCS = 2000
 
 
 def canon(v):
@@ -41,35 +65,102 @@ def frame(rel):
     return names, types, rows
 
 
+def cc_frame(con, sql):
+    """q72's oracle via its own pair CTEs + union-find (see module doc).
+
+    Reuses the oracle SQL's text up to the `edges` CTE — the shingle /
+    Jaccard-pair definition stays single-sourced in the SQL — and
+    replays only the reachability fixpoint in Python.
+    """
+    marker = ",\nedges AS"
+    if marker not in sql:
+        raise RuntimeError("q72 oracle SQL changed shape: no edges CTE marker")
+    pairs = con.sql(sql.split(marker)[0] + " SELECT id1, id2 FROM pairs").fetchall()
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    # (survivor_id, n_members, members) ordered by survivor — the SQL's
+    # GROUP BY component ORDER BY survivor_id with min-label survivors.
+    out = []
+    for survivor in sorted(comps):
+        members = sorted(comps[survivor])
+        out.append((survivor, len(members), ",".join(str(m) for m in members)))
+    # Column order/types as the sorted-by-name frame() would emit them:
+    # members, n_members, survivor_id.
+    names = ["members", "n_members", "survivor_id"]
+    types = ["VARCHAR", "BIGINT", "BIGINT"]
+    rows = [[canon(m), canon(n), canon(s)] for s, n, m in out]
+    return names, types, rows
+
+
 def main():
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     failed = []
+    report = {}
+
+    def record(name, *, rows_match, schema_match, hash_match,
+               spark_rows, oracle_rows, err):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     for name in sorted(oracle):
         files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
             failed.append(name)
+            record(name, rows_match=False, schema_match=False, hash_match=False,
+                   spark_rows=0, oracle_rows=0, err="no spark output")
             continue
+        via_py = name == "q72_cluster_dedup" and n_docs > CC_SQL_MAX_DOCS
         try:
-            on, ot, orows = frame(con.sql(oracle[name]))
+            if via_py:
+                on, ot, orows = cc_frame(con, oracle[name])
+            else:
+                on, ot, orows = frame(con.sql(oracle[name]))
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             failed.append(name)
+            record(name, rows_match=False, schema_match=False, hash_match=False,
+                   spark_rows=0, oracle_rows=0, err=f"oracle error {e}")
             continue
         sn, st, srows = frame(con.sql(
             f"SELECT * FROM read_parquet({files!r})"))
+        tag = " (py union-find oracle)" if via_py else ""
         if sn != on:
             print(f"FAIL {name}: columns spark={sn} oracle={on}")
             failed.append(name)
+            record(name, rows_match=len(srows) == len(orows), schema_match=False,
+                   hash_match=False, spark_rows=len(srows),
+                   oracle_rows=len(orows), err=f"columns spark={sn} oracle={on}")
             continue
         if st != ot:
             print(f"WARN {name}: types spark={st} oracle={ot}")
         if len(srows) != len(orows):
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
             failed.append(name)
+            record(name, rows_match=False, schema_match=True, hash_match=False,
+                   spark_rows=len(srows), oracle_rows=len(orows), err=None)
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
         if bad:
@@ -77,9 +168,19 @@ def main():
             print(f"FAIL {name}: {len(bad)} row diffs; first at {i}:\n"
                   f"  spark : {a}\n  oracle: {b}")
             failed.append(name)
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(srows), oracle_rows=len(orows),
+                   err=f"{len(bad)} row diffs")
         else:
-            print(f"ok   {name}: {len(srows)} rows")
+            print(f"ok   {name}: {len(srows)} rows{tag}")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(srows), oracle_rows=len(orows), err=None)
     print(f"\n{len(oracle) - len(failed)}/{len(oracle)} match")
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {JSON_OUT}")
     sys.exit(1 if failed else 0)
 
 

@@ -32,6 +32,7 @@ ABS_FLOOR = 0.3
 # Bench-line scalar metrics pinned as '_'-metadata alongside the query
 # map (graders diff them by hand; graft.Bench ignores '_' keys).
 THROUGHPUT_KEYS = ("pipeline_records_per_sec", "live_epoch_records_per_sec",
+                   "live_epoch_overhead_sec", "live_epoch_marginal_rps",
                    "compaction_sec")
 
 
@@ -168,10 +169,19 @@ def main():
             if k in mins and firsts[k] > mins[k] * 1.05:
                 pin[f"_first:{k}"] = round(firsts[k], 4)
         # A full re-pin refreshes the throughput metadata from this
-        # bench line (carried-forward stale values would misgrade).
+        # bench line (carried-forward stale values would misgrade). A
+        # key the bench line does NOT carry positively (the live stage
+        # errored, or an older Bench build) keeps its carried value but
+        # is called out — otherwise a stale number silently inherits
+        # this re-pin's fresh _pinned_from provenance.
         for bench_key in THROUGHPUT_KEYS:
+            meta = f"_{bench_key}"
             if bench.get(bench_key, 0) > 0:
-                pin[f"_{bench_key}"] = round(bench[bench_key], 2)
+                pin[meta] = round(bench[bench_key], 2)
+            elif meta in pin:
+                print(f"WARNING: bench line has no positive {bench_key}; "
+                      f"{meta}={pin[meta]} is carried forward and PREDATES "
+                      f"this re-pin", file=sys.stderr)
     with open(args.out, "w") as f:
         json.dump(pin, f, indent=1)
         f.write("\n")
