@@ -465,14 +465,27 @@ object Bench {
       case Left(state) =>
         (n, n / secs, cSecs, 0.0, 0.0, s"big-epoch $state")
       case Right((bigSecs, bigN)) =>
-        val perEpochSmall = secs / epochs
-        val nSmall = docsN
-        // wall = a + m·n through the two measured epoch shapes.
-        val m = (bigSecs - perEpochSmall) / (bigN - nSmall)
-        val a = perEpochSmall - m * nSmall
-        val marginalRps = if (m > 0) 1.0 / m else 0.0
-        (n, n / secs, cSecs, math.max(0.0, a), marginalRps, "ok")
+        val (a, marginalRps) = fitOverheadMarginal(secs / epochs, docsN,
+          bigSecs, bigN)
+        (n, n / secs, cSecs, a, marginalRps, "ok")
     }
+  }
+
+  /** Per-epoch wall = a + m·n fitted through the two measured epoch
+    * shapes: (overhead intercept a, marginal records/s = 1/m). A
+    * noisy window can measure the BIG epoch faster per record than the
+    * small one would predict (m ≤ 0) — then there is no meaningful
+    * marginal rate (reported 0) and the intercept degenerates to the
+    * small-epoch wall; both outputs clamp at 0 so a weird window can
+    * never report a negative overhead or an infinite rate. Guarded
+    * against equal shapes (no fit line) the same way.
+    */
+  private[graft] def fitOverheadMarginal(perEpochSmall: Double, nSmall: Long,
+      bigSecs: Double, nBig: Long): (Double, Double) = {
+    if (nBig == nSmall) return (0.0, 0.0)
+    val m = (bigSecs - perEpochSmall) / (nBig - nSmall)
+    val a = perEpochSmall - m * nSmall
+    (math.max(0.0, a), if (m > 0) 1.0 / m else 0.0)
   }
 
   /** Replay the events table through the full streaming graph (NDJSON

@@ -93,6 +93,20 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(wf2 == 1.0)
   }
 
+  test("overhead/marginal fit: recovers the line, clamps degenerate windows") {
+    // Clean case: 5k-record epoch at 10 s with a 100k-record epoch at
+    // 29 s → m = 0.0002 s/rec (5,000 rec/s marginal), a = 9 s.
+    val (a, rps) = Bench.fitOverheadMarginal(10.0, 5000L, 29.0, 100000L)
+    assert(math.abs(a - 9.0) < 1e-9 && math.abs(rps - 5000.0) < 1e-6)
+    // Noisy window: the big epoch measured FASTER per record than the
+    // small epoch alone (negative slope) — no marginal rate is
+    // claimed, and the intercept cannot go negative.
+    val (a2, rps2) = Bench.fitOverheadMarginal(30.0, 5000L, 20.0, 100000L)
+    assert(rps2 == 0.0 && a2 >= 0.0)
+    // Equal shapes: no fit line exists.
+    assert(Bench.fitOverheadMarginal(10.0, 5000L, 12.0, 5000L) == (0.0, 0.0))
+  }
+
   test("sub-floor and sub-ratio moves stay unflagged in both maps") {
     val mins = pins ++ Map(
       "q86_hybrid_rrf" -> 0.8 * 1.4, // under the 1.5× ratio

@@ -43,6 +43,20 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q57: money sums aggregate LONGS two-phase — no decimal aggregate " +
+      "buffer in the plan (the r12 long-cents policy)") {
+    // The r11 decimal form cost ~1.6x over double summation; the
+    // long-cents form must keep integer sum() in both phases, with the
+    // one cents->double division applied AFTER the final merge, and
+    // still partial-aggregate map-side (grand totals over the whole
+    // table would otherwise ship every row to one task at 100 TB).
+    val p = plan("q57_cube")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.toLowerCase.contains("sum(cast"), p) // no per-row decimal cast feeding sum
+    assert(!p.contains("DecimalType") && !p.contains("decimal(18"),
+      s"decimal crept back into the money aggregate:\n$p")
+  }
+
   test("q33: probes broadcast; codegen'd dot_f; per-partition top-k below the window") {
     val p = plan("q33_similarity_topk")
     assert(p.contains("Broadcast"), p)
