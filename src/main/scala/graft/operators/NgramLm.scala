@@ -132,4 +132,45 @@ object NgramLm {
       .groupBy("source")
       .agg(sum(col("p") * log(col("p") / col("q"))).as("kl"))
   }
+
+  /** CCNet-style per-source perplexity bucketing (Wenzek et al. 2020,
+    * "CCNet": each language's corpus is split into head/middle/tail
+    * terciles by LM perplexity; training keeps head+middle). Input:
+    * (doc_id, source, nll) with nll ALREADY deterministically rounded
+    * (the caller's [[graft.queries.Par.r2]] contract — the tercile
+    * cutoffs are value comparisons, and an unrounded score's last ulp
+    * would make the boundary engine-dependent). Output: the input plus
+    * `bucket` ('head'|'middle'|'tail') and `keep` (1 for head+middle).
+    *
+    * Cutoffs are VALUES, not ranks: c1 = the smallest nll whose
+    * cumulative count reaches ceil(n/3) within its source (c2 at
+    * 2n/3), so every doc tied at a cutoff lands in the same bucket —
+    * deterministic under any partitioning. Scale shape: this is the
+    * two-phase percentile discipline ([[PrefixSum]] precedent) — the
+    * doc-level frame is never globally sorted; the only window runs
+    * over the per-source DISTINCT rounded scores (a 2-dp domain,
+    * orders of magnitude below doc count), and the per-source cutoff
+    * table broadcasts back onto the scan. CCNet's production recipe
+    * samples to estimate cutoffs; exact counts keep the operator
+    * oracle-checkable without changing the plan shape.
+    */
+  def sourceBuckets(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = scored.groupBy("source", "nll").agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("nll")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+    val cuts = cum.groupBy("source").agg(
+      min(when(col("cum") >= ceil(col("n") / lit(3.0)), col("nll"))).as("c1"),
+      min(when(col("cum") >= ceil(col("n") * 2 / lit(3.0)), col("nll"))).as("c2"))
+    scored.join(broadcast(cuts), Seq("source"))
+      .withColumn("bucket",
+        when(col("nll") <= col("c1"), "head")
+          .when(col("nll") <= col("c2"), "middle")
+          .otherwise("tail"))
+      .withColumn("keep", (col("bucket") =!= "tail").cast("int"))
+      .drop("c1", "c2")
+  }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing — the "concatenate the corpus and slice
+  * fixed-length context windows" step that turns a curated document
+  * set into model-ready training sequences (the GPT-2/T5 packing
+  * recipe; see also Krell et al. 2021, "Efficient Sequence Packing").
+  * The reference pipeline stops at delivering curated documents
+  * (`kds_example/consumer.py` writes NDJSON batches); this is the rung
+  * a training consumer runs immediately after.
+  *
+  * The corpus is laid out as one virtual token stream in ascending
+  * `doc_id` order; sequence `i` is the token span
+  * `[i*seqLen, (i+1)*seqLen)`. Each document maps to the sequences its
+  * span intersects — `seq_first`/`seq_last`/`n_seqs` — which is both
+  * the shard map a loader needs (which sequences contain doc X) and
+  * the attrition account (a doc spanning many sequences crosses that
+  * many boundaries).
+  *
+  * Scale shape: the ONLY corpus-wide dependency is the running token
+  * total, computed by [[PrefixSum]]'s two-phase distributed form
+  * (range exchange → P-long driver offsets → narrow add) — never a
+  * single-partition `sum() OVER (ORDER BY ...)` window. Everything
+  * after the prefix sum is a narrow projection. Zero-token docs are
+  * excluded up front (they occupy no span; keeping them would emit an
+  * inverted `seq_last < seq_first` row).
+  */
+object Pack {
+
+  /** Map each doc of (doc_id, n_tokens) to its packed-sequence span.
+    * Output: doc_id, n_tokens, start_tok (0-based offset in the
+    * virtual stream), seq_first, seq_last, n_seqs.
+    */
+  def sequenceSpans(counts: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val c = PrefixSum.withRunningTotal(
+      counts.filter(col("n_tokens") > 0), "doc_id", "n_tokens", "cum_tokens")
+    // Token offsets stay well under 2^53 (100 TB of text is ~2^45
+    // tokens), so the floor-of-double division below is exact and
+    // engine-portable; integer division would be too, but the oracle's
+    // `/` is double division, so both sides spell it the same way.
+    val start = col("cum_tokens") - col("n_tokens")
+    c.select(
+      col("doc_id"), col("n_tokens"), start.as("start_tok"),
+      floor(start / lit(seqLen.toDouble)).cast("long").as("seq_first"),
+      floor((col("cum_tokens") - 1) / lit(seqLen.toDouble)).cast("long")
+        .as("seq_last"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+  }
+}

@@ -3227,6 +3227,186 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  val q135_gopher_rules: QueryDef = q(
+    "q135_gopher_rules",
+    """WITH injected AS (
+      |  SELECT doc_id,
+      |    text || CASE WHEN doc_id % 3 = 0
+      |        THEN chr(10) || '- bullet list item...' || chr(10) || '# heading and more...'
+      |      WHEN doc_id % 3 = 2 THEN chr(10) || 'plain tail line here'
+      |      ELSE '' END AS t
+      |  FROM documents),
+      |tk AS (SELECT doc_id, t,
+      |        list_filter(string_split_regex(lower(t), '\W+'), x -> x <> '') AS toks,
+      |        string_split(t, chr(10)) AS lines
+      |      FROM injected),
+      |m AS (SELECT doc_id,
+      |        CAST(len(toks) AS BIGINT) AS n_words,
+      |        list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+      |        (length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '...', ''))) / 3 AS n_symbols,
+      |        CAST(len(lines) AS BIGINT) AS n_lines,
+      |        len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-•*]'))) AS n_bullet,
+      |        len(list_filter(lines, x -> regexp_matches(rtrim(x), '([.]{3}|…)$'))) AS n_ellipsis,
+      |        len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+      |        len(list_intersect(list_distinct(toks), ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stop_hits
+      |      FROM tk WHERE len(toks) > 0),
+      |r AS (SELECT doc_id, n_words, CAST(stop_hits AS BIGINT) AS stop_hits,
+      |        floor(CAST(sum_len AS DOUBLE) / n_words * 100 + 0.5) / 100 AS mean_word_len,
+      |        floor(CAST(n_symbols AS DOUBLE) / n_words * 100 + 0.5) / 100 AS symbol_ratio,
+      |        floor(CAST(n_bullet AS DOUBLE) / n_lines * 100 + 0.5) / 100 AS bullet_frac,
+      |        floor(CAST(n_ellipsis AS DOUBLE) / n_lines * 100 + 0.5) / 100 AS ellipsis_frac,
+      |        floor(CAST(n_alpha AS DOUBLE) / n_words * 100 + 0.5) / 100 AS alpha_frac
+      |      FROM m)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+      |  ellipsis_frac, alpha_frac, stop_hits,
+      |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+      |      AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+      |      AND alpha_frac >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS passes
+      |FROM r ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Rule-based quality gates (operators/QualityRules — the Gopher
+    // filter set, Rae 2021 A1.1): the standard first-pass curation
+    // stage before model-based scoring (q79) or dedup. The word-salad
+    // corpus has no lines/symbols, so the fixture injects a
+    // deterministic structured suffix per doc_id residue (the q134
+    // injection discipline, ASCII + chr(10) so both engines see
+    // identical bytes) — every rule's numerator varies and the oracle
+    // checks the full surface, not just the word gates. Scale shape:
+    // narrow projections on the scan, zero shuffle at any corpus size.
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\n- bullet list item...\n# heading and more..."))
+          .when(col("doc_id") % 3 === 2, lit("\nplain tail line here"))
+          .otherwise(lit(""))).as("text"))
+    graft.operators.QualityRules.gopher(injected).orderBy("doc_id")
+  }
+
+  val q136_ccnet_buckets: QueryDef = q(
+    "q136_ccnet_buckets",
+    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |             FROM documents),
+      |big AS (SELECT doc_id, toks[g] AS w1, toks[g+1] AS w2
+      |        FROM tok, unnest(range(1, len(toks))) AS u(g) WHERE len(toks) >= 2),
+      |dtf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
+      |vc AS (SELECT count(*) AS v FROM c1),
+      |scored AS (SELECT doc_id,
+      |      -sum(tf * ln((c2 + 1.0) / (c1 + v))) / sum(tf) AS nll
+      |    FROM dtf JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = dtf.w1 CROSS JOIN vc
+      |    GROUP BY doc_id),
+      |sc AS (SELECT d.doc_id, d.source, floor(nll * 100 + 0.5) / 100 AS nll
+      |       FROM scored JOIN documents d ON d.doc_id = scored.doc_id),
+      |counts AS (SELECT source, nll, count(*) AS c FROM sc GROUP BY 1, 2),
+      |cum AS (SELECT source, nll,
+      |          sum(c) OVER (PARTITION BY source ORDER BY nll) AS cum,
+      |          sum(c) OVER (PARTITION BY source) AS n
+      |        FROM counts),
+      |cuts AS (SELECT source,
+      |          min(CASE WHEN cum >= ceil(n / 3.0) THEN nll END) AS c1,
+      |          min(CASE WHEN cum >= ceil(n * 2 / 3.0) THEN nll END) AS c2
+      |         FROM cum GROUP BY source)
+      |SELECT sc.doc_id, sc.source, sc.nll,
+      |  CASE WHEN sc.nll <= c1 THEN 'head' WHEN sc.nll <= c2 THEN 'middle'
+      |    ELSE 'tail' END AS bucket,
+      |  CAST(CASE WHEN sc.nll <= c2 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM sc JOIN cuts ON cuts.source = sc.source
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // CCNet-style perplexity bucketing (operators/NgramLm.sourceBuckets,
+    // Wenzek 2020): per-source head/middle/tail terciles of the q79 LM
+    // score, keep = head+middle — the model-based rung above q135's
+    // rule gates. Shares q79's memoized count-table model (trained
+    // once per corpus). Tercile cutoffs are VALUES at the ceil(n/3)
+    // cumulative ranks over the r2-rounded scores, so ties share a
+    // bucket and the boundary is engine-portable; the only window runs
+    // over per-source DISTINCT rounded scores (2-dp domain), never a
+    // doc-level sort, and the cutoff table broadcasts back — the
+    // two-phase percentile discipline at any corpus size.
+    val toks = tokenized(s, dir)
+    val model = memo(s"ngramlm|${s.sparkContext.applicationId}|$dir")(
+      graft.operators.NgramLm.train(s, toks))
+    val scored = graft.operators.NgramLm.score(s, toks, model)
+      .select(col("doc_id"), Par.r2(col("nll")).as("nll"))
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+      .select("doc_id", "source", "nll")
+    graft.operators.NgramLm.sourceBuckets(scored)
+      .select(col("doc_id"), col("source"), col("nll"), col("bucket"),
+        col("keep"))
+      .orderBy("doc_id")
+  }
+
+  val q137_pack_sequences: QueryDef = q(
+    "q137_pack_sequences",
+    """WITH tk AS (SELECT doc_id,
+      |        CAST(len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      |      FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |        CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      |      FROM tk WHERE n_tokens > 0)
+      |SELECT doc_id, n_tokens, cum - n_tokens AS start_tok,
+      |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_first,
+      |  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS seq_last,
+      |  CAST(floor((cum - 1) / 512.0) - floor((cum - n_tokens) / 512.0) + 1 AS BIGINT) AS n_seqs
+      |FROM c ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Training-sequence packing (operators/Pack — the GPT-style
+    // "concatenate the corpus, slice fixed-length context windows"
+    // recipe): maps every doc to the 512-token training sequences its
+    // span intersects — the loader's shard map and the
+    // boundary-crossing attrition account. Complements q68 (budget
+    // TRUNCATION of the same stream) and q90 (chunking WITHIN a doc).
+    // Scale shape: the only corpus-wide dependency is the running
+    // token total via PrefixSum's two-phase distributed form — never a
+    // single-partition ORDER BY window; the rest is narrow projection.
+    val counts = tokenizedDf(t(s, dir, "documents"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    graft.operators.Pack.sequenceSpans(counts, 512L).orderBy("doc_id")
+  }
+
+  val q138_paragraph_dedup: QueryDef = q(
+    "q138_paragraph_dedup",
+    """WITH injected AS (
+      |  SELECT doc_id,
+      |    text || chr(10) || 'common boilerplate paragraph ' || CAST(doc_id % 5 AS VARCHAR)
+      |      || chr(10) || CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today'
+      |        ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END AS t
+      |  FROM documents),
+      |sp AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM injected),
+      |p AS (SELECT doc_id, CAST(g - 1 AS BIGINT) AS para_idx, trim(ps[g]) AS para
+      |      FROM sp, unnest(range(1, len(ps) + 1)) AS u(g)
+      |      WHERE trim(ps[g]) <> ''),
+      |v AS (SELECT doc_id, para_idx,
+      |        count(*) OVER (PARTITION BY md5(para)) AS occ,
+      |        row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+      |      FROM p)
+      |SELECT doc_id, para_idx, CAST(occ AS BIGINT) AS occ,
+      |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM v ORDER BY doc_id, para_idx""".stripMargin
+  ) { (s, dir) =>
+    // Paragraph-level exact dedup (operators/ParagraphDedup — the
+    // CCNet/Dolma boilerplate-removal rung between q31's whole-doc
+    // dedup and q87's span dedup): every newline paragraph is keyed by
+    // its full md5 and all occurrences after the corpus-wide first are
+    // marked drop. The word-salad corpus has no newlines, so the
+    // fixture injects per-doc paragraphs (the q134/q135 discipline)
+    // whose residues create genuinely HOT keys — 5 boilerplates each
+    // covering ~20% of the corpus and a third one on every doc_id%3==0
+    // — exercising the map-side-partial + AQE-skew join-back shape the
+    // operator relies on. The oracle replays the verdicts via md5
+    // windows (single-node DuckDB; the engine never sorts within a
+    // paragraph key corpus-wide).
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit("\ncommon boilerplate paragraph "),
+        (col("doc_id") % 5).cast("string"), lit("\n"),
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter today"))
+          .otherwise(concat(lit("unique tail "), col("doc_id").cast("string"))))
+        .as("text"))
+    graft.operators.ParagraphDedup.dedup(injected)
+      .orderBy("doc_id", "para_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -3247,5 +3427,6 @@ object TrainingData {
     q110_search_after, q111_percolate, q112_wildcard, q116_search_request, q117_source_overlap,
     q118_lsh_recall, q119_int8_recall, q120_ann_lsh_multi, q121_lsh_multi_recall, q124_query_string,
     q125_dis_max, q127_histogram, q131_stratified_sample, q132_weighted_sample,
-    q133_pii_redact, q134_text_fix)
+    q133_pii_redact, q134_text_fix, q135_gopher_rules, q136_ccnet_buckets,
+    q137_pack_sequences, q138_paragraph_dedup)
 }

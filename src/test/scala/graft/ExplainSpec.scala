@@ -43,6 +43,46 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q135: Gopher gates are pure scan-side compute — the only exchange " +
+      "is the output sort") {
+    val p = plan("q135_gopher_rules")
+    // Every metric rides the projection; a join or aggregate here means
+    // a rule started shuffling the corpus.
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q136: tercile cutoffs broadcast back — no doc-level sort-merge, " +
+      "windows only over the counts frame") {
+    val p = plan("q136_ccnet_buckets")
+    assert(!p.contains("SortMergeJoin"),
+      s"cuts should broadcast onto the scored docs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // The per-source cumulative window exists (over distinct rounded
+    // scores), and its product is broadcast, not shuffled, onto docs.
+    assert(p.contains("Window"), p)
+  }
+
+  test("q137: packing's running total is the two-phase PrefixSum — no " +
+      "single-partition ORDER BY window anywhere in the plan") {
+    val p = plan("q137_pack_sequences")
+    assert("Window \\(\\d".r.findAllIn(p).isEmpty,
+      s"a WindowExec means the corpus-wide prefix sum collapsed to one task:\n$p")
+  }
+
+  test("q138: paragraph verdicts are mergeable agg + key join — no " +
+      "corpus-wide window inside a paragraph key, no cartesian") {
+    val p = plan("q138_paragraph_dedup")
+    // The ORACLE uses md5-partitioned windows (single-node DuckDB); the
+    // engine must not — a window over a mega-hot boilerplate key would
+    // put every occurrence in one task. Partial aggregation handles the
+    // hot key map-side instead.
+    assert("Window \\(\\d".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"expected a map-side partial aggregate on the paragraph key:\n$p")
+  }
+
   test("q57: money sums aggregate LONGS two-phase — no decimal aggregate " +
       "buffer in the plan (the r12 long-cents policy)") {
     // The r11 decimal form cost ~1.6x over double summation; the

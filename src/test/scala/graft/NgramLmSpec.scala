@@ -97,4 +97,32 @@ class NgramLmSpec extends SparkSpec {
     assert(math.abs(kl("s1") - expect) < 1e-12)
     assert(math.abs(kl("s2") - expect) < 1e-12) // symmetric construction
   }
+
+  test("sourceBuckets: per-source tercile cutoffs by value — ties share a " +
+      "bucket, every source splits independently, keep = head+middle") {
+    import spark.implicits._
+    val scored = Seq(
+      // Source A: 6 distinct scores → terciles of two each.
+      (1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0),
+      (4L, "A", 4.0), (5L, "A", 5.0), (6L, "A", 6.0),
+      // Source B: a three-way tie at the low end (n=5, ceil(5/3)=2 —
+      // the cumulative count at 1.0 is already 3, so ALL tied docs are
+      // head; ceil(10/3)=4 puts 5.0 in middle, 9.0 in tail).
+      (7L, "B", 1.0), (8L, "B", 1.0), (9L, "B", 1.0),
+      (10L, "B", 5.0), (11L, "B", 9.0),
+      // Source C: a single doc is its own head.
+      (12L, "C", 7.0)
+    ).toDF("doc_id", "source", "nll")
+    val out = NgramLm.sourceBuckets(scored)
+      .select(col("doc_id"), col("bucket"), col("keep"))
+      .as[(Long, String, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ("head", 1) && out(2L) == ("head", 1))
+    assert(out(3L) == ("middle", 1) && out(4L) == ("middle", 1))
+    assert(out(5L) == ("tail", 0) && out(6L) == ("tail", 0))
+    assert(Seq(7L, 8L, 9L).forall(out(_) == ("head", 1)),
+      s"tied docs split across buckets: $out")
+    assert(out(10L) == ("middle", 1) && out(11L) == ("tail", 0))
+    assert(out(12L) == ("head", 1))
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QualityRules
+
+/** Hand-computed fixtures for the Gopher rule gates — each rule gets a
+  * doc engineered to fail exactly that rule while satisfying the rest,
+  * so a threshold or numerator regression flips a specific `passes`
+  * bit (the corpus-level oracle is q135).
+  */
+class QualityRulesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 52 words, mix of stops + 4-6 letter words → inside every gate.
+  private val goodText = (Seq("the", "and", "with", "that") ++
+    Seq.fill(48)("plain words arrive here").flatMap(_.split(" ")).take(48))
+    .mkString(" ")
+
+  test("a conforming doc passes; each engineered violation fails its gate") {
+    val docs = Seq(
+      1L -> goodText,
+      // mean word length > 10 (all 12-char words), stops present.
+      2L -> (Seq("the", "and") ++ Seq.fill(50)("abcdefghijkl")).mkString(" "),
+      // > 90% bullet-started lines.
+      3L -> (Seq("the and with that " + "word " * 48) ++
+        Seq.fill(20)("- bullet line")).mkString("\n"),
+      // > 30% ellipsis-ended lines (half of them).
+      4L -> (goodText + "\n" + "trailing thought..."),
+      // symbol-to-word ratio > 0.1 ('#' per word).
+      5L -> (goodText + " " + "# # # # # # # #"),
+      // < 2 distinct Gopher stop words.
+      6L -> Seq.fill(52)("word").mkString(" "),
+      // < 50 words, everything else fine.
+      7L -> "the and with that only a few words here",
+      8L -> "")
+    val out = QualityRules.gopher(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("passes"), r.getAs[Long]("n_words"))).toMap
+
+    assert(!out.contains(8L), "empty doc must be excluded (no denominator)")
+    assert(out(1L)._1 == 1, s"conforming doc failed: ${out(1L)}")
+    Seq(2L, 3L, 4L, 5L, 6L, 7L).foreach(id =>
+      assert(out(id)._1 == 0, s"doc $id should fail its engineered gate"))
+
+    // Numerators, spot-checked by hand.
+    val m = QualityRules.gopher(docs.toDF("doc_id", "text"))
+      .filter(col("doc_id").isin(3L, 4L, 5L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // Doc 3: 21 lines, 20 bullet-started → 0.95.
+    assert(m(3L).getAs[Double]("bullet_frac") == 0.95, m(3L).toString)
+    // Doc 4: 2 lines, 1 ellipsis-ended → 0.5.
+    assert(m(4L).getAs[Double]("ellipsis_frac") == 0.5, m(4L).toString)
+    // Doc 5: 8 '#' over 52 words (the '#'s are not analyzer tokens)
+    // → 8/52 ≈ 0.15.
+    assert(m(5L).getAs[Double]("symbol_ratio") == 0.15, m(5L).toString)
+  }
+
+  test("'...' symbols count by occurrence and '…' ellipsis lines match") {
+    val docs = Seq(
+      1L -> ("the and with that " + Seq.fill(48)("word").mkString(" ")
+        + " more... and... again... done\nline ends…"))
+    val r = QualityRules.gopher(docs.toDF("doc_id", "text")).head()
+    // 3 occurrences of '...' over 58 words → floor(3/58*100+.5)/100 = 0.05
+    assert(r.getAs[Double]("symbol_ratio") == 0.05, r.toString)
+    // 2 lines: the first ends 'done', the second ends with U+2026.
+    assert(r.getAs[Double]("ellipsis_frac") == 0.5, r.toString)
+  }
+}

@@ -205,6 +205,62 @@ class StreamingTwinSpec extends SparkSpec {
     assert(live.values.forall(t => !t.contains("@ex.com") && !t.contains("\t")))
   }
 
+  test("curation-on-store: Gopher gates + CCNet buckets over the delivered " +
+      "view equal the batch pass on the independently-resolved corpus") {
+    // The two round-12 curation operators are corpus-statistics reads
+    // (q136's tercile cutoffs shift retroactively as epochs land —
+    // they are properties of the RESOLVED corpus, not per-record
+    // state), so their live form is simply the batch operator over the
+    // upsert-resolved delivered view. Three epochs with an upsert
+    // prove the store's last-write-wins resolution feeds them the
+    // right corpus: the expected side is constructed independently in
+    // the test, not read back from the store.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.functions.TextFunctions.tokens
+    import graft.operators.{NgramLm, QualityRules}
+    import graft.streaming.IndexSink
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-cur").toString
+    val docs = queries.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def wire(df: org.apache.spark.sql.DataFrame) =
+      df.select(to_json(struct(col("doc_id"), col("source"), col("text")))
+        .as("line"), col("doc_id").cast("string").as("recordId"))
+    // Epochs 0/1 split the corpus; epoch 2 UPSERTS every 10th doc with
+    // doubled text (changes n_words, mean_word_len, and its LM score).
+    val upserts = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" "), col("text")))
+    Seq(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), upserts)
+      .foreach(chunk => deliverEnvelopes(tmp, wire(chunk), payloadSchema))
+    val resolved = docs.filter(col("doc_id") % 10 =!= 0).unionByName(upserts)
+    val live = IndexSink.liveVectors(spark, s"$tmp/index", "recordId")
+      .select("doc_id", "source", "text")
+
+    def gopherRows(df: org.apache.spark.sql.DataFrame) =
+      QualityRules.gopher(df).collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(gopherRows(live) == gopherRows(resolved),
+      "Gopher gates over the delivered view diverged from the resolved corpus")
+
+    def bucketRows(df: org.apache.spark.sql.DataFrame) = {
+      val toks = df.select(col("doc_id"), tokens(col("text")).as("toks"))
+      val scored = NgramLm.score(spark, toks, NgramLm.train(spark, toks))
+        .select(col("doc_id"),
+          (floor(col("nll") * 100 + lit(0.5)) / 100).as("nll"))
+        .join(df.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "nll")
+      NgramLm.sourceBuckets(scored)
+        .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    }
+    val liveBuckets = bucketRows(live)
+    assert(liveBuckets == bucketRows(resolved),
+      "CCNet buckets over the delivered view diverged from the resolved corpus")
+    assert(liveBuckets.values.toSet == Set("head", "middle", "tail"))
+  }
+
   test("streaming ANN: epochs delivered through the sink are searchable " +
       "between epochs, equal to the batch index on the same closed input") {
     import spark.implicits._
