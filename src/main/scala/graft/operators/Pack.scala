@@ -49,4 +49,34 @@ object Pack {
         .as("seq_last"))
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
   }
+
+  /** Deterministic training shard plan over (doc_id, n_toks): the
+    * reproducible global shuffle a training run applies after packing.
+    * Every doc gets `shard` (portable 60-bit hash of a salted doc_id,
+    * mod `nShards`) and `sort_key` (an independent salted hash — the
+    * within-shard shuffle order), plus its shard's doc/token totals
+    * (the load-balance account: hash sharding keeps shards within
+    * sampling noise of each other, and the totals PROVE it per run).
+    *
+    * Scale shape: shard/key are narrow projections; a writer
+    * `repartition($"shard").sortWithinPartitions($"sort_key")`s —
+    * never a rank window within a shard, which would put a whole
+    * shard's docs in one task. The totals aggregate is mergeable and
+    * nShards-sized; it broadcasts back onto the plan.
+    */
+  def shardPlan(counts: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import graft.functions.TextFunctions.h64
+    // h64 is always non-negative (60-bit), so % needs no pmod guard.
+    val planned = counts.select(
+      col("doc_id"), col("n_toks"),
+      (h64(concat(lit("shard|"), col("doc_id").cast("string")))
+        % nShards.toLong).as("shard"),
+      h64(concat(lit("order|"), col("doc_id").cast("string"))).as("sort_key"))
+    val totals = planned.groupBy("shard").agg(
+      count(lit(1)).as("shard_docs"), sum("n_toks").as("shard_tokens"))
+    planned.join(broadcast(totals), "shard")
+      .select("doc_id", "shard", "sort_key", "n_toks",
+        "shard_docs", "shard_tokens")
+  }
 }

@@ -1345,9 +1345,13 @@ object TrainingData {
       .orderBy("probe_id", "rnk")
   }
 
-  val q79_lm_score: QueryDef = q(
-    "q79_lm_score",
-    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+  /** Oracle replay of the add-one bigram LM train+score (q79's model):
+    * CTEs `tok`..`scored`, where `scored` carries per-doc `n_bigrams`
+    * and raw `nll`. Shared by q79/q136/q140 so the three gates replay
+    * ONE model definition.
+    */
+  private val lmScoredSql: String =
+    """tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
       |             FROM documents),
       |big AS (SELECT doc_id, toks[g] AS w1, toks[g+1] AS w2
       |        FROM tok, unnest(range(1, len(toks))) AS u(g) WHERE len(toks) >= 2),
@@ -1358,10 +1362,14 @@ object TrainingData {
       |scored AS (SELECT doc_id, sum(tf) AS n_bigrams,
       |      -sum(tf * ln((c2 + 1.0) / (c1 + v))) / sum(tf) AS nll
       |    FROM dtf JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = dtf.w1 CROSS JOIN vc
-      |    GROUP BY doc_id)
-      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-      |       floor(nll * 100 + 0.5) / 100 AS nll
-      |FROM scored ORDER BY doc_id""".stripMargin
+      |    GROUP BY doc_id)""".stripMargin
+
+  val q79_lm_score: QueryDef = q(
+    "q79_lm_score",
+    s"""WITH $lmScoredSql
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |       floor(nll * 100 + 0.5) / 100 AS nll
+       |FROM scored ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     // Statistical quality scoring (operators/NgramLm — the CCNet-recipe
     // LM filter): an add-one bigram LM trained on the corpus scores each
@@ -3227,42 +3235,54 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Oracle replay of the Gopher rule metrics + gates
+    * (operators/QualityRules.gopher) over `$src`, a CTE with columns
+    * (doc_id, t): CTEs `gtk`/`gm`/`gr`/`gpass`, where `gpass` carries
+    * every per-doc metric plus the conjunction `passes`. Shared by
+    * q135 (injected fixture) and q140 (raw corpus datasheet).
+    */
+  private def gopherPassSql(src: String): String =
+    s"""gtk AS (SELECT doc_id, t,
+       |        list_filter(string_split_regex(lower(t), '\\W+'), x -> x <> '') AS toks,
+       |        string_split(t, chr(10)) AS lines
+       |      FROM $src),
+       |gm AS (SELECT doc_id,
+       |        CAST(len(toks) AS BIGINT) AS n_words,
+       |        list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+       |        (length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '...', ''))) / 3 AS n_symbols,
+       |        CAST(len(lines) AS BIGINT) AS n_lines,
+       |        len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-•*]'))) AS n_bullet,
+       |        len(list_filter(lines, x -> regexp_matches(rtrim(x), '([.]{3}|…)$$'))) AS n_ellipsis,
+       |        len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+       |        len(list_intersect(list_distinct(toks), ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stop_hits
+       |      FROM gtk WHERE len(toks) > 0),
+       |gr AS (SELECT doc_id, n_words, CAST(stop_hits AS BIGINT) AS stop_hits,
+       |        floor(CAST(sum_len AS DOUBLE) / n_words * 100 + 0.5) / 100 AS mean_word_len,
+       |        floor(CAST(n_symbols AS DOUBLE) / n_words * 100 + 0.5) / 100 AS symbol_ratio,
+       |        floor(CAST(n_bullet AS DOUBLE) / n_lines * 100 + 0.5) / 100 AS bullet_frac,
+       |        floor(CAST(n_ellipsis AS DOUBLE) / n_lines * 100 + 0.5) / 100 AS ellipsis_frac,
+       |        floor(CAST(n_alpha AS DOUBLE) / n_words * 100 + 0.5) / 100 AS alpha_frac
+       |      FROM gm),
+       |gpass AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       |    ellipsis_frac, alpha_frac, stop_hits,
+       |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+       |        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+       |        AND alpha_frac >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS passes
+       |  FROM gr)""".stripMargin
+
   val q135_gopher_rules: QueryDef = q(
     "q135_gopher_rules",
-    """WITH injected AS (
-      |  SELECT doc_id,
-      |    text || CASE WHEN doc_id % 3 = 0
-      |        THEN chr(10) || '- bullet list item...' || chr(10) || '# heading and more...'
-      |      WHEN doc_id % 3 = 2 THEN chr(10) || 'plain tail line here'
-      |      ELSE '' END AS t
-      |  FROM documents),
-      |tk AS (SELECT doc_id, t,
-      |        list_filter(string_split_regex(lower(t), '\W+'), x -> x <> '') AS toks,
-      |        string_split(t, chr(10)) AS lines
-      |      FROM injected),
-      |m AS (SELECT doc_id,
-      |        CAST(len(toks) AS BIGINT) AS n_words,
-      |        list_sum(list_transform(toks, x -> length(x))) AS sum_len,
-      |        (length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '...', ''))) / 3 AS n_symbols,
-      |        CAST(len(lines) AS BIGINT) AS n_lines,
-      |        len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-•*]'))) AS n_bullet,
-      |        len(list_filter(lines, x -> regexp_matches(rtrim(x), '([.]{3}|…)$'))) AS n_ellipsis,
-      |        len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
-      |        len(list_intersect(list_distinct(toks), ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stop_hits
-      |      FROM tk WHERE len(toks) > 0),
-      |r AS (SELECT doc_id, n_words, CAST(stop_hits AS BIGINT) AS stop_hits,
-      |        floor(CAST(sum_len AS DOUBLE) / n_words * 100 + 0.5) / 100 AS mean_word_len,
-      |        floor(CAST(n_symbols AS DOUBLE) / n_words * 100 + 0.5) / 100 AS symbol_ratio,
-      |        floor(CAST(n_bullet AS DOUBLE) / n_lines * 100 + 0.5) / 100 AS bullet_frac,
-      |        floor(CAST(n_ellipsis AS DOUBLE) / n_lines * 100 + 0.5) / 100 AS ellipsis_frac,
-      |        floor(CAST(n_alpha AS DOUBLE) / n_words * 100 + 0.5) / 100 AS alpha_frac
-      |      FROM m)
-      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-      |  ellipsis_frac, alpha_frac, stop_hits,
-      |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
-      |      AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
-      |      AND alpha_frac >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS passes
-      |FROM r ORDER BY doc_id""".stripMargin
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 3 = 0
+       |        THEN chr(10) || '- bullet list item...' || chr(10) || '# heading and more...'
+       |      WHEN doc_id % 3 = 2 THEN chr(10) || 'plain tail line here'
+       |      ELSE '' END AS t
+       |  FROM documents),
+       |${gopherPassSql("injected")}
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       |  ellipsis_frac, alpha_frac, stop_hits, passes
+       |FROM gpass ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     // Rule-based quality gates (operators/QualityRules — the Gopher
     // filter set, Rae 2021 A1.1): the standard first-pass curation
@@ -3284,18 +3304,7 @@ object TrainingData {
 
   val q136_ccnet_buckets: QueryDef = q(
     "q136_ccnet_buckets",
-    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
-      |             FROM documents),
-      |big AS (SELECT doc_id, toks[g] AS w1, toks[g+1] AS w2
-      |        FROM tok, unnest(range(1, len(toks))) AS u(g) WHERE len(toks) >= 2),
-      |dtf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
-      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
-      |c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
-      |vc AS (SELECT count(*) AS v FROM c1),
-      |scored AS (SELECT doc_id,
-      |      -sum(tf * ln((c2 + 1.0) / (c1 + v))) / sum(tf) AS nll
-      |    FROM dtf JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = dtf.w1 CROSS JOIN vc
-      |    GROUP BY doc_id),
+    s"""WITH $lmScoredSql,
       |sc AS (SELECT d.doc_id, d.source, floor(nll * 100 + 0.5) / 100 AS nll
       |       FROM scored JOIN documents d ON d.doc_id = scored.doc_id),
       |counts AS (SELECT source, nll, count(*) AS c FROM sc GROUP BY 1, 2),
@@ -3407,6 +3416,181 @@ object TrainingData {
       .orderBy("doc_id", "para_idx")
   }
 
+  val q139_hard_negatives: QueryDef = q(
+    "q139_hard_negatives",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM
+       |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM v) WHERE rn <= 8),
+       |${ivfAssignSql("a1", "c0")}, ${ivfCentroidSql("c1", "a1", "c0")},
+       |${ivfAssignSql("a2", "c1")}, ${ivfCentroidSql("c2", "a2", "c1")},
+       |${ivfAssignSql("a3", "c2")}, ${ivfCentroidSql("c3", "a3", "c2")},
+       |vi AS (SELECT vec_id, embedding FROM v UNION ALL
+       |       SELECT vec_id + 100000, embedding FROM v WHERE vec_id < 5),
+       |${ivfAssignSql("idx", "c3", "vi")},
+       |pc AS (SELECT probe_id, cell FROM (
+       |    SELECT v.vec_id AS probe_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfSqDistSql("v.embedding", "c.cv")}, c.cell) AS rn
+       |    FROM v CROSS JOIN c3 c WHERE v.vec_id < 5) WHERE rn <= 2),
+       |pe AS (SELECT vec_id AS probe_id, embedding AS pemb, ${ivfNormSql("embedding")} AS na FROM v WHERE vec_id < 5),
+       |scored AS (SELECT pc.probe_id, i2.vec_id AS neighbor_id,
+       |    CASE WHEN pe.na = 0 OR ${ivfNormSql("i2.embedding")} = 0 THEN -1.0
+       |         ELSE $ivfDotSql / (pe.na * ${ivfNormSql("i2.embedding")}) END AS cos
+       |  FROM pc JOIN pe ON pe.probe_id = pc.probe_id JOIN idx i2 ON i2.cell = pc.cell
+       |  WHERE i2.vec_id <> pc.probe_id),
+       |retrieved AS (SELECT probe_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk FROM scored),
+       |negs AS (SELECT probe_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS neg_rank
+       |  FROM retrieved WHERE rnk <= 15 AND cos < 0.95)
+       |SELECT probe_id, neighbor_id, floor(cos * 100 + 0.5) / 100 AS cos_sim,
+       |  CAST(neg_rank AS BIGINT) AS neg_rank
+       |FROM negs WHERE neg_rank <= 5 ORDER BY probe_id, neg_rank""".stripMargin
+  ) { (s, dir) =>
+    // Contrastive hard-negative mining (operators/HardNegatives —
+    // Karpukhin 2020 §4.2, the DPR/E5 training-pair prep): per probe,
+    // the top of a 15-deep cell-pruned retrieval MINUS the
+    // near-duplicate band (raw cos >= 0.95 — the probe's own copies,
+    // false negatives for a contrastive loss), re-ranked, top 5. The
+    // synthetic embeddings are near-orthogonal (max cos ~0.39), so the
+    // fixture PLANTS an exact copy of each probe at vec_id+100000 (the
+    // q133/q135 injection discipline): the copy wins retrieval rank 1
+    // with cos ~1.0 on both engines and the exclusion band must remove
+    // it. The model is q73/q89's shared memoized IVF — a mining pass
+    // must not move centroids (the shared-index discipline); the
+    // planted corpus is only INDEXED (assigned to cells), never
+    // retrained on.
+    val embT = t(s, dir, "embeddings")
+    val emb = embT.select(col("vec_id"), col("embedding"))
+    val model = memo(s"ivf|$dir|k=8|it=3|r=4")(
+      graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4))
+    val planted = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val indexed = graft.operators.Ivf.index(s, emb.unionByName(planted), model)
+    val probes = emb.filter(col("vec_id") < 5)
+    graft.operators.HardNegatives
+      .mine(s, indexed, model, probes, kRetrieve = 15, dupCos = 0.95,
+        n = 5, nprobe = 2)
+      .select(col("probe_id"), col("neighbor_id"),
+        Par.r2(col("cos")).as("cos_sim"),
+        col("neg_rank").cast("bigint").as("neg_rank"))
+      .orderBy("probe_id", "neg_rank")
+  }
+
+  val q140_data_card: QueryDef = q(
+    "q140_data_card",
+    s"""WITH $lmScoredSql,
+       |rawdocs AS (SELECT doc_id, text AS t FROM documents),
+       |${gopherPassSql("rawdocs")},
+       |toksz AS (SELECT d.doc_id, d.source,
+       |      CAST(len(list_filter(string_split_regex(lower(d.text), '\\W+'), x -> x <> '')) AS BIGINT) AS n_toks
+       |    FROM documents d),
+       |srcagg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |      CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM toksz GROUP BY source),
+       |occ AS (SELECT doc_id, source, count(*) OVER (PARTITION BY md5(text)) AS o FROM documents),
+       |dups AS (SELECT source, CAST(sum(CASE WHEN o >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+       |    FROM occ GROUP BY source),
+       |gsrc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_gated,
+       |      CAST(sum(g.passes) AS BIGINT) AS n_pass
+       |    FROM gpass g JOIN documents d USING (doc_id) GROUP BY d.source),
+       |lsrc AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_scored,
+       |      CAST(sum(CAST(floor(nll * 100 + 0.5) AS BIGINT)) AS BIGINT) AS nll_cents
+       |    FROM scored JOIN documents d USING (doc_id) GROUP BY d.source)
+       |SELECT s.source, s.n_docs, s.n_tokens,
+       |  floor(CAST(s.n_tokens AS DOUBLE) / s.n_docs * 100 + 0.5) / 100 AS mean_doc_tokens,
+       |  floor(CAST(coalesce(d.dup_docs, 0) AS DOUBLE) / s.n_docs * 100 + 0.5) / 100 AS dup_rate,
+       |  floor(CAST(g.n_pass AS DOUBLE) / g.n_gated * 100 + 0.5) / 100 AS quality_pass_rate,
+       |  floor(l.nll_cents / 100.0 / l.n_scored * 100 + 0.5) / 100 AS mean_nll
+       |FROM srcagg s LEFT JOIN dups d USING (source)
+       |JOIN gsrc g USING (source) JOIN lsrc l USING (source)
+       |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    // Per-source corpus datasheet (the Dolma/"Datasheets for Datasets"
+    // data card): one row per source with volume (docs, tokens, mean
+    // doc length), exact-duplication rate (corpus-wide md5 occurrence,
+    // q31's machinery — a doc duplicated ACROSS sources counts in
+    // each), Gopher pass rate (q135's gates on the RAW text, rate over
+    // docs with >= 1 analyzer token), and mean LM score (q79's shared
+    // memoized model). Portability: every mean divides exact BIGINTs —
+    // token counts natively, nll via the r12 long-cents policy (per-doc
+    // r2 score -> integer cents, order-independent BIGINT sum, one
+    // identical IEEE division at the end) — so no mean depends on
+    // double summation order. Scale shape: four mergeable aggregates
+    // over doc-keyed frames; the final source-keyed join is
+    // sources-sized (tiny, broadcast).
+    import graft.functions.TextFunctions.tokens
+    val docs = t(s, dir, "documents")
+    val src = docs.select("doc_id", "source")
+    val sizes = docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+    val srcagg = sizes.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    val occ = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val dups = occ
+      .join(occ.groupBy("h").agg(count(lit(1)).as("o")), "h")
+      .groupBy("source")
+      .agg(sum(when(col("o") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+    val gsrc = graft.operators.QualityRules
+      .gopher(docs.select("doc_id", "text"))
+      .select(col("doc_id"), col("passes"))
+      .join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_gated"), sum("passes").cast("long").as("n_pass"))
+    val toks = tokenized(s, dir)
+    val model = memo(s"ngramlm|${s.sparkContext.applicationId}|$dir")(
+      graft.operators.NgramLm.train(s, toks))
+    val lsrc = graft.operators.NgramLm.score(s, toks, model)
+      .select(col("doc_id"),
+        floor(col("nll") * 100 + lit(0.5)).cast("long").as("cents"))
+      .join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_scored"), sum("cents").as("nll_cents"))
+    srcagg
+      .join(broadcast(dups), Seq("source"), "left")
+      .na.fill(0L, Seq("dup_docs"))
+      .join(broadcast(gsrc), "source").join(broadcast(lsrc), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Par.r2(col("n_tokens").cast("double") / col("n_docs")).as("mean_doc_tokens"),
+        Par.r2(col("dup_docs").cast("double") / col("n_docs")).as("dup_rate"),
+        Par.r2(col("n_pass").cast("double") / col("n_gated")).as("quality_pass_rate"),
+        Par.r2(col("nll_cents") / lit(100.0) / col("n_scored")).as("mean_nll"))
+      .orderBy("source")
+  }
+
+  val q141_shard_plan: QueryDef = q(
+    "q141_shard_plan",
+    s"""WITH tk AS (SELECT doc_id,
+       |      CAST(len(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS BIGINT) AS n_toks
+       |    FROM documents),
+       |planned AS (SELECT doc_id, n_toks,
+       |      ${h64sql("concat('shard|', CAST(doc_id AS VARCHAR))")} % 16 AS shard,
+       |      ${h64sql("concat('order|', CAST(doc_id AS VARCHAR))")} AS sort_key
+       |    FROM tk),
+       |totals AS (SELECT shard, CAST(count(*) AS BIGINT) AS shard_docs,
+       |      CAST(sum(n_toks) AS BIGINT) AS shard_tokens
+       |    FROM planned GROUP BY shard)
+       |SELECT p.doc_id, p.shard, p.sort_key, p.n_toks, t.shard_docs, t.shard_tokens
+       |FROM planned p JOIN totals t USING (shard)
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Training shard plan (operators/Pack.shardPlan): the deterministic
+    // global shuffle a training run applies after packing — every doc
+    // gets a hash shard and a hash sort key (seeded, reproducible,
+    // uncorrelated with doc_id order), plus its shard's doc/token
+    // totals as the load-balance account. Scale shape: the shard/key
+    // columns are narrow projections (the portable h64, q67's sampling
+    // discipline); a writer repartitions on `shard` and
+    // sortWithinPartitions on `sort_key` — never a rank window within
+    // a shard (a 16-shard corpus would put 1/16th of 100 TB in one
+    // task). The totals agg is mergeable and shards-sized; it
+    // broadcasts back.
+    val sizes = tokenizedDf(t(s, dir, "documents"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+    graft.operators.Pack.shardPlan(sizes, nShards = 16)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -3428,5 +3612,6 @@ object TrainingData {
     q118_lsh_recall, q119_int8_recall, q120_ann_lsh_multi, q121_lsh_multi_recall, q124_query_string,
     q125_dis_max, q127_histogram, q131_stratified_sample, q132_weighted_sample,
     q133_pii_redact, q134_text_fix, q135_gopher_rules, q136_ccnet_buckets,
-    q137_pack_sequences, q138_paragraph_dedup)
+    q137_pack_sequences, q138_paragraph_dedup, q139_hard_negatives,
+    q140_data_card, q141_shard_plan)
 }

@@ -83,6 +83,31 @@ class ExplainSpec extends SparkSpec {
       s"expected a map-side partial aggregate on the paragraph key:\n$p")
   }
 
+  test("q139: mining rides the cell-pruned broadcast search — no " +
+      "cartesian, probes broadcast onto their cells") {
+    val p = plan("q139_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q140: the data card is mergeable aggregates + a sources-sized " +
+      "broadcast join — no window, no cartesian anywhere") {
+    val p = plan("q140_data_card")
+    assert("Window \\(\\d".r.findAllIn(p).isEmpty,
+      s"a card metric started sorting the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q141: shard totals broadcast back — no sort-merge join, no rank " +
+      "window inside a shard") {
+    val p = plan("q141_shard_plan")
+    assert("Window \\(\\d".r.findAllIn(p).isEmpty,
+      s"a per-shard rank window would put a whole shard in one task:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q57: money sums aggregate LONGS two-phase — no decimal aggregate " +
       "buffer in the plan (the r12 long-cents policy)") {
     // The r11 decimal form cost ~1.6x over double summation; the

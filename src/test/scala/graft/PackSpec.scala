@@ -32,6 +32,36 @@ class PackSpec extends SparkSpec {
     assert(out(6L) == ((48L, 4L, 4L, 1L)), s"tail: ${out(6L)}")
   }
 
+  test("shardPlan: hash shards are in range, deterministic, and the " +
+      "totals account for every doc exactly once") {
+    import org.apache.spark.sql.functions._
+    val counts = (1L to 500L).map(i => i -> (i % 11 + 1))
+      .toDF("doc_id", "n_toks")
+    val plan1 = Pack.shardPlan(counts, 16).orderBy("doc_id").collect()
+    val plan2 = Pack.shardPlan(counts.repartition(7), 16)
+      .orderBy("doc_id").collect()
+    assert(plan1.sameElements(plan2),
+      "the plan must not depend on input partitioning")
+
+    val shards = plan1.map(_.getAs[Long]("shard"))
+    assert(shards.forall(s => s >= 0 && s < 16))
+    assert(shards.distinct.length > 8,
+      "a 500-doc corpus should populate most of 16 shards")
+    // Per-shard totals attached to each row equal the actual group
+    // sizes, and they partition the corpus exactly.
+    val byShard = plan1.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("shard_docs")).distinct.length == 1)
+      assert(rows.head.getAs[Long]("shard_docs") == rows.length)
+      assert(rows.head.getAs[Long]("shard_tokens") ==
+        rows.map(_.getAs[Long]("n_toks")).sum)
+    }
+    assert(byShard.values.map(_.length).sum == 500)
+    // sort_key is the within-shard order: independent of doc_id order
+    // (hash), collision-free on this corpus.
+    assert(plan1.map(_.getAs[Long]("sort_key")).distinct.length == 500)
+  }
+
   test("offsets are a partition-independent prefix sum in doc_id order") {
     val counts = (1L to 200L).map(i => i -> (i % 7 + 1)).toDF("doc_id", "n_tokens")
     val spans = Pack.sequenceSpans(counts.repartition(7), 16L)
