@@ -82,6 +82,45 @@ object Redact {
         Ipv4Pattern, IpMask),
       PhonePattern, PhoneMask)
 
+  /** Candidate payment-card number: 13–19 digits with optional single
+    * space/dash separators between digits, word-bounded. The bounds are
+    * load-bearing: 12 digits never match (no card is that short — and
+    * NANP phone digit runs stay clear), and a 20+ digit compact run
+    * matches NOTHING because the trailing `\b` cannot land inside the
+    * run (digit–digit positions are not boundaries) — an overlong run
+    * is an ID, not a card. Java∩RE2 subset like the siblings.
+    */
+  val CardCandidatePattern = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  val CardMask = "<CARD>"
+
+  /** Candidate card strings in match order (separators as matched). */
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(text, lit(CardCandidatePattern), lit(0))
+
+  /** The candidates whose digit content passes the Luhn checksum — the
+    * standard false-positive gate (a random 13–19 digit run passes with
+    * p = 1/10; a real PAN always passes). Validation is Spark's
+    * codegen'd `luhn_check` builtin over the separator-stripped digits;
+    * the external oracle replays the mod-10 double-every-second-digit
+    * fold with list expressions.
+    */
+  def luhnValidCards(text: Column): Column =
+    filter(cardCandidates(text),
+      c => call_function("luhn_check", regexp_replace(c, "[^0-9]", "")))
+
+  /** Text with every Luhn-valid candidate masked. VALUE-based masking
+    * (a left fold of string `replace` over the distinct valid
+    * candidates): every occurrence of a valid candidate's exact text is
+    * masked, wherever it appears — including inside a longer digit run,
+    * the stated (and engine-portable) contract. Candidates that fail
+    * Luhn are left in place: masking arbitrary long digit runs would
+    * destroy IDs/hashes that are not PII.
+    */
+  def scrubCards(text: Column): Column =
+    aggregate(array_distinct(luhnValidCards(text)), text,
+      (acc, c) => call_function("replace", acc, c, lit(CardMask)))
+
   /** Independent per-pattern match counts over the RAW text:
     * (emails, ipv4s, phones, intl phones), each bigint. Independent
     * means a dot-separated intl number also counts its embedded dotted

@@ -3591,6 +3591,229 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  val q142_card_redact: QueryDef = q(
+    "q142_card_redact",
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    text || ' pay 4111 1111 1111 1111 or ' ||
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN '5500 0000 0000 0004'
+       |      WHEN 1 THEN '4012-8888-8888-1881'
+       |      WHEN 2 THEN '1234 5678 9012 3456'
+       |      ELSE '378282246310005' END ||
+       |    ' ref ' || lpad(CAST((doc_id * 2654435761) % 10000000000000000 AS VARCHAR), 16, '0') ||
+       |    ' id 12345678901234567890 tail' AS t
+       |  FROM documents),
+       |cand AS (SELECT doc_id, t,
+       |    regexp_extract_all(t, '\\b\\d(?:[ -]?\\d){12,18}\\b') AS cands
+       |  FROM injected),
+       |valid AS (SELECT doc_id, t, cands,
+       |    list_filter(cands, c -> (list_sum(list_transform(
+       |        range(1, length(regexp_replace(c, '[^0-9]', '', 'g')) + 1),
+       |        i -> CASE WHEN i % 2 = 0
+       |          THEN CASE WHEN 2 * (ascii(substr(reverse(regexp_replace(c, '[^0-9]', '', 'g')), i, 1)) - 48) > 9
+       |               THEN 2 * (ascii(substr(reverse(regexp_replace(c, '[^0-9]', '', 'g')), i, 1)) - 48) - 9
+       |               ELSE 2 * (ascii(substr(reverse(regexp_replace(c, '[^0-9]', '', 'g')), i, 1)) - 48) END
+       |          ELSE ascii(substr(reverse(regexp_replace(c, '[^0-9]', '', 'g')), i, 1)) - 48 END)) % 10 = 0))
+       |      AS valids
+       |  FROM cand)
+       |SELECT doc_id,
+       |  CAST(len(cands) AS BIGINT) AS n_candidates,
+       |  CAST(len(valids) AS BIGINT) AS n_valid,
+       |  list_reduce(list_prepend(t, list_distinct(valids)),
+       |    (acc, x) -> replace(acc, x, '<CARD>')) AS redacted
+       |FROM valid ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Payment-card redaction with Luhn validation (operators/Redact,
+    // the card extension of q133's scrub): candidates are word-bounded
+    // 13–19 digit runs with optional single space/dash separators; only
+    // candidates whose digits pass the Luhn mod-10 checksum mask (the
+    // standard false-positive gate — a random digit run passes at
+    // p = 1/10, a real PAN always). Validation is Spark's codegen'd
+    // `luhn_check` builtin — functions-not-UDFs; the oracle replays the
+    // checksum with list expressions. The fixture injects (q133/q101
+    // discipline): one spaced valid VISA per doc, a residue-selected
+    // second card (3 valid formats + 1 known-invalid), a doc-varying
+    // 16-digit run whose Luhn verdict varies pseudo-randomly per doc,
+    // and a 20-digit run that must produce NO candidate (the trailing
+    // \b cannot land inside a digit run). Scale shape: narrow regexp +
+    // higher-order array expressions riding the scan, zero shuffle.
+    // NOTE list_distinct in the oracle fold vs array_distinct here:
+    // both orders are first-occurrence over the SAME candidate order,
+    // and the fold result is order-independent here because masking is
+    // value-based on non-overlapping candidates.
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" pay 4111 1111 1111 1111 or "),
+        when(pmod(col("doc_id"), lit(4L)) === 0, lit("5500 0000 0000 0004"))
+          .when(pmod(col("doc_id"), lit(4L)) === 1, lit("4012-8888-8888-1881"))
+          .when(pmod(col("doc_id"), lit(4L)) === 2, lit("1234 5678 9012 3456"))
+          .otherwise(lit("378282246310005")),
+        lit(" ref "),
+        lpad(pmod(col("doc_id") * 2654435761L, lit(10000000000000000L))
+          .cast("string"), 16, "0"),
+        lit(" id 12345678901234567890 tail")).as("t"))
+    injected.select(col("doc_id"),
+        size(graft.operators.Redact.cardCandidates(col("t")))
+          .cast("bigint").as("n_candidates"),
+        size(graft.operators.Redact.luhnValidCards(col("t")))
+          .cast("bigint").as("n_valid"),
+        graft.operators.Redact.scrubCards(col("t")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val q143_line_dedup: QueryDef = q(
+    "q143_line_dedup",
+    """WITH injected AS (
+      |  SELECT doc_id,
+      |    'nav menu home' || chr(10) || text || chr(10) ||
+      |    'promo item ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+      |    'nav menu home' || chr(10) ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 'promo item ' || CAST(doc_id % 5 AS VARCHAR)
+      |      ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END ||
+      |    chr(10) || 'nav menu home' AS t
+      |  FROM documents),
+      |lns AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM injected),
+      |ln AS (SELECT doc_id, ls[i] AS line, i AS ord
+      |       FROM lns, unnest(range(1, len(ls) + 1)) AS u(i)),
+      |firsts AS (SELECT doc_id, line, min(ord) AS ord
+      |           FROM ln GROUP BY doc_id, line),
+      |clean AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS cleaned
+      |          FROM firsts GROUP BY doc_id),
+      |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |           CAST(count(DISTINCT line) AS BIGINT) AS n_uniq_lines
+      |           FROM ln GROUP BY doc_id)
+      |SELECT i.doc_id, c.n_lines, c.n_uniq_lines,
+      |  floor((length(i.t) - length(cl.cleaned)) * 100.0 / length(i.t) + 0.5) / 100
+      |    AS dup_char_frac,
+      |  cl.cleaned
+      |FROM injected i JOIN counts c USING (doc_id) JOIN clean cl USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Within-document repeated-line removal (operators/LineDedup — the
+    // Dolma/C4 boilerplate rung BELOW q138's corpus-wide paragraph
+    // pass): exact repeats of an earlier line inside ONE document drop,
+    // keeping the first occurrence — nav menus and footers repeated per
+    // page section. Needs NO key exchange at all (the dedup scope is
+    // the document), so the whole transform is narrow array expressions
+    // on the scan — the cheapest rung of the dedup ladder. The fixture
+    // injects a 3× repeated nav line and a residue-conditional promo
+    // repeat (q135 discipline — the word-salad corpus has no
+    // newlines); the oracle replays keep-first POSITIONALLY
+    // (min(ordinality) + ordered string_agg), so any order drift in
+    // array_distinct would hash-fail.
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("nav menu home\n"), col("text"), lit("\n"),
+        lit("promo item "), pmod(col("doc_id"), lit(5L)).cast("string"),
+        lit("\n"), lit("nav menu home"), lit("\n"),
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(lit("promo item "), pmod(col("doc_id"), lit(5L)).cast("string")))
+          .otherwise(concat(lit("unique tail "), col("doc_id").cast("string"))),
+        lit("\n"), lit("nav menu home")).as("t"))
+    val (nl, nu, frac) = graft.operators.LineDedup.lineStats(col("t"))
+    injected.select(col("doc_id"),
+        nl.as("n_lines"), nu.as("n_uniq_lines"), frac.as("dup_char_frac"),
+        graft.operators.LineDedup.dedupLines(col("t")).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  val q144_soft_dedup: QueryDef = q(
+    "q144_soft_dedup",
+    s"""WITH RECURSIVE $shinglesSql,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT id1, id2
+       |          FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+       |          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b),
+       |cc AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+       |sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n FROM cc GROUP BY component)
+       |SELECT d.doc_id, coalesce(s.n, 1) AS cluster_size,
+       |  floor(1.0 / coalesce(s.n, 1) * 100 + 0.5) / 100 AS weight
+       |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+       |LEFT JOIN sizes s ON s.component = cc.component
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Soft dedup — keep duplicates, DOWNWEIGHT them (the
+    // sampling-weight alternative to q72's survivor selection: recent
+    // data recipes keep near-dup clusters but give each member weight
+    // 1/|cluster| so the cluster contributes one document's worth of
+    // gradient). Clusters are the connected components of the exact
+    // Jaccard >= 0.8 pair graph (q32's pairs, q72's min-label
+    // propagation); docs outside any cluster weigh 1. Scale shape:
+    // components is pair-graph-sized label propagation (never
+    // corpus-wide), the join back is doc-keyed, and the sizes frame is
+    // clusters-sized. Weight is r2-rounded from an exact IEEE division
+    // of small ints — portable.
+    val prs = jaccardPairs(s, dir).select("id1", "id2")
+    val comp = graft.operators.Dedup.components(prs)
+      .withColumnRenamed("id", "doc_id")
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    t(s, dir, "documents").select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .join(sizes, Seq("component"), "left")
+      .na.fill(1L, Seq("cluster_size"))
+      .select(col("doc_id"), col("cluster_size"),
+        Par.r2(lit(1.0) / col("cluster_size")).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  /** One BPE round as oracle CTEs: pair counts over the previous
+    * dictionary state, argmax with (count desc, pair lex) tie-break,
+    * leftmost-non-overlapping rewrite, and the post-merge symbol total.
+    * Chained by [[q145_bpe_merges]]; the engine twin is
+    * [[graft.operators.Bpe.train]]'s per-round loop.
+    */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = if (r == 1) "s0" else s"s${r - 1}"
+    s"""p$r AS (SELECT l, r, sum(f) AS cnt FROM (
+       |    SELECT f, sy[i] AS l, sy[i+1] AS r FROM (
+       |      SELECT f, string_split(trim(seq, '⟨⟩'), '⟩⟨') AS sy FROM $prev),
+       |      unnest(range(1, len(sy))) AS u(i)) GROUP BY l, r),
+       |m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+       |s$r AS (SELECT replace(seq, '⟨' || l || '⟩⟨' || r || '⟩', '⟨' || l || r || '⟩') AS seq, f
+       |        FROM $prev CROSS JOIN m$r),
+       |c$r AS (SELECT CAST($r AS BIGINT) AS round, l AS lhs, r AS rhs,
+       |        CAST(cnt AS BIGINT) AS pair_count,
+       |        (SELECT CAST(sum(f * len(string_split(trim(seq, '⟨⟩'), '⟩⟨'))) AS BIGINT)
+       |         FROM s$r) AS corpus_symbols
+       |   FROM m$r)""".stripMargin
+  }
+
+  val q145_bpe_merges: QueryDef = q(
+    "q145_bpe_merges",
+    s"""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+       |             FROM documents),
+       |wf AS (SELECT w, count(*) AS f
+       |       FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+       |s0 AS (SELECT regexp_replace(w, '(.)', '⟨\\1⟩', 'g') AS seq, f FROM wf),
+       |${(1 to 6).map(bpeRoundSql).mkString(",\n")}
+       |${(1 to 6).map(r => s"SELECT round, lhs, rhs, pair_count, corpus_symbols FROM c$r")
+          .mkString("\nUNION ALL ")}
+       |ORDER BY round""".stripMargin
+  ) { (s, dir) =>
+    // BPE merge-rule training (operators/Bpe — Sennrich 2016, the
+    // tokenizer-training step after curation): 6 merges learned over
+    // the corpus word-frequency dictionary, each round = pair counts
+    // weighted by word frequency, corpus-wide argmax (ties lex on the
+    // pair), leftmost-non-overlapping rewrite. The corpus is touched
+    // ONCE (the word-freq hash-agg); every round after runs on the
+    // Heaps-bounded vocabulary, and the only driver materialization is
+    // one row per round. The output carries each round's post-merge
+    // dictionary-wide symbol total — the compression account — so the
+    // gate checks the REWRITE, not just the argmax.
+    graft.operators.Bpe.train(s, tokenized(s, dir), k = 6)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -3613,5 +3836,6 @@ object TrainingData {
     q125_dis_max, q127_histogram, q131_stratified_sample, q132_weighted_sample,
     q133_pii_redact, q134_text_fix, q135_gopher_rules, q136_ccnet_buckets,
     q137_pack_sequences, q138_paragraph_dedup, q139_hard_negatives,
-    q140_data_card, q141_shard_plan)
+    q140_data_card, q141_shard_plan, q142_card_redact, q143_line_dedup,
+    q144_soft_dedup, q145_bpe_merges)
 }

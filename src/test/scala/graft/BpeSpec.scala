@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+
+  private def train(words: Seq[(String, Int)], k: Int) = {
+    import spark.implicits._
+    // Expand the frequency dict into documents: Bpe.train consumes
+    // (doc_id, toks) and derives the dict itself.
+    val docs = words.zipWithIndex.flatMap { case ((w, f), i) =>
+      (1 to f).map(j => (i * 1000L + j, Seq(w)))
+    }.toDF("doc_id", "toks")
+    Bpe.train(spark, docs, k)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+  }
+
+  test("the Sennrich corpus learns (e,s) -> (es,t) -> (l,o) with exact " +
+      "counts and symbol totals") {
+    // low:5 lower:2 newest:6 widest:3 — the textbook example.
+    // Initial symbols: 3*5 + 5*2 + 6*6 + 6*3 = 79.
+    val m = train(Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3), 3)
+    assert(m == Seq(
+      // es: newest(6) + widest(3) = 9; after: 79 - 9 = 70
+      (1L, "e", "s", 9L, 70L),
+      // est: same 9; ties (es,t)=9 beat nothing higher; after: 61
+      (2L, "es", "t", 9L, 61L),
+      // (l,o) and (o,w) both 7 — lex tie-break picks (l,o); after: 54
+      (3L, "l", "o", 7L, 54L)))
+  }
+
+  test("overlapping pairs COUNT overlapped but MERGE leftmost " +
+      "non-overlapping (aaaa: count 3, result 2 symbols)") {
+    val m = train(Seq("aaaa" -> 1), 2)
+    assert(m.head == ((1L, "a", "a", 3L, 2L)))
+    // Round 2 merges the two 'aa' symbols into one.
+    assert(m(1) == ((2L, "aa", "aa", 1L, 1L)))
+  }
+
+  test("training stops early when no pair remains") {
+    val m = train(Seq("a" -> 3, "b" -> 2), 4)
+    assert(m.isEmpty)
+    val m2 = train(Seq("ab" -> 1, "c" -> 5), 4)
+    // After the merge ab is one symbol: 1*1 + 1*5 = 6.
+    assert(m2 == Seq((1L, "a", "b", 1L, 6L)))
+  }
+
+  test("merge selection is partition-independent (same merges from a " +
+      "repartitioned corpus)") {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, Seq("low", "newest", if (i % 3 == 0) "widest" else "lower")))
+      .toDF("doc_id", "toks")
+    val a = Bpe.train(spark, docs, 4)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    val b = Bpe.train(spark, docs.repartition(7), 4)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.size == 4)
+  }
+}

@@ -108,6 +108,16 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q142/q143: card redaction and line dedup are pure scan-side " +
+      "compute — the only exchange is the output sort") {
+    for (name <- Seq("q142_card_redact", "q143_line_dedup")) {
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+        s"$name shuffled the corpus for a per-doc transform:\n$p")
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, s"$name:\n$p")
+    }
+  }
+
   test("q57: money sums aggregate LONGS two-phase — no decimal aggregate " +
       "buffer in the plan (the r12 long-cents policy)") {
     // The r11 decimal form cost ~1.6x over double summation; the

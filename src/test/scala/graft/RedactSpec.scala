@@ -71,11 +71,56 @@ class RedactSpec extends SparkSpec {
     assert(got(8L)._4 == 1 && got(8L)._5 == "ref <PHONE> q")
   }
 
+  test("card candidates: 13-19 digit runs with single separators; " +
+      "12-digit and 20-digit runs never match") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "pay 4111 1111 1111 1111 now"),          // valid, spaced
+      (2L, "ref 4012-8888-8888-1881 end"),          // valid, dashed
+      (3L, "amex 378282246310005 here"),            // valid, 15 compact
+      (4L, "junk 1234 5678 9012 3456 x"),           // candidate, fails Luhn
+      (5L, "short 123456789012 y"),                 // 12 digits: no candidate
+      (6L, "long 12345678901234567890 z"),          // 20 digits: no candidate
+      (7L, "none at all")).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        size(Redact.cardCandidates(col("text"))).as("nc"),
+        size(Redact.luhnValidCards(col("text"))).as("nv"),
+        Redact.scrubCards(col("text")).as("red"))
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1, 1, "pay <CARD> now")))
+    assert(got(2L) == ((2L, 1, 1, "ref <CARD> end")))
+    assert(got(3L) == ((3L, 1, 1, "amex <CARD> here")))
+    // Luhn failure: candidate counted, nothing masked.
+    assert(got(4L) == ((4L, 1, 0, "junk 1234 5678 9012 3456 x")))
+    assert(got(5L) == ((5L, 0, 0, "short 123456789012 y")))
+    // The trailing \b cannot land inside a digit run, so an overlong
+    // run produces NO candidate at any alignment.
+    assert(got(6L) == ((6L, 0, 0, "long 12345678901234567890 z")))
+    assert(got(7L) == ((7L, 0, 0, "none at all")))
+  }
+
+  test("card masking is value-based: every occurrence of a valid " +
+      "candidate masks, and repeats count per match") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a 4111 1111 1111 1111 b 4111 1111 1111 1111 c"),
+      // Two different valid cards in one doc both mask.
+      (2L, "x 378282246310005 y 5500 0000 0000 0004 z"))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        size(Redact.cardCandidates(col("text"))).as("nc"),
+        size(Redact.luhnValidCards(col("text"))).as("nv"),
+        Redact.scrubCards(col("text")).as("red"))
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2, 2, "a <CARD> b <CARD> c")))
+    assert(got(2L) == ((2L, 2, 2, "x <CARD> y <CARD> z")))
+  }
+
   test("patterns stay inside the Java-regex/RE2 common subset (no lookaround)") {
     // Guard: someone "improving" a pattern with lookahead would break
     // the DuckDB oracle silently-later; RE2 has no lookaround at all.
     Seq(Redact.EmailPattern, Redact.Ipv4Pattern, Redact.PhonePattern,
-        Redact.IntlPhonePattern)
+        Redact.IntlPhonePattern, Redact.CardCandidatePattern)
       .foreach { p =>
         assert(!p.contains("(?=") && !p.contains("(?!") &&
           !p.contains("(?<"), s"lookaround in portable pattern: $p")

@@ -6,15 +6,17 @@ tables and compares against the parquet dumped by graft.Verify:
 columns sorted by name, rows as emitted (every query has a total ORDER BY),
 values canonicalized to strings (doubles via repr, NULL as \\N).
 
-q72_cluster_dedup at LARGE tiers: its SQL oracle's WITH RECURSIVE
+q72_cluster_dedup / q144_soft_dedup at LARGE tiers: the SQL oracles'
+WITH RECURSIVE
 reachability is cluster-quadratic in DuckDB's working table (>73 GB of
 spill at sf1 — the r11 finding), so above CC_SQL_MAX_DOCS documents the
 gate swaps the reachability CTE for an exact, linear INDEPENDENT path:
 the SAME pair-CTE prefix runs in DuckDB (shingles → Jaccard >= 0.8
 pairs — no Spark code involved), then a Python union-find derives the
-components and the survivor/members/count rows. Same fixpoint, bounded
-memory, no per-key tolerance. The driver's own sf0.01 gate still runs
-the full recursive SQL.
+components and each query's output shape (q72: survivor/members/count
+rows; q144: per-doc cluster size + 1/size weight). Same fixpoint,
+bounded memory, no per-key tolerance. The driver's own sf0.01 gate
+still runs the full recursive SQL.
 
 Usage: python3 tools/check_oracle.py [sfdir] [verify_out] [--json OUT.json]
 (run `sbt "runMain graft.Verify <sfdir> <out>"` first)
@@ -65,16 +67,16 @@ def frame(rel):
     return names, types, rows
 
 
-def cc_frame(con, sql):
-    """q72's oracle via its own pair CTEs + union-find (see module doc).
+def _pair_components(con, sql, marker=",\nedges AS"):
+    """Union-find components over the oracle SQL's own `pairs` CTE.
 
     Reuses the oracle SQL's text up to the `edges` CTE — the shingle /
     Jaccard-pair definition stays single-sourced in the SQL — and
-    replays only the reachability fixpoint in Python.
+    replays only the reachability fixpoint in Python. Returns
+    {min_label: sorted members}.
     """
-    marker = ",\nedges AS"
     if marker not in sql:
-        raise RuntimeError("q72 oracle SQL changed shape: no edges CTE marker")
+        raise RuntimeError("oracle SQL changed shape: no edges CTE marker")
     pairs = con.sql(sql.split(marker)[0] + " SELECT id1, id2 FROM pairs").fetchall()
     parent = {}
 
@@ -95,6 +97,12 @@ def cc_frame(con, sql):
     comps = {}
     for node in parent:
         comps.setdefault(find(node), []).append(node)
+    return comps
+
+
+def cc_frame(con, sql):
+    """q72's oracle via the pair CTEs + union-find (see module doc)."""
+    comps = _pair_components(con, sql)
     # (survivor_id, n_members, members) ordered by survivor — the SQL's
     # GROUP BY component ORDER BY survivor_id with min-label survivors.
     out = []
@@ -106,6 +114,30 @@ def cc_frame(con, sql):
     names = ["members", "n_members", "survivor_id"]
     types = ["VARCHAR", "BIGINT", "BIGINT"]
     rows = [[canon(m), canon(n), canon(s)] for s, n, m in out]
+    return names, types, rows
+
+
+def soft_dedup_frame(con, sql):
+    """q144's oracle via the same pair CTEs + union-find: per-doc
+    cluster size (1 outside any cluster) and the r2-rounded 1/size
+    weight — the same IEEE division + floor both engines compute.
+    """
+    comps = _pair_components(con, sql)
+    size_of = {}
+    for members in comps.values():
+        for m in members:
+            size_of[m] = len(members)
+    doc_ids = [r[0] for r in
+               con.sql("SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    # Column order/types as the sorted-by-name frame() would emit them:
+    # cluster_size, doc_id, weight.
+    names = ["cluster_size", "doc_id", "weight"]
+    types = ["BIGINT", "BIGINT", "DOUBLE"]
+    rows = []
+    for d in doc_ids:
+        n = size_of.get(d, 1)
+        w = math.floor(1.0 / n * 100 + 0.5) / 100
+        rows.append([canon(n), canon(d), canon(w)])
     return names, types, rows
 
 
@@ -132,10 +164,13 @@ def main():
             record(name, rows_match=False, schema_match=False, hash_match=False,
                    spark_rows=0, oracle_rows=0, err="no spark output")
             continue
-        via_py = name == "q72_cluster_dedup" and n_docs > CC_SQL_MAX_DOCS
+        via_py = (name in ("q72_cluster_dedup", "q144_soft_dedup")
+                  and n_docs > CC_SQL_MAX_DOCS)
         try:
             if via_py:
-                on, ot, orows = cc_frame(con, oracle[name])
+                py_oracle = (cc_frame if name == "q72_cluster_dedup"
+                             else soft_dedup_frame)
+                on, ot, orows = py_oracle(con, oracle[name])
             else:
                 on, ot, orows = frame(con.sql(oracle[name]))
         except Exception as e:
