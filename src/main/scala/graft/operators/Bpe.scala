@@ -54,6 +54,17 @@ object Bpe {
     */
   def train(spark: SparkSession, toks: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
+    trainMerges(spark, toks, k).toDF()
+      .select("round", "lhs", "rhs", "pair_count", "corpus_symbols")
+      .orderBy("round")
+  }
+
+  /** The learned rules as a driver-side list (each merge is one row of
+    * driver state by construction — the argmax `limit(1)` — so the
+    * whole result is O(k), session-independent, and safe to memoize
+    * across registry keys the way the ANN models are).
+    */
+  def trainMerges(spark: SparkSession, toks: DataFrame, k: Int): Seq[Merge] = {
     require(k >= 1, s"k must be >= 1, got $k")
     // The one corpus-sized pass: word-frequency dict, cached for the
     // k vocabulary-sized rounds that follow.
@@ -93,9 +104,26 @@ object Bpe {
           r += 1
         }
       }
-      merges.toSeq.toDF()
-        .select("round", "lhs", "rhs", "pair_count", "corpus_symbols")
-        .orderBy("round")
+      merges.toSeq
     } finally wf.unpersist()
   }
+
+  /** Bracket-spelled symbol sequence of one word AFTER applying the
+    * learned merges in training order — the ENCODE side of the
+    * tokenizer (what a loader runs per document once rules exist).
+    * Pure narrow column compute: one regexp bracketize + k literal
+    * replaces, no shuffle and no per-row rule lookup (the rules are
+    * driver literals folded into the plan, the broadcast-free analogue
+    * of broadcasting a tiny dim).
+    */
+  def encode(word: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): org.apache.spark.sql.Column =
+    merges.foldLeft(regexp_replace(word, "(.)", "⟨$1⟩")) { (acc, m) =>
+      call_function("replace", acc,
+        lit(s"⟨${m.lhs}⟩⟨${m.rhs}⟩"), lit(s"⟨${m.lhs}${m.rhs}⟩"))
+    }
+
+  /** Token (symbol) count of an [[encode]]d word. */
+  def encodedLen(encoded: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(split(trim(encoded, "⟨⟩"), "⟩⟨")).cast("bigint")
 }

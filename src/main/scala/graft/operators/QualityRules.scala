@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Rule-based document quality gates — the Gopher filter set
@@ -74,4 +74,17 @@ object QualityRules {
         col("alpha_frac") >= 0.8 &&
         col("stop_hits") >= 2L).cast("int").as("passes"))
   }
+
+  /** True when any analyzer token of the document is in the blocklist —
+    * the C4-style "bad words" gate (Raffel et al. 2020 §2.2 run their
+    * list over C4; every production crawl recipe carries one). Matching
+    * is TOKEN-level, not substring-level, which is the semantic that
+    * avoids the classic substring false positives (an innocent word
+    * containing a listed word does not flag). `arrays_overlap` keeps the
+    * whole gate a narrow scan-side predicate — the list is a plan
+    * literal (the broadcast-free analogue of a tiny dim broadcast), so
+    * there is no join and no shuffle at any corpus size.
+    */
+  def blocklistHit(toks: Column, words: Seq[String]): Column =
+    arrays_overlap(toks, array(words.map(w => lit(w.toLowerCase)): _*))
 }

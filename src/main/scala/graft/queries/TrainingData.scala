@@ -3810,8 +3810,281 @@ object TrainingData {
     // Heaps-bounded vocabulary, and the only driver materialization is
     // one row per round. The output carries each round's post-merge
     // dictionary-wide symbol total — the compression account — so the
-    // gate checks the REWRITE, not just the argmax.
-    graft.operators.Bpe.train(s, tokenized(s, dir), k = 6)
+    // gate checks the REWRITE, not just the argmax. The learned rules
+    // are shared with q146's encode pass via the model memo (training
+    // is deterministic — argmax with lex tie-break — so sharing changes
+    // no result, the memo scaladoc's argument).
+    import s.implicits._
+    bpeMerges(s, dir).toDF()
+      .select("round", "lhs", "rhs", "pair_count", "corpus_symbols")
+      .orderBy("round")
+  }
+
+  /** Memoized 6-rule BPE model per dir — a driver-side O(k) list
+    * (session-independent, like the ANN models). */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
+    memo(s"bpe|$dir|k=6")(graft.operators.Bpe.trainMerges(s, tokenized(s, dir), k = 6))
+
+  /** The q146 oracle's per-word encode: bracketize then the 6 learned
+    * replaces in training order, rule literals joined in from the
+    * cross-producted one-row-per-round merge CTEs (l1/rr1 … l6/rr6).
+    */
+  private val bpeEncodeSql: String =
+    (1 to 6).foldLeft("regexp_replace(w, '(.)', '⟨\\1⟩', 'g')") { (acc, i) =>
+      s"replace($acc, '⟨' || l$i || '⟩⟨' || rr$i || '⟩', '⟨' || l$i || rr$i || '⟩')"
+    }
+
+  val q146_bpe_encode: QueryDef = q(
+    "q146_bpe_encode",
+    s"""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+       |             FROM documents),
+       |wf AS (SELECT w, count(*) AS f
+       |       FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+       |s0 AS (SELECT regexp_replace(w, '(.)', '⟨\\1⟩', 'g') AS seq, f FROM wf),
+       |${(1 to 6).map(bpeRoundSql).mkString(",\n")},
+       |mm AS (SELECT ${(1 to 6).map(i => s"m$i.l AS l$i, m$i.r AS rr$i").mkString(", ")}
+       |       FROM ${(1 to 6).map(i => s"m$i").mkString(", ")}),
+       |enc AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(toks, w ->
+       |      len(string_split(trim($bpeEncodeSql, '⟨⟩'), '⟩⟨')))) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS n_chars
+       |  FROM tok CROSS JOIN mm WHERE len(toks) >= 1)
+       |SELECT doc_id, n_words, n_tokens, n_chars,
+       |  floor(CAST(n_chars AS DOUBLE) / n_tokens * 100 + 0.5) / 100 AS chars_per_token
+       |FROM enc ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // BPE ENCODE — applying q145's learned merges to the corpus (the
+    // tokenize step a training loader runs once rules exist; Sennrich
+    // 2016's apply_bpe): per document, word count, token count after
+    // the 6 merges, character count, and chars/token — the compression
+    // account that tells a budgeting pass (q68/q137) what a document
+    // costs in tokens BEFORE packing. The rules come from the shared
+    // memoized model (one training per tier, q145's exact argmax), and
+    // encoding is a narrow per-row column chain — one regexp bracketize
+    // + 6 literal replaces folded into the plan — so the whole pass is
+    // scan-side: NO join, NO shuffle at any corpus size (the
+    // alternative — encode the distinct-word dictionary and join back —
+    // pays a vocabulary shuffle for no gain at these rule counts).
+    val merges = bpeMerges(s, dir)
+    val enc = tokenized(s, dir).filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_words"),
+        aggregate(
+          transform(col("toks"),
+            w => graft.operators.Bpe.encodedLen(graft.operators.Bpe.encode(w, merges))),
+          lit(0L), (a, b) => a + b).as("n_tokens"),
+        aggregate(transform(col("toks"), w => length(w).cast("bigint")),
+          lit(0L), (a, b) => a + b).as("n_chars"))
+    enc.select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
+        Par.r2(col("n_chars").cast("double") / col("n_tokens")).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** One truncation rung of the q147 oracle: brute top-5 by cosine over
+    * the first `d` dimensions (renormalized by construction — the norm
+    * is computed over the slice), ranked with the (cos DESC, vec_id)
+    * tie-break every ANN rung here uses.
+    */
+  private def mrlTopSql(d: Int): String =
+    s"""tr$d AS (SELECT vec_id, embedding[1:$d] AS emb,
+       |    sqrt(list_sum(list_transform(embedding[1:$d], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |p$d AS (SELECT vec_id AS probe_id, emb AS pe, nrm AS pn FROM tr$d WHERE vec_id < 5),
+       |top$d AS (SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY
+       |        CASE WHEN pn * e.nrm = 0 THEN -1.0
+       |             ELSE list_sum(list_transform(range(1, len(pe) + 1),
+       |                    i -> CAST(pe[i] AS DOUBLE) * CAST(e.emb[i] AS DOUBLE))) / (pn * e.nrm) END DESC,
+       |        e.vec_id) AS rnk
+       |    FROM p$d, tr$d e WHERE e.vec_id <> probe_id) WHERE rnk <= 5)""".stripMargin
+
+  val q147_mrl_recall: QueryDef = q(
+    "q147_mrl_recall",
+    s"""WITH ${Seq(64, 32, 16, 8).map(mrlTopSql).mkString(",\n")},
+       |${Seq(32, 16, 8).map(d =>
+         s"""h$d AS (SELECT a.probe_id, count(*) AS n FROM top$d a
+            |  JOIN top64 b ON b.probe_id = a.probe_id AND b.neighbor_id = a.neighbor_id
+            |  GROUP BY 1)""".stripMargin).mkString(",\n")}
+       |${Seq(32, 16, 8).map(d =>
+         s"""SELECT CAST($d AS BIGINT) AS dims, p.probe_id,
+            |  CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+            |  CAST(coalesce(n, 0) AS DOUBLE) / 5 AS recall
+            |FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 5) p
+            |LEFT JOIN h$d ON h$d.probe_id = p.probe_id""".stripMargin)
+         .mkString("\nUNION ALL\n")}
+       |ORDER BY dims DESC, probe_id""".stripMargin
+  ) { (s, dir) =>
+    // Matryoshka truncated-dimension recall (Kusupati et al. 2022, MRL
+    // — and the standard Adaptive Retrieval recipe built on it): rank
+    // by cosine over only the FIRST d' dimensions and measure recall@5
+    // against the full-dimension exact top-5. This is the measurement
+    // that justifies the 100 TB first-pass trick — shortlist with a
+    // d/8 prefix scan (8× less I/O and FLOPs than full vectors, and
+    // far cheaper than PQ decode), then re-rank the shortlist at full
+    // dimension; a user picks the prefix length by reading this ladder
+    // exactly as q83/q96 pick nprobe/M. Scale shape per rung: ONE
+    // corpus scan with the tiny probe set broadcast (the q33 brute
+    // pattern — ground truth is sample × corpus, never corpus²); the
+    // recall join is probes × k rows. Tie-break and double-fold cosine
+    // are the portable forms every ANN rung here uses.
+    def topAt(d: Int): DataFrame = {
+      val tr = t(s, dir, "embeddings").select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("emb"))
+        .select(col("vec_id"), col("emb"), norm_f(col("emb")).as("nrm"))
+      val probes = tr.filter(col("vec_id") < 5).select(
+        col("vec_id").as("probe_id"), col("emb").as("pe"), col("nrm").as("pn"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      tr.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          when(col("pn") * col("nrm") === 0, lit(-1.0))
+            .otherwise(dot_f(col("pe"), col("emb")) / (col("pn") * col("nrm")))
+            .as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("neighbor_id"))
+    }
+    val full = topAt(64)
+    val probeIds = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"))
+    Seq(32, 16, 8).map { d =>
+      // Both bookkeeping joins are probes x k rows; Catalyst can't see
+      // that through the window-derived lineage (join-stat estimates
+      // are child products), so broadcast explicitly or they fall to
+      // sort-merge.
+      val hits = topAt(d).join(broadcast(full), Seq("probe_id", "neighbor_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n"))
+      probeIds.join(broadcast(hits), Seq("probe_id"), "left")
+        .select(lit(d.toLong).as("dims"), col("probe_id"),
+          coalesce(col("n"), lit(0L)).cast("bigint").as("n_hits"),
+          (coalesce(col("n"), lit(0L)).cast("double") / 5).as("recall"))
+    }.reduce(_ union _)
+      .orderBy(col("dims").desc, col("probe_id"))
+  }
+
+  val q148_blocklist_filter: QueryDef = q(
+    "q148_blocklist_filter",
+    """WITH injected AS (
+      |  SELECT doc_id, source, text ||
+      |    CASE doc_id % 7
+      |      WHEN 0 THEN ' casino jackpot offer'
+      |      WHEN 3 THEN ' cheap VIAGRA now'
+      |      WHEN 5 THEN ' casinos lotteryx scunthorpe'
+      |      ELSE '' END AS t
+      |  FROM documents),
+      |tk AS (SELECT source,
+      |    list_filter(string_split_regex(lower(t), '\W+'), x -> x <> '') AS toks
+      |  FROM injected),
+      |f AS (SELECT source,
+      |    CASE WHEN len(list_filter(toks,
+      |        x -> list_contains(['casino', 'viagra', 'lottery'], x))) > 0
+      |      THEN 1 ELSE 0 END AS hit
+      |  FROM tk)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(hit) AS BIGINT) AS n_flagged,
+      |  floor(CAST(sum(hit) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS flag_rate
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    // C4-style blocklist ("bad words") gate (Raffel 2020 §2.2 — the
+    // other half of the rule ladder next to q135's Gopher set): flag a
+    // document when any ANALYZER TOKEN is on the list, aggregate the
+    // flag rate per source — the per-source report a curation run reads
+    // before deciding what the list costs. Token-level matching is the
+    // semantic point (the fixture's 'casinos'/'lotteryx'/'scunthorpe'
+    // docs must NOT flag — substring matching would take all three);
+    // case-insensitivity rides the analyzer's lower(). Scale shape: the
+    // list is a plan literal inside a narrow scan-side arrays_overlap
+    // predicate (operators/QualityRules.blocklistHit) — no join, and
+    // the only exchange is the per-source partial agg (sources-sized).
+    val blocklist = Seq("casino", "viagra", "lottery")
+    val injected = t(s, dir, "documents").select(col("source"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7L)) === 0, lit(" casino jackpot offer"))
+          .when(pmod(col("doc_id"), lit(7L)) === 3, lit(" cheap VIAGRA now"))
+          .when(pmod(col("doc_id"), lit(7L)) === 5,
+            lit(" casinos lotteryx scunthorpe"))
+          .otherwise(lit(""))).as("t"))
+    injected
+      .select(col("source"),
+        graft.operators.QualityRules.blocklistHit(tokens(col("t")), blocklist)
+          .cast("int").as("hit"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("hit").as("n_flagged"))
+      .select(col("source"), col("n_docs").cast("bigint").as("n_docs"),
+        col("n_flagged").cast("bigint").as("n_flagged"),
+        Par.r2(col("n_flagged").cast("double") / col("n_docs"))
+          .as("flag_rate"))
+      .orderBy("source")
+  }
+
+  val q149_url_dedup: QueryDef = q(
+    "q149_url_dedup",
+    """WITH injected AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN 'https://www.' || source || '.example.com'
+      |      WHEN 1 THEN 'HTTP://' || upper(source) || '.EXAMPLE.com'
+      |      ELSE 'https://' || source || '.example.com' END ||
+      |    '/page/' || CAST(doc_id % 40 AS VARCHAR) ||
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN '/'
+      |      WHEN 1 THEN '?utm_source=feed'
+      |      WHEN 2 THEN '?utm_campaign=x&id=' || CAST(doc_id % 2 AS VARCHAR)
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      |  FROM documents),
+      |canon AS (SELECT doc_id,
+      |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+).*$', 1)), '^www\.', '', 'g') ||
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1),
+      |            '#.*$', '', 'g'),
+      |          '[?&](utm_[A-Za-z0-9_]*|fbclid)=[^&#]*', '', 'g'),
+      |        '^([^?]*)&', '\1?', 'g'),
+      |      '/+(\?|$)', '\1', 'g') AS url_canon
+      |  FROM injected)
+      |SELECT url_canon, min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM canon GROUP BY url_canon ORDER BY url_canon""".stripMargin
+  ) { (s, dir) =>
+    // Canonical-URL dedup (operators/Url — the rung a crawl pipeline
+    // runs BEFORE any text dedup; CCNet/C4 key their first pass on
+    // exactly this): scheme case, `www.`, utm_*/fbclid tracking
+    // parameters, trailing slash and fragments unify; content-selecting
+    // query parameters are KEPT. The fixture injects all five variant
+    // axes by doc_id residue over a (source, path) grid, so the same
+    // logical page arrives under many spellings and the gate checks the
+    // whole normalization, not one rewrite. Scale shape: canonicalize
+    // is narrow regexp chains riding the scan; dedup is a hash-groupBy
+    // whose shuffle carries short canonical strings (the q31
+    // digest-not-document discipline — at 100 TB you'd key on
+    // md5(canonical) the same way).
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(lit("https://www."), col("source"), lit(".example.com")))
+          .when(pmod(col("doc_id"), lit(3L)) === 1,
+            concat(lit("HTTP://"), upper(col("source")), lit(".EXAMPLE.com")))
+          .otherwise(
+            concat(lit("https://"), col("source"), lit(".example.com"))),
+        lit("/page/"), pmod(col("doc_id"), lit(40L)).cast("string"),
+        when(pmod(col("doc_id"), lit(4L)) === 0, lit("/"))
+          .when(pmod(col("doc_id"), lit(4L)) === 1, lit("?utm_source=feed"))
+          .when(pmod(col("doc_id"), lit(4L)) === 2,
+            concat(lit("?utm_campaign=x&id="),
+              pmod(col("doc_id"), lit(2L)).cast("string")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5L)) === 0, lit("#frag"))
+          .otherwise(lit(""))).as("url"))
+    injected
+      .select(col("doc_id"),
+        graft.operators.Url.canonicalize(col("url")).as("url_canon"))
+      .groupBy("url_canon")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("url_canon")
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -3837,5 +4110,6 @@ object TrainingData {
     q133_pii_redact, q134_text_fix, q135_gopher_rules, q136_ccnet_buckets,
     q137_pack_sequences, q138_paragraph_dedup, q139_hard_negatives,
     q140_data_card, q141_shard_plan, q142_card_redact, q143_line_dedup,
-    q144_soft_dedup, q145_bpe_merges)
+    q144_soft_dedup, q145_bpe_merges, q146_bpe_encode, q147_mrl_recall,
+    q148_blocklist_filter, q149_url_dedup)
 }

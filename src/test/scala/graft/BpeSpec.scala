@@ -45,6 +45,28 @@ class BpeSpec extends SparkSpec {
     assert(m2 == Seq((1L, "a", "b", 1L, 6L)))
   }
 
+  test("encode applies learned merges in training order; encodedLen " +
+      "counts the resulting symbols") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val merges = Seq(
+      Bpe.Merge(1L, "e", "s", 9L, 0L),
+      Bpe.Merge(2L, "es", "t", 9L, 0L),
+      Bpe.Merge(3L, "l", "o", 7L, 0L))
+    val got = Seq("newest", "low", "es", "xyz").toDF("w")
+      .select(col("w"), Bpe.encode(col("w"), merges).as("enc"),
+        Bpe.encodedLen(Bpe.encode(col("w"), merges)).as("n"))
+      .as[(String, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // e+s -> es, then es+t -> est: n,e,w,est.
+    assert(got("newest") == (("⟨n⟩⟨e⟩⟨w⟩⟨est⟩", 4L)))
+    // l+o -> lo (rule 3): lo,w.
+    assert(got("low") == (("⟨lo⟩⟨w⟩", 2L)))
+    // The word IS a learned symbol after rule 1.
+    assert(got("es") == (("⟨es⟩", 1L)))
+    // No rule applies: pure characters.
+    assert(got("xyz") == (("⟨x⟩⟨y⟩⟨z⟩", 3L)))
+  }
+
   test("merge selection is partition-independent (same merges from a " +
       "repartitioned corpus)") {
     import spark.implicits._

@@ -118,6 +118,38 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("q146: BPE encode is a narrow column chain riding the scan — the " +
+      "learned rules fold in as plan literals, no join, no aggregate") {
+    val p = plan("q146_bpe_encode")
+    // The rules come from the memoized driver-side model; an encode
+    // pass that joins a dictionary back would shuffle the vocabulary
+    // for nothing at 6 rules.
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"encode should be scan-side only:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q147: every truncation rung broadcasts its probe set — no " +
+      "sort-merge join, no cartesian on the corpus side") {
+    val p = plan("q147_mrl_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"ground truth must be probes-broadcast x corpus, never corpus²:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q148/q149: blocklist gate and URL dedup shuffle only their " +
+      "aggregation keys — the flag/canonicalize compute is scan-side") {
+    for (name <- Seq("q148_blocklist_filter", "q149_url_dedup")) {
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name:\n$p")
+      // Two-phase agg: a partial map-side combine before the key shuffle
+      // (the hot-key discipline — a mega-dup canonical URL reaches its
+      // reducer as one partial per map task).
+      assert(p.contains("partial"), s"$name lost its map-side combine:\n$p")
+    }
+  }
+
   test("q57: money sums aggregate LONGS two-phase — no decimal aggregate " +
       "buffer in the plan (the r12 long-cents policy)") {
     // The r11 decimal form cost ~1.6x over double summation; the

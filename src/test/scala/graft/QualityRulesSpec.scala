@@ -68,4 +68,23 @@ class QualityRulesSpec extends SparkSpec {
     // 2 lines: the first ends 'done', the second ends with U+2026.
     assert(r.getAs[Double]("ellipsis_frac") == 0.5, r.toString)
   }
+
+  test("blocklist gate is token-level and case-insensitive — substring " +
+      "containment never flags (the scunthorpe property)") {
+    import graft.functions.TextFunctions.tokens
+    val bl = Seq("casino", "viagra", "lottery")
+    val docs = Seq(
+      (1L, "visit our casino tonight"),       // exact token
+      (2L, "cheap VIAGRA by mail"),           // case-insensitive via analyzer
+      (3L, "casinos and lotteryx prizes"),    // superstring tokens: clean
+      (4L, "greetings from scunthorpe"),      // substring inside a word: clean
+      (5L, "win the Lottery, they said"),     // punctuation-adjacent token
+      (6L, "nothing listed here"))
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        QualityRules.blocklistHit(tokens(col("text")), bl).as("hit"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true, 6L -> false))
+  }
 }
