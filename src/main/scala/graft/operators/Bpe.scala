@@ -94,9 +94,19 @@ object Bpe {
         else {
           val (l, rr, c) = (top(0).getString(0), top(0).getString(1),
             top(0).getLong(2))
+          // Materialize each round's rewritten dictionary and TRUNCATE
+          // its lineage (localCheckpoint, eager — the symbol-total pass
+          // below would materialize it anyway, so this adds no job):
+          // without it, round r's plan replays rounds 1..r-1's replaces
+          // over the raw dict — quadratic work AND quadratic optimizer
+          // input in k. k is 6 here, but a real vocabulary run is
+          // k ≈ 30-50k rounds, where only the truncated form survives.
+          // Checkpoint blocks are vocabulary-sized and freed by the
+          // ContextCleaner as each round's frame goes unreferenced.
           seqs = seqs.withColumn("seq",
             call_function("replace", col("seq"),
               lit(s"⟨$l⟩⟨$rr⟩"), lit(s"⟨$l$rr⟩")))
+            .localCheckpoint()
           val symTotal = seqs
             .select(sum(col("f") * size(symbolsCol("seq"))).as("s"))
             .first().getLong(0)

@@ -44,4 +44,34 @@ object TextFix {
     * conditional rewrite touches only the dirty fraction).
     */
   def isClean(text: Column): Column = fix(text) === text
+
+  /** Markup tag: `<` + anything tag-shaped up to the next `>`. The
+    * first char is constrained ([A-Za-z/!?]) so a bare `<` in prose
+    * ("5 < 7") survives extraction.
+    */
+  val TagPattern = "<[A-Za-z/!?][^>]*>"
+
+  /** The 5 core character entities plus nbsp, decode order load-bearing:
+    * `&amp;` LAST, so double-escaped text single-unescapes
+    * (`&amp;lt;` → literal `&lt;`, never `<`).
+    */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Markup → text extraction (the WET-file step: what CCNet-class
+    * pipelines consume is tag-stripped crawl payload, and every
+    * downstream stage here — tokens, grams, dedup keys — assumes it
+    * already happened). Tags become a space (so `a</p><p>b` keeps its
+    * word boundary), entities decode once, whitespace re-squashes via
+    * [[fix]]'s class. Narrow scan-side chain like the rest of the
+    * module; the entity fold is literal `replace`, engine-portable.
+    */
+  def stripMarkup(text: Column): Column = {
+    val untagged = regexp_replace(text, TagPattern, " ")
+    val decoded = Entities.foldLeft(untagged) { case (acc, (e, c)) =>
+      call_function("replace", acc, lit(e), lit(c))
+    }
+    trim(regexp_replace(decoded, WhitespacePattern, " "))
+  }
 }

@@ -4087,6 +4087,125 @@ object TrainingData {
       .orderBy("url_canon")
   }
 
+  val q150_markup_strip: QueryDef = q(
+    "q150_markup_strip",
+    """WITH injected AS (
+      |  SELECT doc_id,
+      |    '<div class="art">' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '<p id="x">' ELSE '' END ||
+      |    text ||
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN ' &amp;lt; stays escaped &nbsp;and&quot;quoted&quot;'
+      |      WHEN 1 THEN ' a &lt; b &amp; c &#39;d&#39;'
+      |      WHEN 2 THEN ' 5 < 7 stays prose'
+      |      ELSE '' END ||
+      |    '</p></div>' ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '<br/><!-- note -->' ELSE '' END AS t
+      |  FROM documents),
+      |cleaned AS (SELECT doc_id, t,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(t, '<[A-Za-z/!?][^>]*>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      |      '[ \t\n\r\f]+', ' ', 'g')) AS cleaned
+      |  FROM injected)
+      |SELECT doc_id, cleaned,
+      |  floor(CAST(length(cleaned) AS DOUBLE) / length(t) * 100 + 0.5) / 100
+      |    AS kept_frac
+      |FROM cleaned ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Markup → text extraction (operators/TextFix.stripMarkup — the
+    // WET-file step upstream of every signal here: tags become word
+    // boundaries, the core entities decode ONCE with &amp; last so
+    // double-escaped text single-unescapes, whitespace re-squashes).
+    // The fixture (q135 injection discipline — the corpus has no
+    // markup) wraps every doc in nested tags and crosses three residue
+    // axes: entity runs incl. the &amp;lt; double-escape trap, a bare
+    // '<' in prose that the tag pattern's [A-Za-z/!?] first-char
+    // constraint must KEEP, and a trailing comment. Narrow regexp +
+    // literal-replace chain riding the scan; the only exchange is the
+    // output sort. kept_frac is the extraction-yield signal a crawl
+    // report shows per source.
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("<div class=\"art\">"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit("<p id=\"x\">"))
+          .otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          lit(" &amp;lt; stays escaped &nbsp;and&quot;quoted&quot;"))
+          .when(pmod(col("doc_id"), lit(4L)) === 1,
+            lit(" a &lt; b &amp; c &#39;d&#39;"))
+          .when(pmod(col("doc_id"), lit(4L)) === 2,
+            lit(" 5 < 7 stays prose"))
+          .otherwise(lit("")),
+        lit("</p></div>"),
+        when(pmod(col("doc_id"), lit(5L)) === 0, lit("<br/><!-- note -->"))
+          .otherwise(lit(""))).as("t"))
+    injected.select(col("doc_id"),
+        graft.operators.TextFix.stripMarkup(col("t")).as("cleaned"),
+        Par.r2(length(graft.operators.TextFix.stripMarkup(col("t")))
+          .cast("double") / length(col("t"))).as("kept_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q151_fertility_report: QueryDef = q(
+    "q151_fertility_report",
+    s"""WITH tok AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+       |             FROM documents),
+       |wf AS (SELECT w, count(*) AS f
+       |       FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+       |s0 AS (SELECT regexp_replace(w, '(.)', '⟨\\1⟩', 'g') AS seq, f FROM wf),
+       |${(1 to 6).map(bpeRoundSql).mkString(",\n")},
+       |mm AS (SELECT ${(1 to 6).map(i => s"m$i.l AS l$i, m$i.r AS rr$i").mkString(", ")}
+       |       FROM ${(1 to 6).map(i => s"m$i").mkString(", ")}),
+       |enc AS (SELECT source,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(toks, w ->
+       |      len(string_split(trim($bpeEncodeSql, '⟨⟩'), '⟩⟨')))) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS n_chars
+       |  FROM tok CROSS JOIN mm WHERE len(toks) >= 1)
+       |SELECT source, CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  floor(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words) * 100 + 0.5) / 100
+       |    AS tokens_per_word,
+       |  floor(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens) * 100 + 0.5) / 100
+       |    AS chars_per_token
+       |FROM enc GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    // Per-source tokenizer fertility (tokens-per-word — the standard
+    // tokenizer-fit report a corpus card carries next to q140's
+    // metrics: a source whose fertility is high is one the vocabulary
+    // underserves, the signal that drives tokenizer retraining or
+    // source reweighting). Rides q146's encode exactly (same shared
+    // memoized rules, same scan-side literal fold), then ONE
+    // sources-sized mergeable agg; every mean divides exact BIGINT
+    // sums, so nothing depends on double summation order.
+    val merges = bpeMerges(s, dir)
+    val enc = t(s, dir, "documents")
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("source"),
+        size(col("toks")).cast("bigint").as("n_words"),
+        aggregate(
+          transform(col("toks"),
+            w => graft.operators.Bpe.encodedLen(graft.operators.Bpe.encode(w, merges))),
+          lit(0L), (a, b) => a + b).as("n_tokens"),
+        aggregate(transform(col("toks"), w => length(w).cast("bigint")),
+          lit(0L), (a, b) => a + b).as("n_chars"))
+    enc.groupBy("source")
+      .agg(sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+        Par.r2(col("n_tokens").cast("double") / col("n_words"))
+          .as("tokens_per_word"),
+        Par.r2(col("n_chars").cast("double") / col("n_tokens"))
+          .as("chars_per_token"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -4111,5 +4230,6 @@ object TrainingData {
     q137_pack_sequences, q138_paragraph_dedup, q139_hard_negatives,
     q140_data_card, q141_shard_plan, q142_card_redact, q143_line_dedup,
     q144_soft_dedup, q145_bpe_merges, q146_bpe_encode, q147_mrl_recall,
-    q148_blocklist_filter, q149_url_dedup)
+    q148_blocklist_filter, q149_url_dedup, q150_markup_strip,
+    q151_fertility_report)
 }

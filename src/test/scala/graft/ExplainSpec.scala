@@ -137,6 +137,20 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q150: markup extraction is pure scan-side compute — the only " +
+      "exchange is the output sort") {
+    val p = plan("q150_markup_strip")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q151: fertility report is the scan-side encode + ONE " +
+      "sources-sized two-phase agg — no join anywhere") {
+    val p = plan("q151_fertility_report")
+    assert(!p.contains("Join"), s"the rules are plan literals, not a dim:\n$p")
+    assert(p.contains("partial"), s"lost the map-side combine:\n$p")
+  }
+
   test("q148/q149: blocklist gate and URL dedup shuffle only their " +
       "aggregation keys — the flag/canonicalize compute is scan-side") {
     for (name <- Seq("q148_blocklist_filter", "q149_url_dedup")) {

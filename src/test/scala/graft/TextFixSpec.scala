@@ -38,10 +38,31 @@ class TextFixSpec extends SparkSpec {
   }
 
   test("patterns stay lookaround-free and \\s-free (RE2/Java portability)") {
-    Seq(TextFix.ControlPattern, TextFix.WhitespacePattern).foreach { p =>
+    Seq(TextFix.ControlPattern, TextFix.WhitespacePattern,
+        TextFix.TagPattern).foreach { p =>
       assert(!p.contains("(?"), s"group syntax in portable pattern: $p")
       assert(!p.contains("\\s"), s"\\s membership differs Java vs RE2: $p")
       p.r
     }
+  }
+
+  test("stripMarkup: tags become word boundaries, entities decode once, " +
+      "bare '<' in prose survives") {
+    import spark.implicits._
+    def strip(t: String): String =
+      Seq(t).toDF("text").select(TextFix.stripMarkup(col("text")).as("s"))
+        .as[String].head()
+    // Tag removal keeps the word boundary the markup implied.
+    assert(strip("<div><p>a</p><p>b</p></div>") == "a b")
+    // Entities: one decode pass, &amp; LAST — double-escape stays escaped.
+    assert(strip("a &lt; b &amp; c &#39;d&#39; &quot;e&quot;") ==
+      "a < b & c 'd' \"e\"")
+    assert(strip("&amp;lt; is a literal entity") == "&lt; is a literal entity")
+    // A bare '<' that is not tag-shaped is prose, not markup.
+    assert(strip("5 < 7 and x <= y") == "5 < 7 and x <= y")
+    // Comments and self-closing tags strip; whitespace re-squashes.
+    assert(strip("a<br/>b <!-- hidden --> c") == "a b c")
+    // Attributes with '>' -free values vanish with their tag.
+    assert(strip("""<a href="u?x=1&amp;y=2">link</a>""") == "link")
   }
 }
