@@ -218,4 +218,156 @@ object Multimodal {
         expr(s"substring(payload, cast(frame_idx * $frameBytes * $everyK + 1 as int), $frameBytes)"))
       .drop("payload")
   }
+
+  /** One image spec for [[syntheticRgbImages]]: the media row id, the
+    * SOURCE id the pixel pattern derives from (two specs sharing a
+    * src_id are pixel-identical — the planted duplicate), the container
+    * ("png"/"bmp" — both lossless for 24-bit RGB, which is what makes
+    * pixel-level contracts oracle-replayable), and an optional
+    * single-pixel perturbation at (0,0) (the planted NEAR-duplicate).
+    */
+  final case class RgbSpec(mediaId: Long, srcId: Long, fmt: String,
+      perturbed: Boolean)
+
+  /** Closed-form pixel of source image `srcId` at (x, y): a per-source
+    * hash XORed over a spatial gradient, masked to 24-bit RGB — chosen
+    * so distinct sources differ in ALL channels (not just low bits) and
+    * an external oracle can recompute every pixel with integer ops.
+    */
+  private[graft] def rgbPixel(srcId: Long, x: Int, y: Int,
+      perturbed: Boolean): Int =
+    if (perturbed && x == 0 && y == 0) 0x808080
+    else (((x * 31 + y * 7).toLong ^ (srcId * 2654435761L)) & 0xffffffL).toInt
+
+  private[graft] def rgbDims(srcId: Long): (Int, Int) =
+    (8 + (srcId % 24).toInt, 12 + (srcId * 3 % 17).toInt)
+
+  /** Deterministic RGB-ONLY lossless fixtures for PIXEL-level contracts
+    * (the [[syntheticImages]] discipline extended from headers to
+    * rasters): PNG and 24-bit BMP round-trip every pixel exactly, so an
+    * engine that really decodes the bytes and an oracle that replays
+    * [[rgbPixel]] arithmetically must agree bit-for-bit. Grayscale is
+    * deliberately absent — the JDK's RGB→gray conversion inside a
+    * TYPE_BYTE_GRAY write is not arithmetic an external engine can
+    * replay.
+    */
+  def syntheticRgbImages(spark: SparkSession, specs: Seq[RgbSpec]): DataFrame = {
+    import spark.implicits._
+    specs.map(s => (s.mediaId, s.srcId, s.fmt, s.perturbed))
+      .toDF("media_id", "src_id", "fmt", "perturbed")
+      .as[(Long, Long, String, Boolean)]
+      .mapPartitions { it =>
+        it.map { case (mid, sid, fmt, pert) =>
+          val (w, h) = rgbDims(sid)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, rgbPixel(sid, x, y, pert))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, baos)
+          (mid, baos.toByteArray, "image")
+        }
+      }
+      .toDF("media_id", "payload", "media_type")
+  }
+
+  /** 64-bit average hash of a decoded raster (the classic aHash — the
+    * cheapest perceptual fingerprint, and the one whose arithmetic is
+    * exactly replayable): 8×8 area-binned integer grayscale
+    * ((299r+587g+114b)/1000, floor), per-cell mean (floor), global mean
+    * over the 64 cell values (floor), bit c set iff cell c ≥ the mean.
+    * All-integer floors, so ANY engine computes the identical 64 bits
+    * from the identical pixels.
+    */
+  private[graft] def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 8 && h >= 8, s"aHash needs >= 8x8 input, got ${w}x$h")
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val gray = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)) / 1000
+        val c = cy * 8 + x * 8 / w
+        sums(c) += gray
+        cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val v = Array.tabulate(64)(c => sums(c) / cnts(c))
+    val m = v.sum / 64
+    var hash = 0L
+    var c = 0
+    while (c < 64) {
+      if (v(c) >= m) hash |= (1L << c)
+      c += 1
+    }
+    hash
+  }
+
+  /** Perceptual hashes over a media frame: (media_id, ahash) for every
+    * decodable payload; undecodable rows are DROPPED (route them through
+    * [[decodeImages]]' quarantine flag first if they must be accounted).
+    * Full-raster decode (unlike [[decodeImages]]' header-only read) —
+    * the genuinely pixel-priced pass, still a narrow partition-local
+    * map: the corpus never shuffles a payload byte.
+    */
+  def aHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          if (payload == null || payload.isEmpty) None
+          else scala.util.Try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            if (img == null) None else Some((id, aHash64(img)))
+          }.toOption.flatten
+        }
+      }
+      .toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate image pairs by Hamming distance over [[aHash]],
+    * banded: the 64-bit hash splits into 8 one-byte bands; two hashes
+    * within distance ≤ 7 differ in at most 7 bit positions, which by
+    * pigeonhole leaves at least one band IDENTICAL — so the band-key
+    * equi-join is a LOSSLESS candidate filter (the bit-space analogue of
+    * q44's MinHash banding), and the exact `bit_count(xor)` verify runs
+    * only on collisions. Never all-pairs: cost scales with band-key
+    * collision counts, not corpus².
+    */
+  def hammingPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"8 one-byte bands are complete only for maxDist <= 7, got $maxDist")
+    val bands = hashes.select(col("media_id"), col("ahash"),
+        explode(array((0 until 8).map(i => struct(lit(i).as("band"),
+          shiftrightunsigned(col("ahash"), 8 * i).bitwiseAND(lit(255L))
+            .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        col("a.ahash").as("h1"), col("b.ahash").as("h2"))
+      .distinct()
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("bigint")
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -4206,6 +4206,69 @@ object TrainingData {
       .orderBy("source")
   }
 
+  val q152_image_neardup: QueryDef = q(
+    "q152_image_neardup",
+    """WITH specs AS (
+      |  SELECT CAST(id AS BIGINT) AS media_id, CAST(id AS BIGINT) AS src_id, FALSE AS perturbed
+      |    FROM (SELECT unnest(range(0, 30)) AS id)
+      |  UNION ALL
+      |  SELECT CAST(100 + id AS BIGINT), CAST(id AS BIGINT), FALSE
+      |    FROM (SELECT unnest(range(0, 30)) AS id) WHERE id % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(200 + id AS BIGINT), CAST(id AS BIGINT), TRUE
+      |    FROM (SELECT unnest(range(0, 30)) AS id) WHERE id % 4 = 1),
+      |dims AS (SELECT *, CAST(8 + src_id % 24 AS BIGINT) AS w,
+      |         CAST(12 + (src_id * 3) % 17 AS BIGINT) AS h FROM specs),
+      |px AS (SELECT media_id, src_id, perturbed, w, h, p % w AS x, p // w AS y
+      |       FROM dims, unnest(range(0, w * h)) AS u(p)),
+      |gr AS (SELECT media_id, (y * 8 // h) * 8 + (x * 8 // w) AS c,
+      |    (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255) + 114 * (v & 255)) // 1000 AS gray
+      |  FROM (SELECT *, CASE WHEN perturbed AND x = 0 AND y = 0 THEN 8421504
+      |                       ELSE xor(CAST(x * 31 + y * 7 AS BIGINT), src_id * 2654435761) & 16777215
+      |                  END AS v
+      |        FROM px)),
+      |cells AS (SELECT media_id, c, sum(gray) // count(*) AS vc FROM gr GROUP BY 1, 2),
+      |mn AS (SELECT media_id, sum(vc) // 64 AS m FROM cells GROUP BY 1),
+      |bits AS (SELECT media_id, c, CASE WHEN vc >= m THEN 1 ELSE 0 END AS b
+      |         FROM cells JOIN mn USING (media_id)),
+      |ham AS (SELECT a.media_id AS id1, b2.media_id AS id2,
+      |        sum(CASE WHEN a.b <> b2.b THEN 1 ELSE 0 END) AS hamming
+      |        FROM bits a JOIN bits b2 ON a.c = b2.c AND a.media_id < b2.media_id
+      |        GROUP BY 1, 2)
+      |SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
+      |FROM ham WHERE hamming <= 7 ORDER BY id1, id2""".stripMargin
+  ) { (s, dir) =>
+    // Multimodal NEAR-dedup — the dedup ladder applied to the image
+    // column (CCNet-class multimodal curation runs exactly this pass;
+    // aHash/pHash over decoded rasters, then Hamming-banded pairing):
+    // the ENGINE really decodes the bytes (javax.imageio full-raster
+    // read), hashes with all-integer aHash arithmetic, and pairs via
+    // the 8×8-bit band join (pigeonhole-lossless for distance ≤ 7,
+    // q44's banding discipline in bit space — never all-pairs). The
+    // ORACLE never decodes anything: the RGB-only lossless fixture
+    // (Multimodal.syntheticRgbImages — PNG and 24-bit BMP round-trip
+    // pixels exactly) makes every pixel a closed form the oracle
+    // replays arithmetically, so BOTH sides derive the pair set from
+    // first principles. Planted structure: 10 pixel-identical copies in
+    // the OPPOSITE container (cross-format dup — Hamming 0 only if the
+    // engine actually decodes), 8 single-pixel perturbations (near-dup
+    // band), 30 bases whose per-source hash pattern keeps unrelated
+    // images far apart. Dims are residue-bounded (≤ 31×28) so the
+    // fixture is tier-independent like q101's.
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.RgbSpec
+    val specs =
+      (0 until 30).map(j => RgbSpec(j.toLong, j.toLong,
+        if (j % 2 == 0) "png" else "bmp", perturbed = false)) ++
+      (0 until 30).filter(_ % 3 == 0).map(j => RgbSpec(100L + j, j.toLong,
+        if (j % 2 == 0) "bmp" else "png", perturbed = false)) ++
+      (0 until 30).filter(_ % 4 == 1).map(j => RgbSpec(200L + j, j.toLong,
+        "png", perturbed = true))
+    val hashes = Multimodal.aHash(s, Multimodal.syntheticRgbImages(s, specs))
+    Multimodal.hammingPairs(hashes, maxDist = 7)
+      .orderBy("id1", "id2")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -4231,5 +4294,5 @@ object TrainingData {
     q140_data_card, q141_shard_plan, q142_card_redact, q143_line_dedup,
     q144_soft_dedup, q145_bpe_merges, q146_bpe_encode, q147_mrl_recall,
     q148_blocklist_filter, q149_url_dedup, q150_markup_strip,
-    q151_fertility_report)
+    q151_fertility_report, q152_image_neardup)
 }

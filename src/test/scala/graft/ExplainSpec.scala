@@ -151,6 +151,13 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("partial"), s"lost the map-side combine:\n$p")
   }
 
+  test("q152: image pairing is the band-key EQUI-join — candidates from " +
+      "key collisions, never an all-pairs product") {
+    val p = plan("q152_image_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the Hamming verify must run on band collisions only:\n$p")
+  }
+
   test("q148/q149: blocklist gate and URL dedup shuffle only their " +
       "aggregation keys — the flag/canonicalize compute is scan-side") {
     for (name <- Seq("q148_blocklist_filter", "q149_url_dedup")) {

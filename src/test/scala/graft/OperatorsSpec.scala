@@ -74,6 +74,49 @@ class OperatorsSpec extends SparkSpec {
     assert(t.toSeq == Seq(6L))
   }
 
+  test("aHash: cross-format pixel-identical images hash EQUAL; the " +
+      "banded pair join is lossless vs brute force at distance <= 7") {
+    import spark.implicits._
+    import graft.operators.Multimodal.RgbSpec
+    val specs = (0 until 12).map(j => RgbSpec(j.toLong, j.toLong,
+        if (j % 2 == 0) "png" else "bmp", perturbed = false)) ++
+      Seq(RgbSpec(100L, 0L, "bmp", perturbed = false),   // copy, other container
+        RgbSpec(101L, 1L, "png", perturbed = false),
+        RgbSpec(200L, 2L, "png", perturbed = true))      // one pixel changed
+    val hashes = Multimodal.aHash(spark,
+      Multimodal.syntheticRgbImages(spark, specs))
+    val h = hashes.as[(Long, Long)].collect().toMap
+    assert(h.size == specs.size, "every lossless payload decodes")
+    // Decode-level contract: the hash sees pixels, not containers.
+    assert(h(100L) == h(0L) && h(101L) == h(1L))
+    // A single-pixel perturbation moves the hash at most a few bits.
+    assert(java.lang.Long.bitCount(h(200L) ^ h(2L)) <= 2)
+    // Banding completeness: every brute-force pair within distance 7
+    // (and nothing else) survives the band-key candidate join.
+    val brute = (for {
+      (i1, v1) <- h.toSeq; (i2, v2) <- h.toSeq if i1 < i2
+      d = java.lang.Long.bitCount(v1 ^ v2) if d <= 7
+    } yield (i1, i2, d.toLong)).sortBy(t => (t._1, t._2))
+    val banded = Multimodal.hammingPairs(hashes, maxDist = 7)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(banded == brute)
+  }
+
+  test("aHash drops undecodable payloads; hammingPairs refuses a " +
+      "distance the 8-band pigeonhole cannot guarantee") {
+    import spark.implicits._
+    val bad = Seq(
+      (1L, "not an image".getBytes("UTF-8"), "image"),
+      (2L, null: Array[Byte], "image"))
+      .toDF("media_id", "payload", "media_type")
+    assert(Multimodal.aHash(spark, bad).count() == 0)
+    val some = Multimodal.aHash(spark, Multimodal.syntheticRgbImages(spark,
+      Seq(graft.operators.Multimodal.RgbSpec(1L, 1L, "png", perturbed = false))))
+    intercept[IllegalArgumentException] {
+      Multimodal.hammingPairs(some, maxDist = 8)
+    }
+  }
+
   test("frameSample: a trailing complete frame mid-stride is NOT dropped") {
     import spark.implicits._
     // 30 bytes, frame=10, every 2nd: complete frames at 0,10,20; sampled
