@@ -319,11 +319,14 @@ object Multimodal {
   }
 
   /** Perceptual hashes over a media frame: (media_id, ahash) for every
-    * decodable payload; undecodable rows are DROPPED (route them through
-    * [[decodeImages]]' quarantine flag first if they must be accounted).
-    * Full-raster decode (unlike [[decodeImages]]' header-only read) —
-    * the genuinely pixel-priced pass, still a narrow partition-local
-    * map: the corpus never shuffles a payload byte.
+    * decodable payload; undecodable rows AND sub-8×8 rasters are
+    * DROPPED like any quarantine case (a tracking pixel has no
+    * perceptual content, and a thrown executor task over one bad row
+    * would be the failure mode — route rows through [[decodeImages]]'
+    * flag first if they must be accounted). Full-raster decode (unlike
+    * [[decodeImages]]' header-only read) — the genuinely pixel-priced
+    * pass, still a narrow partition-local map: the corpus never
+    * shuffles a payload byte.
     */
   def aHash(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
@@ -334,7 +337,8 @@ object Multimodal {
           else scala.util.Try {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload))
-            if (img == null) None else Some((id, aHash64(img)))
+            if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+            else Some((id, aHash64(img)))
           }.toOption.flatten
         }
       }

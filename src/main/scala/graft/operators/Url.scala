@@ -26,7 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Url {
 
-  /** Extract (host, rest) and normalize per the contract above. */
+  /** Extract (host, rest) and normalize per the contract above.
+    * A string that is not an absolute URL (no `scheme://host`) passes
+    * through UNCHANGED: extracting from it yields empty groups, and an
+    * empty canonical would silently unify every malformed row into one
+    * giant "duplicate" cluster — the failure mode a dedup key must
+    * never have.
+    */
   def canonicalize(url: Column): Column = {
     val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+).*$", 1))
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
@@ -37,6 +43,7 @@ object Url {
       "[?&](utm_[A-Za-z0-9_]*|fbclid)=[^&#]*", "")
     val fixedQuery = regexp_replace(noTracking, "^([^?]*)&", "$1?")
     val noSlash = regexp_replace(fixedQuery, "/+(\\?|$)", "$1")
-    concat(regexp_replace(host, "^www\\.", ""), noSlash)
+    when(host === "", url)
+      .otherwise(concat(regexp_replace(host, "^www\\.", ""), noSlash))
   }
 }

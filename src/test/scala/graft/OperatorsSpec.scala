@@ -34,18 +34,19 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.select(max(octet_length(col("frame")))).head().getInt(0) <= 4)
   }
 
+  // Real in-memory images via the same JDK plugins the decoder reads
+  // with — true pixel dims, any installed format.
+  private def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8040) // non-uniform pixel: not a degenerate file
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
   test("decodeImages extracts TRUE dimensions from real image bytes") {
     import spark.implicits._
-    // Generate real images in-memory with the same JDK plugins the
-    // decoder uses for reading — true pixel dims, three formats.
-    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      img.setRGB(0, 0, 0xff8040) // non-uniform pixel: not a degenerate file
-      val out = new java.io.ByteArrayOutputStream()
-      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
-      out.toByteArray
-    }
     val rows = Seq(
       (1L, imageBytes(37, 21, "png"), "image/png"),
       (2L, imageBytes(64, 48, "jpg"), "image/jpeg"),
@@ -107,7 +108,10 @@ class OperatorsSpec extends SparkSpec {
     import spark.implicits._
     val bad = Seq(
       (1L, "not an image".getBytes("UTF-8"), "image"),
-      (2L, null: Array[Byte], "image"))
+      (2L, null: Array[Byte], "image"),
+      // A real but sub-8x8 image (tracking pixel) quarantines too —
+      // never an executor throw over one bad row.
+      (3L, imageBytes(4, 4, "png"), "image"))
       .toDF("media_id", "payload", "media_type")
     assert(Multimodal.aHash(spark, bad).count() == 0)
     val some = Multimodal.aHash(spark, Multimodal.syntheticRgbImages(spark,

@@ -51,4 +51,10 @@ class UrlSpec extends SparkSpec {
       "https://www2.example.com/x") ==
       Seq("blog.example.com/x", "www2.example.com/x"))
   }
+
+  test("a non-absolute URL passes through unchanged — malformed rows " +
+      "must never unify into one empty-key dup cluster") {
+    assert(canon("example.com/x", "not a url at all", "") ==
+      Seq("example.com/x", "not a url at all", ""))
+  }
 }
