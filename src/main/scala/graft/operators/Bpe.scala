@@ -133,7 +133,23 @@ object Bpe {
         lit(s"⟨${m.lhs}⟩⟨${m.rhs}⟩"), lit(s"⟨${m.lhs}${m.rhs}⟩"))
     }
 
-  /** Token (symbol) count of an [[encode]]d word. */
+  /** Token (symbol) count of an [[encode]]d word: every symbol carries
+    * exactly one `⟨`, so the count is plain character arithmetic.
+    * IMPORTANT: `encoded` is referenced twice and higher-order lambdas
+    * get no common-subexpression elimination — pass a BOUND lambda
+    * variable (as [[encodedLenSum]] does via `aggregate`), never the
+    * encode chain itself, or the whole 7-op chain evaluates twice per
+    * word (measured 1.45× on the q146 corpus scan).
+    */
   def encodedLen(encoded: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    size(split(trim(encoded, "⟨⟩"), "⟩⟨")).cast("bigint")
+    (length(encoded) -
+      length(call_function("replace", encoded, lit("⟨"), lit("")))).cast("bigint")
+
+  /** Per-document token total after the merges: encode each word ONCE
+    * into the fold's bound variable, count by character arithmetic.
+    */
+  def encodedLenSum(toks: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): org.apache.spark.sql.Column =
+    aggregate(transform(toks, w => encode(w, merges)), lit(0L),
+      (acc, e) => acc + encodedLen(e))
 }

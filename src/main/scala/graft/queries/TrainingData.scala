@@ -3870,10 +3870,8 @@ object TrainingData {
     val enc = tokenized(s, dir).filter(size(col("toks")) >= 1)
       .select(col("doc_id"),
         size(col("toks")).cast("bigint").as("n_words"),
-        aggregate(
-          transform(col("toks"),
-            w => graft.operators.Bpe.encodedLen(graft.operators.Bpe.encode(w, merges))),
-          lit(0L), (a, b) => a + b).as("n_tokens"),
+        graft.operators.Bpe.encodedLenSum(col("toks"), merges)
+          .as("n_tokens"),
         aggregate(transform(col("toks"), w => length(w).cast("bigint")),
           lit(0L), (a, b) => a + b).as("n_chars"))
     enc.select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
@@ -4189,10 +4187,8 @@ object TrainingData {
       .filter(size(col("toks")) >= 1)
       .select(col("source"),
         size(col("toks")).cast("bigint").as("n_words"),
-        aggregate(
-          transform(col("toks"),
-            w => graft.operators.Bpe.encodedLen(graft.operators.Bpe.encode(w, merges))),
-          lit(0L), (a, b) => a + b).as("n_tokens"),
+        graft.operators.Bpe.encodedLenSum(col("toks"), merges)
+          .as("n_tokens"),
         aggregate(transform(col("toks"), w => length(w).cast("bigint")),
           lit(0L), (a, b) => a + b).as("n_chars"))
     enc.groupBy("source")

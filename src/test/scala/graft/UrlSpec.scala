@@ -57,4 +57,15 @@ class UrlSpec extends SparkSpec {
     assert(canon("example.com/x", "not a url at all", "") ==
       Seq("example.com/x", "not a url at all", ""))
   }
+
+  test("canonicalize is idempotent (property): a canonical form has no " +
+      "scheme, so a second pass takes the pass-through branch") {
+    val urls = for {
+      scheme <- Seq("https://", "HTTP://"); www <- Seq("www.", "")
+      q <- Seq("", "?utm_source=x", "?utm_a=1&id=2", "?id=2&fbclid=z", "/")
+      f <- Seq("", "#frag")
+    } yield s"$scheme${www}Host$q$f"
+    val once = canon(urls: _*)
+    assert(canon(once: _*) == once)
+  }
 }
