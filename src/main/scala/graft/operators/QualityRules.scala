@@ -75,6 +75,88 @@ object QualityRules {
         col("stop_hits") >= 2L).cast("int").as("passes"))
   }
 
+  /** Gopher's A1.2 repetition thresholds, by n: top-gram character
+    * fraction bounds for n = 2..4, duplicate-gram character fraction
+    * bounds for n = 5..10 (Rae 2021, Table A1).
+    */
+  val RepetitionThresholds: Map[Int, Double] = Map(
+    2 -> 0.20, 3 -> 0.18, 4 -> 0.16,
+    5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The OTHER half of the Gopher filter set ([[gopher]] is A1.1):
+    * the A1.2 repetition battery. Per document and gram size n:
+    *
+    *  - n = 2..4: characters of the MOST FREQUENT n-gram × its count,
+    *    over total token characters (ties: lexicographically smallest
+    *    gram — deterministic and engine-portable);
+    *  - n = 5..10: characters of every n-gram occurrence whose gram
+    *    appears ≥ 2 times, over total token characters (the standard
+    *    occurrence-sum form of Gopher's duplicate-gram fraction —
+    *    overlapping occurrences all count, like [[Bpe]]'s pair counts).
+    *
+    * Character accounting is over TOKEN characters (gram chars =
+    * length(gram) − (n−1) separators; total = summed token lengths), so
+    * every numerator and denominator is an exact integer and only the
+    * final ratio rounds ([[graft.queries.Par.r2]]) — the gate bit can't
+    * flip between engines. Docs with zero analyzer tokens are excluded
+    * (no denominator), and a doc shorter than n tokens scores 0 for
+    * that n.
+    *
+    * Scale shape: ONE explode over n = 2..10 (9× the token stream —
+    * linear, the q71 trigram shape generalized), one mergeable
+    * (doc, n, gram)-keyed count, one (doc, n) agg where the top gram is
+    * a `min(struct(-count, gram))` partial aggregate — never a window
+    * inside a document — and a literal-n pivot back to one row per doc.
+    * Two gram-keyed exchanges total at any corpus size.
+    */
+  def ngramRepetition(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import graft.queries.Par
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").as("tot"))
+    val ns = (2 to 10)
+    // IF-guarded: sequence(1, 0) steps BACKWARD in Spark ([1, 0]), so an
+    // unguarded short doc would emit phantom grams, not zero.
+    val grams = base.select(col("doc_id"), col("tot"),
+        explode(array(ns.map(n => struct(lit(n).as("n"),
+          expr(s"""IF(size(toks) >= $n,
+                  |   transform(sequence(1, size(toks) - ${n - 1}),
+                  |     g -> concat_ws(' ', slice(toks, g, $n))),
+                  |   array())""".stripMargin)
+            .as("gs"))): _*)).as("ng"))
+      .select(col("doc_id"), col("tot"), col("ng.n").as("n"),
+        explode(col("ng.gs")).as("gram"))
+    val counts = grams.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"), min("tot").as("tot"))
+      .withColumn("chars", (length(col("gram")) - (col("n") - 1)).cast("long"))
+    val perN = counts.groupBy("doc_id", "n")
+      .agg(min("tot").as("tot"),
+        min(struct((-col("cnt")).as("negc"), col("gram").as("g"),
+          col("chars").as("ch"))).as("top"),
+        sum(when(col("cnt") >= 2, col("cnt") * col("chars"))
+          .otherwise(lit(0L))).as("dupchars"))
+      .select(col("doc_id"), col("n"), col("tot"),
+        when(col("n") <= 4, (-col("top.negc")) * col("top.ch"))
+          .otherwise(col("dupchars")).as("num"))
+      .select(col("doc_id"), col("n"),
+        Par.r2(col("num").cast("double") / col("tot")).as("frac"))
+    val wide = base.select("doc_id")
+      .join(perN.groupBy("doc_id").pivot("n", ns)
+        .agg(first("frac")), Seq("doc_id"), "left")
+      .na.fill(0.0, ns.map(_.toString))
+    val metricCols = ns.map(n => col(n.toString).as(metricName(n)))
+    val passes = ns.map(n => col(n.toString) <= RepetitionThresholds(n))
+      .reduce(_ && _)
+    wide.select(col("doc_id") +: metricCols :+
+      passes.cast("int").as("passes"): _*)
+  }
+
+  private def metricName(n: Int): String =
+    if (n <= 4) s"top_${n}gram_char_frac" else s"dup_${n}gram_char_frac"
+
   /** True when any analyzer token of the document is in the blocklist —
     * the C4-style "bad words" gate (Raffel et al. 2020 §2.2 run their
     * list over C4; every production crawl recipe carries one). Matching

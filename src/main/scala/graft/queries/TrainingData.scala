@@ -4265,6 +4265,75 @@ object TrainingData {
       .orderBy("id1", "id2")
   }
 
+  val q153_gopher_repetition: QueryDef = q(
+    "q153_gopher_repetition",
+    s"""WITH injected AS (
+       |  SELECT doc_id, text ||
+       |    CASE doc_id % 6
+       |      WHEN 0 THEN ' alpha beta alpha beta alpha beta alpha beta'
+       |      WHEN 1 THEN ' one two three four five one two three four five'
+       |      WHEN 2 THEN ' w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10'
+       |      ELSE '' END AS t
+       |  FROM documents),
+       |tk AS (SELECT doc_id, list_filter(string_split_regex(lower(t), '\\W+'), x -> x <> '') AS toks
+       |       FROM injected),
+       |base AS (SELECT doc_id, toks, list_sum(list_transform(toks, x -> length(x))) AS tot
+       |         FROM tk WHERE len(toks) > 0),
+       |g AS (SELECT doc_id, tot, n, array_to_string(toks[i:i+n-1], ' ') AS gram
+       |      FROM base, unnest(range(2, 11)) AS nn(n),
+       |           unnest(range(1, len(toks) - n + 2)) AS u(i)),
+       |c AS (SELECT doc_id, n, gram, tot, count(*) AS cnt,
+       |      length(gram) - (n - 1) AS chars
+       |      FROM g GROUP BY doc_id, n, gram, tot),
+       |top AS (SELECT doc_id, n, tot, cnt * chars AS num,
+       |        row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rnk
+       |        FROM c WHERE n <= 4),
+       |dup AS (SELECT doc_id, n, tot,
+       |        sum(CASE WHEN cnt >= 2 THEN cnt * chars ELSE 0 END) AS num
+       |        FROM c WHERE n >= 5 GROUP BY doc_id, n, tot),
+       |pern AS (SELECT doc_id, n, floor(CAST(num AS DOUBLE) / tot * 100 + 0.5) / 100 AS frac
+       |         FROM top WHERE rnk = 1
+       |         UNION ALL
+       |         SELECT doc_id, n, floor(CAST(num AS DOUBLE) / tot * 100 + 0.5) / 100
+       |         FROM dup),
+       |wide AS (SELECT b.doc_id,
+       |${(2 to 10).map(n =>
+         s"    coalesce(max(CASE WHEN n = $n THEN frac END), 0.0) AS " +
+           (if (n <= 4) s"top_${n}gram_char_frac" else s"dup_${n}gram_char_frac"))
+         .mkString(",\n")}
+       |  FROM base b LEFT JOIN pern p ON p.doc_id = b.doc_id GROUP BY b.doc_id)
+       |SELECT *,
+       |  CAST(CASE WHEN top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+       |    AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+       |    AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+       |    AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+       |    AND dup_10gram_char_frac <= 0.10 THEN 1 ELSE 0 END AS INT) AS passes
+       |FROM wide ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Gopher's A1.2 repetition battery (operators/QualityRules
+    // .ngramRepetition — q135 is the A1.1 half): top 2–4-gram and
+    // duplicate 5–10-gram character fractions with the paper's
+    // thresholds, the standard within-document repetition gate every
+    // crawl recipe runs beside the rule filters. The fixture injects a
+    // 4× repeated bigram, a 2× five-gram and a 2× ten-gram by residue
+    // (the word-salad corpus barely repeats — the q135 injection
+    // discipline), so every n-band's numerator is exercised; the
+    // oracle replays the occurrence-sum contract with a per-(doc, n)
+    // window (single-node DuckDB — the ENGINE's top gram is a
+    // min-struct partial aggregate, never a window, ExplainSpec-pinned).
+    val injected = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(6L)) === 0,
+          lit(" alpha beta alpha beta alpha beta alpha beta"))
+          .when(pmod(col("doc_id"), lit(6L)) === 1,
+            lit(" one two three four five one two three four five"))
+          .when(pmod(col("doc_id"), lit(6L)) === 2,
+            lit(" w1 w2 w3 w4 w5 w6 w7 w8 w9 w10" +
+              " w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+          .otherwise(lit(""))).as("text"))
+    graft.operators.QualityRules.ngramRepetition(injected).orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -4290,5 +4359,5 @@ object TrainingData {
     q140_data_card, q141_shard_plan, q142_card_redact, q143_line_dedup,
     q144_soft_dedup, q145_bpe_merges, q146_bpe_encode, q147_mrl_recall,
     q148_blocklist_filter, q149_url_dedup, q150_markup_strip,
-    q151_fertility_report, q152_image_neardup)
+    q151_fertility_report, q152_image_neardup, q153_gopher_repetition)
 }

@@ -151,6 +151,15 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("partial"), s"lost the map-side combine:\n$p")
   }
 
+  test("q153: the top gram is a min-struct partial aggregate — no window " +
+      "inside a (doc, n) group, no cartesian") {
+    val p = plan("q153_gopher_repetition")
+    assert("Window \\(\\d".r.findAllIn(p).isEmpty,
+      s"a per-doc window would serialize a repetitive mega-doc's grams:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial"), s"lost the map-side combine:\n$p")
+  }
+
   test("q152: image pairing is the band-key EQUI-join — candidates from " +
       "key collisions, never an all-pairs product") {
     val p = plan("q152_image_neardup")

@@ -69,6 +69,44 @@ class QualityRulesSpec extends SparkSpec {
     assert(r.getAs[Double]("ellipsis_frac") == 0.5, r.toString)
   }
 
+  test("ngramRepetition: each band fails in isolation with hand-computed " +
+      "fractions; gramless docs score zero everywhere") {
+    // B: 50 distinct 4-char words — no repetition, everything passes.
+    val b = (0 until 50).map(i => f"w$i%03d")
+    // C: B + a 5-gram repeated twice. tot = 240 token chars; the
+    // repeated gram has 20 chars x 2 occurrences = 40 -> dup5 =
+    // r2(40/240) = 0.17 > 0.15 (fails); its inner 2/3/4-grams repeat
+    // too but stay under their looser top-gram bounds (0.07/0.1/0.13),
+    // and no 6-gram repeats — ONLY the 5-band trips.
+    val block = Seq("pppp", "qqqq", "rrrr", "ssss", "tttt")
+    val c = b ++ block ++ block
+    val docs = Seq(
+      1L -> "aa bb aa bb aa bb", // top2 = r2(12/12) = 1.0: fails 2..4
+      2L -> b.mkString(" "),
+      3L -> c.mkString(" "),
+      4L -> "xy",                // 1 token: no grams at any n -> all 0
+      5L -> "")                  // excluded: no analyzer tokens
+    val out = QualityRules.ngramRepetition(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(5L) && out.size == 4)
+    assert(out(1L).getAs[Double]("top_2gram_char_frac") == 1.0)
+    assert(out(1L).getAs[Int]("passes") == 0)
+    assert(out(1L).getAs[Double]("dup_5gram_char_frac") == 0.0)
+    assert(out(2L).getAs[Int]("passes") == 1)
+    val cRow = out(3L)
+    assert(cRow.getAs[Double]("top_2gram_char_frac") == 0.07, cRow.toString)
+    assert(cRow.getAs[Double]("top_3gram_char_frac") == 0.1, cRow.toString)
+    assert(cRow.getAs[Double]("top_4gram_char_frac") == 0.13, cRow.toString)
+    assert(cRow.getAs[Double]("dup_5gram_char_frac") == 0.17, cRow.toString)
+    assert(cRow.getAs[Double]("dup_6gram_char_frac") == 0.0, cRow.toString)
+    assert(cRow.getAs[Int]("passes") == 0, cRow.toString)
+    assert(out(4L).getAs[Int]("passes") == 1)
+    assert((2 to 10).forall { n =>
+      val nm = if (n <= 4) s"top_${n}gram_char_frac" else s"dup_${n}gram_char_frac"
+      out(4L).getAs[Double](nm) == 0.0
+    })
+  }
+
   test("blocklist gate is token-level and case-insensitive — substring " +
       "containment never flags (the scunthorpe property)") {
     import graft.functions.TextFunctions.tokens
