@@ -102,15 +102,20 @@ object QualityRules {
     * (no denominator), and a doc shorter than n tokens scores 0 for
     * that n.
     *
-    * Scale shape: ONE explode over n = 2..10 (9× the token stream —
-    * linear, the q71 trigram shape generalized), one mergeable
-    * (doc, n, gram)-keyed count, one (doc, n) agg where the top gram is
-    * a `min(struct(-count, gram))` partial aggregate — never a window
-    * inside a document — and a literal-n pivot back to one row per doc.
-    * Two gram-keyed exchanges total at any corpus size.
+    * Scale shape: guarded explodes over n = 2..10 (9× the token stream
+    * — linear, the q71 trigram shape generalized) feeding two keyed
+    * branches: the top bands (n ≤ 4) count grams by STRING (the lex
+    * tie-break needs it; 2–4-grams are short) with the winner a
+    * `min(struct(-count, gram))` partial aggregate — never a window
+    * inside a document; the duplicate bands (n ≥ 5, ~6/9 of gram
+    * volume and nearly all the bytes) hash each gram to a 60-bit
+    * digest BEFORE the exchange (the q31/q87 shuffle-digests-not-
+    * documents discipline — counting hash groups is q87's contract,
+    * replayed by the oracle with the same portable h64). A literal-n
+    * pivot folds the bands back to one row per doc.
     */
   def ngramRepetition(docs: DataFrame): DataFrame = {
-    import graft.functions.TextFunctions.tokens
+    import graft.functions.TextFunctions.{h64, tokens}
     import graft.queries.Par
     val base = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -120,8 +125,8 @@ object QualityRules {
     val ns = (2 to 10)
     // IF-guarded: sequence(1, 0) steps BACKWARD in Spark ([1, 0]), so an
     // unguarded short doc would emit phantom grams, not zero.
-    val grams = base.select(col("doc_id"), col("tot"),
-        explode(array(ns.map(n => struct(lit(n).as("n"),
+    def grams(sizes: Seq[Int]) = base.select(col("doc_id"), col("tot"),
+        explode(array(sizes.map(n => struct(lit(n).as("n"),
           expr(s"""IF(size(toks) >= $n,
                   |   transform(sequence(1, size(toks) - ${n - 1}),
                   |     g -> concat_ws(' ', slice(toks, g, $n))),
@@ -129,18 +134,36 @@ object QualityRules {
             .as("gs"))): _*)).as("ng"))
       .select(col("doc_id"), col("tot"), col("ng.n").as("n"),
         explode(col("ng.gs")).as("gram"))
-    val counts = grams.groupBy("doc_id", "n", "gram")
+    // Top bands (n = 2..4) keep the gram STRING through the exchange —
+    // the lexicographic tie-break needs it, and 2-4-grams are short.
+    val topPerN = grams(2 to 4)
+      .groupBy("doc_id", "n", "gram")
       .agg(count(lit(1)).as("cnt"), min("tot").as("tot"))
       .withColumn("chars", (length(col("gram")) - (col("n") - 1)).cast("long"))
-    val perN = counts.groupBy("doc_id", "n")
+      .groupBy("doc_id", "n")
       .agg(min("tot").as("tot"),
         min(struct((-col("cnt")).as("negc"), col("gram").as("g"),
-          col("chars").as("ch"))).as("top"),
-        sum(when(col("cnt") >= 2, col("cnt") * col("chars"))
-          .otherwise(lit(0L))).as("dupchars"))
+          col("chars").as("ch"))).as("top"))
       .select(col("doc_id"), col("n"), col("tot"),
-        when(col("n") <= 4, (-col("top.negc")) * col("top.ch"))
-          .otherwise(col("dupchars")).as("num"))
+        ((-col("top.negc")) * col("top.ch")).as("num"))
+    // Duplicate bands (n = 5..10) need no tie-break, so the exchange
+    // carries a 60-bit DIGEST + the char count instead of up-to-10-word
+    // strings (the q31/q87 shuffle-digests-not-documents discipline —
+    // at corpus scale the n >= 5 grams are ~6/9 of the gram volume and
+    // nearly all of the bytes). Counting hash groups is the q87
+    // contract; the oracle replays the same h64.
+    val dupPerN = grams(5 to 10)
+      .select(col("doc_id"), col("tot"), col("n"), h64(col("gram")).as("gh"),
+        (length(col("gram")) - (col("n") - 1)).cast("long").as("chars"))
+      .groupBy("doc_id", "n", "gh")
+      .agg(count(lit(1)).as("cnt"), min("chars").as("chars"),
+        min("tot").as("tot"))
+      .groupBy("doc_id", "n")
+      .agg(min("tot").as("tot"),
+        sum(when(col("cnt") >= 2, col("cnt") * col("chars"))
+          .otherwise(lit(0L))).as("num"))
+      .select(col("doc_id"), col("n"), col("tot"), col("num"))
+    val perN = topPerN.union(dupPerN)
       .select(col("doc_id"), col("n"),
         Par.r2(col("num").cast("double") / col("tot")).as("frac"))
     val wide = base.select("doc_id")

@@ -4282,15 +4282,18 @@ object TrainingData {
        |g AS (SELECT doc_id, tot, n, array_to_string(toks[i:i+n-1], ' ') AS gram
        |      FROM base, unnest(range(2, 11)) AS nn(n),
        |           unnest(range(1, len(toks) - n + 2)) AS u(i)),
-       |c AS (SELECT doc_id, n, gram, tot, count(*) AS cnt,
+       |ctop AS (SELECT doc_id, n, gram, tot, count(*) AS cnt,
        |      length(gram) - (n - 1) AS chars
-       |      FROM g GROUP BY doc_id, n, gram, tot),
+       |      FROM g WHERE n <= 4 GROUP BY doc_id, n, gram, tot),
+       |cdup AS (SELECT doc_id, n, tot, ${h64sql("gram")} AS gh,
+       |      count(*) AS cnt, min(length(gram) - (n - 1)) AS chars
+       |      FROM g WHERE n >= 5 GROUP BY doc_id, n, tot, gh),
        |top AS (SELECT doc_id, n, tot, cnt * chars AS num,
        |        row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rnk
-       |        FROM c WHERE n <= 4),
+       |        FROM ctop),
        |dup AS (SELECT doc_id, n, tot,
        |        sum(CASE WHEN cnt >= 2 THEN cnt * chars ELSE 0 END) AS num
-       |        FROM c WHERE n >= 5 GROUP BY doc_id, n, tot),
+       |        FROM cdup GROUP BY doc_id, n, tot),
        |pern AS (SELECT doc_id, n, floor(CAST(num AS DOUBLE) / tot * 100 + 0.5) / 100 AS frac
        |         FROM top WHERE rnk = 1
        |         UNION ALL
