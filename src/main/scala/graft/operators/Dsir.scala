@@ -16,7 +16,8 @@ import graft.functions.TextFunctions.h64
   * which documents look like my target domain?" — the selection step a
   * 100 TB pretraining mix runs per domain. The reference pipeline has
   * no selection stage at all (its transform is a per-record status map,
-  * `kds_example/lbd/handler.py`); this operator adds the standard one.
+  * `kds_example/lbd/common.py:7-33`); this operator adds the standard
+  * one.
   *
   * Features are hashed bag-of-n-grams, exactly the paper's construction:
   * unigrams and bigrams of the word tokens, hashed into `buckets`

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * every document by how predictable its text is under a language model
   * trained on the corpus itself, then filter/bucket on the score. The
   * reference's pipeline has no statistical quality stage (its transform
-  * is a per-record status map, `kds_example/lbd/handler.py`); this
+  * is a per-record status map, `kds_example/lbd/common.py:7-33`); this
   * operator adds the standard one a 100 TB training-data pipeline runs
   * between heuristic filtering (q41) and dedup.
   *

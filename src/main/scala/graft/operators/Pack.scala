@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * set into model-ready training sequences (the GPT-2/T5 packing
   * recipe; see also Krell et al. 2021, "Efficient Sequence Packing").
   * The reference pipeline stops at delivering curated documents
-  * (`kds_example/consumer.py` writes NDJSON batches); this is the rung
-  * a training consumer runs immediately after.
+  * (`kds_example/lbd/common.py:24-30` emits newline-terminated JSON
+  * records that land as NDJSON batches); this is the rung a training
+  * consumer runs immediately after.
   *
   * The corpus is laid out as one virtual token stream in ascending
   * `doc_id` order; sequence `i` is the token span

@@ -26,7 +26,9 @@ object QualityRules {
     * Docs with zero analyzer tokens are excluded (the q41 exclusion —
     * no denominator). Thresholds are the paper's:
     * word count ∈ [50, 100k], mean word length ∈ [3, 10],
-    * symbol-to-word ratio ≤ 0.1 ('#' and '...'), ≤ 90% of lines
+    * symbol-to-word ratio ≤ 0.1 ('#', '...' and the Unicode ellipsis
+    * '…' — the paper counts both ellipsis forms, and the ellipsis-line
+    * rule below already accepts both), ≤ 90% of lines
     * bullet-started, ≤ 30% ellipsis-ended, ≥ 80% of words with an
     * alphabetic character, ≥ 2 distinct stop words. `passes` is the
     * conjunction.
@@ -45,7 +47,9 @@ object QualityRules {
         expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").as("sum_len"),
         (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))
           + (length(col("text"))
-            - length(replace(col("text"), lit("..."), lit("")))) / 3)
+            - length(replace(col("text"), lit("..."), lit("")))) / 3
+          + (length(col("text"))
+            - length(replace(col("text"), lit("…"), lit("")))))
           .as("n_symbols"),
         size(col("lines")).cast("long").as("n_lines"),
         expr("size(filter(lines, x -> ltrim(x) RLIKE '^[-•*]'))")
@@ -93,6 +97,17 @@ object QualityRules {
     *    appears ≥ 2 times, over total token characters (the standard
     *    occurrence-sum form of Gopher's duplicate-gram fraction —
     *    overlapping occurrences all count, like [[Bpe]]'s pair counts).
+    *    STRICTER THAN THE PAPER by construction: Rae 2021 Table A1
+    *    calibrated thresholds against non-overlapping character
+    *    coverage, while the occurrence sum counts a character once per
+    *    overlapping occurrence, so a pathological doc (e.g. one word
+    *    repeated 50×) can exceed the paper's fraction and the gate
+    *    over-fires relative to the calibration — a conservative bias
+    *    for a quality FILTER (it only ever drops more). The reported
+    *    fraction is capped at 1.0 so the metric stays interpretable as
+    *    a share; the cap binds only in the already-over-threshold
+    *    regime, so it cannot flip a `passes` bit (every threshold
+    *    ≤ 0.15 ≪ 1.0).
     *
     * Character accounting is over TOKEN characters (gram chars =
     * length(gram) − (n−1) separators; total = summed token lengths), so
@@ -165,7 +180,8 @@ object QualityRules {
       .select(col("doc_id"), col("n"), col("tot"), col("num"))
     val perN = topPerN.union(dupPerN)
       .select(col("doc_id"), col("n"),
-        Par.r2(col("num").cast("double") / col("tot")).as("frac"))
+        least(Par.r2(col("num").cast("double") / col("tot")), lit(1.0))
+          .as("frac"))
     val wide = base.select("doc_id")
       .join(perN.groupBy("doc_id").pivot("n", ns)
         .agg(first("frac")), Seq("doc_id"), "left")

@@ -3249,7 +3249,7 @@ object TrainingData {
        |gm AS (SELECT doc_id,
        |        CAST(len(toks) AS BIGINT) AS n_words,
        |        list_sum(list_transform(toks, x -> length(x))) AS sum_len,
-       |        (length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '...', ''))) / 3 AS n_symbols,
+       |        (length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '...', ''))) / 3 + (length(t) - length(replace(t, '…', ''))) AS n_symbols,
        |        CAST(len(lines) AS BIGINT) AS n_lines,
        |        len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-•*]'))) AS n_bullet,
        |        len(list_filter(lines, x -> regexp_matches(rtrim(x), '([.]{3}|…)$$'))) AS n_ellipsis,
@@ -3276,7 +3276,7 @@ object TrainingData {
        |  SELECT doc_id,
        |    text || CASE WHEN doc_id % 3 = 0
        |        THEN chr(10) || '- bullet list item...' || chr(10) || '# heading and more...'
-       |      WHEN doc_id % 3 = 2 THEN chr(10) || 'plain tail line here'
+       |      WHEN doc_id % 3 = 2 THEN chr(10) || 'plain tail… line here'
        |      ELSE '' END AS t
        |  FROM documents),
        |${gopherPassSql("injected")}
@@ -3289,15 +3289,17 @@ object TrainingData {
     // stage before model-based scoring (q79) or dedup. The word-salad
     // corpus has no lines/symbols, so the fixture injects a
     // deterministic structured suffix per doc_id residue (the q134
-    // injection discipline, ASCII + chr(10) so both engines see
-    // identical bytes) — every rule's numerator varies and the oracle
-    // checks the full surface, not just the word gates. Scale shape:
-    // narrow projections on the scan, zero shuffle at any corpus size.
+    // injection discipline; the residue-2 tail carries a Unicode '…' so
+    // the ellipsis symbol term is exercised — both engines count
+    // length() in codepoints, so the fold stays portable) — every
+    // rule's numerator varies and the oracle checks the full surface,
+    // not just the word gates. Scale shape: narrow projections on the
+    // scan, zero shuffle at any corpus size.
     val injected = t(s, dir, "documents").select(col("doc_id"),
       concat(col("text"),
         when(col("doc_id") % 3 === 0,
           lit("\n- bullet list item...\n# heading and more..."))
-          .when(col("doc_id") % 3 === 2, lit("\nplain tail line here"))
+          .when(col("doc_id") % 3 === 2, lit("\nplain tail… line here"))
           .otherwise(lit(""))).as("text"))
     graft.operators.QualityRules.gopher(injected).orderBy("doc_id")
   }
@@ -3666,29 +3668,35 @@ object TrainingData {
     "q143_line_dedup",
     """WITH injected AS (
       |  SELECT doc_id,
-      |    'nav menu home' || chr(10) || text || chr(10) ||
+      |    'nav menu home' || chr(10) || text || chr(10) || chr(10) ||
       |    'promo item ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
-      |    'nav menu home' || chr(10) ||
+      |    '  ' || chr(10) ||
+      |    'nav menu home' || chr(10) || chr(10) ||
       |    CASE WHEN doc_id % 2 = 0
       |      THEN 'promo item ' || CAST(doc_id % 5 AS VARCHAR)
       |      ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END ||
-      |    chr(10) || 'nav menu home' AS t
+      |    chr(10) || '  ' || chr(10) || 'nav menu home' AS t
       |  FROM documents),
       |lns AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM injected),
       |ln AS (SELECT doc_id, ls[i] AS line, i AS ord
       |       FROM lns, unnest(range(1, len(ls) + 1)) AS u(i)),
-      |firsts AS (SELECT doc_id, line, min(ord) AS ord
-      |           FROM ln GROUP BY doc_id, line),
+      |firsts AS (
+      |  SELECT doc_id, line, ord FROM ln WHERE trim(line) = ''
+      |  UNION ALL
+      |  SELECT doc_id, line, min(ord) AS ord
+      |  FROM ln WHERE trim(line) <> '' GROUP BY doc_id, line),
       |clean AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS cleaned
       |          FROM firsts GROUP BY doc_id),
-      |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
-      |           CAST(count(DISTINCT line) AS BIGINT) AS n_uniq_lines
-      |           FROM ln GROUP BY doc_id)
-      |SELECT i.doc_id, c.n_lines, c.n_uniq_lines,
-      |  floor((length(i.t) - length(cl.cleaned)) * 100.0 / length(i.t) + 0.5) / 100
+      |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+      |           FROM ln GROUP BY doc_id),
+      |kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines
+      |         FROM firsts GROUP BY doc_id)
+      |SELECT i.doc_id, c.n_lines, k.n_kept_lines,
+      |  floor((length(i.t) - length(cl.cleaned)) / length(i.t) * 100 + 0.5) / 100
       |    AS dup_char_frac,
       |  cl.cleaned
       |FROM injected i JOIN counts c USING (doc_id) JOIN clean cl USING (doc_id)
+      |  JOIN kept k USING (doc_id)
       |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     // Within-document repeated-line removal (operators/LineDedup — the
@@ -3697,24 +3705,27 @@ object TrainingData {
     // keeping the first occurrence — nav menus and footers repeated per
     // page section. Needs NO key exchange at all (the dedup scope is
     // the document), so the whole transform is narrow array expressions
-    // on the scan — the cheapest rung of the dedup ladder. The fixture
-    // injects a 3× repeated nav line and a residue-conditional promo
-    // repeat (q135 discipline — the word-salad corpus has no
-    // newlines); the oracle replays keep-first POSITIONALLY
-    // (min(ordinality) + ordered string_agg), so any order drift in
-    // array_distinct would hash-fail.
+    // on the scan — the cheapest rung of the dedup ladder. Blank and
+    // whitespace-only lines are EXEMPT (paragraph breaks survive, in
+    // position — the Dolma/C4 rule); the fixture plants repeated blank
+    // and two-space lines alongside a 3× repeated nav line and a
+    // residue-conditional promo repeat (q135 discipline — the
+    // word-salad corpus has no newlines), so the gate exercises both
+    // the drop rule and the exemption. The oracle replays keep-first
+    // POSITIONALLY (min(ordinality) over non-blank lines + ordered
+    // string_agg), so any order drift would hash-fail.
     val injected = t(s, dir, "documents").select(col("doc_id"),
       concat(
-        lit("nav menu home\n"), col("text"), lit("\n"),
+        lit("nav menu home\n"), col("text"), lit("\n\n"),
         lit("promo item "), pmod(col("doc_id"), lit(5L)).cast("string"),
-        lit("\n"), lit("nav menu home"), lit("\n"),
+        lit("\n  \n"), lit("nav menu home"), lit("\n\n"),
         when(pmod(col("doc_id"), lit(2L)) === 0,
           concat(lit("promo item "), pmod(col("doc_id"), lit(5L)).cast("string")))
           .otherwise(concat(lit("unique tail "), col("doc_id").cast("string"))),
-        lit("\n"), lit("nav menu home")).as("t"))
+        lit("\n  \n"), lit("nav menu home")).as("t"))
     val (nl, nu, frac) = graft.operators.LineDedup.lineStats(col("t"))
     injected.select(col("doc_id"),
-        nl.as("n_lines"), nu.as("n_uniq_lines"), frac.as("dup_char_frac"),
+        nl.as("n_lines"), nu.as("n_kept_lines"), frac.as("dup_char_frac"),
         graft.operators.LineDedup.dedupLines(col("t")).as("cleaned"))
       .orderBy("doc_id")
   }
@@ -4294,10 +4305,10 @@ object TrainingData {
        |dup AS (SELECT doc_id, n, tot,
        |        sum(CASE WHEN cnt >= 2 THEN cnt * chars ELSE 0 END) AS num
        |        FROM cdup GROUP BY doc_id, n, tot),
-       |pern AS (SELECT doc_id, n, floor(CAST(num AS DOUBLE) / tot * 100 + 0.5) / 100 AS frac
+       |pern AS (SELECT doc_id, n, least(floor(CAST(num AS DOUBLE) / tot * 100 + 0.5) / 100, 1.0) AS frac
        |         FROM top WHERE rnk = 1
        |         UNION ALL
-       |         SELECT doc_id, n, floor(CAST(num AS DOUBLE) / tot * 100 + 0.5) / 100
+       |         SELECT doc_id, n, least(floor(CAST(num AS DOUBLE) / tot * 100 + 0.5) / 100, 1.0)
        |         FROM dup),
        |wide AS (SELECT b.doc_id,
        |${(2 to 10).map(n =>

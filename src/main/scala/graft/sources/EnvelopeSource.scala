@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *    (both accepted by the pipeline's watermark stage);
   *  - `data`: binary payload — raw NDJSON bytes, or base64 text bytes
   *    when [[wireBase64]] is true (the Firehose wire form,
-  *    `lbd/common.py:14`).
+  *    `kds_example/lbd/common.py:14`).
   *
   * Binding a REAL Kinesis connector (e.g. a published
   * `spark-sql-kinesis` package) is a rename, not a port: implement

@@ -13,7 +13,7 @@ import graft.queries.TrainingData
   * [[LiveTextIndex]], ANN search has the IndexSink enrich path — this
   * store makes the last batch-only stage (document near-dedup)
   * queryable per delivered epoch, the reference's continuous-indexing
-  * behavior (`iac/s2_app.py:841-858`: every delivery is immediately
+  * behavior (`kds_example/iac/s2_app.py:841-858`: every delivery is immediately
   * visible to queries) applied to the duplicate-pair relation.
   *
   * Two [[EpochStore]] roots under one index root:

@@ -27,16 +27,19 @@ class LineDedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 3L, 1L, 0.71, "same")))
   }
 
-  test("single-line and empty docs pass through; empty lines dedup like " +
-      "any other line") {
+  test("single-line and empty docs pass through; blank and " +
+      "whitespace-only lines are EXEMPT (paragraph breaks survive)") {
     val got = run(Seq(
       (1L, "just one line, no newline"),
       (2L, ""),
-      // Blank lines are lines: the second blank is a repeat.
-      (3L, "a\n\nb\n\na")))
+      // Paragraph breaks survive in position; the repeated 'a' drops.
+      (3L, "a\n\nb\n\na"),
+      // Whitespace-only lines are exempt like empty ones.
+      (4L, "x\n  \ny\n  \nx")))
     assert(got(1L)._5 == "just one line, no newline" && got(1L)._2 == 1L)
     assert(got(2L) == ((2L, 1L, 1L, 0.0, "")))
-    assert(got(3L) == ((3L, 5L, 3L, 0.43, "a\n\nb")))
+    assert(got(3L) == ((3L, 5L, 4L, 0.29, "a\n\nb\n")))
+    assert(got(4L) == ((4L, 5L, 4L, 0.18, "x\n  \ny\n  ")))
   }
 
   test("dedup scope is the document: identical lines in DIFFERENT docs " +

@@ -63,8 +63,10 @@ class QualityRulesSpec extends SparkSpec {
       1L -> ("the and with that " + Seq.fill(48)("word").mkString(" ")
         + " more... and... again... done\nline ends…"))
     val r = QualityRules.gopher(docs.toDF("doc_id", "text")).head()
-    // 3 occurrences of '...' over 58 words → floor(3/58*100+.5)/100 = 0.05
-    assert(r.getAs[Double]("symbol_ratio") == 0.05, r.toString)
+    // 3 occurrences of '...' + 1 Unicode '…' over 58 words
+    // → floor(4/58*100+.5)/100 = 0.07 (the ellipsis counts as a symbol,
+    // Rae 2021 A1.1 — both forms, like the ellipsis-line rule below).
+    assert(r.getAs[Double]("symbol_ratio") == 0.07, r.toString)
     // 2 lines: the first ends 'done', the second ends with U+2026.
     assert(r.getAs[Double]("ellipsis_frac") == 0.5, r.toString)
   }
@@ -85,10 +87,17 @@ class QualityRulesSpec extends SparkSpec {
       2L -> b.mkString(" "),
       3L -> c.mkString(" "),
       4L -> "xy",                // 1 token: no grams at any n -> all 0
-      5L -> "")                  // excluded: no analyzer tokens
+      5L -> "",                  // excluded: no analyzer tokens
+      // Overlapping occurrence-sum exceeds 1.0 before the cap (12× the
+      // same token: dup5 raw = 8*10/24 = 3.33, top2 raw = 11*4/24 =
+      // 1.83) — the reported fraction caps at 1.0 on BOTH branches.
+      6L -> Seq.fill(12)("zz").mkString(" "))
     val out = QualityRules.ngramRepetition(docs.toDF("doc_id", "text"))
       .orderBy("doc_id").collect().map(r => r.getLong(0) -> r).toMap
-    assert(!out.contains(5L) && out.size == 4)
+    assert(!out.contains(5L) && out.size == 5)
+    assert(out(6L).getAs[Double]("dup_5gram_char_frac") == 1.0, out(6L).toString)
+    assert(out(6L).getAs[Double]("top_2gram_char_frac") == 1.0, out(6L).toString)
+    assert(out(6L).getAs[Int]("passes") == 0)
     assert(out(1L).getAs[Double]("top_2gram_char_frac") == 1.0)
     assert(out(1L).getAs[Int]("passes") == 0)
     assert(out(1L).getAs[Double]("dup_5gram_char_frac") == 0.0)
