@@ -35,6 +35,22 @@ object TextFunctions {
   def h64sql(e: String): String =
     s"CASE WHEN $e IS NULL THEN NULL ELSE CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT) END"
 
+  /** Character n-grams (overlapping, order-preserving) of a string
+    * column — the fastText-style langid feature (Wenzek 2020 §2 gates
+    * CCNet on a char-n-gram classifier). Pass a BOUND attribute (project
+    * `lower(text)` under its own alias first): higher-order lambdas get
+    * no common-subexpression elimination, so an unbound expression
+    * argument would re-evaluate once per element. A string shorter than
+    * n yields an empty array (`sequence(1, 0)` steps BACKWARD in Spark —
+    * the q153 guard). DuckDB spelling (no guard needed — `range` is
+    * empty when end ≤ start, and exclusive-end means `- n + 2`):
+    * `list_transform(range(1, length(t) - n + 2), i -> substring(t, i, n))`.
+    */
+  def charNgrams(s: Column, n: Int): Column =
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
   /** Distinct word 3-shingles of a token array column named `toks`
     * (0-based Spark array indexing; requires size >= 3 — callers filter).
     */

@@ -59,63 +59,167 @@ object Bpe {
       .orderBy("round")
   }
 
+  /** Dictionaries at or below this many distinct words train
+    * DRIVER-SIDE (collect the word-frequency dict, replay merges
+    * locally). At ~50 bytes/row that is ≲100 MB of driver state — the
+    * dictionary is vocabulary-sized by construction (Heaps-bounded),
+    * so most corpora fit; web-crawl vocabularies with unbounded
+    * garbage tokens exceed it and take the distributed path.
+    *
+    * Why the fallback exists: the distributed round loop is
+    * driver-SEQUENTIAL — ~3 Spark jobs per round (argmax collect,
+    * eager localCheckpoint, symbol-total agg). At the gate's k = 6
+    * that is noise; at a real vocabulary run (k ≈ 30–50k merges,
+    * Sennrich 2016 §5 uses 59,500) it is ~10⁵ scheduler round-trips —
+    * latency-dominated even though each round's DATA is tiny. The
+    * local path is exactly 2 Spark jobs TOTAL (the vocab count + the
+    * collect), with the k rounds running as in-memory loops over the
+    * same closed-form state; BpeSpec proves both paths emit identical
+    * merge tables.
+    */
+  val LocalTrainBudgetWords: Long = 2000000L
+
   /** The learned rules as a driver-side list (each merge is one row of
     * driver state by construction — the argmax `limit(1)` — so the
     * whole result is O(k), session-independent, and safe to memoize
     * across registry keys the way the ANN models are).
+    *
+    * `localBudgetWords` gates the driver-side fast path (see
+    * [[LocalTrainBudgetWords]]); pass 0 to force the distributed loop.
     */
-  def trainMerges(spark: SparkSession, toks: DataFrame, k: Int): Seq[Merge] = {
+  def trainMerges(spark: SparkSession, toks: DataFrame, k: Int,
+      localBudgetWords: Long = LocalTrainBudgetWords): Seq[Merge] = {
     require(k >= 1, s"k must be >= 1, got $k")
     // The one corpus-sized pass: word-frequency dict, cached for the
-    // k vocabulary-sized rounds that follow.
+    // vocabulary-sized work that follows (the local path reads it
+    // twice: count, then collect).
     val wf = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .cache()
     try {
-      var seqs = wf.select(
-        regexp_replace(col("w"), "(.)", "⟨$1⟩").as("seq"), col("f"))
-      val merges = ArrayBuffer.empty[Merge]
-      var r = 1
-      var exhausted = false
-      while (r <= k && !exhausted) {
-        val syms = symbolsCol("seq")
-        val pairs = seqs
-          .select(col("f"), explode(zip_with(
-            slice(syms, lit(1), size(syms) - 1),
-            slice(syms, lit(2), size(syms) - 1),
-            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
-          .select(col("f"), col("p.lhs"), col("p.rhs"))
-          .groupBy("lhs", "rhs").agg(sum("f").as("cnt"))
-        // argmax: ONE row to the driver per round (O(k) total).
-        val top = pairs
-          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (l, rr, c) = (top(0).getString(0), top(0).getString(1),
-            top(0).getLong(2))
-          // Materialize each round's rewritten dictionary and TRUNCATE
-          // its lineage (localCheckpoint, eager — the symbol-total pass
-          // below would materialize it anyway, so this adds no job):
-          // without it, round r's plan replays rounds 1..r-1's replaces
-          // over the raw dict — quadratic work AND quadratic optimizer
-          // input in k. k is 6 here, but a real vocabulary run is
-          // k ≈ 30-50k rounds, where only the truncated form survives.
-          // Checkpoint blocks are vocabulary-sized and freed by the
-          // ContextCleaner as each round's frame goes unreferenced.
-          seqs = seqs.withColumn("seq",
-            call_function("replace", col("seq"),
-              lit(s"⟨$l⟩⟨$rr⟩"), lit(s"⟨$l$rr⟩")))
-            .localCheckpoint()
-          val symTotal = seqs
-            .select(sum(col("f") * size(symbolsCol("seq"))).as("s"))
-            .first().getLong(0)
-          merges += Merge(r.toLong, l, rr, c, symTotal)
-          r += 1
+      if (wf.count() <= localBudgetWords)
+        trainLocal(wf.collect().map(r => (r.getString(0), r.getLong(1))), k)
+      else trainDistributed(wf, k)
+    } finally wf.unpersist()
+  }
+
+  /** Driver-side merge replay over a collected word-frequency dict —
+    * the same closed form as [[trainDistributed]] on the same string
+    * state: bracket-spelled sequences, adjacency pair counts weighted
+    * by word frequency (overlapping occurrences all count), argmax
+    * with the (count desc, lhs, rhs) tie order compared on UTF-8 BYTES
+    * (Spark string ordering is binary UTF-8; Java's String.compareTo
+    * is UTF-16 code units — they disagree above the BMP, so the local
+    * path compares the same bytes Spark would), leftmost
+    * non-overlapping rewrite via `String.replace` (the same semantics
+    * as the engine's `replace` column function).
+    */
+  private[operators] def trainLocal(dict0: Seq[(String, Long)], k: Int)
+      : Seq[Merge] = {
+    // Bracket-spell by CODE POINT — regexp_replace(w, "(.)", "⟨$1⟩")
+    // matches per code point in Java regex, so surrogate pairs stay
+    // one symbol on both paths.
+    def spell(w: String): String = {
+      val sb = new StringBuilder
+      w.codePoints().forEach(cp =>
+        sb.append('⟨').appendAll(Character.toChars(cp)).append('⟩'))
+      sb.toString
+    }
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var dict = dict0.map { case (w, f) => (spell(w), f) }
+    val merges = ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (seq, f) =>
+        val syms = seq.stripPrefix("⟨").stripSuffix("⟩").split("⟩⟨", -1)
+        var i = 0
+        while (i + 1 < syms.length) {
+          val key = (syms(i), syms(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + f
+          i += 1
         }
       }
-      merges.toSeq
-    } finally wf.unpersist()
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { case e @ ((lh, rh), cnt) =>
+          if (best == null) best = e
+          else {
+            val ((bl, br), bc) = best
+            if (cnt > bc || (cnt == bc && (utf8Lt(lh, bl) ||
+                (lh == bl && utf8Lt(rh, br))))) best = e
+          }
+        }
+        val ((l, rr), c) = best
+        dict = dict.map { case (seq, f) =>
+          (seq.replace(s"⟨$l⟩⟨$rr⟩", s"⟨$l$rr⟩"), f) }
+        val symTotal = dict.iterator
+          .map { case (seq, f) => f * seq.count(_ == '⟨') }.sum
+        merges += Merge(r.toLong, l, rr, c, symTotal)
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed round loop (dictionaries above the local budget):
+    * ~3 Spark jobs per round, each vocabulary-sized.
+    */
+  private def trainDistributed(wf: DataFrame, k: Int): Seq[Merge] = {
+    var seqs = wf.select(
+      regexp_replace(col("w"), "(.)", "⟨$1⟩").as("seq"), col("f"))
+    val merges = ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val syms = symbolsCol("seq")
+      val pairs = seqs
+        .select(col("f"), explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+        .select(col("f"), col("p.lhs"), col("p.rhs"))
+        .groupBy("lhs", "rhs").agg(sum("f").as("cnt"))
+      // argmax: ONE row to the driver per round (O(k) total).
+      val top = pairs
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        // Materialize each round's rewritten dictionary and TRUNCATE
+        // its lineage (localCheckpoint, eager — the symbol-total pass
+        // below would materialize it anyway, so this adds no job):
+        // without it, round r's plan replays rounds 1..r-1's replaces
+        // over the raw dict — quadratic work AND quadratic optimizer
+        // input in k. Checkpoint blocks are vocabulary-sized and freed
+        // by the ContextCleaner as each round's frame goes
+        // unreferenced.
+        seqs = seqs.withColumn("seq",
+          call_function("replace", col("seq"),
+            lit(s"⟨$l⟩⟨$rr⟩"), lit(s"⟨$l$rr⟩")))
+          .localCheckpoint()
+        val symTotal = seqs
+          .select(sum(col("f") * size(symbolsCol("seq"))).as("s"))
+          .first().getLong(0)
+        merges += Merge(r.toLong, l, rr, c, symTotal)
+        r += 1
+      }
+    }
+    merges.toSeq
   }
 
   /** Bracket-spelled symbol sequence of one word AFTER applying the

@@ -68,6 +68,71 @@ object NaiveBayes {
     NbModel(weights, bias)
   }
 
+  /** A trained K-class model: `weights` = (cls, term, w) DENSE over
+    * class × vocabulary — w(t,c) = ln((c_c(t)+1)/(T_c+V)) with the
+    * zero-count smoothing row present for every vocab term the class
+    * never saw (multinomial NB's absent-term evidence is part of the
+    * model, not an OOV skip); `priors` = (cls, prior) with
+    * prior(c) = ln((N_c+1)/(N+K)).
+    */
+  final case class NbMultiModel(weights: DataFrame, priors: DataFrame)
+
+  /** Train a K-class multinomial NB on (doc_id, toks) with `label` a
+    * string class Column (e.g. `col("lang")` — the CCNet langid rung,
+    * Wenzek 2020 §2, with char-n-gram `toks`). Closed form like
+    * [[train]]: every weight is ln of exact long-count ratios, so the
+    * whole train+score chain replays in portable SQL.
+    *
+    * Scale shape: ONE corpus-sized shuffle (per-(class, term) counts —
+    * the label rides the explode), then everything else is vocab- or
+    * class-sized: class totals, the V×K dense weight table (vocab cross
+    * the K-row class frame, broadcast on the class side), priors. No
+    * driver-side collect anywhere.
+    */
+  def trainMulti(toks: DataFrame, label: Column): NbMultiModel = {
+    val lab = toks.select(col("doc_id"), col("toks"),
+      label.cast("string").as("cls"))
+    val classCounts = lab.groupBy("cls").agg(count(lit(1)).as("nc"))
+    val classMeta = classCounts.agg(
+      sum("nc").cast("double").as("n"),
+      count(lit(1)).cast("double").as("k"))
+    val priors = classCounts.crossJoin(broadcast(classMeta))
+      .select(col("cls"),
+        log((col("nc") + lit(1.0)) / (col("n") + col("k"))).as("prior"))
+    val counts = lab
+      .select(col("cls"), explode(col("toks")).as("term"))
+      .groupBy("cls", "term").agg(count(lit(1)).as("cnt"))
+    val classTotals = counts.groupBy("cls").agg(sum("cnt").as("tc"))
+    val vocabMeta = counts.select("term").distinct()
+      .agg(count(lit(1)).cast("double").as("v"))
+    val weights = counts.select("term").distinct()
+      .crossJoin(broadcast(classTotals))
+      .join(counts, Seq("cls", "term"), "left")
+      .crossJoin(broadcast(vocabMeta))
+      .select(col("cls"), col("term"),
+        log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+          (col("tc") + col("v"))).as("w"))
+    NbMultiModel(weights, priors)
+  }
+
+  /** Score (doc_id, toks) against a K-class model: (doc_id, cls, score)
+    * with score = prior(c) + Σ_t tf(t)·w(t,c) over the document's
+    * VOCAB terms (never-trained terms carry no evidence for any class —
+    * the inner join skips them symmetrically; a doc with no vocab term
+    * at all is absent, the [[score]] convention). The per-(doc, class)
+    * sum is order-sensitive like every float agg — callers round
+    * emitted scores (q106 precedent) and take argmax on the ROUNDED
+    * values with a deterministic tie order.
+    */
+  def scoreMulti(toks: DataFrame, model: NbMultiModel): DataFrame =
+    toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(model.weights, Seq("term"))
+      .groupBy("doc_id", "cls").agg(sum(col("tf") * col("w")).as("ev"))
+      .join(broadcast(model.priors), Seq("cls"))
+      .select(col("doc_id"), col("cls"),
+        (col("ev") + col("prior")).as("score"))
+
   /** Score (doc_id, toks) against a trained model:
     * (doc_id, log_odds) with log_odds = bias + Σ_t tf(t)·w(t) over
     * the document's MODEL-KNOWN terms. Out-of-vocabulary terms are

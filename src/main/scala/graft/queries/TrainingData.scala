@@ -647,6 +647,85 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  val q51b_langid_nb: QueryDef = q(
+    "q51b_langid_nb",
+    """WITH lo AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+      |tk AS (SELECT doc_id, lang AS cls,
+      |        list_transform(range(1, length(t) - 1), i -> substring(t, i, 3)) AS toks
+      |      FROM lo),
+      |ccount AS (SELECT cls, count(*) AS nc FROM tk GROUP BY 1),
+      |meta AS (SELECT CAST(sum(nc) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS k FROM ccount),
+      |priors AS (SELECT cls, ln((nc + 1.0) / (n + k)) AS prior FROM ccount CROSS JOIN meta),
+      |cnt AS (SELECT cls, term, count(*) AS cnt
+      |    FROM (SELECT cls, unnest(toks) AS term FROM tk) GROUP BY 1, 2),
+      |ctot AS (SELECT cls, sum(cnt) AS tc FROM cnt GROUP BY 1),
+      |vmeta AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM cnt),
+      |vocab AS (SELECT DISTINCT term FROM cnt),
+      |w AS (SELECT ct.cls, vb.term,
+      |        ln((coalesce(c.cnt, 0) + 1.0) / (CAST(ct.tc AS DOUBLE) + vmeta.v)) AS w
+      |      FROM vocab vb CROSS JOIN ctot ct
+      |      LEFT JOIN cnt c ON c.cls = ct.cls AND c.term = vb.term
+      |      CROSS JOIN vmeta),
+      |tf AS (SELECT doc_id, term, count(*) AS tf
+      |    FROM (SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY 1, 2),
+      |ev AS (SELECT tf.doc_id, w.cls, sum(tf.tf * w.w) AS ev
+      |       FROM tf JOIN w USING (term) GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, ev.cls, floor((ev + prior) * 100 + 0.5) / 100 AS score
+      |       FROM ev JOIN priors ON priors.cls = ev.cls),
+      |wide AS (SELECT doc_id,
+      |    max(CASE WHEN cls = 'de' THEN score END) AS s_de,
+      |    max(CASE WHEN cls = 'en' THEN score END) AS s_en,
+      |    max(CASE WHEN cls = 'es' THEN score END) AS s_es,
+      |    max(CASE WHEN cls = 'fr' THEN score END) AS s_fr,
+      |    max(CASE WHEN cls = 'zh' THEN score END) AS s_zh
+      |  FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id, d.lang, s_de, s_en, s_es, s_fr, s_zh,
+      |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred
+      |FROM documents d JOIN wide USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // TRAINED language ID (operators/NaiveBayes.trainMulti/scoreMulti
+    // — the model-based upgrade of q51's stopword heuristic): K-class
+    // multinomial NB over character trigrams of the lowercased text,
+    // the closed-form stand-in for CCNet's fastText langid gate
+    // (Wenzek 2020 §2 — fastText langid is itself a char-n-gram linear
+    // model). Trained on the corpus's own lang labels, scored over the
+    // same corpus, argmax taken on the ROUNDED per-class scores with a
+    // fixed alphabetical preference on ties (both engines decide from
+    // identical doubles — the q106 discipline). Char trigrams handle
+    // zh (no word boundaries) where the stopword heuristic cannot.
+    // Scale shape: train = one corpus shuffle (label rides the gram
+    // explode) + vocab-/class-sized artifacts (dense V×K smoothed
+    // weight table — absent-term evidence is part of the model); score
+    // = the q34-shaped tf agg joined to the weight table on term, one
+    // more (doc, cls)-keyed agg, then a literal-class pivot. The
+    // trigram projection binds lower(text) to its own alias first —
+    // higher-order lambdas get no CSE.
+    import graft.functions.TextFunctions.charNgrams
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("lo"))
+      .select(col("doc_id"), col("lang"), charNgrams(col("lo"), 3).as("toks"))
+    val model = graft.operators.NaiveBayes.trainMulti(docs, col("lang"))
+    val classes = Seq("de", "en", "es", "fr", "zh")
+    val wide = graft.operators.NaiveBayes.scoreMulti(docs, model)
+      .select(col("doc_id"), col("cls"), Par.r2(col("score")).as("score"))
+      .groupBy("doc_id").pivot("cls", classes).agg(first("score"))
+    val scoreCols = classes.map(c => col(c).as(s"s_$c"))
+    val Seq(sDe, sEn, sEs, sFr, sZh) = classes.map(c => col(s"s_$c"))
+    docs.select("doc_id", "lang").join(wide, Seq("doc_id"))
+      .select(col("doc_id") +: col("lang") +: scoreCols: _*)
+      .withColumn("lang_pred",
+        when(sDe >= sEn && sDe >= sEs && sDe >= sFr && sDe >= sZh, "de")
+          .when(sEn >= sEs && sEn >= sFr && sEn >= sZh, "en")
+          .when(sEs >= sFr && sEs >= sZh, "es")
+          .when(sFr >= sZh, "fr")
+          .otherwise("zh"))
+      .orderBy("doc_id")
+  }
+
   val q65_text_match: QueryDef = q(
     "q65_text_match",
     """WITH t AS (SELECT doc_id,
@@ -4352,7 +4431,8 @@ object TrainingData {
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
     q43_minhash_sig, q44_lsh_pairs, q45_simhash, q46_embed_neardup,
-    q47_multimodal_binary, q50_token_count, q51_langid, q65_text_match,
+    q47_multimodal_binary, q50_token_count, q51_langid, q51b_langid_nb,
+    q65_text_match,
     q66_decontaminate, q67_hash_sample, q68_token_budget, q69_ann_lsh,
     q70_mixture_sample, q71_repetition, q72_cluster_dedup, q73_ann_ivf,
     q74_quantized_ann, q75_semdedup, q76_pq_ann, q77_ivfpq_ann,

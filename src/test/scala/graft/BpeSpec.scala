@@ -67,6 +67,22 @@ class BpeSpec extends SparkSpec {
     assert(got("xyz") == (("⟨x⟩⟨y⟩⟨z⟩", 3L)))
   }
 
+  test("local and distributed training paths emit IDENTICAL merge " +
+      "tables (counts, tie-breaks, symbol totals, early exhaustion)") {
+    import spark.implicits._
+    // Ties, overlaps, multi-char merges, and a word that fully fuses —
+    // every branch both paths must agree on.
+    val words = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3,
+      "aaaa" -> 4, "ab" -> 1)
+    val docs = words.zipWithIndex.flatMap { case ((w, f), i) =>
+      (1 to f).map(j => (i * 1000L + j, Seq(w)))
+    }.toDF("doc_id", "toks")
+    val local = Bpe.trainMerges(spark, docs, 8)
+    val dist = Bpe.trainMerges(spark, docs, 8, localBudgetWords = 0L)
+    assert(local == dist)
+    assert(local.size == 8)
+  }
+
   test("merge selection is partition-independent (same merges from a " +
       "repartitioned corpus)") {
     import spark.implicits._

@@ -238,6 +238,72 @@ class SearchDslSpec extends SparkSpec {
     assert(sw.values.forall(x => !x.isInfinite && !x.isNaN))
   }
 
+  test("trainMulti/scoreMulti match a local K-class replay, including " +
+      "dense zero-count smoothing rows") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq("der", "hund", "ist"), "de"),
+      (2L, Seq("der", "das", "ist"), "de"),
+      (3L, Seq("the", "dog", "is"), "en"),
+      (4L, Seq("the", "the", "cat"), "en"),
+      (5L, Seq("el", "perro"), "es"))
+    val df = corpus.toDF("doc_id", "toks", "cls")
+    val model = NaiveBayes.trainMulti(df, col("cls"))
+
+    // Local replay of the closed form.
+    val classes = corpus.map(_._3).distinct.sorted
+    val vocab = corpus.flatMap(_._2).distinct
+    val nc = classes.map(c => c -> corpus.count(_._3 == c)).toMap
+    val n = corpus.size.toDouble
+    val k = classes.size.toDouble
+    val prior = classes.map(c => c -> math.log((nc(c) + 1.0) / (n + k))).toMap
+    val cnt = (for { (_, ts, c) <- corpus; t <- ts } yield (c, t))
+      .groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    val tc = classes.map(c => c -> cnt.collect {
+      case ((`c`, _), v) => v }.sum.toDouble).toMap
+    val v = vocab.size.toDouble
+    def w(c: String, t: String): Double =
+      math.log((cnt.getOrElse((c, t), 0L) + 1.0) / (tc(c) + v))
+
+    // The weight table is DENSE: every (class, vocab term) pair exists,
+    // zero-count rows carrying the smoothed absent-term weight.
+    val gotW = model.weights.as[(String, String, Double)].collect()
+      .map { case (c, t, x) => (c, t) -> x }.toMap
+    assert(gotW.keySet == (for { c <- classes; t <- vocab } yield (c, t)).toSet)
+    gotW.foreach { case ((c, t), x) =>
+      assert(math.abs(x - w(c, t)) < 1e-12, s"w($c,$t)") }
+
+    val got = NaiveBayes.scoreMulti(df, model)
+      .as[(Long, String, Double)].collect()
+      .map { case (d, c, s) => (d, c) -> s }.toMap
+    corpus.foreach { case (d, ts, _) =>
+      classes.foreach { c =>
+        val want = prior(c) + ts.groupBy(identity)
+          .map { case (t, occ) => occ.size * w(c, t) }.sum
+        assert(math.abs(got((d, c)) - want) < 1e-9, s"score($d,$c)")
+      }
+    }
+    // Every doc's best class is its own label on this separable corpus.
+    corpus.foreach { case (d, _, lab) =>
+      val best = classes.maxBy(c => got((d, c)))
+      assert(best == lab, s"doc $d predicted $best, labeled $lab")
+    }
+  }
+
+  test("charNgrams: overlapping codepoint trigrams; short strings yield " +
+      "empty, not phantom grams") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.charNgrams
+    val got = Seq((1L, "abcde"), (2L, "ab"), (3L, ""), (4L, "日本語だ"))
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), charNgrams(col("s"), 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("abc", "bcd", "cde"))
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq.empty)
+    assert(got(4L) == Seq("日本語", "本語だ"))
+  }
+
   private def vocabDf(terms: String*) = {
     import spark.implicits._
     terms.toSeq.toDF("term")
