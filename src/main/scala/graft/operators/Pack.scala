@@ -65,19 +65,30 @@ object Pack {
     * shard's docs in one task. The totals aggregate is mergeable and
     * nShards-sized; it broadcasts back onto the plan.
     */
-  def shardPlan(counts: DataFrame, nShards: Int): DataFrame = {
+  def shardPlan(counts: DataFrame, nShards: Int): DataFrame =
+    withShardPlan(counts, nShards)
+      .select("doc_id", "shard", "sort_key", "n_toks",
+        "shard_docs", "shard_tokens")
+
+  /** [[shardPlan]] with the input's OTHER columns preserved — the form
+    * a chained pipeline composes (q154 appends shard assignment to the
+    * packing spans without a doc-keyed self-join: shard/sort_key are
+    * narrow projections and the nShards-sized totals broadcast back,
+    * so chaining adds ONE mergeable aggregate to the upstream plan and
+    * no new corpus shuffle).
+    */
+  def withShardPlan(counts: DataFrame, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     import graft.functions.TextFunctions.h64
     // h64 is always non-negative (60-bit), so % needs no pmod guard.
-    val planned = counts.select(
-      col("doc_id"), col("n_toks"),
-      (h64(concat(lit("shard|"), col("doc_id").cast("string")))
-        % nShards.toLong).as("shard"),
-      h64(concat(lit("order|"), col("doc_id").cast("string"))).as("sort_key"))
+    val planned = counts
+      .withColumn("shard",
+        h64(concat(lit("shard|"), col("doc_id").cast("string")))
+          % nShards.toLong)
+      .withColumn("sort_key",
+        h64(concat(lit("order|"), col("doc_id").cast("string"))))
     val totals = planned.groupBy("shard").agg(
       count(lit(1)).as("shard_docs"), sum("n_toks").as("shard_tokens"))
     planned.join(broadcast(totals), "shard")
-      .select("doc_id", "shard", "sort_key", "n_toks",
-        "shard_docs", "shard_tokens")
   }
 }

@@ -4427,6 +4427,107 @@ object TrainingData {
     graft.operators.QualityRules.ngramRepetition(injected).orderBy("doc_id")
   }
 
+  // ------------------------- q154: delivery -> curation -> shards E2E
+
+  val q154_delivery_to_shards: QueryDef = q(
+    "q154_delivery_to_shards",
+    s"""WITH env AS (
+       |  SELECT doc_id, text, n_chars,
+       |    CASE WHEN doc_id % 17 = 0 THEN 'ProcessingFailed'
+       |         WHEN n_chars < 200 THEN 'Dropped'
+       |         ELSE 'Ok' END AS status
+       |  FROM documents),
+       |ok AS (SELECT doc_id, text FROM env WHERE status = 'Ok'),
+       |tk AS (SELECT doc_id, text,
+       |        list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+       |      FROM ok),
+       |m AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tok,
+       |        len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in'], x))) AS n_stop,
+       |        1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+       |            g -> toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]))) AS DOUBLE)
+       |          / (len(toks) - 2) AS rep
+       |      FROM tk WHERE len(toks) >= 10),
+       |filt AS (SELECT doc_id, text, n_tok FROM m
+       |         WHERE n_stop > 0 AND rep <= 0.05),
+       |ded AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY text),
+       |surv AS (SELECT f.doc_id, f.n_tok FROM filt f JOIN ded USING (doc_id)
+       |         WHERE ${h64sql("concat('curate|', CAST(f.doc_id AS VARCHAR))")} % 100 < 50),
+       |c AS (SELECT doc_id, n_tok AS n_toks,
+       |        CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+       |      FROM surv WHERE n_tok > 0),
+       |sp AS (SELECT doc_id, n_toks, cum - n_toks AS start_tok,
+       |        CAST(floor((cum - n_toks) / 512.0) AS BIGINT) AS seq_first,
+       |        CAST(floor((cum - 1) / 512.0) AS BIGINT) AS seq_last,
+       |        CAST(floor((cum - 1) / 512.0) - floor((cum - n_toks) / 512.0) + 1 AS BIGINT) AS n_seqs,
+       |        ${h64sql("concat('shard|', CAST(doc_id AS VARCHAR))")} % 8 AS shard,
+       |        ${h64sql("concat('order|', CAST(doc_id AS VARCHAR))")} AS sort_key
+       |      FROM c),
+       |tot AS (SELECT shard, CAST(count(*) AS BIGINT) AS shard_docs,
+       |        CAST(sum(n_toks) AS BIGINT) AS shard_tokens
+       |      FROM sp GROUP BY shard)
+       |SELECT doc_id, n_toks, start_tok, seq_first, seq_last, n_seqs,
+       |  shard, sort_key, shard_docs, shard_tokens
+       |FROM sp JOIN tot USING (shard)
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // The reference's pipeline CONTINUED to model-ready training shards
+    // in one declarative plan — delivery routing through curation into
+    // packing and the shard plan, every stage the already-verified
+    // primitive:
+    //   1. q40's envelope semantics run FOR REAL: each document is
+    //      encoded to the NDJSON wire form (Codecs.encodeJson — A6),
+    //      docs at doc_id % 17 == 0 get corrupted bytes, and
+    //      Codecs.transformEnvelope does the actual decode + 3-way
+    //      route (A3/A5; dropIf = n_chars < 200, the reference's
+    //      Dropped predicate shape). The ORACLE replays routing as the
+    //      CASE the fixture implies — so a decode/route bug on the
+    //      engine side hash-fails the gate rather than being assumed.
+    //   2. The Ok channel's DECODED payloads (not the source table)
+    //      enter q82's curation chain: fused heuristic predicate,
+    //      window-min exact dedup, salted 50% sample.
+    //   3. Survivors pack into 512-token sequences (q137's PrefixSum
+    //      spans) and get the q141 shard plan via Pack.withShardPlan —
+    //      shard/sort_key as narrow projections on the SAME frame, the
+    //      nShards-sized totals broadcast back.
+    // Scale shape (ExplainSpec-pinned): the whole chain has exactly
+    // ONE corpus-keyed window exchange (q82's dedup on text), ONE
+    // range exchange (the prefix sum), one nShards-sized aggregate +
+    // broadcast join, and the output sort — no SortMergeJoin, no
+    // unpartitioned window, no new shuffle beyond what q82 + q137
+    // already pay.
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.functions.Codecs
+    import graft.model.DeliveryStatus
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val env = t(s, dir, "documents").select(
+      col("doc_id").cast("string").as("recordId"),
+      when(pmod(col("doc_id"), lit(17L)) === 0,
+        lit("definitely not json\n").cast("binary"))
+        .otherwise(Codecs.encodeJson(struct(col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))).as("data"))
+    val routed = Codecs.transformEnvelope(env, payloadSchema,
+      dropIf = p => p.getField("n_chars") < 200)
+    val okDocs = routed.filter(col("result") === DeliveryStatus.Ok)
+      .select(col("payload.doc_id").as("doc_id"),
+        col("payload.text").as("text"))
+    val curated = okDocs.filter(curationKeep)
+      .withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy("text")))
+      .filter(col("doc_id") === col("min_id"))
+      .filter(pmod(h64(concat(lit("curate|"), col("doc_id").cast("string"))),
+        lit(100)) < 50)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val spans = graft.operators.Pack.sequenceSpans(curated, 512L)
+      .withColumnRenamed("n_tokens", "n_toks")
+    graft.operators.Pack.withShardPlan(spans, nShards = 8)
+      .select("doc_id", "n_toks", "start_tok", "seq_first", "seq_last",
+        "n_seqs", "shard", "sort_key", "shard_docs", "shard_tokens")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -4453,5 +4554,6 @@ object TrainingData {
     q140_data_card, q141_shard_plan, q142_card_redact, q143_line_dedup,
     q144_soft_dedup, q145_bpe_merges, q146_bpe_encode, q147_mrl_recall,
     q148_blocklist_filter, q149_url_dedup, q150_markup_strip,
-    q151_fertility_report, q152_image_neardup, q153_gopher_repetition)
+    q151_fertility_report, q152_image_neardup, q153_gopher_repetition,
+    q154_delivery_to_shards)
 }

@@ -108,6 +108,20 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q154: the delivery->curation->packing->shards chain adds NO " +
+      "shuffle beyond q82's + q137's — the tail is totals agg + " +
+      "broadcast + output sort") {
+    val p = plan("q154_delivery_to_shards")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // No rank window within a shard; the curation window and the
+    // prefix-sum exchange live upstream of the PrefixSum RDD boundary.
+    assert("Window \\(\\d".r.findAllIn(p).isEmpty, p)
+    // Visible exchanges: the nShards-sized totals agg + the output
+    // sort — anything more means the chain grew a corpus shuffle.
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q142/q143: card redaction and line dedup are pure scan-side " +
       "compute — the only exchange is the output sort") {
     for (name <- Seq("q142_card_redact", "q143_line_dedup")) {

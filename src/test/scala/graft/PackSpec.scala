@@ -62,6 +62,24 @@ class PackSpec extends SparkSpec {
     assert(plan1.map(_.getAs[Long]("sort_key")).distinct.length == 500)
   }
 
+  test("withShardPlan preserves the input's other columns and agrees " +
+      "with shardPlan on every shared value") {
+    import org.apache.spark.sql.functions._
+    val counts = (1L to 100L).map(i => (i, i % 11 + 1, s"extra$i"))
+      .toDF("doc_id", "n_toks", "tag")
+    val full = Pack.withShardPlan(counts, 8).orderBy("doc_id").collect()
+    val bare = Pack.shardPlan(counts.select("doc_id", "n_toks"), 8)
+      .orderBy("doc_id").collect()
+    assert(full.length == 100 && bare.length == 100)
+    full.zip(bare).foreach { case (f, b) =>
+      Seq("doc_id", "shard", "sort_key", "n_toks", "shard_docs",
+        "shard_tokens").foreach(c =>
+        assert(f.getAs[Long](c) == b.getAs[Long](c), c))
+    }
+    assert(full.map(_.getAs[String]("tag")).toSeq ==
+      (1L to 100L).map(i => s"extra$i"))
+  }
+
   test("offsets are a partition-independent prefix sum in doc_id order") {
     val counts = (1L to 200L).map(i => i -> (i % 7 + 1)).toDF("doc_id", "n_tokens")
     val spans = Pack.sequenceSpans(counts.repartition(7), 16L)
