@@ -97,6 +97,94 @@ object NgramLm {
           .as("nll"))
   }
 
+  /** Stupid-backoff trigram model (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" §4 — the web-scale LM recipe:
+    * unnormalized relative frequencies with a fixed backoff factor,
+    * no discounting, which is what makes the model a closed form over
+    * exact counts and therefore oracle-replayable like [[Model]]).
+    * `total` = training token positions N; `vocab` = |training
+    * unigrams| (the add-one denominator at the unigram floor).
+    */
+  final case class BackoffModel(unigrams: DataFrame, bigrams: DataFrame,
+      trigrams: DataFrame, total: Long, vocab: Long)
+
+  private val trigramExpr =
+    expr("""transform(sequence(0, size(toks) - 3),
+           |  i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))""".stripMargin)
+
+  /** Count uni/bi/trigrams over (doc_id, toks) — three mergeable
+    * hash-aggs, each localCheckpointed eagerly (the [[train]]
+    * pattern: every table is consumed by several score joins).
+    */
+  def trainBackoff(spark: SparkSession, toks: DataFrame): BackoffModel = {
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(bigramExpr).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val tri = toks.filter(size(col("toks")) >= 3)
+      .select(explode(trigramExpr).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .localCheckpoint(true)
+    val total = uni.agg(sum(col("c1"))).head().getLong(0)
+    BackoffModel(uni, bi, tri, total, uni.count())
+  }
+
+  /** Per-document mean trigram NLL under stupid backoff:
+    *
+    *   S(w3 | w1 w2) = c3/c2(w1w2)            when the trigram was seen
+    *                 = 0.4 · c2(w2w3)/c1(w2)  else, when the bigram was
+    *                 = 0.16 · (c1(w3)+1)/(N+V)  else (add-one floor, so
+    *                   an out-of-vocabulary w3 scores finitely instead
+    *                   of ln 0 — scoring HELD-OUT text is the point of
+    *                   backoff; 0.16 is the LITERAL both engines parse,
+    *                   not a folded 0.4·0.4, whose binary product
+    *                   differs in the last ulp)
+    *
+    * Seen-trigram and seen-bigram branches never divide by null: a
+    * seen n-gram's context (n−1)-gram is seen by construction. Output
+    * (doc_id, n_trigrams, nll); docs with < 3 tokens drop out. Scale
+    * shape: per-doc trigram tf first (the [[score]] discipline — joins
+    * touch distinct (doc, gram) rows, not positions), then five
+    * key-partitioned joins against the vocab-sized count tables and
+    * one reduce per doc. Callers round the emitted nll
+    * ([[graft.queries.Par.r2]], the q79 contract).
+    */
+  def scoreBackoff(spark: SparkSession, toks: DataFrame,
+      model: BackoffModel): DataFrame = {
+    val tf = toks.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(trigramExpr).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("tf"))
+    val joined = tf
+      .join(model.trigrams, Seq("w1", "w2", "w3"), "left")
+      .join(model.bigrams.select(col("w1"), col("w2"), col("c2").as("c2ctx")),
+        Seq("w1", "w2"), "left")
+      .join(model.bigrams.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2b")), Seq("w2", "w3"), "left")
+      .join(model.unigrams.select(col("w").as("w2"), col("c1").as("c1ctx")),
+        Seq("w2"), "left")
+      .join(model.unigrams.select(col("w").as("w3"), col("c1").as("c1w3")),
+        Seq("w3"), "left")
+    val s =
+      when(col("c3").isNotNull, col("c3").cast("double") / col("c2ctx"))
+        .when(col("c2b").isNotNull,
+          lit(0.4) * col("c2b").cast("double") / col("c1ctx"))
+        .otherwise(lit(0.16) *
+          (coalesce(col("c1w3"), lit(0L)) + lit(1)).cast("double") /
+          lit((model.total + model.vocab).toDouble))
+    joined
+      .select(col("doc_id"), col("tf"), s.as("s"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_trigrams"),
+        (-sum(col("tf") * log(col("s"))) / sum(col("tf"))).as("nll"))
+  }
+
   /** Per-source KL divergence of the source's unigram distribution from
     * the whole-corpus distribution — the mixture-diagnostics companion
     * to deterministic mixture sampling (q70): a source whose D_KL spikes

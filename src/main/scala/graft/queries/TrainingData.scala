@@ -4513,6 +4513,16 @@ object TrainingData {
     val okDocs = routed.filter(col("result") === DeliveryStatus.Ok)
       .select(col("payload.doc_id").as("doc_id"),
         col("payload.text").as("text"))
+    deliveryToShards(okDocs)
+  }
+
+  /** q154's post-delivery chain (curation → 512-token packing → shard
+    * plan) over the Ok channel's decoded (doc_id, text) — ONE
+    * definition shared by the registry key and the streaming twin spec
+    * (which feeds it the REAL DeliveryPipeline's success channel), so
+    * the two paths cannot drift.
+    */
+  private[graft] def deliveryToShards(okDocs: DataFrame): DataFrame = {
     val curated = okDocs.filter(curationKeep)
       .withColumn("min_id",
         min(col("doc_id")).over(Window.partitionBy("text")))
@@ -4525,6 +4535,67 @@ object TrainingData {
     graft.operators.Pack.withShardPlan(spans, nShards = 8)
       .select("doc_id", "n_toks", "start_tok", "seq_first", "seq_last",
         "n_seqs", "shard", "sort_key", "shard_docs", "shard_tokens")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------ q155: stupid-backoff trigram LM
+
+  val q155_backoff_lm: QueryDef = q(
+    "q155_backoff_lm",
+    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |             FROM documents),
+      |train AS (SELECT doc_id, toks FROM tok WHERE doc_id % 2 = 0),
+      |tw AS (SELECT unnest(toks) AS w FROM train),
+      |c1 AS (SELECT w, count(*) AS c1 FROM tw GROUP BY 1),
+      |nt AS (SELECT sum(c1) AS n, count(*) AS v FROM c1),
+      |bg AS (SELECT toks[g] AS w1, toks[g+1] AS w2
+      |       FROM train, unnest(range(1, len(toks))) AS u(g) WHERE len(toks) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      |tg AS (SELECT toks[g] AS w1, toks[g+1] AS w2, toks[g+2] AS w3
+      |       FROM train, unnest(range(1, len(toks) - 1)) AS u(g) WHERE len(toks) >= 3),
+      |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+      |dtg AS (SELECT doc_id, toks[g] AS w1, toks[g+1] AS w2, toks[g+2] AS w3
+      |       FROM tok, unnest(range(1, len(toks) - 1)) AS u(g) WHERE len(toks) >= 3),
+      |dtf AS (SELECT doc_id, w1, w2, w3, count(*) AS tf FROM dtg GROUP BY 1, 2, 3, 4),
+      |sc AS (SELECT dtf.doc_id, dtf.tf,
+      |    CASE WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / ctx2.c2
+      |         WHEN cb.c2 IS NOT NULL THEN 0.4 * CAST(cb.c2 AS DOUBLE) / ctx1.c1
+      |         ELSE 0.16 * CAST(coalesce(cw3.c1, 0) + 1 AS DOUBLE) / (nt.n + nt.v) END AS s
+      |  FROM dtf
+      |  LEFT JOIN c3 USING (w1, w2, w3)
+      |  LEFT JOIN c2 ctx2 ON ctx2.w1 = dtf.w1 AND ctx2.w2 = dtf.w2
+      |  LEFT JOIN c2 cb ON cb.w1 = dtf.w2 AND cb.w2 = dtf.w3
+      |  LEFT JOIN c1 ctx1 ON ctx1.w = dtf.w2
+      |  LEFT JOIN c1 cw3 ON cw3.w = dtf.w3
+      |  CROSS JOIN nt)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+      |  floor((-sum(tf * ln(s)) / sum(tf)) * 100 + 0.5) / 100 AS nll
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    // Stupid-backoff trigram LM (operators/NgramLm.trainBackoff /
+    // scoreBackoff — Brants 2007, the web-scale recipe CCNet's KenLM
+    // rung approximates): TRAIN ON THE EVEN-doc_id HALF, score the
+    // whole corpus, so the held-out half exercises all three backoff
+    // branches (seen trigram / bigram backoff / add-one unigram floor
+    // for out-of-vocabulary words) — a self-scored corpus would never
+    // leave the first branch. The model upgrade over q79's add-one
+    // bigram: longer context where evidence exists, graceful fallback
+    // where it doesn't, still a closed form over exact counts (no
+    // discount estimation), so train + score replay in portable SQL.
+    // Scale shape: three mergeable count aggs (the reusable model
+    // artifact), per-doc trigram tf, five key-partitioned joins
+    // against vocab-sized tables, one reduce per doc. The backoff
+    // factor literals (0.4, 0.16) are PARSED on both engines — a
+    // folded 0.4*0.4 differs from literal 0.16 in the last ulp.
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val model = memo(s"backofflm|${s.sparkContext.applicationId}|$dir")(
+      graft.operators.NgramLm.trainBackoff(s,
+        toks.filter(pmod(col("doc_id"), lit(2L)) === 0)))
+    graft.operators.NgramLm.scoreBackoff(s, toks, model)
+      .select(col("doc_id"),
+        col("n_trigrams").cast("bigint").as("n_trigrams"),
+        Par.r2(col("nll")).as("nll"))
       .orderBy("doc_id")
   }
 
@@ -4555,5 +4626,5 @@ object TrainingData {
     q144_soft_dedup, q145_bpe_merges, q146_bpe_encode, q147_mrl_recall,
     q148_blocklist_filter, q149_url_dedup, q150_markup_strip,
     q151_fertility_report, q152_image_neardup, q153_gopher_repetition,
-    q154_delivery_to_shards)
+    q154_delivery_to_shards, q155_backoff_lm)
 }

@@ -125,4 +125,33 @@ class NgramLmSpec extends SparkSpec {
     assert(out(10L) == ("middle", 1) && out(11L) == ("tail", 0))
     assert(out(12L) == ("head", 1))
   }
+
+  test("stupid backoff: all three branches match hand-computed scores " +
+      "(seen trigram, bigram backoff, add-one unigram floor for OOV)") {
+    import spark.implicits._
+    val all = toksDf(Seq(
+      1L -> Seq("a", "b", "c"),       // held out: seen trigram, S = 1
+      2L -> Seq("a", "b", "c", "d"),  // train
+      3L -> Seq("b", "c", "x"),       // OOV w3 -> unigram floor
+      4L -> Seq("b", "c", "e"),       // train
+      5L -> Seq("a", "b", "c", "e"),  // two seen trigrams, S = 1 and 1/2
+      6L -> Seq("a", "b"),            // < 3 tokens: no row
+      7L -> Seq("x", "c", "d")))      // unseen trigram, seen (c,d) bigram
+    val m = NgramLm.trainBackoff(spark,
+      all.filter(col("doc_id") % 2 === 0))
+    // Train half = docs 2, 4, 6: c1 = {a2 b3 c2 d1 e1} (N=9, V=5);
+    // c2 = {ab2 bc2 cd1 ce1}; c3 = {abc1 bcd1 bce1}.
+    assert(m.total == 9L && m.vocab == 5L)
+    val got = NgramLm.scoreBackoff(spark, all, m)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 7L))
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    // abc: c3=1 over ctx c2(ab)=2 -> S = 1/2.
+    assert(got(1L)._1 == 1L && close(got(1L)._2, math.log(2.0)))
+    assert(close(got(2L)._2, math.log(2.0)))                 // 1/2, 1/2
+    assert(close(got(3L)._2, -math.log(0.16 * 1.0 / 14.0)))  // OOV floor
+    assert(close(got(5L)._2, math.log(2.0)))                 // 1/2, 1/2
+    assert(close(got(7L)._2, -math.log(0.4 * 1.0 / 2.0)))    // bigram hop
+  }
 }

@@ -983,4 +983,50 @@ class StreamingTwinSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"IVF mean recall too low: $mean")
   }
+
+  test("q154 twin: the REAL delivery pipeline's success channel, fed " +
+      "through the shared curation->packing->shards chain, equals the " +
+      "batch chain key row-for-row") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.DeliveryPipeline
+    import graft.streaming.DeliveryPipeline.Sinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q154-twin").toString
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // The q154 fixture verbatim: corrupted bytes at doc_id % 17 == 0,
+    // Dropped below 200 chars — but routed by the streaming pipeline's
+    // four-channel delivery instead of the batch projection.
+    val docs = queries.Tables.t(spark, sfDir, "documents")
+    val lines = docs.select(
+      col("doc_id").cast("string").as("recordId"),
+      when(pmod(col("doc_id"), lit(17L)) === 0, lit("definitely not json"))
+        .otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))).as("line"))
+    lines.select(to_json(struct(col("recordId"), col("line"))))
+      .coalesce(2).write.mode("overwrite").text(s"$tmp/in")
+    val env = spark.readStream
+      .schema(StructType(Seq(StructField("recordId", StringType),
+        StructField("line", StringType))))
+      .json(s"$tmp/in")
+      .select(col("recordId"), lit(0L).as("approximateArrivalTimestamp"),
+        col("line").cast("binary").as("data"))
+    val sinks = Sinks(s"$tmp/out")
+    val pipe = DeliveryPipeline.start(env, payloadSchema, sinks, s"$tmp/ckpt",
+      dropIf = p => p.getField("n_chars") < 200)
+    assert(pipe.awaitTermination(120000), "delivery timed out")
+    // Success channel -> decoded payloads -> the SHARED downstream
+    // (queries.TrainingData.deliveryToShards — one definition with the
+    // registry key, so the comparison proves the pipeline's routing,
+    // not a re-implementation).
+    val ok = spark.read.schema(payloadSchema).json(sinks.success + "/object-*")
+      .select(col("doc_id"), col("text"))
+    val got = queries.TrainingData.deliveryToShards(ok).collect().toSeq
+    val want = SparkEntry.queries("q154_delivery_to_shards")(spark, sfDir)
+      .collect().toSeq
+    assert(got == want,
+      s"streamed chain diverged: ${got.size} vs ${want.size} rows")
+    assert(want.nonEmpty, "empty chain output proves nothing")
+  }
 }
