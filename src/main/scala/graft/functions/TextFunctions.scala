@@ -37,19 +37,22 @@ object TextFunctions {
 
   /** Character n-grams (overlapping, order-preserving) of a string
     * column — the fastText-style langid feature (Wenzek 2020 §2 gates
-    * CCNet on a char-n-gram classifier). Pass a BOUND attribute (project
-    * `lower(text)` under its own alias first): higher-order lambdas get
-    * no common-subexpression elimination, so an unbound expression
-    * argument would re-evaluate once per element. A string shorter than
-    * n yields an empty array (`sequence(1, 0)` steps BACKWARD in Spark —
-    * the q153 guard). DuckDB spelling (no guard needed — `range` is
-    * empty when end ≤ start, and exclusive-end means `- n + 2`):
-    * `list_transform(range(1, length(t) - n + 2), i -> substring(t, i, n))`.
+    * CCNet on a char-n-gram classifier). Implemented as ONE codegen'd
+    * regex pass — a capturing lookahead at every position,
+    * `(?s)(?=(.{n})).` — because the obvious
+    * `transform(sequence(...), i -> substr(...))` is a higher-order
+    * function: HOF lambdas evaluate INTERPRETED per element, measured
+    * ~6× slower than the regex on a corpus scan (7 s for 1.5M trigrams
+    * at sf0.1). `(?s)` makes `.` match newlines, so the match set is
+    * exactly every codepoint position with ≥ n codepoints remaining —
+    * substring semantics. The regex never reaches the DuckDB oracle
+    * (RE2 has no lookahead): the oracle replays plain substrings,
+    * `list_transform(range(1, length(t) - n + 2), i -> substring(t, i, n))`,
+    * and the hash gate proves the two spellings agree. A string
+    * shorter than n yields an empty array.
     */
   def charNgrams(s: Column, n: Int): Column =
-    when(length(s) >= n,
-      transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
+    regexp_extract_all(s, lit(s"(?s)(?=(${"." * n}))."), lit(1))
 
   /** Distinct word 3-shingles of a token array column named `toks`
     * (0-based Spark array indexing; requires size >= 3 — callers filter).

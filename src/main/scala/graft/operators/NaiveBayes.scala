@@ -93,15 +93,22 @@ object NaiveBayes {
     val lab = toks.select(col("doc_id"), col("toks"),
       label.cast("string").as("cls"))
     val classCounts = lab.groupBy("cls").agg(count(lit(1)).as("nc"))
+      .localCheckpoint(true)
     val classMeta = classCounts.agg(
       sum("nc").cast("double").as("n"),
       count(lit(1)).cast("double").as("k"))
     val priors = classCounts.crossJoin(broadcast(classMeta))
       .select(col("cls"),
         log((col("nc") + lit(1.0)) / (col("n") + col("k"))).as("prior"))
+    // Eager localCheckpoint (the [[graft.operators.NgramLm.train]]
+    // pattern): the (class, term) count table feeds FOUR consumers
+    // below (class totals, vocab scalar, the dense grid's spine, and
+    // its left join) plus every scoring join — un-materialized, each
+    // one replays the corpus explode+agg lineage.
     val counts = lab
       .select(col("cls"), explode(col("toks")).as("term"))
       .groupBy("cls", "term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val classTotals = counts.groupBy("cls").agg(sum("cnt").as("tc"))
     val vocabMeta = counts.select("term").distinct()
       .agg(count(lit(1)).cast("double").as("v"))
@@ -112,6 +119,7 @@ object NaiveBayes {
       .select(col("cls"), col("term"),
         log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
           (col("tc") + col("v"))).as("w"))
+      .localCheckpoint(true)
     NbMultiModel(weights, priors)
   }
 
@@ -127,7 +135,15 @@ object NaiveBayes {
   def scoreMulti(toks: DataFrame, model: NbMultiModel): DataFrame =
     toks.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .join(model.weights, Seq("term"))
+      // The weight table is the broadcast side BY CONSTRUCTION: V×K
+      // rows where V is the FEATURE vocabulary — char-n-gram features
+      // (the langid use) are charset^n-bounded at any corpus size.
+      // Without the hint Catalyst sees only the checkpoint RDD's
+      // unknown stats and has been observed broadcasting the
+      // corpus-sized tf side instead (collect-to-driver of millions
+      // of rows). A word-feature corpus whose V×K outgrows broadcast
+      // should score via [[score]] per class instead.
+      .join(broadcast(model.weights), Seq("term"))
       .groupBy("doc_id", "cls").agg(sum(col("tf") * col("w")).as("ev"))
       .join(broadcast(model.priors), Seq("cls"))
       .select(col("doc_id"), col("cls"),

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable streaming sketches as plain aggregations — the
+  * fixed-size summaries a 100 TB pipeline keeps where exact state
+  * would be corpus-sized: count-min for heavy-hitter frequencies
+  * (Cormode & Muthukrishnan 2005) and HyperLogLog for distinct counts
+  * (Flajolet et al. 2007). The reference pipeline reports only exact
+  * per-channel counts (`kds_example/oss_utils.py:43-55`); these are
+  * the sublinear companions every monitoring/curation stage runs at
+  * scale (vocabulary growth, per-source cardinality, hot-term
+  * detection) without a vocabulary-sized shuffle.
+  *
+  * Both sketches are DETERMINISTIC and engine-portable by
+  * construction — hashes are the repo's salted
+  * [[graft.functions.TextFunctions.h64]], register math is integer or
+  * exact-binary-fraction arithmetic — so the DuckDB oracle replays
+  * the SKETCH itself and the gate checks it exactly (no tolerance):
+  * the approximation error vs ground truth is part of the CONTRACT
+  * being verified, not test noise.
+  *
+  * Scale shape: each sketch is ONE mergeable hash-agg over the token
+  * stream (map-side partial combine — the cell/register table is the
+  * aggregation state) to a depth×width / 2^b-row artifact that
+  * broadcasts anywhere. Merging shards = summing cells / max-ing
+  * registers, which is exactly what the partial aggregate already
+  * does.
+  */
+object Sketch {
+
+  import graft.functions.TextFunctions.h64
+
+  /** Count-min cell table over a one-column (w) stream: (r, b, cnt)
+    * for r < depth rows and b < width buckets, cnt = occurrences of
+    * words hashing to b under row r's salted hash. Absent cells are
+    * zero (the estimate side coalesces). One explode (depth× the
+    * token stream — depth is 3-5) + one mergeable groupBy.
+    */
+  def countMinCells(words: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"bad sketch shape: $depth x $width")
+    words
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          (h64(concat(lit(s"cm$r|"), col("w"))) % width).as("b"))): _*)).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (term) against a cell table:
+    * est(term) = min over rows of its cell count — an UPPER bound on
+    * the true frequency (collisions only ever add). The probe side is
+    * tiny and broadcast; cells are depth×width.
+    */
+  def countMinEstimate(cells: DataFrame, probes: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val keyed = probes
+      .select(col("term"), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          (h64(concat(lit(s"cm$r|"), col("term"))) % width).as("b"))): _*)).as("c"))
+      .select(col("term"), col("c.r").as("r"), col("c.b").as("b"))
+    keyed.join(cells, Seq("r", "b"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** HyperLogLog registers over a one-column (w) stream, m = 2^b
+    * buckets: (bucket, reg) with reg = max rank among the bucket's
+    * hashes. The portable rank is TRAILING zeros of the hash's
+    * bucket-quotient + 1 (P(rank ≥ k) = 2^-k, the same geometric law
+    * as leading zeros, and `v & -v` → exact log2 replays in any
+    * engine); v = 0 caps at the field width. Empty buckets are
+    * ABSENT here; [[hllEstimate]] grafts them back via a range spine.
+    */
+  def hllRegisters(words: DataFrame, b: Int): DataFrame = {
+    require(b >= 2 && b <= 16, s"b out of range: $b")
+    val m = 1L << b
+    // Bit shift, NOT `/`: Column `/` is DOUBLE division, and a 60-bit
+    // hash is above 2^53 — the rounded quotient would corrupt ranks.
+    // The oracle's integer `//` matches the shift exactly.
+    val v = shiftright(h64(col("w")), b)
+    val rank = when(v === 0, lit(61 - b).cast("long"))
+      .otherwise(floor(log2((v.bitwiseAND(-v)).cast("double"))).cast("long") + 1)
+    words
+      .select((h64(col("w")) % m).as("bucket"), rank.as("rank"))
+      .groupBy("bucket").agg(max("rank").as("reg"))
+  }
+
+  /** The HLL estimate from a register table: one row with
+    * (m, zeros, raw, est) where raw = α_m · m² / Σ 2^(−reg) (the sum
+    * is EXACT in double — every term is a binary fraction), zeros =
+    * empty-register count, and est applies the standard small-range
+    * correction est = m·ln(m/zeros) when raw ≤ 2.5·m and zeros > 0.
+    * α_m = 0.7213/(1 + 1.079/m) (the m ≥ 128 constant, applied for
+    * all m here — stated so the oracle replays one formula).
+    */
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
+    val spark = registers.sparkSession
+    val m = 1L << b
+    val spine = spark.range(m).select(col("id").as("bucket"))
+    val regs = spine.join(registers, Seq("bucket"), "left")
+      .select(coalesce(col("reg"), lit(0L)).as("reg"))
+    val agg = regs.agg(
+      sum(pow(lit(2.0), -col("reg"))).as("s"),
+      sum(when(col("reg") === 0, 1L).otherwise(0L)).as("zeros"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    agg.select(
+        lit(m).as("m"), col("zeros"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) / col("s")).as("raw"))
+      .select(col("m"), col("zeros"), col("raw"),
+        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")).as("est"))
+  }
+}

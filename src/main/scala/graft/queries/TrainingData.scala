@@ -708,7 +708,11 @@ object TrainingData {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), lower(col("text")).as("lo"))
       .select(col("doc_id"), col("lang"), charNgrams(col("lo"), 3).as("toks"))
-    val model = graft.operators.NaiveBayes.trainMulti(docs, col("lang"))
+    // Model-memo (the q79/ANN precedent): the dense weight table is
+    // the train-once artifact; trainMulti localCheckpoints it, so the
+    // memoized model is session-materialized like the IVF models.
+    val model = memo(s"nbmulti|${s.sparkContext.applicationId}|$dir")(
+      graft.operators.NaiveBayes.trainMulti(docs, col("lang")))
     val classes = Seq("de", "en", "es", "fr", "zh")
     val wide = graft.operators.NaiveBayes.scoreMulti(docs, model)
       .select(col("doc_id"), col("cls"), Par.r2(col("score")).as("score"))
@@ -4599,6 +4603,120 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  // -------------------- q156/q157: mergeable sketches (CM, HLL)
+
+  val q156_countmin_heavy: QueryDef = q(
+    "q156_countmin_heavy",
+    s"""WITH $docTokSql,
+       |w AS (SELECT unnest(toks) AS w FROM tok),
+       |cells AS (SELECT r, b, count(*) AS cnt FROM (
+       |    SELECT u.r AS r,
+       |      ${h64sql("concat('cm', CAST(u.r AS VARCHAR), '|', w)")} % 64 AS b
+       |    FROM w, unnest([0, 1, 2]) AS u(r))
+       |  GROUP BY 1, 2),
+       |probes AS (SELECT unnest(['and', 'data', 'query', 'the', 'zzzabsent']) AS term),
+       |pk AS (SELECT term, u.r AS r,
+       |      ${h64sql("concat('cm', CAST(u.r AS VARCHAR), '|', term)")} % 64 AS b
+       |    FROM probes, unnest([0, 1, 2]) AS u(r)),
+       |est AS (SELECT term, min(coalesce(cnt, 0)) AS est
+       |    FROM pk LEFT JOIN cells USING (r, b) GROUP BY 1),
+       |tru AS (SELECT w AS term, count(*) AS c FROM w GROUP BY 1)
+       |SELECT term, CAST(est AS BIGINT) AS est,
+       |  CAST(coalesce(c, 0) AS BIGINT) AS true_cnt,
+       |  CAST(est - coalesce(c, 0) AS BIGINT) AS overcount
+       |FROM est LEFT JOIN tru USING (term)
+       |ORDER BY term""".stripMargin
+  ) { (s, dir) =>
+    // Count-min heavy-hitter sketch (operators/Sketch.countMinCells /
+    // countMinEstimate — Cormode 2005): term frequencies from a
+    // 3×64-cell mergeable summary instead of a vocabulary-sized agg.
+    // The sketch is deterministic (salted h64 rows), so the ORACLE
+    // REPLAYS THE SKETCH — est, true count, and the collision
+    // overcount (always ≥ 0, the count-min upper-bound property) are
+    // all hash-gated exactly; the absent-term probe shows pure
+    // collision mass. Scale shape: one explode (3× the token stream)
+    // + one mergeable groupBy to a 192-row artifact; probes broadcast.
+    val words = tokenized(s, dir).select(explode(col("toks")).as("w"))
+    val cells = graft.operators.Sketch.countMinCells(words, depth = 3, width = 64)
+    import s.implicits._
+    val probes = Seq("and", "data", "query", "the", "zzzabsent").toDF("term")
+    val est = graft.operators.Sketch.countMinEstimate(cells, probes,
+      depth = 3, width = 64)
+    val tru = words.groupBy(col("w").as("term")).agg(count(lit(1)).as("c"))
+    est.join(tru, Seq("term"), "left")
+      .select(col("term"), col("est").cast("bigint").as("est"),
+        coalesce(col("c"), lit(0L)).cast("bigint").as("true_cnt"),
+        (col("est") - coalesce(col("c"), lit(0L))).cast("bigint").as("overcount"))
+      .orderBy("term")
+  }
+
+  val q157_hll_distinct: QueryDef = q(
+    "q157_hll_distinct",
+    s"""WITH $docTokSql,
+       |wt AS (SELECT unnest(toks) AS w FROM tok),
+       |ws AS (SELECT source AS w FROM documents),
+       |rt AS (SELECT ${h64sql("w")} % 64 AS bucket,
+       |      max(CASE WHEN (${h64sql("w")} // 64) = 0 THEN 55
+       |        ELSE CAST(floor(log2(CAST(((${h64sql("w")} // 64) & -(${h64sql("w")} // 64)) AS DOUBLE))) AS BIGINT) + 1 END) AS reg
+       |    FROM wt GROUP BY 1),
+       |rs AS (SELECT ${h64sql("w")} % 64 AS bucket,
+       |      max(CASE WHEN (${h64sql("w")} // 64) = 0 THEN 55
+       |        ELSE CAST(floor(log2(CAST(((${h64sql("w")} // 64) & -(${h64sql("w")} // 64)) AS DOUBLE))) AS BIGINT) + 1 END) AS reg
+       |    FROM ws GROUP BY 1),
+       |spine AS (SELECT CAST(i AS BIGINT) AS bucket FROM unnest(range(0, 64)) AS t(i)),
+       |at AS (SELECT sum(power(2.0, -coalesce(reg, 0))) AS s,
+       |       CAST(sum(CASE WHEN coalesce(reg, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+       |    FROM spine LEFT JOIN rt USING (bucket)),
+       |as_ AS (SELECT sum(power(2.0, -coalesce(reg, 0))) AS s,
+       |       CAST(sum(CASE WHEN coalesce(reg, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+       |    FROM spine LEFT JOIN rs USING (bucket)),
+       |et AS (SELECT zeros, 0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 / s AS raw FROM at),
+       |es AS (SELECT zeros, 0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 / s AS raw FROM as_),
+       |xt AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS exact FROM wt),
+       |xs AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS exact FROM ws),
+       |rows_ AS (
+       |  SELECT 'sources' AS domain, es.zeros,
+       |    floor((CASE WHEN es.raw <= 160.0 AND es.zeros > 0
+       |        THEN 64.0 * ln(64.0 / es.zeros) ELSE es.raw END) * 100 + 0.5) / 100 AS est,
+       |    xs.exact FROM es CROSS JOIN xs
+       |  UNION ALL
+       |  SELECT 'tokens', et.zeros,
+       |    floor((CASE WHEN et.raw <= 160.0 AND et.zeros > 0
+       |        THEN 64.0 * ln(64.0 / et.zeros) ELSE et.raw END) * 100 + 0.5) / 100,
+       |    xt.exact FROM et CROSS JOIN xt)
+       |SELECT domain, zeros, est, exact,
+       |  floor(((est - exact) / exact) * 10000 + 0.5) / 10000 AS rel_err
+       |FROM rows_ ORDER BY domain""".stripMargin
+  ) { (s, dir) =>
+    // HyperLogLog distinct-count sketch (operators/Sketch.hllRegisters
+    // / hllEstimate — Flajolet 2007): vocabulary and per-domain
+    // cardinality from a 64-register mergeable summary. Registers use
+    // TRAILING zeros of the hash's bucket-quotient (same geometric law
+    // as leading zeros; `v & -v` + exact log2 replays in any engine —
+    // the quotient is a bit SHIFT, never `/`, which is double division
+    // above 2^53). The Σ2^(−reg) sum is exact binary fractions, so the
+    // oracle replays the whole estimate bit-for-bit; both the raw
+    // branch (tokens: thousands of distincts, zero empty registers)
+    // and the small-range correction (sources: ~20 distincts,
+    // m·ln(m/zeros)) are exercised and gated with their TRUE relative
+    // error — the sketch's accuracy is part of the verified contract.
+    // Scale shape: one mergeable groupBy per domain to 64 rows.
+    import graft.operators.Sketch
+    def one(domain: String, words: DataFrame) = {
+      val est = Sketch.hllEstimate(Sketch.hllRegisters(words, 6), 6)
+      val exact = words.agg(countDistinct(col("w")).cast("bigint").as("exact"))
+      est.crossJoin(exact)
+        .select(lit(domain).as("domain"), col("zeros"),
+          Par.r2(col("est")).as("est"), col("exact"))
+    }
+    val toks = one("tokens", tokenized(s, dir).select(explode(col("toks")).as("w")))
+    val srcs = one("sources", t(s, dir, "documents").select(col("source").as("w")))
+    srcs.unionByName(toks)
+      .select(col("domain"), col("zeros"), col("est"), col("exact"),
+        Par.r4((col("est") - col("exact")) / col("exact")).as("rel_err"))
+      .orderBy("domain")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -4626,5 +4744,6 @@ object TrainingData {
     q144_soft_dedup, q145_bpe_merges, q146_bpe_encode, q147_mrl_recall,
     q148_blocklist_filter, q149_url_dedup, q150_markup_strip,
     q151_fertility_report, q152_image_neardup, q153_gopher_repetition,
-    q154_delivery_to_shards, q155_backoff_lm)
+    q154_delivery_to_shards, q155_backoff_lm, q156_countmin_heavy,
+    q157_hll_distinct)
 }

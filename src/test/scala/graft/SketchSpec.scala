@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketch
+
+class SketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def wordsDf(ws: Seq[String]) = ws.toDF("w")
+
+  test("count-min: estimates are exact with no collisions, always an " +
+      "UPPER bound, and cells merge by addition") {
+    val stream = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val cells = Sketch.countMinCells(wordsDf(stream), depth = 3, width = 512)
+    val probes = Seq("alpha", "beta", "gamma", "absent").toDF("term")
+    val est = Sketch.countMinEstimate(cells, probes, depth = 3, width = 512)
+      .as[(String, Long)].collect().toMap
+    val truth = Map("alpha" -> 7L, "beta" -> 3L, "gamma" -> 1L, "absent" -> 0L)
+    // A 3x512 sketch over 3 distinct terms collides with probability
+    // ~(3/512)^3 per probe — the exact values are the contract here.
+    assert(est == truth, s"collision-free sketch must be exact: $est")
+
+    // Upper bound under heavy collision pressure: width 2 forces them.
+    val tight = Sketch.countMinCells(wordsDf(stream), depth = 2, width = 2)
+    val estT = Sketch.countMinEstimate(tight, probes, depth = 2, width = 2)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (t, c) =>
+      assert(estT(t) >= c, s"$t: count-min must never undercount") }
+
+    // Mergeability: half-stream sketches sum cell-wise to the whole.
+    val (h1, h2) = stream.splitAt(5)
+    val merged = Sketch.countMinCells(wordsDf(h1), 3, 512)
+      .unionByName(Sketch.countMinCells(wordsDf(h2), 3, 512))
+      .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+    val whole = Sketch.countMinCells(wordsDf(stream), 3, 512)
+    assert(merged.as[(Int, Long, Long)].collect().toSet ==
+      whole.as[(Int, Long, Long)].collect().toSet)
+  }
+
+  test("hll: registers merge by max; large domains estimate within the " +
+      "m=64 error bound; tiny domains take the small-range correction") {
+    val big = (1 to 2000).map(i => s"tok$i")
+    val regs = Sketch.hllRegisters(wordsDf(big), 6)
+    // Merge = elementwise max of the halves' registers.
+    val (h1, h2) = big.splitAt(900)
+    val merged = Sketch.hllRegisters(wordsDf(h1), 6)
+      .unionByName(Sketch.hllRegisters(wordsDf(h2), 6))
+      .groupBy("bucket").agg(max("reg").as("reg"))
+    assert(merged.as[(Long, Long)].collect().toSet ==
+      regs.as[(Long, Long)].collect().toSet)
+
+    val est = Sketch.hllEstimate(regs, 6)
+      .select("zeros", "est").as[(Long, Double)].head()
+    // Standard error at m=64 is 1.04/8 = 13%; 2000 distinct should
+    // land well within 3 sigma.
+    assert(math.abs(est._2 - 2000.0) / 2000.0 < 0.4,
+      s"HLL estimate ${est._2} too far from 2000")
+
+    // Small domain: zeros > 0, correction branch, still in range.
+    val small = (1 to 15).map(i => s"s$i")
+    val estS = Sketch.hllEstimate(Sketch.hllRegisters(wordsDf(small), 6), 6)
+      .select("zeros", "est").as[(Long, Double)].head()
+    assert(estS._1 > 0, "15 values cannot fill 64 buckets")
+    assert(estS._2 > 5 && estS._2 < 30,
+      s"small-range estimate ${estS._2} out of range for 15 distincts")
+  }
+
+  test("hll registers are duplicate-insensitive (cardinality, not " +
+      "frequency): repeating the stream changes nothing") {
+    val ws = (1 to 100).map(i => s"w$i")
+    val once = Sketch.hllRegisters(wordsDf(ws), 6)
+      .as[(Long, Long)].collect().toSet
+    val thrice = Sketch.hllRegisters(wordsDf(ws ++ ws ++ ws), 6)
+      .as[(Long, Long)].collect().toSet
+    assert(once == thrice)
+  }
+}
