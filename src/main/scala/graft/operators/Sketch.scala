@@ -65,6 +65,48 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Equi-width histogram over a one-column (x: double) stream:
+    * (bin, cnt) for bin < bins, plus the (mn, width, n) scalars the
+    * caller threads to [[histQuantile]]. Two passes (min/max scalars,
+    * then one mergeable groupBy to a bins-row artifact) — the classic
+    * two-pass distributed histogram; bin arithmetic is a single IEEE
+    * chain (`floor((x − mn) / width)`, clamped at the top edge) that
+    * replays identically in any engine. Degenerate all-equal streams
+    * get width 0 → every value bin 0.
+    */
+  def histogram(xs: DataFrame, bins: Int): DataFrame = {
+    require(bins > 1, s"need > 1 bins, got $bins")
+    val stats = xs.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      count(lit(1)).as("n"))
+    val bin = when(col("width") === 0.0, lit(0L))
+      .otherwise(least(floor((col("x") - col("mn")) / col("width")).cast("long"),
+        lit(bins - 1L)))
+    xs.crossJoin(broadcast(
+        stats.select(col("mn"), ((col("mx") - col("mn")) / bins).as("width"),
+          col("n"))))
+      .select(bin.as("bin"), col("mn"), col("width"), col("n"))
+      .groupBy("bin", "mn", "width", "n").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a histogram: for each requested p, the
+    * LOWER EDGE of the first bin whose cumulative count reaches
+    * ceil(p·n) — a deterministic under-estimate within one bin width
+    * of the true quantile. The cumulative window runs over the
+    * bins-row artifact (histogram-sized, never the corpus).
+    */
+  def histQuantile(hist: DataFrame, ps: Seq[Double]): DataFrame = {
+    // PrefixSum even on the bins-row frame — no unpartitioned
+    // WindowExec anywhere in the engine (the repo-wide discipline),
+    // and the same code path scales if a caller ever feeds a
+    // million-bin histogram.
+    val cum = PrefixSum.withRunningTotal(hist, "bin", "cnt", "cum")
+    ps.map { p =>
+      cum.filter(col("cum") >= ceil(lit(p) * col("n")))
+        .agg(lit(p).as("p"),
+          min(col("mn") + col("bin") * col("width")).as("est"))
+    }.reduce(_ unionByName _)
+  }
+
   /** HyperLogLog registers over a one-column (w) stream, m = 2^b
     * buckets: (bucket, reg) with reg = max rank among the bucket's
     * hashes. The portable rank is TRAILING zeros of the hash's

@@ -4717,6 +4717,59 @@ object TrainingData {
       .orderBy("domain")
   }
 
+  // ------------------------- q158: histogram quantile sketch
+
+  val q158_hist_quantiles: QueryDef = q(
+    "q158_hist_quantiles",
+    """WITH xs AS (SELECT l_extendedprice AS x FROM lineitem),
+      |st AS (SELECT min(x) AS mn, max(x) AS mx, CAST(count(*) AS BIGINT) AS n FROM xs),
+      |hb AS (SELECT CASE WHEN (mx - mn) / 128 = 0 THEN 0
+      |         ELSE CAST(least(floor((x - mn) / ((mx - mn) / 128)), 127) AS BIGINT) END AS bin,
+      |       mn, (mx - mn) / 128 AS width, n
+      |     FROM xs CROSS JOIN st),
+      |hist AS (SELECT bin, mn, width, n, count(*) AS cnt FROM hb GROUP BY 1, 2, 3, 4),
+      |cumh AS (SELECT *, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+      |pees AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p),
+      |est AS (SELECT p, min(mn + bin * width) AS est
+      |        FROM cumh CROSS JOIN pees
+      |        WHERE cum >= ceil(p * n) GROUP BY p),
+      |vc AS (SELECT x, count(*) AS c FROM xs GROUP BY 1),
+      |cumv AS (SELECT x, sum(c) OVER (ORDER BY x) AS cum FROM vc),
+      |ex AS (SELECT p, min(x) AS exact
+      |       FROM cumv CROSS JOIN st CROSS JOIN pees
+      |       WHERE cum >= ceil(p * n) GROUP BY p)
+      |SELECT est.p, floor(est.est * 100 + 0.5) / 100 AS est, ex.exact,
+      |  floor((ex.exact - est.est) * 100 + 0.5) / 100 AS err
+      |FROM est JOIN ex USING (p) ORDER BY p""".stripMargin
+  ) { (s, dir) =>
+    // Distributed quantile estimation from a mergeable equi-width
+    // histogram (operators/Sketch.histogram/histQuantile) — the third
+    // classic sketch family beside q156/q157: percentiles of a
+    // 100 TB-wide column from a bins-row summary instead of a global
+    // sort. Estimate = lower edge of the first bin reaching ceil(p·n)
+    // cumulative — deterministic, so the oracle replays the sketch
+    // AND the exact value-at-rank ground truth (PrefixSum two-phase
+    // on the engine side — the corpus is never globally sorted in one
+    // task; only the 128-row histogram sees a window) and the gate
+    // checks the estimation ERROR exactly. p50/p90/p99 of
+    // l_extendedprice.
+    import graft.operators.{PrefixSum, Sketch}
+    val xs = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+    val hist = Sketch.histogram(xs, 128)
+    val total = xs.agg(count(lit(1)).as("n"))
+    val vc = xs.groupBy("x").agg(count(lit(1)).as("c"))
+    val cumv = PrefixSum.withRunningTotal(vc, "x", "c", "cum")
+      .crossJoin(broadcast(total))
+    val rows = Seq(0.5, 0.9, 0.99).map { p =>
+      Sketch.histQuantile(hist, Seq(p)).crossJoin(
+        cumv.filter(col("cum") >= ceil(lit(p) * col("n")))
+          .agg(min(col("x")).as("exact")))
+    }.reduce(_ unionByName _)
+    rows.select(col("p"), Par.r2(col("est")).as("est"), col("exact"),
+        Par.r2(col("exact") - col("est")).as("err"))
+      .orderBy("p")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -4745,5 +4798,5 @@ object TrainingData {
     q148_blocklist_filter, q149_url_dedup, q150_markup_strip,
     q151_fertility_report, q152_image_neardup, q153_gopher_repetition,
     q154_delivery_to_shards, q155_backoff_lm, q156_countmin_heavy,
-    q157_hll_distinct)
+    q157_hll_distinct, q158_hist_quantiles)
 }

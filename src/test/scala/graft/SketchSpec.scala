@@ -67,6 +67,28 @@ class SketchSpec extends SparkSpec {
       s"small-range estimate ${estS._2} out of range for 15 distincts")
   }
 
+  test("histogram quantiles: estimate is the qualifying bin's lower " +
+      "edge, within one bin width of the true quantile; degenerate " +
+      "all-equal streams collapse to bin 0") {
+    val xs = (1 to 1000).map(_.toDouble).toDF("x")
+    val hist = Sketch.histogram(xs, 10)
+    // 1..1000 over 10 bins: width 99.9, uniform ~100 per bin.
+    assert(hist.count() == 10)
+    val est = Sketch.histQuantile(hist, Seq(0.5, 0.9))
+      .as[(Double, Double)].collect().toMap
+    // True p50 = 500, p90 = 900; the lower-edge estimate sits within
+    // one bin width below the truth.
+    assert(est(0.5) <= 500.0 && est(0.5) > 500.0 - 2 * 99.9, est.toString)
+    assert(est(0.9) <= 900.0 && est(0.9) > 900.0 - 2 * 99.9, est.toString)
+
+    val flat = Seq.fill(50)(7.5).toDF("x")
+    val h2 = Sketch.histogram(flat, 10)
+    assert(h2.count() == 1 &&
+      h2.select("bin").as[Long].head() == 0L)
+    val e2 = Sketch.histQuantile(h2, Seq(0.99)).as[(Double, Double)].head()
+    assert(e2._2 == 7.5, s"degenerate stream must estimate exactly: $e2")
+  }
+
   test("hll registers are duplicate-insensitive (cardinality, not " +
       "frequency): repeating the stream changes nothing") {
     val ws = (1 to 100).map(i => s"w$i")
