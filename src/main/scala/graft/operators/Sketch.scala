@@ -98,13 +98,19 @@ object Sketch {
     // PrefixSum even on the bins-row frame — no unpartitioned
     // WindowExec anywhere in the engine (the repo-wide discipline),
     // and the same code path scales if a caller ever feeds a
-    // million-bin histogram.
+    // million-bin histogram. ALL requested quantiles come from ONE
+    // conditional aggregate over one cumulative pass (a per-p
+    // filter+agg would replay the histogram lineage |ps| times), then
+    // explode to (p, est) rows.
     val cum = PrefixSum.withRunningTotal(hist, "bin", "cnt", "cum")
-    ps.map { p =>
-      cum.filter(col("cum") >= ceil(lit(p) * col("n")))
-        .agg(lit(p).as("p"),
-          min(col("mn") + col("bin") * col("width")).as("est"))
-    }.reduce(_ unionByName _)
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")),
+        col("mn") + col("bin") * col("width"))).as(s"_e$i")
+    }
+    cum.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ps.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("p"), col(s"_e$i").as("est")) }: _*)).as("pe"))
+      .select(col("pe.p").as("p"), col("pe.est").as("est"))
   }
 
   /** HyperLogLog registers over a one-column (w) stream, m = 2^b

@@ -4754,18 +4754,25 @@ object TrainingData {
     // checks the estimation ERROR exactly. p50/p90/p99 of
     // l_extendedprice.
     import graft.operators.{PrefixSum, Sketch}
+    val ps = Seq(0.5, 0.9, 0.99)
     val xs = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
-    val hist = Sketch.histogram(xs, 128)
+    val est = Sketch.histQuantile(Sketch.histogram(xs, 128), ps)
+    // Exact ground truth: ONE conditional aggregate over one
+    // PrefixSum pass (per-p filters would replay the corpus lineage
+    // |ps| times), exploded to (p, exact) and broadcast onto est.
     val total = xs.agg(count(lit(1)).as("n"))
     val vc = xs.groupBy("x").agg(count(lit(1)).as("c"))
     val cumv = PrefixSum.withRunningTotal(vc, "x", "c", "cum")
       .crossJoin(broadcast(total))
-    val rows = Seq(0.5, 0.9, 0.99).map { p =>
-      Sketch.histQuantile(hist, Seq(p)).crossJoin(
-        cumv.filter(col("cum") >= ceil(lit(p) * col("n")))
-          .agg(min(col("x")).as("exact")))
-    }.reduce(_ unionByName _)
-    rows.select(col("p"), Par.r2(col("est")).as("est"), col("exact"),
+    val exAggs = ps.zipWithIndex.map { case (p, i) =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("x"))).as(s"_x$i")
+    }
+    val exact = cumv.agg(exAggs.head, exAggs.tail: _*)
+      .select(explode(array(ps.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("p"), col(s"_x$i").as("exact")) }: _*)).as("pe"))
+      .select(col("pe.p").as("p"), col("pe.exact").as("exact"))
+    est.join(broadcast(exact), Seq("p"))
+      .select(col("p"), Par.r2(col("est")).as("est"), col("exact"),
         Par.r2(col("exact") - col("est")).as("err"))
       .orderBy("p")
   }
