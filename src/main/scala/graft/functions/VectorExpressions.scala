@@ -156,6 +156,79 @@ case class DotProductL(left: Expression, right: Expression)
   override def prettyName: String = "dot_l"
 }
 
+/** Codegen'd float-vector squared L2 distance:
+  * `sum_i (double)((a[i] − b[i]) · (a[i] − b[i]))` with the difference
+  * AND the square both rounded to float32 before widening — the exact
+  * arithmetic of [[graft.operators.Ivf.nearest]] (`val t = cv(i) − v(i);
+  * d += t * t` over Float arrays) and of the SQL oracles' replay
+  * (`CAST(CAST(CAST(a[i]−b[i] AS REAL) · … AS REAL) AS DOUBLE)`), so a
+  * distance computed through this expression is bit-identical to both
+  * the k-means trainer's assignment metric and the DuckDB twin.
+  * Sequential left fold like [[DotProductF]]; same shorter-vector and
+  * null-element contracts, same motivation (the `aggregate(zip_with)`
+  * HOF form evaluates interpreted per element — the q51b lesson).
+  */
+case class SqDistF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+  override def foldable: Boolean = left.foldable && right.foldable
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sqdist_f expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val t = x.getFloat(i) - y.getFloat(i)
+      s += (t * t).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val t = ctx.freshName("t")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  float $t = $a.getFloat($i) - $b.getFloat($i);
+         |  $s += (double) ($t * $t);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sqdist_f"
+}
+
 /** Codegen'd per-vector symmetric int8 quantization:
   * `mx = max_i |(double) v[i]|`, then `codes[i] = clamp(floor(v[i] *
   * 127 / mx + 0.5), -127, 127)` (all zeros when mx = 0) — two fused
@@ -272,6 +345,13 @@ object VectorFunctions {
   /** Exact integer dot product of two `array<long>` columns. */
   def dot_l(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProductL(GraftSqlBridge.expression(a),
+      GraftSqlBridge.expression(b)))
+
+  /** Squared L2 distance of two `array<float>` columns as double —
+    * bit-identical to `Ivf.nearest`'s assignment metric.
+    */
+  def sqdist_f(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SqDistF(GraftSqlBridge.expression(a),
       GraftSqlBridge.expression(b)))
 
   /** Per-vector symmetric int8 codes of an `array<float>` column. */

@@ -192,4 +192,38 @@ object Ivf {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** Prototype (coreset) selection: the ONE vector closest to its
+    * cell's centroid, per cell — the cheap geometric-diversity
+    * summary of a corpus (a k-sized sample with at least one
+    * representative per k-means region), the selection rung SemDeDup's
+    * authors use for "keep the cluster's most central example" and the
+    * standard seed set for herding-style data pruning. Complements
+    * q75: SemDeDup removes a cell's redundant members, this PICKS the
+    * cell's canonical one.
+    *
+    * `indexed` is an [[index]] output (vec_id, embedding, cell) against
+    * the SAME frozen model (the q73/q89/q139 shared-index discipline).
+    * Distance is the codegen'd [[graft.functions.SqDistF]] — the
+    * bit-identical twin of [[nearest]]'s assignment metric, so the
+    * chosen prototype is provably a member of its own cell.
+    *
+    * Returns (cell, vec_id, sqdist), one row per non-empty cell.
+    * Shape: centroids join BROADCAST (k rows), then ONE mergeable
+    * `min(struct(dist, vec_id))` hash-agg over the corpus — k output
+    * rows, no window, no second pass; ties inside a cell go to the
+    * smaller vec_id via the struct order.
+    */
+  def prototypes(spark: SparkSession, indexed: DataFrame, model: Model): DataFrame = {
+    import spark.implicits._
+    val cents = model.centroids.toSeq.toDF("cell", "cv")
+    indexed.join(broadcast(cents), "cell")
+      .select(col("cell"),
+        graft.functions.VectorFunctions.sqdist_f(col("embedding"), col("cv")).as("d"),
+        col("vec_id"))
+      .groupBy("cell")
+      .agg(min(struct(col("d"), col("vec_id"))).as("best"))
+      .select(col("cell"), col("best.vec_id").as("vec_id"),
+        col("best.d").as("sqdist"))
+  }
 }

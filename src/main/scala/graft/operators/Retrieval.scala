@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-relevance ranking and rank fusion — the query-side surface of
@@ -200,5 +200,60 @@ object Retrieval {
       contribs.indices
         .map(i => coalesce(col(s"rrf_c$i"), lit(0.0)))
         .reduce(_ + _).as("rrf"): _*)
+  }
+
+  /** `rescore` — two-phase ranking, the OpenSearch/Elasticsearch
+    * rescorer contract: re-rank only the top `windowSize` hits of a
+    * cheap primary ranking with an expensive secondary scorer,
+    * combining as `primary·queryWeight + secondary·rescoreWeight`
+    * (the API's default `total` score mode). The page the user sees
+    * comes from the window; everything below it keeps its primary
+    * order untouched — which is exactly what makes the second model
+    * affordable: it prices `windowSize` rows, not the corpus.
+    *
+    * `primary` must carry (doc_id, score) with score in EMISSION form
+    * (rounded) — the window cut and the combination both happen on
+    * what the primary phase would have displayed, so the combined
+    * score stays engine-portable (one rounded double + one exact
+    * product, fixed op order). `secondary` carries doc_id plus
+    * whatever raw columns `secCol` needs (an embedding, features, …);
+    * `secCol` is the rescore-scorer EXPRESSION, deliberately a Column
+    * and not a pre-computed score column so it evaluates only on the
+    * window's rows, never as a corpus-wide pass over `secondary`.
+    * Docs missing from `secondary` rescore as 0, like a rescore query
+    * that doesn't match.
+    *
+    * Shape: the window is a `TakeOrderedAndProject` top-k of the
+    * primary (per-partition top-k, no global sort), collected as
+    * bounded metadata ([[SearchDsl.mltTerms]]'s class — ≤ windowSize
+    * id/score pairs) and PUSHED DOWN into the secondary scan as an
+    * `IN` filter — the id-lookup a real rescorer issues to its
+    * feature store, which reaches the parquet reader as a pushed
+    * predicate (row-group pruning) instead of any corpus-shaped join.
+    * The scorer expression sits above that filter, priced at
+    * ≤ windowSize evaluations; the final combine is a broadcast join
+    * of two ≤ windowSize-row frames. (A window-preserving LEFT join
+    * could not broadcast — Spark cannot broadcast an outer join's
+    * preserved side — so the join formulation would silently shuffle
+    * the corpus on doc_id.)
+    */
+  def rescore(primary: DataFrame, secondary: DataFrame, secCol: Column,
+      windowSize: Int, queryWeight: Double = 1.0,
+      rescoreWeight: Double = 1.0): DataFrame = {
+    require(windowSize > 0, s"rescore window must be positive, got $windowSize")
+    val window = primary
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(windowSize)
+      .localCheckpoint() // ≤ windowSize rows; don't recompute primary twice
+    val ids = window.select(col("doc_id")).collect().map(_.get(0))
+    val sec = secondary
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("doc_id"), secCol.as("sec"))
+    window.join(broadcast(sec), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score").as("primary_score"),
+        coalesce(col("sec"), lit(0.0)).as("sec"))
+      .select(col("doc_id"), col("primary_score"), col("sec"),
+        (col("primary_score") * lit(queryWeight)
+          + col("sec") * lit(rescoreWeight)).as("combined"))
   }
 }

@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   *  - [[percolate]] — reverse search over registered queries, the
   *    percolator/alerting surface (q111);
   *  - [[termsFacet]] — the `terms` aggregation panel beside a search
-  *    page (q109).
+  *    page (q109);
+  *  - [[significantTerms]] — the `significant_terms` aggregation
+  *    (JLH-scored foreground-vs-background term skew, q159);
+  *  - [[collapseTop]] — `collapse` field collapsing, one best hit per
+  *    key with the inner-hits count (q161).
   *
   * Scale shapes are per-method; the common theme mirrors
   * [[Retrieval]]: per-query work is bounded by the QUERY TERMS'
@@ -486,6 +490,74 @@ object SearchDsl {
     hits.join(docs, "doc_id")
       .groupBy(col(field))
       .agg(metrics.head, metrics.tail: _*)
+  }
+
+  /** `significant_terms` aggregation: terms UNUSUALLY frequent in a
+    * foreground doc set relative to the whole corpus, scored with
+    * Elasticsearch's JLH heuristic —
+    * `(fgRate − bgRate) · (fgRate / bgRate)` where `fgRate` is the
+    * fraction of foreground docs containing the term and `bgRate` the
+    * corpus fraction (document frequency over the background SUPERSET,
+    * the ES default) — the absolute-lift × relative-lift product that
+    * suppresses both stopwords (high rate, no lift) and one-off typos
+    * (huge lift, no support). Terms below `minDocCount` foreground
+    * docs or with no positive lift are dropped, as the aggregation
+    * does.
+    *
+    * `isFg` is a per-doc boolean column over `toks` (doc_id, toks) —
+    * the foreground predicate (a query match, a source filter, …).
+    *
+    * Returns (term, fg_df, bg_df, score) for every surviving term.
+    * Scale shape: ONE corpus-sized shuffle — the per-term hash-agg over
+    * distinct (doc, term) pairs carries the foreground flag, so fg_df
+    * (conditional sum) and bg_df (count) come out of the SAME partial
+    * aggregate; the two corpus-count scalars broadcast. No doc-keyed
+    * join anywhere, so a foreground of any size costs the same pass.
+    * Portability: each score is scalar double arithmetic on exact
+    * counts in one fixed op order — no summation-order caveat; callers
+    * round only for EMISSION.
+    */
+  def significantTerms(toks: DataFrame, isFg: Column,
+      minDocCount: Long = 3): DataFrame = {
+    val dt = toks
+      .select(col("doc_id"), isFg.cast("boolean").as("fg"),
+        explode(array_distinct(col("toks"))).as("term"))
+    val counts = toks
+      .agg(count(lit(1)).cast("double").as("n_bg"),
+        sum(isFg.cast("long")).cast("double").as("n_fg"))
+    val fgRate = col("fg_df").cast("double") / col("n_fg")
+    val bgRate = col("bg_df").cast("double") / col("n_bg")
+    dt.groupBy("term")
+      .agg(sum(col("fg").cast("long")).as("fg_df"),
+        count(lit(1)).as("bg_df"))
+      .filter(col("fg_df") >= minDocCount)
+      .crossJoin(broadcast(counts))
+      .select(col("term"), col("fg_df"), col("bg_df"),
+        ((fgRate - bgRate) * (fgRate / bgRate)).as("score"))
+      .filter(col("score") > 0)
+  }
+
+  /** `collapse` — field collapsing: ONE best hit per value of the
+    * collapse field (top score, ties to the smallest doc_id) plus the
+    * `inner_hits` count of matching docs folded under it, ordered like
+    * the search page shows groups (best score first). `scoreCol` must
+    * already be in emission form (rounded) — the collapse order is on
+    * what the page displays, the house discipline for score ranking.
+    *
+    * Shape: annotate hits with the collapse key (one join — broadcast
+    * when hits are a result page, which they are), then ONE mergeable
+    * hash-agg per key: the best hit is a `min(struct(−score, doc_id))`
+    * partial aggregate, never a rank window over the hit set — the
+    * same window-free top-1 trick as the data-card/top-gram paths.
+    */
+  def collapseTop(hits: DataFrame, docs: DataFrame, field: String,
+      scoreCol: Column): DataFrame = {
+    hits.join(docs.select(col("doc_id"), col(field)), "doc_id")
+      .groupBy(col(field))
+      .agg(min(struct((-scoreCol).as("ns"), col("doc_id").as("d"))).as("top"),
+        count(lit(1)).as("inner_hits"))
+      .select(col(field), col("top.d").as("doc_id"),
+        (-col("top.ns")).as("score"), col("inner_hits"))
   }
 
   /** `more_like_this` query planning: the probe document's

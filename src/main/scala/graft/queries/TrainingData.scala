@@ -4777,6 +4777,225 @@ object TrainingData {
       .orderBy("p")
   }
 
+  // ------------------------- q159: significant_terms aggregation
+
+  val q159_significant_terms: QueryDef = q(
+    "q159_significant_terms",
+    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+      |             FROM documents),
+      |dt AS (SELECT doc_id, list_contains(toks, 'data') AS fg,
+      |         unnest(list_distinct(toks)) AS term FROM tok),
+      |counts AS (SELECT CAST(count(*) AS DOUBLE) AS n_bg,
+      |         CAST(sum(CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END) AS DOUBLE) AS n_fg
+      |       FROM tok),
+      |g AS (SELECT term, sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fg_df, count(*) AS bg_df
+      |      FROM dt GROUP BY term),
+      |sc AS (SELECT term, CAST(fg_df AS BIGINT) AS fg_df, CAST(bg_df AS BIGINT) AS bg_df,
+      |      (CAST(fg_df AS DOUBLE) / n_fg - CAST(bg_df AS DOUBLE) / n_bg)
+      |        * ((CAST(fg_df AS DOUBLE) / n_fg) / (CAST(bg_df AS DOUBLE) / n_bg)) AS score
+      |    FROM g CROSS JOIN counts WHERE fg_df >= 3),
+      |ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, term) AS rnk
+      |           FROM sc WHERE score > 0)
+      |SELECT term, fg_df, bg_df, floor(score * 10000 + 0.5) / 10000 AS score,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 15 ORDER BY rnk""".stripMargin
+  ) { (s, dir) =>
+    // The significant_terms aggregation (operators/SearchDsl
+    // .significantTerms): the top-15 terms unusually frequent in the
+    // docs matching the query term 'data' relative to the whole
+    // corpus, JLH-scored — the "what is this result set ABOUT"
+    // aggregation of the reference's search sink, and the engine's
+    // keyword-drift monitor for a curation slice. Each JLH score is
+    // scalar double arithmetic on exact counts in one fixed op order
+    // (two divisions, one difference, one quotient, one product — no
+    // summation), so RANKING on the raw score is engine-portable with
+    // no rounding guard; r4 is emission-only. Scale shape: ONE
+    // corpus-sized shuffle — the per-term hash-agg carries the
+    // foreground flag so fg_df and bg_df come from the same partial
+    // aggregate; no doc-keyed join, and the top-15 cut is a
+    // TakeOrderedAndProject over term-cardinality rows.
+    val tk = tokenized(s, dir)
+    val sig = graft.operators.SearchDsl.significantTerms(
+      tk, array_contains(col("toks"), "data"), minDocCount = 3)
+    sig.orderBy(col("score").desc, col("term")).limit(15)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("term"))))
+      .select(col("term"), col("fg_df").cast("bigint").as("fg_df"),
+        col("bg_df").cast("bigint").as("bg_df"),
+        Par.r4(col("score")).as("score"), col("rnk").cast("bigint").as("rnk"))
+      .orderBy("rnk")
+  }
+
+  // ------------------------- q160: rescore (two-phase ranking)
+
+  val q160_rescore: QueryDef = q(
+    "q160_rescore",
+    s"""WITH $docTokSql,
+       |$bm25Sql,
+       |win AS (SELECT doc_id, primary_score FROM (
+       |      SELECT doc_id, floor(score * 100 + 0.5) / 100 AS primary_score,
+       |        row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |      FROM bscored) WHERE rnk <= 20),
+       |pe AS (SELECT embedding AS pe,
+       |      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS pn
+       |    FROM embeddings WHERE vec_id = 0),
+       |resc AS (SELECT w.doc_id, w.primary_score,
+       |      coalesce(list_sum(list_transform(range(1, len(pe) + 1),
+       |          i -> CAST(pe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+       |        / (pn * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       |        0.0) AS sec
+       |    FROM win w CROSS JOIN pe LEFT JOIN embeddings e ON e.vec_id = w.doc_id),
+       |comb AS (SELECT doc_id, primary_score, sec,
+       |      primary_score * 1.0 + sec * 2.0 AS combined FROM resc),
+       |ranked AS (SELECT *, row_number() OVER (ORDER BY combined DESC, doc_id) AS rnk FROM comb)
+       |SELECT doc_id, primary_score, floor(sec * 10000 + 0.5) / 10000 AS cos,
+       |  floor(combined * 10000 + 0.5) / 10000 AS combined, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+  ) { (s, dir) =>
+    // Two-phase ranking (operators/Retrieval.rescore): the OpenSearch
+    // rescorer — BM25 ranks the corpus, then ONLY its top-20 window is
+    // re-scored by the expensive model (here: embedding cosine to the
+    // vec_id-0 probe, doc_id = vec_id), combined as primary·1 + cos·2
+    // (the API's `total` mode), page = top-10 of the window. The
+    // combination is a rounded primary + an exact fixed-fold cosine —
+    // one add, one multiply — so ranking on the RAW combined score is
+    // engine-portable (q86's discipline); r4 on cos/combined is
+    // emission-only. Scale shape: the window is a
+    // TakeOrderedAndProject top-k whose 20 ids PUSH DOWN into the
+    // embeddings scan as an IN predicate (the feature-store id lookup
+    // — row-group pruning, no corpus-shaped join); the cosine
+    // evaluates above that filter, priced at 20 rows.
+    val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+      .select(col("doc_id"), Par.r2(col("score")).as("score"))
+    val emb = t(s, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val secondary = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(probe))
+    val cosCol = graft.operators.Similarity.cosSafe(
+      dot_f(col("pe"), col("embedding")),
+      sqrt(dot_f(col("pe"), col("pe"))),
+      sqrt(dot_f(col("embedding"), col("embedding"))))
+    val resc = graft.operators.Retrieval.rescore(
+      scored, secondary, cosCol, windowSize = 20,
+      queryWeight = 1.0, rescoreWeight = 2.0)
+    resc.orderBy(col("combined").desc, col("doc_id")).limit(10)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("combined").desc, col("doc_id"))))
+      .select(col("doc_id"), col("primary_score"),
+        Par.r4(col("sec")).as("cos"), Par.r4(col("combined")).as("combined"),
+        col("rnk").cast("bigint").as("rnk"))
+      .orderBy("rnk")
+  }
+
+  // ------------------------- q161: collapse (field collapsing)
+
+  val q161_collapse: QueryDef = q(
+    "q161_collapse",
+    s"""WITH $docTokSql,
+       |$bm25Sql,
+       |src AS (SELECT b.doc_id, floor(b.score * 100 + 0.5) / 100 AS score, d.source
+       |        FROM bscored b JOIN documents d USING (doc_id)),
+       |col AS (SELECT source, doc_id, score,
+       |      row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+       |      count(*) OVER (PARTITION BY source) AS inner_hits
+       |    FROM src)
+       |SELECT source, doc_id, score, CAST(inner_hits AS BIGINT) AS inner_hits
+       |FROM col WHERE rn = 1 ORDER BY score DESC, source""".stripMargin
+  ) { (s, dir) =>
+    // Field collapsing (operators/SearchDsl.collapseTop): the search
+    // page's `collapse` — one best hit per source (top ROUNDED BM25
+    // score, ties to the smallest doc_id) with the inner_hits count of
+    // matching docs folded under it, groups ordered best-first. The
+    // engine's best-per-key is a mergeable min(struct(−score, doc_id))
+    // hash-agg (the window-free top-1 discipline — the oracle's rank
+    // window is DuckDB-side only); the doc-keyed join to fetch the
+    // collapse field is the one shuffle beside bm25's tf agg. Scale
+    // shape: output is |sources| rows; nothing after the join exceeds
+    // the aggregate's partial-merge width.
+    val hits = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+      .select(col("doc_id"), Par.r2(col("score")).as("score"))
+    val docs = t(s, dir, "documents")
+    graft.operators.SearchDsl.collapseTop(hits, docs, "source", col("score"))
+      .select(col("source"), col("doc_id"), col("score"),
+        col("inner_hits").cast("bigint").as("inner_hits"))
+      .orderBy(col("score").desc, col("source"))
+  }
+
+  // ------------------------- q162: temperature-scaled source mixing
+
+  val q162_temperature_mix: QueryDef = q(
+    "q162_temperature_mix",
+    """WITH tok AS (SELECT source,
+      |        len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS n_tok
+      |      FROM documents),
+      |per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tok,
+      |        sqrt(CAST(sum(n_tok) AS DOUBLE)) AS weight
+      |      FROM tok GROUP BY source),
+      |nrm AS (SELECT list_sum(list(weight ORDER BY source)) AS sum_w FROM per)
+      |SELECT source, n_tok, weight,
+      |  floor(weight / sum_w * 1000000 + 0.5) / 1000000 AS p,
+      |  CAST(floor((floor(weight / sum_w * 1000000 + 0.5) / 1000000) * 100000 + 0.5) AS BIGINT) AS alloc_tok
+      |FROM per CROSS JOIN nrm ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    // Temperature-scaled source sampling (operators/Mixture
+    // .temperatureMix — Conneau 2020 §3.1 / Xue 2021 §3.2): p_i ∝
+    // √n_i over per-source token counts, allocations for a 100k-token
+    // budget. α is pinned at 1/2 because IEEE sqrt is CORRECTLY
+    // rounded in both engines while pow() has a one-ulp license; the
+    // normalizer Σ√n — the one order-sensitive double sum — folds
+    // sequentially over source-ascending weights on BOTH sides
+    // (aggregate over a sorted array here, list(ORDER BY) + list_sum
+    // there), so every emitted double is bit-portable with rounding
+    // only at the published-probability grid (r6). Scale shape: one
+    // mergeable corpus shuffle (per-source token sums), then
+    // #sources-row metadata math.
+    val docs = t(s, dir, "documents")
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    graft.operators.Mixture.temperatureMix(docs, col("n_tok"), budgetTok = 100000L)
+      .orderBy("source")
+  }
+
+  // ------------------------- q163: per-cell prototype selection
+
+  val q163_prototypes: QueryDef = q(
+    "q163_prototypes",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM
+       |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM v) WHERE rn <= 8),
+       |${ivfAssignSql("a1", "c0")}, ${ivfCentroidSql("c1", "a1", "c0")},
+       |${ivfAssignSql("a2", "c1")}, ${ivfCentroidSql("c2", "a2", "c1")},
+       |${ivfAssignSql("a3", "c2")}, ${ivfCentroidSql("c3", "a3", "c2")},
+       |asg AS (SELECT vec_id, cell, dist FROM (
+       |    SELECT v.vec_id, c.cell, ${ivfSqDistSql("v.embedding", "c.cv")} AS dist,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfSqDistSql("v.embedding", "c.cv")}, c.cell) AS rn
+       |    FROM v CROSS JOIN c3 c) WHERE rn = 1),
+       |proto AS (SELECT cell, vec_id, dist,
+       |      row_number() OVER (PARTITION BY cell ORDER BY dist, vec_id) AS rn FROM asg)
+       |SELECT CAST(cell AS INT) AS cell, vec_id, floor(dist * 10000 + 0.5) / 10000 AS sqdist
+       |FROM proto WHERE rn = 1 ORDER BY cell""".stripMargin
+  ) { (s, dir) =>
+    // Prototype/coreset selection (operators/Ivf.prototypes): the ONE
+    // vector closest to its cell's centroid per IVF cell — the
+    // geometric-diversity summary beside q75's SemDeDup (that REMOVES
+    // a cell's redundant members; this PICKS its canonical one). Model
+    // is the q73/q89/q139 shared memoized IVF (a selection pass must
+    // not move centroids); distance is the codegen'd sqdist_f, the
+    // bit-identical twin of the trainer's assignment metric and the
+    // oracle's REAL-cast replay, so the per-cell argmin agrees across
+    // engines with r4 as emission-only. Scale shape: centroids
+    // broadcast, then ONE mergeable min(struct(dist, vec_id))
+    // hash-agg — k output rows, no window over the corpus.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val model = memo(s"ivf|$dir|k=8|it=3|r=4")(
+      graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4))
+    val indexed = graft.operators.Ivf.index(s, emb, model)
+    graft.operators.Ivf.prototypes(s, indexed, model)
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        Par.r4(col("sqdist")).as("sqdist"))
+      .orderBy("cell")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -4805,5 +5024,6 @@ object TrainingData {
     q148_blocklist_filter, q149_url_dedup, q150_markup_strip,
     q151_fertility_report, q152_image_neardup, q153_gopher_repetition,
     q154_delivery_to_shards, q155_backoff_lm, q156_countmin_heavy,
-    q157_hll_distinct, q158_hist_quantiles)
+    q157_hll_distinct, q158_hist_quantiles, q159_significant_terms,
+    q160_rescore, q161_collapse, q162_temperature_mix, q163_prototypes)
 }

@@ -551,4 +551,45 @@ class OperatorsSpec2 extends SparkSpec {
     assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
       c.getMessage.contains("no nearest centroid")), s"unexpected failure: $e")
   }
+
+  test("Ivf.prototypes picks each cell's nearest member with vec_id tie-break") {
+    import spark.implicits._
+    import graft.operators.Ivf
+    // Two well-separated clusters around (0,0) and (10,10); k-means
+    // from the first two vectors converges to one cell per cluster.
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)),
+      (4L, Array(9.0f, 10.0f)), (5L, Array(10.0f, 9.0f)),
+      (6L, Array(11.0f, 11.0f))).toDF("vec_id", "embedding")
+    val model = Ivf.train(spark, emb, k = 2, iters = 3)
+    val indexed = Ivf.index(spark, emb, model)
+    val got = Ivf.prototypes(spark, indexed, model)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 2, s"one prototype per non-empty cell: ${got.toSeq}")
+    // Local replay: same assignment metric (float diff/square, double
+    // sum), argmin per cell with ties to the smaller vec_id.
+    val vecs = Seq(0L -> Array(0f, 0f), 1L -> Array(10f, 10f), 2L -> Array(1f, 0f),
+      3L -> Array(0f, 1f), 4L -> Array(9f, 10f), 5L -> Array(10f, 9f),
+      6L -> Array(11f, 11f))
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += (t * t).toDouble; i += 1 }
+      s
+    }
+    val cents = model.centroids.toMap
+    val want = vecs
+      .map { case (id, v) =>
+        val cell = model.centroids.minBy { case (c, cv) => (sq(v, cv), c) }._1
+        (cell, id, sq(v, cents(cell)))
+      }
+      .groupBy(_._1).view
+      .mapValues(_.minBy { case (_, id, d) => (d, id) }).values.toSeq
+      .sortBy(_._1)
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+    // Every prototype is a member of its own cell (the sqdist_f /
+    // nearest bit-parity claim, asserted rather than assumed).
+    val cellOf = indexed.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    got.foreach { case (cell, id, _) => assert(cellOf(id) == cell) }
+  }
 }

@@ -228,6 +228,44 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rescore: window cut, total-mode combination, missing docs rescore as 0") {
+    import spark.implicits._
+    // Primary ranking: 4 docs; window of 2 keeps only 10 and 11.
+    val primary = Seq((10L, 4.0), (11L, 3.0), (12L, 2.0), (13L, 1.0))
+      .toDF("doc_id", "score")
+    // Secondary features: doc 11 carries a big feature, doc 10 is
+    // ABSENT from the table entirely (rescore query doesn't match).
+    val secondary = Seq((11L, 5.0), (12L, 9.0)).toDF("doc_id", "feat")
+    val got = Retrieval.rescore(primary, secondary, col("feat") * 2,
+        windowSize = 2, queryWeight = 1.0, rescoreWeight = 0.5)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // Doc 12's huge feature is OUTSIDE the window — never rescored.
+    assert(got.keySet == Set(10L, 11L))
+    assert(got(11L) == ((3.0, 10.0, 3.0 * 1.0 + 10.0 * 0.5)))
+    assert(got(10L) == ((4.0, 0.0, 4.0))) // missing → sec 0
+    // The rescorer can reorder the window: 11 now beats 10.
+    assert(got(11L)._3 > got(10L)._3)
+    intercept[IllegalArgumentException] {
+      Retrieval.rescore(primary, secondary, col("feat"), windowSize = 0)
+    }
+  }
+
+  test("rescore prices the secondary expression at window size, not corpus size") {
+    import spark.implicits._
+    // A secondary column that FAILS LOUD on the poisoned row: if the
+    // scorer ran as a corpus-wide pass before the window join, the
+    // poison would evaluate and throw. Window keeps docs 1-2 only.
+    val primary = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "score")
+    val secondary = Seq((1L, 1.0), (2L, 2.0), (3L, -1.0)).toDF("doc_id", "feat")
+    val guarded = when(col("feat") < 0,
+      raise_error(lit("secondary evaluated outside the window")))
+      .otherwise(col("feat"))
+    val got = Retrieval.rescore(primary, secondary, guarded, windowSize = 2)
+      .as[(Long, Double, Double, Double)].collect().map(_._1).toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("bm25 rejects an empty term list; rrf rejects bad inputs") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25(spark, toksDf(Seq(1L -> Seq("a"))), Seq.empty)

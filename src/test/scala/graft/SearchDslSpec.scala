@@ -539,4 +539,57 @@ class SearchDslSpec extends SparkSpec {
       SearchDsl.termsFacet(hits, meta, "source", Seq.empty)
     }
   }
+
+  test("significantTerms: JLH score vs a local replay; stopwords and " +
+      "rare terms are suppressed") {
+    import spark.implicits._
+    // Foreground = docs containing "q". "everywhere" is in all docs
+    // (fgRate == bgRate → score 0, dropped); "signal" is fg-only;
+    // "rare" appears in 1 fg doc (below minDocCount, dropped);
+    // "noise" is bg-only (fg_df 0, dropped).
+    val corpus = Seq(
+      1L -> Seq("q", "signal", "everywhere"),
+      2L -> Seq("q", "signal", "everywhere", "mixed"),
+      3L -> Seq("q", "signal", "rare", "everywhere"),
+      4L -> Seq("noise", "everywhere", "mixed"),
+      5L -> Seq("noise", "everywhere"),
+      6L -> Seq("everywhere"))
+    val got = SearchDsl.significantTerms(toksDf(corpus),
+        array_contains(col("toks"), "q"), minDocCount = 2)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def jlh(fgDf: Long, bgDf: Long): Double = {
+      val fr = fgDf.toDouble / 3.0; val br = bgDf.toDouble / 6.0
+      (fr - br) * (fr / br)
+    }
+    // Surviving: q (the query term itself — callers exclude it),
+    // signal (fg 3/3 vs bg 3/6). NOT everywhere (score 0), NOT rare
+    // (fg_df 1 < 2), NOT noise/mixed (fg_df 0/1).
+    assert(got.keySet == Set("q", "signal"), got.toString)
+    assert(got("signal") == ((3L, 3L, jlh(3, 3))))
+    assert(got("q") == ((3L, 3L, jlh(3, 3))))
+    // Monotonicity sanity: a term in half the foreground but none of
+    // the rest of the corpus still scores above zero when support
+    // allows (drop minDocCount to 1 to see mixed survive).
+    val loose = SearchDsl.significantTerms(toksDf(corpus),
+        array_contains(col("toks"), "q"), minDocCount = 1)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(loose.contains("rare") && loose("rare") == jlh(1, 1))
+    assert(!loose.contains("everywhere") && !loose.contains("noise"))
+  }
+
+  test("collapseTop: one best hit per key, score-desc doc_id-asc ties, " +
+      "inner_hits counts the folded group") {
+    import spark.implicits._
+    val hits = Seq((1L, 3.0), (2L, 5.0), (3L, 5.0), (4L, 2.0), (5L, 7.0))
+      .toDF("doc_id", "score")
+    val meta = Seq((1L, "s1"), (2L, "s1"), (3L, "s1"), (4L, "s2"), (5L, "s2"),
+      (6L, "s3")) // doc 6 never hit: s3 must not appear
+      .toDF("doc_id", "source")
+    val got = SearchDsl.collapseTop(hits, meta, "source", col("score"))
+      .as[(String, Long, Double, Long)].collect().toSet
+    // s1: docs 2 and 3 tie at 5.0 → smaller doc_id wins; 3 hits folded.
+    // s2: doc 5 wins at 7.0; 2 hits folded.
+    assert(got == Set(("s1", 2L, 5.0, 3L), ("s2", 5L, 7.0, 2L)))
+  }
 }
