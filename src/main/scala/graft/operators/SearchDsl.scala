@@ -34,7 +34,9 @@ import org.apache.spark.sql.functions._
   *  - [[significantTerms]] — the `significant_terms` aggregation
   *    (JLH-scored foreground-vs-background term skew, q159);
   *  - [[collapseTop]] — `collapse` field collapsing, one best hit per
-  *    key with the inner-hits count (q161).
+  *    key with the inner-hits count (q161);
+  *  - [[compositeAgg]] — the `composite` aggregation, keyset-paginated
+  *    buckets (q165).
   *
   * Scale shapes are per-method; the common theme mirrors
   * [[Retrieval]]: per-query work is bounded by the QUERY TERMS'
@@ -490,6 +492,47 @@ object SearchDsl {
     hits.join(docs, "doc_id")
       .groupBy(col(field))
       .agg(metrics.head, metrics.tail: _*)
+  }
+
+  /** `composite` aggregation — paginated buckets, the aggregation twin
+    * of [[searchAfter]]'s keyset pagination: buckets ordered by their
+    * composite key, a page of `size` buckets at a time, the client
+    * resuming from the last page's final key via `after`. OpenSearch
+    * built this agg precisely because `terms` + from/offset cannot
+    * stream a high-cardinality bucket space; the composite contract is
+    * that each page costs the post-cursor slice, not the whole space.
+    *
+    * The `after` cursor is a strict LEXICOGRAPHIC lower bound over the
+    * key columns ((k1 > a1) OR (k1 = a1 AND k2 > a2) …), applied to the
+    * ROWS before any aggregation — the predicate is on the grouping
+    * keys themselves, so pre-agg filtering is semantics-preserving and
+    * reaches the scan (partition/row-group pruning on the leading
+    * key). The page cut is an orderBy(keys).limit(size) —
+    * TakeOrderedAndProject over the surviving buckets, never a global
+    * sort. An OFFSET formulation would aggregate and materialize every
+    * bucket below the page; this shape prices page N the same as
+    * page 1 minus the pruned prefix.
+    */
+  def compositeAgg(rows: DataFrame, keys: Seq[String],
+      after: Option[Seq[Column]], size: Int,
+      metrics: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty, "composite needs at least one key source")
+    require(size > 0, s"page size must be positive, got $size")
+    require(metrics.nonEmpty, "at least one metric required")
+    after.foreach(cur => require(cur.length == keys.length,
+      s"after cursor has ${cur.length} values for ${keys.length} keys"))
+    val paged = after match {
+      case Some(cur) =>
+        val pred = keys.zip(cur).foldRight(lit(false)) {
+          case ((k, a), rest) => (col(k) > a) || (col(k) === a && rest)
+        }
+        rows.filter(pred)
+      case None => rows
+    }
+    paged.groupBy(keys.map(col): _*)
+      .agg(metrics.head, metrics.tail: _*)
+      .orderBy(keys.map(col): _*)
+      .limit(size)
   }
 
   /** `significant_terms` aggregation: terms UNUSUALLY frequent in a

@@ -4996,6 +4996,90 @@ object TrainingData {
       .orderBy("cell")
   }
 
+  // ------------------------- q164: winnowing fingerprints
+
+  val q164_winnow_pairs: QueryDef = q(
+    "q164_winnow_pairs",
+    s"""WITH $docTokSql,
+       |g AS (SELECT doc_id, g AS gi,
+       |        toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] AS gram
+       |      FROM tok, unnest(range(1, len(toks) - 1)) AS u(g)
+       |      WHERE len(toks) >= 3),
+       |h AS (SELECT doc_id,
+       |        list(CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) ORDER BY gi) AS gh
+       |      FROM g GROUP BY doc_id),
+       |sel AS (SELECT doc_id,
+       |      list_min(gh[j:least(j + 3, len(gh))]) AS fp,
+       |      list_max(list_filter(range(j, least(j + 4, len(gh) + 1)),
+       |        i -> gh[i] = list_min(gh[j:least(j + 3, len(gh))]))) AS pos
+       |    FROM h, unnest(range(1, CASE WHEN len(gh) <= 4 THEN 2 ELSE len(gh) - 2 END)) AS u(j)),
+       |fp AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 10),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(count(*) AS BIGINT) AS shared
+       |      FROM fp a JOIN keep USING (fp) JOIN fp b USING (fp)
+       |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (ORDER BY shared DESC, doc_a, doc_b) AS rnk
+       |           FROM pairs WHERE shared >= 2)
+       |SELECT doc_a, doc_b, shared, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+  ) { (s, dir) =>
+    // Winnowing fingerprints (operators/Winnow — Schleimer 2003, the
+    // MOSS algorithm): hash token 3-grams, window w=4, select each
+    // window's min (rightmost tie), giving the paper's guarantee that
+    // any ≥ 6-token overlap between two docs shares a fingerprint at
+    // ~2/(w+1) of span-dedup's index density. Output: the top-20 doc
+    // pairs by count of shared fingerprint VALUES (≥ 2 witnesses), the
+    // overlap-candidate report. All-integer (h64 hashes, argmin
+    // selection) — bit-portable with no rounding anywhere. Scale
+    // shape: the per-doc stage is narrow array expressions on the scan
+    // (zero shuffle — window scope is the doc); the pair stage drops
+    // fingerprints with df > 10 BEFORE the self-join (MOSS's
+    // boilerplate rule = the LSH hot-bucket guard), then
+    // TakeOrderedAndProject for the report cut.
+    val fps = graft.operators.Winnow.fingerprints(tokenized(s, dir), k = 3, w = 4)
+    val pairs = graft.operators.Winnow.sharedPairs(fps, maxDf = 10)
+      .filter(col("shared") >= 2)
+    pairs.orderBy(col("shared").desc, col("doc_a"), col("doc_b")).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("shared").desc, col("doc_a"), col("doc_b"))))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("rnk").cast("bigint").as("rnk"))
+      .orderBy("rnk")
+  }
+
+  // ------------------------- q165: composite aggregation pagination
+
+  val q165_composite_agg: QueryDef = q(
+    "q165_composite_agg",
+    """SELECT user_id, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |WHERE user_id > 7 OR (user_id = 7 AND event_type > 'purchase')
+      |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 15""".stripMargin
+  ) { (s, dir) =>
+    // The `composite` aggregation (operators/SearchDsl.compositeAgg):
+    // keyset-paginated buckets over (user_id, event_type) — the page
+    // AFTER cursor (7, 'purchase'), 15 buckets (cursor low enough
+    // that every tier, sf0.001 included, turns a non-empty page). The cursor predicate
+    // is on the GROUPING KEYS, so it filters rows BEFORE the
+    // aggregation and reaches the parquet scan (leading-key row-group
+    // pruning); page cost is the post-cursor slice, never the whole
+    // bucket space (the OFFSET formulation's trap). Metrics are exact
+    // integers (count + long-cents sum of the double value, rounded
+    // per-ROW in one fixed op order, so the sum is order-free and
+    // engine-exact — the q17 long-cents discipline).
+    val ev = t(s, dir, "events")
+    graft.operators.SearchDsl.compositeAgg(
+      ev, Seq("user_id", "event_type"),
+      after = Some(Seq(lit(7L), lit("purchase"))), size = 15,
+      metrics = Seq(
+        count(lit(1)).cast("bigint").as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("bigint"))
+          .cast("bigint").as("sum_cents")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -5025,5 +5109,6 @@ object TrainingData {
     q151_fertility_report, q152_image_neardup, q153_gopher_repetition,
     q154_delivery_to_shards, q155_backoff_lm, q156_countmin_heavy,
     q157_hll_distinct, q158_hist_quantiles, q159_significant_terms,
-    q160_rescore, q161_collapse, q162_temperature_mix, q163_prototypes)
+    q160_rescore, q161_collapse, q162_temperature_mix, q163_prototypes,
+    q164_winnow_pairs, q165_composite_agg)
 }

@@ -480,4 +480,32 @@ class ExplainSpec extends SparkSpec {
     // row, never a shuffled product.
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q164: winnowing fingerprint extraction is pure scan-side — zero " +
+      "exchanges before the pair stage") {
+    import org.apache.spark.sql.functions.col
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val df = graft.operators.Winnow.fingerprints(toks, 3, 4)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(out, true, "UTF-8")) { df.explain("formatted") }
+    val p = out.toString("UTF-8")
+    // The window scope is the document: grams, hashes, and the argmin
+    // selection all ride the scan. An Exchange here means the per-doc
+    // stage started shuffling the corpus.
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q165: the composite after-cursor reaches the parquet scan as one " +
+      "pushed OR predicate; the page is TakeOrderedAndProject") {
+    val p = plan("q165_composite_agg")
+    assert(p.contains(
+      "Or(GreaterThan(user_id,7),And(EqualTo(user_id,7),GreaterThan(event_type,purchase)))"),
+      s"cursor must prune at the scan, not filter post-agg:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // Two-phase aggregation: a partial HashAggregate below the exchange.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

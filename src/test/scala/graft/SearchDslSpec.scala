@@ -592,4 +592,53 @@ class SearchDslSpec extends SparkSpec {
     // s2: doc 5 wins at 7.0; 2 hits folded.
     assert(got == Set(("s1", 2L, 5.0, 3L), ("s2", 5L, 7.0, 2L)))
   }
+
+  test("compositeAgg: lexicographic after-cursor, key-ordered page, " +
+      "pages tile the bucket space exactly") {
+    import spark.implicits._
+    val rows = (for {
+      u <- 1L to 5L
+      t <- Seq("click", "view")
+      i <- 1 to 3
+    } yield (u, t, i.toDouble)).toDF("user_id", "event_type", "v")
+    val metrics = Seq(count(lit(1)).as("n"), sum(col("v").cast("long")).as("sv"))
+
+    // Full bucket space, key-ordered.
+    val all = SearchDsl.compositeAgg(rows, Seq("user_id", "event_type"),
+        None, size = 100, metrics)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(all == (for (u <- 1L to 5L; t <- Seq("click", "view"))
+      yield (u, t, 3L, 6L)).toSeq)
+
+    // Cursor mid-user: strictly-after semantics on the SECOND key.
+    val page = SearchDsl.compositeAgg(rows, Seq("user_id", "event_type"),
+        Some(Seq(lit(2L), lit("click"))), size = 3, metrics)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(page == Seq((2L, "view", 3L, 6L), (3L, "click", 3L, 6L),
+      (3L, "view", 3L, 6L)))
+
+    // Paging from each page's last key tiles the space with no gap or
+    // overlap — the composite contract.
+    var cursor: Option[(Long, String)] = None
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var done = false
+    while (!done) {
+      val p = SearchDsl.compositeAgg(rows, Seq("user_id", "event_type"),
+          cursor.map { case (u, t) => Seq(lit(u), lit(t)) }, size = 3, metrics)
+        .as[(Long, String, Long, Long)].collect().toSeq
+      if (p.isEmpty) done = true
+      else { seen ++= p.map(r => (r._1, r._2)); cursor = Some((p.last._1, p.last._2)) }
+    }
+    assert(seen.toSeq == all.map(r => (r._1, r._2)))
+
+    intercept[IllegalArgumentException] {
+      SearchDsl.compositeAgg(rows, Seq("user_id"), Some(Seq(lit(1), lit(2))), 5, metrics)
+    }
+    intercept[IllegalArgumentException] {
+      SearchDsl.compositeAgg(rows, Seq.empty, None, 5, metrics)
+    }
+    intercept[IllegalArgumentException] {
+      SearchDsl.compositeAgg(rows, Seq("user_id"), None, 0, metrics)
+    }
+  }
 }
