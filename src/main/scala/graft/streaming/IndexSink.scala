@@ -90,6 +90,19 @@ object IndexSink {
   final case class PercolatorSpec(queries: DataFrame, alertsPath: String,
       field: String, key: String = "recordId")
 
+  /** Live monitoring-sketch maintenance for [[start]]: each delivered
+    * epoch's Ok docs feed [[LiveSketch.writeDelta]] — one fixed-size
+    * count-min cell delta and one HLL register delta per epoch, merged
+    * at read (cells SUM, registers MAX) into exactly the batch sketch
+    * of everything delivered so far. Stream-scoped by contract (the
+    * delivery log, not the upsert-resolved corpus — see
+    * [[LiveSketch]]'s scope note). The sketch shape (depth, width, b)
+    * is fixed per store root. `compactEvery` as in the sibling specs.
+    */
+  final case class LiveSketchSpec(root: String, field: String,
+      key: String = "recordId", depth: Int = 3, width: Int = 64,
+      b: Int = 6, compactEvery: Int = 0)
+
   /** Start the index-delivery query: decode → route → append Ok payloads
     * to `indexPath` (parquet, `shards`-way), with the raw-backup channel
     * written alongside (reference backs up ALL documents on the oss
@@ -135,7 +148,8 @@ object IndexSink {
       textIndex: Option[LiveIndexSpec] = None,
       spanState: Option[LiveSpanSpec] = None,
       percolator: Option[PercolatorSpec] = None,
-      nearDupState: Option[LiveNearDupSpec] = None): StreamingQuery =
+      nearDupState: Option[LiveNearDupSpec] = None,
+      sketchState: Option[LiveSketchSpec] = None): StreamingQuery =
     envelope.writeStream
       .queryName("graft-index-delivery")
       .trigger(trigger)
@@ -176,7 +190,8 @@ object IndexSink {
             if (due(spec.compactEvery))
               LiveNearDedup.compact(src.sparkSession, spec.root, spec.shards)
           }
-          if (textIndex.nonEmpty || spanState.nonEmpty || percolator.nonEmpty) {
+          if (textIndex.nonEmpty || spanState.nonEmpty || percolator.nonEmpty ||
+              sketchState.nonEmpty) {
             import graft.functions.TextFunctions.tokens
             // Tokenize the epoch parquet JUST WRITTEN, not the lazy
             // `ok` plan: one decode+transform+enrich evaluation per
@@ -189,7 +204,8 @@ object IndexSink {
             // scan + tokenize per epoch, not one per hook.
             val pairs = textIndex.map(s => (s.key, s.field)).toSeq ++
               spanState.map(s => (s.key, s.field)).toSeq ++
-              percolator.map(s => (s.key, s.field)).toSeq
+              percolator.map(s => (s.key, s.field)).toSeq ++
+              sketchState.map(s => (s.key, s.field)).toSeq
             val wanted = pairs.distinct
             val toksFor = wanted.map { case kf @ (key, field) =>
               val f = src.sparkSession.read
@@ -212,6 +228,17 @@ object IndexSink {
                 if (due(spec.compactEvery))
                   LiveSpanDedup.compact(src.sparkSession, spec.root,
                     spec.shards)
+              }
+              sketchState.foreach { spec =>
+                // Sketches count the DELIVERY LOG (stream-scoped —
+                // LiveSketch's contract), so no onePerKey resolution:
+                // every delivered occurrence is part of what flowed.
+                val words = toksFor((spec.key, spec.field))
+                  .select(explode(col("toks")).as("w"))
+                LiveSketch.writeDelta(words, spec.root, epochId,
+                  spec.depth, spec.width, spec.b)
+                if (due(spec.compactEvery))
+                  LiveSketch.compact(src.sparkSession, spec.root)
               }
               percolator.foreach { spec =>
                 // Resolve in-epoch duplicate doc_ids BEFORE percolating
