@@ -161,4 +161,63 @@ object Sketch {
           lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
           .otherwise(col("raw")).as("est"))
   }
+
+  /** The `j`-th Bloom bit position of word column `w` under `mBits`
+    * bits — salted h64 mod m, the same independent-hash recipe as the
+    * count-min rows. Shared by build and probe so the two can never
+    * disagree on a position.
+    */
+  private def bloomPos(w: Column, j: Int, mBits: Int): Column =
+    h64(concat(lit(s"bf$j|"), w)) % mBits
+
+  /** Bloom-filter bitmap over a one-column (w) stream — the third
+    * classic mergeable sketch (Bloom 1970): k salted bit positions per
+    * word, stored as `mBits/64` packed longs (wd = pos >> 6,
+    * bits = OR of 1L << (pos & 63)). Membership says definitely-absent
+    * or probably-present; merging shards is bitwise OR, which is
+    * exactly the partial aggregate. [[graft.operators.Decontaminate]]
+    * uses Spark's built-in Bloom as an opaque prefilter; this one is
+    * the ENGINE-PORTABLE artifact (deterministic h64 positions, plain
+    * integer rows) a pipeline can persist, merge across runs, and
+    * replay in any engine — and whose false-positive rate the gate
+    * verifies against exact membership rather than trusting a formula.
+    *
+    * Scale shape: one explode (k× the stream, k is 3-5) + ONE
+    * mergeable bit_or hash-agg to ≤ mBits/64 rows. Absent words are
+    * all-zero rows the probe side coalesces.
+    */
+  def bloomBits(words: DataFrame, k: Int, mBits: Int): DataFrame = {
+    require(k > 0, s"need k > 0 hash functions, got $k")
+    require(mBits >= 64 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    words
+      .select(explode(array((0 until k).map(j =>
+        bloomPos(col("w"), j, mBits).as(s"_p$j")): _*)).as("pos"))
+      // Shift, not multiply: the top bit (pos%64 = 63) must land as the
+      // sign bit, which both engines' `<<` produce exactly.
+      .select(shiftright(col("pos"), 6).as("wd"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").as("m"))
+      .groupBy("wd").agg(bit_or(col("m")).as("bits"))
+  }
+
+  /** Membership probes against a [[bloomBits]] bitmap: (term, hit)
+    * with hit = every one of the k bit positions set. Definitely-absent
+    * terms read false; present terms always read true; collisions read
+    * true — the false positives the q166 gate measures exactly. The
+    * probe side is tiny; each probe touches k words of the bitmap via
+    * a broadcast-scale join.
+    */
+  def bloomContains(bits: DataFrame, probes: DataFrame,
+      k: Int, mBits: Int): DataFrame = {
+    val keyed = probes
+      .select(col("term"), explode(array((0 until k).map(j =>
+        bloomPos(col("term"), j, mBits).as(s"_p$j")): _*)).as("pos"))
+      .select(col("term"), shiftright(col("pos"), 6).as("wd"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").as("m"))
+    keyed.join(bits, Seq("wd"), "left")
+      .groupBy("term")
+      .agg(min((coalesce(col("bits"), lit(0L)).bitwiseAND(col("m")) === col("m"))
+        .cast("int")).as("_all"))
+      .select(col("term"), (col("_all") === 1).as("hit"))
+  }
 }

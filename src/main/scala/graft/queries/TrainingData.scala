@@ -5080,6 +5080,182 @@ object TrainingData {
           .cast("bigint").as("sum_cents")))
   }
 
+  // ------------------------- q166: Bloom filter membership + FP audit
+
+  private val BloomK = 3
+  private val BloomM = 262144 // 4096 packed longs, 32 KiB
+
+  /** Bloom bit-position SQL, mirroring Sketch.bloomPos exactly. */
+  private def bloomPosSql(e: String, j: Int): String =
+    s"${h64sql(s"concat('bf$j|', $e)")} % $BloomM"
+
+  val q166_bloom_filter: QueryDef = q(
+    "q166_bloom_filter",
+    s"""WITH $docTokSql,
+       |sh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       |       FROM tok, unnest(range(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 3),
+       |pos AS (${(0 until BloomK).map(j =>
+          s"SELECT ${bloomPosSql("g", j)} AS pos FROM sh").mkString(" UNION ALL ")}),
+       |bits AS (SELECT pos // 64 AS wd, bit_or(CASE WHEN pos % 64 = 63
+       |           THEN CAST(-9223372036854775807 AS BIGINT) - 1
+       |           ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END) AS bits
+       |         FROM pos GROUP BY 1),
+       |probes AS (SELECT g AS term FROM sh
+       |             JOIN (SELECT doc_id, toks FROM tok WHERE doc_id = 0) d
+       |             ON list_contains(list_transform(range(1, len(d.toks) - 1),
+       |                  i -> d.toks[i] || ' ' || d.toks[i+1] || ' ' || d.toks[i+2]), g)
+       |           UNION ALL
+       |           SELECT 'bfprobe ' || CAST(j AS VARCHAR) || ' absent' FROM unnest(range(0, 40)) AS t(j)),
+       |pk AS (SELECT term, pos // 64 AS wd, CASE WHEN pos % 64 = 63
+       |         THEN CAST(-9223372036854775807 AS BIGINT) - 1
+       |         ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END AS m
+       |       FROM (${(0 until BloomK).map(j =>
+          s"SELECT term, ${bloomPosSql("term", j)} AS pos FROM probes").mkString(" UNION ALL ")})),
+       |hit AS (SELECT term, min(CASE WHEN (coalesce(bits, 0) & m) = m THEN 1 ELSE 0 END) = 1 AS hit
+       |        FROM pk LEFT JOIN bits USING (wd) GROUP BY term),
+       |ex AS (SELECT h.term, h.hit, (s.g IS NOT NULL) AS present
+       |       FROM hit h LEFT JOIN sh s ON s.g = h.term)
+       |SELECT term, hit, present, (hit AND NOT present) AS is_fp
+       |FROM ex ORDER BY term""".stripMargin
+  ) { (s, dir) =>
+    // Bloom-filter membership (operators/Sketch.bloomBits/bloomContains
+    // — Bloom 1970), completing the mergeable-sketch family beside
+    // count-min/HLL/histogram: the corpus's ~16k distinct 3-shingles in
+    // a 32 KiB bitmap (k=3 salted h64 positions, bit_or merge). Probes
+    // are doc 0's shingles (all present — the no-false-NEGATIVES half
+    // of the contract, gate-asserted via `present → hit`) plus 40
+    // fabricated strings whose exact membership is verified per probe,
+    // so the emitted is_fp column IS the measured false-positive
+    // behavior — the gate checks the filter's actual collisions, not a
+    // formula. Scale shape: one explode (k× distinct shingles) + ONE
+    // mergeable bit_or hash-agg to ≤ 4096 rows; probes broadcast.
+    val toks = tokenized(s, dir)
+    val sh = toks.filter(size(col("toks")) >= 3)
+      .select(explode(graft.functions.TextFunctions.shingleExpr).as("g"))
+      .distinct()
+      .localCheckpoint() // three consumers: build, probe source, exact side
+    val bits = graft.operators.Sketch.bloomBits(
+      sh.select(col("g").as("w")), BloomK, BloomM)
+    val docShingles = toks.filter(col("doc_id") === 0 && size(col("toks")) >= 3)
+      .select(explode(graft.functions.TextFunctions.shingleExpr).as("g"))
+      .distinct()
+    val probes = sh.join(docShingles, "g").select(col("g").as("term"))
+      .union(s.range(0, 40).select(
+        concat(lit("bfprobe "), col("id").cast("string"), lit(" absent")).as("term")))
+    val hits = graft.operators.Sketch.bloomContains(bits, probes, BloomK, BloomM)
+    hits.join(sh.select(col("g").as("term"), lit(true).as("present")),
+        Seq("term"), "left")
+      .select(col("term"), col("hit"),
+        coalesce(col("present"), lit(false)).as("present"))
+      .withColumn("is_fp", col("hit") && !col("present"))
+      .orderBy("term")
+  }
+
+  // ------------------------- q167: mergeable top-k per group
+
+  val q167_topk_terms: QueryDef = q(
+    "q167_topk_terms",
+    s"""WITH $docTokSql,
+       |tc AS (SELECT d.source, t.term, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM (SELECT doc_id, unnest(toks) AS term FROM tok) t
+       |       JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |ranked AS (SELECT source, term, cnt,
+       |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rnk
+       |  FROM tc)
+       |SELECT source, term, cnt, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
+  ) { (s, dir) =>
+    // Top-3 terms per source via the MERGEABLE top-k aggregate
+    // (functions/TopKAggregator) — the window-free form of the rank
+    // window the ORACLE uses: the buffer is the group's running top-k
+    // (score desc, key asc), reduce inserts, merge re-cuts, so each
+    // task ships ≤ k rows per group past the partial aggregate where
+    // the window form shuffles the ENTIRE (source, term) count table
+    // and sorts every group (the repo's min(struct) top-1 trick,
+    // generalized). The kept set and order are total-order
+    // deterministic — profile-independent like every key. Plan:
+    // ExplainSpec pins no Window over the counts frame.
+    val counts = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(tokenized(s, dir), "doc_id")
+      .select(col("source"), explode(col("toks")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val top = graft.functions.TopKAggregator.topK(3)
+    counts
+      .groupBy("source")
+      .agg(top(col("cnt").cast("double"), col("term")).as("tk"))
+      .select(col("source"), posexplode(col("tk.entries")).as(Seq("i", "e")))
+      .select(col("source"), col("e.key").as("term"),
+        col("e.score").cast("bigint").as("cnt"),
+        (col("i") + 1).cast("bigint").as("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  // ------------------------- q168: JL signed-random-projection recall
+
+  private val JlDOut = 16
+
+  val q168_jl_recall: QueryDef = {
+    val signs = graft.operators.RandomProjection.signMatrix(JlDOut, 64)
+    def signListSql(j: Int): String =
+      "list_value(" + signs(j).map(v =>
+        if (v > 0) "1.0" else "-1.0").mkString(", ") + ")"
+    def projSql(e: String, j: Int): String =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> CAST($e[i] AS DOUBLE) * (${signListSql(j)})[i]))""".stripMargin
+    def pDotSql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${JlDOut + 1}), i -> $a[i] * $b[i]))"
+    q(
+      "q168_jl_recall",
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |pj AS (SELECT vec_id, list_value(${(0 until JlDOut).map(j =>
+            s"(${projSql("embedding", j)})").mkString(", ")}) AS p
+         |       FROM v),
+         |pn AS (SELECT vec_id, p, sqrt(${pDotSql("p", "p")}) AS nrm FROM pj),
+         |pairs AS (SELECT pr.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         |    CASE WHEN pr.nrm = 0 OR e.nrm = 0 THEN -1.0
+         |         ELSE ${pDotSql("pr.p", "e.p")} / (pr.nrm * e.nrm) END AS pcos
+         |  FROM pn pr CROSS JOIN pn e WHERE pr.vec_id < 5 AND e.vec_id <> pr.vec_id),
+         |ranked AS (SELECT probe_id, neighbor_id, pcos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY pcos DESC, neighbor_id) AS rnk
+         |  FROM pairs),
+         |$recallTailSql""".stripMargin
+    ) { (s, dir) =>
+      // Recall@5 of signed-random-projection (JL) search at d' = 16 of
+      // 64 — the NO-TRAINING rung of the compression ladder (int8 =
+      // precision loss q119, PQ/OPQ = codebook loss q96/q98, MRL =
+      // training-time truncation q147; JL needs no model at all — the
+      // ±1 matrix regenerates from its seed formula on any executor,
+      // operators/RandomProjection). Ranking runs entirely in the
+      // projected space (q119's shape: measure the compressed metric's
+      // own fidelity, no rescore). Each projection coordinate is one
+      // codegen'd dot_f against a constant sign row — float·±1 is
+      // exact, so the engine fold and the oracle's CAST-to-DOUBLE
+      // replay see identical values in identical order. Scale shape:
+      // projection is narrow scan-side compute (4× less downstream
+      // I/O); candidates ride the broadcast probe set.
+      import graft.operators.RandomProjection
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val proj = emb.select(col("vec_id"),
+        RandomProjection.project(col("embedding"), signs).as("p"))
+      val pdot = (a: String, b: String) => expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      val pn = proj.select(col("vec_id"), col("p"),
+        sqrt(pdot("p", "p")).as("nrm"))
+      val probes = pn.filter(col("vec_id") < 5).select(
+        col("vec_id").as("probe_id"), col("p").as("pp"), col("nrm").as("pnrm"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("pcos").desc, col("neighbor_id"))
+      val qtop = pn.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          graft.operators.Similarity.cosSafe(
+            pdot("pp", "p"), col("pnrm"), col("nrm")).as("pcos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      recallVsExhaustive(s, dir, qtop)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -5110,5 +5286,6 @@ object TrainingData {
     q154_delivery_to_shards, q155_backoff_lm, q156_countmin_heavy,
     q157_hll_distinct, q158_hist_quantiles, q159_significant_terms,
     q160_rescore, q161_collapse, q162_temperature_mix, q163_prototypes,
-    q164_winnow_pairs, q165_composite_agg)
+    q164_winnow_pairs, q165_composite_agg, q166_bloom_filter,
+    q167_topk_terms, q168_jl_recall)
 }

@@ -498,6 +498,16 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q167: group top-k is the mergeable aggregate — NO rank window " +
+      "anywhere in the plan, partial aggregation below the exchange") {
+    val p = plan("q167_topk_terms")
+    // The whole point of TopKAggregator: the window form would shuffle
+    // the full (source, term) count table and sort every group.
+    assert("Window \\(\\d".r.findAllIn(p).isEmpty,
+      s"a rank window means the aggregate degenerated:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("q165: the composite after-cursor reaches the parquet scan as one " +
       "pushed OR predicate; the page is TakeOrderedAndProject") {
     val p = plan("q165_composite_agg")

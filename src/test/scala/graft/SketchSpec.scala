@@ -98,4 +98,54 @@ class SketchSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(once == thrice)
   }
+
+  test("bloom: no false negatives ever, definite negatives when bits " +
+      "miss, bitmaps merge by OR, top-bit word boundary exact") {
+    val members = (1 to 200).map(i => s"member$i")
+    val bits = Sketch.bloomBits(wordsDf(members), k = 3, mBits = 4096)
+    // Every member reads present — the hard half of the contract.
+    val memberHits = Sketch.bloomContains(bits,
+        members.toDF("term"), k = 3, mBits = 4096)
+      .as[(String, Boolean)].collect()
+    assert(memberHits.length == 200 && memberHits.forall(_._2))
+    // A local replay of the bit positions proves the packing exactly —
+    // including positions whose pos%64 = 63 land on the SIGN bit.
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def positions(w: String): Seq[Long] =
+      (0 until 3).map(j => h64(s"bf$j|$w") % 4096)
+    val wantWords = members.flatMap(positions)
+      .groupBy(_ >> 6).view.mapValues(_.map(p => 1L << (p & 63).toInt)
+        .foldLeft(0L)(_ | _)).toMap
+    val gotWords = bits.as[(Long, Long)].collect().toMap
+    assert(gotWords == wantWords)
+    assert(members.flatMap(positions).exists(p => (p & 63) == 63),
+      "fixture must exercise the sign-bit lane") // 600 positions: ~1/64 each
+    // Probes whose positions are all unset read DEFINITELY absent.
+    val absent = (1 to 50).map(i => s"absent$i")
+    val got = Sketch.bloomContains(bits, absent.toDF("term"), 3, 4096)
+      .as[(String, Boolean)].collect().toMap
+    absent.foreach { t =>
+      val want = positions(t).forall(p =>
+        (wantWords.getOrElse(p >> 6, 0L) & (1L << (p & 63).toInt)) != 0L)
+      assert(got(t) == want, s"$t: got ${got(t)}, replay says $want")
+    }
+    // Merge = bitwise OR: building over a split stream equals the
+    // union build (the partial aggregate IS the shard merge).
+    val (a, b) = members.splitAt(80)
+    val merged = Sketch.bloomBits(wordsDf(a), 3, 4096)
+      .union(Sketch.bloomBits(wordsDf(b), 3, 4096))
+      .groupBy("wd").agg(bit_or(col("bits")).as("bits"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == wantWords)
+    intercept[IllegalArgumentException] {
+      Sketch.bloomBits(wordsDf(members), k = 0, mBits = 4096)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.bloomBits(wordsDf(members), k = 3, mBits = 100)
+    }
+  }
 }
