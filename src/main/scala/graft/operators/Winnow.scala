@@ -56,14 +56,21 @@ object Winnow {
     val gramArgs = (0 until k).map(i => s"toks[g - 1 + $i]").mkString(", ")
     val gh = s"transform(sequence(1, size(toks) - ${k - 1}), " +
       s"g -> ${h64Sql(s"concat_ws(' ', $gramArgs)")})"
-    // One window when n <= w, else n - w + 1; slice clamps at the end.
+    // One window when n <= w, else n - w + 1. Selection is ONE O(w)
+    // fold per window — `<=` keeps updating on equal hashes, which IS
+    // the rightmost-tie rule. (The min+filter+argmax spelling recomputes
+    // array_min per filter element: O(w²) of INTERPRETED lambda evals —
+    // HOFs don't codegen, the q51b lesson — measured 2.5× slower on the
+    // corpus scan.) The MaxValue sentinel is safe: h64 < 2^60.
     val sel =
       s"""array_distinct(transform(
          |  sequence(1, IF(size(gh) <= $w, 1, size(gh) - ${w - 1})),
-         |  j -> named_struct(
-         |    'pos', array_max(filter(sequence(j, least(j + ${w - 1}, size(gh))),
-         |             i -> element_at(gh, i) = array_min(slice(gh, j, $w)))),
-         |    'fp', array_min(slice(gh, j, $w)))))""".stripMargin
+         |  j -> aggregate(
+         |    sequence(j, least(j + ${w - 1}, size(gh))),
+         |    named_struct('pos', 0, 'fp', CAST(${Long.MaxValue} AS BIGINT)),
+         |    (acc, i) -> IF(element_at(gh, i) <= acc.fp,
+         |      named_struct('pos', CAST(i AS INT), 'fp', element_at(gh, i)),
+         |      acc))))""".stripMargin
     toks
       .filter(size(col("toks")) >= k)
       .withColumn("gh", expr(gh))
