@@ -494,6 +494,39 @@ object SearchDsl {
       .agg(metrics.head, metrics.tail: _*)
   }
 
+  /** `function_score` with a `field_value_factor` function — the
+    * relevance-tuning verb: rescale every hit's query score by a
+    * function of a document FIELD (boost long docs, fresh docs,
+    * high-pagerank docs) without a second query phase. This is the
+    * corpus-wide cousin of [[graft.operators.Retrieval.rescore]]: the
+    * factor is a cheap scan-side expression priced at every hit, where
+    * rescore prices an expensive model at a top-k window only.
+    *
+    * `factorCol` is the field_value_factor expression over the `docs`
+    * frame's columns, evaluated scan-side BEFORE the join so only the
+    * one factor column is hydrated (e.g. `log(1 + n_chars)` — the
+    * API's `log1p` modifier);
+    * docs missing from `docs` take factor `missing` (the API's missing
+    * parameter) instead of dropping, preserving the hit set. Combined
+    * score = hit score × factor (the API's default multiply
+    * boost_mode); scores must be in emission form per the house
+    * ranking discipline — ln-family factors are fine, the q85 BM25
+    * chain already relies on cross-engine ln agreement.
+    *
+    * Shape: one doc-keyed LEFT join (the hydration join every page
+    * pays anyway — hits are query-bounded) + a narrow projection; no
+    * aggregate, no window.
+    */
+  def functionScore(hits: DataFrame, docs: DataFrame, factorCol: Column,
+      missing: Double = 1.0): DataFrame = {
+    val factored = docs.select(col("doc_id"), factorCol.as("factor"))
+    hits.join(factored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("factor"), lit(missing)).as("factor"))
+      .select(col("doc_id"), col("score"), col("factor"),
+        (col("score") * col("factor")).as("boosted"))
+  }
+
   /** `composite` aggregation — paginated buckets, the aggregation twin
     * of [[searchAfter]]'s keyset pagination: buckets ordered by their
     * composite key, a page of `size` buckets at a time, the client

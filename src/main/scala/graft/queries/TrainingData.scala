@@ -5256,6 +5256,45 @@ object TrainingData {
     }
   }
 
+  // ------------------------- q169: function_score field boost
+
+  val q169_function_score: QueryDef = q(
+    "q169_function_score",
+    s"""WITH $docTokSql,
+       |$bm25Sql,
+       |fs AS (SELECT b.doc_id, floor(b.score * 100 + 0.5) / 100 AS score,
+       |      ln(1.0 + CAST(d.n_chars AS DOUBLE)) AS factor
+       |    FROM bscored b LEFT JOIN documents d USING (doc_id)),
+       |comb AS (SELECT doc_id, score, factor, score * factor AS boosted FROM fs),
+       |ranked AS (SELECT *, row_number() OVER (ORDER BY boosted DESC, doc_id) AS rnk
+       |           FROM comb)
+       |SELECT doc_id, score, floor(factor * 10000 + 0.5) / 10000 AS factor,
+       |  floor(boosted * 100 + 0.5) / 100 AS boosted, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+  ) { (s, dir) =>
+    // function_score / field_value_factor (operators/SearchDsl
+    // .functionScore): BM25 hits boosted by log1p(n_chars) — the
+    // relevance-tuning verb (long docs rank up), multiply boost_mode,
+    // top-10 page. The factor is a cheap scan-side expression priced
+    // per hit (the corpus-wide cousin of q160's windowed rescore);
+    // ranking runs on the RAW product of the rounded BM25 score and
+    // the ln factor (one multiply — the q85 chain already relies on
+    // cross-engine ln agreement), r2/r4 emission-only. Shape: the
+    // hydration join every page pays + a narrow projection; page cut
+    // is TakeOrderedAndProject.
+    val hits = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+      .select(col("doc_id"), Par.r2(col("score")).as("score"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), log(lit(1.0) + col("n_chars").cast("double")).as("f"))
+    val fs = graft.operators.SearchDsl.functionScore(hits, docs, col("f"))
+    fs.orderBy(col("boosted").desc, col("doc_id")).limit(10)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("boosted").desc, col("doc_id"))))
+      .select(col("doc_id"), col("score"), Par.r4(col("factor")).as("factor"),
+        Par.r2(col("boosted")).as("boosted"), col("rnk").cast("bigint").as("rnk"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -5287,5 +5326,5 @@ object TrainingData {
     q157_hll_distinct, q158_hist_quantiles, q159_significant_terms,
     q160_rescore, q161_collapse, q162_temperature_mix, q163_prototypes,
     q164_winnow_pairs, q165_composite_agg, q166_bloom_filter,
-    q167_topk_terms, q168_jl_recall)
+    q167_topk_terms, q168_jl_recall, q169_function_score)
 }

@@ -593,6 +593,23 @@ class SearchDslSpec extends SparkSpec {
     assert(got == Set(("s1", 2L, 5.0, 3L), ("s2", 5L, 7.0, 2L)))
   }
 
+  test("functionScore: multiply boost_mode, factor scan-side, missing " +
+      "docs take the missing factor and stay in the hit set") {
+    import spark.implicits._
+    val hits = Seq((1L, 2.0), (2L, 3.0), (3L, 1.0)).toDF("doc_id", "score")
+    // Doc 3 is absent from the attribute table: factor = missing.
+    val docs = Seq((1L, 4.0), (2L, 0.5), (4L, 9.0)).toDF("doc_id", "len")
+    val got = SearchDsl.functionScore(hits, docs, col("len") * 2, missing = 1.0)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // hit set preserved; doc 4 never hit
+    assert(got(1L) == ((2.0, 8.0, 16.0)))
+    assert(got(2L) == ((3.0, 1.0, 3.0)))
+    assert(got(3L) == ((1.0, 1.0, 1.0))) // missing → factor 1
+    // The boost can reorder: doc 1 now beats doc 2.
+    assert(got(1L)._3 > got(2L)._3)
+  }
+
   test("compositeAgg: lexicographic after-cursor, key-ordered page, " +
       "pages tile the bucket space exactly") {
     import spark.implicits._
