@@ -208,4 +208,55 @@ object QualityRules {
     */
   def blocklistHit(toks: Column, words: Seq[String]): Column =
     arrays_overlap(toks, array(words.map(w => lit(w.toLowerCase)): _*))
+
+  /** Flesch reading-ease profile — the readability rung of the quality
+    * family (Flesch 1948; used as a curation signal beside the Gopher
+    * gates: school-grade text scores 60–80, dense technical or
+    * boilerplate text drifts low or negative). Per-doc score
+    *
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * with the classic cheap estimators: words = analyzer tokens,
+    * sentences = `[.!?]+` runs in the raw text (min 1), syllables =
+    * vowel-group runs `[aeiouy]+` of the lowercased text (a run never
+    * crosses a non-letter, so the whole-text count equals the per-word
+    * sum — one regexp, no explode). Zero-token docs are excluded (no
+    * denominator, the q41 exclusion).
+    *
+    * Returns the per-bucket profile (bucket = floor(score/10)):
+    * n_docs + EXACT BIGINT word/sentence/syllable sums, plus
+    * `bucket_flesch`, the score of the bucket's summed counts — the
+    * aggregate score is computed FROM the exact sums (the q140
+    * data-card discipline), never as a mean of per-doc doubles whose
+    * summation order an external replayer can't reproduce. The per-doc
+    * score itself is scalar double arithmetic in fixed op order over
+    * exact integers, so the bucket assignment (a floor of a
+    * deterministic double) is engine-portable.
+    *
+    * Scale shape: counting is a narrow scan-side projection (three
+    * codegen'd regex passes, no explode); the profile is ONE mergeable
+    * hash-agg keyed by ~40 buckets. No join, no window, no second
+    * corpus pass at any scale.
+    */
+  def fleschProfile(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val counted = docs.select(
+        size(tokens(col("text"))).cast("long").as("w"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long").as("s"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+"))
+          .cast("long").as("syl"))
+      .filter(col("w") >= 1)
+    def flesch(w: Column, s: Column, syl: Column): Column =
+      lit(206.835) - lit(1.015) * (w.cast("double") / s.cast("double")) -
+        lit(84.6) * (syl.cast("double") / w.cast("double"))
+    counted
+      .withColumn("bucket",
+        floor(flesch(col("w"), col("s"), col("syl")) / 10.0).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+        sum("s").as("sentences"), sum("syl").as("syllables"))
+      .withColumn("bucket_flesch",
+        flesch(col("words"), col("sentences"), col("syllables")))
+  }
 }

@@ -36,7 +36,12 @@ import org.apache.spark.sql.functions._
   *  - [[collapseTop]] — `collapse` field collapsing, one best hit per
   *    key with the inner-hits count (q161);
   *  - [[compositeAgg]] — the `composite` aggregation, keyset-paginated
-  *    buckets (q165).
+  *    buckets (q165);
+  *  - [[spanNear]] — the `span_near` proximity query over the same
+  *    positional postings (q171);
+  *  - [[termSuggest]] — the `term` suggester ("did you mean"),
+  *    SymSpell delete-neighborhood candidates + exact Levenshtein
+  *    (q170).
   *
   * Scale shapes are per-method; the common theme mirrors
   * [[Retrieval]]: per-query work is bounded by the QUERY TERMS'
@@ -700,5 +705,130 @@ object SearchDsl {
                 size(col("toks")).cast("long")) - greatest(col("p") - context, lit(1)) + 1),
             x => when(x === term, concat(lit("<em>"), x, lit("</em>")))
               .otherwise(x))).as("snippet"))
+  }
+
+  /** `span_near`, two-clause form: documents where `termA` and `termB`
+    * occur within `slop` intervening tokens — (doc_id, n_a, n_b,
+    * min_gap), matching docs only, where `min_gap` is the smallest
+    * number of tokens strictly between an occurrence of one term and
+    * an occurrence of the other (0 = adjacent). `inOrder = true`
+    * additionally requires the `termA` occurrence to precede the
+    * `termB` occurrence (Lucene's `span_near` `in_order` flag).
+    *
+    * The minimum over ALL cross pairs |p_a − p_b| is realized at a
+    * pair that is ADJACENT in the position-sorted merge of both
+    * terms' occurrence lists: any occurrence strictly between an
+    * optimal pair would itself form a strictly closer pair with one
+    * endpoint, contradicting optimality (and for the ordered variant,
+    * the minimal A-before-B pair has no A or B between its endpoints
+    * by the same exchange argument). So one `lag(1)` pass over the
+    * two terms' merged postings replaces the quadratic per-doc
+    * position join — the same merge walk Lucene's SpanNearQuery does
+    * over its positional iterators.
+    *
+    * Scale shape: the two terms' positional postings only (the `isin`
+    * filter evaluates before the shuffle, and bucket-prunes under the
+    * [[writePositionalIndex]] layout); ONE doc-keyed exchange feeds
+    * the lag window, and the per-doc reduce reuses that partitioning
+    * (no second exchange). Work is postings-sized — a stop-word
+    * clause degrades to its postings size exactly as Lucene does;
+    * there is no corpus-sized fallback and no per-doc quadratic.
+    */
+  def spanNear(positional: DataFrame, termA: String, termB: String,
+      slop: Int, inOrder: Boolean = false): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    require(termA != termB, "span_near clauses must be distinct terms")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val pairOk =
+      if (inOrder) lag(col("term"), 1).over(w) === termA && col("term") === termB
+      else lag(col("term"), 1).over(w) =!= col("term")
+    positional
+      .filter(col("term").isin(termA, termB))
+      .select(col("doc_id"), col("pos"), col("term"),
+        when(pairOk, col("pos") - lag(col("pos"), 1).over(w) - 1).as("gap"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("term") === termA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("term") === termB, 1L).otherwise(0L)).as("n_b"),
+        min(col("gap")).as("min_gap"))
+      .filter(col("n_a") > 0 && col("n_b") > 0 && col("min_gap") <= slop)
+  }
+
+  /** All strings reachable from string column `c` by deleting at most
+    * `maxEdits` (1 or 2) characters, the term itself included —
+    * distinct, as an array column. The SymSpell delete-neighborhood
+    * key set: if lev(a, b) ≤ d then deletes(a, d) ∩ deletes(b, d) is
+    * non-empty (delete the substituted+deleted positions from one
+    * side and the substituted+inserted positions from the other —
+    * both remainders are the alignment's matched subsequence), so an
+    * equi-join on these keys is a COMPLETE candidate generator for
+    * edit distance ≤ d. [[SearchDslSpec]] property-tests the claim.
+    */
+  def deleteKeys(c: String, maxEdits: Int): Column = {
+    def dels(v: String, lam: String): String =
+      s"if(length($v) = 0, array($v), " +
+        s"transform(sequence(1, length($v)), $lam -> " +
+        s"concat(substring($v, 1, $lam - 1), substring($v, $lam + 1))))"
+    maxEdits match {
+      case 1 => expr(s"array_distinct(concat(array($c), ${dels(c, "i")}))")
+      case 2 => expr(s"array_distinct(concat(array($c), ${dels(c, "i")}, " +
+        s"flatten(transform(${dels(c, "i")}, s -> ${dels("s", "j")}))))")
+      case d => throw new IllegalArgumentException(
+        s"deleteKeys supports maxEdits in {1, 2}, got $d")
+    }
+  }
+
+  /** Driver-side mirror of [[deleteKeys]] for the (tiny) query side. */
+  def deletesLocal(s: String, maxEdits: Int): Set[String] = {
+    def d1(x: String): Set[String] =
+      if (x.isEmpty) Set(x) else x.indices.map(i => x.take(i) + x.drop(i + 1)).toSet
+    (1 to maxEdits).foldLeft((Set(s), Set(s))) { case ((all, cur), _) =>
+      val nxt = cur.flatMap(d1)
+      (all ++ nxt, nxt)
+    }._1
+  }
+
+  /** The `term` suggester: for each (misspelled) input term, the top
+    * `topN` vocabulary corrections within `maxEdits` Levenshtein
+    * edits, ranked the way OpenSearch's term suggester ranks with
+    * `sort: frequency` — edit distance ascending, document frequency
+    * descending, term ascending as the total tie-break. Output:
+    * (input, term, dist, df, rnk).
+    *
+    * Candidate generation is the SymSpell delete-neighborhood join
+    * (Garbe's algorithm; [[deleteKeys]] has the completeness
+    * argument): the vocabulary explodes to its ≤maxEdits-delete keys
+    * — the spell index, ~len²/2 keys per term, VOCABULARY-sized
+    * (never corpus-sized; a production deployment persists it
+    * bucketed by key exactly like [[writePositionalIndex]]) — and the
+    * query side's few dozen keys broadcast into an equi-join. Exact
+    * `levenshtein` then runs on the CANDIDATES only. Against the
+    * q103-style banded vocabulary scan this trades one-off index
+    * build for per-query work independent of vocabulary size — the
+    * same trade Lucene makes with its Levenshtein automaton over the
+    * shared term dictionary. The rank window partitions by input
+    * term over the lev-filtered candidate set (a few rows per input).
+    */
+  def termSuggest(vocab: DataFrame, inputs: Seq[String], maxEdits: Int = 2,
+      topN: Int = 3): DataFrame = {
+    require(inputs.nonEmpty, "termSuggest needs at least one input term")
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val qKeys = inputs.distinct
+      .flatMap(in => deletesLocal(in, maxEdits).map(k => (in, k)))
+      .toDF("input", "dkey")
+    val cand = vocab
+      .select(col("term"), col("df"),
+        explode(deleteKeys("term", maxEdits)).as("dkey"))
+      .join(broadcast(qKeys), "dkey")
+      .select(col("input"), col("term"), col("df")).distinct()
+      .withColumn("dist", levenshtein(col("term"), col("input")).cast("long"))
+      .filter(col("dist") <= maxEdits)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("input")
+      .orderBy(col("dist"), col("df").desc, col("term"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
   }
 }

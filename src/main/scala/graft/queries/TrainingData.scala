@@ -5295,6 +5295,188 @@ object TrainingData {
       .orderBy("rnk")
   }
 
+  // ------------------------- q170: term suggester (SymSpell index)
+
+  val q170_term_suggest: QueryDef = q(
+    "q170_term_suggest",
+    s"""WITH $docTokSql,
+       |vocab AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |    FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1),
+       |inputs(input) AS (VALUES ('spak'), ('qery'), ('tabel')),
+       |cand AS (SELECT i.input, v.term,
+       |      CAST(levenshtein(v.term, i.input) AS BIGINT) AS dist, v.df
+       |    FROM inputs i, vocab v
+       |    WHERE abs(length(v.term) - length(i.input)) <= 2
+       |      AND levenshtein(v.term, i.input) <= 2),
+       |ranked AS (SELECT input, term, dist, df,
+       |      row_number() OVER (PARTITION BY input
+       |                         ORDER BY dist, df DESC, term) AS rnk
+       |    FROM cand)
+       |SELECT input, term, dist, df, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY input, rnk""".stripMargin
+  ) { (s, dir) =>
+    // term suggester / "did you mean" (operators/SearchDsl
+    // .termSuggest): top-3 vocabulary corrections for three
+    // misspelled inputs, ranked distance-then-frequency like
+    // OpenSearch's term suggester with sort: frequency. The engine
+    // runs the SymSpell delete-neighborhood index join (vocabulary
+    // explodes to its ≤2-delete keys ONCE — the spell index; the
+    // query side's few dozen keys broadcast) with exact levenshtein
+    // on the candidates only; the ORACLE brute-forces the banded
+    // vocabulary scan — the hash gate is therefore a proof that the
+    // delete-key candidate generator is LOSSLESS at d ≤ 2, not just
+    // a faster heuristic. Scale shape: index build is vocab-sized
+    // (persisted bucketed-by-key in production), per-query work is
+    // independent of vocabulary size.
+    val vocab = textIndexFor(s, dir).df
+      .select(col("term"), col("df").cast("long").as("df"))
+    graft.operators.SearchDsl
+      .termSuggest(vocab, Seq("spak", "qery", "tabel"), maxEdits = 2, topN = 3)
+      .select(col("input"), col("term"), col("dist"), col("df"), col("rnk"))
+      .orderBy("input", "rnk")
+  }
+
+  // ------------------------- q171: span_near proximity query
+
+  val q171_span_near: QueryDef = q(
+    "q171_span_near",
+    s"""WITH $docTokSql,
+       |posn AS (SELECT doc_id, g AS pos, toks[g] AS term
+       |    FROM tok, unnest(range(1, len(toks) + 1)) AS u(g)
+       |    WHERE toks[g] IN ('data', 'query')),
+       |gaps AS (SELECT a.doc_id, CAST(min(abs(a.pos - b.pos) - 1) AS BIGINT) AS min_gap
+       |    FROM posn a JOIN posn b ON a.doc_id = b.doc_id
+       |    WHERE a.term = 'data' AND b.term = 'query'
+       |    GROUP BY a.doc_id),
+       |cnt AS (SELECT doc_id,
+       |      CAST(sum(CASE WHEN term = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |      CAST(sum(CASE WHEN term = 'query' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |    FROM posn GROUP BY doc_id)
+       |SELECT c.doc_id, n_a, n_b, min_gap
+       |FROM cnt c JOIN gaps g ON c.doc_id = g.doc_id
+       |WHERE min_gap <= 3 ORDER BY c.doc_id""".stripMargin
+  ) { (s, dir) =>
+    // span_near proximity query (operators/SearchDsl.spanNear):
+    // documents where "data" and "query" occur within 3 intervening
+    // tokens, with occurrence counts and the minimum gap — Lucene's
+    // SpanNearQuery (in_order = false) over the q102 positional
+    // postings. The engine walks each doc's merged occurrence list
+    // with ONE lag(1) pass (the min cross-pair gap is realized at an
+    // adjacent pair of the position-sorted merge — exchange
+    // argument in the scaladoc); the ORACLE brute-forces the
+    // quadratic per-doc position join, so the hash gate proves the
+    // merge-walk optimization exact. Scale shape: the two terms'
+    // postings only, one doc-keyed exchange shared by the window and
+    // the reduce.
+    graft.operators.SearchDsl.spanNear(
+        graft.operators.SearchDsl.positionalPostings(tokenized(s, dir)),
+        "data", "query", slop = 3)
+      .select(col("doc_id"), col("n_a"), col("n_b"), col("min_gap"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------- q172: rank_eval (NDCG / MRR / P / R)
+
+  private val gainCaseSql =
+    "CASE rel WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 ELSE 7.0 END"
+
+  val q172_rank_eval: QueryDef = q(
+    "q172_rank_eval",
+    s"""WITH $docTokSql,
+       |$bm25Sql,
+       |topd AS (SELECT doc_id, rnk FROM (
+       |      SELECT doc_id, row_number() OVER (
+       |          ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |      FROM bscored) WHERE rnk <= 10),
+       |rels AS (SELECT doc_id,
+       |      (CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS rel
+       |    FROM tok),
+       |page AS (SELECT list_sum(list(term ORDER BY rnk)) AS dcg,
+       |      min(CASE WHEN rel >= 2 THEN rnk END) AS first_rel,
+       |      CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |    FROM (SELECT t.rnk, r.rel,
+       |          ($gainCaseSql) / ln(CAST(t.rnk + 1 AS DOUBLE)) * ln(CAST(2.0 AS DOUBLE)) AS term
+       |        FROM topd t JOIN rels r ON t.doc_id = r.doc_id)),
+       |ideal AS (SELECT list_sum(list(term ORDER BY rnk)) AS idcg FROM (
+       |      SELECT rnk, ($gainCaseSql) / ln(CAST(rnk + 1 AS DOUBLE)) * ln(CAST(2.0 AS DOUBLE)) AS term
+       |      FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC) AS rnk
+       |            FROM (SELECT rel FROM rels ORDER BY rel DESC LIMIT 10)))),
+       |tot AS (SELECT CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS total_relevant
+       |    FROM rels)
+       |SELECT CAST(10 AS BIGINT) AS k, hits, total_relevant,
+       |  ${Par.r4sql("dcg")} AS dcg, ${Par.r4sql("idcg")} AS idcg,
+       |  ${Par.r4sql("CASE WHEN idcg = 0 THEN 0.0 ELSE dcg / idcg END")} AS ndcg,
+       |  ${Par.r4sql("CASE WHEN first_rel IS NULL THEN 0.0 ELSE 1.0 / CAST(first_rel AS DOUBLE) END")} AS mrr,
+       |  ${Par.r4sql("CAST(hits AS DOUBLE) / 10")} AS p_at_k,
+       |  ${Par.r4sql("CASE WHEN total_relevant = 0 THEN 0.0 ELSE CAST(hits AS DOUBLE) / CAST(total_relevant AS DOUBLE) END")} AS recall_at_k
+       |FROM page CROSS JOIN ideal CROSS JOIN tot ORDER BY k""".stripMargin
+  ) { (s, dir) =>
+    // rank_eval (operators/RankEval): NDCG@10 / MRR / P@10 / R@10 of
+    // the q85 BM25 page against graded labels rel = #distinct query
+    // terms present (0–3, rel >= 2 binary-relevant) — the search
+    // sink's offline ranking-evaluation endpoint, equally the
+    // retrieval-quality gate for mined training pairs (q139). The two
+    // DCG sums fold sequentially in rank order (the q162 recipe);
+    // everything else is scalar arithmetic over exact integers.
+    // Scale shape: ONE label pass (mergeable agg + top-k
+    // TakeOrderedAndProject), page side broadcast; beyond what the
+    // q85 ranking itself pays, metric state is O(k).
+    val toksDf = tokenized(s, dir)
+    val relDf = toksDf.select(col("doc_id"),
+      (when(array_contains(col("toks"), "data"), 1).otherwise(0) +
+        when(array_contains(col("toks"), "spark"), 1).otherwise(0) +
+        when(array_contains(col("toks"), "query"), 1).otherwise(0)).as("rel"))
+    val top = rankedTopByScore(
+      graft.operators.Retrieval.bm25(s, toksDf, bm25Terms), 10, Seq("doc_id"))
+    graft.operators.RankEval.rankEval(top, relDf, k = 10, relThreshold = 2)
+      .select(col("k"), col("hits"), col("total_relevant"),
+        Par.r4(col("dcg")).as("dcg"), Par.r4(col("idcg")).as("idcg"),
+        Par.r4(col("ndcg")).as("ndcg"), Par.r4(col("mrr")).as("mrr"),
+        Par.r4(col("p_at_k")).as("p_at_k"),
+        Par.r4(col("recall_at_k")).as("recall_at_k"))
+      .orderBy("k")
+  }
+
+  // ------------------------- q173: Flesch readability profile
+
+  private val fleschSql = (w: String, s: String, syl: String) =>
+    s"CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * (CAST($w AS DOUBLE) / CAST($s AS DOUBLE))" +
+      s" - CAST(84.6 AS DOUBLE) * (CAST($syl AS DOUBLE) / CAST($w AS DOUBLE))"
+
+  val q173_readability: QueryDef = q(
+    "q173_readability",
+    s"""WITH per AS (SELECT
+       |      len(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS w,
+       |      greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+       |      len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+       |    FROM documents),
+       |f AS (SELECT w, s, syl, ${fleschSql("w", "s", "syl")} AS fl
+       |    FROM per WHERE w >= 1),
+       |g AS (SELECT CAST(floor(fl / CAST(10.0 AS DOUBLE)) AS BIGINT) AS bucket,
+       |      CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(w) AS BIGINT) AS words,
+       |      CAST(sum(s) AS BIGINT) AS sentences, CAST(sum(syl) AS BIGINT) AS syllables
+       |    FROM f GROUP BY 1)
+       |SELECT bucket, n_docs, words, sentences, syllables,
+       |  ${Par.r2sql(fleschSql("words", "sentences", "syllables"))} AS bucket_flesch
+       |FROM g ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    // Flesch reading-ease profile (operators/QualityRules
+    // .fleschProfile): the readability rung of the quality family —
+    // per-doc score from the classic cheap estimators (analyzer
+    // tokens / sentence-punctuation runs / vowel-group syllables),
+    // bucketed by decade, with EXACT BIGINT count sums per bucket and
+    // the bucket score recomputed FROM the sums (the q140 data-card
+    // discipline — never a mean of per-doc doubles). Scale shape:
+    // three codegen'd regex passes in one narrow scan projection +
+    // ONE mergeable hash-agg over ~40 buckets.
+    graft.operators.QualityRules.fleschProfile(t(s, dir, "documents"))
+      .select(col("bucket"), col("n_docs"), col("words"), col("sentences"),
+        col("syllables"), Par.r2(col("bucket_flesch")).as("bucket_flesch"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -5326,5 +5508,6 @@ object TrainingData {
     q157_hll_distinct, q158_hist_quantiles, q159_significant_terms,
     q160_rescore, q161_collapse, q162_temperature_mix, q163_prototypes,
     q164_winnow_pairs, q165_composite_agg, q166_bloom_filter,
-    q167_topk_terms, q168_jl_recall, q169_function_score)
+    q167_topk_terms, q168_jl_recall, q169_function_score,
+    q170_term_suggest, q171_span_near, q172_rank_eval, q173_readability)
 }

@@ -134,4 +134,42 @@ class QualityRulesSpec extends SparkSpec {
     assert(got == Map(1L -> true, 2L -> true, 3L -> false,
       4L -> false, 5L -> true, 6L -> false))
   }
+
+  test("fleschProfile: local replay of counts, buckets, and sum-based score") {
+    val docs = Seq(
+      // 2 sentences, simple words → high score bucket.
+      1L -> "The cat sat. The dog ran!",
+      // one long unpunctuated techy sentence → low/negative score.
+      2L -> "configuration serialization initialization representation normalization",
+      // punctuation runs collapse: '?!' is ONE sentence boundary.
+      3L -> "Really?! Yes. Ok.",
+      // zero tokens → excluded.
+      4L -> "!!! ???")
+    def vgroups(s: String): Long =
+      "[aeiouy]+".r.findAllIn(s.toLowerCase).length.toLong
+    def words(s: String): Long =
+      s.toLowerCase.split("\\W+").count(_.nonEmpty).toLong
+    def sents(s: String): Long =
+      math.max("[.!?]+".r.findAllIn(s).length.toLong, 1L)
+    def fl(w: Long, se: Long, sy: Long): Double =
+      206.835 - 1.015 * (w.toDouble / se.toDouble) - 84.6 * (sy.toDouble / w.toDouble)
+    val perDoc = docs.filter(d => words(d._2) >= 1).map { case (_, t) =>
+      (words(t), sents(t), vgroups(t))
+    }
+    val wantBuckets = perDoc
+      .groupBy { case (w, se, sy) => math.floor(fl(w, se, sy) / 10.0).toLong }
+      .map { case (b, rows) =>
+        val (ws, ss, sys) = (rows.map(_._1).sum, rows.map(_._2).sum, rows.map(_._3).sum)
+        b -> ((rows.size.toLong, ws, ss, sys,
+          math.floor(fl(ws, ss, sys) * 100 + 0.5) / 100))
+      }
+    val got = QualityRules.fleschProfile(docs.toDF("doc_id", "text"))
+      .select(col("bucket"), col("n_docs"), col("words"), col("sentences"),
+        col("syllables"),
+        graft.queries.Par.r2(col("bucket_flesch")).as("bf"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == wantBuckets)
+    assert(sents(docs(2)._2) == 3L) // '?!' collapses to one boundary
+  }
 }

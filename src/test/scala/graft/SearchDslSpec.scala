@@ -658,4 +658,121 @@ class SearchDslSpec extends SparkSpec {
       SearchDsl.compositeAgg(rows, Seq("user_id"), None, 0, metrics)
     }
   }
+
+  // ---------------------------------------------------- spanNear
+
+  /** Naive reference: min over ALL cross pairs of (gap, or None). */
+  private def naiveSpan(toks: Seq[String], a: String, b: String,
+      inOrder: Boolean): Option[Long] = {
+    val pa = toks.zipWithIndex.collect { case (t, i) if t == a => i.toLong }
+    val pb = toks.zipWithIndex.collect { case (t, i) if t == b => i.toLong }
+    val gaps =
+      if (inOrder) for (x <- pa; y <- pb if x < y) yield y - x - 1
+      else for (x <- pa; y <- pb) yield math.abs(x - y) - 1
+    if (pa.isEmpty || pb.isEmpty || gaps.isEmpty) None else Some(gaps.min)
+  }
+
+  private def runSpan(corpus: Seq[(Long, Seq[String])], a: String, b: String,
+      slop: Int, inOrder: Boolean = false): Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    SearchDsl.spanNear(SearchDsl.positionalPostings(toksDf(corpus)), a, b,
+        slop, inOrder)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("spanNear: handcrafted gaps, order flag, slop cut, missing-term docs") {
+    val corpus = Seq(
+      1L -> Seq("data", "x", "query"),              // gap 1
+      2L -> Seq("query", "data"),                   // adjacent reversed: gap 0
+      3L -> Seq("data", "a", "b", "c", "d", "query"), // gap 4 > slop 3
+      4L -> Seq("data", "data", "query", "query"),  // gap 0, counts 2/2
+      5L -> Seq("data", "only"),                    // missing b
+      6L -> Seq("query", "only"))                   // missing a
+    assert(runSpan(corpus, "data", "query", slop = 3) ==
+      Map(1L -> ((1L, 1L, 1L)), 2L -> ((1L, 1L, 0L)), 4L -> ((2L, 2L, 0L))))
+    // in_order: doc 2's only pair is reversed, so it drops out.
+    assert(runSpan(corpus, "data", "query", slop = 3, inOrder = true) ==
+      Map(1L -> ((1L, 1L, 1L)), 4L -> ((2L, 2L, 0L))))
+    // slop 4 admits doc 3.
+    assert(runSpan(corpus, "data", "query", slop = 4)(3L) == ((1L, 1L, 4L)))
+    intercept[IllegalArgumentException] { runSpan(corpus, "data", "data", 1) }
+    intercept[IllegalArgumentException] { runSpan(corpus, "a", "b", -1) }
+  }
+
+  test("spanNear merge-walk equals the quadratic cross-pair reference (generated)") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("data", "query", "x", "y")
+    val corpus = (1L to 60L).map { id =>
+      id -> Vector.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+    }
+    for (inOrder <- Seq(false, true); slop <- Seq(0, 2, 11)) {
+      val want = corpus.flatMap { case (id, t) =>
+        naiveSpan(t, "data", "query", inOrder).filter(_ <= slop).map { g =>
+          id -> ((t.count(_ == "data").toLong, t.count(_ == "query").toLong, g))
+        }
+      }.toMap
+      assert(runSpan(corpus, "data", "query", slop, inOrder) == want,
+        s"inOrder=$inOrder slop=$slop")
+    }
+  }
+
+  // ------------------------------------------- termSuggest / deleteKeys
+  // (the levenshtein reference `lev` is defined earlier in this suite)
+
+  test("deleteKeys SQL expression mirrors deletesLocal exactly") {
+    import spark.implicits._
+    val terms = Seq("spark", "a", "ab", "query", "zz", "tables")
+    for (d <- Seq(1, 2)) {
+      val got = terms.toDF("term")
+        .select(col("term"), SearchDsl.deleteKeys("term", d).as("keys"))
+        .as[(String, Seq[String])].collect().toMap
+      terms.foreach { t =>
+        assert(got(t).toSet == SearchDsl.deletesLocal(t, d), s"term=$t d=$d")
+        assert(got(t).distinct == got(t)) // array_distinct applied
+      }
+    }
+    intercept[IllegalArgumentException] { SearchDsl.deleteKeys("term", 3) }
+  }
+
+  test("SymSpell completeness: lev <= 2 pairs always share a delete key") {
+    val rnd = new scala.util.Random(17)
+    val alpha = "abcd"
+    def word() = Vector.fill(1 + rnd.nextInt(7))(alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = Vector.fill(400)((word(), word()))
+    pairs.foreach { case (a, b) =>
+      val d = lev(a, b)
+      val share = (SearchDsl.deletesLocal(a, 2) intersect SearchDsl.deletesLocal(b, 2)).nonEmpty
+      if (d <= 2) assert(share, s"lev($a,$b)=$d but no shared delete key")
+    }
+    // and the guarantee is non-vacuous on this sample
+    assert(pairs.exists { case (a, b) => lev(a, b) <= 2 && a != b })
+  }
+
+  test("termSuggest equals the brute-force banded vocabulary scan") {
+    import spark.implicits._
+    val vocab = Seq(
+      ("spark", 40L), ("spak", 1L), ("span", 9L), ("stark", 9L),
+      ("query", 31L), ("queue", 7L), ("qed", 2L), ("table", 25L),
+      ("tale", 25L), ("cable", 25L), ("label", 12L), ("zzzzz", 3L))
+      .toDF("term", "df")
+    val inputs = Seq("spak", "qery", "tabel")
+    val got = SearchDsl.termSuggest(vocab, inputs, maxEdits = 2, topN = 3)
+      .select("input", "term", "dist", "df", "rnk")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val want = inputs.flatMap { in =>
+      Seq(("spark", 40L), ("spak", 1L), ("span", 9L), ("stark", 9L),
+        ("query", 31L), ("queue", 7L), ("qed", 2L), ("table", 25L),
+        ("tale", 25L), ("cable", 25L), ("label", 12L), ("zzzzz", 3L))
+        .map { case (t, f) => (t, f, lev(t, in).toLong) }
+        .filter(_._3 <= 2)
+        .sortBy { case (t, f, d) => (d, -f, t) }
+        .take(3).zipWithIndex
+        .map { case ((t, f, d), i) => (in, t, d, f, i + 1L) }
+    }.toSet
+    assert(got == want)
+    // exact vocabulary hit ranks first at dist 0
+    assert(got.contains(("spak", "spak", 0L, 1L, 1L)))
+    intercept[IllegalArgumentException] { SearchDsl.termSuggest(vocab, Seq.empty) }
+  }
 }
