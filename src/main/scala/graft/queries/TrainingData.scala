@@ -5477,6 +5477,124 @@ object TrainingData {
       .orderBy("bucket")
   }
 
+  // ------------------------- q174: content-defined chunk dedup
+
+  private val h64CastSql = (x: String) =>
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  val q174_cdc_chunks: QueryDef = q(
+    "q174_cdc_chunks",
+    s"""WITH $docTokSql,
+       |gh AS (SELECT doc_id, toks,
+       |      list_transform(range(1, len(toks) - 1), g ->
+       |        ${h64CastSql("toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2]")}) AS gh
+       |    FROM tok WHERE len(toks) >= 3),
+       |bnd AS (SELECT doc_id, toks,
+       |      list_transform(list_filter(range(1, len(gh) + 1), g -> gh[g] % 64 = 0),
+       |        g -> g + 2) AS e0
+       |    FROM gh),
+       |en AS (SELECT doc_id, toks,
+       |      CASE WHEN len(e0) > 0 AND e0[len(e0)] = len(toks) THEN e0
+       |           ELSE list_append(e0, len(toks)) END AS ends
+       |    FROM bnd),
+       |longc AS (SELECT doc_id,
+       |      array_to_string(toks[(CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END):ends[i]], ' ') AS ctext,
+       |      CAST(ends[i] - (CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END) + 1 AS BIGINT) AS n_toks
+       |    FROM en, unnest(range(1, len(ends) + 1)) AS u(i)),
+       |shortc AS (SELECT doc_id, array_to_string(toks, ' ') AS ctext,
+       |      CAST(len(toks) AS BIGINT) AS n_toks
+       |    FROM tok WHERE len(toks) BETWEEN 1 AND 2),
+       |allc AS (SELECT doc_id, ${h64CastSql("ctext")} AS ch, n_toks FROM longc
+       |         UNION ALL
+       |         SELECT doc_id, ${h64CastSql("ctext")}, n_toks FROM shortc),
+       |byh AS (SELECT ch, CAST(count(*) AS BIGINT) AS n_occ,
+       |      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |      CAST(max(n_toks) AS BIGINT) AS n_toks
+       |    FROM allc GROUP BY ch),
+       |stats AS (SELECT CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+       |      CAST(count(*) AS BIGINT) AS n_distinct,
+       |      CAST(sum((n_occ - 1) * n_toks) AS BIGINT) AS dup_tokens,
+       |      CAST(sum(n_occ * n_toks) AS BIGINT) AS total_tokens
+       |    FROM byh),
+       |ranked AS (SELECT ch, n_occ, n_docs, n_toks,
+       |      row_number() OVER (ORDER BY n_occ DESC, ch) AS rnk FROM byh)
+       |SELECT r.ch, r.n_occ, r.n_docs, r.n_toks, s.n_chunks, s.n_distinct,
+       |  s.dup_tokens, s.total_tokens, CAST(r.rnk AS BIGINT) AS rnk
+       |FROM ranked r CROSS JOIN stats s WHERE r.rnk <= 10 ORDER BY rnk""".stripMargin
+  ) { (s, dir) =>
+    // Content-defined chunking dedup (operators/Cdc — the LBFS/FastCDC
+    // boundary rule at token granularity): boundaries where the 3-gram
+    // h64 ≡ 0 (mod 64), chunk keys = h64 of the chunk text, report =
+    // top-10 duplicated chunks + corpus totals (dup_tokens = what CDC
+    // dedup would store once). Catches SHIFTED duplication that
+    // paragraph keys (q138) miss and whole-doc hashes (q31/q42) can't
+    // see. All-integer (md5-h64 + modular arithmetic) — bit-portable.
+    // Scale shape: chunking is narrow scan-side array expressions
+    // (zero shuffle); the report is one chunk-keyed mergeable hash-agg
+    // shuffling 60-bit keys, never chunk text.
+    val ch = graft.operators.Cdc.chunks(tokenized(s, dir), k = 3, mod = 64)
+    graft.operators.Cdc.dupReport(ch, topN = 10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("ch"))).cast("long"))
+      .select(col("ch"), col("n_occ"), col("n_docs"), col("n_toks"),
+        col("n_chunks"), col("n_distinct"), col("dup_tokens"),
+        col("total_tokens"), col("rnk"))
+      .orderBy("rnk")
+  }
+
+  // ------------------------- q175: pair-graph PageRank
+
+  val q175_pair_pagerank: QueryDef = q(
+    "q175_pair_pagerank", {
+      val S = "CAST(1000000000000 AS BIGINT)"
+      val iters = (1 to 5).map { i =>
+        s"""pr$i AS (SELECT e.dst AS id, b.b + sum(((r.r * 17) // 20) // d.deg) AS r
+           |    FROM edges e JOIN pr${i - 1} r ON r.id = e.src
+           |    JOIN deg d ON d.id = e.src CROSS JOIN basev b
+           |    GROUP BY e.dst, b.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shinglesSql,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2
+         |          FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+         |          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |basev AS (SELECT ($S * 3) // 20 // n AS b FROM nn),
+         |pr0 AS (SELECT id, $S // n AS r FROM deg CROSS JOIN nn),
+         |$iters,
+         |ranked AS (SELECT p.id, d.deg, CAST(p.r AS BIGINT) AS rank_scaled,
+         |      row_number() OVER (ORDER BY p.r DESC, p.id) AS rnk
+         |    FROM pr5 p JOIN deg d ON d.id = p.id)
+         |SELECT id AS doc_id, deg, rank_scaled, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+    }
+  ) { (s, dir) =>
+    // PageRank centrality over the q32 Jaccard pair graph
+    // (operators/Graph.pageRank): 5 damped rounds (d = 17/20) in
+    // SCALED 64-BIT INTEGERS — per-edge contribution (r·17) div 20 div
+    // deg, order-free long sums — so every iterate is bit-identical
+    // under any partitioning and the oracle replays the exact fixpoint
+    // path with // division (the Common-Crawl-style centrality prior,
+    // ranking WITHIN duplication neighborhoods where q72 only names
+    // the cluster). Top-10 nodes by final rank. Scale shape: one join
+    // + one mergeable hash-agg per round over pair-graph-sized state,
+    // each round localCheckpointed flat.
+    val rank = graft.operators.Graph.pageRank(
+      jaccardPairs(s, dir).select("id1", "id2"), iters = 5)
+    rank.orderBy(col("r").desc, col("id")).limit(10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("r").desc, col("id"))).cast("long"))
+      .select(col("id").as("doc_id"), col("deg"),
+        col("r").as("rank_scaled"), col("rnk"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -5509,5 +5627,6 @@ object TrainingData {
     q160_rescore, q161_collapse, q162_temperature_mix, q163_prototypes,
     q164_winnow_pairs, q165_composite_agg, q166_bloom_filter,
     q167_topk_terms, q168_jl_recall, q169_function_score,
-    q170_term_suggest, q171_span_near, q172_rank_eval, q173_readability)
+    q170_term_suggest, q171_span_near, q172_rank_eval, q173_readability,
+    q174_cdc_chunks, q175_pair_pagerank)
 }
