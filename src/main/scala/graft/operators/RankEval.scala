@@ -72,9 +72,16 @@ object RankEval {
     require(k > 0, s"k must be positive, got $k")
     require(relThreshold >= 1, s"relThreshold must be >= 1, got $relThreshold")
     val isRel = col("rel") >= relThreshold
+    // Materialize the labels ONCE: three consumers below (page join,
+    // relevant-count, ideal top-k), and callers always pass a COMPUTED
+    // projection (a tokenize/contains pass over the corpus) — without
+    // this the label derivation replays per consumer, 3 corpus passes
+    // instead of 1 (the buildTextIndex discipline). What stays
+    // resident is (doc_id, rel) — 2 longs per doc, far below the text.
+    val relMat = rel.select(col("doc_id"), col("rel")).localCheckpoint(true)
     // Page-side aggregates: the label scan streams against the
     // broadcast k-row page; grades collect rank-sorted into ONE row.
-    val page = rel.join(broadcast(top.select(col("doc_id"), col("rnk"))), "doc_id")
+    val page = relMat.join(broadcast(top.select(col("doc_id"), col("rnk"))), "doc_id")
       .agg(
         expr(s"${dcgFold("transform(sort_array(collect_list(struct(rnk, rel))), p -> p.rel)")}").as("dcg"),
         min(when(isRel, col("rnk"))).as("first_rel"),
@@ -82,8 +89,8 @@ object RankEval {
         count(lit(1)).as("n_page"))
     // Corpus-side: relevant count (mergeable agg) + ideal top-k grades
     // (TakeOrderedAndProject — grade VALUES only, ties immaterial).
-    val totals = rel.agg(sum(when(isRel, 1L).otherwise(0L)).as("total_relevant"))
-    val ideal = rel.orderBy(col("rel").desc).limit(k)
+    val totals = relMat.agg(sum(when(isRel, 1L).otherwise(0L)).as("total_relevant"))
+    val ideal = relMat.orderBy(col("rel").desc).limit(k)
       .agg(expr(s"${dcgFold("reverse(array_sort(collect_list(rel)))")}").as("idcg"))
     page.crossJoin(broadcast(totals)).crossJoin(broadcast(ideal))
       .select(

@@ -518,4 +518,55 @@ class ExplainSpec extends SparkSpec {
     // Two-phase aggregation: a partial HashAggregate below the exchange.
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q170: suggest candidates come from the broadcast delete-key join " +
+      "— no sort-merge, no corpus scan at query time") {
+    val p = plan("q170_term_suggest")
+    // The query side's few dozen keys broadcast into the vocab index;
+    // a SortMergeJoin here means the index join started shuffling the
+    // exploded vocabulary against the query side.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // Work is vocabulary-index-sized: the only corpus-derived input is
+    // the memoized vocab artifact (an RDD scan), never documents.parquet.
+    assert(!p.contains("documents.parquet"), s"corpus scan at query time:\n$p")
+  }
+
+  test("q171: span_near terms filter before the ONE doc-keyed exchange; " +
+      "window and both agg phases reuse it (only other exchange = output sort)") {
+    val p = plan("q171_span_near")
+    // isin prunes to the two terms' postings before any shuffle.
+    assert(p.contains("IN (data,query)"), p)
+    // Exactly two exchanges: hashpartitioning(doc_id) for the lag
+    // window (the per-doc reduce rides the same partitioning — partial
+    // AND final HashAggregate sit between the exchanges) and the final
+    // rangepartitioning ORDER BY.
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q173: readability is scan-side regex counting + one two-phase " +
+      "bucket agg — no join, no window, no explode") {
+    val p = plan("q173_readability")
+    assert(!p.contains("Join") && "Window \\(\\d".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("Generate"), s"an explode crept into the counting:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q174: CDC chunking rides the scan (one Generate, no join before " +
+      "the chunk-key agg); report cut is TakeOrderedAndProject") {
+    val p = plan("q174_cdc_chunks")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // One chunk-keyed two-phase agg; the totals come back broadcast.
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q172: the ranked page broadcasts into the label pass; ideal@k is " +
+      "TakeOrderedAndProject, never a corpus sort") {
+    val p = plan("q172_rank_eval")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
