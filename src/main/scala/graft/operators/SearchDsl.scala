@@ -41,7 +41,10 @@ import org.apache.spark.sql.functions._
   *    positional postings (q171);
   *  - [[termSuggest]] — the `term` suggester ("did you mean"),
   *    SymSpell delete-neighborhood candidates + exact Levenshtein
-  *    (q170).
+  *    (q170);
+  *  - [[dateHistogramPipeline]] — `date_histogram` with the pipeline
+  *    aggregations (`cumulative_sum` / `derivative` / `moving_fn`)
+  *    over dense min_doc_count:0 buckets (q176).
   *
   * Scale shapes are per-method; the common theme mirrors
   * [[Retrieval]]: per-query work is bounded by the QUERY TERMS'
@@ -705,6 +708,58 @@ object SearchDsl {
                 size(col("toks")).cast("long")) - greatest(col("p") - context, lit(1)) + 1),
             x => when(x === term, concat(lit("<em>"), x, lit("</em>")))
               .otherwise(x))).as("snippet"))
+  }
+
+  /** `date_histogram` buckets with the pipeline-aggregation family —
+    * OpenSearch's `cumulative_sum`, `derivative` and `moving_fn` (here
+    * the trailing-`window` mean) computed over the bucket series of
+    * each key: (key, day, cnt, cum_cnt, deriv, mov_avg). Buckets are
+    * DENSE — the day × key grid is generated from one scalar bounds
+    * agg and absent cells carry an explicit zero, OpenSearch's
+    * `min_doc_count: 0` + `extended_bounds` semantics, without which
+    * `derivative` silently skips gaps and a monitoring chart lies.
+    * `deriv` is NULL on each key's first bucket (the ES contract);
+    * `mov_avg` divides the trailing-window EXACT long sum by the
+    * window's actual row count, so the only double is one final
+    * scalar division per bucket.
+    *
+    * Scale shape: ONE corpus-sized shuffle (the (key, day) count agg,
+    * mergeable partial sums); the grid is days × keys — time-bounded
+    * metadata, orders of magnitude below the corpus — so the per-key
+    * windows run over bucket series, never over events. The left join
+    * keys on the grid and broadcasts.
+    */
+  /** The dense daily bucket grid behind [[dateHistogramPipeline]] and
+    * [[Monitoring.robustAnomalies]]: (key, day, cnt) for EVERY day in
+    * the corpus bounds × every key, absent cells as explicit zeros.
+    */
+  def dateHistogramGrid(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val counts = events
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = events.agg(to_date(min(col(tsCol))).as("lo"),
+      to_date(max(col(tsCol))).as("hi"))
+    val days = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val keys = events.select(col(keyCol).as("key")).distinct()
+    days.crossJoin(keys)
+      .join(counts, Seq("day", "key"), "left")
+      .na.fill(0L, Seq("cnt"))
+  }
+
+  def dateHistogramPipeline(events: DataFrame, keyCol: String, tsCol: String,
+      window: Int = 3): DataFrame = {
+    require(window >= 1, s"moving window must be >= 1, got $window")
+    val grid = dateHistogramGrid(events, keyCol, tsCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("day")
+    val wTrail = w.rowsBetween(-(window - 1).toLong, 0L)
+    grid.select(col("key"), col("day"), col("cnt"),
+      sum(col("cnt")).over(w.rowsBetween(Long.MinValue, 0L)).as("cum_cnt"),
+      (col("cnt") - lag(col("cnt"), 1).over(w)).as("deriv"),
+      (sum(col("cnt")).over(wTrail).cast("double") /
+        count(lit(1)).over(wTrail)).as("mov_avg"))
   }
 
   /** `span_near`, two-clause form: documents where `termA` and `termB`

@@ -5595,6 +5595,89 @@ object TrainingData {
       .orderBy("rnk")
   }
 
+  // ------------------------- q176/q177: pipeline aggs + rate anomalies
+
+  /** The dense daily (event_type × day) grid CTE chain shared by the
+    * q176 pipeline aggregations and the q177 anomaly report (DuckDB
+    * side of SearchDsl.dateHistogramGrid).
+    */
+  private val dayGridSql =
+    """bounds AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+      |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS cnt
+      |    FROM events GROUP BY 1, 2),
+      |grid AS (SELECT t.event_type, d.day, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+      |    FROM days d CROSS JOIN types t
+      |    LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type)""".stripMargin
+
+  val q176_pipeline_aggs: QueryDef = q(
+    "q176_pipeline_aggs",
+    s"""WITH $dayGridSql
+       |SELECT event_type, day, cnt,
+       |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+       |  cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS deriv,
+       |  ${Par.r4sql("CAST(sum(cnt) OVER w3 AS DOUBLE) / count(*) OVER w3")} AS mov_avg
+       |FROM grid
+       |WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_type, day""".stripMargin
+  ) { (s, dir) =>
+    // date_histogram + the pipeline-aggregation family (operators/
+    // SearchDsl.dateHistogramPipeline): cumulative_sum, derivative and
+    // a trailing-3 moving_fn mean over DENSE daily buckets
+    // (min_doc_count: 0 + extended_bounds — a silent day is a zero
+    // bucket, so derivative never silently skips gaps). Counts are
+    // exact longs; the moving mean is one scalar division of the
+    // window's exact sum. Scale shape: ONE corpus shuffle (the
+    // (type, day) count agg); the windows run over the days × types
+    // grid — time-bounded metadata, never events.
+    graft.operators.SearchDsl.dateHistogramPipeline(
+        t(s, dir, "events"), "event_type", "ts", window = 3)
+      .select(col("key").as("event_type"), col("day"), col("cnt"),
+        col("cum_cnt"), col("deriv"), Par.r4(col("mov_avg")).as("mov_avg"))
+      .orderBy("event_type", "day")
+  }
+
+  val q177_rate_anomalies: QueryDef = q(
+    "q177_rate_anomalies",
+    s"""WITH $dayGridSql,
+       |med AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med FROM grid GROUP BY 1),
+       |mad AS (SELECT g.event_type,
+       |      quantile_cont(abs(CAST(cnt AS DOUBLE) - med), 0.5) AS mad
+       |    FROM grid g JOIN med USING (event_type) GROUP BY 1),
+       |z AS (SELECT g.event_type, g.day, g.cnt, m.med, d.mad,
+       |      CASE WHEN d.mad = 0 THEN 0.0
+       |           ELSE (CAST(g.cnt AS DOUBLE) - m.med) / (CAST(1.4826 AS DOUBLE) * d.mad)
+       |      END AS z
+       |    FROM grid g JOIN med m USING (event_type) JOIN mad d USING (event_type)),
+       |ranked AS (SELECT *, row_number() OVER (
+       |      ORDER BY floor(abs(z) * 10000 + 0.5) / 10000 DESC, event_type, day) AS rnk
+       |    FROM z)
+       |SELECT event_type, day, cnt, ${Par.r2sql("med")} AS med,
+       |  ${Par.r2sql("mad")} AS mad, ${Par.r4sql("z")} AS z,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+  ) { (s, dir) =>
+    // Robust rate-anomaly report (operators/Monitoring
+    // .robustAnomalies): per-type median/MAD z-scores over the SAME
+    // dense grid — the analytical half of the reference's CloudWatch
+    // monitoring surface (kds_example/iac/s2_app.py:91-118). Median/
+    // MAD, not mean/stddev: rate series contain the anomalies being
+    // hunted and moment statistics chase them. Top-10 buckets by
+    // ROUNDED |z| (the q85 ranking discipline). Scale shape: beyond
+    // the grid's one count shuffle, two grid-sized mergeable medians
+    // joined back broadcast.
+    val grid = graft.operators.SearchDsl.dateHistogramGrid(
+      t(s, dir, "events"), "event_type", "ts")
+    graft.operators.Monitoring.robustAnomalies(grid, topN = 10)
+      .select(col("key").as("event_type"), col("day"), col("cnt"),
+        Par.r2(col("med")).as("med"), Par.r2(col("mad")).as("mad"),
+        Par.r4(col("z")).as("z"), col("rnk"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -5628,5 +5711,6 @@ object TrainingData {
     q164_winnow_pairs, q165_composite_agg, q166_bloom_filter,
     q167_topk_terms, q168_jl_recall, q169_function_score,
     q170_term_suggest, q171_span_near, q172_rank_eval, q173_readability,
-    q174_cdc_chunks, q175_pair_pagerank)
+    q174_cdc_chunks, q175_pair_pagerank, q176_pipeline_aggs,
+    q177_rate_anomalies)
 }
