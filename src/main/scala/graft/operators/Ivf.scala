@@ -226,4 +226,46 @@ object Ivf {
       .select(col("cell"), col("best.vec_id").as("vec_id"),
         col("best.d").as("sqdist"))
   }
+
+  /** Per-cell index-quality card over a frozen model: (cell, n,
+    * sum_qdist, max_qdist, mean_sqdist, share) — population, inertia
+    * (Σ squared centroid distance) and the cell's corpus share. This
+    * is the health report an IVF deployment watches: a cell with a
+    * huge share is a probe hot-spot (every nprobe visit scans it), a
+    * cell with outsized mean inertia under-serves recall (its vectors
+    * sit far from the routing centroid; FAISS's imbalance-factor lore)
+    * — both the operational signals behind re-training or splitting.
+    *
+    * Determinism discipline: per-vector distances are the codegen'd
+    * `sqdist_f` (bit-identical to the trainer and the oracle's
+    * REAL-cast replay), QUANTIZED per row to 1e-6 units — floor of a
+    * bit-agreed double — so the per-cell inertia SUMS are order-free
+    * long sums, exact under any partitioning (the q175 integer-sum
+    * rule; a raw double sum here would be partial-sum-order
+    * dependent). `mean_sqdist` and `share` are one scalar division
+    * each off the exact integers.
+    *
+    * Scale shape: centroids broadcast, ONE mergeable k-row hash-agg
+    * over the corpus pass the index build already pays, plus a 1-row
+    * total broadcast back. No window, no join beyond the broadcast.
+    */
+  def cellQuality(spark: SparkSession, indexed: DataFrame, model: Model,
+      quant: Long = 1000000L): DataFrame = {
+    require(quant >= 1000L, s"quantization must be >= 1e3 units, got $quant")
+    import spark.implicits._
+    val cents = model.centroids.toSeq.toDF("cell", "cv")
+    val per = indexed.join(broadcast(cents), "cell")
+      .select(col("cell"),
+        floor(graft.functions.VectorFunctions.sqdist_f(col("embedding"), col("cv"))
+          * quant + lit(0.5)).cast("long").as("qd"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("qd")).as("sum_qdist"),
+        max(col("qd")).as("max_qdist"))
+    val tot = per.agg(sum(col("n")).as("total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n"), col("sum_qdist"), col("max_qdist"),
+        (col("sum_qdist").cast("double") / (col("n") * quant).cast("double"))
+          .as("mean_sqdist"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"))
+  }
 }

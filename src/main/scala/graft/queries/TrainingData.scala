@@ -5678,6 +5678,140 @@ object TrainingData {
       .orderBy("rnk")
   }
 
+  // ------------------------- q178: adjacency_matrix aggregation
+
+  val q178_adjacency_matrix: QueryDef = q(
+    "q178_adjacency_matrix",
+    s"""WITH $docTokSql,
+       |bits AS (SELECT
+       |      CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END AS b1,
+       |      CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS b2,
+       |      CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END AS b3
+       |    FROM tok),
+       |m AS (SELECT CAST(sum(b1) AS BIGINT) AS c1, CAST(sum(b2) AS BIGINT) AS c2,
+       |      CAST(sum(b3) AS BIGINT) AS c3,
+       |      CAST(sum(b1 * b2) AS BIGINT) AS c12, CAST(sum(b1 * b3) AS BIGINT) AS c13,
+       |      CAST(sum(b2 * b3) AS BIGINT) AS c23
+       |    FROM bits)
+       |SELECT k AS key, v AS doc_count FROM (
+       |  SELECT unnest(['data', 'data&query', 'data&spark', 'query',
+       |                 'spark', 'spark&query']) AS k,
+       |         unnest([c1, c13, c12, c3, c2, c23]) AS v FROM m)
+       |ORDER BY key""".stripMargin
+  ) { (s, dir) =>
+    // adjacency_matrix aggregation (OpenSearch): doc counts for each
+    // named filter and each pairwise intersection — the co-occurrence
+    // matrix behind "which topics overlap" panels. Filters here are
+    // term memberships (data/spark/query). ONE corpus pass: membership
+    // bits are scan-side, all 6 cells come from a single mergeable
+    // scalar agg (ES evaluates filter pairs per doc the same way);
+    // the reshape to (key, doc_count) rows is a 1-row explode. Keys
+    // use ES's "&" intersection spelling, components alphabetical.
+    val bits = tokenized(s, dir).select(
+      array_contains(col("toks"), "data").cast("long").as("b1"),
+      array_contains(col("toks"), "spark").cast("long").as("b2"),
+      array_contains(col("toks"), "query").cast("long").as("b3"))
+    bits.agg(
+        sum(col("b1")).as("c1"), sum(col("b2")).as("c2"),
+        sum(col("b3")).as("c3"),
+        sum(col("b1") * col("b2")).as("c12"),
+        sum(col("b1") * col("b3")).as("c13"),
+        sum(col("b2") * col("b3")).as("c23"))
+      .select(explode(map(
+        lit("data"), col("c1"), lit("data&query"), col("c13"),
+        lit("data&spark"), col("c12"), lit("query"), col("c3"),
+        lit("spark"), col("c2"), lit("spark&query"), col("c23")))
+        .as(Seq("key", "doc_count")))
+      .orderBy("key")
+  }
+
+  // ------------------------- q179: terms_set query
+
+  val q179_terms_set: QueryDef = q(
+    "q179_terms_set",
+    s"""WITH $docTokSql,
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |      CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |    FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+       |    WHERE term IN ('data', 'spark', 'query') GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, count(*) AS n_terms,
+       |      sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+       |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+       |    FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY doc_id),
+       |hits AS (SELECT doc_id, n_terms, score FROM sc WHERE n_terms >= 2),
+       |ranked AS (SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score,
+       |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |    FROM hits)
+       |SELECT doc_id, n_terms, floor(score * 100 + 0.5) / 100 AS score,
+       |  CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // terms_set query (OpenSearch): match documents containing at
+    // least minimum_should_match of the term set — the middle ground
+    // between q85's OR-match and q104's AND-must. Falls out of
+    // Retrieval.bm25's n_terms (the per-doc matched-clause count its
+    // agg already carries): filter n_terms >= 2 of {data, spark,
+    // query}, score = BM25 over the matched terms only (Lucene's
+    // CoveringQuery scores the same way), top-10 by rounded score.
+    // Scale shape: exactly q85's — one corpus shuffle, stats/df
+    // broadcast, TakeOrderedAndProject page cut.
+    val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+      .filter(col("n_terms") >= 2)
+    rankedTopByScore(scored, 10, Seq("doc_id"))
+      .select(col("doc_id"), col("n_terms").cast("long").as("n_terms"),
+        Par.r2(col("score")).as("score"), col("rnk").cast("bigint").as("rank"))
+      .orderBy("rank")
+  }
+
+  // ------------------------- q180: IVF index-quality card
+
+  val q180_ivf_quality: QueryDef = q(
+    "q180_ivf_quality",
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, embedding AS cv FROM
+       |       (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM v) WHERE rn <= 8),
+       |${ivfAssignSql("a1", "c0")}, ${ivfCentroidSql("c1", "a1", "c0")},
+       |${ivfAssignSql("a2", "c1")}, ${ivfCentroidSql("c2", "a2", "c1")},
+       |${ivfAssignSql("a3", "c2")}, ${ivfCentroidSql("c3", "a3", "c2")},
+       |asg AS (SELECT vec_id, cell, dist FROM (
+       |    SELECT v.vec_id, c.cell, ${ivfSqDistSql("v.embedding", "c.cv")} AS dist,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfSqDistSql("v.embedding", "c.cv")}, c.cell) AS rn
+       |    FROM v CROSS JOIN c3 c) WHERE rn = 1),
+       |qd AS (SELECT cell, CAST(floor(dist * 1000000 + 0.5) AS BIGINT) AS qd FROM asg),
+       |per AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+       |      CAST(sum(qd) AS BIGINT) AS sum_qdist,
+       |      CAST(max(qd) AS BIGINT) AS max_qdist
+       |    FROM qd GROUP BY cell),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per)
+       |SELECT CAST(cell AS INT) AS cell, n, sum_qdist, max_qdist,
+       |  ${Par.r4sql("CAST(sum_qdist AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)")} AS mean_sqdist,
+       |  ${Par.r4sql("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)")} AS share
+       |FROM per CROSS JOIN tot ORDER BY cell""".stripMargin
+  ) { (s, dir) =>
+    // IVF index-quality card (operators/Ivf.cellQuality) over the
+    // shared frozen q73/q139/q163 model: per-cell population, inertia
+    // and corpus share — the health report behind re-train/split
+    // decisions (hot cells are probe hot-spots, high-inertia cells
+    // under-serve recall; FAISS's imbalance factor). Distances are
+    // the codegen'd sqdist_f (bit-identical twin of the oracle's
+    // REAL-cast replay) quantized per row to 1e-6 units so the
+    // inertia sums are ORDER-FREE long sums (the q175 integer-sum
+    // rule). One broadcast + one k-row mergeable agg.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val model = memo(s"ivf|$dir|k=8|it=3|r=4")(
+      graft.operators.Ivf.train(s, emb, k = 8, iters = 3, meanRound = 4))
+    val indexed = graft.operators.Ivf.index(s, emb, model)
+    graft.operators.Ivf.cellQuality(s, indexed, model)
+      .select(col("cell").cast("int").as("cell"), col("n"),
+        col("sum_qdist"), col("max_qdist"),
+        Par.r4(col("mean_sqdist")).as("mean_sqdist"),
+        Par.r4(col("share")).as("share"))
+      .orderBy("cell")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -5712,5 +5846,6 @@ object TrainingData {
     q167_topk_terms, q168_jl_recall, q169_function_score,
     q170_term_suggest, q171_span_near, q172_rank_eval, q173_readability,
     q174_cdc_chunks, q175_pair_pagerank, q176_pipeline_aggs,
-    q177_rate_anomalies)
+    q177_rate_anomalies, q178_adjacency_matrix, q179_terms_set,
+    q180_ivf_quality)
 }

@@ -103,6 +103,18 @@ object IndexSink {
       key: String = "recordId", depth: Int = 3, width: Int = 64,
       b: Int = 6, compactEvery: Int = 0)
 
+  /** Live delivery-rate maintenance for [[start]]: each delivered
+    * epoch's Ok frame lands one per-`field`-value count delta in the
+    * named [[LiveRates]] store — the EXACT counting twin of the
+    * sketch hook, whose merged state is the (key × epoch) rate grid
+    * behind [[LiveRates.anomalies]] (robust per-key z-scores, the
+    * q177 scorer on the live store). Stream-scoped like the sketches:
+    * rates of what FLOWED, upserts do not retract. `compactEvery` as
+    * in the sibling specs.
+    */
+  final case class LiveRateSpec(root: String, field: String,
+      compactEvery: Int = 0)
+
   /** Start the index-delivery query: decode → route → append Ok payloads
     * to `indexPath` (parquet, `shards`-way), with the raw-backup channel
     * written alongside (reference backs up ALL documents on the oss
@@ -149,7 +161,8 @@ object IndexSink {
       spanState: Option[LiveSpanSpec] = None,
       percolator: Option[PercolatorSpec] = None,
       nearDupState: Option[LiveNearDupSpec] = None,
-      sketchState: Option[LiveSketchSpec] = None): StreamingQuery =
+      sketchState: Option[LiveSketchSpec] = None,
+      rateState: Option[LiveRateSpec] = None): StreamingQuery =
     envelope.writeStream
       .queryName("graft-index-delivery")
       .trigger(trigger)
@@ -175,8 +188,19 @@ object IndexSink {
           // Epoch ids from foreachBatch start at 0, so "every Nth
           // delivery" is (epochId + 1) % N == 0 — the policy fires
           // first on epoch N-1, after N deltas exist. ONE cadence
-          // helper for all four maintenance hooks.
+          // helper for all the maintenance hooks.
           def due(n: Int) = n > 0 && (epochId + 1) % n == 0
+          rateState.foreach { spec =>
+            // The rate delta reads the epoch parquet just written (the
+            // read-back-what-you-wrote rule below); one row per
+            // delivered record, no tokenization involved.
+            val keyed = src.sparkSession.read
+              .parquet(s"$indexPath/epoch=$epochId")
+              .select(col(spec.field).cast("string").as("k"))
+            LiveRates.writeDelta(keyed, spec.root, epochId)
+            if (due(spec.compactEvery))
+              LiveRates.compact(src.sparkSession, spec.root)
+          }
           nearDupState.foreach { spec =>
             // The near-dup delta reads the epoch parquet just written
             // (the read-back-what-you-wrote rule below) but takes the
