@@ -160,6 +160,22 @@ object SearchDsl {
     vocab.filter(col("term").startsWith(prefix))
   }
 
+  /** `rare_terms` aggregation: vocabulary terms with document
+    * frequency ≤ `maxDocCount` — the long-tail counterpart of
+    * [[significantTerms]] (that verb asks "what is this result set
+    * about"; this one asks "what almost never occurs" — typo mining,
+    * PII-ish identifiers, contamination tells). A plain predicate on
+    * the vocabulary frame: vocabulary-sized work, never corpus-sized,
+    * and on a df-sorted dictionary layout the comparison prunes via
+    * footer min/max (ES computes the same thing with a CuckooFilter
+    * sweep precisely because its per-shard agg model cannot see the
+    * global df table this engine already has).
+    */
+  def rareTerms(vocab: DataFrame, maxDocCount: Long = 1L): DataFrame = {
+    require(maxDocCount >= 1, s"maxDocCount must be >= 1, got $maxDocCount")
+    vocab.filter(col("df") <= maxDocCount)
+  }
+
   /** `wildcard` term expansion, Lucene pattern syntax (`*` = any run,
     * `?` = one char, `\` escapes the next character to a literal —
     * `\*` matches a literal asterisk). Translated to a SQL LIKE over

@@ -5558,12 +5558,12 @@ object TrainingData {
          |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
          |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2),
-         |pairs AS (SELECT id1, id2
+         |pairs AS MATERIALIZED (SELECT id1, id2
          |          FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
          |          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
-         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs
          |          UNION SELECT id2, id1 FROM pairs),
-         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |deg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
          |basev AS (SELECT ($S * 3) // 20 // n AS b FROM nn),
          |pr0 AS (SELECT id, $S // n AS r FROM deg CROSS JOIN nn),
@@ -5812,6 +5812,100 @@ object TrainingData {
       .orderBy("cell")
   }
 
+  // ------------------------- q181: contrastive training triples
+
+  val q181_training_triples: QueryDef = q(
+    "q181_training_triples",
+    s"""WITH $shinglesSql,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairsj AS MATERIALIZED (SELECT id1, id2,
+       |      CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |    FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+       |    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+       |anchors AS MATERIALIZED (SELECT id1 AS aid, id2 AS pos_id, jaccard
+       |    FROM pairsj ORDER BY jaccard DESC, id1, id2 LIMIT 5),
+       |tok2 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
+       |    FROM documents),
+       |post AS MATERIALIZED (SELECT term, doc_id, count(*) AS tf
+       |    FROM (SELECT doc_id, unnest(toks) AS term FROM tok2) GROUP BY 1, 2),
+       |idf AS MATERIALIZED (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok2),
+       |aterms AS (SELECT aid, term FROM (
+       |    SELECT a.aid, p.term,
+       |      row_number() OVER (PARTITION BY a.aid
+       |        ORDER BY p.tf * ln((st.n + 1.0) / (idf.df + 1.0)) DESC, p.term) AS rnk
+       |    FROM anchors a JOIN post p ON p.doc_id = a.aid
+       |    JOIN idf USING (term) CROSS JOIN st) WHERE rnk <= 3),
+       |scored AS (SELECT t.aid, p.doc_id,
+       |      sum(p.tf * ln((st.n + 1.0) / (idf.df + 1.0))) AS score
+       |    FROM aterms t JOIN post p USING (term)
+       |    JOIN idf USING (term) CROSS JOIN st GROUP BY 1, 2),
+       |elig AS (SELECT s.aid, a.pos_id, a.jaccard, s.doc_id, s.score
+       |    FROM scored s JOIN anchors a USING (aid)
+       |    WHERE s.doc_id <> s.aid AND s.doc_id <> a.pos_id
+       |      AND NOT EXISTS (SELECT 1 FROM pairsj pp
+       |        WHERE (pp.id1 = s.aid AND pp.id2 = s.doc_id)
+       |           OR (pp.id2 = s.aid AND pp.id1 = s.doc_id))),
+       |best AS (SELECT aid, pos_id, jaccard, doc_id, score,
+       |      row_number() OVER (PARTITION BY aid
+       |        ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |    FROM elig)
+       |SELECT aid AS anchor, pos_id AS positive,
+       |  ${Par.r4sql("jaccard")} AS jaccard, doc_id AS negative,
+       |  ${Par.r2sql("score")} AS neg_score
+       |FROM best WHERE rnk = 1 ORDER BY anchor""".stripMargin
+  ) { (s, dir) =>
+    // Contrastive training triples (operators/Triples.mine — the DPR
+    // BM25-negatives recipe, Karpukhin 2020 §3.2): positives from the
+    // q32 near-dup pair graph (top-5 anchors by Jaccard), hard
+    // negatives = the top tf·idf hit under each anchor's mltTerms
+    // query that is not the anchor, the gold positive, or a direct
+    // pair partner. The end-to-end proof that the engine's dedup and
+    // retrieval artifacts compose into model-ready training rows.
+    // Scale shape: anchors are a pair-frame top-k; anchor terms touch
+    // only the anchors' postings rows; candidate scoring is one
+    // postings-sized shuffle; the per-anchor cut is the window-free
+    // min(struct) aggregate.
+    graft.operators.Triples.mine(jaccardPairs(s, dir),
+        textIndexFor(s, dir), nAnchors = 5, termsPerAnchor = 3)
+      .select(col("anchor"), col("positive"),
+        Par.r4(col("jaccard")).as("jaccard"), col("negative"),
+        col("neg_score"))
+      .orderBy("anchor")
+  }
+
+  // ------------------------- q182: rare_terms aggregation
+
+  val q182_rare_terms: QueryDef = q(
+    "q182_rare_terms",
+    s"""WITH $shinglesSql,
+       |vocab AS (SELECT shingle AS term, CAST(count(*) AS BIGINT) AS df
+       |    FROM sh GROUP BY 1)
+       |SELECT term, df FROM vocab WHERE df <= 2
+       |ORDER BY df, term LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    // rare_terms aggregation (operators/SearchDsl.rareTerms): the
+    // long-tail counterpart of q159's significant_terms, run over the
+    // 3-shingle PHRASE vocabulary (the synthetic word vocabulary is
+    // 31 dense terms — no rare words exist; rare PHRASES are also the
+    // operationally interesting answer: near-unique boilerplate,
+    // identifier leakage, contamination tells). Dictionary terms in
+    // at most 2 documents, first 50 by (df, term). A plain predicate
+    // on the corpus-distinct dictionary — never corpus-sized work
+    // (ES needs a CuckooFilter sweep for the same answer because its
+    // per-shard agg model lacks this global df table).
+    val vocab = shingles(s, dir)
+      .groupBy(col("shingle").as("term"))
+      .agg(count(lit(1)).as("df"))
+    graft.operators.SearchDsl.rareTerms(vocab, maxDocCount = 2L)
+      .orderBy("df", "term").limit(50)
+      .select(col("term"), col("df"))
+      .orderBy("df", "term")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -5847,5 +5941,5 @@ object TrainingData {
     q170_term_suggest, q171_span_near, q172_rank_eval, q173_readability,
     q174_cdc_chunks, q175_pair_pagerank, q176_pipeline_aggs,
     q177_rate_anomalies, q178_adjacency_matrix, q179_terms_set,
-    q180_ivf_quality)
+    q180_ivf_quality, q181_training_triples, q182_rare_terms)
 }
