@@ -139,4 +139,45 @@ class EpochScaleSpec extends SparkSpec {
     f
     (System.nanoTime() - t0) / 1e9
   }
+
+  test(s"LiveRates stays flat and exact through ${Epochs / 2} epochs " +
+      s"with compaction every $CompactEvery") {
+    import spark.implicits._
+    import graft.streaming.LiveRates
+    val root = java.nio.file.Files.createTempDirectory("graft-lrt-scale").toString
+    val n = Epochs / 2
+    val keys = Vector("en", "de", "fr")
+    // deterministic per-epoch mix: key e%3 delivers 1 + e%4 records,
+    // the others 1 each — every key present every epoch
+    def epochKeys(e: Int): Seq[String] =
+      keys.flatMap(k => Seq.fill(if (k == keys(e % 3)) 1 + e % 4 else 1)(k))
+    val walls = (0 until n).map { e =>
+      time {
+        LiveRates.writeDelta(epochKeys(e).toDF("k"), root, e.toLong)
+        if ((e + 1) % CompactEvery == 0) LiveRates.compact(spark, root)
+      }
+    }
+    // flatness: the last 25-epoch median within 4x of the steady-state
+    // window's (same protocol as the text-index soak)
+    val steady = median(walls.slice(n / 4, n / 4 + 25).toSeq)
+    val late = median(walls.takeRight(25).toSeq)
+    assert(late <= steady * 4.0, f"delivery wall grew: $steady%.2f -> $late%.2f s")
+    // dirs bounded by the compaction interval, never history depth
+    assert(epochDirCount(root) <= CompactEvery + 1)
+    // exactness at depth: the merged grid equals the closed form
+    val got = LiveRates.grid(spark, root)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size == keys.size * n)
+    (0 until n).foreach { e =>
+      keys.foreach { k =>
+        val want = if (k == keys(e % 3)) 1L + e % 4 else 1L
+        assert(got((k, e.toLong)) == want, s"cell ($k, $e)")
+      }
+    }
+    // the anomaly read over the deep store stays cheap and total
+    val an = LiveRates.anomalies(spark, root, topN = 10)
+      .select("rnk").as[Long].collect().sorted.toSeq
+    assert(an == (1L to 10L))
+  }
 }

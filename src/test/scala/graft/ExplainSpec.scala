@@ -569,4 +569,15 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q181: anchor terms and candidate scoring join broadcast; the " +
+      "per-anchor cut is an aggregate, not a corpus window") {
+    val p = plan("q181_training_triples")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only Window is the per-anchor term rank over the ANCHORS'
+    // postings rows (k·terms rows); the negative's top-1 is the
+    // min(struct) hash-agg — assert no second window appeared
+    assert("Window \\(\\d".r.findAllIn(p).size <= 1, p)
+  }
 }
