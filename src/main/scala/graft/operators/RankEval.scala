@@ -52,7 +52,9 @@ object RankEval {
     s"CASE $x WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 ELSE 7.0 END"
 
   /** Sequential rank-ordered DCG fold over `arr` (array of int grades,
-    * already in rank order): Σ gain(rel_r)/ln(r+1)*ln(2).
+    * already in rank order): Σ gain(rel_r)/ln(r+1)*ln(2). Positional —
+    * correct only when every rank slot is present (the IDEAL ordering,
+    * which is positional by definition).
     */
   private def dcgFold(arr: String): String =
     s"""aggregate($arr,
@@ -60,6 +62,22 @@ object RankEval {
        |  (acc, x) -> struct(acc.r + 1 AS r,
        |    acc.s + (${gainCase("x")}) / ln(CAST(acc.r + 2 AS DOUBLE)) * ln(CAST(2.0 AS DOUBLE)) AS s),
        |  acc -> acc.s)""".stripMargin
+
+  /** Page-side DCG fold over `arr` (array of struct(rnk, rel), already
+    * rank-ascending): each hit is discounted by its ACTUAL rank,
+    * Σ gain(p.rel)/ln(p.rnk+1)*ln(2) — not the fold's list position.
+    * The two agree when every page doc carries a label row; under a
+    * PARTIAL label set the inner join drops unlabeled page docs and a
+    * positional fold would compress later hits' ranks, silently
+    * overstating DCG (round-14 ADVICE fix). Sum order stays the
+    * rank-ascending sequence, so complete-label values are
+    * bit-identical to the positional fold (ln(p.rnk+1) = ln(acc.r+2)
+    * at every step) and the oracle gate sees no change.
+    */
+  private def dcgFoldAt(arr: String): String =
+    s"""aggregate($arr,
+       |  CAST(0.0 AS DOUBLE),
+       |  (acc, p) -> acc + (${gainCase("p.rel")}) / ln(CAST(p.rnk + 1 AS DOUBLE)) * ln(CAST(2.0 AS DOUBLE)))""".stripMargin
 
   /** One-row metrics frame from a ranked page `top` (doc_id, rnk with
     * rnk in 1..k) and graded labels `rel` (doc_id, rel — int grades,
@@ -83,7 +101,7 @@ object RankEval {
     // broadcast k-row page; grades collect rank-sorted into ONE row.
     val page = relMat.join(broadcast(top.select(col("doc_id"), col("rnk"))), "doc_id")
       .agg(
-        expr(s"${dcgFold("transform(sort_array(collect_list(struct(rnk, rel))), p -> p.rel)")}").as("dcg"),
+        expr(s"${dcgFoldAt("sort_array(collect_list(struct(rnk, rel)))")}").as("dcg"),
         min(when(isRel, col("rnk"))).as("first_rel"),
         sum(when(isRel, 1L).otherwise(0L)).as("hits"),
         count(lit(1)).as("n_page"))

@@ -751,14 +751,22 @@ object SearchDsl {
     */
   def dateHistogramGrid(events: DataFrame, keyCol: String,
       tsCol: String): DataFrame = {
+    // ONE corpus pass: the (key, day) count agg materializes eagerly
+    // (grid-sized — days × keys), and bounds and the key set derive
+    // from IT, not from two further event scans (round-14 ADVICE fix:
+    // the previous spelling re-scanned events for min/max(ts) and
+    // distinct keys, 3 corpus reads where the scaladoc promised one).
+    // min/max over counts.day equals to_date(min/max(ts)) because
+    // to_date is monotone, and the counts frame carries exactly the
+    // distinct keys events does.
     val counts = events
       .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("cnt"))
-    val bounds = events.agg(to_date(min(col(tsCol))).as("lo"),
-      to_date(max(col(tsCol))).as("hi"))
+      .localCheckpoint(true)
+    val bounds = counts.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
     val days = bounds.select(
       explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
-    val keys = events.select(col(keyCol).as("key")).distinct()
+    val keys = counts.select(col("key")).distinct()
     days.crossJoin(keys)
       .join(counts, Seq("day", "key"), "left")
       .na.fill(0L, Seq("cnt"))

@@ -80,17 +80,20 @@ object Triples {
         .as("score"))
     // Exclusions: self, the gold positive, and any direct pair
     // partner. The partner table is first cut to the ANCHORS' rows
-    // (k anchors × their degree — bounded however big the pair frame
-    // grows) so the anti-join broadcasts instead of sort-merging the
-    // scored candidates against the full checkpointed pair frame
-    // (whose unknown stats would otherwise force SMJ).
+    // (k anchors × their degree) so the anti-join sees a small frame in
+    // the common case — but the degree itself is UNBOUNDED (an anchor
+    // inside a large boilerplate near-dup clique contributes
+    // cluster-size rows), so `linked` carries no broadcast hint: AQE
+    // reads its runtime size and broadcasts only when it actually fits,
+    // falling back to shuffle join for the pathological clique instead
+    // of OOMing the driver (round-14 ADVICE fix).
     val linked = pairs.select(col("id1").as("aid"), col("id2").as("doc_id"))
       .unionByName(pairs.select(col("id2").as("aid"), col("id1").as("doc_id")))
       .join(broadcast(anchors.select(col("aid"))), Seq("aid"))
     val eligible = scored
       .join(broadcast(anchors), Seq("aid"))
       .filter(col("doc_id") =!= col("aid") && col("doc_id") =!= col("pos_id"))
-      .join(broadcast(linked), Seq("aid", "doc_id"), "left_anti")
+      .join(linked, Seq("aid", "doc_id"), "left_anti")
     eligible
       .groupBy(col("aid"), col("pos_id"), col("jaccard"))
       .agg(min(struct((-Par.r2(col("score"))).as("ns"), col("doc_id").as("d")))

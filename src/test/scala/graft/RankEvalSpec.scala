@@ -56,6 +56,22 @@ class RankEvalSpec extends SparkSpec {
     assert(r == 2.0 / 4.0)
   }
 
+  test("rankEval partial labels: unlabeled page docs keep later hits at " +
+      "their ACTUAL rank discount") {
+    // Doc 9 (rank 1) has NO label row — the join drops it. A positional
+    // fold would then discount doc 1 (rank 2) at ln(2) as if it ranked
+    // first, overstating DCG; the rnk-keyed fold must charge ln(3).
+    val labels = Seq(1L -> 3, 2L -> 2, 3L -> 0)
+    val page = Seq(9L -> 1, 1L -> 2, 2L -> 3)
+    val (_, hits, _, dcg, _, _, mrr, _, _) = run(page, labels, k = 3)
+    assert(hits == 2L)
+    // local replay at the true ranks: gain(3)/ln(3) + gain(2)/ln(4)
+    val want = gain(3) / StrictMath.log(3.0) * StrictMath.log(2.0) +
+      gain(2) / StrictMath.log(4.0) * StrictMath.log(2.0)
+    assert(dcg == want, s"dcg=$dcg want=$want")
+    assert(mrr == 1.0 / 2.0) // first labeled relevant sits at rank 2
+  }
+
   test("rankEval edges: no relevant in page -> mrr 0; empty-ideal guard; threshold") {
     val labels = Seq(1L -> 1, 2L -> 0, 3L -> 1)
     val page = Seq(1L -> 1, 2L -> 2)
