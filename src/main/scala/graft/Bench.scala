@@ -338,26 +338,39 @@ object Bench {
   }
 
   /** Epoch-delivery throughput with every per-epoch maintenance hook
-    * active — textIndex + spanState + percolator + nearDupState, all
-    * FOUR maintained artifacts of [[graft.streaming.IndexSink.start]] —
-    * plus the store compaction latency. Two fixture shapes:
+    * active — textIndex + spanState + percolator + nearDupState +
+    * sketchState + rateState, all SIX maintained artifacts of
+    * [[graft.streaming.IndexSink.start]] (round-14: the pinned series
+    * used to drive only four, under-measuring what a production sink
+    * runs — expect this round's overhead/marginal to step up
+    * accordingly and treat it as a re-pin, not a regression) — plus
+    * the store compaction latency. Three fixture shapes:
     *
     *  1. `epochs` corpus-sized deliveries (sf0.1: 4 × 5k docs) — the
     *     pinned `live_epoch_records_per_sec` series;
-    *  2. ONE production-shaped epoch (≥100k records — the reference's
+    *  2. ONE mid-shaped epoch (4 corpus copies) into fresh stores;
+    *  3. ONE production-shaped epoch (≥100k records — the reference's
     *     60 s × 2,500 rec/s delivery, README.rst:95-111) into fresh
     *     stores.
     *
     * Shape 1's rate is fixed-overhead dominated (per-epoch store
     * protocol: heal, lease, marker, watermark reads — independent of
-    * record count); shape 2 amortizes it. Fitting wall = a + m·n per
-    * epoch across the two shapes separates them:
+    * record count); shapes 2–3 amortize it. Fitting wall = a + m·n per
+    * epoch through the three shapes separates them:
     * `live_epoch_overhead_sec` (the intercept a) and
     * `live_epoch_marginal_rps` (1/m) are what transfer to other epoch
     * sizes, while the aggregate rate explains itself by its intercept.
+    * The fit is a median-of-pairwise-slopes (Theil–Sen on 3 points;
+    * round-14, after r13's two-point line zeroed the marginal on one
+    * reboot-window sample): one contaminated MIDDLE shape leaves the
+    * clean endpoint slope as the median, and a contaminated endpoint
+    * degrades the estimate boundedly instead of degenerately —
+    * [[BenchWindowSpec]] pins both behaviors.
     * Then one [[graft.streaming.LiveTextIndex.compact]] +
     * [[graft.streaming.LiveSpanDedup.compact]] +
-    * [[graft.streaming.LiveNearDedup.compact]] + index compaction pass
+    * [[graft.streaming.LiveNearDedup.compact]] +
+    * [[graft.streaming.LiveSketch.compact]] +
+    * [[graft.streaming.LiveRates.compact]] + index compaction pass
     * over shape 1's stores is timed separately (`compaction_sec`).
     * Records/s here is NOT comparable to the pipeline number (each
     * record carries a full document, not one event) — it is its own
@@ -370,7 +383,8 @@ object Bench {
     */
   private def liveStoreThroughput(spark: SparkSession, sfDir: String)
       : (Long, Double, Double, Double, Double, String) = {
-    import graft.streaming.{IndexSink, LiveNearDedup, LiveSpanDedup, LiveTextIndex}
+    import graft.streaming.{IndexSink, LiveNearDedup, LiveRates, LiveSketch,
+      LiveSpanDedup, LiveTextIndex}
     val docs = queries.Tables.t(spark, sfDir, "documents")
     val docsN = docs.count()
     val par = spark.sparkContext.defaultParallelism
@@ -430,7 +444,10 @@ object Bench {
         percolator = Some(IndexSink.PercolatorSpec(percQueries,
           s"$tmp/alerts", "text", key = "doc_id")),
         nearDupState = Some(IndexSink.LiveNearDupSpec(s"$tmp/ndstate",
-          "text", key = "doc_id", shards = par)))
+          "text", key = "doc_id", shards = par)),
+        sketchState = Some(IndexSink.LiveSketchSpec(s"$tmp/sketch",
+          "text", key = "doc_id")),
+        rateState = Some(IndexSink.LiveRateSpec(s"$tmp/rates", "source")))
       val done = q.awaitTermination(600000)
       val secs = (System.nanoTime() - t0) / 1e9
       if (!done) { q.stop(); return Left("timeout") }
@@ -453,38 +470,59 @@ object Bench {
     LiveTextIndex.compact(spark, s"$tmpSmall/tindex", shards = par)
     LiveSpanDedup.compact(spark, s"$tmpSmall/sstate", shards = par)
     LiveNearDedup.compact(spark, s"$tmpSmall/ndstate", shards = par)
+    LiveSketch.compact(spark, s"$tmpSmall/sketch")
+    LiveRates.compact(spark, s"$tmpSmall/rates")
     IndexSink.compact(spark, s"$tmpSmall/index", "doc_id", shards = par)
     val cSecs = (System.nanoTime() - t1) / 1e9
-    // Production-shaped single epoch: ≥100k records (sf0.1: 20 corpus
-    // copies in one delivery). A failure here degrades to the shape-1
-    // numbers with the state recorded — it must not erase them.
+    // Mid shape (4 corpus copies, one delivery) + production shape
+    // (≥100k records — sf0.1: 20 corpus copies, one delivery). A
+    // failure in either degrades to the shape-1 numbers with the state
+    // recorded — it must not erase them.
     val nBig = math.max(100000L, docsN)
     val bigCopies = (nBig + docsN - 1) / docsN
+    val tmpMid = java.nio.file.Files.createTempDirectory("graft-bench-live-mid").toString
     val tmpBig = java.nio.file.Files.createTempDirectory("graft-bench-live-big").toString
-    run(tmpBig, epochs = 1, copiesPerEpoch = bigCopies) match {
-      case Left(state) =>
+    val shapes = Seq(
+      run(tmpMid, epochs = 1, copiesPerEpoch = 4L),
+      run(tmpBig, epochs = 1, copiesPerEpoch = bigCopies))
+    shapes.collectFirst { case Left(state) => state } match {
+      case Some(state) =>
         (n, n / secs, cSecs, 0.0, 0.0, s"big-epoch $state")
-      case Right((bigSecs, bigN)) =>
-        val (a, marginalRps) = fitOverheadMarginal(secs / epochs, docsN,
-          bigSecs, bigN)
+      case None =>
+        val pts = (docsN, secs / epochs) +:
+          shapes.collect { case Right((s, bn)) => (bn, s) }
+        val (a, marginalRps) = fitOverheadMarginal(pts)
         (n, n / secs, cSecs, a, marginalRps, "ok")
     }
   }
 
-  /** Per-epoch wall = a + m·n fitted through the two measured epoch
-    * shapes: (overhead intercept a, marginal records/s = 1/m). A
-    * noisy window can measure the BIG epoch faster per record than the
-    * small one would predict (m ≤ 0) — then there is no meaningful
-    * marginal rate (reported 0) and the intercept degenerates to the
-    * small-epoch wall; both outputs clamp at 0 so a weird window can
-    * never report a negative overhead or an infinite rate. Guarded
-    * against equal shapes (no fit line) the same way.
+  /** Per-epoch wall = a + m·n fitted through the measured epoch shapes
+    * (n records, wall seconds): (overhead intercept a, marginal
+    * records/s = 1/m). Median of PAIRWISE slopes (Theil–Sen), then
+    * median of per-point intercepts under that slope — with three
+    * shapes, a contaminated middle point leaves the endpoint slope as
+    * the median (both its slopes move in opposite directions), and a
+    * contaminated endpoint biases the estimate boundedly instead of
+    * zeroing it, which is what r13's two-point line did on one
+    * reboot-window sample. A noisy window can still measure bigger
+    * epochs faster per record than smaller ones (median m ≤ 0) — then
+    * there is no meaningful marginal rate (reported 0); both outputs
+    * clamp at 0 so no window can report negative overhead or an
+    * infinite rate. Duplicate-n pairs contribute no slope; fewer than
+    * two distinct shapes → (0, 0).
     */
-  private[graft] def fitOverheadMarginal(perEpochSmall: Double, nSmall: Long,
-      bigSecs: Double, nBig: Long): (Double, Double) = {
-    if (nBig == nSmall) return (0.0, 0.0)
-    val m = (bigSecs - perEpochSmall) / (nBig - nSmall)
-    val a = perEpochSmall - m * nSmall
+  private[graft] def fitOverheadMarginal(pts: Seq[(Long, Double)])
+      : (Double, Double) = {
+    val slopes = (for {
+      i <- pts.indices; j <- pts.indices if j > i && pts(j)._1 != pts(i)._1
+    } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)).sorted
+    if (slopes.isEmpty) return (0.0, 0.0)
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val m = med(slopes)
+    val a = med(pts.map { case (nn, t) => t - m * nn })
     (math.max(0.0, a), if (m > 0) 1.0 / m else 0.0)
   }
 

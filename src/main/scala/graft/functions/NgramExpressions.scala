@@ -1,0 +1,420 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd word-n-gram construction — the round-14 sweep of the
+  * repo's single largest known constant factor. Every gram generator
+  * used to be the obvious higher-order-function spelling,
+  * `transform(sequence(1, size(toks) - n + 1), g -> concat_ws(' ',
+  * slice(toks, g, n)))` — but Catalyst HOF lambdas evaluate
+  * INTERPRETED per element (the q51b lesson, where a codegen'd regex
+  * rewrite measured ~10× on the explode stage), and the gram stream is
+  * the hot path of the heaviest registry keys (q153's 9 bands were
+  * 13.7% of the entire 183-key sf1 suite; q66/q81's 8-grams, the q32
+  * shingle backbone, CDC/winnowing/DSIR/LM grams all share the shape).
+  *
+  * Three expressions, one compiled kernel family, all with exact
+  * HOF-spelling semantics so no oracle hash can move:
+  *
+  *  - [[WordNgramsExpr]]    → array&lt;string&gt; of space-joined grams
+  *    (`concat_ws(' ', …)` semantics: null tokens are SKIPPED, no
+  *    doubled separator);
+  *  - [[WordNgramH64Expr]]  → array&lt;long&gt; of the house 60-bit
+  *    md5-derived h64 over `prefix ++ gram` — fusing gram construction
+  *    and hashing into one pass so consumers that only ever hash the
+  *    gram (winnowing, CDC, span-dedup, DSIR) never materialize the
+  *    string at all;
+  *  - [[WordNgramStructsExpr]] → array&lt;struct&lt;w1…wn&gt;&gt; of
+  *    adjacent-token tuples (the n-gram LM count keys).
+  *
+  * Gram count: max(size − n + 1, `minOne` ? 1 : 0). `minOne = false`
+  * is the guarded-IF spelling (short docs yield an EMPTY array, never
+  * the phantom grams `sequence(1, 0)`'s backward step would emit);
+  * `minOne = true` replays [[graft.operators.Cdc]]'s clamped range
+  * where a sub-n doc yields one gram over whatever tokens exist
+  * (out-of-range positions read as absent, exactly `get()` + the
+  * concat_ws null-skip).
+  *
+  * h64 equivalence: `conv(substring(md5(x), 1, 15), 16, 10)` reads the
+  * first 15 hex digits of the md5 — i.e. the first 60 bits — so the
+  * kernel takes the digest's first 8 bytes as an unsigned big-endian
+  * long and drops the low nibble (`>>> 4`). [[NgramExprSpec]] pins the
+  * equivalence against the SQL spelling property-style, and the md5
+  * itself runs over exactly the bytes the string concat would hash
+  * (prefix bytes, then token bytes joined by single 0x20s).
+  */
+object WordNgrams {
+
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def gramCount(size: Int, n: Int, minOne: Boolean): Int = {
+    val c = size - n + 1
+    if (c > 0) c else if (minOne) 1 else 0
+  }
+
+  /** array&lt;string&gt; kernel (concat_ws(' ') join, nulls skipped). */
+  def grams(arr: ArrayData, n: Int, minOne: Boolean): ArrayData = {
+    val size = arr.numElements()
+    val cnt = gramCount(size, n, minOne)
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) {
+      var total = 0
+      var emitted = 0
+      var j = 0
+      // Two passes per gram: measure, then copy — allocation-exact, no
+      // intermediate builders on the corpus scan.
+      while (j < n) {
+        val idx = i + j
+        if (idx < size && !arr.isNullAt(idx)) {
+          total += arr.getUTF8String(idx).numBytes()
+          emitted += 1
+        }
+        j += 1
+      }
+      val buf = new Array[Byte](total + math.max(emitted - 1, 0))
+      var off = 0
+      var written = 0
+      j = 0
+      while (j < n) {
+        val idx = i + j
+        if (idx < size && !arr.isNullAt(idx)) {
+          if (written > 0) { buf(off) = ' '.toByte; off += 1 }
+          val s = arr.getUTF8String(idx)
+          s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+          off += s.numBytes()
+          written += 1
+        }
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(buf)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** array&lt;long&gt; kernel: h64(prefix ++ gram) per gram, no string
+    * materialization.
+    */
+  def gramH64s(arr: ArrayData, n: Int, prefix: Array[Byte],
+      minOne: Boolean): ArrayData = {
+    val size = arr.numElements()
+    val cnt = gramCount(size, n, minOne)
+    val out = new Array[Long](cnt)
+    val md = mdLocal.get()
+    var i = 0
+    while (i < cnt) {
+      md.reset()
+      if (prefix.length > 0) md.update(prefix)
+      var emitted = 0
+      var j = 0
+      while (j < n) {
+        val idx = i + j
+        if (idx < size && !arr.isNullAt(idx)) {
+          if (emitted > 0) md.update(' '.toByte)
+          md.update(arr.getUTF8String(idx).getBytes)
+          emitted += 1
+        }
+        j += 1
+      }
+      val d = md.digest()
+      // First 8 digest bytes as unsigned big-endian, low nibble dropped
+      // = integer value of the first 15 hex digits (60 bits, positive).
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** array&lt;struct&lt;gh, chars&gt;&gt; kernel: per gram, the h64 and
+    * the TOKEN-character count `length(gram) − (n−1)` (the q153
+    * repetition numerators' unit — separator chars excluded). Fuses
+    * what used to be three operators per gram: string construction,
+    * the builtin md5 (which materializes a 32-char hex STRING), and
+    * `conv`'s base-16 string parse.
+    */
+  def gramH64Chars(arr: ArrayData, n: Int): ArrayData = {
+    val size = arr.numElements()
+    val cnt = gramCount(size, n, minOne = false)
+    val out = new Array[Any](cnt)
+    val md = mdLocal.get()
+    var i = 0
+    while (i < cnt) {
+      md.reset()
+      var emitted = 0
+      var chars = 0L
+      var j = 0
+      while (j < n) {
+        val idx = i + j
+        if (!arr.isNullAt(idx)) {
+          if (emitted > 0) md.update(' '.toByte)
+          val s = arr.getUTF8String(idx)
+          md.update(s.getBytes)
+          chars += s.numChars()
+          emitted += 1
+        }
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      // length(gram) − (n−1): gram length = token chars + (emitted−1)
+      // separators; identical to Σ token chars when no element is null.
+      out(i) = new GenericInternalRow(
+        Array[Any](v >>> 4, chars + (emitted - 1).toLong - (n - 1).toLong))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σ length(token) in CHARACTERS (codepoints — Spark `length()`
+    * semantics), replaying `aggregate(toks, 0L, (acc, x) -> acc +
+    * length(x))` exactly: a null element nulls the whole sum (null
+    * propagates through the fold's `+`).
+    */
+  def tokenLengthSum(arr: ArrayData): java.lang.Long = {
+    val size = arr.numElements()
+    var total = 0L
+    var i = 0
+    while (i < size) {
+      if (arr.isNullAt(i)) return null
+      total += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    java.lang.Long.valueOf(total)
+  }
+
+  /** array&lt;struct&lt;w1…wn&gt;&gt; kernel (fields may be null — the
+    * struct spelling `struct(toks[i] AS w1, …)` keeps nulls).
+    */
+  def gramStructs(arr: ArrayData, n: Int): ArrayData = {
+    val size = arr.numElements()
+    val cnt = gramCount(size, n, minOne = false)
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) {
+      val fields = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        fields(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = new GenericInternalRow(fields)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+sealed abstract class WordNgramExprBase extends UnaryExpression {
+  def n: Int
+  // n-validation lives in checkInputDataTypes, NOT a constructor
+  // require: Java deserialization on executors constructs through the
+  // first non-serializable superclass with fields unset (n = 0), so a
+  // constructor require poisons every task that receives the
+  // expression (found by DsirSpec the moment a shuffle crossed task
+  // boundaries). The builders in [[Ngrams]] still fail fast.
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName gram size must be >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> input, got $other")
+  }
+}
+
+/** `word_ngrams(toks)`: overlapping word n-grams joined by single
+  * spaces. See [[WordNgrams]].
+  */
+case class WordNgramsExpr(child: Expression, n: Int, minOne: Boolean)
+    extends WordNgramExprBase {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgrams.grams(a.asInstanceOf[ArrayData], n, minOne)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.WordNgrams.grams($a, $n, $minOne)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngrams"
+}
+
+/** `word_ngram_h64s(toks)`: h64(prefix ++ gram) per overlapping word
+  * n-gram — the fused gram-hash for consumers that never need the gram
+  * string. See [[WordNgrams]].
+  */
+case class WordNgramH64Expr(child: Expression, n: Int, prefix: String,
+    minOne: Boolean) extends WordNgramExprBase {
+
+  private lazy val prefixBytes: Array[Byte] =
+    prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgrams.gramH64s(a.asInstanceOf[ArrayData], n, prefixBytes, minOne)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("ngramH64Prefix", prefixBytes, "byte[]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.WordNgrams.gramH64s($a, $n, $pRef, $minOne)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngram_h64s"
+}
+
+/** `word_ngram_structs(toks)`: adjacent-token tuples as
+  * struct(w1, …, wn) — the n-gram LM count keys. See [[WordNgrams]].
+  */
+case class WordNgramStructsExpr(child: Expression, n: Int)
+    extends WordNgramExprBase {
+
+  override def dataType: DataType = ArrayType(
+    StructType((1 to n).map(i => StructField(s"w$i", StringType))),
+    containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgrams.gramStructs(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.WordNgrams.gramStructs($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngram_structs"
+}
+
+/** `word_ngram_h64_chars(toks)`: struct(gh, chars) per overlapping
+  * word n-gram — the fused hash + token-character-count pair the
+  * repetition bands aggregate. See [[WordNgrams.gramH64Chars]].
+  */
+case class WordNgramH64CharsExpr(child: Expression, n: Int)
+    extends WordNgramExprBase {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("gh", LongType, nullable = false),
+      StructField("chars", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgrams.gramH64Chars(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.WordNgrams.gramH64Chars($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngram_h64_chars"
+}
+
+/** `token_length_sum(toks)`: Σ character-length over the array's
+  * elements — the Gopher/repetition denominators' per-doc total, as a
+  * compiled loop instead of an interpreted `aggregate` fold. See
+  * [[WordNgrams.tokenLengthSum]].
+  */
+case class TokenLengthSumExpr(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_length_sum expects array<string> input, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgrams.tokenLengthSum(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("lenSum")
+      s"""
+         |java.lang.Long $r = graft.functions.WordNgrams.tokenLengthSum($a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_length_sum"
+}
+
+/** Column builders. */
+object Ngrams {
+  import org.apache.spark.sql.GraftSqlBridge
+
+  /** Overlapping word n-grams of a token-array column, space-joined
+    * (`concat_ws` semantics). `minOne = false`: short docs yield an
+    * empty array.
+    */
+  def wordNgrams(toks: Column, n: Int, minOne: Boolean = false): Column = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    GraftSqlBridge.column(
+      WordNgramsExpr(GraftSqlBridge.expression(toks), n, minOne))
+  }
+
+  /** h64(prefix ++ gram) per overlapping word n-gram — fused
+    * gram-construction + portable 60-bit hash.
+    */
+  def wordNgramH64s(toks: Column, n: Int, prefix: String = "",
+      minOne: Boolean = false): Column = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    GraftSqlBridge.column(
+      WordNgramH64Expr(GraftSqlBridge.expression(toks), n, prefix, minOne))
+  }
+
+  /** Adjacent-token n-gram tuples struct(w1…wn). */
+  def wordNgramStructs(toks: Column, n: Int): Column = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    GraftSqlBridge.column(
+      WordNgramStructsExpr(GraftSqlBridge.expression(toks), n))
+  }
+
+  /** struct(gh, chars) per overlapping word n-gram (h64 + token-char
+    * count) — the repetition bands' fused unit.
+    */
+  def wordNgramH64Chars(toks: Column, n: Int): Column = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    GraftSqlBridge.column(
+      WordNgramH64CharsExpr(GraftSqlBridge.expression(toks), n))
+  }
+
+  /** Σ character-length over a token array (`aggregate`-fold
+    * semantics: null element → null sum).
+    */
+  def tokenLengthSum(toks: Column): Column =
+    GraftSqlBridge.column(
+      TokenLengthSumExpr(GraftSqlBridge.expression(toks)))
+}

@@ -15,9 +15,19 @@ object TextFunctions {
 
   /** Lowercased word tokens; empty strings from consecutive separators are
     * dropped (mirrors `list_filter(string_split_regex(lower(x),'\W+'), ...)`).
+    *
+    * Spelled as ONE codegen'd regex extraction rather than
+    * `filter(split(lower(x), '\\W+'), x -> x <> '')`: the filter is a
+    * higher-order function whose lambda evaluates INTERPRETED per
+    * token, and tokens() sits on the scan side of nearly every text
+    * key (round-14 sweep). The two spellings are identical by
+    * construction — the non-empty pieces between `\W+` separators ARE
+    * the maximal `\w+` runs, under the same Java regex engine and the
+    * same default flags — and every consumer is hash-gated against the
+    * unchanged DuckDB `list_filter(string_split_regex(...))` oracle.
     */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\W+"), x => x =!= "")
+    regexp_extract_all(lower(text), lit("\\w+"), lit(0))
 
   /** Portable 64-bit hash: first 15 hex digits of md5 → bigint (60 bits,
     * always positive). DuckDB spelling:
@@ -55,9 +65,12 @@ object TextFunctions {
     regexp_extract_all(s, lit(s"(?s)(?=(${"." * n}))."), lit(1))
 
   /** Distinct word 3-shingles of a token array column named `toks`
-    * (0-based Spark array indexing; requires size >= 3 — callers filter).
+    * (requires size >= 3 — callers filter; shorter docs now yield an
+    * empty array rather than relying on the filter). Codegen'd kernel
+    * ([[WordNgramsExpr]], round-14): the transform(sequence(...)) HOF
+    * spelling evaluated interpreted per shingle on the q32 pair-graph
+    * backbone; the kernel is value-identical (NgramExprSpec).
     */
   val shingleExpr: Column =
-    expr("""array_distinct(transform(sequence(1, size(toks) - 2),
-           |  g -> concat_ws(' ', toks[g-1], toks[g], toks[g+1])))""".stripMargin)
+    array_distinct(Ngrams.wordNgrams(col("toks"), 3))
 }

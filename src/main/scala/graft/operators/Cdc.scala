@@ -45,14 +45,14 @@ object Cdc {
   def chunks(toks: DataFrame, k: Int = 3, mod: Int = 64): DataFrame = {
     require(k >= 1, s"gram size must be >= 1, got $k")
     require(mod >= 2, s"boundary modulus must be >= 2, got $mod")
-    // get(), not toks[...]: sequence() infers a NEGATIVE step when
-    // start > stop, so the gram range is clamped for sub-k docs; their
-    // gram hashes are garbage (out-of-range get() reads null,
-    // concat_ws skips it — bracket access THROWS under ANSI mode) but
-    // the top-level IF never reads them.
-    val gramArgs = (0 until k).map(i => s"get(toks, g - 1 + $i)").mkString(", ")
-    val gh = s"transform(sequence(1, greatest(size(toks) - ${k - 1}, 1)), " +
-      s"g -> ${h64Sql(s"concat_ws(' ', $gramArgs)")})"
+    // Fused codegen'd gram-hash kernel (round-14; was an interpreted
+    // transform HOF running md5 per gram). minOne = true replays the
+    // clamped range the HOF spelled as greatest(size - k + 1, 1): a
+    // sub-k doc yields ONE gram over whatever tokens exist (out-of-
+    // range positions read as absent, the get()+concat_ws-null-skip
+    // semantics — NgramExprSpec pins the lane), and the top-level IF
+    // below still never reads that garbage hash.
+    val gh = graft.functions.Ngrams.wordNgramH64s(col("toks"), k, minOne = true)
     val e0 = s"transform(filter(sequence(1, size(gh)), " +
       s"g -> element_at(gh, g) % $mod = 0), g -> g + ${k - 1})"
     val ends = s"IF(size(e0) > 0 AND element_at(e0, size(e0)) = size(toks), " +
@@ -65,7 +65,7 @@ object Cdc {
          |    'e', element_at(ends, i))))""".stripMargin
     toks
       .filter(size(col("toks")) >= 1)
-      .withColumn("gh", expr(gh))
+      .withColumn("gh", gh)
       .withColumn("e0", expr(e0))
       .withColumn("ends", expr(ends))
       .select(col("doc_id"), col("toks"),

@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.h64
-
 /** Importance-weighted data selection — the DSIR recipe (Xie et al.,
   * "Data Selection for Language Models via Importance Resampling",
   * NeurIPS 2023): score every raw-corpus document by how much more
@@ -64,20 +62,20 @@ object Dsir {
     */
   def features(toks: DataFrame, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    // CASE, not greatest(): sequence(1, 0) DESCENDS ([1, 0]) rather
-    // than emitting empty, which indexes toks out of bounds on docs
-    // with fewer than 2 tokens.
-    val grams = expr(
-      """concat(
-        |  transform(toks, x -> concat('u|', x)),
-        |  CASE WHEN size(toks) >= 2
-        |    THEN transform(sequence(1, size(toks) - 1),
-        |      g -> concat('b|', toks[g-1], ' ', toks[g]))
-        |    ELSE array() END)""".stripMargin)
-    toks.select(col("doc_id"), explode(grams).as("gram"))
-      .select(col("doc_id"),
-        pmod(h64(concat(lit("dsir|"), col("gram"))), lit(buckets.toLong))
-          .as("bucket"))
+    // Fused codegen'd gram-hash kernel (round-14; was two interpreted
+    // transform HOFs building 'u|'/'b|' strings, then md5 after the
+    // explode). The hashed strings were 'dsir|u|' + w and
+    // 'dsir|b|' + w1 + ' ' + w2 — exactly the kernel's prefix ++
+    // space-joined-gram form, so the bucket values are bit-identical
+    // (NgramExprSpec pins the h64 equivalence). Unigrams-then-bigrams
+    // concat keeps the original row order; short docs contribute their
+    // unigram lanes only (n = 2 on size < 2 is an empty array — the
+    // CASE guard the HOF needed is the kernel's default).
+    val ghs = concat(
+      graft.functions.Ngrams.wordNgramH64s(col("toks"), 1, prefix = "dsir|u|"),
+      graft.functions.Ngrams.wordNgramH64s(col("toks"), 2, prefix = "dsir|b|"))
+    toks.select(col("doc_id"), explode(ghs).as("gh"))
+      .select(col("doc_id"), pmod(col("gh"), lit(buckets.toLong)).as("bucket"))
   }
 
   /** Fit the two bucket multinomials. Both inputs are [[features]]

@@ -44,12 +44,12 @@ object NgramLm {
     */
   final case class Model(unigrams: DataFrame, bigrams: DataFrame, vocab: Long)
 
-  /** Adjacent token pairs of a `toks` array column, 0-based (docs with
-    * fewer than 2 tokens yield an empty array).
+  /** Adjacent token pairs of a `toks` array column (docs with fewer
+    * than 2 tokens yield an empty array). Codegen'd kernel (round-14;
+    * was an interpreted transform(sequence(...)) HOF — NgramExprSpec
+    * pins the struct-tuple equivalence).
     */
-  private val bigramExpr =
-    expr("""transform(sequence(0, size(toks) - 2),
-           |  i -> struct(toks[i] AS w1, toks[i+1] AS w2))""".stripMargin)
+  private val bigramExpr = graft.functions.Ngrams.wordNgramStructs(col("toks"), 2)
 
   /** Count unigrams and bigrams over (doc_id, toks). Two shuffles, both
     * key-partitioned with map-side partial aggregation. The count
@@ -108,9 +108,7 @@ object NgramLm {
   final case class BackoffModel(unigrams: DataFrame, bigrams: DataFrame,
       trigrams: DataFrame, total: Long, vocab: Long)
 
-  private val trigramExpr =
-    expr("""transform(sequence(0, size(toks) - 3),
-           |  i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))""".stripMargin)
+  private val trigramExpr = graft.functions.Ngrams.wordNgramStructs(col("toks"), 3)
 
   /** Count uni/bi/trigrams over (doc_id, toks) — three mergeable
     * hash-aggs, each localCheckpointed eagerly (the [[train]]

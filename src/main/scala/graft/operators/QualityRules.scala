@@ -44,7 +44,7 @@ object QualityRules {
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_words"),
-        expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").as("sum_len"),
+        graft.functions.Ngrams.tokenLengthSum(col("toks")).as("sum_len"),
         (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))
           + (length(col("text"))
             - length(replace(col("text"), lit("..."), lit("")))) / 3
@@ -130,23 +130,24 @@ object QualityRules {
     * pivot folds the bands back to one row per doc.
     */
   def ngramRepetition(docs: DataFrame): DataFrame = {
-    import graft.functions.TextFunctions.{h64, tokens}
+    import graft.functions.Ngrams
+    import graft.functions.TextFunctions.tokens
     import graft.queries.Par
     val base = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
-        expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").as("tot"))
+        graft.functions.Ngrams.tokenLengthSum(col("toks")).as("tot"))
     val ns = (2 to 10)
-    // IF-guarded: sequence(1, 0) steps BACKWARD in Spark ([1, 0]), so an
-    // unguarded short doc would emit phantom grams, not zero.
+    // Codegen'd gram kernel (round-14): the guarded-transform HOF
+    // spelling evaluated its lambda INTERPRETED per gram × 9 bands —
+    // the single biggest constant factor in the registry (q153 was
+    // 13.7% of the whole sf1 suite). [[graft.functions.WordNgramsExpr]]
+    // is value-identical (NgramExprSpec pins it), including the
+    // short-doc empty array the IF guard used to provide.
     def grams(sizes: Seq[Int]) = base.select(col("doc_id"), col("tot"),
         explode(array(sizes.map(n => struct(lit(n).as("n"),
-          expr(s"""IF(size(toks) >= $n,
-                  |   transform(sequence(1, size(toks) - ${n - 1}),
-                  |     g -> concat_ws(' ', slice(toks, g, $n))),
-                  |   array())""".stripMargin)
-            .as("gs"))): _*)).as("ng"))
+          Ngrams.wordNgrams(col("toks"), n).as("gs"))): _*)).as("ng"))
       .select(col("doc_id"), col("tot"), col("ng.n").as("n"),
         explode(col("ng.gs")).as("gram"))
     // Top bands (n = 2..4) keep the gram STRING through the exchange —
@@ -166,10 +167,19 @@ object QualityRules {
     // strings (the q31/q87 shuffle-digests-not-documents discipline —
     // at corpus scale the n >= 5 grams are ~6/9 of the gram volume and
     // nearly all of the bytes). Counting hash groups is the q87
-    // contract; the oracle replays the same h64.
-    val dupPerN = grams(5 to 10)
-      .select(col("doc_id"), col("tot"), col("n"), h64(col("gram")).as("gh"),
-        (length(col("gram")) - (col("n") - 1)).cast("long").as("chars"))
+    // contract; the oracle replays the same h64. These bands never see
+    // the gram STRING at all: [[graft.functions.WordNgramH64CharsExpr]]
+    // emits (h64, token-chars) per gram in one compiled pass — the
+    // string + builtin-md5-hex + conv-parse chain the old spelling ran
+    // per gram was ~40% of the key's remaining wall after the first
+    // round-14 swap.
+    val dupPerN = base.select(col("doc_id"), col("tot"),
+        explode(array((5 to 10).map(n => struct(lit(n).as("n"),
+          Ngrams.wordNgramH64Chars(col("toks"), n).as("gs"))): _*)).as("ng"))
+      .select(col("doc_id"), col("tot"), col("ng.n").as("n"),
+        explode(col("ng.gs")).as("g"))
+      .select(col("doc_id"), col("tot"), col("n"), col("g.gh").as("gh"),
+        col("g.chars").as("chars"))
       .groupBy("doc_id", "n", "gh")
       .agg(count(lit(1)).as("cnt"), min("chars").as("chars"),
         min("tot").as("tot"))

@@ -92,11 +92,15 @@ object SpanDedup {
     */
   def gramOccurrences(toks: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"span gram length must be >= 2, got $k")
+    // Fused codegen'd gram-hash kernel (round-14; was an interpreted
+    // transform HOF building every gram string, then md5 after the
+    // posexplode). The hash array preserves gram order, so posexplode
+    // yields the same 0-based positions; values are pinned identical
+    // in NgramExprSpec.
     toks.filter(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $k), p -> concat_ws(' ', slice(toks, p + 1, $k)))")))
-      .select(col("doc_id"), col("pos"),
-        h64(concat(lit("sd|"), col("col"))).as("gh"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.Ngrams.wordNgramH64s(col("toks"), k, prefix = "sd|")))
+      .select(col("doc_id"), col("pos"), col("col").as("gh"))
   }
 
   /** Maximal duplicated token spans per document: (doc_id, span_start,

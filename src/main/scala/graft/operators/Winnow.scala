@@ -38,9 +38,6 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
-  private def h64Sql(x: String): String =
-    s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
-
   /** Selected fingerprints of each document: (doc_id, pos, fp) where
     * `pos` is the 1-based gram index of the selected occurrence and
     * `fp` its h64 gram hash. `toks` carries (doc_id, toks). Documents
@@ -53,9 +50,12 @@ object Winnow {
   def fingerprints(toks: DataFrame, k: Int, w: Int): DataFrame = {
     require(k >= 1, s"gram size must be >= 1, got $k")
     require(w >= 1, s"window size must be >= 1, got $w")
-    val gramArgs = (0 until k).map(i => s"toks[g - 1 + $i]").mkString(", ")
-    val gh = s"transform(sequence(1, size(toks) - ${k - 1}), " +
-      s"g -> ${h64Sql(s"concat_ws(' ', $gramArgs)")})"
+    // Fused codegen'd gram-hash kernel (round-14): the transform HOF
+    // ran md5 per gram through an interpreted lambda;
+    // [[graft.functions.WordNgramH64Expr]] builds and hashes each gram
+    // in one compiled pass without materializing the string
+    // (value-identity pinned in NgramExprSpec).
+    val gh = graft.functions.Ngrams.wordNgramH64s(col("toks"), k)
     // One window when n <= w, else n - w + 1. Selection is ONE O(w)
     // fold per window — `<=` keeps updating on equal hashes, which IS
     // the rightmost-tie rule. (The min+filter+argmax spelling recomputes
@@ -73,7 +73,7 @@ object Winnow {
          |      acc))))""".stripMargin
     toks
       .filter(size(col("toks")) >= k)
-      .withColumn("gh", expr(gh))
+      .withColumn("gh", gh)
       .select(col("doc_id"), explode(expr(sel)).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }

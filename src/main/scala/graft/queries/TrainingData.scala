@@ -760,15 +760,15 @@ object TrainingData {
   /** (doc_id, gram) — distinct word 8-grams per document (q66's gram
     * side, shared with DecontaminateSpec's exact-path reference).
     */
-  def gram8Df(docs: DataFrame): DataFrame = {
-    val gram8 = expr(
-      """transform(sequence(1, size(toks) - 7),
-        |  g -> concat_ws(' ', toks[g-1], toks[g], toks[g+1], toks[g+2],
-        |                 toks[g+3], toks[g+4], toks[g+5], toks[g+6]))""".stripMargin)
+  def gram8Df(docs: DataFrame): DataFrame =
+    // Codegen'd gram kernel (round-14; was the interpreted
+    // transform(sequence(...)) HOF — see NgramExprSpec for the
+    // value-identity pin).
     tokenizedDf(docs)
       .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(array_distinct(gram8)).as("gram"))
-  }
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.Ngrams.wordNgrams(col("toks"), 8))).as("gram"))
 
   val q66_decontaminate: QueryDef = q(
     "q66_decontaminate",
@@ -1552,13 +1552,23 @@ object TrainingData {
     * array once as a lambda variable — shared by q82 and the q92 full
     * chain (see q82's plan commentary for why the let-binding matters).
     */
-  private val curationKeep = expr(
-    """exists(array(filter(split(lower(text), '\\W+'), x -> x <> '')),
-      |  toks -> size(toks) >= 10
-      |    AND size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) > 0
-      |    AND 1.0 - CAST(size(array_distinct(transform(sequence(1, size(toks) - 2),
-      |          g -> concat_ws(' ', toks[g-1], toks[g], toks[g+1])))) AS DOUBLE)
-      |        / (size(toks) - 2) <= 0.05)""".stripMargin)
+  private val curationKeep = {
+    // Round-14 respelling, value-identical booleans: the stopword
+    // count-of-filter > 0 became arrays_overlap (same predicate, one
+    // compiled containment scan instead of an interpreted per-token
+    // lambda), and the trigram ratio rides the codegen'd gram kernel
+    // ([[graft.functions.WordNgramsExpr]]). The exists(array(...))
+    // let-binding and the short-circuiting ANDs stay: tokens bind once,
+    // and the trigram branch still never evaluates on sub-10-token
+    // docs.
+    val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+    exists(array(graft.functions.TextFunctions.tokens(col("text"))), t =>
+      size(t) >= 10 &&
+        arrays_overlap(t, stop) &&
+        (lit(1.0) -
+          size(array_distinct(graft.functions.Ngrams.wordNgrams(t, 3)))
+            .cast("double") / (size(t) - 2)) <= 0.05)
+  }
 
   val q82_curation_pipeline: QueryDef = q(
     "q82_curation_pipeline",

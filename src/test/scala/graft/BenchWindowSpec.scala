@@ -96,15 +96,45 @@ class BenchWindowSpec extends AnyFunSuite {
   test("overhead/marginal fit: recovers the line, clamps degenerate windows") {
     // Clean case: 5k-record epoch at 10 s with a 100k-record epoch at
     // 29 s → m = 0.0002 s/rec (5,000 rec/s marginal), a = 9 s.
-    val (a, rps) = Bench.fitOverheadMarginal(10.0, 5000L, 29.0, 100000L)
+    val (a, rps) = Bench.fitOverheadMarginal(Seq(5000L -> 10.0, 100000L -> 29.0))
     assert(math.abs(a - 9.0) < 1e-9 && math.abs(rps - 5000.0) < 1e-6)
     // Noisy window: the big epoch measured FASTER per record than the
     // small epoch alone (negative slope) — no marginal rate is
     // claimed, and the intercept cannot go negative.
-    val (a2, rps2) = Bench.fitOverheadMarginal(30.0, 5000L, 20.0, 100000L)
+    val (a2, rps2) = Bench.fitOverheadMarginal(Seq(5000L -> 30.0, 100000L -> 20.0))
     assert(rps2 == 0.0 && a2 >= 0.0)
     // Equal shapes: no fit line exists.
-    assert(Bench.fitOverheadMarginal(10.0, 5000L, 12.0, 5000L) == (0.0, 0.0))
+    assert(Bench.fitOverheadMarginal(Seq(5000L -> 10.0, 5000L -> 12.0)) == (0.0, 0.0))
+    assert(Bench.fitOverheadMarginal(Seq(5000L -> 10.0)) == (0.0, 0.0))
+    assert(Bench.fitOverheadMarginal(Nil) == (0.0, 0.0))
+  }
+
+  test("three-shape fit survives a 2x perturbation of any one shape " +
+      "(VERDICT r13 #4)") {
+    // True line: a = 9 s, m = 0.0002 s/rec (5,000 rec/s marginal) over
+    // the bench's actual shapes (1x / 4x / 20x corpus copies).
+    val clean = Seq(5000L -> 10.0, 20000L -> 13.0, 100000L -> 29.0)
+    val (a0, rps0) = Bench.fitOverheadMarginal(clean)
+    assert(math.abs(a0 - 9.0) < 1e-9 && math.abs(rps0 - 5000.0) < 1e-6)
+    // Contaminated MIDDLE shape: both slopes through it move in
+    // opposite directions, so the median IS the clean endpoint slope —
+    // the fit is exact, not merely bounded.
+    val (aM, rpsM) = Bench.fitOverheadMarginal(
+      clean.updated(1, 20000L -> 26.0))
+    assert(math.abs(aM - 9.0) < 1e-9 && math.abs(rpsM - 5000.0) < 1e-6)
+    // Contaminated ENDPOINT: the estimate degrades BOUNDEDLY — the
+    // marginal stays strictly positive (never the degenerate 0 the r13
+    // two-point line reported on one bad sample) and within 5x of
+    // truth (worst observed: a halved big endpoint reads ~4.2x — the
+    // median slope then crosses the bad point once), the intercept
+    // non-negative and under 3x truth.
+    for (i <- Seq(0, 2); f <- Seq(0.5, 2.0)) {
+      val bad = clean.updated(i, (clean(i)._1, clean(i)._2 * f))
+      val (aB, rpsB) = Bench.fitOverheadMarginal(bad)
+      assert(rpsB > 5000.0 / 5 && rpsB < 5000.0 * 5,
+        s"i=$i f=$f marginal=$rpsB")
+      assert(aB >= 0.0 && aB < 27.0, s"i=$i f=$f a=$aB")
+    }
   }
 
   test("sub-floor and sub-ratio moves stay unflagged in both maps") {

@@ -43,6 +43,18 @@ class CodegenCompileSpec extends SparkSpec {
     GenerateUnsafeProjection.generate(Seq(NfcNormalizeExpr(str)))
   }
 
+  test("word-n-gram expressions compile under Janino") {
+    val toks = BoundReference(0,
+      ArrayType(org.apache.spark.sql.types.StringType), nullable = true)
+    GenerateUnsafeProjection.generate(Seq(WordNgramsExpr(toks, 3, minOne = false)))
+    GenerateUnsafeProjection.generate(Seq(WordNgramsExpr(toks, 3, minOne = true)))
+    GenerateUnsafeProjection.generate(Seq(
+      WordNgramH64Expr(toks, 8, "sd|", minOne = false)))
+    GenerateUnsafeProjection.generate(Seq(WordNgramStructsExpr(toks, 2)))
+    GenerateUnsafeProjection.generate(Seq(TokenLengthSumExpr(toks)))
+    GenerateUnsafeProjection.generate(Seq(WordNgramH64CharsExpr(toks, 5)))
+  }
+
   test("vector expressions compile under Janino") {
     val b = BoundReference(1, ArrayType(FloatType), nullable = true)
     GenerateUnsafeProjection.generate(Seq(DotProductF(vecIn, b)))

@@ -90,4 +90,76 @@ class MigrationDrillSpec extends SparkSpec {
     assert(delivered.agg(collect_set(col("event_id"))).head().getSeq[Long](0)
       .toSet == (10L to 50L).toSet, "delivered ids diverged")
   }
+
+  test("the same rename table binds the connector-shaped stream to the " +
+      "index sink with ALL SIX maintenance hooks (current signature)") {
+    // The drill must track [[graft.streaming.IndexSink.start]]'s real
+    // surface as it grows (round-14: the r13 drill predated the
+    // sketchState/rateState hooks — a rename table proven against a
+    // four-hook signature says nothing about the sink a production
+    // migration would actually start).
+    import graft.streaming.{IndexSink, LiveRates, LiveSketch}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-migration-ix").toString
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("text", StringType),
+      StructField("source", StringType)))
+    import spark.implicits._
+    Seq(
+      ("d1", "spark streams deliver data", "web"),
+      ("d2", "the index holds spark data", "web"),
+      ("d3", "unrelated prose entirely", "book"))
+      .toDF("doc_id", "text", "source")
+      .select(to_json(struct(
+        to_json(struct(col("doc_id"), col("text"), col("source"))).as("data"),
+        lit("drill-stream").as("streamName"),
+        col("doc_id").as("partitionKey"),
+        concat(lit("seq-"), col("doc_id")).as("sequenceNumber"),
+        lit(1723600000000L).as("arrivalMillis"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/wire")
+    val kinesisShaped = spark.readStream
+      .schema(StructType(Seq(
+        StructField("data", StringType), StructField("streamName", StringType),
+        StructField("partitionKey", StringType),
+        StructField("sequenceNumber", StringType),
+        StructField("arrivalMillis", LongType))))
+      .json(s"$tmp/wire")
+    // §1 renames, verbatim — identical to the pipeline drill above.
+    val envelope = kinesisShaped.select(
+      col("sequenceNumber").as("recordId"),
+      (col("arrivalMillis") / 1000).cast("timestamp")
+        .as("approximateArrivalTimestamp"),
+      col("data").cast("binary").as("data"))
+    val percQueries = Seq((1L, Seq("spark", "data"))).toDF("query_id", "terms")
+    val q = IndexSink.start(envelope, payloadSchema,
+      s"$tmp/index", s"$tmp/backup", s"$tmp/ckpt", shards = 2,
+      dropIf = _ => org.apache.spark.sql.functions.lit(false),
+      textIndex = Some(IndexSink.LiveIndexSpec(s"$tmp/tindex", "text",
+        key = "doc_id", shards = 2)),
+      spanState = Some(IndexSink.LiveSpanSpec(s"$tmp/sstate", "text",
+        key = "doc_id", k = 3, shards = 2)),
+      percolator = Some(IndexSink.PercolatorSpec(percQueries,
+        s"$tmp/alerts", "text", key = "doc_id")),
+      nearDupState = Some(IndexSink.LiveNearDupSpec(s"$tmp/ndstate",
+        "text", key = "doc_id", shards = 2)),
+      sketchState = Some(IndexSink.LiveSketchSpec(s"$tmp/sketch",
+        "text", key = "doc_id")),
+      rateState = Some(IndexSink.LiveRateSpec(s"$tmp/rates", "source")))
+    assert(q.awaitTermination(180000), "index drill timed out")
+    // Delivery conserved, and every one of the six maintained artifacts
+    // materialized from the renamed stream.
+    assert(spark.read.parquet(s"$tmp/index/*").count() == 3L)
+    assert(graft.streaming.LiveTextIndex.read(spark, s"$tmp/tindex")
+      .postings.count() > 0)
+    assert(graft.streaming.LiveSpanDedup
+      .occForDocs(spark, s"$tmp/sstate", StringType,
+        Seq("d1", "d2", "d3").toDF("doc_id")).count() > 0)
+    assert(spark.read.parquet(s"$tmp/alerts/*").count() == 2L,
+      "percolator must alert on exactly d1 and d2")
+    assert(graft.streaming.LiveNearDedup
+      .currentSignatures(spark, s"$tmp/ndstate").count() == 3L)
+    assert(LiveSketch.cells(spark, s"$tmp/sketch").count() > 0)
+    assert(LiveRates.grid(spark, s"$tmp/rates")
+      .agg(sum(col("cnt"))).head().getLong(0) == 3L,
+      "rate grid must count every delivered record")
+  }
 }
