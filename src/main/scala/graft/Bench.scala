@@ -381,7 +381,7 @@ object Bench {
     * @return (records, records/s, compaction seconds,
     *         per-epoch overhead seconds, marginal records/s, state)
     */
-  private def liveStoreThroughput(spark: SparkSession, sfDir: String)
+  private[graft] def liveStoreThroughput(spark: SparkSession, sfDir: String)
       : (Long, Double, Double, Double, Double, String) = {
     import graft.streaming.{IndexSink, LiveNearDedup, LiveRates, LiveSketch,
       LiveSpanDedup, LiveTextIndex}

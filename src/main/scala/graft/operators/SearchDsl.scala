@@ -496,6 +496,105 @@ object SearchDsl {
         (col("mx") + lit(tieBreaker) * (col("sm") - col("mx"))).as("score"))
   }
 
+  /** `multi_match` — one query string searched across several FIELDS
+    * with per-field boosts, the most-typed query in any OpenSearch
+    * search box. `fields` carries (tokenized frame (doc_id, toks),
+    * boost) per field — e.g. a title projection next to the body.
+    * `matchType`:
+    *
+    *  - `best_fields` (the API default): a doc ranks by its STRONGEST
+    *    field, plus `tieBreaker` times the rest — [[disMax]] over the
+    *    per-field BM25 clauses (Lucene compiles best_fields to exactly
+    *    that DisjunctionMaxQuery);
+    *  - `most_fields`: the per-field scores SUM (the bool-should
+    *    compilation).
+    *
+    * Each field scores with ITS OWN corpus statistics (per-field
+    * df/avgdl — Lucene's per-field index semantics; a short title
+    * field has its own length norm, which is the entire point of
+    * boosting it). Boost multiplies the clause score BEFORE
+    * combination, one IEEE multiply per hit.
+    *
+    * Shape: one [[Retrieval.bm25]] chain per field (each a
+    * postings-bounded agg over that field's term rows) + the disMax /
+    * sum combiner's single per-doc hash agg. Nothing joins corpus-wide;
+    * with two fields the combiner add is order-exact, at three-plus
+    * callers emit through an r2 guard (the q125 float note).
+    */
+  def multiMatch(spark: org.apache.spark.sql.SparkSession,
+      fields: Seq[(DataFrame, Double)], terms: Seq[String],
+      matchType: String = "best_fields",
+      tieBreaker: Double = 0.0): DataFrame = {
+    require(fields.nonEmpty, "multi_match needs at least one field")
+    require(terms.nonEmpty, "multi_match needs at least one term")
+    val clauses = fields.map { case (toks, boost) =>
+      Retrieval.bm25(spark, toks, terms)
+        .select(col("doc_id"), (col("score") * lit(boost)).as("score"))
+    }
+    matchType match {
+      case "best_fields" => disMax(clauses, tieBreaker)
+      case "most_fields" =>
+        clauses.reduce(_ unionByName _)
+          .groupBy("doc_id").agg(sum(col("score")).as("score"))
+      case other => throw new IllegalArgumentException(
+        s"multi_match type must be best_fields|most_fields, got $other")
+    }
+  }
+
+  /** `boosting` query — rank by the positive clause but DEMOTE (never
+    * exclude) docs matching the negative clause: matching hits keep
+    * score × `negativeBoost` (the API's contract; Lucene's
+    * BoostingQuery). The must_not verb EXCLUDES; this one keeps the
+    * doc on the page, ranked down — "mortgage, but prefer not the
+    * archived ones".
+    *
+    * `positive` is any (doc_id, score) ranking; `negative` a doc-id
+    * frame (whatever predicate produced it — a term match, a filter).
+    * Shape: ONE left join of query-bounded hit rows against the
+    * negative id set + a narrow projection; the demotion multiply is
+    * one IEEE op, so emission rounding composes exactly as for the
+    * undemoted score.
+    */
+  def boosting(positive: DataFrame, negative: DataFrame,
+      negativeBoost: Double): DataFrame = {
+    require(negativeBoost >= 0.0 && negativeBoost <= 1.0,
+      s"negative_boost must be in [0, 1], got $negativeBoost")
+    val neg = negative.select(col("doc_id")).distinct()
+      .withColumn("_neg", lit(1))
+    positive.join(neg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_neg").isNotNull, col("score") * lit(negativeBoost))
+          .otherwise(col("score")).as("score"))
+  }
+
+  /** `completion` suggester — prefix-typed suggestions from the term
+    * dictionary, weighted: the search-as-you-type verb ([[termSuggest]]
+    * is its FUZZY sibling for after the typo happened). Suggestions
+    * are the index vocabulary's terms starting with `prefix`, ranked
+    * by document frequency (the natural weight when none is curated)
+    * with the term as total tie-break.
+    *
+    * Shape: the term DICTIONARY only — vocab-sized, orders of
+    * magnitude below the corpus (the [[Retrieval.TextIndex]] df frame
+    * is already materialized once per index state) — filtered
+    * scan-side by the prefix and cut by TakeOrderedAndProject. At
+    * 100 TB the dictionary is the artifact a suggester service loads;
+    * OpenSearch builds an FST per shard for sub-ms lookups — the
+    * analogue here is that the df frame is small enough to broadcast
+    * or serve from memory, and the PLAN never touches postings or
+    * corpus text.
+    */
+  def completionSuggest(vocabDf: DataFrame, prefix: String,
+      size: Int = 10): DataFrame = {
+    require(prefix.nonEmpty, "completion needs a non-empty prefix")
+    require(size > 0, s"size must be positive, got $size")
+    vocabDf
+      .filter(col("term").startsWith(prefix))
+      .select(col("term"), col("df").cast("long").as("weight"))
+      .orderBy(col("weight").desc, col("term"))
+      .limit(size)
+  }
+
   /** `terms` facet (the OpenSearch aggregation served next to every
     * search page): bucket the HITS of a query by a document attribute
     * and aggregate per bucket. `hits` is whatever the retrieval stage

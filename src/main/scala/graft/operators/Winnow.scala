@@ -56,25 +56,19 @@ object Winnow {
     // in one compiled pass without materializing the string
     // (value-identity pinned in NgramExprSpec).
     val gh = graft.functions.Ngrams.wordNgramH64s(col("toks"), k)
-    // One window when n <= w, else n - w + 1. Selection is ONE O(w)
-    // fold per window — `<=` keeps updating on equal hashes, which IS
-    // the rightmost-tie rule. (The min+filter+argmax spelling recomputes
-    // array_min per filter element: O(w²) of INTERPRETED lambda evals —
-    // HOFs don't codegen, the q51b lesson — measured 2.5× slower on the
-    // corpus scan.) The MaxValue sentinel is safe: h64 < 2^60.
-    val sel =
-      s"""array_distinct(transform(
-         |  sequence(1, IF(size(gh) <= $w, 1, size(gh) - ${w - 1})),
-         |  j -> aggregate(
-         |    sequence(j, least(j + ${w - 1}, size(gh))),
-         |    named_struct('pos', 0, 'fp', CAST(${Long.MaxValue} AS BIGINT)),
-         |    (acc, i) -> IF(element_at(gh, i) <= acc.fp,
-         |      named_struct('pos', CAST(i AS INT), 'fp', element_at(gh, i)),
-         |      acc))))""".stripMargin
+    // One window when n <= w, else n - w + 1; minimum per window with
+    // the RIGHTMOST occurrence on ties (the paper's rule), adjacent
+    // duplicate selections collapsed. Round-14: selection is the
+    // codegen'd monotonic-deque sliding minimum
+    // ([[graft.functions.WinnowSelectExpr]]) — O(n) compiled, replacing
+    // an interpreted aggregate-fold per window (O(n·w) lambda evals on
+    // the corpus scan; WinnowSpec pins value-identity against that SQL
+    // spelling, and q164 hash-gates it corpus-wide).
     toks
       .filter(size(col("toks")) >= k)
       .withColumn("gh", gh)
-      .select(col("doc_id"), explode(expr(sel)).as("s"))
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFunctions.winnowSelect(col("gh"), w)).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }
 

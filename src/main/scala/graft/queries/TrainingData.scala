@@ -5916,6 +5916,132 @@ object TrainingData {
       .orderBy("df", "term")
   }
 
+  // ------------------------------------------ q183: multi_match
+
+  /** Per-field BM25 CTE chain (DuckDB) parameterized by the token
+    * column: the q85 chain with every CTE name prefixed so two fields'
+    * chains coexist in one query. Terms fixed to ('data', 'spark').
+    */
+  private def fieldBm25Sql(p: String, toksCol: String): String =
+    s"""${p}stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |      CAST(sum(len($toksCol)) AS DOUBLE) / count(*) AS avgdl FROM fld),
+       |${p}tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |    FROM (SELECT doc_id, len($toksCol) AS dl, unnest($toksCol) AS term FROM fld)
+       |    WHERE term IN ('data', 'spark') GROUP BY 1, 2),
+       |${p}df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM ${p}tf GROUP BY 1),
+       |${p}sc AS (SELECT doc_id,
+       |      sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+       |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+       |    FROM ${p}tf JOIN ${p}df USING (term) CROSS JOIN ${p}stats GROUP BY doc_id)""".stripMargin
+
+  val q183_multi_match: QueryDef = q(
+    "q183_multi_match",
+    s"""WITH $docTokSql,
+       |fld AS (SELECT doc_id, toks AS body, toks[1:8] AS title FROM tok),
+       |${fieldBm25Sql("b", "body")},
+       |${fieldBm25Sql("t", "title")},
+       |clauses AS (SELECT doc_id, score * 1.0 AS score FROM bsc
+       |    UNION ALL SELECT doc_id, score * 2.0 AS score FROM tsc),
+       |dm AS (SELECT doc_id, max(score) + 0.3 * (sum(score) - max(score)) AS score
+       |    FROM clauses GROUP BY doc_id),
+       |ranked AS (SELECT doc_id, floor(score * 100 + 0.5) / 100 AS score,
+       |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |    FROM dm)
+       |SELECT doc_id, score, CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // multi_match best_fields (operators/SearchDsl.multiMatch): ONE
+    // query string across two fields — a title projection (the doc's
+    // first 8 tokens, boost 2.0: short fields deserve their own length
+    // norm AND a boost, which is the entire reason the verb exists)
+    // and the body (boost 1.0) — each field scored by BM25 under ITS
+    // OWN corpus statistics (per-field df/avgdl, Lucene's per-field
+    // index semantics), combined disjunction-max with tie 0.3 (Lucene
+    // compiles best_fields to exactly that DisjunctionMaxQuery). The
+    // oracle replays both per-field chains verbatim. Scale shape: two
+    // postings-bounded scoring aggs + one per-doc combine agg — the
+    // title projection is scan-side slice(), never a second corpus.
+    val toksDf = tokenized(s, dir)
+    val title = toksDf.select(col("doc_id"),
+      slice(col("toks"), 1, 8).as("toks"))
+    val mm = graft.operators.SearchDsl.multiMatch(s,
+        Seq((toksDf, 1.0), (title, 2.0)), Seq("data", "spark"),
+        matchType = "best_fields", tieBreaker = 0.3)
+      .select(col("doc_id"), Par.r2(col("score")).as("score"))
+    rankedTopByScore(mm, 10, Seq("doc_id"))
+      .select(col("doc_id"), col("score"), col("rnk").cast("bigint").as("rank"))
+      .orderBy("rank")
+  }
+
+  // ------------------------------------------ q184: boosting query
+
+  val q184_boosting: QueryDef = q(
+    "q184_boosting",
+    s"""WITH $docTokSql,
+       |fld AS (SELECT doc_id, toks AS body FROM tok),
+       |${fieldBm25Sql("b", "body")},
+       |neg AS (SELECT DISTINCT doc_id FROM tok WHERE list_contains(toks, 'model')),
+       |demoted AS (SELECT s.doc_id,
+       |      CASE WHEN n.doc_id IS NOT NULL THEN s.score * 0.3 ELSE s.score END AS score
+       |    FROM bsc s LEFT JOIN neg n ON s.doc_id = n.doc_id),
+       |ranked AS (SELECT doc_id, floor(score * 100 + 0.5) / 100 AS score,
+       |      row_number() OVER (ORDER BY floor(score * 100 + 0.5) / 100 DESC, doc_id) AS rnk
+       |    FROM demoted)
+       |SELECT doc_id, score, CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // boosting query (operators/SearchDsl.boosting): rank by the
+    // positive clause (BM25 on 'data spark') but DEMOTE — never
+    // exclude — docs matching the negative clause (contains 'model'),
+    // negative_boost 0.3. must_not EXCLUDES; this keeps the doc on
+    // the page ranked down, the "prefer not" verb. One left join of
+    // query-bounded hits against the negative id set; the demotion is
+    // one IEEE multiply, so the rounded emission composes exactly.
+    val toksDf = tokenized(s, dir)
+    val positive = graft.operators.Retrieval
+      .bm25(s, toksDf, Seq("data", "spark"))
+      .select(col("doc_id"), col("score"))
+    val negative = toksDf
+      .filter(array_contains(col("toks"), "model")).select(col("doc_id"))
+    val demoted = graft.operators.SearchDsl
+      .boosting(positive, negative, negativeBoost = 0.3)
+      .select(col("doc_id"), Par.r2(col("score")).as("score"))
+    rankedTopByScore(demoted, 10, Seq("doc_id"))
+      .select(col("doc_id"), col("score"), col("rnk").cast("bigint").as("rank"))
+      .orderBy("rank")
+  }
+
+  // ------------------------------------------ q185: completion suggester
+
+  val q185_completion: QueryDef = q(
+    "q185_completion",
+    s"""WITH $docTokSql,
+       |v AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |    FROM (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok)
+       |    GROUP BY 1),
+       |ranked AS (SELECT term, df AS weight,
+       |      row_number() OVER (ORDER BY df DESC, term) AS rnk
+       |    FROM v WHERE term LIKE 's%')
+       |SELECT term, weight, CAST(rnk AS BIGINT) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY rank""".stripMargin
+  ) { (s, dir) =>
+    // completion suggester (operators/SearchDsl.completionSuggest):
+    // search-as-you-type over the term DICTIONARY — terms starting
+    // with the typed prefix ranked by document frequency (q170's
+    // termSuggest is the fuzzy AFTER-the-typo sibling; this is the
+    // before). Runs against the materialized text index's df frame
+    // (the artifact a suggester service loads — vocab-sized, never
+    // postings, never corpus text), prefix filter scan-side, cut by
+    // TakeOrderedAndProject.
+    val index = graft.operators.Retrieval.buildTextIndex(s, tokenized(s, dir))
+    val top = graft.operators.SearchDsl
+      .completionSuggest(index.df, prefix = "s", size = 10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("weight").desc, col("term"))))
+    top.select(col("term"), col("weight"), col("rnk").cast("bigint").as("rank"))
+      .orderBy("rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31_dedup_exact, q32_neardup_jaccard, q33_similarity_topk,
     q34_token_stats, q35_tfidf, q41_text_quality, q42_fingerprint,
@@ -5951,5 +6077,6 @@ object TrainingData {
     q170_term_suggest, q171_span_near, q172_rank_eval, q173_readability,
     q174_cdc_chunks, q175_pair_pagerank, q176_pipeline_aggs,
     q177_rate_anomalies, q178_adjacency_matrix, q179_terms_set,
-    q180_ivf_quality, q181_training_triples, q182_rare_terms)
+    q180_ivf_quality, q181_training_triples, q182_rare_terms,
+    q183_multi_match, q184_boosting, q185_completion)
 }

@@ -775,4 +775,72 @@ class SearchDslSpec extends SparkSpec {
     assert(got.contains(("spak", "spak", 0L, 1L, 1L)))
     intercept[IllegalArgumentException] { SearchDsl.termSuggest(vocab, Seq.empty) }
   }
+
+  test("multiMatch: per-field stats, boost-before-combine, " +
+      "best_fields vs most_fields (q183's corpus oracle)") {
+    import spark.implicits._
+    // Field A: docs 1,2 carry 'data'; field B: only doc 2 carries it.
+    val fa = toksDf(Seq(1L -> Seq("data", "x"), 2L -> Seq("data"),
+      3L -> Seq("y", "z")))
+    val fb = toksDf(Seq(1L -> Seq("q"), 2L -> Seq("data"), 3L -> Seq("r")))
+    def scores(tpe: String): Map[Long, Double] =
+      SearchDsl.multiMatch(spark, Seq((fa, 1.0), (fb, 2.0)), Seq("data"),
+          matchType = tpe, tieBreaker = 0.5)
+        .as[(Long, Double)].collect().toMap
+    val best = scores("best_fields")
+    val most = scores("most_fields")
+    // replay the two per-field BM25 clauses locally
+    def clause(toks: Seq[(Long, Seq[String])], boost: Double): Map[Long, Double] = {
+      val n = toks.size.toDouble
+      val avgdl = toks.map(_._2.size).sum.toDouble / n
+      val hits = toks.filter(_._2.contains("data"))
+      val df = hits.size.toDouble
+      hits.map { case (id, t) =>
+        val tf = t.count(_ == "data").toDouble
+        val dl = t.size.toDouble
+        id -> StrictMath.log(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+          (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * boost
+      }.toMap
+    }
+    val ca = clause(Seq(1L -> Seq("data", "x"), 2L -> Seq("data"),
+      3L -> Seq("y", "z")), 1.0)
+    val cb = clause(Seq(1L -> Seq("q"), 2L -> Seq("data"), 3L -> Seq("r")), 2.0)
+    // doc 1: only clause A -> best == most == ca(1)
+    assert(best(1L) == ca(1L) && most(1L) == ca(1L))
+    // doc 2: both -> best = max + 0.5*(sum-max), most = sum
+    val (mx, sm) = (math.max(ca(2L), cb(2L)), ca(2L) + cb(2L))
+    assert(best(2L) == mx + 0.5 * (sm - mx))
+    assert(most(2L) == sm)
+    assert(!best.contains(3L), "non-matching doc must not appear")
+    intercept[IllegalArgumentException] {
+      SearchDsl.multiMatch(spark, Seq((fa, 1.0)), Seq("data"), "cross_fields")
+    }
+    intercept[IllegalArgumentException] {
+      SearchDsl.multiMatch(spark, Seq.empty, Seq("data"))
+    }
+  }
+
+  test("boosting demotes (never excludes) negative matches; bounds checked") {
+    import spark.implicits._
+    val pos = Seq((1L, 10.0), (2L, 8.0), (3L, 6.0)).toDF("doc_id", "score")
+    val neg = Seq(1L, 9L).toDF("doc_id") // 9 not in hits: ignored
+    val got = SearchDsl.boosting(pos, neg, negativeBoost = 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 5.0, 2L -> 8.0, 3L -> 6.0),
+      s"demotion wrong: $got")
+    intercept[IllegalArgumentException] { SearchDsl.boosting(pos, neg, 1.5) }
+  }
+
+  test("completionSuggest: prefix filter, df-desc weight, term tie-break, " +
+      "size cut") {
+    import spark.implicits._
+    val vocab = Seq(("spark", 5L), ("split", 5L), ("spot", 2L),
+      ("data", 9L), ("sp", 1L)).toDF("term", "df")
+    val got = SearchDsl.completionSuggest(vocab, "sp", size = 3)
+      .as[(String, Long)].collect().toSeq
+    // weight desc, then term asc on the tie; 'data' filtered; size cuts 'sp'
+    assert(got == Seq(("spark", 5L), ("split", 5L), ("spot", 2L)), got.toString)
+    intercept[IllegalArgumentException] { SearchDsl.completionSuggest(vocab, "") }
+    intercept[IllegalArgumentException] { SearchDsl.completionSuggest(vocab, "s", 0) }
+  }
 }

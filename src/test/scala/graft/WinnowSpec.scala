@@ -101,6 +101,36 @@ class WinnowSpec extends SparkSpec {
     assert((byDoc(10L) intersect byDoc(11L)).nonEmpty)
   }
 
+  test("WinnowSelectExpr equals the interpreted fold spelling on random " +
+      "hash arrays (deque edges: ties, monotone runs, n <= w, w = 1)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Small value domain FORCES ties (the rightmost-tie pop is the
+    // subtle lane); add monotone and constant arrays explicitly.
+    val rnd = new scala.util.Random(977)
+    val arrays: Seq[Seq[Long]] =
+      (1 to 40).map(n => Seq.fill(rnd.nextInt(12) + 1)(rnd.nextInt(5).toLong)) ++
+      Seq(Seq(7L), Seq(3L, 3L, 3L, 3L), (1L to 9L).toSeq, (9L to 1L by -1).toSeq)
+    for (w <- Seq(1, 2, 4, 7)) {
+      val sqlSel = expr(
+        s"""array_distinct(transform(
+           |  sequence(1, IF(size(gh) <= $w, 1, size(gh) - ${w - 1})),
+           |  j -> aggregate(
+           |    sequence(j, least(j + ${w - 1}, size(gh))),
+           |    named_struct('pos', 0, 'fp', CAST(${Long.MaxValue} AS BIGINT)),
+           |    (acc, i) -> IF(element_at(gh, i) <= acc.fp,
+           |      named_struct('pos', CAST(i AS INT), 'fp', element_at(gh, i)),
+           |      acc))))""".stripMargin)
+      val bad = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("id", "gh")
+        .select(col("id"),
+          graft.functions.WinnowFunctions.winnowSelect(col("gh"), w).as("a"),
+          sqlSel.as("b"))
+        .filter(not(col("a") <=> col("b"))).collect()
+      assert(bad.isEmpty, s"w=$w: ${bad.mkString("; ")}")
+    }
+  }
+
   test("sharedPairs counts distinct shared values; df cap drops boilerplate") {
     import spark.implicits._
     // fp 100 shared by docs 1,2 (df 2 → kept); fp 200 by 1,2,3 (df 3 →
