@@ -249,10 +249,22 @@ object Bpe {
     (length(encoded) -
       length(call_function("replace", encoded, lit("⟨"), lit("")))).cast("bigint")
 
-  /** Per-document token total after the merges: encode each word ONCE
-    * into the fold's bound variable, count by character arithmetic.
+  /** Per-document token total after the merges. Round-14: one compiled
+    * kernel call per document ([[graft.functions.BpeEncodedLenSumExpr]],
+    * with a per-executor word→length memo) — the previous spelling
+    * evaluated the k-replace [[encode]] chain INTERPRETED per word
+    * inside a transform lambda. BpeSpec pins value-identity against
+    * that spelling; q146/q151 hash-gate it corpus-wide.
     */
   def encodedLenSum(toks: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): org.apache.spark.sql.Column =
+    graft.functions.BpeFunctions.encodedLenSum(toks,
+      merges.map(m => (m.lhs, m.rhs)))
+
+  /** The interpreted replace-chain spelling of [[encodedLenSum]] —
+    * kept as the spec cross-check reference for the compiled kernel.
+    */
+  private[graft] def encodedLenSumFold(toks: org.apache.spark.sql.Column,
       merges: Seq[Merge]): org.apache.spark.sql.Column =
     aggregate(transform(toks, w => encode(w, merges)), lit(0L),
       (acc, e) => acc + encodedLen(e))

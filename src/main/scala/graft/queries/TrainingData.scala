@@ -3976,8 +3976,7 @@ object TrainingData {
         size(col("toks")).cast("bigint").as("n_words"),
         graft.operators.Bpe.encodedLenSum(col("toks"), merges)
           .as("n_tokens"),
-        aggregate(transform(col("toks"), w => length(w).cast("bigint")),
-          lit(0L), (a, b) => a + b).as("n_chars"))
+        graft.functions.Ngrams.tokenLengthSum(col("toks")).as("n_chars"))
     enc.select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
         Par.r2(col("n_chars").cast("double") / col("n_tokens")).as("chars_per_token"))
       .orderBy("doc_id")
@@ -4293,8 +4292,7 @@ object TrainingData {
         size(col("toks")).cast("bigint").as("n_words"),
         graft.operators.Bpe.encodedLenSum(col("toks"), merges)
           .as("n_tokens"),
-        aggregate(transform(col("toks"), w => length(w).cast("bigint")),
-          lit(0L), (a, b) => a + b).as("n_chars"))
+        graft.functions.Ngrams.tokenLengthSum(col("toks")).as("n_chars"))
     enc.groupBy("source")
       .agg(sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"),
         sum("n_chars").as("n_chars"))

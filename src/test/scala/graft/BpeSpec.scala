@@ -83,6 +83,30 @@ class BpeSpec extends SparkSpec {
     assert(local.size == 8)
   }
 
+  test("compiled encodedLenSum equals the interpreted replace-chain fold " +
+      "(overlap runs, merged-symbol rematch, repeated merges, empty docs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, not}
+    // Train real merges on a corpus dense in overlap traps (aaa runs,
+    // merges whose output feeds a later merge), then diff the kernel
+    // against the replace-chain spelling over a held-out token set.
+    val train = (1L to 40L)
+      .map(i => (i, Seq("aaaa", "aab", "banana", "ananas", "aaa")))
+      .toDF("doc_id", "toks")
+    val merges = Bpe.trainMerges(spark, train, 6)
+    assert(merges.nonEmpty)
+    val probe = Seq(
+      (1L, Seq("aaaa", "aaaaa", "a")), (2L, Seq("banana", "bananas")),
+      (3L, Seq("ananas", "nan", "an")), (4L, Seq.empty[String]),
+      (5L, Seq("zzz", "aab", "ba")), (6L, Seq("aaab", "baaa")))
+      .toDF("doc_id", "toks")
+    val bad = probe.select(col("doc_id"),
+        Bpe.encodedLenSum(col("toks"), merges).as("a"),
+        Bpe.encodedLenSumFold(col("toks"), merges).as("b"))
+      .filter(not(col("a") <=> col("b"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("merge selection is partition-independent (same merges from a " +
       "repartitioned corpus)") {
     import spark.implicits._

@@ -56,6 +56,8 @@ class CodegenCompileSpec extends SparkSpec {
     val longs = BoundReference(0,
       ArrayType(org.apache.spark.sql.types.LongType), nullable = true)
     GenerateUnsafeProjection.generate(Seq(WinnowSelectExpr(longs, 4)))
+    GenerateUnsafeProjection.generate(Seq(
+      BpeEncodedLenSumExpr(toks, Seq("a" -> "b", "ab" -> "c"))))
   }
 
   test("vector expressions compile under Janino") {
