@@ -183,6 +183,81 @@ object WordNgrams {
     new GenericArrayData(out)
   }
 
+  /** Multi-band gram stream, hash form: rows struct(n, gh, chars) for
+    * every n in [nLo, nHi] and every gram of that size, band-major in
+    * gram order — the q153 duplicate-band generator as ONE array per
+    * document (one explode, no per-band intermediate arrays, no
+    * array-of-struct-of-array wrapper). Values per row are exactly
+    * [[gramH64Chars]]'s.
+    */
+  def gramH64CharsBands(arr: ArrayData, nLo: Int, nHi: Int): ArrayData = {
+    val size = arr.numElements()
+    val md = mdLocal.get()
+    var total = 0
+    var n = nLo
+    while (n <= nHi) { total += gramCount(size, n, minOne = false); n += 1 }
+    val out = new Array[Any](total)
+    var o = 0
+    n = nLo
+    while (n <= nHi) {
+      val cnt = gramCount(size, n, minOne = false)
+      var i = 0
+      while (i < cnt) {
+        md.reset()
+        var emitted = 0
+        var chars = 0L
+        var j = 0
+        while (j < n) {
+          val idx = i + j
+          if (!arr.isNullAt(idx)) {
+            if (emitted > 0) md.update(' '.toByte)
+            val s = arr.getUTF8String(idx)
+            md.update(s.getBytes)
+            chars += s.numChars()
+            emitted += 1
+          }
+          j += 1
+        }
+        val d = md.digest()
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        out(o) = new GenericInternalRow(Array[Any](n, v >>> 4,
+          chars + (emitted - 1).toLong - (n - 1).toLong))
+        o += 1
+        i += 1
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Multi-band gram stream, string form: rows struct(n, gram) —
+    * the q153 top-band generator (bands that keep the gram STRING for
+    * the lexicographic tie-break). Gram values are [[grams]]'s.
+    */
+  def gramBands(arr: ArrayData, nLo: Int, nHi: Int): ArrayData = {
+    val size = arr.numElements()
+    var total = 0
+    var n = nLo
+    while (n <= nHi) { total += gramCount(size, n, minOne = false); n += 1 }
+    val out = new Array[Any](total)
+    var o = 0
+    n = nLo
+    while (n <= nHi) {
+      val g = grams(arr, n, minOne = false)
+      val cnt = g.numElements()
+      var i = 0
+      while (i < cnt) {
+        out(o) = new GenericInternalRow(Array[Any](n, g.getUTF8String(i)))
+        o += 1
+        i += 1
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Σ length(token) in CHARACTERS (codepoints — Spark `length()`
     * semantics), replaying `aggregate(toks, 0L, (acc, x) -> acc +
     * length(x))` exactly: a null element nulls the whole sum (null
@@ -337,6 +412,70 @@ case class WordNgramH64CharsExpr(child: Expression, n: Int)
   override def prettyName: String = "word_ngram_h64_chars"
 }
 
+sealed abstract class WordNgramBandExprBase extends UnaryExpression {
+  def nLo: Int
+  def nHi: Int
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if nLo >= 1 && nHi >= nLo =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ if nLo < 1 || nHi < nLo => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName band range must satisfy 1 <= nLo <= nHi, got [$nLo, $nHi]")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> input, got $other")
+  }
+}
+
+/** `word_ngram_h64_chars_bands(toks)`: struct(n, gh, chars) rows for
+  * every band in [nLo, nHi]. See [[WordNgrams.gramH64CharsBands]].
+  */
+case class WordNgramH64CharsBandsExpr(child: Expression, nLo: Int, nHi: Int)
+    extends WordNgramBandExprBase {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("n", IntegerType, nullable = false),
+      StructField("gh", LongType, nullable = false),
+      StructField("chars", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgrams.gramH64CharsBands(a.asInstanceOf[ArrayData], nLo, nHi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.WordNgrams.gramH64CharsBands($a, $nLo, $nHi)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngram_h64_chars_bands"
+}
+
+/** `word_ngram_bands(toks)`: struct(n, gram) rows for every band in
+  * [nLo, nHi]. See [[WordNgrams.gramBands]].
+  */
+case class WordNgramBandsExpr(child: Expression, nLo: Int, nHi: Int)
+    extends WordNgramBandExprBase {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("n", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgrams.gramBands(a.asInstanceOf[ArrayData], nLo, nHi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.WordNgrams.gramBands($a, $nLo, $nHi)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngram_bands"
+}
+
 /** `token_length_sum(toks)`: Σ character-length over the array's
   * elements — the Gopher/repetition denominators' per-doc total, as a
   * compiled loop instead of an interpreted `aggregate` fold. See
@@ -409,6 +548,20 @@ object Ngrams {
     require(n >= 1, s"gram size must be >= 1, got $n")
     GraftSqlBridge.column(
       WordNgramH64CharsExpr(GraftSqlBridge.expression(toks), n))
+  }
+
+  /** Multi-band struct(n, gh, chars) gram rows, one array per doc. */
+  def wordNgramH64CharsBands(toks: Column, nLo: Int, nHi: Int): Column = {
+    require(nLo >= 1 && nHi >= nLo, s"bad band range [$nLo, $nHi]")
+    GraftSqlBridge.column(
+      WordNgramH64CharsBandsExpr(GraftSqlBridge.expression(toks), nLo, nHi))
+  }
+
+  /** Multi-band struct(n, gram) rows, one array per doc. */
+  def wordNgramBands(toks: Column, nLo: Int, nHi: Int): Column = {
+    require(nLo >= 1 && nHi >= nLo, s"bad band range [$nLo, $nHi]")
+    GraftSqlBridge.column(
+      WordNgramBandsExpr(GraftSqlBridge.expression(toks), nLo, nHi))
   }
 
   /** Σ character-length over a token array (`aggregate`-fold

@@ -139,20 +139,23 @@ object QualityRules {
       .select(col("doc_id"), col("toks"),
         graft.functions.Ngrams.tokenLengthSum(col("toks")).as("tot"))
     val ns = (2 to 10)
-    // Codegen'd gram kernel (round-14): the guarded-transform HOF
+    // Codegen'd gram kernels (round-14): the guarded-transform HOF
     // spelling evaluated its lambda INTERPRETED per gram × 9 bands —
     // the single biggest constant factor in the registry (q153 was
-    // 13.7% of the whole sf1 suite). [[graft.functions.WordNgramsExpr]]
-    // is value-identical (NgramExprSpec pins it), including the
-    // short-doc empty array the IF guard used to provide.
-    def grams(sizes: Seq[Int]) = base.select(col("doc_id"), col("tot"),
-        explode(array(sizes.map(n => struct(lit(n).as("n"),
-          Ngrams.wordNgrams(col("toks"), n).as("gs"))): _*)).as("ng"))
-      .select(col("doc_id"), col("tot"), col("ng.n").as("n"),
-        explode(col("ng.gs")).as("gram"))
+    // 13.7% of the whole sf1 suite). Each band FAMILY is one fused
+    // band generator ([[graft.functions.WordNgramBandsExpr]] /
+    // [[graft.functions.WordNgramH64CharsBandsExpr]]): one array of
+    // struct(n, …) rows per document, ONE explode — no per-band
+    // intermediate arrays, no nested explode over an
+    // array-of-struct-of-array. Values are value-identical to the HOF
+    // spelling per band (NgramExprSpec pins the kernels), including
+    // the short-doc empty bands the IF guard used to provide.
     // Top bands (n = 2..4) keep the gram STRING through the exchange —
     // the lexicographic tie-break needs it, and 2-4-grams are short.
-    val topPerN = grams(2 to 4)
+    val topPerN = base.select(col("doc_id"), col("tot"),
+        explode(Ngrams.wordNgramBands(col("toks"), 2, 4)).as("g"))
+      .select(col("doc_id"), col("tot"), col("g.n").as("n"),
+        col("g.gram").as("gram"))
       .groupBy("doc_id", "n", "gram")
       .agg(count(lit(1)).as("cnt"), min("tot").as("tot"))
       .withColumn("chars", (length(col("gram")) - (col("n") - 1)).cast("long"))
@@ -174,12 +177,9 @@ object QualityRules {
     // per gram was ~40% of the key's remaining wall after the first
     // round-14 swap.
     val dupPerN = base.select(col("doc_id"), col("tot"),
-        explode(array((5 to 10).map(n => struct(lit(n).as("n"),
-          Ngrams.wordNgramH64Chars(col("toks"), n).as("gs"))): _*)).as("ng"))
-      .select(col("doc_id"), col("tot"), col("ng.n").as("n"),
-        explode(col("ng.gs")).as("g"))
-      .select(col("doc_id"), col("tot"), col("n"), col("g.gh").as("gh"),
-        col("g.chars").as("chars"))
+        explode(Ngrams.wordNgramH64CharsBands(col("toks"), 5, 10)).as("g"))
+      .select(col("doc_id"), col("tot"), col("g.n").as("n"),
+        col("g.gh").as("gh"), col("g.chars").as("chars"))
       .groupBy("doc_id", "n", "gh")
       .agg(count(lit(1)).as("cnt"), min("chars").as("chars"),
         min("tot").as("tot"))

@@ -53,6 +53,9 @@ class CodegenCompileSpec extends SparkSpec {
     GenerateUnsafeProjection.generate(Seq(WordNgramStructsExpr(toks, 2)))
     GenerateUnsafeProjection.generate(Seq(TokenLengthSumExpr(toks)))
     GenerateUnsafeProjection.generate(Seq(WordNgramH64CharsExpr(toks, 5)))
+    GenerateUnsafeProjection.generate(Seq(WordNgramBandsExpr(toks, 2, 4)))
+    GenerateUnsafeProjection.generate(Seq(
+      WordNgramH64CharsBandsExpr(toks, 5, 10)))
     val longs = BoundReference(0,
       ArrayType(org.apache.spark.sql.types.LongType), nullable = true)
     GenerateUnsafeProjection.generate(Seq(WinnowSelectExpr(longs, 4)))

@@ -106,6 +106,30 @@ class NgramExprSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("band generators equal the per-band kernels, band-major order") {
+    import graft.functions.TextFunctions.h64
+    // strings form vs per-band wordNgrams
+    val wantStr = flatten(array((2 to 4).map(n =>
+      transform(Ngrams.wordNgrams(col("toks"), n),
+        g => struct(lit(n).as("n"), g.as("gram")))): _*))
+    val badS = df.select(col("id"),
+        Ngrams.wordNgramBands(col("toks"), 2, 4).as("a"), wantStr.as("b"))
+      .filter(not(col("a") <=> col("b"))).collect()
+    assert(badS.isEmpty, badS.mkString("; "))
+    // hash form vs per-band h64+chars over gram strings
+    val wantH = flatten(array((5 to 10).map(n =>
+      transform(Ngrams.wordNgrams(col("toks"), n),
+        g => struct(lit(n).as("n"), h64(g).as("gh"),
+          (length(g) - (n - 1)).cast("long").as("chars")))): _*))
+    val badH = df.filter(not(expr("exists(toks, x -> x IS NULL)")))
+      .select(col("id"),
+        Ngrams.wordNgramH64CharsBands(col("toks"), 5, 10).as("a"),
+        wantH.as("b"))
+      .filter(not(col("a") <=> col("b"))).collect()
+    assert(badH.isEmpty, badH.mkString("; "))
+    intercept[IllegalArgumentException] { Ngrams.wordNgramBands(col("toks"), 3, 2) }
+  }
+
   test("tokenLengthSum equals the aggregate fold, null-element " +
       "propagation included") {
     val hof = expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
