@@ -742,8 +742,8 @@ object TrainingData {
       |ORDER BY match_score DESC, doc_id""".stripMargin
   ) { (s, dir) =>
     // Analyzed full-text match over the index surface (the reference's
-    // `text`-typed description field, debug/s2_inspect_data_in_oss
-    // .py:20-31): both sides tokenized by the same analyzer, scored by
+    // `text`-typed description field, debug/s1_test_oss_conn.py:21-29):
+    // both sides tokenized by the same analyzer, scored by
     // matched-token count. Runs through IndexSink.matchQuery — the same
     // code path a pipeline user queries the delivered index with.
     // Per-call unique view, dropped after the (eager) analysis — a fixed

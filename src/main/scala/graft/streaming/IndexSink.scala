@@ -11,7 +11,7 @@ import graft.model.DeliveryStatus._
 /** The reference's second delivery destination (A10): bulk-index the
   * transformed records into a queryable search index (`bank_account`, 24
   * shards — reference iac/s2_app.py:841-858,
-  * debug/s2_inspect_data_in_oss.py:15-31).
+  * debug/s1_test_oss_conn.py:15-31).
   *
   * Spark-native: the "index" is a parquet table registered as a view —
   * the OpenSearch query surface (count / match_all / search / text
@@ -367,8 +367,9 @@ object IndexSink {
     spark.table(name).count()
 
   /** Analyzed full-text `match` query — the reference's index mapping
-    * types `description` as analyzed `text` (debug/s2_inspect_data_in_oss
-    * .py:20-31), so queries match at TOKEN level, not whole-string. Both
+    * types `description` as analyzed `text`
+    * (debug/s1_test_oss_conn.py:21-29), so queries match at TOKEN
+    * level, not whole-string. Both
     * sides go through the same analyzer ([[graft.functions.TextFunctions
     * .tokens]]: lowercase, \\W+ split — the standard-analyzer shape), and
     * `_score` is the count of matched query tokens (descending, doc key

@@ -19,8 +19,13 @@ class CitationSpec extends AnyFunSuite {
   private val mainRoot = Paths.get("src/main/scala")
 
   // `kds_example/lbd/common.py:7-33` | `tests/test_lbd_to_s3.py:11-22` |
-  // `lambda_app/app.py` | `README.rst:100-111`
-  private val Cite = "`([A-Za-z0-9_./-]+\\.(?:py|rst))(?::(\\d+)(?:-(\\d+))?)?`".r
+  // `lambda_app/app.py` | `README.rst:100-111` — and the same RANGED
+  // forms WITHOUT backticks (prose comments cite bare paths too; the
+  // round-14 sweep found three misattributed bare ones the
+  // backtick-only regex had been missing).
+  private val Cite =
+    ("`([A-Za-z0-9_./-]+\\.(?:py|rst))(?::(\\d+)(?:-(\\d+))?)?`" +
+      "|(?<![`A-Za-z0-9_./-])([A-Za-z0-9_./-]+\\.(?:py|rst)):(\\d+)(?:-(\\d+))?").r
 
   private def walk(root: Path, ext: String, recurse: Boolean): Seq[Path] =
     if (!Files.isDirectory(root)) Seq.empty
@@ -49,7 +54,9 @@ class CitationSpec extends AnyFunSuite {
     for (f <- files) {
       val text = new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
       for (m <- Cite.findAllMatchIn(text)) {
-        val rel = m.group(1)
+        // groups 1-3: backticked form; groups 4-6: bare ranged form.
+        val bare = m.group(1) == null
+        val rel = if (bare) m.group(4) else m.group(1)
         // Repo-own citations (the tools/ harness scripts, cited from
         // the evidence docs) resolve against the REPO, not the
         // reference.
@@ -58,11 +65,13 @@ class CitationSpec extends AnyFunSuite {
             Paths.get(rel).getFileName))
         if (!repoOwn) {
           val targets = suffixMatches(rel)
+          val g2 = if (bare) m.group(5) else m.group(2)
+          val g3 = if (bare) m.group(6) else m.group(3)
           if (targets.isEmpty) {
             problems += s"$f cites `$rel` — no such file under $refRoot"
-          } else if (m.group(2) != null) {
-            val last  = Option(m.group(3)).getOrElse(m.group(2)).toInt
-            val first = m.group(2).toInt
+          } else if (g2 != null) {
+            val last  = Option(g3).getOrElse(g2).toInt
+            val first = g2.toInt
             val fits = targets.exists { t =>
               val nLines = Files.readAllLines(t).size()
               first >= 1 && last <= nLines && first <= last
