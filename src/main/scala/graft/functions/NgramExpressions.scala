@@ -297,6 +297,58 @@ object WordNgrams {
   }
 }
 
+/** `char_ngrams(s)`: overlapping character n-grams of a string — the
+  * fastText-style langid feature. One compiled sliding window over
+  * CODE POINTS (round-14; the previous spelling was a codegen'd
+  * regex-lookahead pass, `(?s)(?=(.{n})).`, already ~6× the HOF it
+  * replaced — but the regex engine still runs a full match attempt
+  * per position, and q51b's scan is corpus × positions). Substring
+  * semantics are identical: every code-point position with ≥ n code
+  * points remaining emits s[i, i+n). NgramExprSpec pins the
+  * equivalence on multibyte fixtures.
+  */
+object CharNgrams {
+  def ngrams(s: UTF8String, n: Int): ArrayData = {
+    val chars = s.numChars()
+    val cnt = chars - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) {
+      // UTF8String.substring is code-point indexed, end-exclusive.
+      out(i) = s.substring(i, i + n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams size must be >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams expects string input, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    CharNgrams.ngrams(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.CharNgrams.ngrams($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_ngrams"
+}
+
 sealed abstract class WordNgramExprBase extends UnaryExpression {
   def n: Int
   // n-validation lives in checkInputDataTypes, NOT a constructor
@@ -548,6 +600,14 @@ object Ngrams {
     require(n >= 1, s"gram size must be >= 1, got $n")
     GraftSqlBridge.column(
       WordNgramH64CharsExpr(GraftSqlBridge.expression(toks), n))
+  }
+
+  /** Overlapping character n-grams of a string column (code-point
+    * window; substring semantics).
+    */
+  def charNgrams(s: Column, n: Int): Column = {
+    require(n >= 1, s"char-gram size must be >= 1, got $n")
+    GraftSqlBridge.column(CharNgramsExpr(GraftSqlBridge.expression(s), n))
   }
 
   /** Multi-band struct(n, gh, chars) gram rows, one array per doc. */

@@ -47,22 +47,20 @@ object TextFunctions {
 
   /** Character n-grams (overlapping, order-preserving) of a string
     * column — the fastText-style langid feature (Wenzek 2020 §2 gates
-    * CCNet on a char-n-gram classifier). Implemented as ONE codegen'd
-    * regex pass — a capturing lookahead at every position,
-    * `(?s)(?=(.{n})).` — because the obvious
-    * `transform(sequence(...), i -> substr(...))` is a higher-order
-    * function: HOF lambdas evaluate INTERPRETED per element, measured
-    * ~6× slower than the regex on a corpus scan (7 s for 1.5M trigrams
-    * at sf0.1). `(?s)` makes `.` match newlines, so the match set is
-    * exactly every codepoint position with ≥ n codepoints remaining —
-    * substring semantics. The regex never reaches the DuckDB oracle
-    * (RE2 has no lookahead): the oracle replays plain substrings,
+    * CCNet on a char-n-gram classifier). Round-14: one compiled
+    * code-point sliding window ([[CharNgramsExpr]]). History of the
+    * spelling, each step hash-gated identical: the obvious
+    * `transform(sequence(...), i -> substr(...))` HOF evaluates its
+    * lambda INTERPRETED per element; the round-13 regex-lookahead pass
+    * `(?s)(?=(.{n})).` measured ~6× faster than that — but the regex
+    * engine still runs a match attempt per position, and the kernel
+    * removes it entirely. Substring semantics: every codepoint
+    * position with ≥ n codepoints remaining; shorter strings yield an
+    * empty array. The oracle replays plain substrings,
     * `list_transform(range(1, length(t) - n + 2), i -> substring(t, i, n))`,
-    * and the hash gate proves the two spellings agree. A string
-    * shorter than n yields an empty array.
+    * and the hash gate proves the spellings agree.
     */
-  def charNgrams(s: Column, n: Int): Column =
-    regexp_extract_all(s, lit(s"(?s)(?=(${"." * n}))."), lit(1))
+  def charNgrams(s: Column, n: Int): Column = Ngrams.charNgrams(s, n)
 
   /** Distinct word 3-shingles of a token array column named `toks`
     * (requires size >= 3 — callers filter; shorter docs now yield an

@@ -54,6 +54,9 @@ class CodegenCompileSpec extends SparkSpec {
     GenerateUnsafeProjection.generate(Seq(TokenLengthSumExpr(toks)))
     GenerateUnsafeProjection.generate(Seq(WordNgramH64CharsExpr(toks, 5)))
     GenerateUnsafeProjection.generate(Seq(WordNgramBandsExpr(toks, 2, 4)))
+    val str2 = BoundReference(0, org.apache.spark.sql.types.StringType,
+      nullable = true)
+    GenerateUnsafeProjection.generate(Seq(CharNgramsExpr(str2, 3)))
     GenerateUnsafeProjection.generate(Seq(
       WordNgramH64CharsBandsExpr(toks, 5, 10)))
     val longs = BoundReference(0,

@@ -106,6 +106,23 @@ class NgramExprSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("charNgrams kernel equals the regex-lookahead spelling " +
+      "(multibyte, newlines, short strings)") {
+    import spark.implicits._
+    val strs = Seq("hello world", "γράμμα δέλτα", "ab", "a", "",
+      "line\nbreak\ttab", "ééé", "日本語のテキスト", "x" * 40)
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val regex = regexp_extract_all(col("s"),
+        lit(s"(?s)(?=(${"." * n}))."), lit(1))
+      val bad = strs.select(col("id"), Ngrams.charNgrams(col("s"), n).as("a"),
+          regex.as("b"))
+        .filter(not(col("a") <=> col("b"))).collect()
+      assert(bad.isEmpty, s"n=$n: ${bad.mkString("; ")}")
+    }
+    intercept[IllegalArgumentException] { Ngrams.charNgrams(col("s"), 0) }
+  }
+
   test("band generators equal the per-band kernels, band-major order") {
     import graft.functions.TextFunctions.h64
     // strings form vs per-band wordNgrams
