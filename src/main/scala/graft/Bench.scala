@@ -40,6 +40,14 @@ import graft.streaming.DeliveryPipeline
   *   `window: "contended"` — so an ambient host swing adjudicates
   *   itself instead of needing a fresh-window re-run (see
   *   [[normalizedRegressions]]);
+  * - the pipeline + live-epoch stages get their OWN canary bracket
+  *   (round-15): one canary pass immediately before the pipeline stage
+  *   and one immediately after the live stage; the per-key min vs the
+  *   pins is `window_factor_stream`, and every pipeline/live series is
+  *   emitted raw AND normalized by it — the query-stage factor is
+  *   measured minutes earlier and two rounds of committed rows
+  *   under-read exactly the two unbaselined streaming series by 2–3×
+  *   in windows the query canaries never saw;
   * - the pipeline number counts DELIVERED records (success + failed
   *   channels via countChannel + the dropped count), asserted conserved
   *   against the source count before printing, over the base64 wire form
@@ -101,12 +109,22 @@ object Bench {
     * NORMALIZED map like any other regression instead of masking the
     * fleet.
     */
+  /** MEDIAN over [[CanaryKeys]] of (measured / pin), lower middle on
+    * even counts, 1.0 when no canary is comparable — the shared window
+    * gauge for both the query flags and the streaming-series
+    * normalization.
+    */
+  private[graft] def canaryFactor(mins: Map[String, Double],
+      base: Map[String, Double]): Double = {
+    val ratios = CanaryKeys.flatMap(k =>
+      for { v <- mins.get(k); b <- base.get(k) if b > 0 } yield v / b).sorted
+    if (ratios.isEmpty) 1.0 else ratios((ratios.size - 1) / 2)
+  }
+
   private[graft] def normalizedRegressions(mins: Map[String, Double],
       base: Map[String, Double])
       : (Double, Map[String, Double], Map[String, Double]) = {
-    val ratios = CanaryKeys.flatMap(k =>
-      for { v <- mins.get(k); b <- base.get(k) if b > 0 } yield v / b).sorted
-    val wf = if (ratios.isEmpty) 1.0 else ratios((ratios.size - 1) / 2)
+    val wf = canaryFactor(mins, base)
     val excuse = math.max(1.0, wf)
     def flags(scale: Double) = mins.flatMap { case (n, v) =>
       base.get(n).collect {
@@ -169,6 +187,36 @@ object Bench {
         }
       } else Map.empty
 
+    // Baseline loaded BEFORE the streaming stages so the stream canary
+    // bracket below can read the pins (the regression maps still
+    // compute after the re-probe, from the same parse).
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
+    val sfOfDir = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+    val baseOpt = loadBaseline(baselinePath)
+    val baseForSf: Option[Map[String, Double]] = baseOpt.collect {
+      case (bSf, base) if sfOfDir.contains(bSf) => base
+    }
+
+    // STREAM canary bracket (round-15; VERDICT r14 #1): the query-stage
+    // window_factor is measured minutes before the pipeline/live stages
+    // run, and two rounds of committed round-end rows under-read
+    // exactly those two series by 2–3× in windows the query canaries
+    // never saw. One canary pass immediately BEFORE the pipeline stage
+    // and one immediately AFTER the live stage bracket the streaming
+    // stages; the per-key MIN of the two passes vs the pins gives the
+    // factor that actually applied while the streams ran (min, not
+    // median-of-two: a stall hitting only one bracket must not inflate
+    // the excuse). Both raw and normalized series are emitted — the
+    // raw numbers stay the measurement, the normalized ones are the
+    // cross-round comparable.
+    def canaryPass(): Map[String, Double] = CanaryKeys.flatMap { k =>
+      SparkEntry.queries.get(k)
+        .flatMap(fn => timeOne(spark, sfDir, fn).toOption.map(k -> _))
+    }.toMap
+    val canaryPre =
+      if (baseForSf.isDefined) canaryPass() else Map.empty[String, Double]
+
     // Guarded for the same reason: a StreamingQueryException out of the
     // pipeline (disk full, sink crash) is REPORTED, never propagated —
     // the per-query timings must survive any pipeline failure.
@@ -195,6 +243,16 @@ object Bench {
         (-1L, 0.0, 0.0, 0.0, 0.0,
           "error: " + Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
       }
+
+    // Closing half of the stream canary bracket (see canaryPre above).
+    val canaryPost =
+      if (baseForSf.isDefined) canaryPass() else Map.empty[String, Double]
+    val canaryStream = (canaryPre.keySet ++ canaryPost.keySet).map { k =>
+      k -> math.min(canaryPre.getOrElse(k, Double.MaxValue),
+        canaryPost.getOrElse(k, Double.MaxValue))
+    }.toMap
+    val streamWf = baseForSf.map(b => canaryFactor(canaryStream, b)).getOrElse(1.0)
+    val streamExcuse = math.max(1.0, streamWf)
 
     // End-of-run re-probe — deliberately LAST, maximizing the distance
     // from whatever stall window contaminated the original passes. One
@@ -234,13 +292,10 @@ object Bench {
     // Mechanical regression check against the pinned per-query baseline
     // (VERDICT r7 item 7): compare stall-robust min vs baseline min,
     // only at the baseline's own scale factor.
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
-    val sfOfDir = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
-      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
     // A baseline:"ok" with silently-skipped queries would read as full
     // coverage; surface the gap so a grown registry forces a re-pin.
     val (baselineState, windowFactor, regressions, regressionsNorm, uncovered) =
-      loadBaseline(baselinePath) match {
+      baseOpt match {
         case None => ("absent", 1.0, Map.empty[String, Double],
           Map.empty[String, Double], Seq.empty[String])
         case Some((bSf, _)) if !sfOfDir.contains(bSf) =>
@@ -266,7 +321,16 @@ object Bench {
     val total = times.values.sum + pipeSecs
     val totalMin = mins.values.sum + pipeSecs
     val rps = if (pipeSecs > 0 && pipeRecs > 0) pipeRecs / pipeSecs else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"queries_first":$qfirsts,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"baseline":${jstr(baselineState)},"window_factor":${math.rint(windowFactor * 100) / 100},"window":${jstr(windowState)},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"regressed_normalized":${jmap(regressionsNorm.toSeq.sortBy(_._1))},"baseline_uncovered":${uncovered.map(jstr).mkString("[", ",", "]")},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_conservation":${jstr(conservation)},"live_epoch_records":$liveRecs,"live_epoch_records_per_sec":$liveRps,"live_epoch_overhead_sec":${math.rint(liveOverheadSec * 100) / 100},"live_epoch_marginal_rps":${math.rint(liveMarginalRps * 10) / 10},"compaction_sec":$compactSecs,"live_state":${jstr(liveState)}}""")
+    // Normalized stream series: rates scale UP by the bracket factor
+    // (a contended window stretched the wall clock), seconds scale
+    // DOWN. Raw values stay in the row — the normalized ones are the
+    // cross-round comparables.
+    val rpsNorm = rps * streamExcuse
+    val liveRpsNorm = liveRps * streamExcuse
+    val liveOverheadNorm = liveOverheadSec / streamExcuse
+    val liveMarginalNorm = liveMarginalRps * streamExcuse
+    val compactNorm = compactSecs / streamExcuse
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"queries_first":$qfirsts,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"baseline":${jstr(baselineState)},"window_factor":${math.rint(windowFactor * 100) / 100},"window":${jstr(windowState)},"window_factor_stream":${math.rint(streamWf * 100) / 100},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"regressed_normalized":${jmap(regressionsNorm.toSeq.sortBy(_._1))},"baseline_uncovered":${uncovered.map(jstr).mkString("[", ",", "]")},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_records_per_sec_normalized":${math.rint(rpsNorm * 10) / 10},"pipeline_conservation":${jstr(conservation)},"live_epoch_records":$liveRecs,"live_epoch_records_per_sec":$liveRps,"live_epoch_records_per_sec_normalized":${math.rint(liveRpsNorm * 10) / 10},"live_epoch_overhead_sec":${math.rint(liveOverheadSec * 100) / 100},"live_epoch_overhead_sec_normalized":${math.rint(liveOverheadNorm * 100) / 100},"live_epoch_marginal_rps":${math.rint(liveMarginalRps * 10) / 10},"live_epoch_marginal_rps_normalized":${math.rint(liveMarginalNorm * 10) / 10},"compaction_sec":$compactSecs,"compaction_sec_normalized":${math.rint(compactNorm * 100) / 100},"live_state":${jstr(liveState)}}""")
     spark.stop()
   }
 

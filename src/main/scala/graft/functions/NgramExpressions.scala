@@ -174,10 +174,13 @@ object WordNgrams {
       var v = 0L
       var b = 0
       while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      // length(gram) − (n−1): gram length = token chars + (emitted−1)
-      // separators; identical to Σ token chars when no element is null.
+      // length(gram) − (n−1): gram length = token chars + max(emitted−1, 0)
+      // separators (an all-null window is the EMPTY gram — zero
+      // separators, matching `length('') − (n−1)`); identical to
+      // Σ token chars when no element is null.
       out(i) = new GenericInternalRow(
-        Array[Any](v >>> 4, chars + (emitted - 1).toLong - (n - 1).toLong))
+        Array[Any](v >>> 4,
+          chars + math.max(emitted - 1, 0).toLong - (n - 1).toLong))
       i += 1
     }
     new GenericArrayData(out)
@@ -223,7 +226,7 @@ object WordNgrams {
         var b = 0
         while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
         out(o) = new GenericInternalRow(Array[Any](n, v >>> 4,
-          chars + (emitted - 1).toLong - (n - 1).toLong))
+          chars + math.max(emitted - 1, 0).toLong - (n - 1).toLong))
         o += 1
         i += 1
       }
@@ -275,6 +278,49 @@ object WordNgrams {
     java.lang.Long.valueOf(total)
   }
 
+  /** 16-bit SimHash over a token array, one compiled pass — replaces
+    * the 16× bit-explode + two-level groupBy spelling (per token:
+    * h64 = first 60 md5 bits; per bit b: vote +1 if bit set else −1;
+    * code bit b := votes(b) > 0). Exact vote semantics of the SQL
+    * form `sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0`,
+    * including the null-token lane (h64(null) is null; the CASE's
+    * `when(null = 1)` falls to the −1 arm — unreachable from tokens(),
+    * which emits containsNull=false, but pinned in NgramExprSpec).
+    */
+  def simhash16(arr: ArrayData): Long = {
+    val size = arr.numElements()
+    val votes = new Array[Int](16)
+    val md = mdLocal.get()
+    var i = 0
+    while (i < size) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        v = v >>> 4
+        var bit = 0
+        while (bit < 16) {
+          if (((v >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      } else {
+        var bit = 0
+        while (bit < 16) { votes(bit) -= 1; bit += 1 }
+      }
+      i += 1
+    }
+    var code = 0L
+    var bit = 0
+    while (bit < 16) {
+      if (votes(bit) > 0) code |= (1L << bit)
+      bit += 1
+    }
+    code
+  }
+
   /** array&lt;struct&lt;w1…wn&gt;&gt; kernel (fields may be null — the
     * struct spelling `struct(toks[i] AS w1, …)` keeps nulls).
     */
@@ -313,11 +359,28 @@ object CharNgrams {
     val cnt = chars - n + 1
     if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](cnt)
+    // Slide two byte offsets one code point at a time instead of
+    // calling UTF8String.substring(i, i+n) per position — substring
+    // locates code point i by scanning from byte 0, making that
+    // spelling O(len²) per document (q51b runs this over full
+    // lowercased document text). One O(len) pass; each gram shares
+    // the doc's byte array (fromBytes(bytes, off, len) wraps, no copy).
+    val bytes = s.getBytes
+    var startOff = 0
+    var endOff = 0
+    var k = 0
+    while (k < n) {
+      endOff += UTF8String.numBytesForFirstByte(bytes(endOff))
+      k += 1
+    }
     var i = 0
     while (i < cnt) {
-      // UTF8String.substring is code-point indexed, end-exclusive.
-      out(i) = s.substring(i, i + n)
+      out(i) = UTF8String.fromBytes(bytes, startOff, endOff - startOff)
       i += 1
+      if (i < cnt) {
+        startOff += UTF8String.numBytesForFirstByte(bytes(startOff))
+        endOff += UTF8String.numBytesForFirstByte(bytes(endOff))
+      }
     }
     new GenericArrayData(out)
   }
@@ -528,6 +591,32 @@ case class WordNgramBandsExpr(child: Expression, nLo: Int, nHi: Int)
   override def prettyName: String = "word_ngram_bands"
 }
 
+/** `simhash16(toks)`: 16-bit SimHash code of a token array — one
+  * compiled pass per document instead of a 16× bit-explode through two
+  * aggregations. See [[WordNgrams.simhash16]].
+  */
+case class SimHash16Expr(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects array<string> input, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgrams.simhash16(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.WordNgrams.simhash16($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash16"
+}
+
 /** `token_length_sum(toks)`: Σ character-length over the array's
   * elements — the Gopher/repetition denominators' per-doc total, as a
   * compiled loop instead of an interpreted `aggregate` fold. See
@@ -623,6 +712,12 @@ object Ngrams {
     GraftSqlBridge.column(
       WordNgramBandsExpr(GraftSqlBridge.expression(toks), nLo, nHi))
   }
+
+  /** 16-bit SimHash code of a token array (bit-explode vote
+    * semantics, one compiled pass).
+    */
+  def simhash16(toks: Column): Column =
+    GraftSqlBridge.column(SimHash16Expr(GraftSqlBridge.expression(toks)))
 
   /** Σ character-length over a token array (`aggregate`-fold
     * semantics: null element → null sum).

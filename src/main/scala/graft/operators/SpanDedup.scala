@@ -267,26 +267,22 @@ object SpanDedup {
     * is [[duplicatedSpans]] output (or any (doc_id, span_start,
     * span_end) frame); docs without spans pass through unchanged via
     * the left join. The span list is grouped per doc (bounded by
-    * doc length / k spans) and the cut is one narrow higher-order
-    * expression — no token explode, no extra shuffle beyond the
-    * doc-keyed span agg.
+    * doc length / k spans) and the cut is one compiled walk
+    * ([[graft.functions.SpanCut]] — round 15; the previous
+    * `transform(filter(sequence(...), i -> NOT exists(spans, ...)))`
+    * spelling evaluated O(toks × spans) INTERPRETED lambdas per
+    * document, and spans concentrate on exactly the heavily-duplicated
+    * docs this operator targets) — no token explode, no extra shuffle
+    * beyond the doc-keyed span agg. SpanDedupSpec pins the kernel
+    * value-identical to the HOF spelling.
     */
   def removeSpans(toks: DataFrame, spans: DataFrame): DataFrame = {
     val perDoc = spans.groupBy("doc_id")
-      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
-        .as("spans"))
+      .agg(collect_list(struct(col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e"))).as("spans"))
     toks.join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), cutExpr.as("toks"))
+      .select(col("doc_id"),
+        graft.functions.SpanCutFunctions
+          .spanCut(col("toks"), col("spans")).as("toks"))
   }
-
-  /** `toks` minus positions covered by any of `spans` (null spans =
-    * keep everything). Index-pair walk instead of materializing a
-    * struct per token: filter the position sequence, then map back.
-    */
-  private def cutExpr: Column = expr(
-    """CASE WHEN spans IS NULL OR size(toks) = 0 THEN toks ELSE
-      |  transform(
-      |    filter(sequence(0, size(toks) - 1),
-      |      i -> NOT exists(spans, sp -> i >= sp.s AND i < sp.e)),
-      |    i -> toks[i]) END""".stripMargin)
 }

@@ -492,16 +492,16 @@ object TrainingData {
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     // 16-bit SimHash over token multiset: near-dup docs land on nearby
-    // codes; grouping by code (or code bands) gives O(n) candidate blocks.
+    // codes; grouping by code (or code bands) gives O(n) candidate
+    // blocks. One compiled pass per document (Ngrams.simhash16) — the
+    // previous spelling exploded 16 bit-rows per TOKEN through two
+    // aggregations; the kernel folds the same ±1 votes in-place, so no
+    // per-token rows ever exist and the only shuffle left is the
+    // orderBy. The size(toks) > 0 filter preserves the explode
+    // spelling's drop semantics (empty/null token arrays emit no row).
     tokenized(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .select(col("doc_id"), h64(col("term")).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(when(sum(when(expr("(h >> cast(b as int)) & 1") === 1, 1).otherwise(-1)) > 0, 1)
-        .otherwise(0).as("bit"))
-      .groupBy("doc_id")
-      .agg(sum(expr("bit * shiftleft(1, cast(b as int))")).cast("bigint").as("simhash"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), graft.functions.Ngrams.simhash16(col("toks")).as("simhash"))
       .orderBy("doc_id")
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.catalyst.expressions.BoundReference
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
-import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
 
 import graft.functions._
 
@@ -59,6 +59,11 @@ class CodegenCompileSpec extends SparkSpec {
     GenerateUnsafeProjection.generate(Seq(CharNgramsExpr(str2, 3)))
     GenerateUnsafeProjection.generate(Seq(
       WordNgramH64CharsBandsExpr(toks, 5, 10)))
+    GenerateUnsafeProjection.generate(Seq(SimHash16Expr(toks)))
+    val spansRef = BoundReference(1, ArrayType(
+      StructType(Seq(StructField("s", LongType), StructField("e", LongType)))),
+      nullable = true)
+    GenerateUnsafeProjection.generate(Seq(SpanCutExpr(toks, spansRef)))
     val longs = BoundReference(0,
       ArrayType(org.apache.spark.sql.types.LongType), nullable = true)
     GenerateUnsafeProjection.generate(Seq(WinnowSelectExpr(longs, 4)))

@@ -98,7 +98,10 @@ class NgramExprSpec extends SparkSpec with TableDrivenPropertyChecks {
       val viaStrings = transform(Ngrams.wordNgrams(col("toks"), n),
         g => struct(h64(g).as("gh"),
           (length(g) - (n - 1)).cast("long").as("chars")))
-      val bad = df.filter(not(expr("exists(toks, x -> x IS NULL)")))
+      // No null-row filter: the kernel clamps the separator term at
+      // zero, so even an all-null window matches the HOF's
+      // `length('') - (n-1)` exactly.
+      val bad = df
         .select(col("id"), Ngrams.wordNgramH64Chars(col("toks"), n).as("a"),
           viaStrings.as("b"))
         .filter(not(col("a") <=> col("b"))).collect()
@@ -138,13 +141,32 @@ class NgramExprSpec extends SparkSpec with TableDrivenPropertyChecks {
       transform(Ngrams.wordNgrams(col("toks"), n),
         g => struct(lit(n).as("n"), h64(g).as("gh"),
           (length(g) - (n - 1)).cast("long").as("chars")))): _*))
-    val badH = df.filter(not(expr("exists(toks, x -> x IS NULL)")))
+    val badH = df
       .select(col("id"),
         Ngrams.wordNgramH64CharsBands(col("toks"), 5, 10).as("a"),
         wantH.as("b"))
       .filter(not(col("a") <=> col("b"))).collect()
     assert(badH.isEmpty, badH.mkString("; "))
     intercept[IllegalArgumentException] { Ngrams.wordNgramBands(col("toks"), 3, 2) }
+  }
+
+  test("simhash16 equals the 16-row bit-explode vote spelling, " +
+      "null-token lane included") {
+    import graft.functions.TextFunctions.h64
+    val voters = df.filter(size(col("toks")) > 0)
+      .select(col("id"), explode(col("toks")).as("term"))
+      .select(col("id"), h64(col("term")).as("h"))
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(15))).as("b"))
+      .groupBy("id", "b")
+      .agg(when(sum(when(expr("(h >> cast(b as int)) & 1") === 1, 1)
+        .otherwise(-1)) > 0, 1).otherwise(0).as("bit"))
+      .groupBy("id")
+      .agg(sum(expr("bit * shiftleft(1, cast(b as int))")).cast("bigint").as("b"))
+    val kernel = df.filter(size(col("toks")) > 0)
+      .select(col("id"), Ngrams.simhash16(col("toks")).as("a"))
+    val bad = kernel.join(voters, "id")
+      .filter(not(col("a") <=> col("b"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
   }
 
   test("tokenLengthSum equals the aggregate fold, null-element " +

@@ -158,6 +158,43 @@ class SpanDedupSpec extends SparkSpec {
     assert(cleaned(4L) == Seq.empty[String])
   }
 
+  test("span_cut kernel is value-identical to the HOF cut spelling, " +
+      "unsorted/overlapping/out-of-range/empty spans included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(15L)
+    val vocab = Vector("a", "b", "c", "dd", "γράμμα", "")
+    val docs = Seq.tabulate(40) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))))
+    }
+    // Spans deliberately OUTSIDE the merged-output contract: random
+    // order, overlapping, zero-length, extending past the doc — the
+    // kernel must still match the filter/exists spelling bit-for-bit.
+    val spanRows = docs.flatMap { case (id, _) =>
+      Seq.fill(rnd.nextInt(4)) {
+        val s = rnd.nextInt(16) - 2
+        (id, s.toLong, (s + rnd.nextInt(6)).toLong)
+      }
+    }
+    val perDoc = spanRows.toDF("doc_id", "span_start", "span_end")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e"))).as("spans"))
+    val joined = docs.toDF("doc_id", "toks")
+      .join(perDoc, Seq("doc_id"), "left")
+    val hof = expr(
+      """CASE WHEN spans IS NULL OR size(toks) = 0 THEN toks ELSE
+        |  transform(
+        |    filter(sequence(0, size(toks) - 1),
+        |      i -> NOT exists(spans, sp -> i >= sp.s AND i < sp.e)),
+        |    i -> toks[i]) END""".stripMargin)
+    val bad = joined.select(col("doc_id"),
+        graft.functions.SpanCutFunctions.spanCut(col("toks"), col("spans")).as("a"),
+        hof.as("b"))
+      .filter(not(col("a") <=> col("b"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("removed token count equals total merged span length") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)

@@ -2,11 +2,13 @@
 """Scale a testdata tier up by integer replication with remapped keys.
 
 Usage: python3 tools/gen_sf.py [--from /root/testdata/sf0.1] \
-                               [--out target/testdata/sf1] [--factor 10]
+                               [--out data/sf1] [--factor 10]
 
 Builds a FK-consistent tier `factor` x the source tier for scale
 testing (the driver's tiers are read-only; this writes under the repo's
-target/). Copy 0 is the identity, so the output is a superset of the
+gitignored data/ — NOT target/, where `sbt clean` deleted the round-14
+tier mid-round and cost a regen + spot re-gate). Copy 0 is the
+identity, so the output is a superset of the
 source; copies k>0 shift every entity key by k * 10^7 on BOTH sides of
 each FK, preserving join structure exactly.
 
@@ -42,7 +44,7 @@ SHIFT = 10_000_000
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--from", dest="src", default="/root/testdata/sf0.1")
-    ap.add_argument("--out", default="target/testdata/sf1")
+    ap.add_argument("--out", default="data/sf1")
     ap.add_argument("--factor", type=int, default=10)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
