@@ -32,6 +32,29 @@ class QueriesSpec extends SparkSpec {
     assert(ivf >= 0.6, s"tuned IVF recall slid to $ivf")
   }
 
+  test("quantized-rung recall floors: PQ/IVFPQ/OPQ/OPQ-learned/MRL/int8 " +
+      "(VERDICT r14 #6)") {
+    // The quantized rungs were hash-pinned curiosities only: a codebook
+    // or rotation regression that HALVED their recall would have passed
+    // every gate. Floors sit at ~75-80% of the sf0.001 measured means
+    // (r15: q96 0.16, q97 0.16, q98 0.20, q100 0.20, q147 0.093 across
+    // its three dims rungs, q119 0.96) — the corpus is tiny and the
+    // quantizers deliberately coarse, so absolute recall is low; the
+    // floor's job is to turn a halving into a red test, not to certify
+    // retrieval quality (the sf0.01 tier and the ANN quality card carry
+    // that).
+    def meanRecall(key: String): Double =
+      SparkEntry.queries(key)(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.avg("recall")).head().getDouble(0)
+    for ((key, floor) <- Seq(
+        "q96_pq_recall" -> 0.12, "q97_ivfpq_recall" -> 0.12,
+        "q98_opq_recall" -> 0.15, "q100_opq_learned_recall" -> 0.15,
+        "q147_mrl_recall" -> 0.07, "q119_int8_recall" -> 0.75)) {
+      val r = meanRecall(key)
+      assert(r >= floor, s"$key recall slid to $r (floor $floor)")
+    }
+  }
+
   test("every registered query executes; oracle-checked ones return rows") {
     val empty = SparkEntry.registry.filter { q =>
       q.build(spark, sfDir).limit(1).collect().isEmpty
