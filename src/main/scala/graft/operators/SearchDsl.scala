@@ -531,6 +531,35 @@ object SearchDsl {
       Retrieval.bm25(spark, toks, terms)
         .select(col("doc_id"), (col("score") * lit(boost)).as("score"))
     }
+    combineFieldClauses(clauses, matchType, tieBreaker)
+  }
+
+  /** [[multiMatch]] served FROM per-field indexes — the live-store
+    * twin: each field is its own [[Retrieval.TextIndex]] (the
+    * per-field df/avgdl semantics map one-to-one onto one
+    * [[graft.streaming.LiveTextIndex]] store per field, exactly
+    * Lucene's per-field index layout), scored by
+    * [[Retrieval.bm25FromIndex]] (bit-identical to the corpus
+    * scoring), combined by the same disMax / sum. Per-query cost is
+    * the terms' postings across the fields — no corpus is touched, so
+    * a search endpoint can serve this repeatedly against stores the
+    * delivery sink maintains incrementally.
+    */
+  def multiMatchFromIndexes(spark: org.apache.spark.sql.SparkSession,
+      fields: Seq[(Retrieval.TextIndex, Double)], terms: Seq[String],
+      matchType: String = "best_fields",
+      tieBreaker: Double = 0.0): DataFrame = {
+    require(fields.nonEmpty, "multi_match needs at least one field")
+    require(terms.nonEmpty, "multi_match needs at least one term")
+    val clauses = fields.map { case (index, boost) =>
+      Retrieval.bm25FromIndex(spark, index, terms)
+        .select(col("doc_id"), (col("score") * lit(boost)).as("score"))
+    }
+    combineFieldClauses(clauses, matchType, tieBreaker)
+  }
+
+  private def combineFieldClauses(clauses: Seq[DataFrame],
+      matchType: String, tieBreaker: Double): DataFrame =
     matchType match {
       case "best_fields" => disMax(clauses, tieBreaker)
       case "most_fields" =>
@@ -539,7 +568,6 @@ object SearchDsl {
       case other => throw new IllegalArgumentException(
         s"multi_match type must be best_fields|most_fields, got $other")
     }
-  }
 
   /** `boosting` query — rank by the positive clause but DEMOTE (never
     * exclude) docs matching the negative clause: matching hits keep

@@ -1029,4 +1029,63 @@ class StreamingTwinSpec extends SparkSpec {
       s"streamed chain diverged: ${got.size} vs ${want.size} rows")
     assert(want.nonEmpty, "empty chain output proves nothing")
   }
+
+  test("live multi_match twin: per-field live indexes equal the batch " +
+      "multiMatch on the resolved corpus, through upserts + compaction") {
+    // Completes the every-search-verb-has-a-live-counterpart pattern
+    // for q183 (VERDICT r14 #8): each FIELD is its own LiveTextIndex
+    // store (per-field df/avgdl is Lucene's per-field index layout, so
+    // the live mapping is one store per field), and
+    // SearchDsl.multiMatchFromIndexes over the maintained stores must
+    // equal the batch multiMatch over the upsert-resolved corpus —
+    // bit-exact, both match types.
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    import graft.streaming.LiveTextIndex
+    import graft.operators.SearchDsl
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mm-twin").toString
+    val bodyRoot = s"$tmp/body"
+    val titleRoot = s"$tmp/title"
+    // Three epochs; doc 2 is UPSERTED in epoch 2 (its epoch-0 terms
+    // must stop scoring), and the query terms appear with different
+    // tf/dl shapes across docs so both fields rank non-trivially.
+    val epochs = Seq(
+      Seq(1L -> "data spark shuffles partitions catalyst tungsten",
+        2L -> "stale draft data data data nothing useful"),
+      Seq(3L -> "spark data streams delivery epochs compaction",
+        4L -> "unrelated words entirely different vocabulary here"),
+      Seq(2L -> "data spark replaces the stale draft cleanly"))
+    def bodyToks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "body")
+      .select(col("doc_id").cast("string").as("doc_id"),
+        tokens(col("body")).as("toks"))
+    def titleToks(rows: Seq[(Long, String)]) =
+      bodyToks(rows).select(col("doc_id"), slice(col("toks"), 1, 3).as("toks"))
+    epochs.zipWithIndex.foreach { case (rows, e) =>
+      LiveTextIndex.writeDelta(bodyToks(rows), bodyRoot, e.toLong, shards = 2)
+      LiveTextIndex.writeDelta(titleToks(rows), titleRoot, e.toLong, shards = 2)
+    }
+    LiveTextIndex.compact(spark, bodyRoot, shards = 2)
+    LiveTextIndex.compact(spark, titleRoot, shards = 2)
+    val resolved = epochs.flatten.toMap.toSeq
+    val rBody = bodyToks(resolved)
+    val rTitle = titleToks(resolved)
+    for (mt <- Seq("best_fields", "most_fields")) {
+      val live = SearchDsl.multiMatchFromIndexes(spark,
+          Seq((LiveTextIndex.read(spark, bodyRoot), 1.0),
+            (LiveTextIndex.read(spark, titleRoot), 2.0)),
+          Seq("data", "spark"), mt, tieBreaker = 0.3)
+        .as[(String, Double)].collect().toMap
+      val batch = SearchDsl.multiMatch(spark,
+          Seq((rBody, 1.0), (rTitle, 2.0)),
+          Seq("data", "spark"), mt, tieBreaker = 0.3)
+        .as[(String, Double)].collect().toMap
+      assert(live == batch, s"$mt twin diverged: live $live batch $batch")
+      assert(batch.nonEmpty, "degenerate corpus: no multi_match hits")
+      // The upserted doc scores under its NEW text only: its stale
+      // epoch-0 body was pure 'data' spam, so a retraction failure
+      // would inflate its tf and show as a score mismatch above; also
+      // pin that doc 2 is still a hit at all.
+      assert(live.contains("2"), "upserted doc lost from the live ranking")
+    }
+  }
 }
