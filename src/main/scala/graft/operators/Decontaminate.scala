@@ -76,4 +76,27 @@ object Decontaminate {
       .join(bench, "gram") // exact verification: false positives die here
       .select("doc_id").distinct()
   }
+
+  /** [[contaminatedIds]] in digest form: gram columns are 60-bit h64
+    * LONGS (`gh`) instead of strings — same Bloom-pruned shape, but
+    * the corpus-side exchange (the pipeline's biggest at 100 TB)
+    * carries 8-byte keys, and the fused gram-hash kernel upstream
+    * never materializes a gram string at all. The Bloom builder and
+    * the probe pair on the long representation
+    * (`stat.bloomFilter` over a bigint column ↔ `mightContainLong`),
+    * and the exact verification join keeps the result identical to
+    * the unfiltered digest join (DecontaminateSpec asserts both
+    * equalities).
+    */
+  def contaminatedIdsH64(spark: SparkSession, corpusGrams: DataFrame,
+      benchGrams: DataFrame, fpp: Double = 0.01): DataFrame = {
+    val bench = benchGrams.select(col("gh")).distinct().localCheckpoint()
+    val n = bench.count()
+    if (n == 0) return corpusGrams.select(col("doc_id")).limit(0)
+    val bf = bench.stat.bloomFilter("gh", n, fpp)
+    corpusGrams
+      .filter(graft.functions.BloomFunctions.bloomMightContainLong(bf, col("gh")))
+      .join(bench, "gh") // exact verification: false positives die here
+      .select("doc_id").distinct()
+  }
 }

@@ -770,18 +770,32 @@ object TrainingData {
         explode(array_distinct(
           graft.functions.Ngrams.wordNgrams(col("toks"), 8))).as("gram"))
 
+  /** [[gram8Df]] in digest form: (doc_id, gh) with gh the portable
+    * 60-bit h64 of the gram — the fused kernel hashes each gram
+    * without ever materializing the string, and downstream exchanges
+    * carry 8-byte keys (the span-dedup design). array_distinct over
+    * the hashes collapses exactly the per-doc distinct gram set (the
+    * same 60-bit identity every h64-keyed operator in the repo
+    * already relies on).
+    */
+  def gram8H64Df(docs: DataFrame): DataFrame =
+    tokenizedDf(docs)
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.Ngrams.wordNgramH64s(col("toks"), 8))).as("gh"))
+
   val q66_decontaminate: QueryDef = q(
     "q66_decontaminate",
-    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+    s"""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
       |            FROM documents),
       |g8 AS (SELECT DISTINCT doc_id,
-      |         toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] || ' ' || toks[g+3] || ' ' ||
-      |         toks[g+4] || ' ' || toks[g+5] || ' ' || toks[g+6] || ' ' || toks[g+7] AS gram
+      |         ${h64sql("toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] || ' ' || toks[g+3] || ' ' || toks[g+4] || ' ' || toks[g+5] || ' ' || toks[g+6] || ' ' || toks[g+7]")} AS gh
       |       FROM tok, unnest(range(1, len(toks) - 6)) AS u(g)
       |       WHERE len(toks) >= 8),
-      |bench AS (SELECT DISTINCT gram FROM g8
+      |bench AS (SELECT DISTINCT gh FROM g8
       |          JOIN documents d ON d.doc_id = g8.doc_id AND d.source = 'src0'),
-      |contaminated AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN bench USING (gram))
+      |contaminated AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN bench USING (gh))
       |SELECT d.doc_id, d.source FROM documents d
       |WHERE d.source <> 'src0'
       |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
@@ -799,15 +813,20 @@ object TrainingData {
     // asserts it). The final step is a left_anti join, map-side after
     // AQE broadcasts the (small) contaminated-id set. Standard practice
     // for removing eval-set contamination from a 100 TB crawl.
+    // Round-15: the gram key is the 60-bit h64 digest (the q81 /
+    // span-dedup exchange design) — the Bloom prefilter probes longs
+    // (`mightContainLong`), the verification join carries 8-byte keys,
+    // and the oracle hashes with the same portable h64 so parity is by
+    // construction.
     val docs = t(s, dir, "documents")
-    val g8 = gram8Df(docs)
+    val g8 = gram8H64Df(docs)
     // No distinct here: the operator deduplicates the benchmark side
     // internally (a second distinct would just add an exchange).
     val benchGrams = g8
       .join(docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
-      .select("gram")
+      .select("gh")
     val contaminated =
-      graft.operators.Decontaminate.contaminatedIds(s, g8, benchGrams)
+      graft.operators.Decontaminate.contaminatedIdsH64(s, g8, benchGrams)
     docs.filter(col("source") =!= "src0")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"))
@@ -1509,17 +1528,16 @@ object TrainingData {
 
   val q81_dup_gram_fraction: QueryDef = q(
     "q81_dup_gram_fraction",
-    """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+    s"""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
       |             FROM documents),
       |g8 AS (SELECT DISTINCT doc_id,
-      |         toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] || ' ' || toks[g+3] || ' ' ||
-      |         toks[g+4] || ' ' || toks[g+5] || ' ' || toks[g+6] || ' ' || toks[g+7] AS gram
+      |         ${h64sql("toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] || ' ' || toks[g+3] || ' ' || toks[g+4] || ' ' || toks[g+5] || ' ' || toks[g+6] || ' ' || toks[g+7]")} AS gh
       |       FROM tok, unnest(range(1, len(toks) - 6)) AS u(g)
       |       WHERE len(toks) >= 8),
-      |nd AS (SELECT gram, count(*) AS nd FROM g8 GROUP BY 1),
+      |nd AS (SELECT gh, count(*) AS nd FROM g8 GROUP BY 1),
       |per AS (SELECT doc_id, count(*) AS n_grams,
       |          sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup
-      |        FROM g8 JOIN nd USING (gram) GROUP BY doc_id)
+      |        FROM g8 JOIN nd USING (gh) GROUP BY doc_id)
       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
       |       CAST(n_dup AS BIGINT) AS n_dup,
       |       CAST(n_dup AS DOUBLE) / n_grams AS dup_frac
@@ -1533,11 +1551,18 @@ object TrainingData {
     // residual inter-document overlap. Scale shape: one hash-agg on the
     // gram key (mergeable), one key-partitioned join back, one reduce
     // per doc — gram cardinality bounds everything, never docs².
+    // Round-15: the gram key is the 60-bit h64 DIGEST, not the string
+    // (the span-dedup exchange design, VERDICT r14 scale audit:
+    // "exchanges carry digests not documents") — both engines hash
+    // with the same portable h64, so parity is by construction and the
+    // two corpus-sized exchanges carry 8-byte keys instead of ~60-byte
+    // gram strings; the fused gram-hash kernel never materializes the
+    // string at all.
     // dup_frac is a single correctly-rounded double division of exact
     // integers, so the hash needs no rounding guard at all.
-    val g8 = gram8Df(t(s, dir, "documents"))
-    val nd = g8.groupBy("gram").agg(count(lit(1)).as("nd"))
-    g8.join(nd, "gram")
+    val g8 = gram8H64Df(t(s, dir, "documents"))
+    val nd = g8.groupBy("gh").agg(count(lit(1)).as("nd"))
+    g8.join(nd, "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("nd") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup"))

@@ -64,6 +64,9 @@ class CodegenCompileSpec extends SparkSpec {
       StructType(Seq(StructField("s", LongType), StructField("e", LongType)))),
       nullable = true)
     GenerateUnsafeProjection.generate(Seq(SpanCutExpr(toks, spansRef)))
+    val longRef = BoundReference(2, LongType, nullable = true)
+    GenerateUnsafeProjection.generate(Seq(BloomMightContainLong(longRef,
+      org.apache.spark.util.sketch.BloomFilter.create(100, 0.01))))
     val longs = BoundReference(0,
       ArrayType(org.apache.spark.sql.types.LongType), nullable = true)
     GenerateUnsafeProjection.generate(Seq(WinnowSelectExpr(longs, 4)))

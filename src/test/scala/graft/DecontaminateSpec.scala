@@ -80,6 +80,36 @@ class DecontaminateSpec extends SparkSpec {
       plan.contains("WholeStageCodegen"), s"filter not codegen'd:\n$plan")
   }
 
+  test("digest path: contaminatedIdsH64 equals both the exact digest " +
+      "join and the string-keyed operator on the real corpus") {
+    import spark.implicits._
+    // The h64 swap (round-15) must move bytes, not semantics, twice
+    // over: the long-keyed Bloom prefilter vs the exact digest join,
+    // AND the digest pipeline vs the string pipeline end-to-end (the
+    // 60-bit identity the span-dedup family already rides).
+    val docs = queries.Tables.t(spark, sfDir, "documents")
+    val g8h = TrainingData.gram8H64Df(docs)
+    val benchH = g8h
+      .join(docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
+      .select("gh").distinct()
+    val exactH = g8h.join(benchH, "gh")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val bloomedH = Decontaminate.contaminatedIdsH64(spark, g8h, benchH)
+      .as[Long].collect().toSet
+    assert(exactH.nonEmpty, "fixture has no contamination — test is vacuous")
+    assert(bloomedH == exactH)
+    val g8 = TrainingData.gram8Df(docs)
+    val viaStrings = Decontaminate.contaminatedIds(spark, g8,
+        g8.join(docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
+          .select("gram"))
+      .as[Long].collect().toSet
+    assert(bloomedH == viaStrings,
+      "digest pipeline diverged from the string pipeline")
+    // Empty benchmark short-circuits on the digest path too.
+    assert(Decontaminate.contaminatedIdsH64(spark, g8h,
+      Seq.empty[Long].toDF("gh")).count() == 0)
+  }
+
   test("planted contamination is caught; gram-disjoint docs survive") {
     import spark.implicits._
     val corpus = Seq(
