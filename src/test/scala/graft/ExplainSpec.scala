@@ -586,4 +586,27 @@ class ExplainSpec extends SparkSpec {
     // min(struct) hash-agg — assert no second window appeared
     assert("Window \\(\\d".r.findAllIn(p).size <= 1, p)
   }
+
+  test("q45: simhash is one compiled pass — no Generate (explode), no " +
+      "aggregate; the only exchange is the output sort") {
+    // Round-15 kernel pin: the previous spelling exploded 16 bit-rows
+    // per TOKEN through two aggregations; a regression back to it
+    // shows as Generate/HashAggregate reappearing.
+    val p = plan("q45_simhash")
+    assert(p.contains("simhash16"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("HashAggregate"), p)
+    // tree-prefix count: each node appears once in the tree ("+- X")
+    // and once in the detail section ("(n) X")
+    assert("- Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q81: the gram exchanges carry the 8-byte h64 digest, never the " +
+      "gram string") {
+    val p = plan("q81_dup_gram_fraction")
+    // the fused kernel emits gh directly; a 'gram' column anywhere in
+    // the physical plan means the string came back
+    assert(p.contains("word_ngram_h64s"), p)
+    assert(!p.contains("gram#"), p)
+  }
 }
