@@ -278,6 +278,26 @@ object WordNgrams {
     java.lang.Long.valueOf(total)
   }
 
+  /** h64(prefix ++ s) for a SCALAR string — the fused form of the
+    * builtin spelling `conv(substring(md5(concat(prefix, s)), 1, 15),
+    * 16, 10)`, which materializes a 32-char hex STRING per row and
+    * parses 15 of its digits back through conv. One md5 over the raw
+    * bytes, first 8 digest bytes as unsigned big-endian `>>> 4` —
+    * the [[gramH64s]] identity, for consumers whose unit is a row,
+    * not a gram (the sketch family hashes every token row 3–4×).
+    */
+  def h64string(s: UTF8String, prefix: Array[Byte]): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    if (prefix.length > 0) md.update(prefix)
+    md.update(s.getBytes)
+    val d = md.digest()
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    v >>> 4
+  }
+
   /** 16-bit SimHash over a token array, one compiled pass — replaces
     * the 16× bit-explode + two-level groupBy spelling (per token:
     * h64 = first 60 md5 bits; per bit b: vote +1 if bit set else −1;
@@ -591,6 +611,38 @@ case class WordNgramBandsExpr(child: Expression, nLo: Int, nHi: Int)
   override def prettyName: String = "word_ngram_bands"
 }
 
+/** `h64(prefix ++ s)` as ONE compiled md5-bytes pass — no hex string,
+  * no conv parse. See [[WordNgrams.h64string]].
+  */
+case class H64Expr(child: Expression, prefix: String)
+    extends UnaryExpression {
+
+  private lazy val prefixBytes: Array[Byte] =
+    prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"h64 expects string input, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgrams.h64string(a.asInstanceOf[UTF8String], prefixBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("h64Prefix", prefixBytes, "byte[]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.WordNgrams.h64string($a, $pRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "h64"
+}
+
 /** `simhash16(toks)`: 16-bit SimHash code of a token array — one
   * compiled pass per document instead of a 16× bit-explode through two
   * aggregations. See [[WordNgrams.simhash16]].
@@ -718,6 +770,13 @@ object Ngrams {
     */
   def simhash16(toks: Column): Column =
     GraftSqlBridge.column(SimHash16Expr(GraftSqlBridge.expression(toks)))
+
+  /** h64(prefix ++ s) of a string column, one compiled md5-bytes pass
+    * (value-identical to [[graft.functions.TextFunctions.h64]] over
+    * the concatenation).
+    */
+  def h64p(s: Column, prefix: String = ""): Column =
+    GraftSqlBridge.column(H64Expr(GraftSqlBridge.expression(s), prefix))
 
   /** Σ character-length over a token array (`aggregate`-fold
     * semantics: null element → null sum).

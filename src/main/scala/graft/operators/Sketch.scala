@@ -40,10 +40,15 @@ object Sketch {
     */
   def countMinCells(words: DataFrame, depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0, s"bad sketch shape: $depth x $width")
+    // Compiled h64 kernel (round-15): the builtin spelling
+    // h64(concat('cm<r>|', w)) allocates the concatenated string AND a
+    // 32-char md5 hex string per (row, r) before conv's base-16 parse;
+    // the kernel md5s prefix-bytes ++ word-bytes directly — value-
+    // identical (NgramExprSpec pins it), 3× per token on this path.
     words
       .select(explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"),
-          (h64(concat(lit(s"cm$r|"), col("w"))) % width).as("b"))): _*)).as("c"))
+          (graft.functions.Ngrams.h64p(col("w"), s"cm$r|") % width).as("b"))): _*)).as("c"))
       .groupBy(col("c.r").as("r"), col("c.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -58,7 +63,7 @@ object Sketch {
     val keyed = probes
       .select(col("term"), explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"),
-          (h64(concat(lit(s"cm$r|"), col("term"))) % width).as("b"))): _*)).as("c"))
+          (graft.functions.Ngrams.h64p(col("term"), s"cm$r|") % width).as("b"))): _*)).as("c"))
       .select(col("term"), col("c.r").as("r"), col("c.b").as("b"))
     keyed.join(cells, Seq("r", "b"), "left")
       .groupBy("term")
@@ -127,11 +132,15 @@ object Sketch {
     // Bit shift, NOT `/`: Column `/` is DOUBLE division, and a 60-bit
     // hash is above 2^53 — the rounded quotient would corrupt ranks.
     // The oracle's integer `//` matches the shift exactly.
-    val v = shiftright(h64(col("w")), b)
+    // The hash binds ONCE through a projection (round-15, compiled h64
+    // kernel): the previous spelling evaluated the builtin
+    // md5-hex+conv chain twice per row (bucket and rank).
+    val v = shiftright(col("h"), b)
     val rank = when(v === 0, lit(61 - b).cast("long"))
       .otherwise(floor(log2((v.bitwiseAND(-v)).cast("double"))).cast("long") + 1)
     words
-      .select((h64(col("w")) % m).as("bucket"), rank.as("rank"))
+      .select(graft.functions.Ngrams.h64p(col("w")).as("h"))
+      .select((col("h") % m).as("bucket"), rank.as("rank"))
       .groupBy("bucket").agg(max("rank").as("reg"))
   }
 

@@ -4675,7 +4675,11 @@ object TrainingData {
     val probes = Seq("and", "data", "query", "the", "zzzabsent").toDF("term")
     val est = graft.operators.Sketch.countMinEstimate(cells, probes,
       depth = 3, width = 64)
-    val tru = words.groupBy(col("w").as("term")).agg(count(lit(1)).as("c"))
+    // True counts are only ever read for the 5 probe terms — filter
+    // BEFORE the groupBy (round-15): the unfiltered spelling shuffled
+    // a vocabulary-sized partial-agg state to answer 5 keys.
+    val tru = words.filter(col("w").isin("and", "data", "query", "the", "zzzabsent"))
+      .groupBy(col("w").as("term")).agg(count(lit(1)).as("c"))
     est.join(tru, Seq("term"), "left")
       .select(col("term"), col("est").cast("bigint").as("est"),
         coalesce(col("c"), lit(0L)).cast("bigint").as("true_cnt"),

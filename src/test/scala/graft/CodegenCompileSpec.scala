@@ -60,6 +60,9 @@ class CodegenCompileSpec extends SparkSpec {
     GenerateUnsafeProjection.generate(Seq(
       WordNgramH64CharsBandsExpr(toks, 5, 10)))
     GenerateUnsafeProjection.generate(Seq(SimHash16Expr(toks)))
+    val strRef = BoundReference(0, org.apache.spark.sql.types.StringType,
+      nullable = true)
+    GenerateUnsafeProjection.generate(Seq(H64Expr(strRef, "cm0|")))
     val spansRef = BoundReference(1, ArrayType(
       StructType(Seq(StructField("s", LongType), StructField("e", LongType)))),
       nullable = true)

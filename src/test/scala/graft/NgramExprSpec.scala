@@ -150,6 +150,20 @@ class NgramExprSpec extends SparkSpec with TableDrivenPropertyChecks {
     intercept[IllegalArgumentException] { Ngrams.wordNgramBands(col("toks"), 3, 2) }
   }
 
+  test("h64p equals the builtin h64(concat(prefix, s)) spelling on " +
+      "multibyte strings; null in -> null out") {
+    import graft.functions.TextFunctions.h64
+    val strs = Seq("hello", "γράμμα δέλτα", "", "日本語", "x" * 100, null)
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for (prefix <- Seq("", "cm0|", "sd|")) {
+      val bad = strs.select(col("id"),
+          Ngrams.h64p(col("s"), prefix).as("a"),
+          h64(concat(lit(prefix), col("s"))).as("b"))
+        .filter(not(col("a") <=> col("b"))).collect()
+      assert(bad.isEmpty, s"prefix=$prefix: ${bad.mkString("; ")}")
+    }
+  }
+
   test("simhash16 equals the 16-row bit-explode vote spelling, " +
       "null-token lane included") {
     import graft.functions.TextFunctions.h64
