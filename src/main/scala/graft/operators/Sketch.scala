@@ -173,11 +173,12 @@ object Sketch {
 
   /** The `j`-th Bloom bit position of word column `w` under `mBits`
     * bits — salted h64 mod m, the same independent-hash recipe as the
-    * count-min rows. Shared by build and probe so the two can never
-    * disagree on a position.
+    * count-min rows (and the same round-15 compiled kernel: k hashes
+    * per word is the build side's hot loop). Shared by build and probe
+    * so the two can never disagree on a position.
     */
   private def bloomPos(w: Column, j: Int, mBits: Int): Column =
-    h64(concat(lit(s"bf$j|"), w)) % mBits
+    graft.functions.Ngrams.h64p(w, s"bf$j|") % mBits
 
   /** Bloom-filter bitmap over a one-column (w) stream — the third
     * classic mergeable sketch (Bloom 1970): k salted bit positions per

@@ -369,7 +369,18 @@ object TrainingData {
     signaturesDf(t(s, dir, "documents"))
 
   def signaturesDf(docs: DataFrame): DataFrame = {
-    val h = shinglesDf(docs).select(col("doc_id"), (h64(col("shingle")) % P).as("hm"))
+    // Fused gram-hash kernel (round-15): the signature path only ever
+    // consumes h64(shingle), so the shingle STRING is never
+    // materialized — array_distinct collapses on the 60-bit hash
+    // instead of the string, which is EXACTLY equivalent here even
+    // under a hash collision (a min over mixed values is unchanged by
+    // dropping a duplicate), and the oracle's string-side distinct
+    // yields the same hm multiset mins by the same argument.
+    val h = tokenizedDf(docs)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.Ngrams.wordNgramH64s(col("toks"), 3))).as("hh"))
+      .select(col("doc_id"), (col("hh") % P).as("hm"))
     val aggs = (0 until NH).map(j =>
       min(graft.functions.MinHashAggregator.mixCol(col("hm"), j)).as(s"mh$j"))
     h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
