@@ -609,4 +609,12 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("word_ngram_h64s"), p)
     assert(!p.contains("gram#"), p)
   }
+
+  test("q66: the Bloom prefilter probes LONGS scan-side and the " +
+      "verification join carries digests, never gram strings") {
+    val p = plan("q66_decontaminate")
+    assert(p.contains("bloom_might_contain_long"), p)
+    assert(p.contains("word_ngram_h64s"), p)
+    assert(!p.contains("gram#"), p)
+  }
 }
