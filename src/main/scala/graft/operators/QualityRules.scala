@@ -130,6 +130,39 @@ object QualityRules {
     * pivot folds the bands back to one row per doc.
     */
   def ngramRepetition(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import graft.queries.Par
+    // ONE compiled pass per document (round-15,
+    // [[graft.functions.GopherReps]]): every aggregation in the
+    // previous plan was doc_id-keyed — nothing corpus-wide — so the
+    // two band explodes, both (doc, n, key) exchanges, the union, and
+    // the 9-way pivot reconstructed per-document state a local pass
+    // already has. The plan is now a narrow projection + the caller's
+    // sort: zero exchanges at any corpus size. Value identity with the
+    // exchange spelling is pinned band-by-band in QualityRulesSpec
+    // against [[ngramRepetitionViaExchange]].
+    val ns = (2 to 10)
+    val r = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.GopherFunctions.gopherRepetitionNums(col("toks")).as("r"))
+    val wide = r.select(col("doc_id") +: ns.map(n =>
+      least(Par.r2(col(s"r.num$n").cast("double") / col("r.tot")), lit(1.0))
+        .as(metricName(n))): _*)
+    val passes = ns.map(n => col(metricName(n)) <= RepetitionThresholds(n))
+      .reduce(_ && _)
+    wide.select(col("doc_id") +: ns.map(n => col(metricName(n))) :+
+      passes.cast("int").as("passes"): _*)
+  }
+
+  /** The pre-round-15 exchange spelling of [[ngramRepetition]] —
+    * retained SOLELY as the value-identity cross-check
+    * (QualityRulesSpec pins the fused kernel against it on the real
+    * corpus; the Bpe.scala:267 precedent). Two band explodes + two
+    * (doc, n, key) aggregations + union + pivot.
+    */
+  private[graft] def ngramRepetitionViaExchange(docs: DataFrame): DataFrame = {
     import graft.functions.Ngrams
     import graft.functions.TextFunctions.tokens
     import graft.queries.Par

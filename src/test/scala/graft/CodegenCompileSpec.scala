@@ -63,6 +63,7 @@ class CodegenCompileSpec extends SparkSpec {
     val strRef = BoundReference(0, org.apache.spark.sql.types.StringType,
       nullable = true)
     GenerateUnsafeProjection.generate(Seq(H64Expr(strRef, "cm0|")))
+    GenerateUnsafeProjection.generate(Seq(GopherRepetitionExpr(toks)))
     val spansRef = BoundReference(1, ArrayType(
       StructType(Seq(StructField("s", LongType), StructField("e", LongType)))),
       nullable = true)

@@ -116,6 +116,22 @@ class QualityRulesSpec extends SparkSpec {
     })
   }
 
+  test("fused repetition kernel equals the exchange spelling on the real " +
+      "corpus, row for row") {
+    // The round-15 fusion collapses both band explodes + aggregations
+    // + pivot into one per-doc pass; this pins it value-identical to
+    // the retained exchange plan over the full sf fixture corpus
+    // (every band, tie-breaks, caps, and the h64 collision lane all
+    // exercised by real text).
+    val docs = queries.Tables.t(spark, sfDir, "documents")
+    val a = QualityRules.ngramRepetition(docs)
+      .orderBy("doc_id").collect().toSeq
+    val b = QualityRules.ngramRepetitionViaExchange(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(a.nonEmpty && a == b,
+      s"fused kernel diverged: ${a.size} vs ${b.size} rows")
+  }
+
   test("blocklist gate is token-level and case-insensitive — substring " +
       "containment never flags (the scunthorpe property)") {
     import graft.functions.TextFunctions.tokens
