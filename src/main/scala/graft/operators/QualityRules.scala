@@ -159,7 +159,7 @@ object QualityRules {
   /** The pre-round-15 exchange spelling of [[ngramRepetition]] —
     * retained SOLELY as the value-identity cross-check
     * (QualityRulesSpec pins the fused kernel against it on the real
-    * corpus; the Bpe.scala:267 precedent). Two band explodes + two
+    * corpus; the Bpe `encodedLenSumFold` precedent). Two band explodes + two
     * (doc, n, key) aggregations + union + pivot.
     */
   private[graft] def ngramRepetitionViaExchange(docs: DataFrame): DataFrame = {
