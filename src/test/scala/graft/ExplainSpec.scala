@@ -165,13 +165,19 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("partial"), s"lost the map-side combine:\n$p")
   }
 
-  test("q153: the top gram is a min-struct partial aggregate — no window " +
-      "inside a (doc, n) group, no cartesian") {
+  test("q153: the whole repetition tree is ONE per-document compiled " +
+      "pass — no explode, no aggregate, no pivot; the only exchange is " +
+      "the output sort") {
+    // Round-15 fusion pin (supersedes the min-struct-partial-agg pin:
+    // the aggregate itself is gone). A regression back to the exchange
+    // plan shows as Generate/HashAggregate/extra Exchanges reappearing.
     val p = plan("q153_gopher_repetition")
-    assert("Window \\(\\d".r.findAllIn(p).isEmpty,
-      s"a per-doc window would serialize a repetitive mega-doc's grams:\n$p")
+    assert(p.contains("gopher_repetition_nums"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert("Window \\(\\d".r.findAllIn(p).isEmpty, p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("partial"), s"lost the map-side combine:\n$p")
+    assert("- Exchange".r.findAllIn(p).size <= 1, p)
   }
 
   test("q152: image pairing is the band-key EQUI-join — candidates from " +
