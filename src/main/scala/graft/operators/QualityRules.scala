@@ -52,11 +52,17 @@ object QualityRules {
             - length(replace(col("text"), lit("…"), lit("")))))
           .as("n_symbols"),
         size(col("lines")).cast("long").as("n_lines"),
-        expr("size(filter(lines, x -> ltrim(x) RLIKE '^[-•*]'))")
+        // Compiled count kernels (round-15): the size(filter(...))
+        // spelling evaluated its RLIKE lambda INTERPRETED per
+        // line/token; these run the identical java.util.regex call
+        // compiled and count in place (CountExprSpec pins equality).
+        graft.functions.CountFunctions.countMatching(col("lines"),
+            "^[-•*]", graft.functions.CountKernels.TrimLeft)
           .cast("long").as("n_bullet"),
-        expr("size(filter(lines, x -> rtrim(x) RLIKE '([.]{3}|…)$'))")
+        graft.functions.CountFunctions.countMatching(col("lines"),
+            "([.]{3}|…)$", graft.functions.CountKernels.TrimRight)
           .cast("long").as("n_ellipsis"),
-        expr("size(filter(toks, x -> x RLIKE '[a-z]'))")
+        graft.functions.CountFunctions.countMatching(col("toks"), "[a-z]")
           .cast("long").as("n_alpha"),
         size(array_intersect(array_distinct(col("toks")), stopsArr))
           .cast("long").as("stop_hits"))

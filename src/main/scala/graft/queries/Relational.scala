@@ -45,13 +45,17 @@ object Relational {
     "q03_filter",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
       |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
   ) { (s, dir) =>
     // Both predicates reach the parquet scan (PushedFilters).
+    // ORDER BY is total over the emitted columns (round-15: the
+    // synthetic lineitem does NOT keep (l_orderkey, l_linenumber)
+    // unique, and the loader rebalance surfaced the ambiguous tie the
+    // scan order used to hide; l_returnflag is constant 'R' here).
     t(s, dir, "lineitem")
       .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
   }
 
   val q04_filter_in_between: QueryDef = q(
@@ -494,8 +498,12 @@ object Relational {
       |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
       |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
       |  floor(power(1 + l_discount, 2) * 100 + 0.5) / 100 AS disc_sq
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, revenue, dist1000, qty_ceil, disc_sq""".stripMargin
   ) { (s, dir) =>
+    // ORDER BY is total over the emitted columns (round-15: same
+    // q03 story — (l_orderkey, l_linenumber) is not unique in the
+    // synthetic lineitem, and the loader rebalance surfaced the tie).
     t(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
       Par.r2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
@@ -503,7 +511,8 @@ object Relational {
       ceil(col("l_quantity")).as("qty_ceil"),
       floor(col("l_quantity")).as("qty_floor"),
       Par.r2(pow(lit(1) + col("l_discount"), 2)).as("disc_sq")
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).orderBy("l_orderkey", "l_linenumber", "revenue", "dist1000",
+      "qty_ceil", "disc_sq")
   }
 
   val q28_json: QueryDef = q(

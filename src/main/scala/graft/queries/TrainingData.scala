@@ -323,7 +323,8 @@ object TrainingData {
       .select(col("doc_id"), col("lang"), col("n_char"),
         size(col("toks")).as("n_tok"),
         size(array_distinct(col("toks"))).as("n_uniq"),
-        expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))").as("n_stop"))
+        graft.functions.CountFunctions.countInSet(col("toks"),
+          Seq("the", "a", "of", "and", "to", "in")).as("n_stop"))
       .filter(col("n_tok") > 0)
       .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("n_char"), col("n_stop"),
         Par.r2(col("n_uniq").cast("double") / col("n_tok")).as("ttr"),
@@ -640,8 +641,7 @@ object TrainingData {
     // Stopword-profile language ID (n-gram heuristic): one score per
     // candidate language, argmax with a fixed preference order on ties.
     def score(name: String, words: Seq[String]) =
-      expr(s"size(filter(toks, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))")
-        .as(name)
+      graft.functions.CountFunctions.countInSet(col("toks"), words).as(name)
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),

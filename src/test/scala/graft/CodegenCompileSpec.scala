@@ -64,6 +64,10 @@ class CodegenCompileSpec extends SparkSpec {
       nullable = true)
     GenerateUnsafeProjection.generate(Seq(H64Expr(strRef, "cm0|")))
     GenerateUnsafeProjection.generate(Seq(GopherRepetitionExpr(toks)))
+    GenerateUnsafeProjection.generate(Seq(
+      CountMatchingExpr(toks, "^[-•*]", CountKernels.TrimLeft)))
+    GenerateUnsafeProjection.generate(Seq(
+      CountInSetExpr(toks, Seq("the", "a"))))
     val spansRef = BoundReference(1, ArrayType(
       StructType(Seq(StructField("s", LongType), StructField("e", LongType)))),
       nullable = true)

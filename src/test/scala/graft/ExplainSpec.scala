@@ -616,6 +616,21 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("gram#"), p)
   }
 
+  test("loader rebalance: the forced floor adds one round-robin " +
+      "exchange; the default floor leaves tiny tiers untouched") {
+    // The bounded small-input rebalance (Tables.rebalanced) must stay
+    // OFF below the byte floor (no exchange in front of broadcast
+    // dims, spec-tier plans unchanged) and, when it engages, be a
+    // single round-robin repartition — never a hash exchange.
+    val p0 = plan("q02_project")
+    assert(!p0.toLowerCase.contains("roundrobin"), p0)
+    withSparkConf("spark.graft.rebalance.minBytes", "1") {
+      val p = plan("q02_project")
+      assert(p.toLowerCase.contains("roundrobin"), p)
+      assert(!p.contains("hashpartitioning"), p)
+    }
+  }
+
   test("q66: the Bloom prefilter probes LONGS scan-side and the " +
       "verification join carries digests, never gram strings") {
     val p = plan("q66_decontaminate")
