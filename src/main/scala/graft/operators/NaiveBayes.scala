@@ -149,6 +149,35 @@ object NaiveBayes {
       .select(col("doc_id"), col("cls"),
         (col("ev") + col("prior")).as("score"))
 
+  /** Collect a K-class model into the broadcastable form
+    * [[graft.functions.NbScoreKernel.LocalMultiModel]] consumed by the
+    * compiled scan-side scorer ([[graft.functions.NbFunctions
+    * .nbScoreMulti]] — zero exchanges; see NbExpressions.scala for the
+    * fusion argument). The collect is V×K rows — the SAME driver
+    * materialization `scoreMulti`'s `broadcast(model.weights)` already
+    * performs per scoring plan, done once and reused; only valid for
+    * feature spaces whose V×K is broadcast-sized by construction
+    * (char-n-gram langid features). Classes sort ascending — the pivot
+    * column order every caller uses.
+    */
+  def localize(model: NbMultiModel): graft.functions.NbScoreKernel.LocalMultiModel = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val pr = model.priors.collect()
+    val classes = pr.map(_.getString(0)).sorted
+    val idx = classes.zipWithIndex.toMap
+    val priors = new Array[Double](classes.length)
+    pr.foreach(r => priors(idx(r.getString(0))) = r.getDouble(1))
+    val weights = new java.util.HashMap[UTF8String, Array[Double]]()
+    model.weights.select(col("term"), col("cls"), col("w")).collect()
+      .foreach { r =>
+        val t = UTF8String.fromString(r.getString(0))
+        var vec = weights.get(t)
+        if (vec == null) { vec = new Array[Double](classes.length); weights.put(t, vec) }
+        vec(idx(r.getString(1))) = r.getDouble(2)
+      }
+    graft.functions.NbScoreKernel.LocalMultiModel(classes, priors, weights)
+  }
+
   /** Score (doc_id, toks) against a trained model:
     * (doc_id, log_odds) with log_odds = bias + Σ_t tf(t)·w(t) over
     * the document's MODEL-KNOWN terms. Out-of-vocabulary terms are

@@ -721,16 +721,33 @@ object TrainingData {
       .select(col("doc_id"), col("lang"), charNgrams(col("lo"), 3).as("toks"))
     // Model-memo (the q79/ANN precedent): the dense weight table is
     // the train-once artifact; trainMulti localCheckpoints it, so the
-    // memoized model is session-materialized like the IVF models.
+    // memoized model is session-materialized like the IVF models. The
+    // LOCALIZED form (the V×K map the broadcast join would ship anyway)
+    // is memoized beside it: scoring is then one compiled scan-side
+    // pass (functions/NbExpressions.scala) — the tf agg, the
+    // (doc, cls) evidence agg, and the class pivot were all
+    // doc_id-keyed, so the kernel replaces BOTH corpus shuffles and
+    // the pivot with per-document state; the only exchange left is
+    // the output orderBy. NbLocalSpec pins the kernel against the
+    // exchange spelling on the emitted rounded scores.
     val model = memo(s"nbmulti|${s.sparkContext.applicationId}|$dir")(
       graft.operators.NaiveBayes.trainMulti(docs, col("lang")))
+    val local = memo(s"nbmulti-local|${s.sparkContext.applicationId}|$dir")(
+      graft.operators.NaiveBayes.localize(model))
     val classes = Seq("de", "en", "es", "fr", "zh")
-    val wide = graft.operators.NaiveBayes.scoreMulti(docs, model)
-      .select(col("doc_id"), col("cls"), Par.r2(col("score")).as("score"))
-      .groupBy("doc_id").pivot("cls", classes).agg(first("score"))
-    val scoreCols = classes.map(c => col(c).as(s"s_$c"))
+    val ci = local.classes.zipWithIndex.toMap
+    // Explicit-class projection (pivot(classes) semantics): a class
+    // absent from the trained model yields a null column.
+    val scoreCols = classes.map { c =>
+      ci.get(c) match {
+        case Some(i) => Par.r2(col("sc")(i)).as(s"s_$c")
+        case None => lit(null).cast("double").as(s"s_$c")
+      }
+    }
     val Seq(sDe, sEn, sEs, sFr, sZh) = classes.map(c => col(s"s_$c"))
-    docs.select("doc_id", "lang").join(wide, Seq("doc_id"))
+    docs.select(col("doc_id"), col("lang"),
+        graft.functions.NbFunctions.nbScoreMulti(col("toks"), local).as("sc"))
+      .filter(col("sc").isNotNull) // the exchange spelling's inner-join drop
       .select(col("doc_id") +: col("lang") +: scoreCols: _*)
       .withColumn("lang_pred",
         when(sDe >= sEn && sDe >= sEs && sDe >= sFr && sDe >= sZh, "de")

@@ -80,6 +80,12 @@ class CodegenCompileSpec extends SparkSpec {
     GenerateUnsafeProjection.generate(Seq(WinnowSelectExpr(longs, 4)))
     GenerateUnsafeProjection.generate(Seq(
       BpeEncodedLenSumExpr(toks, Seq("a" -> "b", "ab" -> "c"))))
+    val nbW = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      Array[Double]]()
+    nbW.put(org.apache.spark.unsafe.types.UTF8String.fromString("abc"),
+      Array(0.1, 0.2))
+    GenerateUnsafeProjection.generate(Seq(NbScoreMultiExpr(toks,
+      NbScoreKernel.LocalMultiModel(Array("de", "en"), Array(-0.5, -0.7), nbW))))
   }
 
   test("vector expressions compile under Janino") {
