@@ -51,6 +51,17 @@ object Tables {
     * byte-identity audit runs with the floor forced to 1 so every
     * table rebalances under BOTH profiles).
     *
+    * Row-group gate (the q40 lesson): the exchange only pays when the
+    * file's LAYOUT is actually degenerate. Size alone over-fires — a
+    * table whose footer already carries ≥ par/4 row groups scans with
+    * enough natural parallelism that the residual speedup is bounded
+    * (≤4×, usually far less) while the exchange cost is linear in the
+    * table; a 9-row-group events tier re-shuffled for a 3-task
+    * aggregation read 2.5× SLOWER. So the footer is consulted (one
+    * driver-side metadata read per path, cached for the session —
+    * the same footer every scan planning reads anyway) and only
+    * layouts under max(2, par/4) row groups move.
+    *
     * Thresholds are conf-tunable for tests:
     * `spark.graft.rebalance.minBytes` / `.maxBytes`.
     */
@@ -62,8 +73,25 @@ object Tables {
     val max = spark.conf.get("spark.graft.rebalance.maxBytes",
       "67108864").toLong
     val par = spark.sparkContext.defaultParallelism
-    if (bytes >= min && bytes < max && par > 1) df.repartition(par) else df
+    if (bytes >= min && bytes < max && par > 1 &&
+      rowGroups(spark, path) < math.max(2, par / 4)) df.repartition(par)
+    else df
   }
+
+  /** Row-group count from the parquet footer, cached per path for the
+    * session (testdata files are immutable while a session runs).
+    */
+  private val rowGroupCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def rowGroups(spark: SparkSession, path: String): Int =
+    rowGroupCache.getOrElseUpdate(path, {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRowGroups.size finally r.close()
+    })
 
   /** `events.ts` has shipped as two different parquet types across
     * testdata generations, so the reader adapts to the file's schema
