@@ -414,8 +414,24 @@ object SearchDsl {
     * clause-bounded frame (the phrase terms' postings). Pagination is
     * TakeOrderedAndProject; the facet groupBy exchanges only hit rows.
     * Nothing downstream of the match re-scans the corpus.
+    *
+    * With `index` supplied (a [[Retrieval.buildTextIndex]] artifact
+    * over THE SAME tokens), the match serves from the materialized
+    * postings instead of re-deriving them — per-request cost becomes
+    * proportional to the query terms' postings (the way the search
+    * sink actually answers: build the index once per state, serve
+    * every request from it), and mustNot resolves as an anti-join
+    * against the banned terms' postings — the inverted-index negative
+    * clause — instead of a corpus re-tokenize. Per-(doc, term) BM25
+    * is bit-identical either way (RetrievalSpec); only the per-doc
+    * float-sum order may differ, absorbed by the emitted r2 rounding
+    * exactly as between the engine and the oracle. The phrase clause
+    * keeps its scan-side positional pass in both modes (its
+    * pre-shuffle term filter is already the pruned-postings shape;
+    * [[writePositionalIndex]] is the persisted variant).
     */
-  def search(toks: DataFrame, meta: DataFrame, req: SearchRequest): SearchResponse = {
+  def search(toks: DataFrame, meta: DataFrame, req: SearchRequest,
+      index: Option[Retrieval.TextIndex] = None): SearchResponse = {
     require(req.must.nonEmpty, "a search request needs at least one must term")
     require(req.size > 0, s"size must be positive, got ${req.size}")
     val spark = toks.sparkSession
@@ -423,17 +439,29 @@ object SearchDsl {
     // spells out why this beats round(x, 2) for engine parity): the
     // cursor contract needs scores a CLIENT holds to compare exactly.
     def r2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
-    var hits = Retrieval.bm25(spark, toks, req.must)
+    var hits = index match {
+      case Some(ix) => Retrieval.bm25FromIndex(spark, ix, req.must)
+      case None => Retrieval.bm25(spark, toks, req.must)
+    }
     if (req.matchAll) hits = hits.filter(col("n_terms") === req.must.distinct.size)
     if (req.phrase.nonEmpty)
       hits = hits.join(
         phraseMatch(positionalPostings(toks), req.phrase).select(col("doc_id")),
         "doc_id")
-    if (req.mustNot.nonEmpty) {
-      val banned = array(req.mustNot.map(lit): _*)
-      hits = hits.join(
-        toks.filter(!arrays_overlap(col("toks"), banned)).select(col("doc_id")),
-        "doc_id")
+    if (req.mustNot.nonEmpty) hits = index match {
+      case Some(ix) =>
+        // {hits} minus {docs with any banned term}: identical to the
+        // arrays_overlap filter below (every doc has a toks row, so
+        // the inner join there is a pure subtraction too).
+        hits.join(
+          ix.postings.filter(col("term").isin(req.mustNot: _*))
+            .select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      case None =>
+        val banned = array(req.mustNot.map(lit): _*)
+        hits.join(
+          toks.filter(!arrays_overlap(col("toks"), banned)).select(col("doc_id")),
+          "doc_id")
     }
     req.filter.foreach { pred =>
       hits = hits.join(meta.filter(pred).select(col("doc_id")), "doc_id")

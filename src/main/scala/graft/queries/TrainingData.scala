@@ -111,6 +111,19 @@ object TrainingData {
       graft.operators.Retrieval.buildTextIndex(s, tokenized(s, dir))
     }
 
+  /** The q183 title field's own index (first 8 tokens per doc, the
+    * short-field projection the multi_match key scores with boost 2) —
+    * per-field stats ARE Lucene's per-field index layout, so the
+    * title's postings/df/avgdl live in their own artifact exactly like
+    * the body's. Same memo contract as [[textIndexFor]].
+    */
+  private def titleIndexFor(s: SparkSession, dir: String): graft.operators.Retrieval.TextIndex =
+    memo(s"textindex-title8|${s.sparkContext.applicationId}|$dir|tokens") {
+      graft.operators.Retrieval.buildTextIndex(s,
+        tokenized(s, dir).select(col("doc_id"),
+          slice(col("toks"), 1, 8).as("toks")))
+    }
+
   /** Memoized + materialized per (dir): three registry keys consume
     * the identical pair set (q32 sorts it, q72 clusters it, q117
     * attributes it to sources), and the pair VALUES are exact
@@ -2037,7 +2050,7 @@ object TrainingData {
     // (per-doc sum order is engine-internal) with the rank window over
     // just the 10 survivors. Scale shape: one corpus shuffle (the tf
     // agg, document length riding along), stats and df broadcast.
-    val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+    val scored = graft.operators.Retrieval.bm25FromIndex(s, textIndexFor(s, dir), bm25Terms)
     rankedTopByScore(scored, 10, Seq("doc_id"))
       .select(col("doc_id"), Par.r2(col("score")).as("score"),
         col("rnk").cast("bigint").as("rank"))
@@ -2088,7 +2101,7 @@ object TrainingData {
     // touches corpus-sized data; the probes broadcast against one
     // corpus scan on the vector side and the tf agg is the only
     // corpus shuffle on the text side.
-    val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+    val scored = graft.operators.Retrieval.bm25FromIndex(s, textIndexFor(s, dir), bm25Terms)
     val brank = rankedTopByScore(scored, 20, Seq("doc_id"))
       .select(col("doc_id"), col("rnk"))
     val nrm = normed(s, dir)
@@ -2584,7 +2597,7 @@ object TrainingData {
     // must_not check evaluates on the already-tokenized array —
     // no extra corpus pass, no new exchange beyond the doc-key join.
     val toksDf = tokenized(s, dir)
-    val scored = graft.operators.Retrieval.bm25(s, toksDf, Seq("data", "spark"))
+    val scored = graft.operators.Retrieval.bm25FromIndex(s, textIndexFor(s, dir), Seq("data", "spark"))
       .filter(col("n_terms") === 2)
     val meta = t(s, dir, "documents")
       .filter(col("lang") === "en" && col("n_chars").between(100, 400))
@@ -2756,7 +2769,7 @@ object TrainingData {
     // bm25's one shuffle bounds the hits, the doc-keyed metadata join
     // is the standard hydration join, and the facet groupBy partially
     // aggregates before its |sources|-group exchange.
-    val hits = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+    val hits = graft.operators.Retrieval.bm25FromIndex(s, textIndexFor(s, dir), bm25Terms)
       .select(col("doc_id"))
     graft.operators.SearchDsl.termsFacet(hits, t(s, dir, "documents"), "source",
         Seq(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
@@ -2785,7 +2798,7 @@ object TrainingData {
     // predicate filters scan-side and limit(k) is
     // TakeOrderedAndProject — per-partition top-k + a k-row driver
     // merge; no OFFSET materialization, page cost flat in depth.
-    val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+    val scored = graft.operators.Retrieval.bm25FromIndex(s, textIndexFor(s, dir), bm25Terms)
       .select(col("doc_id"), Par.r2(col("score")).as("score"))
     val page1 = scored.orderBy(col("score").desc, col("doc_id")).limit(10).collect()
     page1.lastOption match {
@@ -2918,7 +2931,8 @@ object TrainingData {
       graft.operators.SearchDsl.SearchRequest(
         must = Seq("data", "spark"), mustNot = Seq("slow"),
         filter = Some(col("lang") === "en"), size = 10,
-        highlight = Some("spark")))
+        highlight = Some("spark")),
+      index = Some(textIndexFor(s, dir)))
     resp.hits.select(col("doc_id"), col("score"), col("rank"), col("snippet"))
       .orderBy("rank")
   }
@@ -3111,7 +3125,8 @@ object TrainingData {
     val req = graft.operators.SearchDsl
       .parseQueryString("data spark -slow \"data spark\"")
     graft.operators.SearchDsl
-      .search(tokenized(s, dir), t(s, dir, "documents"), req)
+      .search(tokenized(s, dir), t(s, dir, "documents"), req,
+        index = Some(textIndexFor(s, dir)))
       .hits.select(col("doc_id"), col("score"), col("rank"))
       .orderBy("rank")
   }
@@ -3148,7 +3163,7 @@ object TrainingData {
     // union + one per-doc agg — no outer join however many clauses.
     val toksDf = tokenized(s, dir)
     val clause = (term: String) =>
-      graft.operators.Retrieval.bm25(s, toksDf, Seq(term))
+      graft.operators.Retrieval.bm25FromIndex(s, textIndexFor(s, dir), Seq(term))
         .select(col("doc_id"), col("score"))
     val dm = graft.operators.SearchDsl
       .disMax(Seq(clause("data"), clause("spark")), tieBreaker = 0.3)
@@ -4930,7 +4945,7 @@ object TrainingData {
     // embeddings scan as an IN predicate (the feature-store id lookup
     // — row-group pruning, no corpus-shaped join); the cosine
     // evaluates above that filter, priced at 20 rows.
-    val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+    val scored = graft.operators.Retrieval.bm25FromIndex(s, textIndexFor(s, dir), bm25Terms)
       .select(col("doc_id"), Par.r2(col("score")).as("score"))
     val emb = t(s, dir, "embeddings")
     val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("pe"))
@@ -4977,7 +4992,7 @@ object TrainingData {
     // collapse field is the one shuffle beside bm25's tf agg. Scale
     // shape: output is |sources| rows; nothing after the join exceeds
     // the aggregate's partial-merge width.
-    val hits = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+    val hits = graft.operators.Retrieval.bm25FromIndex(s, textIndexFor(s, dir), bm25Terms)
       .select(col("doc_id"), Par.r2(col("score")).as("score"))
     val docs = t(s, dir, "documents")
     graft.operators.SearchDsl.collapseTop(hits, docs, "source", col("score"))
@@ -5347,7 +5362,7 @@ object TrainingData {
     // cross-engine ln agreement), r2/r4 emission-only. Shape: the
     // hydration join every page pays + a narrow projection; page cut
     // is TakeOrderedAndProject.
-    val hits = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+    val hits = graft.operators.Retrieval.bm25FromIndex(s, textIndexFor(s, dir), bm25Terms)
       .select(col("doc_id"), Par.r2(col("score")).as("score"))
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), log(lit(1.0) + col("n_chars").cast("double")).as("f"))
@@ -5494,7 +5509,7 @@ object TrainingData {
         when(array_contains(col("toks"), "spark"), 1).otherwise(0) +
         when(array_contains(col("toks"), "query"), 1).otherwise(0)).as("rel"))
     val top = rankedTopByScore(
-      graft.operators.Retrieval.bm25(s, toksDf, bm25Terms), 10, Seq("doc_id"))
+      graft.operators.Retrieval.bm25FromIndex(s, textIndexFor(s, dir), bm25Terms), 10, Seq("doc_id"))
     graft.operators.RankEval.rankEval(top, relDf, k = 10, relThreshold = 2)
       .select(col("k"), col("hits"), col("total_relevant"),
         Par.r4(col("dcg")).as("dcg"), Par.r4(col("idcg")).as("idcg"),
@@ -5822,7 +5837,7 @@ object TrainingData {
     // CoveringQuery scores the same way), top-10 by rounded score.
     // Scale shape: exactly q85's — one corpus shuffle, stats/df
     // broadcast, TakeOrderedAndProject page cut.
-    val scored = graft.operators.Retrieval.bm25(s, tokenized(s, dir), bm25Terms)
+    val scored = graft.operators.Retrieval.bm25FromIndex(s, textIndexFor(s, dir), bm25Terms)
       .filter(col("n_terms") >= 2)
     rankedTopByScore(scored, 10, Seq("doc_id"))
       .select(col("doc_id"), col("n_terms").cast("long").as("n_terms"),
@@ -6016,11 +6031,9 @@ object TrainingData {
     // oracle replays both per-field chains verbatim. Scale shape: two
     // postings-bounded scoring aggs + one per-doc combine agg — the
     // title projection is scan-side slice(), never a second corpus.
-    val toksDf = tokenized(s, dir)
-    val title = toksDf.select(col("doc_id"),
-      slice(col("toks"), 1, 8).as("toks"))
-    val mm = graft.operators.SearchDsl.multiMatch(s,
-        Seq((toksDf, 1.0), (title, 2.0)), Seq("data", "spark"),
+    val mm = graft.operators.SearchDsl.multiMatchFromIndexes(s,
+        Seq((textIndexFor(s, dir), 1.0), (titleIndexFor(s, dir), 2.0)),
+        Seq("data", "spark"),
         matchType = "best_fields", tieBreaker = 0.3)
       .select(col("doc_id"), Par.r2(col("score")).as("score"))
     rankedTopByScore(mm, 10, Seq("doc_id"))
@@ -6052,12 +6065,15 @@ object TrainingData {
     // the page ranked down, the "prefer not" verb. One left join of
     // query-bounded hits against the negative id set; the demotion is
     // one IEEE multiply, so the rounded emission composes exactly.
-    val toksDf = tokenized(s, dir)
+    val idx = textIndexFor(s, dir)
     val positive = graft.operators.Retrieval
-      .bm25(s, toksDf, Seq("data", "spark"))
+      .bm25FromIndex(s, idx, Seq("data", "spark"))
       .select(col("doc_id"), col("score"))
-    val negative = toksDf
-      .filter(array_contains(col("toks"), "model")).select(col("doc_id"))
+    // The negative id set from the index: postings are unique per
+    // (term, doc), so this IS `array_contains(toks, 'model')` resolved
+    // the inverted-index way (boosting distincts defensively anyway).
+    val negative = idx.postings
+      .filter(col("term") === "model").select(col("doc_id"))
     val demoted = graft.operators.SearchDsl
       .boosting(positive, negative, negativeBoost = 0.3)
       .select(col("doc_id"), Par.r2(col("score")).as("score"))

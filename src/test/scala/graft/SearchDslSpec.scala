@@ -452,6 +452,52 @@ class SearchDslSpec extends SparkSpec {
     assert(strictIds == Set(1L, 2L, 5L, 7L)) // doc 4/6: one term; 3: no "data spark" adjacency
   }
 
+  test("search served from a TextIndex equals the corpus-pass path: hits, " +
+      "facets, cursor page, and the mustNot anti-join") {
+    import spark.implicits._
+    val toks = toksDf(Seq(
+      1L -> Seq("data", "spark", "x"),
+      2L -> Seq("data", "data", "spark"),
+      3L -> Seq("spark", "bad"),
+      4L -> Seq("data"),
+      5L -> Seq("data", "spark", "fast"),
+      6L -> Seq("spark"),
+      7L -> Seq("data", "spark", "y"),
+      8L -> Seq("zzz")))
+    val meta = Seq(
+      (1L, "en", "s1"), (2L, "en", "s1"), (3L, "en", "s2"), (4L, "fr", "s2"),
+      (5L, "en", "s2"), (6L, "en", "s3"), (7L, "en", "s3"), (8L, "en", "s3"))
+      .toDF("doc_id", "lang", "source")
+    val req = SearchDsl.SearchRequest(
+      must = Seq("data", "spark"), mustNot = Seq("bad"),
+      filter = Some(col("lang") === "en"), size = 3,
+      highlight = Some("spark"), facet = Some("source"))
+    val index = Retrieval.buildTextIndex(spark, toks)
+    def page(r: SearchDsl.SearchResponse) = r.hits
+      .select("doc_id", "score", "rank").as[(Long, Double, Long)].collect().toSeq
+    val direct = SearchDsl.search(toks, meta, req)
+    val viaIx = SearchDsl.search(toks, meta, req, index = Some(index))
+    assert(page(viaIx) == page(direct))
+    assert(viaIx.facets.get.as[(String, Long)].collect().toMap ==
+      direct.facets.get.as[(String, Long)].collect().toMap)
+    // Cursor page continues identically in both modes.
+    val cursor = (page(direct).last._2, page(direct).last._1)
+    val p2req = req.copy(after = Some(cursor), highlight = None, facet = None)
+    assert(page(SearchDsl.search(toks, meta, p2req, index = Some(index))) ==
+      page(SearchDsl.search(toks, meta, p2req)))
+    // A mustNot term nothing contains: the anti-join must be a no-op,
+    // not an accidental drop (regression guard for the postings lane).
+    val noop = req.copy(mustNot = Seq("qqq"), highlight = None, facet = None)
+    assert(page(SearchDsl.search(toks, meta, noop, index = Some(index)))
+      .map(_._1).toSet.subsetOf(Set(1L, 2L, 5L, 7L)))
+    // matchAll + phrase compose with the indexed match too.
+    val strict = SearchDsl.search(toks, meta,
+      SearchDsl.SearchRequest(must = Seq("data", "spark"), matchAll = true,
+        phrase = Seq("data", "spark")), index = Some(index))
+    assert(strict.hits.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 5L, 7L))
+  }
+
   test("percolate agrees with the naive reference on generated corpora/registries") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
