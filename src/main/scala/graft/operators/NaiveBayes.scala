@@ -60,12 +60,36 @@ object NaiveBayes {
       sum(col("pos_n")).cast("double").as("tp"),
       sum(col("all_n") - col("pos_n")).cast("double").as("tn"),
       count(lit(1)).cast("double").as("v"))
+    // Eager localCheckpoint (the trainMulti convention): the weight
+    // table is the train-once artifact — callers memoize the model,
+    // and without the materialization every scoring plan replays the
+    // corpus explode+agg lineage.
     val weights = counts.crossJoin(broadcast(totals))
       .select(col("term"),
         (log((col("pos_n") + lit(1.0)) / (col("tp") + col("v")))
           - log((col("all_n") - col("pos_n") + lit(1.0)) / (col("tn") + col("v"))))
           .as("w"))
+      .localCheckpoint(true)
     NbModel(weights, bias)
+  }
+
+  /** [[localize]]'s binary sibling: the trained [[NbModel]] as a
+    * one-class [[graft.functions.NbScoreKernel.LocalMultiModel]]
+    * (classes = ["pos"], prior slot = the bias — added LAST per the
+    * kernel contract, the same float op order as `sum(tf·w) + bias`),
+    * so [[score]]'s whole plan collapses to the compiled scan-side
+    * pass. Valid when the vocabulary is broadcast-sized — the deployed
+    * shape of a fastText-style quality classifier; the join spelling
+    * in [[score]] remains the unbounded-vocabulary path.
+    */
+  def localizeBinary(model: NbModel): graft.functions.NbScoreKernel.LocalMultiModel = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val weights = new java.util.HashMap[UTF8String, Array[Double]]()
+    model.weights.select(col("term"), col("w")).collect().foreach { r =>
+      weights.put(UTF8String.fromString(r.getString(0)), Array(r.getDouble(1)))
+    }
+    graft.functions.NbScoreKernel.LocalMultiModel(
+      Array("pos"), Array(model.bias), weights)
   }
 
   /** A trained K-class model: `weights` = (cls, term, w) DENSE over

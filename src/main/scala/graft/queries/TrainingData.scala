@@ -2691,12 +2691,21 @@ object TrainingData {
     // train = one corpus shuffle (label rides the explode) + a
     // vocab-sized totals agg; score = the q34-shaped tf agg joined to
     // the vocab-sized weight table on term.
+    // Model-memo + compiled scoring (the q51b shape): train once per
+    // (session, dir) — exact integer counts, deterministic — and score
+    // scan-side through the one-class kernel (log_odds = sc(0); the
+    // no-vocab-term NULL reproduces score()'s inner-join drop).
+    // NbLocalSpec pins the binary kernel against the join spelling.
     val lab = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"), col("lang"))
-    val model = graft.operators.NaiveBayes.train(lab, col("lang") === "en")
-    graft.operators.NaiveBayes.score(lab, model)
-      .select(col("doc_id"), Par.r2(col("log_odds")).as("log_odds"),
-        (Par.r2(col("log_odds")) > 0).cast("int").as("pred"))
+    val local = memo(s"nbbin-local|${s.sparkContext.applicationId}|$dir|en")(
+      graft.operators.NaiveBayes.localizeBinary(
+        graft.operators.NaiveBayes.train(lab, col("lang") === "en")))
+    lab.select(col("doc_id"),
+        graft.functions.NbFunctions.nbScoreMulti(col("toks"), local).as("sc"))
+      .filter(col("sc").isNotNull)
+      .select(col("doc_id"), Par.r2(col("sc")(0)).as("log_odds"),
+        (Par.r2(col("sc")(0)) > 0).cast("int").as("pred"))
       .orderBy("doc_id")
   }
 

@@ -72,6 +72,29 @@ class NbLocalSpec extends SparkSpec {
     assert(got(4L).get == Seq(1.0 - 0.25, 10.0 - 0.5))
   }
 
+  test("binary kernel scores == score()'s join spelling (rounded) on the " +
+      "real corpus model, absent-doc sets identical") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val lab = graft.queries.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"), col("lang"))
+    val model = NaiveBayes.train(lab, col("lang") === "en")
+    val local = NaiveBayes.localizeBinary(model)
+    assert(local.classes.toSeq == Seq("pos") && local.priors.head == model.bias)
+    val join = NaiveBayes.score(lab, model)
+      .select(col("doc_id"), Par.r2(col("log_odds")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    val kernel = lab.select(col("doc_id"),
+        NbFunctions.nbScoreMulti(col("toks"), local).as("sc"))
+      .filter(col("sc").isNotNull)
+      .select(col("doc_id"), col("sc")(0))
+      .as[(Long, Double)].collect()
+      .map { case (d, s) => d -> math.floor(s * 100 + 0.5) / 100 }.toMap
+    assert(kernel.keySet == join.keySet)
+    kernel.foreach { case (d, v) => assert(v == join(d), s"doc $d") }
+    assert(kernel.nonEmpty)
+  }
+
   test("localize round-trips the trained model: sorted classes, aligned " +
       "priors, dense V-term map with K-aligned weights") {
     import spark.implicits._
