@@ -57,6 +57,10 @@ object NbScoreKernel {
     require(classes.length == priors.length,
       "classes/priors length mismatch")
     def k: Int = classes.length
+    // Expressions stringify their args into every explain/UI plan —
+    // summarize instead of dumping the vocabulary.
+    override def toString: String =
+      s"LocalMultiModel(K=$k, V=${weights.size()})"
   }
 
   /** Σ tf·w per class + prior, over one token array. Returns null when

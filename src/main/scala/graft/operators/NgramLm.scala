@@ -97,6 +97,100 @@ object NgramLm {
           .as("nll"))
   }
 
+  /** Collect a trained [[Model]] into the broadcastable form consumed
+    * by the compiled scan-side scorer
+    * ([[graft.functions.LmFunctions.lmScoreBigram]] — zero exchanges;
+    * see LmExpressions.scala for the fusion argument), size-gated:
+    * None when the count tables exceed
+    * `spark.graft.lm.localize.maxRows` (default 2M rows — a bounded
+    * driver/broadcast footprint; above it callers stay on the
+    * key-partitioned join spelling, the general-vocabulary scale
+    * path). The gate reads O(1) counts off the localCheckpointed
+    * tables; the collect is the SAME driver materialization a
+    * broadcast-join plan would ship per scoring pass, done once and
+    * memoized beside the model. At 100 TB this is the production
+    * CCNet shape: the quality LM is a fixed-size pretrained artifact
+    * broadcast once; an unbounded corpus-trained vocabulary falls
+    * back to the joins.
+    */
+  def localize(spark: SparkSession, model: Model):
+      Option[graft.functions.LmScoreKernel.LocalBigramModel] = {
+    val maxRows = spark.conf.get("spark.graft.lm.localize.maxRows", "2000000").toLong
+    val rows = model.vocab + model.bigrams.count()
+    if (rows > maxRows) None
+    else Some(graft.functions.LmScoreKernel.LocalBigramModel(
+      collectUnigrams(model.unigrams, "w", "c1"),
+      collectBigrams(model.bigrams), model.vocab))
+  }
+
+  /** [[localize]]'s backoff sibling for
+    * [[graft.functions.LmFunctions.lmScoreBackoff]]; same gate over
+    * uni + bi + tri rows.
+    */
+  def localizeBackoff(spark: SparkSession, model: BackoffModel):
+      Option[graft.functions.LmScoreKernel.LocalBackoffModel] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val maxRows = spark.conf.get("spark.graft.lm.localize.maxRows", "2000000").toLong
+    val rows = model.vocab + model.bigrams.count() + model.trigrams.count()
+    if (rows > maxRows) return None
+    val tri = new java.util.HashMap[UTF8String,
+      java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]]()
+    model.trigrams.select(col("w1"), col("w2"), col("w3"), col("c3")).collect()
+      .foreach { r =>
+        val outer = tri.computeIfAbsent(UTF8String.fromString(r.getString(0)),
+          _ => new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]())
+        outer.computeIfAbsent(UTF8String.fromString(r.getString(1)),
+          _ => new java.util.HashMap[UTF8String, java.lang.Long]())
+          .put(UTF8String.fromString(r.getString(2)), r.getLong(3))
+      }
+    Some(graft.functions.LmScoreKernel.LocalBackoffModel(
+      collectUnigrams(model.unigrams, "w", "c1"),
+      collectBigrams(model.bigrams), tri, model.total, model.vocab))
+  }
+
+  private def collectUnigrams(df: DataFrame, k: String, v: String) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+    df.select(col(k), col(v)).collect()
+      .foreach(r => m.put(UTF8String.fromString(r.getString(0)), r.getLong(1)))
+    m
+  }
+
+  private def collectBigrams(df: DataFrame) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]()
+    df.select(col("w1"), col("w2"), col("c2")).collect()
+      .foreach { r =>
+        m.computeIfAbsent(UTF8String.fromString(r.getString(0)),
+          _ => new java.util.HashMap[UTF8String, java.lang.Long]())
+          .put(UTF8String.fromString(r.getString(1)), r.getLong(2))
+      }
+    m
+  }
+
+  /** [[score]] through the compiled kernel: (doc_id, n_bigrams, nll)
+    * with identical rounded values (LmLocalSpec pins the equivalence;
+    * raw doubles differ only in per-doc sum order, the class the
+    * engine/oracle gate already accepts). Zero exchanges.
+    */
+  def scoreLocal(toks: DataFrame,
+      model: graft.functions.LmScoreKernel.LocalBigramModel): DataFrame =
+    toks.select(col("doc_id"),
+        graft.functions.LmFunctions.lmScoreBigram(col("toks"), model).as("s"))
+      .filter(col("s").isNotNull) // the join spelling's short-doc drop
+      .select(col("doc_id"), col("s.n").as("n_bigrams"), col("s.nll").as("nll"))
+
+  /** [[scoreBackoff]] through the compiled kernel:
+    * (doc_id, n_trigrams, nll), same equivalence contract as
+    * [[scoreLocal]].
+    */
+  def scoreBackoffLocal(toks: DataFrame,
+      model: graft.functions.LmScoreKernel.LocalBackoffModel): DataFrame =
+    toks.select(col("doc_id"),
+        graft.functions.LmFunctions.lmScoreBackoff(col("toks"), model).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s.n").as("n_trigrams"), col("s.nll").as("nll"))
+
   /** Stupid-backoff trigram model (Brants et al. 2007, "Large Language
     * Models in Machine Translation" §4 — the web-scale LM recipe:
     * unnormalized relative frequencies with a fixed backoff factor,
@@ -203,8 +297,17 @@ object NgramLm {
     */
   def sourceDivergence(spark: SparkSession, docs: DataFrame): DataFrame = {
     val toksrc = docs.select(col("source"), explode(col("toks")).as("w"))
+    // ONE corpus pass: the (source, w) counts are the finest grain, and
+    // both marginals are exact integer sums over them — c(w) = Σ_s
+    // c_s(w), N_s = Σ_w c_s(w) — so the corpus-wide count table folds
+    // from the vocab×sources frame instead of re-running
+    // tokenize-explode-aggregate over the corpus a second time
+    // (identical counts by associativity of integer addition; the
+    // round-15 one-pass discipline, q176 precedent). The cs table
+    // localCheckpoints eagerly: it feeds c, ns AND the grid join.
     val cs = toksrc.groupBy("source", "w").agg(count(lit(1)).as("cs"))
-    val c = toksrc.groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val c = cs.groupBy("w").agg(sum(col("cs")).as("c"))
     val ns = cs.groupBy("source").agg(sum(col("cs")).as("ns"))
     // Corpus scalars: total positions N and vocab V, one tiny frame.
     val tot = c.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))

@@ -1529,7 +1529,15 @@ object TrainingData {
     // visible beside the memo-warm min.
     val model = memo(s"ngramlm|${s.sparkContext.applicationId}|$dir")(
       graft.operators.NgramLm.train(s, toks))
-    graft.operators.NgramLm.score(s, toks, model)
+    // The LOCALIZED form (size-gated; the NB-kernel precedent) scores
+    // in one compiled scan-side pass — the tf agg, both count-table
+    // joins and the per-doc reduce were all doc_id-keyed, so the only
+    // exchange left is the output orderBy. Above the gate (general
+    // vocabulary at scale) the join spelling runs unchanged.
+    val local = memo(s"ngramlm-local|${s.sparkContext.applicationId}|$dir")(
+      graft.operators.NgramLm.localize(s, model))
+    local.map(m => graft.operators.NgramLm.scoreLocal(toks, m))
+      .getOrElse(graft.operators.NgramLm.score(s, toks, model))
       .select(col("doc_id"), col("n_bigrams").cast("bigint").as("n_bigrams"),
         Par.r2(col("nll")).as("nll"))
       .orderBy("doc_id")
@@ -3508,7 +3516,10 @@ object TrainingData {
     val toks = tokenized(s, dir)
     val model = memo(s"ngramlm|${s.sparkContext.applicationId}|$dir")(
       graft.operators.NgramLm.train(s, toks))
-    val scored = graft.operators.NgramLm.score(s, toks, model)
+    val local = memo(s"ngramlm-local|${s.sparkContext.applicationId}|$dir")(
+      graft.operators.NgramLm.localize(s, model))
+    val scored = local.map(m => graft.operators.NgramLm.scoreLocal(toks, m))
+      .getOrElse(graft.operators.NgramLm.score(s, toks, model))
       .select(col("doc_id"), Par.r2(col("nll")).as("nll"))
       .join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
       .select("doc_id", "source", "nll")
@@ -3712,7 +3723,10 @@ object TrainingData {
     val toks = tokenized(s, dir)
     val model = memo(s"ngramlm|${s.sparkContext.applicationId}|$dir")(
       graft.operators.NgramLm.train(s, toks))
-    val lsrc = graft.operators.NgramLm.score(s, toks, model)
+    val local = memo(s"ngramlm-local|${s.sparkContext.applicationId}|$dir")(
+      graft.operators.NgramLm.localize(s, model))
+    val lsrc = local.map(m => graft.operators.NgramLm.scoreLocal(toks, m))
+      .getOrElse(graft.operators.NgramLm.score(s, toks, model))
       .select(col("doc_id"),
         floor(col("nll") * 100 + lit(0.5)).cast("long").as("cents"))
       .join(src, "doc_id")
@@ -4681,7 +4695,14 @@ object TrainingData {
     val model = memo(s"backofflm|${s.sparkContext.applicationId}|$dir")(
       graft.operators.NgramLm.trainBackoff(s,
         toks.filter(pmod(col("doc_id"), lit(2L)) === 0)))
-    graft.operators.NgramLm.scoreBackoff(s, toks, model)
+    // Size-gated compiled scorer (the q79/NB-kernel shape): all five
+    // count-table joins plus the per-doc reduce were doc_id-keyed, so
+    // under the gate scoring is one scan-side pass; above it the
+    // key-partitioned join spelling runs unchanged.
+    val local = memo(s"backofflm-local|${s.sparkContext.applicationId}|$dir")(
+      graft.operators.NgramLm.localizeBackoff(s, model))
+    local.map(m => graft.operators.NgramLm.scoreBackoffLocal(toks, m))
+      .getOrElse(graft.operators.NgramLm.scoreBackoff(s, toks, model))
       .select(col("doc_id"),
         col("n_trigrams").cast("bigint").as("n_trigrams"),
         Par.r2(col("nll")).as("nll"))

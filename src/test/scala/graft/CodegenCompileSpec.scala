@@ -86,6 +86,21 @@ class CodegenCompileSpec extends SparkSpec {
       Array(0.1, 0.2))
     GenerateUnsafeProjection.generate(Seq(NbScoreMultiExpr(toks,
       NbScoreKernel.LocalMultiModel(Array("de", "en"), Array(-0.5, -0.7), nbW))))
+    val lmUni = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    lmUni.put(org.apache.spark.unsafe.types.UTF8String.fromString("a"), 2L)
+    val lmInner = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    lmInner.put(org.apache.spark.unsafe.types.UTF8String.fromString("b"), 1L)
+    val lmBi = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]]()
+    lmBi.put(org.apache.spark.unsafe.types.UTF8String.fromString("a"), lmInner)
+    val lmTri = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]]]()
+    lmTri.put(org.apache.spark.unsafe.types.UTF8String.fromString("a"), lmBi)
+    GenerateUnsafeProjection.generate(Seq(LmScoreBigramExpr(toks,
+      LmScoreKernel.LocalBigramModel(lmUni, lmBi, 2L))))
+    GenerateUnsafeProjection.generate(Seq(LmScoreBackoffExpr(toks,
+      LmScoreKernel.LocalBackoffModel(lmUni, lmBi, lmTri, 5L, 2L))))
   }
 
   test("vector expressions compile under Janino") {

@@ -305,14 +305,19 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"), p)
   }
 
-  test("q79: LM scoring is keyed joins + two-phase aggs, never all-pairs") {
+  test("q79: LM scoring under the localize gate is one compiled " +
+      "scan-side pass — no explode, no agg, no join in the plan") {
     val p = plan("q79_lm_score")
-    // The count-table joins are on the gram keys; a cartesian here is
-    // the vocabulary x corpus blow-up the key-partitioned design avoids.
+    // The r15 LM kernel (functions/LmExpressions): the tf agg, both
+    // count-table joins and the per-doc reduce were all doc_id-keyed,
+    // so under the localize gate scoring is a narrow projection — the
+    // only exchanges are the loader rebalance and the output sort.
+    // (Above spark.graft.lm.localize.maxRows the join spelling runs;
+    // this pin covers the default test-tier path.)
+    assert(p.contains("lm_score_bigram"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // Count tables AND the final per-doc reduce all partial-aggregate
-    // map-side before their exchanges.
-    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("Generate") && !p.contains("HashAggregate") &&
+      !p.contains("Join"), p)
   }
 
   test("q81: duplication rate is one gram-keyed agg + join back") {
