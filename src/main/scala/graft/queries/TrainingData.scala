@@ -258,10 +258,17 @@ object TrainingData {
        |SELECT term, count(DISTINCT doc_id) AS df FROM toku
        |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin
   ) { (s, dir) =>
+    // df = docs containing the term. Dedup PER DOC scan-side
+    // (array_distinct) so each (doc, term) reaches the aggregate once:
+    // count(*) then equals countDistinct(doc_id) exactly, but the
+    // exchange carries vocab-sized (term, partial-count) rows with
+    // map-side aggregation instead of every (term, doc_id) pair
+    // through countDistinct's two-phase expand (guide §2.3 — shuffle
+    // fewer bytes; the r15 LM-sweep discipline).
     tokenized(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .select(explode(array_distinct(col("toks"))).as("term"))
       .groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term"))
       .limit(20)
   }
@@ -4870,8 +4877,12 @@ object TrainingData {
     // Exact ground truth: ONE conditional aggregate over one
     // PrefixSum pass (per-p filters would replay the corpus lineage
     // |ps| times), exploded to (p, exact) and broadcast onto est.
-    val total = xs.agg(count(lit(1)).as("n"))
+    // n folds from the value-count table (Σ c == count(*), exact
+    // integers) instead of a third corpus scan; both consumers share
+    // vc's exchange (ReuseExchange), so the corpus is read once for
+    // the whole exact path.
     val vc = xs.groupBy("x").agg(count(lit(1)).as("c"))
+    val total = vc.agg(sum(col("c")).as("n"))
     val cumv = PrefixSum.withRunningTotal(vc, "x", "c", "cum")
       .crossJoin(broadcast(total))
     val exAggs = ps.zipWithIndex.map { case (p, i) =>
