@@ -111,6 +111,21 @@ object TrainingData {
       graft.operators.Retrieval.buildTextIndex(s, tokenized(s, dir))
     }
 
+  /** The passage-level index (q90's 32/24 chunk grid as the retrieval
+    * unit, composite 'doc:chunk' key): what a RAG deployment actually
+    * serves passage queries from — the postings artifact at CHUNK
+    * granularity, built once per index state. Same memo contract as
+    * [[textIndexFor]]; the key spells the chunk geometry so a re-tuned
+    * caller forks its own entry.
+    */
+  private def chunkIndexFor(s: SparkSession, dir: String): graft.operators.Retrieval.TextIndex =
+    memo(s"chunkindex|${s.sparkContext.applicationId}|$dir|tokens|s32x24") {
+      graft.operators.Retrieval.buildTextIndex(s,
+        graft.operators.Chunker.chunkTokens(tokenized(s, dir), size = 32, stride = 24)
+          .select(concat_ws(":", col("doc_id"), col("chunk_id")).as("doc_id"),
+            col("ctoks").as("toks")))
+    }
+
   /** The q183 title field's own index (first 8 tokens per doc, the
     * short-field projection the multi_match key scores with boost 2) —
     * per-field stats ARE Lucene's per-field index layout, so the
@@ -2450,10 +2465,13 @@ object TrainingData {
     // bound. Same one-corpus-shuffle shape as q85 over the chunk
     // stream; selection on the rounded score with the numeric
     // composite tie-break (q35 precedent).
-    val ck = graft.operators.Chunker.chunkTokens(tokenized(s, dir), size = 32, stride = 24)
-      .select(concat_ws(":", col("doc_id"), col("chunk_id")).as("doc_id"),
-        col("ctoks").as("toks"))
-    val scored = graft.operators.Retrieval.bm25(s, ck, bm25Terms)
+    // Served from the memoized passage index (the fdb0441 discipline
+    // applied at chunk granularity): per-query cost proportional to
+    // the terms' chunk postings, per-(chunk, term) scores bit-identical
+    // to the corpus pass (RetrievalSpec), per-chunk sum-order absorbed
+    // by the emitted rounding.
+    val scored = graft.operators.Retrieval
+      .bm25FromIndex(s, chunkIndexFor(s, dir), bm25Terms)
     val parts = split(col("doc_id"), ":")
     val unpacked = scored.select(
       parts.getItem(0).cast("long").as("doc_id"),
