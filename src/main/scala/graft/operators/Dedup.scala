@@ -57,6 +57,22 @@ object Dedup {
     */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val base = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    // Size-gated local path (the r15 localize discipline, LM-kernel
+    // precedent): the near-dup pair graph is orders of magnitude below
+    // corpus scale by construction (it exists to be resolved and joined
+    // back), and the distributed fixpoint pays ~3 jobs of fixed
+    // overhead PER ITERATION on it. Under
+    // `spark.graft.components.localizeMaxEdges` (default 2M — a bounded
+    // driver footprint) a driver union-find with min representatives
+    // produces the identical (id, min-label) table in one pass; above
+    // the gate, and for non-long id types, the iterative min-label
+    // propagation below remains the scale path. DedupSpec pins local ==
+    // loop on fixture graphs and across the gate.
+    val longIds = base.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val maxLocal = pairs.sparkSession.conf
+      .get("spark.graft.components.localizeMaxEdges", "2000000").toLong
+    if (longIds && base.count() <= maxLocal) return componentsLocal(base)
     val nodes = base.select(col("id1").as("id"))
       .unionByName(base.select(col("id2").as("id"))).distinct()
     val edges = base
@@ -104,6 +120,51 @@ object Dedup {
             "(duplicate-cluster diameter exceeds maxIters — raise it)")
       labels
     } finally edges.unpersist()
+  }
+
+  /** [[components]] under the localize gate: collect the (long, long)
+    * pair list and union-find with MIN-id representatives + path
+    * compression — each node's root IS the smallest id in its connected
+    * component, exactly the distributed fixpoint's answer. One driver
+    * pass over the edges, one local-relation result (consumers join or
+    * aggregate it; every registry output re-sorts totally, so row order
+    * is immaterial).
+    */
+  private def componentsLocal(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x0: java.lang.Long): java.lang.Long = {
+      var r = x0
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x0
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    base.collect().foreach { row =>
+      val a = java.lang.Long.valueOf(row.getLong(0))
+      val b = java.lang.Long.valueOf(row.getLong(1))
+      if (parent.get(a) == null) parent.put(a, a)
+      if (parent.get(b) == null) parent.put(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        // Min id becomes the root, so roots stay the component minima.
+        if (ra.longValue() < rb.longValue()) parent.put(rb, ra)
+        else parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = parent.keySet().asScala.toSeq.map(id =>
+      org.apache.spark.sql.Row(id.longValue(), find(id).longValue()))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          1 + rows.size / 50000))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** SEMANTIC dedup over an embedding corpus (the SemDeDup recipe,

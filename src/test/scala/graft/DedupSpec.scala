@@ -23,6 +23,29 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("components: the gated local union-find equals the distributed " +
+      "fixpoint (same (id, min-label) map), empty graph included") {
+    import spark.implicits._
+    // Adversarial shape: late edge (8,2) merges two grown components,
+    // self-loop, reversed-order ids, chain + isolated pair.
+    val pairs = Seq((5L, 3L), (3L, 9L), (10L, 11L), (2L, 2L), (7L, 8L),
+      (8L, 2L), (9L, 1L)).toDF("id1", "id2")
+    val local = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val old = spark.conf.getOption("spark.graft.components.localizeMaxEdges")
+    try {
+      spark.conf.set("spark.graft.components.localizeMaxEdges", "0")
+      val loop = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+      assert(local == loop)
+      assert(Dedup.components(Seq.empty[(Long, Long)].toDF("id1", "id2"))
+        .count() == 0) // loop path empty graph
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.graft.components.localizeMaxEdges", v)
+      case None => spark.conf.unset("spark.graft.components.localizeMaxEdges")
+    }
+    assert(local == Map(5L -> 1L, 3L -> 1L, 9L -> 1L, 1L -> 1L,
+      10L -> 10L, 11L -> 10L, 2L -> 2L, 7L -> 2L, 8L -> 2L))
+  }
+
   test("components on an empty pair list returns empty and terminates") {
     import spark.implicits._
     // Exercises the null-sum (empty graph) branch of the convergence
