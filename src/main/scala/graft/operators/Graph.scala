@@ -48,6 +48,22 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 1000000L, s"scale must be >= 1e6 rank units, got $scale")
     val base = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    // Size-gated local path (the r15 localize discipline; the
+    // Dedup.components precedent): the pair graph is far below corpus
+    // scale by construction, and the distributed loop pays fixed job
+    // overhead per iteration. The integer-rank design makes the local
+    // replay BIT-EXACT by construction (scaled longs, order-free sums,
+    // the same div chain), so under
+    // `spark.graft.graph.localizeMaxEdges` (default 2M) one driver pass
+    // produces the identical table; above the gate, and for non-long
+    // ids, the Pregel-shaped loop below remains the scale path.
+    // GraphSpec pins local == loop across the gate.
+    val longIds = base.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val maxLocal = pairs.sparkSession.conf
+      .get("spark.graft.graph.localizeMaxEdges", "2000000").toLong
+    if (longIds && base.count() <= maxLocal)
+      return pageRankLocal(base, iters, scale)
     val edges = base
       .unionByName(base.select(col("id2").as("id1"), col("id1").as("id2")))
       .select(col("id1").as("src"), col("id2").as("dst"))
@@ -69,5 +85,51 @@ object Graph {
         .localCheckpoint() // flat plan; superseded iterates are GC'd
     }
     rank.join(deg, "id")
+  }
+
+  /** [[pageRank]] under the localize gate: the same scaled-integer
+    * iteration over driver-side adjacency — `((r·17) div 20) div deg`
+    * per directed edge, long sums (order-free), `+ baseRank` — so
+    * every iterate is bit-identical to the distributed loop's. Output
+    * (id, r, deg), the join's column order.
+    */
+  private def pageRankLocal(base: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val spark = base.sparkSession
+    val edges = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    base.collect().foreach { row =>
+      val a = row.getLong(0)
+      val b = row.getLong(1)
+      edges += ((a, b))
+      edges += ((b, a))
+    }
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    edges.foreach { case (src, _) => deg(src) = deg.getOrElse(src, 0L) + 1L }
+    val n = deg.size.toLong
+    require(n > 0, "pageRank needs a non-empty pair graph")
+    val baseRank = scale * 3 / 20 / n
+    var rank = deg.keys.map(id => id -> scale / n).to(scala.collection.mutable.HashMap)
+    for (_ <- 1 to iters) {
+      val next = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (src, dst) =>
+        next(dst) = next.getOrElse(dst, 0L) + rank(src) * 17 / 20 / deg(src)
+      }
+      // Snapshot the keys before mutating values — iterating a live
+      // keys view of the map being written is undefined for HashMap.
+      next.keySet.toArray.foreach(id => next(id) = next(id) + baseRank)
+      rank = next
+    }
+    val rows = rank.keys.toSeq.sorted.map(id =>
+      org.apache.spark.sql.Row(id, rank(id), deg(id)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          1 + rows.size / 50000))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("deg",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

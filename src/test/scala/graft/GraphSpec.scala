@@ -52,6 +52,29 @@ class GraphSpec extends SparkSpec {
     assert(got(1L)._1 == got(2L)._1 && got(2L)._1 == got(3L)._1)
   }
 
+  test("pageRank: the gated local path equals the distributed loop " +
+      "bit-for-bit (same (id, r, deg) map)") {
+    // A LARGE random graph on top of the structured fixture: the
+    // original q175 regression (driver HashMap values mutated while
+    // iterating a live keys view) only manifested past fixture size.
+    val rnd = new scala.util.Random(7)
+    val pairs = (Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L,
+      7L -> 8L, 3L -> 4L) ++
+      Vector.fill(3000)((rnd.nextInt(800).toLong, rnd.nextInt(800).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))).distinct
+    val local = run(pairs, 5, parts = 3)
+    val old = spark.conf.getOption("spark.graft.graph.localizeMaxEdges")
+    try {
+      spark.conf.set("spark.graft.graph.localizeMaxEdges", "0")
+      val loop = run(pairs, 5, parts = 3)
+      assert(local == loop)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.graft.graph.localizeMaxEdges", v)
+      case None => spark.conf.unset("spark.graft.graph.localizeMaxEdges")
+    }
+  }
+
   test("pageRank is partitioning-invariant (exact integer state)") {
     val rnd = new scala.util.Random(11)
     val pairs = Vector.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
