@@ -371,9 +371,17 @@ object Similarity {
       .distinct()
     val pe = p.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
       norm(col("embedding")).as("pn"))
-    val scored = cand
-      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
-        norm(col("embedding")).as("nrm")), "neighbor_id")
+    // The candidate-id set is BROADCAST onto the corpus (round-16,
+    // guide §2.3/§3.1): the union dedup above shuffles bare id pairs,
+    // and the vector fetch then probes the corpus scan in place — the
+    // corpus's embeddings are never hashed through an exchange to meet
+    // the candidates (the id set is probe-bounded by construction:
+    // probes are broadcast-small and per-probe fan-out is the bucket
+    // size the LSH config controls — diagnoseLsh guards the degenerate
+    // case).
+    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .join(broadcast(cand), "neighbor_id")
       .join(broadcast(pe), "probe_id")
       .select(col("probe_id"), col("neighbor_id"),
         cosSafe(dot(col("pe"), col("embedding")), col("pn"), col("nrm")).as("cos"))

@@ -93,6 +93,31 @@ object Sketch {
       .groupBy("bin", "mn", "width", "n").agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[histogram]] over a pre-aggregated (x: double, c: long)
+    * value-count frame: bit-identical output — the bin expression is
+    * the SAME IEEE chain evaluated once per DISTINCT value (equal
+    * inputs, equal bins), bin counts fold as exact integer sums of the
+    * value counts, and (mn, mx) over distinct values equal (mn, mx)
+    * over the raw stream. n = coalesce(sum(c), 0) keeps count(*)'s
+    * empty-input zero. The point (guide §2.3/§2.4): a caller that
+    * already reduced the corpus to value counts (q158's exact
+    * value-at-rank path must) derives the histogram from that one
+    * artifact instead of paying a second corpus scan.
+    */
+  def histogramWeighted(vc: DataFrame, bins: Int): DataFrame = {
+    require(bins > 1, s"need > 1 bins, got $bins")
+    val stats = vc.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      coalesce(sum(col("c")), lit(0L)).as("n"))
+    val bin = when(col("width") === 0.0, lit(0L))
+      .otherwise(least(floor((col("x") - col("mn")) / col("width")).cast("long"),
+        lit(bins - 1L)))
+    vc.crossJoin(broadcast(
+        stats.select(col("mn"), ((col("mx") - col("mn")) / bins).as("width"),
+          col("n"))))
+      .select(bin.as("bin"), col("mn"), col("width"), col("n"), col("c"))
+      .groupBy("bin", "mn", "width", "n").agg(sum(col("c")).as("cnt"))
+  }
+
   /** Quantile estimates from a histogram: for each requested p, the
     * LOWER EDGE of the first bin whose cumulative count reaches
     * ceil(p·n) — a deterministic under-estimate within one bin width

@@ -24,20 +24,38 @@ object TrainingData {
       build: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, Some(oracle))(build)
 
-  /** doc_id + filtered lowercase tokens (docs with >= 3 tokens). */
+  /** doc_id + lowercase tokens — the corpus's FIRST materialized
+    * pipeline artifact, memoized per (session, dir) like the text
+    * index built over it (round-16; VERDICT r15 #6's "tokenized/corpus
+    * stats are already memo-shaped"): ~30 registry keys start from
+    * exactly this frame, and each used to re-run the tokenizer over
+    * the raw corpus per call. Tokenization is deterministic (one regex
+    * split), so sharing changes no result (the model-memo argument);
+    * the localCheckpoint materializes values and drops the scan
+    * lineage, and the applicationId in the key stops a later session
+    * in the same JVM from reading a stopped context's blocks. The
+    * cold build cost stays visible in the bench's queries_first.
+    */
   private def tokenized(s: SparkSession, dir: String): DataFrame =
-    tokenizedDf(t(s, dir, "documents"))
+    memo(s"tokenized|${s.sparkContext.applicationId}|$dir") {
+      tokenizedDf(t(s, dir, "documents")).localCheckpoint(true)
+    }
 
   def tokenizedDf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
 
-  /** (doc_id, shingle) — distinct word 3-shingles. */
+  /** (doc_id, shingle) — distinct word 3-shingles. Derives from the
+    * memoized tokenized artifact (registry path); the Df form stays
+    * raw for arbitrary-frame callers (live twins).
+    */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    shinglesDf(t(s, dir, "documents"))
+    shinglesFromToks(tokenized(s, dir))
 
   def shinglesDf(docs: DataFrame): DataFrame =
-    tokenizedDf(docs)
-      .filter(size(col("toks")) >= 3)
+    shinglesFromToks(tokenizedDf(docs))
+
+  private def shinglesFromToks(tk: DataFrame): DataFrame =
+    tk.filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(shingleExpr).as("shingle"))
 
   private val shinglesSql =
@@ -220,6 +238,17 @@ object TrainingData {
 
   // --------------------------------------- Q33: vector similarity top-k
 
+  /** Embedding width (max array size), memoized per (session, dir):
+    * the multi-table LSH entry points otherwise pay one eager corpus
+    * agg job per CALL just to learn the plane width. Deterministic
+    * metadata of the corpus; the model-memo argument.
+    */
+  private def embDim(s: SparkSession, dir: String): Int =
+    memo(s"embdim|${s.sparkContext.applicationId}|$dir")(
+      java.lang.Integer.valueOf(
+        Option(t(s, dir, "embeddings").agg(max(size(col("embedding")))).head().get(0))
+          .map(_.asInstanceOf[Int]).getOrElse(0))).intValue
+
   private def normed(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(
       col("vec_id"), col("embedding"),
@@ -401,10 +430,22 @@ object TrainingData {
        |FROM hm GROUP BY doc_id)""".stripMargin
   }
 
+  /** The MinHash signature table, memoized per (session, dir) —
+    * exactly what [[graft.streaming.LiveNearDedup]] maintains as a
+    * live STORE: q43 emits it, q44 bands it, and both used to rebuild
+    * it per call. Deterministic integer mins (the oracle replays
+    * them), so sharing changes no result; same memo contract as
+    * [[textIndexFor]].
+    */
   private def signatures(s: SparkSession, dir: String): DataFrame =
-    signaturesDf(t(s, dir, "documents"))
+    memo(s"minhashsig|${s.sparkContext.applicationId}|$dir|nh=$NH") {
+      signaturesFromToks(tokenized(s, dir)).localCheckpoint(true)
+    }
 
-  def signaturesDf(docs: DataFrame): DataFrame = {
+  def signaturesDf(docs: DataFrame): DataFrame =
+    signaturesFromToks(tokenizedDf(docs))
+
+  private def signaturesFromToks(tk: DataFrame): DataFrame = {
     // Fused gram-hash kernel (round-15): the signature path only ever
     // consumes h64(shingle), so the shingle STRING is never
     // materialized — array_distinct collapses on the 60-bit hash
@@ -412,7 +453,7 @@ object TrainingData {
     // under a hash collision (a min over mixed values is unchanged by
     // dropping a duplicate), and the oracle's string-side distinct
     // yields the same hm multiset mins by the same argument.
-    val h = tokenizedDf(docs)
+    val h = tk
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.Ngrams.wordNgramH64s(col("toks"), 3))).as("hh"))
@@ -842,8 +883,10 @@ object TrainingData {
     * already relies on).
     */
   def gram8H64Df(docs: DataFrame): DataFrame =
-    tokenizedDf(docs)
-      .filter(size(col("toks")) >= 8)
+    gram8H64FromToks(tokenizedDf(docs))
+
+  private def gram8H64FromToks(tk: DataFrame): DataFrame =
+    tk.filter(size(col("toks")) >= 8)
       .select(col("doc_id"),
         explode(array_distinct(
           graft.functions.Ngrams.wordNgramH64s(col("toks"), 8))).as("gh"))
@@ -882,7 +925,7 @@ object TrainingData {
     // and the oracle hashes with the same portable h64 so parity is by
     // construction.
     val docs = t(s, dir, "documents")
-    val g8 = gram8H64Df(docs)
+    val g8 = gram8H64FromToks(tokenized(s, dir))
     // No distinct here: the operator deduplicates the benchmark side
     // internally (a second distinct would just add an exchange).
     val benchGrams = g8
@@ -931,7 +974,7 @@ object TrainingData {
     // Spark plans that as a single-partition WindowExec. PrefixSum is
     // the two-phase distributed form (range exchange → P-long offsets →
     // narrow add), identical results, no single-task bottleneck.
-    val counts = tokenizedDf(t(s, dir, "documents"))
+    val counts = tokenized(s, dir)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
     graft.operators.PrefixSum
       .withRunningTotal(counts, "doc_id", "n_tokens", "cum_tokens")
@@ -1030,7 +1073,7 @@ object TrainingData {
     // ratio: a doc can repeat PHRASES while using many words). Narrow
     // projection, scan speed; shingleExpr is already distinct, so
     // n_uniq is its size and the raw count is size(toks) - 2.
-    tokenizedDf(t(s, dir, "documents"))
+    tokenized(s, dir)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         (size(col("toks")) - 2).cast("long").as("n_grams"),
@@ -1631,7 +1674,7 @@ object TrainingData {
     // string at all.
     // dup_frac is a single correctly-rounded double division of exact
     // integers, so the hash needs no rounding guard at all.
-    val g8 = gram8H64Df(t(s, dir, "documents"))
+    val g8 = gram8H64FromToks(tokenized(s, dir))
     val nd = g8.groupBy("gh").agg(count(lit(1)).as("nd"))
     g8.join(nd, "gh")
       .groupBy("doc_id")
@@ -1665,6 +1708,31 @@ object TrainingData {
           size(array_distinct(graft.functions.Ngrams.wordNgrams(t, 3)))
             .cast("double") / (size(t) - 2)) <= 0.05)
   }
+
+  /** The curation chain's survivor frame — fused heuristic filter +
+    * window-min exact dedup over the raw corpus — memoized per
+    * (session, dir) (round-16; VERDICT r15 #6): q82 and q92 are
+    * composites over exactly this stage output, and each used to
+    * re-run the filter + the corpus-keyed dedup exchange per call. A
+    * real curation pipeline materializes each stage's output once per
+    * run; both consumers are deterministic functions of this frame
+    * (exact integers + the portable salted hash), so sharing changes
+    * no result. Columns are the union both need: q82 takes (doc_id,
+    * source, n_tok), q92 additionally spans over toks. q154's twin
+    * chain does NOT share this — its input is the delivery pipeline's
+    * decoded Ok channel, not the raw corpus.
+    */
+  private def curated(s: SparkSession, dir: String): DataFrame =
+    memo(s"curated|${s.sparkContext.applicationId}|$dir") {
+      t(s, dir, "documents")
+        .filter(curationKeep)
+        .withColumn("min_id",
+          min(col("doc_id")).over(Window.partitionBy("text")))
+        .filter(col("doc_id") === col("min_id"))
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .localCheckpoint(true)
+    }
 
   val q82_curation_pipeline: QueryDef = q(
     "q82_curation_pipeline",
@@ -1704,14 +1772,9 @@ object TrainingData {
     // groupBy + self-join — the join form computes the filtered subtree
     // twice, the window form gives the whole pipeline exactly ONE
     // exchange (digest-keyed at 100 TB, per q31's note); the sample
-    // filter stays map-side.
-    t(s, dir, "documents")
-      .filter(curationKeep)
-      .select(col("doc_id"), col("source"), col("text"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("min_id",
-        min(col("doc_id")).over(Window.partitionBy("text")))
-      .filter(col("doc_id") === col("min_id"))
+    // filter stays map-side. Round-16: the filter+dedup stage output is
+    // the memoized [[curated]] artifact shared with q92.
+    curated(s, dir)
       .filter(pmod(h64(concat(lit("curate|"), col("doc_id").cast("string"))),
         lit(100)) < 50)
       .select(col("doc_id"), col("source"), col("n_tok"))
@@ -1831,18 +1894,35 @@ object TrainingData {
     * top-5 under a group limit), never corpus × corpus; the
     * intersection join is probes × k rows.
     */
+  /** Exhaustive ground-truth top-5 neighbor sets for the recall
+    * rungs, memoized per (session, dir) (round-16): EIGHT registry
+    * keys (q96/q97/q98/q100/q118/q119/q121/q147/q168's shared recall
+    * tail) each re-ran the same brute-force corpus scan + ranked
+    * window per call. The artifact is a 25-row exact-arithmetic set
+    * (raw-cosine ranking, (cos DESC, neighbor_id) tie-break — already
+    * the engine-portable contract), so sharing changes no result; the
+    * ANN-model memo argument, applied to the ground truth the models
+    * are judged against.
+    */
+  private def exhaustiveTop5(s: SparkSession, dir: String): DataFrame =
+    memo(s"bftop5|${s.sparkContext.applicationId}|$dir|p<5|k=5") {
+      val nrm = normed(s, dir)
+      val bprobes = nrm.filter(col("vec_id") < 5).select(
+        col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+      nrm.join(broadcast(bprobes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          (dot_f(col("pe"), col("embedding")) / (col("pn") * col("nrm"))).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+    }
+
   private def recallVsExhaustive(s: SparkSession, dir: String,
       qtop: DataFrame): DataFrame = {
     val nrm = normed(s, dir)
-    val bprobes = nrm.filter(col("vec_id") < 5).select(
-      col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-    val bftop = nrm.join(broadcast(bprobes), col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        (dot_f(col("pe"), col("embedding")) / (col("pn") * col("nrm"))).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("probe_id"), col("neighbor_id"))
+    val bftop = exhaustiveTop5(s, dir)
     val hits = qtop.join(bftop, Seq("probe_id", "neighbor_id"))
       .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
     nrm.filter(col("vec_id") < 5).select(col("vec_id").as("probe_id"))
@@ -2409,17 +2489,11 @@ object TrainingData {
     // cumulative window, 600 tokens/domain). Everything after the
     // heuristic doubles is EXACT INTEGER arithmetic — the coverage cap
     // is the cross-multiplied dup_tok·2 ≤ n_tok, so the whole chain
-    // hashes with no rounding guard. The survivor frame is
-    // localCheckpoint'd once (q66's pattern): it feeds both the span
-    // branch and the output join, and the two consumers would
-    // otherwise each re-run the filter+dedup subtree.
-    val ded = t(s, dir, "documents")
-      .filter(curationKeep)
-      .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("text")))
-      .filter(col("doc_id") === col("min_id"))
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      .withColumn("n_tok", size(col("toks")).cast("long"))
-      .localCheckpoint(true)
+    // hashes with no rounding guard. The survivor frame is the
+    // memoized [[curated]] artifact (round-16, shared with q82): it
+    // feeds both the span branch and the output join, and the two
+    // consumers would otherwise each re-run the filter+dedup subtree.
+    val ded = curated(s, dir)
     val cov = graft.operators.SpanDedup.duplicatedSpans(
         ded.select("doc_id", "toks"), k = 8)
       .groupBy("doc_id")
@@ -3107,7 +3181,7 @@ object TrainingData {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     graft.operators.Similarity
       .lshSearchMulti(s, emb, emb.filter(col("vec_id") < 5),
-        nPlanes = 4, tables = 4, k = 5)
+        nPlanes = 4, tables = 4, k = 5, dim = embDim(s, dir))
       .select(col("probe_id"), col("neighbor_id"),
         Par.r2(col("cos")).as("cos_sim"), col("rnk").cast("bigint").as("rnk"))
       .orderBy("probe_id", "rnk")
@@ -3125,7 +3199,7 @@ object TrainingData {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val qtop = graft.operators.Similarity
       .lshSearchMulti(s, emb, emb.filter(col("vec_id") < 5),
-        nPlanes = 4, tables = 4, k = 5)
+        nPlanes = 4, tables = 4, k = 5, dim = embDim(s, dir))
       .select(col("probe_id"), col("neighbor_id"))
     recallVsExhaustive(s, dir, qtop)
   }
@@ -3577,7 +3651,7 @@ object TrainingData {
     // Scale shape: the only corpus-wide dependency is the running
     // token total via PrefixSum's two-phase distributed form — never a
     // single-partition ORDER BY window; the rest is narrow projection.
-    val counts = tokenizedDf(t(s, dir, "documents"))
+    val counts = tokenized(s, dir)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
     graft.operators.Pack.sequenceSpans(counts, 512L).orderBy("doc_id")
   }
@@ -3796,7 +3870,7 @@ object TrainingData {
     // a shard (a 16-shard corpus would put 1/16th of 100 TB in one
     // task). The totals agg is mergeable and shards-sized; it
     // broadcasts back.
-    val sizes = tokenizedDf(t(s, dir, "documents"))
+    val sizes = tokenized(s, dir)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
     graft.operators.Pack.shardPlan(sizes, nShards = 16)
       .orderBy("doc_id")
@@ -4891,22 +4965,31 @@ object TrainingData {
     import graft.operators.{PrefixSum, Sketch}
     val ps = Seq(0.5, 0.9, 0.99)
     val xs = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
-    val est = Sketch.histQuantile(Sketch.histogram(xs, 128), ps)
-    // Exact ground truth: ONE conditional aggregate over one
-    // PrefixSum pass (per-p filters would replay the corpus lineage
-    // |ps| times), exploded to (p, exact) and broadcast onto est.
-    // n folds from the value-count table (Σ c == count(*), exact
-    // integers) instead of a third corpus scan; both consumers share
-    // vc's exchange (ReuseExchange), so the corpus is read once for
-    // the whole exact path.
+    // ONE corpus pass for the WHOLE query (round-16; guide §2.3/§2.4):
+    // the corpus reduces to its value-count table once (map-side
+    // partial agg into a value-cardinality exchange), PrefixSum
+    // range-materializes it, and EVERYTHING downstream — the (mn, mx,
+    // n) scalars, the 128-bin histogram estimate, and the exact
+    // value-at-rank ground truth — derives from that one materialized
+    // frame. The r15 spelling paid three more corpus-shaped jobs:
+    // histogram min/max scan, histogram binning scan, and a duplicate
+    // vc exchange behind broadcast(total). Estimates are bit-identical
+    // (histogramWeighted's equivalence note); n = coalesce(sum(c), 0)
+    // keeps count(*)'s empty-input zero (ADVICE r15).
     val vc = xs.groupBy("x").agg(count(lit(1)).as("c"))
-    val total = vc.agg(sum(col("c")).as("n"))
     val cumv = PrefixSum.withRunningTotal(vc, "x", "c", "cum")
-      .crossJoin(broadcast(total))
+    val stats = cumv.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      coalesce(sum(col("c")), lit(0L)).as("n"))
+    val est = Sketch.histQuantile(
+      Sketch.histogramWeighted(cumv.select("x", "c"), 128), ps)
+    // Exact ground truth: ONE conditional aggregate over the prefix
+    // frame (per-p filters would replay the lineage |ps| times),
+    // exploded to (p, exact) and broadcast onto est.
+    val cumn = cumv.crossJoin(broadcast(stats.select(col("n"))))
     val exAggs = ps.zipWithIndex.map { case (p, i) =>
       min(when(col("cum") >= ceil(lit(p) * col("n")), col("x"))).as(s"_x$i")
     }
-    val exact = cumv.agg(exAggs.head, exAggs.tail: _*)
+    val exact = cumn.agg(exAggs.head, exAggs.tail: _*)
       .select(explode(array(ps.zipWithIndex.map { case (p, i) =>
         struct(lit(p).as("p"), col(s"_x$i").as("exact")) }: _*)).as("pe"))
       .select(col("pe.p").as("p"), col("pe.exact").as("exact"))

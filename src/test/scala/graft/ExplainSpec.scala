@@ -380,15 +380,18 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(doc_id"), p)
   }
 
-  test("q87 small regime: one scan, one gh window count, no checkpoint or salt") {
+  test("q87 small regime: one pass over the token artifact, one gh " +
+      "window count, no salt") {
     // Below the threshold (the bench scales live here) the plan must be
-    // the cheap one: a single parquet pass, the duplicate decision as a
-    // gh-partitioned window count, NO eager checkpoint materialization
-    // and NO salt replication — the r9 3–8× constant-factor regression
-    // came from paying the skew machinery on inputs that can't skew.
+    // the cheap one: one pass over the memoized token artifact (an
+    // ExistingRDD since the round-16 tokenized memo; previously the
+    // parquet scan), the duplicate decision as a gh-partitioned window
+    // count, and NO salt replication — the r9 3–8× constant-factor
+    // regression came from paying the skew machinery on inputs that
+    // can't skew. (The big-regime discriminator is the salt key + the
+    // two-phase partial_count, pinned in the big-regime test.)
     val p = inSpanRegime(Long.MaxValue)(plan("q87_span_dedup"))
-    assert(p.contains("Scan parquet"), p)
-    assert(!p.contains("ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
     assert(p.contains("windowspecdefinition(gh"), p)
     assert(!p.contains("_graft_salt"), p)
     assert(p.contains("windowspecdefinition(doc_id"), p)
@@ -421,17 +424,20 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q82: curation pipeline fuses filters into one pass, one hash exchange") {
+  test("q82: curation serves from the materialized survivor artifact — " +
+      "a narrow filter, zero hash exchanges") {
+    // Round-16: the filter+window-dedup stage output is the memoized
+    // [[curated]] artifact shared with q92, so the per-call plan is a
+    // scan-side sample filter over the materialized blocks — no Join,
+    // no corpus-keyed hash exchange (the only exchange left is the
+    // presentation sort's range partition). The artifact's own build
+    // (fused filter pass + ONE text-keyed window exchange) runs once
+    // per session and stays visible in queries_first.
     val p = plan("q82_curation_pipeline")
-    // Dedup is a partitioned window min — no self-join (the join form
-    // computes the filtered subtree twice), no cartesian, and the only
-    // hash exchange in the whole pipeline is the text partition (the
-    // second exchange is the final presentation sort's range partition).
+    assert(p.contains("ExistingRDD"), p)
     assert(!p.contains("Join"), p)
-    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
-    // The window is PARTITIONED (per-text groups), not the global-sort
-    // single-partition trap.
-    assert(!p.contains("No Partition Defined"), p)
+    assert("hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("Scan parquet"), p)
   }
 
   test("q113/q114: pivot is ONE two-phase agg, unpivot a narrow Expand — no join") {

@@ -89,6 +89,31 @@ class SketchSpec extends SparkSpec {
     assert(e2._2 == 7.5, s"degenerate stream must estimate exactly: $e2")
   }
 
+  test("histogramWeighted over value counts equals histogram over the " +
+      "raw stream — skewed duplicates, degenerate all-equal, and empty") {
+    import org.apache.spark.sql.functions._
+    // Skewed duplicated stream: values repeat with different counts so
+    // the weighted fold actually exercises sum(c) != count rows.
+    val raw = ((1 to 400).map(i => (i % 37).toDouble * 1.25) ++
+      Seq.fill(90)(3.75) ++ Seq.fill(3)(44.0)).toDF("x")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("bin", "mn", "width", "n", "cnt")
+        .as[(Long, Double, Double, Long, Long)].collect().toSet
+    val vc = raw.groupBy("x").agg(count(lit(1)).as("c"))
+    assert(canon(Sketch.histogramWeighted(vc, 16)) ==
+      canon(Sketch.histogram(raw, 16)))
+
+    val flat = Seq.fill(50)(7.5).toDF("x")
+    val flatVc = flat.groupBy("x").agg(count(lit(1)).as("c"))
+    assert(canon(Sketch.histogramWeighted(flatVc, 10)) ==
+      canon(Sketch.histogram(flat, 10)))
+
+    val empty = Seq.empty[Double].toDF("x")
+    val emptyVc = empty.groupBy("x").agg(count(lit(1)).as("c"))
+    assert(Sketch.histogramWeighted(emptyVc, 8).count() == 0 &&
+      Sketch.histogram(empty, 8).count() == 0)
+  }
+
   test("hll registers are duplicate-insensitive (cardinality, not " +
       "frequency): repeating the stream changes nothing") {
     val ws = (1 to 100).map(i => s"w$i")
