@@ -138,19 +138,24 @@ object Bench {
   }
 
   /** Per-query baseline (BASELINE_QUERIES.json — a flat name→seconds
-    * map; "_"-prefixed keys are metadata). Parsed with a numeric-pair
-    * regex rather than a JSON library so the bench main keeps zero
-    * dependencies; returns the metadata sf (to refuse cross-scale
-    * comparison) and the query map. Missing/unreadable file → None:
-    * the bench must never fail because its baseline is absent.
+    * map; "_"-prefixed keys are metadata, of which "_first:<key>" pins
+    * the cold first-rep reference for memo-served keys). Parsed with a
+    * numeric-pair regex rather than a JSON library so the bench main
+    * keeps zero dependencies; returns the metadata sf (to refuse
+    * cross-scale comparison), the min map, and the firsts map.
+    * Missing/unreadable file → None: the bench must never fail because
+    * its baseline is absent.
     */
-  private def loadBaseline(path: String): Option[(Double, Map[String, Double])] =
+  private def loadBaseline(path: String)
+      : Option[(Double, Map[String, Double], Map[String, Double])] =
     try {
       val src = scala.io.Source.fromFile(path)
       val txt = try src.mkString finally src.close()
       val all = """"([^"]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      all.get("_sf").map(sf => sf -> all.filter(!_._1.startsWith("_")))
+      all.get("_sf").map(sf => (sf, all.filter(!_._1.startsWith("_")),
+        all.collect { case (k, v) if k.startsWith("_first:") =>
+          k.stripPrefix("_first:") -> v }))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   def main(args: Array[String]): Unit = {
@@ -195,8 +200,11 @@ object Bench {
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
     val baseOpt = loadBaseline(baselinePath)
     val baseForSf: Option[Map[String, Double]] = baseOpt.collect {
-      case (bSf, base) if sfOfDir.contains(bSf) => base
+      case (bSf, base, _) if sfOfDir.contains(bSf) => base
     }
+    val firstBaseForSf: Map[String, Double] = baseOpt.collect {
+      case (bSf, _, fb) if sfOfDir.contains(bSf) => fb
+    }.getOrElse(Map.empty)
 
     // STREAM canary bracket (round-15; VERDICT r14 #1): the query-stage
     // window_factor is measured minutes before the pipeline/live stages
@@ -298,10 +306,10 @@ object Bench {
       baseOpt match {
         case None => ("absent", 1.0, Map.empty[String, Double],
           Map.empty[String, Double], Seq.empty[String])
-        case Some((bSf, _)) if !sfOfDir.contains(bSf) =>
+        case Some((bSf, _, _)) if !sfOfDir.contains(bSf) =>
           (s"sf-mismatch($bSf)", 1.0, Map.empty[String, Double],
             Map.empty[String, Double], Seq.empty[String])
-        case Some((_, base)) =>
+        case Some((_, base, _)) =>
           val (wf, raw, norm) = normalizedRegressions(mins, base)
           ("ok", wf, raw, norm, mins.keys.filterNot(base.contains).toSeq.sorted)
       }
@@ -309,6 +317,25 @@ object Bench {
       if (baselineState != "ok") "unknown"
       else if (windowFactor >= ContendedBar) "contended"
       else "ok"
+    // Cold-path regression map (round-16; VERDICT r15 #9): for memo/
+    // index-served keys the MIN measures serving, so a regression in
+    // the underlying build shows only in the first rep — compare each
+    // key's first-rep time against its pinned "_first:" cold reference
+    // (pinned only where first > 1.05×min), normalized by the same
+    // canary window factor. Single-sample, so advisory: read alongside
+    // regressed_normalized, not instead of it.
+    val regressedFirst: Map[String, Double] =
+      if (baselineState != "ok") Map.empty
+      else {
+        val excuse = math.max(1.0, windowFactor)
+        firsts.flatMap { case (n, v) =>
+          firstBaseForSf.get(n).collect {
+            case b if b > 0 && v / excuse > RegressionRatio * b &&
+                v / excuse - b > RegressionFloorSec =>
+              n -> math.rint(v / excuse / b * 100) / 100
+          }
+        }.toMap
+      }
 
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
@@ -330,7 +357,12 @@ object Bench {
     val liveOverheadNorm = liveOverheadSec / streamExcuse
     val liveMarginalNorm = liveMarginalRps * streamExcuse
     val compactNorm = compactSecs / streamExcuse
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"queries_first":$qfirsts,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"reps":$Reps,"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"baseline":${jstr(baselineState)},"window_factor":${math.rint(windowFactor * 100) / 100},"window":${jstr(windowState)},"window_factor_stream":${math.rint(streamWf * 100) / 100},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"regressed_normalized":${jmap(regressionsNorm.toSeq.sortBy(_._1))},"baseline_uncovered":${uncovered.map(jstr).mkString("[", ",", "]")},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_records_per_sec_normalized":${math.rint(rpsNorm * 10) / 10},"pipeline_conservation":${jstr(conservation)},"live_epoch_records":$liveRecs,"live_epoch_records_per_sec":$liveRps,"live_epoch_records_per_sec_normalized":${math.rint(liveRpsNorm * 10) / 10},"live_epoch_overhead_sec":${math.rint(liveOverheadSec * 100) / 100},"live_epoch_overhead_sec_normalized":${math.rint(liveOverheadNorm * 100) / 100},"live_epoch_marginal_rps":${math.rint(liveMarginalRps * 10) / 10},"live_epoch_marginal_rps_normalized":${math.rint(liveMarginalNorm * 10) / 10},"compaction_sec":$compactSecs,"compaction_sec_normalized":${math.rint(compactNorm * 100) / 100},"live_state":${jstr(liveState)}}""")
+    // Field order (round-16; VERDICT r15 #2): the scalars + the
+    // per-key MIN map lead the line, so a downstream recorder that
+    // truncates the (now ~30 KB) row still keeps the cross-round
+    // comparable part; every pre-existing field is still emitted (JSON
+    // parsing is order-free — only truncation robustness changes).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"sf":${jstr(sfDir)},"reps":$Reps,"window_factor":${math.rint(windowFactor * 100) / 100},"window":${jstr(windowState)},"window_factor_stream":${math.rint(streamWf * 100) / 100},"baseline":${jstr(baselineState)},"queries_min":$qmins,"queries":$qs,"queries_first":$qfirsts,"suspect_stall":${suspect.map(jstr).mkString("[", ",", "]")},"errors":$errs,"queries_sf001":${jmap(altTimes.toSeq.sortBy(_._1))},"regressed_vs_baseline":${jmap(regressions.toSeq.sortBy(_._1))},"regressed_normalized":${jmap(regressionsNorm.toSeq.sortBy(_._1))},"regressed_first":${jmap(regressedFirst.toSeq.sortBy(_._1))},"baseline_uncovered":${uncovered.map(jstr).mkString("[", ",", "]")},"pipeline_records":$pipeRecs,"pipeline_records_per_sec":$rps,"pipeline_records_per_sec_normalized":${math.rint(rpsNorm * 10) / 10},"pipeline_conservation":${jstr(conservation)},"live_epoch_records":$liveRecs,"live_epoch_records_per_sec":$liveRps,"live_epoch_records_per_sec_normalized":${math.rint(liveRpsNorm * 10) / 10},"live_epoch_overhead_sec":${math.rint(liveOverheadSec * 100) / 100},"live_epoch_overhead_sec_normalized":${math.rint(liveOverheadNorm * 100) / 100},"live_epoch_marginal_rps":${math.rint(liveMarginalRps * 10) / 10},"live_epoch_marginal_rps_normalized":${math.rint(liveMarginalNorm * 10) / 10},"compaction_sec":$compactSecs,"compaction_sec_normalized":${math.rint(compactNorm * 100) / 100},"live_state":${jstr(liveState)}}""")
     spark.stop()
   }
 

@@ -95,6 +95,17 @@ object LmScoreKernel {
     // summarize instead of dumping the vocabulary.
     override def toString: String =
       s"LocalBigramModel(V=$vocab, biW1=${bigrams.size()})"
+    // Identity equality (ADVICE r15): the model is a case-class field
+    // of a catalyst expression, so expression equality/semanticEquals
+    // and plan canonicalization would otherwise compare the full
+    // nested HashMaps — O(model) per plan comparison, invoked
+    // repeatedly during analysis. Models are memoized singletons, so
+    // reference identity IS value identity for every live use.
+    override def hashCode: Int = System.identityHashCode(this)
+    override def equals(o: Any): Boolean = o match {
+      case m: AnyRef => this eq m
+      case _ => false
+    }
   }
 
   /** Collected stupid-backoff trigram model (Brants 2007): uni/bi/tri
@@ -107,6 +118,12 @@ object LmScoreKernel {
       total: Long, vocab: Long) extends Serializable {
     override def toString: String =
       s"LocalBackoffModel(N=$total, V=$vocab, triW1=${trigrams.size()})"
+    // Identity equality — see LocalBigramModel.
+    override def hashCode: Int = System.identityHashCode(this)
+    override def equals(o: Any): Boolean = o match {
+      case m: AnyRef => this eq m
+      case _ => false
+    }
   }
 
   private def lookup2(
@@ -167,14 +184,22 @@ object LmScoreKernel {
       val slot = tf.get(k)
       if (slot != null) slot(0) += 1.0
       else {
-        val outer = model.trigrams.get(a)
+        // Null components are MODEL MISSES before any map lookup
+        // (ADVICE r15): the join spelling's contract is that a null
+        // never equals a join key, so a null token must fall through
+        // to the next backoff rung — a model that somehow carried a
+        // null-keyed gram must not match it here, and the seen-branch
+        // denominators stay provably non-null.
+        val outer = if (a == null || b == null || c == null) null
+          else model.trigrams.get(a)
         val c3 = if (outer == null) null else lookup2(outer, b, c)
         val s =
           if (c3 != null) {
             // seen trigram: its context bigram is seen by construction
             c3.longValue().toDouble / lookup2(model.bigrams, a, b).longValue()
           } else {
-            val c2b = lookup2(model.bigrams, b, c)
+            val c2b = if (b == null || c == null) null
+              else lookup2(model.bigrams, b, c)
             if (c2b != null) {
               // seen backoff bigram: its context unigram c1(w2) is seen
               0.4 * c2b.longValue().toDouble / model.unigrams.get(b).longValue()

@@ -72,7 +72,15 @@ object Dedup {
       _.dataType == org.apache.spark.sql.types.LongType)
     val maxLocal = pairs.sparkSession.conf
       .get("spark.graft.components.localizeMaxEdges", "2000000").toLong
-    if (longIds && base.count() <= maxLocal) return componentsLocal(base)
+    if (longIds && base.count() <= maxLocal) componentsLocal(base) match {
+      // None = a null id surfaced (ADVICE r15): the distributed join
+      // spelling gives null-endpoint edges asymmetric semantics (a null
+      // node RECEIVES a label row but never matches as a join key), so
+      // the local path declines rather than approximate it — the
+      // fixpoint below is the definitionally-agreeing path.
+      case Some(local) => return local
+      case None => ()
+    }
     val nodes = base.select(col("id1").as("id"))
       .unionByName(base.select(col("id2").as("id"))).distinct()
     val edges = base
@@ -130,7 +138,7 @@ object Dedup {
     * aggregate it; every registry output re-sorts totally, so row order
     * is immaterial).
     */
-  private def componentsLocal(base: DataFrame): DataFrame = {
+  private def componentsLocal(base: DataFrame): Option[DataFrame] = {
     val spark = base.sparkSession
     val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
     def find(x0: java.lang.Long): java.lang.Long = {
@@ -140,7 +148,12 @@ object Dedup {
       while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    base.collect().foreach { row =>
+    val rowsIn = base.collect()
+    // Null ids decline the local path (see the gate's note): the
+    // distributed spelling's null semantics are join-key semantics,
+    // not graph semantics, and only the fixpoint itself replays them.
+    if (rowsIn.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    rowsIn.foreach { row =>
       val a = java.lang.Long.valueOf(row.getLong(0))
       val b = java.lang.Long.valueOf(row.getLong(1))
       if (parent.get(a) == null) parent.put(a, a)
@@ -156,7 +169,7 @@ object Dedup {
     import scala.jdk.CollectionConverters._
     val rows = parent.keySet().asScala.toSeq.map(id =>
       org.apache.spark.sql.Row(id.longValue(), find(id).longValue()))
-    spark.createDataFrame(
+    Some(spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toList,
         math.max(1, math.min(spark.sparkContext.defaultParallelism,
           1 + rows.size / 50000))),
@@ -164,7 +177,7 @@ object Dedup {
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("component",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+          org.apache.spark.sql.types.LongType, nullable = false)))))
   }
 
   /** SEMANTIC dedup over an embedding corpus (the SemDeDup recipe,

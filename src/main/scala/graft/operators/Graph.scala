@@ -62,8 +62,15 @@ object Graph {
       _.dataType == org.apache.spark.sql.types.LongType)
     val maxLocal = pairs.sparkSession.conf
       .get("spark.graft.graph.localizeMaxEdges", "2000000").toLong
-    if (longIds && base.count() <= maxLocal)
-      return pageRankLocal(base, iters, scale)
+    if (longIds && base.count() <= maxLocal) pageRankLocal(base, iters, scale) match {
+      // None = a null id surfaced (ADVICE r15): the distributed
+      // spelling gives null endpoints join-key semantics (a null node
+      // receives mass but never sends, and drops from the final deg
+      // join) — the local replay declines rather than mimic that, and
+      // the loop below is the definitionally-agreeing path.
+      case Some(local) => return local
+      case None => ()
+    }
     val edges = base
       .unionByName(base.select(col("id2").as("id1"), col("id1").as("id2")))
       .select(col("id1").as("src"), col("id2").as("dst"))
@@ -93,10 +100,14 @@ object Graph {
     * every iterate is bit-identical to the distributed loop's. Output
     * (id, r, deg), the join's column order.
     */
-  private def pageRankLocal(base: DataFrame, iters: Int, scale: Long): DataFrame = {
+  private def pageRankLocal(base: DataFrame, iters: Int,
+      scale: Long): Option[DataFrame] = {
     val spark = base.sparkSession
     val edges = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
-    base.collect().foreach { row =>
+    val rowsIn = base.collect()
+    // Null ids decline the local path (see the gate's note).
+    if (rowsIn.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    rowsIn.foreach { row =>
       val a = row.getLong(0)
       val b = row.getLong(1)
       edges += ((a, b))
@@ -120,7 +131,7 @@ object Graph {
     }
     val rows = rank.keys.toSeq.sorted.map(id =>
       org.apache.spark.sql.Row(id, rank(id), deg(id)))
-    spark.createDataFrame(
+    Some(spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toList,
         math.max(1, math.min(spark.sparkContext.defaultParallelism,
           1 + rows.size / 50000))),
@@ -130,6 +141,6 @@ object Graph {
         org.apache.spark.sql.types.StructField("r",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("deg",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+          org.apache.spark.sql.types.LongType, nullable = false)))))
   }
 }

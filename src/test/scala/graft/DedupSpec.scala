@@ -36,6 +36,10 @@ class DedupSpec extends SparkSpec {
       spark.conf.set("spark.graft.components.localizeMaxEdges", "0")
       val loop = Dedup.components(pairs).as[(Long, Long)].collect().toMap
       assert(local == loop)
+      // -1, not 0 (ADVICE r15): with the gate at 0 an EMPTY graph still
+      // satisfies count() <= 0 and takes the local path — the
+      // distributed empty-graph branch needs a gate no count can meet.
+      spark.conf.set("spark.graft.components.localizeMaxEdges", "-1")
       assert(Dedup.components(Seq.empty[(Long, Long)].toDF("id1", "id2"))
         .count() == 0) // loop path empty graph
     } finally old match {
@@ -44,6 +48,29 @@ class DedupSpec extends SparkSpec {
     }
     assert(local == Map(5L -> 1L, 3L -> 1L, 9L -> 1L, 1L -> 1L,
       10L -> 10L, 11L -> 10L, 2L -> 2L, 7L -> 2L, 8L -> 2L))
+  }
+
+  test("components: null-id edges decline the local path, so the gated " +
+      "call replays the distributed join semantics exactly") {
+    import spark.implicits._
+    // A null endpoint has JOIN-key semantics in the fixpoint (it
+    // receives a label row but never matches as a key); the local
+    // union-find declines such inputs (ADVICE r15), so under the
+    // default gate the result must be identical to the forced loop.
+    val pairs = Seq((Some(1L), Some(2L)), (Some(3L), None), (Some(2L), Some(4L)))
+      .toDF("id1", "id2")
+    val gated = Dedup.components(pairs)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    val old = spark.conf.getOption("spark.graft.components.localizeMaxEdges")
+    try {
+      spark.conf.set("spark.graft.components.localizeMaxEdges", "-1")
+      val loop = Dedup.components(pairs)
+        .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+      assert(gated == loop)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.graft.components.localizeMaxEdges", v)
+      case None => spark.conf.unset("spark.graft.components.localizeMaxEdges")
+    }
   }
 
   test("components on an empty pair list returns empty and terminates") {

@@ -75,6 +75,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank: null-id edges decline the local path, so the gated " +
+      "call replays the distributed join semantics exactly") {
+    import spark.implicits._
+    val pairs = Seq((Some(1L), Some(2L)), (Some(2L), Some(3L)), (Some(3L), None))
+      .toDF("id1", "id2")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    val gated = rows(graft.operators.Graph.pageRank(pairs, iters = 3))
+    val old = spark.conf.getOption("spark.graft.graph.localizeMaxEdges")
+    try {
+      spark.conf.set("spark.graft.graph.localizeMaxEdges", "-1")
+      val loop = rows(graft.operators.Graph.pageRank(pairs, iters = 3))
+      assert(gated == loop)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.graft.graph.localizeMaxEdges", v)
+      case None => spark.conf.unset("spark.graft.graph.localizeMaxEdges")
+    }
+  }
+
   test("pageRank is partitioning-invariant (exact integer state)") {
     val rnd = new scala.util.Random(11)
     val pairs = Vector.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
