@@ -36,9 +36,15 @@ object Codecs {
     * column would ALSO fire on schema type mismatches — valid JSON the
     * reference parses fine and delivers Ok — so routing parity requires
     * checking JSON validity itself, not schema conformance.
+    *
+    * Round-16: validity runs through the compiled [[JsonValidExpr]]
+    * kernel — one streaming Jackson pass, same verdict as
+    * `try_parse_json(x).isNull` (CodecSpec property-pins the two over
+    * an adversarial corpus) without building the VariantVal binary the
+    * router immediately discards.
     */
   def isCorruptRaw(data: Column): Column =
-    try_parse_json(data.cast("string")).isNull
+    !JsonFunctions.jsonValid(data.cast("string"))
 
   def isCorrupt(decoded: Column): Column =
     decoded.isNull || decoded.getField(CorruptField).isNotNull

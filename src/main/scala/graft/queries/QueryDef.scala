@@ -62,8 +62,23 @@ object Tables {
     * the same footer every scan planning reads anyway) and only
     * layouts under max(2, par/4) row groups move.
     *
+    * Bytes-per-row gate (round-16, the q40 lesson completed): the
+    * rebalance buys SCAN-SIDE COMPUTE parallelism, which only pays
+    * when per-row work is heavy — fat text/vector rows (documents
+    * ~119 compressed B/row, embeddings ~400: tokenizers, gram kernels,
+    * quantizer math) — while on narrow relational rows (lineitem /
+    * orders / customer / events, 9–52 B/row: column arithmetic) the
+    * exchange is a pure fixed cost. A one-window A/B at sf0.1 read the
+    * narrow-row suite 2–3× FASTER without it (q13 1.07→0.41 s, q62
+    * 1.47→0.72, q24 1.33→0.56, q165 0.70→0.24) with the fat-row wins
+    * untouched, and two of the three window CANARIES (q02 customer,
+    * q58 orders) were carrying the exchange — inflating window_factor
+    * and excusing the whole suite's flags. Footer rows are read from
+    * the same cached metadata as the row-group count.
+    *
     * Thresholds are conf-tunable for tests:
-    * `spark.graft.rebalance.minBytes` / `.maxBytes`.
+    * `spark.graft.rebalance.minBytes` / `.maxBytes` /
+    * `.minBytesPerRow`.
     */
   private def rebalanced(spark: SparkSession, df: DataFrame,
       path: String): DataFrame = {
@@ -76,17 +91,22 @@ object Tables {
       "262144").toLong
     val max = spark.conf.get("spark.graft.rebalance.maxBytes",
       "67108864").toLong
+    val minBpr = spark.conf.get("spark.graft.rebalance.minBytesPerRow",
+      "64").toLong
     val par = spark.sparkContext.defaultParallelism
-    if (bytes >= min && bytes < max && par > 1 &&
-      rowGroups(spark, path) < math.max(2, par / 4)) df.repartition(par)
+    if (bytes >= min && bytes < max && par > 1 && {
+      val (groups, rows) = footerMeta(spark, path)
+      groups < math.max(2, par / 4) && rows > 0 && bytes / rows >= minBpr
+    }) df.repartition(par)
     else df
   }
 
-  /** Row-group count from the parquet footer, cached per path for the
-    * session (testdata files are immutable while a session runs).
+  /** (row-group count, total rows) from the parquet footer, cached per
+    * path for the session (testdata files are immutable while a
+    * session runs).
     */
-  private val rowGroupCache =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private val footerCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Long)]
 
   private val fileLenCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -98,13 +118,22 @@ object Tables {
       catch { case scala.util.control.NonFatal(_) => 0L }
     })
 
-  private def rowGroups(spark: SparkSession, path: String): Int =
-    rowGroupCache.getOrElseUpdate(path, {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path),
-        spark.sessionState.newHadoopConf())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRowGroups.size finally r.close()
+  private def footerMeta(spark: SparkSession, path: String): (Int, Long) =
+    footerCache.getOrElseUpdate(path, {
+      // An unreadable footer (e.g. a DIRECTORY-shaped table a caller
+      // fed through the single-file loader) safely declines the
+      // rebalance instead of failing the read.
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          (r.getRowGroups.size,
+            r.getRowGroups.asScala.map(_.getRowCount).sum)
+        } finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => (Int.MaxValue, 0L) }
     })
 
   /** `events.ts` has shipped as two different parquet types across

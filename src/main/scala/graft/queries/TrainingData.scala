@@ -3800,12 +3800,14 @@ object TrainingData {
     // double summation order. Scale shape: four mergeable aggregates
     // over doc-keyed frames; the final source-keyed join is
     // sources-sized (tiny, broadcast).
-    import graft.functions.TextFunctions.tokens
     val docs = t(s, dir, "documents")
     val src = docs.select("doc_id", "source")
-    val sizes = docs
-      .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_toks"))
+    // Sizes fold from the memoized token artifact instead of a fourth
+    // tokenizer pass over the raw corpus (round-16); the doc-keyed join
+    // back to source carries two ints per doc.
+    val sizes = tokenized(s, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(src, "doc_id")
     val srcagg = sizes.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
     val occ = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))

@@ -96,6 +96,48 @@ class CodecSpec extends SparkSpec {
     assert(line1.contains("\"firstname\":null"), s"null field dropped from: $line1")
   }
 
+  test("json_valid kernel == try_parse_json IS NOT NULL over an " +
+      "adversarial corpus (the round-16 router-validity contract)") {
+    import spark.implicits._
+    // Hand-built shapes covering every branch the variant parser takes:
+    // scalars, nesting, duplicate keys (rejected at any depth),
+    // trailing garbage AFTER a complete value (accepted — the variant
+    // parser never reads past the first value), beyond-long integers
+    // (getLongValue throws), huge exponents, strict-RFC rejects
+    // (single quotes, unquoted keys, comments, NaN, trailing commas),
+    // empty/whitespace, and raw non-JSON text.
+    val shapes = Seq(
+      """{"a":1}""", """[1,2,3]""", """"str"""", "123", "-0.5", "1e10",
+      "true", "false", "null", """{"a":{"b":[1,{"c":null}]}}""",
+      """{"a":1,"b":2}""", """{"a":1,"a":2}""", """{"a":{"x":1,"x":2}}""",
+      """[{"k":1,"k":2}]""", """{} junk""", """123 456""", """"s" trailing""",
+      "92233720368547758079", "9223372036854775807", "-9223372036854775808",
+      "1e999", "-1e999", "0.1e-999", """{"a":}""", """{"a":1,}""",
+      """[1,2,""", """{'a':1}""", """{a:1}""", "NaN", "Infinity",
+      "// c\n1", "1 // c", "", "   ", "\n\t", "not json at all",
+      "tru", "nullx", "{", "}", "[]", "{}", """{"":""}""",
+      """{"\u0041":1}""", "\"\\ud800\"", "\u0000", "01", "+1", ".5", "5.",
+      """{"a":"\q"}""", "[\"" + "\\" + "u12\"]", s""""${"x" * 5000}"""",
+      "[" * 50 + "1" + "]" * 50)
+    val fuzz = samples(Gen.listOf(
+      Gen.oneOf(Seq('{', '}', '[', ']', '"', ':', ',', '1', 'a', ' ', '\\', '.')))
+      .map(_.mkString), 80)
+    val df = (shapes ++ fuzz).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("i", "s")
+    val out = df.select(col("i"), col("s"),
+      graft.functions.JsonFunctions.jsonValid(col("s")).as("kernel"),
+      try_parse_json(col("s")).isNotNull.as("variant"))
+      .collect()
+    val diverged = out.filter(r => r.getBoolean(2) != r.getBoolean(3))
+      .map(r => s"${r.getLong(0)}: <${r.getString(1)}> kernel=${r.getBoolean(2)} variant=${r.getBoolean(3)}")
+    assert(diverged.isEmpty, diverged.mkString("\n"))
+    // Null input: the kernel must read FALSE (router fires
+    // ProcessingFailed) exactly where try_parse_json(null).isNull.
+    val nullRow = Seq(Tuple1(null: String)).toDF("s")
+      .select(graft.functions.JsonFunctions.jsonValid(col("s"))).head()
+    assert(!nullRow.getBoolean(0))
+  }
+
   test("routing is total and 3-way: Ok / Dropped / ProcessingFailed") {
     import spark.implicits._
     val rows = Seq(

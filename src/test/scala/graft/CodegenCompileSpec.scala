@@ -41,6 +41,7 @@ class CodegenCompileSpec extends SparkSpec {
     val str = BoundReference(0, org.apache.spark.sql.types.StringType,
       nullable = true)
     GenerateUnsafeProjection.generate(Seq(NfcNormalizeExpr(str)))
+    GenerateUnsafeProjection.generate(Seq(JsonValidExpr(str)))
   }
 
   test("word-n-gram expressions compile under Janino") {

@@ -636,9 +636,18 @@ class ExplainSpec extends SparkSpec {
     val p0 = plan("q02_project")
     assert(!p0.toLowerCase.contains("roundrobin"), p0)
     withSparkConf("spark.graft.rebalance.minBytes", "1") {
-      val p = plan("q02_project")
-      assert(p.toLowerCase.contains("roundrobin"), p)
-      assert(!p.contains("hashpartitioning"), p)
+      withSparkConf("spark.graft.rebalance.minBytesPerRow", "1") {
+        val p = plan("q02_project")
+        assert(p.toLowerCase.contains("roundrobin"), p)
+        assert(!p.contains("hashpartitioning"), p)
+      }
+      // Narrow rows alone (customer ~21 compressed B/row) stay put even
+      // under the forced byte floor: the rebalance buys scan-side
+      // COMPUTE parallelism, which narrow relational rows never repay
+      // (round-16 bytes-per-row gate; one-window A/B evidence in
+      // OPTIMIZATION_r16.md).
+      val pNarrow = plan("q02_project")
+      assert(!pNarrow.toLowerCase.contains("roundrobin"), pNarrow)
     }
   }
 
